@@ -1,0 +1,39 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on local[N]; the same config block is what we'd ship to a
+real cluster — AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), Arrow for the pandas-UDF boundary, and shuffle partitions sized
+to the parallelism at hand rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "pdf_brain_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        .config("spark.ui.enabled", "false")
+        # At 100 TB these matter: bound scan-partition size so a single file
+        # split fits executor memory, and keep broadcast threshold generous
+        # for dimension tables (documents/concepts/centroids).
+        .config("spark.sql.files.maxPartitionBytes", "256m")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

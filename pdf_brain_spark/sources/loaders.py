@@ -1,0 +1,42 @@
+"""Parquet loaders for the driver-generated test tables.
+
+At scale these would be external-catalog tables (partitioned parquet /
+iceberg); here they are single parquet files per table. Loading stays lazy —
+a loader returns an unmaterialized DataFrame so Catalyst can push projections
+and predicates into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view for spark.sql() use."""
+    for name in TABLES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)
