@@ -1,0 +1,130 @@
+"""Text functions — tokenization, portable hashing, language-ID heuristics,
+quality features. All built from native pyspark.sql.functions so they run
+JVM-side under WholeStageCodegen, and every formula has a DuckDB-SQL twin
+(see pdf_brain_spark/queries.py) for the correctness oracle.
+
+Portable hash: Spark's hash() is Murmur3 and DuckDB's hash() is different —
+for cross-engine parity (and stable fingerprints across engine versions at
+100 TB re-runs) we derive 60-bit integers from md5 hex, which both engines
+compute identically: ``conv(substr(md5(s), 1, 15), 16, 10)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(text: Column | str) -> Column:
+    """Lowercased whitespace tokens, empty-safe. Twin SQL:
+    list_filter(regexp_split_to_array(lower(trim(x)), '\\s+'), t -> t <> '')"""
+    t = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    return F.filter(t, lambda x: x != "")
+
+
+def md5_long(s: Column | str) -> Column:
+    """Portable 60-bit integer hash. Twin SQL:
+    CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)"""
+    return F.conv(F.substring(F.md5(_c(s)), 1, 15), 16, 10).cast("long")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokenize(text))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are sentence punctuation."""
+    t = _c(text)
+    stripped = F.regexp_replace(t, r"[.!?,;:]", "")
+    return (F.length(t) - F.length(stripped)).cast("double") / F.length(t)
+
+
+# Stopword table for the n-gram/stopword language heuristic. Small fixed
+# sets so the scoring expression stays a pure codegen'd filter+size.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "des", "un", "une", "dans", "que"],
+    "es": ["el", "los", "las", "es", "y", "un", "una", "en", "del", "por"],
+}
+
+
+def stopword_hits(tokens: Column, lang: str) -> Column:
+    words = LANG_STOPWORDS[lang]
+    return F.size(F.filter(tokens, lambda x: x.isin(*words)))
+
+
+def cjk_chars(text: Column | str) -> Column:
+    """Count of CJK characters (zh detection)."""
+    t = _c(text)
+    return F.length(t) - F.length(F.regexp_replace(t, r"[一-鿿]", ""))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: CJK presence wins, else argmax stopword hits
+    with fixed precedence en > de > fr > es, else 'unknown'."""
+    toks = tokenize(text)
+    en, de = stopword_hits(toks, "en"), stopword_hits(toks, "de")
+    fr, es = stopword_hits(toks, "fr"), stopword_hits(toks, "es")
+    return (
+        F.when(cjk_chars(text) > 0, F.lit("zh"))
+        .when((en >= de) & (en >= fr) & (en >= es) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de >= es) & (de > 0), F.lit("de"))
+        .when((fr >= es) & (fr > 0), F.lit("fr"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality score in [0,1]: length factor × mean-word-
+    length sanity × (1 - punctuation excess) × stopword presence. The exact
+    formula is arbitrary but deterministic; it mirrors the
+    length/punct/stopword ratio features used for LLM-corpus filtering."""
+    toks = tokenize(text)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(_c(text)).cast("double")
+    avg_wlen = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    len_factor = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    wlen_factor = F.when((avg_wlen >= 3.0) & (avg_wlen <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_factor = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    stop_factor = F.when(stopword_hits(toks, "en") > 0, F.lit(1.0)).otherwise(F.lit(0.7))
+    return len_factor * wlen_factor * punct_factor * stop_factor
+
+
+def shingles(tokens: Column, k: int = 3) -> Column:
+    """k-gram shingles by explicit concatenation (portable to DuckDB's
+    1-based list indexing without slice-semantics mismatches)."""
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    parts = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + j) for j in range(k)]
+    )
+    return F.transform(idx, parts)
+
+
+def doc_fingerprint(text: Column | str, k: int = 3) -> Column:
+    """Deterministic document fingerprint: min md5-derived 60-bit hash over
+    k-gram shingles (order-independent content fingerprint; the rolling-hash
+    analog of the reference's sha-prefix doc ids, src/index.ts:111-114)."""
+    sh = shingles(tokenize(text), k)
+    hashed = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+    return F.array_min(hashed)
+
+
+def sha12_id(s: Column | str) -> Column:
+    """Reference document id: first 12 hex chars of sha256
+    (src/index.ts:111-114)."""
+    return F.substring(F.sha2(_c(s), 256), 1, 12)
+
+
+def normalize_tag(tag: Column | str) -> Column:
+    """Reference tag normalization (AutoTagger.ts:383-389): lowercase,
+    non-alphanumeric → '-', squeeze repeats, strip leading/trailing dashes."""
+    t = F.lower(_c(tag))
+    t = F.regexp_replace(t, r"[^a-z0-9]+", "-")
+    return F.regexp_replace(t, r"^-+|-+$", "")

@@ -1,0 +1,177 @@
+"""Deduplication suite for LLM-training-data pipelines — beyond-reference
+extensions named in BASELINE.json, each designed as a shuffle-conscious
+DataFrame pipeline:
+
+  * exact_duplicates      — md5(content) groupBy; one shuffle on the hash.
+  * ngram_jaccard_pairs   — shingle inverted index → pairs sharing shingles
+                            → Jaccard from |A∩B| and precomputed set sizes.
+                            Never materializes the O(n²) cross product: only
+                            pairs that actually share a shingle meet.
+  * minhash_lsh_pairs     — minhash signatures (portable md5-derived hash
+                            family) → banded buckets → candidate pairs from
+                            bucket joins. The 100 TB-scale path: cost is
+                            O(n · bands), not O(n²).
+  * simhash_fingerprints  — 60-bit simhash over tokens (bitwise majority of
+                            per-token hashes).
+  * embedding_near_dup    — cosine-similarity pairs over the embedding
+                            column above a threshold (exact; the LSH/IVF
+                            variants in operators/ann.py are the scale path).
+
+Everything uses the portable md5-based hash (see functions/text.py) so
+results are reproducible across engines — which is also what makes the
+DuckDB oracles possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_brain_spark.functions.text import md5_long, shingles, tokenize
+from pdf_brain_spark.functions.vector import cosine_similarity
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, n_dups, doc_ids
+    kept/min). Returns one row per duplicated content value."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc_id, shingle) distinct pairs + per-doc set size."""
+    sh = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(tokenize(text_col), k))).alias("shingle")
+    )
+    return sh
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by k-gram Jaccard ≥ threshold. Inverted-index
+    join: pairs meet only on shared shingles, intersection = meet count,
+    union = |A| + |B| - ∩."""
+    sh = _shingle_sets(docs, id_col, text_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("intersection")
+            / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+MINHASH_HASHES = 16
+MINHASH_BANDS = 4  # 4 rows per band
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, h0..h15): minhash signature from the portable hash family
+    h_j(s) = md5_long(j || ':' || s)."""
+    sh = _shingle_sets(docs, id_col, text_col, k)
+    aggs = [
+        F.min(md5_long(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
+        for j in range(MINHASH_HASHES)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Candidate near-dup pairs from LSH banding: 4 bands × 4 hashes; a pair
+    is a candidate if any band's 4-tuple matches. Output is the distinct
+    candidate pair list (band-agnostic)."""
+    sig = minhash_signatures(docs, k, id_col, text_col)
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    bands = []
+    for b in range(MINHASH_BANDS):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionByName(x)
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    b_ = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b_, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """(doc_id, simhash): bitwise-majority fingerprint of per-token hashes.
+    32 bits keeps the bit-position explode cheap; near-dup = small hamming
+    distance (bit_count(xor))."""
+    toks = docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("tok"))
+    hashed = toks.withColumn("th", md5_long(F.col("tok")))
+    bit = hashed.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "th",
+    ).withColumn("bitval", F.expr("shiftright(th, bit)").bitwiseAND(F.lit(1)))
+    votes = bit.groupBy(id_col, "bit").agg(
+        F.sum(F.when(F.col("bitval") == 1, 1).otherwise(-1)).alias("vote")
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs above threshold. O(n²) compare —
+    correct baseline; at scale route through operators/ann.py (LSH/IVF
+    bucketing) so only bucket-mates are compared."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos_sim", cosine_similarity(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,80 @@
+"""Taxonomy / graph operators — the reference's SKOS concept DAG queries
+(TaxonomyService.ts): 1-hop broader/narrower/related joins and the
+recursive transitive closure (WITH RECURSIVE, TaxonomyService.ts:387-423).
+
+Spark (<4.0 semantics) has no recursive CTE, so closure is an iterative
+frontier join run to fixpoint:
+
+    frontier₀ = seed edges (node, ancestor=parent, depth=1)
+    frontierₙ = frontierₙ₋₁ ⋈ edges on (ancestor = edge.node), depth+1
+    result    = ∪ frontiers, distinct per iteration (cycle-safe)
+
+Edges tables are dimension-sized in practice (the reference ships 29
+concepts), so each iteration is a broadcast join; `checkpoint`-style
+truncation via localCheckpoint keeps the lineage from growing unboundedly
+on deep graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ITERATIONS = 50
+
+
+def transitive_ancestors(
+    seeds: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    max_iterations: int = MAX_ITERATIONS,
+) -> DataFrame:
+    """All (node, ancestor, depth) pairs reachable from `seeds` following
+    `edges` upward. `seeds` must have (node, parent); `edges` is the full
+    edge list. Stops at fixpoint (empty frontier) or max_iterations."""
+    edges = edges.select(
+        F.col(node_col).alias("_e_node"), F.col(parent_col).alias("_e_parent")
+    ).cache()
+
+    frontier = seeds.select(
+        F.col(node_col).alias("node"),
+        F.col(parent_col).alias("ancestor"),
+        F.lit(1).alias("depth"),
+    )
+    result = frontier
+    for i in range(max_iterations):
+        nxt = (
+            frontier.join(edges, frontier.ancestor == F.col("_e_node"))
+            .select("node", F.col("_e_parent").alias("ancestor"), (F.col("depth") + 1).alias("depth"))
+            .distinct()
+        )
+        # anti-join against accumulated result = the recursive-CTE UNION
+        # dedup, which is also what guarantees cycle termination
+        nxt = nxt.join(
+            result.select("node", "ancestor"), ["node", "ancestor"], "left_anti"
+        )
+        if i % 8 == 7:
+            nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        result = result.unionByName(nxt)
+        frontier = nxt
+    return result
+
+
+def one_hop_broader(concepts: DataFrame, hierarchy: DataFrame) -> DataFrame:
+    """Direct parents of each concept (TaxonomyService.ts:359-385) —
+    broadcast equi-join, concepts is dimension-sized."""
+    return hierarchy.join(
+        F.broadcast(concepts.select(F.col("concept_id").alias("broader_id"),
+                                    F.col("pref_label").alias("broader_label"))),
+        "broader_id",
+    )
+
+
+def descendants(seeds: DataFrame, edges: DataFrame, **kw) -> DataFrame:
+    """Transitive narrower: same loop with edges reversed."""
+    rev = edges.select(F.col("parent").alias("node"), F.col("node").alias("parent"))
+    rev_seeds = seeds.select(F.col("parent").alias("node"), F.col("node").alias("parent"))
+    return transitive_ancestors(rev_seeds, rev, **kw).withColumnRenamed("ancestor", "descendant")

@@ -269,6 +269,532 @@ def regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Full-text search / BM25 (SURVEY §2.3 J2, §2.5 W2) + hybrid merge (J8/U2)
+# --------------------------------------------------------------------------
+
+FTS_QUERY_TERMS = ["spark", "shuffle", "join"]
+
+
+@query("fts_bm25", oracle=None)  # oracle registered below via duck_bm25_sql
+def fts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 over the documents table for a fixed term set — the
+    Spark re-expression of FTS5 MATCH + rank (J2/W2)."""
+    from pdf_brain_spark.operators.fts import bm25_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    res = bm25_scores(docs, FTS_QUERY_TERMS, k=10)
+    return res.select("doc_id", F.round("bm25", 6).alias("bm25"), "terms_matched")
+
+
+def _register_fts_oracle() -> None:
+    from pdf_brain_spark.operators.fts import duck_bm25_sql
+
+    ORACLES["fts_bm25"] = duck_bm25_sql(FTS_QUERY_TERMS, k=10)
+
+
+_register_fts_oracle()
+
+
+_DUCK_BM25_ARM = """
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tokens
+      FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(len(tokens)) AS avgdl FROM toks),
+    postings AS (
+      SELECT doc_id, term, len_tokens AS doc_len, count(*) AS tf
+      FROM (SELECT doc_id, unnest(tokens) AS term, len(tokens) AS len_tokens FROM toks)
+      WHERE term IN ('spark', 'shuffle', 'join')
+      GROUP BY doc_id, term, len_tokens
+    ),
+    dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term),
+    fts_arm AS (
+      SELECT doc_id, sum(
+        ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+          * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.doc_len / s.avgdl))
+      ) / 10.0 AS fts_score
+      FROM postings p JOIN dfs d USING (term), stats s
+      GROUP BY doc_id
+      ORDER BY 2 DESC, doc_id ASC LIMIT 10
+    )
+"""
+
+
+@query(
+    "hybrid_search",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0),
+    vec_arm AS (
+      SELECT e.vec_id AS doc_id,
+             1.0 - {_duck_cosine_distance('e.embedding', 'q.query_vec')} / 2.0 AS vec_score
+      FROM embeddings e, q
+      ORDER BY vec_score DESC, e.vec_id ASC LIMIT 10
+    ),
+    {_DUCK_BM25_ARM}
+    SELECT COALESCE(v.doc_id, f.doc_id) AS doc_id,
+           round(CASE WHEN v.doc_id IS NOT NULL AND f.doc_id IS NOT NULL
+                      THEN least(1.0, v.vec_score * 1.2)
+                      ELSE COALESCE(v.vec_score, f.fts_score) END, 6) AS score,
+           CASE WHEN v.doc_id IS NOT NULL AND f.doc_id IS NOT NULL THEN 'hybrid'
+                WHEN v.doc_id IS NOT NULL THEN 'vector' ELSE 'fts' END AS match_type
+    FROM vec_arm v FULL OUTER JOIN fts_arm f ON v.doc_id = f.doc_id
+    ORDER BY 2 DESC, 1 ASC LIMIT 10
+    """,
+)
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid vector∪FTS merge with the reference's exact boost semantics:
+    in-both ⇒ min(1, vec_score·1.2), matchType='hybrid' (src/index.ts:323-353).
+    Embeddings vec_id keys the documents table (synthetic 1:1)."""
+    from pdf_brain_spark.operators.fts import bm25_scores
+    from pdf_brain_spark.operators.hybrid import hybrid_merge
+    from pdf_brain_spark.operators.vector_search import topk_by_query_df
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    vec = topk_by_query_df(emb, qdf, k=10).select(
+        F.col("vec_id").alias("doc_id"), F.col("score").alias("vec_score")
+    )
+    # scale bm25 (unbounded) into a score comparable to the [0,1] vector arm
+    fts = bm25_scores(docs, FTS_QUERY_TERMS, k=10).select(
+        "doc_id", (F.col("bm25") / 10.0).alias("fts_score")
+    )
+    merged = hybrid_merge(vec, fts, ["doc_id"], limit=10)
+    return merged.select("doc_id", F.round("score", 6).alias("score"), "match_type")
+
+
+# --------------------------------------------------------------------------
+# Text analysis for LLM-corpus pipelines (beyond-reference, BASELINE.json)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tokens,
+             length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+             length(text) AS len_text
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           len(tokens) AS n_tokens,
+           round(CAST(n_punct AS DOUBLE) / len_text, 6) AS punct_ratio,
+           len(list_filter(tokens, t -> t IN ('the','and','of','to','a','in','is','that','it','for'))) AS en_stopwords
+    FROM toks
+    ORDER BY doc_id
+    LIMIT 100
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/punctuation/stopword features (corpus quality
+    scoring inputs)."""
+    from pdf_brain_spark.functions.text import punct_ratio, stopword_hits, tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokenize("text")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(toks).alias("n_tokens"),
+            F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+            stopword_hits(toks, "en").alias("en_stopwords"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "lang_id",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang AS actual_lang,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tokens,
+             length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, actual_lang, cjk,
+        len(list_filter(tokens, t -> t IN ('the','and','of','to','a','in','is','that','it','for'))) AS en,
+        len(list_filter(tokens, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS de,
+        len(list_filter(tokens, t -> t IN ('le','la','les','et','est','des','un','une','dans','que'))) AS fr,
+        len(list_filter(tokens, t -> t IN ('el','los','las','es','y','un','una','en','del','por'))) AS es
+      FROM toks
+    )
+    SELECT predicted_lang, count(*) AS n_docs
+    FROM (
+      SELECT CASE
+        WHEN cjk > 0 THEN 'zh'
+        WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        WHEN fr >= es AND fr > 0 THEN 'fr'
+        WHEN es > 0 THEN 'es'
+        ELSE 'unknown' END AS predicted_lang
+      FROM hits
+    )
+    GROUP BY predicted_lang
+    """,
+)
+def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword/CJK language-ID distribution over the corpus."""
+    from pdf_brain_spark.functions.text import lang_id
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(lang_id("text").alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tokens
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(tokens) - 1, 1)),
+                            i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) AS shingles
+      FROM toks
+    )
+    SELECT doc_id,
+           list_min(list_transform(shingles,
+             s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))) AS fingerprint
+    FROM sh
+    ORDER BY doc_id
+    LIMIT 100
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content fingerprint: min portable-hash over 3-gram
+    shingles (document fingerprinting for incremental dedup)."""
+    from pdf_brain_spark.functions.text import doc_fingerprint
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup suite (beyond-reference, BASELINE.json first-class)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_id
+    FROM documents
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup via hash-groupBy (single shuffle)."""
+    from pdf_brain_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(load_table(spark, "documents", sf_dir))
+
+
+_DUCK_SHINGLES = """
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tokens
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(tokens) - 1, 1)),
+               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))) AS shingle
+      FROM toks
+    )
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(intersection AS DOUBLE) / (sa.set_size + sb.set_size - intersection), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(intersection AS DOUBLE) / (sa.set_size + sb.set_size - intersection) >= 0.08
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs via shingle inverted index (no cross
+    product)."""
+    from pdf_brain_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.08)
+
+
+_DUCK_MINHASH_SIG = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"min(CAST(concat('0x', substr(md5('{j}:' || shingle), 1, 15)) AS BIGINT)) AS h{j}"
+        for j in range(16)
+    )
+    + " FROM sh GROUP BY doc_id"
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sig AS ({_DUCK_MINHASH_SIG}),
+    banded AS (
+      SELECT doc_id, 0 AS band, md5(concat_ws('_', h0, h1, h2, h3)) AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 1, md5(concat_ws('_', h4, h5, h6, h7)) FROM sig
+      UNION ALL
+      SELECT doc_id, 2, md5(concat_ws('_', h8, h9, h10, h11)) FROM sig
+      UNION ALL
+      SELECT doc_id, 3, md5(concat_ws('_', h12, h13, h14, h15)) FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 16 portable hashes, 4 bands × 4 rows."""
+    from pdf_brain_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load_table(spark, "documents", sf_dir))
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS th FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b.bit, CASE WHEN (th >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS v
+      FROM hashed, (SELECT unnest(range(32)) AS bit) b
+    ),
+    votes AS (SELECT doc_id, bit, sum(v) AS vote FROM bits GROUP BY doc_id, bit)
+    SELECT doc_id,
+           sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+    ORDER BY doc_id LIMIT 100
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit simhash fingerprints (bitwise majority of token hashes)."""
+    from pdf_brain_spark.operators.dedup import simhash_fingerprints
+
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash_fingerprints(docs).orderBy("doc_id").limit(100)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DUCK_COS.format(a='a.embedding', b='b.embedding')} /
+                 ({_DUCK_NORM.format(a='a.embedding')} * {_DUCK_NORM.format(a='b.embedding')}), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DUCK_COS.format(a='a.embedding', b='b.embedding')} /
+          ({_DUCK_NORM.format(a='a.embedding')} * {_DUCK_NORM.format(a='b.embedding')}) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ 0.45 (exact baseline)."""
+    from pdf_brain_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(load_table(spark, "embeddings", sf_dir), threshold=0.45)
+
+
+# --------------------------------------------------------------------------
+# Events: windows / sessionization (SURVEY §2.10 extension; §2.5 analogs)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation — the batch shape of the
+    Structured Streaming pipeline in streaming/events.py."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select("event_type", F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+    LIMIT 100
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization via lag + running sum — the batch twin
+    of a session-window streaming aggregation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # compare in microseconds: DuckDB's `> INTERVAL 30 MINUTE` is exact, a
+    # seconds-floor comparison would diverge at sub-second boundaries
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+        .limit(100)
+    )
+
+
+@query(
+    "events_top_per_user",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, event_type, round(value, 6) AS value
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id LIMIT 100
+    """,
+)
+def events_top_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-per-group via ranking window (reference W4 shape)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 6).alias("value"))
+        .orderBy("user_id")
+        .limit(100)
+    )
+
+
+@query(
+    "events_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event type (reference W5 latency percentiles).
+    At 100 TB you'd switch to approx_percentile; exact keeps the oracle."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Recursive transitive closure (SURVEY §2.3 J5) — iterative frontier join
+# --------------------------------------------------------------------------
+
+
+@query(
+    "transitive_closure",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT o_orderkey AS node, o_orderkey // 2 AS ancestor, 1 AS depth
+      FROM orders WHERE o_orderkey > 1 AND o_orderkey <= 64
+      UNION
+      SELECT a.node, e.o_orderkey // 2 AS ancestor, a.depth + 1
+      FROM anc a JOIN orders e ON e.o_orderkey = a.ancestor
+      WHERE e.o_orderkey > 1
+    )
+    SELECT node, ancestor, depth FROM anc
+    """,
+)
+def transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ancestors in the implicit binary tree parent(k)=k//2 over order keys
+    ≤ 64 — the reference's recursive-CTE taxonomy closure
+    (TaxonomyService.ts:387-423) as an iterative frontier join with a
+    fixpoint stop. Spark has no recursive CTE; each iteration is one join +
+    union, edges cached."""
+    from pdf_brain_spark.operators.taxonomy import transitive_ancestors
+
+    orders = load_table(spark, "orders", sf_dir)
+    edges = (
+        orders.filter((F.col("o_orderkey") > 1))
+        .select(
+            F.col("o_orderkey").alias("node"),
+            F.floor(F.col("o_orderkey") / 2).cast("long").alias("parent"),
+        )
+        .distinct()
+    )
+    seeds = edges.filter(F.col("node") <= 64)
+    return transitive_ancestors(seeds, edges)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -33,6 +33,9 @@ def get_spark(app_name: str = "pdf_brain_spark", shuffle_partitions: int | None 
         # for dimension tables (documents/concepts/centroids).
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # testdata events.parquet carries TIMESTAMP(NANOS); Spark reads it
+        # as long (nanos) under this flag and loaders.py converts to micros
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

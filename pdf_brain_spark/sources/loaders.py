@@ -29,7 +29,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long under nanosAsLong; values are
+        # micro-aligned so the nanos→micros conversion is lossless
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
