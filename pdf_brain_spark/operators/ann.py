@@ -1,0 +1,113 @@
+"""Approximate nearest-neighbor search — the scale path standing in for the
+reference's DiskANN index (LibSQLDatabase.ts:723-727). Exact brute-force
+(operators/vector_search.py) is the correctness baseline; these trade exact
+recall for pruned scans, mirroring the reference's own stance that ANN is
+approximate (float8 index compression accepts 1-2% recall loss).
+
+Two strategies:
+
+  * IVF (inverted file): KMeans-partition the corpus; a query probes only
+    the `n_probes` nearest partitions. At 100 TB the assignment is a
+    persisted partition column → partition pruning makes the probe a
+    fraction-of-corpus scan. Recall tunable via n_probes.
+
+  * Random-hyperplane LSH: sign-bit sketch against `n_planes` fixed random
+    hyperplanes (deterministic seed). Bucket join → candidates → exact
+    re-rank. Same banding idea as MinHash-LSH for text.
+
+Both re-rank candidates with the exact cosine expression, so returned
+scores are exact; only candidate generation is approximate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_brain_spark.functions.vector import cosine_distance, distance_to_score
+
+
+def ivf_index(
+    emb: DataFrame, n_lists: int = 16, seed: int = 42, vec_col: str = "embedding"
+) -> tuple[DataFrame, list[list[float]]]:
+    """Assign every vector to its nearest of n_lists KMeans centroids.
+    Returns (indexed DF with `list_id`, centroids)."""
+    from pdf_brain_spark.operators.clustering import kmeans_assign
+
+    assigned, centroids = kmeans_assign(emb, k=n_lists, seed=seed, vec_col=vec_col)
+    return assigned.withColumnRenamed("cluster_id", "list_id").drop("distance"), centroids
+
+
+def ivf_search(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the n_probes centroid-nearest lists, exact re-rank inside."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    sims = cents @ q / (np.linalg.norm(cents, axis=1) * np.linalg.norm(q) + 1e-12)
+    probe_ids = [int(i) for i in np.argsort(-sims)[:n_probes]]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        indexed.filter(F.col("list_id").isin(probe_ids))
+        .withColumn("distance", cosine_distance(F.col(vec_col), qcol))
+        .withColumn("score", distance_to_score(F.col("distance")))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_sketch(
+    emb: DataFrame, dim: int, n_planes: int = 16, seed: int = 7, vec_col: str = "embedding"
+) -> DataFrame:
+    """Sign-bit sketch: bucket = Σ (v·hᵢ > 0) << i, as a codegen'd expression
+    over broadcast literal hyperplanes."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, h in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in h]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return emb.withColumn("bucket", bucket)
+
+
+def lsh_search(
+    sketched: DataFrame,
+    dim: int,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 16,
+    seed: int = 7,
+    max_hamming: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidates = buckets within `max_hamming` bits of the query bucket
+    (bit_count(xor)), then exact re-rank."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qbucket = int(sum((1 << i) for i, h in enumerate(planes) if float(h @ q) > 0))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        sketched.filter(F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket))) <= max_hamming)
+        .withColumn("distance", cosine_distance(F.col(vec_col), qcol))
+        .withColumn("score", distance_to_score(F.col("distance")))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )

@@ -795,6 +795,261 @@ def transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transitive_ancestors(seeds, edges)
 
 
+# --------------------------------------------------------------------------
+# Corpus analytics (SURVEY §2.4 A2/A8) + listings/lookups (P1-P3)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "keyword_topn",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')) AS word
+      FROM documents
+    ),
+    filtered AS (
+      SELECT doc_id, word FROM toks
+      WHERE word NOT IN ('the','and','of','to','a','in','is','that','it','for',
+                         'on','at','by','an','be','or','as','are','was','with','this','from')
+        AND length(word) > 2
+    ),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM filtered GROUP BY doc_id, word),
+    scored AS (
+      SELECT doc_id, word,
+             round(tf * least(length(word) / 4.0, 1.0), 6) AS kw_score
+      FROM tf
+    ),
+    ranked AS (
+      SELECT doc_id, word, kw_score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY kw_score DESC, word ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, word, kw_score, rank FROM ranked
+    WHERE rank <= 5 AND doc_id < 50
+    """,
+)
+def keyword_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 keywords per doc: tf × word-length dampening, stopword-filtered
+    (AutoTagger.ts:463-495 shape)."""
+    from pdf_brain_spark.operators.analytics import keyword_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    return keyword_scores(docs, top_n=5).filter(F.col("doc_id") < 50)
+
+
+@query(
+    "source_distribution",
+    oracle="""
+    WITH total AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    dist AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM documents GROUP BY source)
+    SELECT source, n_docs,
+           round(n_docs * 100.0 / t.n, 6) AS coverage_pct,
+           CASE WHEN n_docs * 100.0 / t.n >= 20 THEN 'common'
+                WHEN n_docs * 100.0 / t.n >= 5 THEN 'moderate'
+                WHEN n_docs * 100.0 / t.n >= 1 THEN 'niche'
+                ELSE 'rare' END AS usage_bucket
+    FROM dist, total t
+    """,
+)
+def source_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value distribution with the reference's coverage buckets
+    (analyze-tags.ts:25-171; 'source' stands in for tags on this corpus)."""
+    from pdf_brain_spark.operators.analytics import value_distribution
+
+    docs = load_table(spark, "documents", sf_dir)
+    return value_distribution(docs, "source")
+
+
+@query(
+    "lang_source_cooccurrence",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT source, lang FROM documents
+    ),
+    pairs AS (
+      SELECT a.source, a.lang AS value_a, b.lang AS value_b
+      FROM d a JOIN d b ON a.source = b.source AND a.lang < b.lang
+    )
+    SELECT value_a, value_b, count(*) AS n_docs
+    FROM pairs GROUP BY value_a, value_b HAVING count(*) >= 2
+    """,
+)
+def lang_source_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence pair counts (analyze-tags.ts pair analysis): which
+    languages co-occur under the same source."""
+    from pdf_brain_spark.operators.analytics import cooccurrence_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return cooccurrence_pairs(docs.select("source", "lang"), "source", "lang", min_count=2).select(
+        "value_a", "value_b", "n_docs"
+    )
+
+
+@query(
+    "doc_listing",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE lang = 'en'
+    ORDER BY n_chars DESC, doc_id ASC
+    LIMIT 25
+    """,
+)
+def doc_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered listing with sort (reference P1: list documents by tag,
+    ORDER BY added_at DESC; lang/n_chars stand in on this corpus)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.filter(F.col("lang") == "en")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
+@query(
+    "doc_lookup",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
+)
+def doc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup by id (reference P2) — at scale this is partition-pruned
+    + parquet predicate pushdown, not an index probe."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.filter(F.col("doc_id") == 42).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c.c_custkey
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join integrity scan (reference J6 orphan repair shape)."""
+    from pdf_brain_spark.operators.analytics import orphans
+
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select(F.col("o_custkey").alias("c_custkey"))
+    return orphans(c, o, "c_custkey").select("c_custkey", "c_name").orderBy("c_custkey")
+
+
+@query(
+    "orders_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup aggregation (beyond-reference relational
+    completeness; Spark rollup = partial-agg friendly grouping sets)."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+@query(
+    "context_expansion",
+    oracle="""
+    WITH chunks AS (
+      SELECT doc_id, source, text,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS chunk_index
+      FROM documents
+    ),
+    hits AS (SELECT source, chunk_index FROM chunks WHERE doc_id % 100 = 0),
+    joined AS (
+      SELECT h.source, h.chunk_index AS hit_index, c.chunk_index AS n_idx, c.text
+      FROM hits h JOIN chunks c
+        ON c.source = h.source
+       AND c.chunk_index BETWEEN h.chunk_index - 1 AND h.chunk_index + 1
+    ),
+    agg AS (
+      SELECT source, hit_index,
+             string_agg(text, ' ' ORDER BY n_idx) AS expanded_content,
+             min(n_idx) AS expanded_start, max(n_idx) AS expanded_end
+      FROM joined GROUP BY source, hit_index
+    )
+    SELECT source, hit_index AS chunk_index,
+           md5(substr(expanded_content, 1, 4000)) AS content_hash,
+           length(substr(expanded_content, 1, 4000)) AS content_len,
+           expanded_start, expanded_end
+    FROM agg
+    """,
+)
+def context_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-chunk context expansion (reference J9/W6,
+    LibSQLDatabase.ts:459-535): ±1 window within the same 'document'
+    (source groups over the documents table), char-budget truncated. One
+    range join instead of the reference's per-hit SELECT loop."""
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.operators.expand import expand_context
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    chunks = docs.select(
+        "doc_id", "source", F.col("text").alias("content"), F.row_number().over(w).alias("chunk_index")
+    )
+    hits = chunks.filter(F.col("doc_id") % 100 == 0).select("source", "chunk_index")
+    res = expand_context(hits, chunks, window=1, doc_col="source", content_col="content")
+    return res.select(
+        "source",
+        "chunk_index",
+        F.md5("expanded_content").alias("content_hash"),
+        F.length("expanded_content").alias("content_len"),
+        "expanded_start",
+        "expanded_end",
+    )
+
+
+# --------------------------------------------------------------------------
+# Clustering / ANN (SURVEY §2.9 M1-M5) — rows-only checks (non-SQL ops);
+# invariants (recall vs exact, WSSSE) covered in tests/.
+# --------------------------------------------------------------------------
+
+
+@query("kmeans_clusters", oracle=None)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib KMeans (M3): cluster sizes + mean distance + representative
+    (cluster_summaries build). Seeded, k=8."""
+    from pdf_brain_spark.operators.clustering import cluster_summaries, kmeans_assign
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    assigned, _ = kmeans_assign(emb, k=8, seed=42)
+    return cluster_summaries(assigned).orderBy("cluster_id")
+
+
+@query("soft_clustering", oracle=None)
+def soft_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Softmax(-d/T) soft membership (M5/A6), T=0.5, p ≥ 0.1."""
+    from pdf_brain_spark.operators.clustering import kmeans_assign, soft_assignments
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    _, centroids = kmeans_assign(emb, k=8, seed=42)
+    return soft_assignments(emb, centroids).filter(F.col("vec_id") < 100)
+
+
+@query("ann_ivf_topk", oracle=None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: KMeans-partitioned corpus, 4-of-16 lists
+    probed, exact re-rank inside probes (DiskANN stand-in, M1)."""
+    from pdf_brain_spark.operators.ann import ivf_index, ivf_search
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    indexed, centroids = ivf_index(emb, n_lists=16, seed=42)
+    res = ivf_search(indexed, centroids, qvec, k=10, n_probes=4)
+    return res.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
