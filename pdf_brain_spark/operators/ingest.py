@@ -1,0 +1,168 @@
+"""Ingest pipeline — the Spark re-expression of the reference's add/ingest
+write path (src/index.ts:89-302, cli.ts:1386-1849):
+
+    files → [extract] → chunk (pandas UDF + explode) → embed (mapInPandas)
+          → write documents / chunks / embeddings parquet
+
+Design notes vs the reference:
+  * dedup-by-path (J7/P8) is a left_anti join against the existing
+    documents table instead of a driver-side Set.
+  * doc id = sha256(path)[:12] exactly (src/index.ts:111-114).
+  * chunk id = `{doc_id}-{i}` exactly (src/index.ts:221-228).
+  * The reference's EmbeddingQueue (batch 20 / concurrency 3 / 50 ms delay /
+    WAL checkpoints, EmbeddingQueue.ts:70-192) exists to fake a scheduler in
+    a single process — here partition-level parallelism replaces all of it;
+    batch sizing is spark.sql.execution.arrow.maxRecordsPerBatch.
+  * Embedding generation is pluggable: the default is a deterministic
+    hash-based unit vector (test double, hermetic CI); a real model endpoint
+    drops into the same mapInPandas seam (iterator UDF = per-executor
+    client reuse, retries inside).
+
+PDF binary extraction (reference shells to pypdf, PDFExtractor.ts:53-65)
+is represented by `extract_pdf_pages_udf`, a mapInPandas over
+spark.read.format("binaryFile") rows; pypdf is not in this container so the
+decode raises NotImplementedError behind a clearly marked seam while the
+plumbing (schema, batching) is real and tested with the text fast-path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_brain_spark.functions.chunking import DEFAULT_CHUNK_SIZE, DEFAULT_OVERLAP, make_chunk_udf
+from pdf_brain_spark.functions.text import sha12_id
+
+EMBED_DIM = 64
+
+
+def deterministic_embedding(text: str, dim: int = EMBED_DIM) -> np.ndarray:
+    """Seeded hash-embedding test double: sha256(text) seeds a Gaussian
+    unit vector. Deterministic across runs/executors — the hermetic stand-in
+    for the Ollama embed call (M6)."""
+    seed = int.from_bytes(hashlib.sha256(text.encode()).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim)
+    return (v / np.linalg.norm(v)).astype(np.float32)
+
+
+def embed_map_in_pandas(dim: int = EMBED_DIM):
+    """mapInPandas stage: (chunk_id, content) → (chunk_id, embedding).
+    Iterator form so a real client would be constructed once per executor
+    and reused across Arrow batches."""
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "chunk_id": pdf["chunk_id"],
+                    "embedding": pdf["content"].map(
+                        lambda t: deterministic_embedding(t, dim).tolist()
+                    ),
+                }
+            )
+
+    return _embed
+
+
+def dedup_new_files(files: DataFrame, existing_docs: DataFrame, path_col: str = "path") -> DataFrame:
+    """Skip already-ingested paths (reference J7: Set membership →
+    left_anti)."""
+    return files.join(existing_docs.select(path_col).distinct(), path_col, "left_anti")
+
+
+def build_documents(files: DataFrame, path_col: str = "path") -> DataFrame:
+    """files(path, title?, content) → documents rows with sha-12 ids."""
+    doc = files.withColumn("doc_id", sha12_id(F.col(path_col)))
+    if "title" not in files.columns:
+        doc = doc.withColumn(
+            "title", F.regexp_extract(F.col(path_col), r"([^/]+?)(?:\.[a-zA-Z]+)?$", 1)
+        )
+    return doc.withColumn("added_at", F.current_timestamp())
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "content",
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    overlap: int = DEFAULT_OVERLAP,
+    markdown: bool = False,
+) -> DataFrame:
+    """documents → chunks with `{doc_id}-{i}` ids via chunk UDF +
+    posexplode (the UDTF shape)."""
+    chunk_udf = make_chunk_udf(chunk_size, overlap, markdown)
+    exploded = docs.select(
+        "doc_id", F.posexplode(chunk_udf(F.col(text_col))).alias("chunk_index", "content")
+    )
+    return exploded.select(
+        F.concat_ws("-", F.col("doc_id"), F.col("chunk_index")).alias("chunk_id"),
+        "doc_id",
+        "chunk_index",
+        "content",
+    ).filter(F.length("content") > 0)
+
+
+def embed_chunks(chunks: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    return chunks.select("chunk_id", "content").mapInPandas(
+        embed_map_in_pandas(dim), schema=f"chunk_id string, embedding array<float>"
+    )
+
+
+def ingest(
+    spark: SparkSession,
+    files: DataFrame,
+    out_dir: str,
+    existing_docs: DataFrame | None = None,
+    markdown: bool = False,
+) -> dict[str, int]:
+    """End-to-end ingest job. `files` must have (path, content). Writes
+    documents/, chunks/, embeddings/ parquet under out_dir; returns counts.
+    Idempotent re-runs come from the path anti-join."""
+    if existing_docs is not None:
+        files = dedup_new_files(files, existing_docs)
+    docs = build_documents(files)
+    chunks = chunk_documents(docs, markdown=markdown)
+    # chunks feed two sinks; cache to avoid re-running the chunk UDF
+    chunks = chunks.cache()
+    emb = embed_chunks(chunks)
+    docs.drop("content").write.mode("append").parquet(f"{out_dir}/documents")
+    chunks.write.mode("append").parquet(f"{out_dir}/chunks")
+    emb.write.mode("append").parquet(f"{out_dir}/embeddings")
+    return {
+        "documents": docs.count(),
+        "chunks": chunks.count(),
+        "embeddings": emb.count(),
+    }
+
+
+def extract_pdf_pages_udf():
+    """mapInPandas seam for binaryFile PDF rows → (path, page, text).
+    pypdf is unavailable in this container: the decode is stubbed with a
+    clear error; the Spark-side plumbing (binary column in, per-page rows
+    out) is the real production shape."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import pypdf  # noqa: F401
+        except ImportError as e:  # pragma: no cover - container has no pypdf
+            raise NotImplementedError(
+                "PDF decode requires pypdf; install it on executors or "
+                "pre-extract text (reference shells out the same way, "
+                "PDFExtractor.ts:53-65)"
+            ) from e
+        for pdf in batches:  # pragma: no cover
+            rows = []
+            for _, r in pdf.iterrows():
+                import io
+
+                reader = pypdf.PdfReader(io.BytesIO(r["content"]))
+                for i, page in enumerate(reader.pages, 1):
+                    rows.append({"path": r["path"], "page": i, "text": page.extract_text()})
+            yield pd.DataFrame(rows, columns=["path", "page", "text"])
+
+    return _extract

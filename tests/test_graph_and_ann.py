@@ -1,0 +1,99 @@
+"""Closure cycle-safety/polyhierarchy tests + ANN recall invariants +
+clustering invariants (rows-only operators get their guarantees here)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_closure_polyhierarchy_and_depth(spark):
+    from pdf_brain_spark.operators.taxonomy import transitive_ancestors
+
+    # diamond + chain: d -> b -> a, d -> c -> a (polyhierarchy), e -> d
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "a"), ("d", "b"), ("d", "c"), ("e", "d")],
+        "node string, parent string",
+    )
+    seeds = edges.filter(F.col("node") == "e")
+    res = transitive_ancestors(seeds, edges)
+    anc = {(r["ancestor"], r["depth"]) for r in res.collect()}
+    assert ("d", 1) in anc
+    assert ("b", 2) in anc and ("c", 2) in anc
+    # 'a' reachable via two paths at depth 3 — deduped, present once
+    assert ("a", 3) in anc
+    assert res.filter((F.col("ancestor") == "a") & (F.col("depth") == 3)).count() == 1
+
+
+def test_closure_cycle_terminates(spark):
+    from pdf_brain_spark.operators.taxonomy import transitive_ancestors
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "node string, parent string"
+    )
+    res = transitive_ancestors(edges, edges, max_iterations=20)
+    # terminates and each (node, ancestor) appears once
+    assert res.count() == res.select("node", "ancestor").distinct().count()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def _exact_topk_ids(spark, emb, qvec, k):
+    from pdf_brain_spark.operators.vector_search import topk
+
+    return {r["vec_id"] for r in topk(emb, qvec, k=k).collect()}
+
+
+def test_ivf_recall(spark, emb):
+    from pdf_brain_spark.operators.ann import ivf_index, ivf_search
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    exact = _exact_topk_ids(spark, emb, qvec, 10)
+    indexed, centroids = ivf_index(emb, n_lists=8, seed=42)
+    approx = {r["vec_id"] for r in ivf_search(indexed, centroids, qvec, k=10, n_probes=4).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"IVF recall@10 too low: {recall}"
+
+
+def test_lsh_recall(spark, emb):
+    from pdf_brain_spark.operators.ann import lsh_search, lsh_sketch
+
+    dim = len(emb.first()["embedding"])
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    exact = _exact_topk_ids(spark, emb, qvec, 10)
+    sketched = lsh_sketch(emb, dim, n_planes=12, seed=7).cache()
+    approx = {
+        r["vec_id"]
+        for r in lsh_search(sketched, dim, qvec, k=10, n_planes=12, seed=7, max_hamming=3).collect()
+    }
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"LSH recall@10 too low: {recall}"
+
+
+def test_kmeans_wssse_decreases_with_k(spark, emb):
+    from pdf_brain_spark.operators.clustering import kmeans_assign, kmeans_rss
+
+    a2, _ = kmeans_assign(emb, k=2, seed=42)
+    a8, _ = kmeans_assign(emb, k=8, seed=42)
+    assert kmeans_rss(a8) < kmeans_rss(a2)
+
+
+def test_soft_probabilities_sum_to_one(spark, emb):
+    from pdf_brain_spark.operators.clustering import kmeans_assign, soft_assignments
+
+    _, centroids = kmeans_assign(emb.limit(100), k=4, seed=42)
+    probs = soft_assignments(emb.limit(100), centroids, min_probability=0.0)
+    sums = probs.groupBy("vec_id").agg(F.sum("probability").alias("s")).collect()
+    for r in sums:
+        assert r["s"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_bic_selects_reasonable_k(spark, emb):
+    from pdf_brain_spark.operators.clustering import bic_select_k
+
+    small = emb.limit(200).cache()
+    best, scores = bic_select_k(small, range(2, 7, 2), seed=42)
+    assert best in scores and len(scores) == 3

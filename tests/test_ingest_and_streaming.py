@@ -1,0 +1,127 @@
+"""End-to-end ingest pipeline + streaming parity + multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def file_df(spark):
+    body_a = ("Sentence one about spark joins. " * 30).strip()
+    body_b = "---\ntitle: Doc B\n---\n# Heading\n" + ("More content here with words. " * 30).strip()
+    return spark.createDataFrame(
+        [("/data/a.txt", body_a), ("/data/b.md", body_b)], "path string, content string"
+    )
+
+
+def test_ingest_end_to_end(spark, file_df, tmp_path):
+    from pdf_brain_spark.operators.ingest import ingest
+
+    out = str(tmp_path / "lib")
+    counts = ingest(spark, file_df, out)
+    assert counts["documents"] == 2
+    assert counts["chunks"] >= 2
+    assert counts["embeddings"] == counts["chunks"]
+
+    chunks = spark.read.parquet(f"{out}/chunks")
+    r = chunks.orderBy("chunk_id").first()
+    # chunk id = {doc_id}-{i}, doc_id = sha12(path)
+    assert len(r["chunk_id"].split("-")[0]) == 12
+    emb = spark.read.parquet(f"{out}/embeddings")
+    dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [x["d"] for x in dims] == [64]
+
+
+def test_ingest_dedup_by_path(spark, file_df, tmp_path):
+    from pdf_brain_spark.operators.ingest import build_documents, dedup_new_files
+
+    existing = build_documents(file_df.limit(1))
+    remaining = dedup_new_files(file_df, existing)
+    assert remaining.count() == 1
+
+
+def test_deterministic_embedding_stable():
+    from pdf_brain_spark.operators.ingest import deterministic_embedding
+
+    a = deterministic_embedding("hello world")
+    b = deterministic_embedding("hello world")
+    c = deterministic_embedding("other text")
+    assert a.tolist() == b.tolist()
+    assert a.tolist() != c.tolist()
+    assert abs(sum(x * x for x in a.tolist()) - 1.0) < 1e-5
+
+
+def test_streaming_window_matches_batch(spark, tmp_path):
+    import shutil
+
+    from pdf_brain_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        windowed_event_counts,
+    )
+
+    src = str(tmp_path / "src")
+    # stage a copy of the sf0.001 events as the stream source (ts is nanos
+    # in the original; rewrite through the loader to get proper timestamps)
+    from pdf_brain_spark.sources.loaders import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    ev.write.parquet(src)
+
+    stream = read_events_stream(spark, src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_available_now(windowed_event_counts(stream), ckpt, out)
+
+    got = spark.read.parquet(out)
+    want = (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select("event_type", F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+    # append mode emits only watermark-closed windows: everything emitted
+    # must match batch, and the held-back remainder must all be open windows
+    # (window end > max_ts - watermark)
+    assert got.exceptAll(want).count() == 0
+    max_ts = ev.select(F.max("ts")).collect()[0][0]
+    missing = want.exceptAll(got).collect()
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(hours=2)
+    for r in missing:
+        assert r["window_start"] + datetime.timedelta(hours=1) > horizon
+
+
+def test_streaming_ingest_foreachbatch(spark, tmp_path):
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    (watch / "doc1.txt").write_text(("streamed document content with words. " * 20).strip())
+    q = None
+    try:
+        from pdf_brain_spark.streaming.events import streaming_ingest
+
+        q = streaming_ingest(
+            spark, str(watch), str(tmp_path / "lib"), str(tmp_path / "ckpt2")
+        )
+        q.awaitTermination(60)
+    finally:
+        if q and q.isActive:
+            q.stop()
+    docs = spark.read.parquet(str(tmp_path / "lib" / "documents"))
+    assert docs.count() == 1
+
+
+def test_multimodal_image_features_plumbing(spark):
+    from pdf_brain_spark.operators.multimodal import extract_image_features, frame_sample_plan
+
+    media = spark.createDataFrame(
+        [
+            ("img1", "image", bytearray(b"\x10fakepng\x20"), ("image/png", 0, 0, 0, 0)),
+            ("vid1", "video", bytearray(b"fakemp4"), ("video/mp4", 0, 0, 3500, 0)),
+        ],
+        "asset_id string, kind string, content binary, "
+        "meta struct<mime string, width int, height int, duration_ms long, sample_rate int>",
+    )
+    feats = extract_image_features(media).collect()
+    assert len(feats) == 1 and len(feats[0]["features"]) == 16
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert [f["frame_ts_ms"] for f in frames] == [0, 1000, 2000, 3000]

@@ -1,0 +1,83 @@
+"""Known-answer tests for the reference's scoring formulas — the
+"small formulas, easy to get subtly wrong" set (SURVEY §7 risks):
+score = 1 - d/2, threshold pushdown d ≤ 2(1-t), hybrid boost min(1, 1.2s).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_brain_spark.functions.vector import (
+    cosine_distance,
+    distance_to_score,
+    score_threshold_to_distance,
+    similarity_score,
+)
+
+
+def test_threshold_pushdown_constant():
+    assert score_threshold_to_distance(1.0) == 0.0
+    assert score_threshold_to_distance(0.5) == 1.0
+    assert score_threshold_to_distance(0.0) == 2.0
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    return spark.createDataFrame(
+        [
+            ("same", [1.0, 0.0], [1.0, 0.0]),
+            ("orth", [1.0, 0.0], [0.0, 1.0]),
+            ("anti", [1.0, 0.0], [-1.0, 0.0]),
+        ],
+        "name string, a array<float>, b array<float>",
+    )
+
+
+def test_score_mapping_known_answers(spark, vec_df):
+    rows = {
+        r["name"]: r
+        for r in vec_df.select(
+            "name",
+            cosine_distance("a", "b").alias("d"),
+            similarity_score("a", "b").alias("s"),
+        ).collect()
+    }
+    assert rows["same"]["d"] == pytest.approx(0.0)
+    assert rows["same"]["s"] == pytest.approx(1.0)
+    assert rows["orth"]["d"] == pytest.approx(1.0)
+    assert rows["orth"]["s"] == pytest.approx(0.5)
+    assert rows["anti"]["d"] == pytest.approx(2.0)
+    assert rows["anti"]["s"] == pytest.approx(0.0)
+
+
+def test_hybrid_boost_semantics(spark):
+    from pdf_brain_spark.operators.hybrid import hybrid_merge
+
+    vec = spark.createDataFrame(
+        [(1, 0.9), (2, 0.5), (3, 0.95)], "doc_id int, vec_score double"
+    )
+    fts = spark.createDataFrame([(2, 0.4), (3, 0.6), (4, 0.3)], "doc_id int, fts_score double")
+    out = {r["doc_id"]: r for r in hybrid_merge(vec, fts, ["doc_id"], limit=10).collect()}
+    # vector-only keeps its score
+    assert out[1]["score"] == pytest.approx(0.9) and out[1]["match_type"] == "vector"
+    # in both: boosted vector score min(1, 0.5*1.2)
+    assert out[2]["score"] == pytest.approx(0.6) and out[2]["match_type"] == "hybrid"
+    # boost caps at 1.0: 0.95*1.2 = 1.14 → 1.0
+    assert out[3]["score"] == pytest.approx(1.0)
+    # fts-only keeps fts score
+    assert out[4]["score"] == pytest.approx(0.3) and out[4]["match_type"] == "fts"
+
+
+def test_embedding_validation_gate(spark):
+    from pdf_brain_spark.functions.vector import is_valid_embedding
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, [1.0]),
+            (3, [float("nan"), 1.0]),
+            (4, [float("inf"), 1.0]),
+        ],
+        "id int, emb array<float>",
+    )
+    ok = [r["id"] for r in df.filter(is_valid_embedding("emb", 2)).collect()]
+    assert ok == [1]
