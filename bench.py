@@ -25,6 +25,15 @@ HEADLINE = [
     "pricing_summary",
     "top_revenue_customers",
     "regional_volume",
+    "fts_bm25",
+    "hybrid_search",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "events_sessionize",
+    "events_tumbling_window",
+    "transitive_closure",
+    "context_expansion",
+    "kmeans_clusters",
 ]
 
 

@@ -42,9 +42,18 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def _parallelize(docs: DataFrame, id_col: str) -> DataFrame:
+    """Single-file parquet sources scan as one partition; the tokenize/
+    shingle/hash map chain is CPU-bound, so spread it across the cluster
+    first. (With a properly laid-out many-file table this is a no-op
+    decision — the scan already parallelizes.)"""
+    sess = docs.sparkSession
+    return docs.repartition(sess.sparkContext.defaultParallelism, id_col)
+
+
 def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(doc_id, shingle) distinct pairs + per-doc set size."""
-    sh = docs.select(
+    sh = _parallelize(docs, id_col).select(
         F.col(id_col), F.explode(F.array_distinct(shingles(tokenize(text_col), k))).alias("shingle")
     )
     return sh
@@ -87,18 +96,33 @@ def ngram_jaccard_pairs(
 
 MINHASH_HASHES = 16
 MINHASH_BANDS = 4  # 4 rows per band
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def _minhash_coeffs(j: int) -> tuple[int, int]:
+    """Deterministic affine hash family h_j(x) = (a_j·x + b_j) mod p over a
+    28-bit base hash: one md5 per shingle instead of one per (shingle,
+    hash-function) — 16× less hashing on the map side."""
+    a = (1103515245 * (j + 1)) % MINHASH_PRIME
+    b = (12345 * (j + 1) + 67890) % MINHASH_PRIME
+    return a, b
 
 
 def minhash_signatures(
     docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, h0..h15): minhash signature from the portable hash family
-    h_j(s) = md5_long(j || ':' || s)."""
+    """(doc_id, h0..h15): minhash signature. Base hash = 28-bit md5 prefix
+    (portable across engines), family = affine transforms mod 2^31-1;
+    products stay < 2^59 so everything fits signed 64-bit exactly."""
     sh = _shingle_sets(docs, id_col, text_col, k)
-    aggs = [
-        F.min(md5_long(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
-        for j in range(MINHASH_HASHES)
-    ]
+    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
+    sh = sh.withColumn("_base", base)
+    aggs = []
+    for j in range(MINHASH_HASHES):
+        a, b = _minhash_coeffs(j)
+        aggs.append(
+            F.min((F.col("_base") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{j}")
+        )
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -139,7 +163,7 @@ def simhash_fingerprints(
     """(doc_id, simhash): bitwise-majority fingerprint of per-token hashes.
     32 bits keeps the bit-position explode cheap; near-dup = small hamming
     distance (bit_count(xor))."""
-    toks = docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("tok"))
+    toks = _parallelize(docs, id_col).select(F.col(id_col), F.explode(tokenize(text_col)).alias("tok"))
     hashed = toks.withColumn("th", md5_long(F.col("tok")))
     bit = hashed.select(
         id_col,

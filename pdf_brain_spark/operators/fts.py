@@ -29,9 +29,15 @@ BM25_B = 0.75
 
 
 def build_postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(term, doc_id, tf, doc_len) postings list."""
-    toks = docs.select(id_col, F.explode(tokenize(text_col)).alias("term"),
-                       F.size(tokenize(text_col)).alias("doc_len"))
+    """(term, doc_id, tf, doc_len) postings list. Tokenizes once; the doc
+    side is repartitioned first because tokenization is the CPU-bound map
+    stage (single-file test sources scan as one partition)."""
+    sess = docs.sparkSession
+    docs = docs.repartition(sess.sparkContext.defaultParallelism, id_col)
+    toked = docs.select(id_col, tokenize(text_col).alias("_tokens"))
+    toks = toked.select(
+        id_col, F.explode(F.col("_tokens")).alias("term"), F.size(F.col("_tokens")).alias("doc_len")
+    )
     return toks.groupBy(id_col, "term", "doc_len").agg(F.count(F.lit(1)).alias("tf"))
 
 
@@ -44,11 +50,14 @@ def bm25_scores(
 ) -> DataFrame:
     """Top-k documents by BM25 against the (lowercased) query terms."""
     terms = [t.lower() for t in query_terms]
-    n_docs = docs.count()  # scalar; at scale: precomputed corpus stat
+    # single tokenization pass for corpus stats AND postings: cache the
+    # token-length projection, collect n_docs + avgdl in one action
+    toked = docs.select(id_col, F.size(tokenize(text_col)).alias("_dl")).cache()
+    n_docs, avgdl = toked.select(
+        F.count(F.lit(1)).alias("n"), F.avg("_dl").alias("avgdl")
+    ).collect()[0]
+    avgdl = float(avgdl)
     postings = build_postings(docs, id_col, text_col).filter(F.col("term").isin(terms))
-
-    stats = docs.select(F.avg(F.size(tokenize(text_col))).alias("avgdl")).collect()[0]
-    avgdl = float(stats["avgdl"])
 
     df_t = postings.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     scored = (

@@ -41,25 +41,31 @@ def transitive_ancestors(
         F.col(node_col).alias("node"),
         F.col(parent_col).alias("ancestor"),
         F.lit(1).alias("depth"),
-    )
-    result = frontier
-    for i in range(max_iterations):
+    ).localCheckpoint()
+    pieces = [frontier]
+    seen = frontier.select("node", "ancestor")
+    for _ in range(max_iterations):
+        # broadcast the frontier (bounded by live paths, typically tiny)
+        # into the edge scan, and localCheckpoint EVERY iteration: without
+        # it each loop re-executes the whole prior lineage and the job
+        # count grows quadratically with depth
         nxt = (
-            frontier.join(edges, frontier.ancestor == F.col("_e_node"))
+            edges.join(F.broadcast(frontier), frontier.ancestor == F.col("_e_node"))
             .select("node", F.col("_e_parent").alias("ancestor"), (F.col("depth") + 1).alias("depth"))
             .distinct()
+            # anti-join against accumulated result = the recursive-CTE UNION
+            # dedup, which is also what guarantees cycle termination
+            .join(F.broadcast(seen), ["node", "ancestor"], "left_anti")
+            .localCheckpoint()
         )
-        # anti-join against accumulated result = the recursive-CTE UNION
-        # dedup, which is also what guarantees cycle termination
-        nxt = nxt.join(
-            result.select("node", "ancestor"), ["node", "ancestor"], "left_anti"
-        )
-        if i % 8 == 7:
-            nxt = nxt.localCheckpoint()
         if nxt.isEmpty():
             break
-        result = result.unionByName(nxt)
+        pieces.append(nxt)
+        seen = seen.unionByName(nxt.select("node", "ancestor")).localCheckpoint()
         frontier = nxt
+    result = pieces[0]
+    for p in pieces[1:]:
+        result = result.unionByName(p)
     return result
 
 

@@ -226,13 +226,21 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, "customer", sf_dir)
     o = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
+    # pre-aggregate the fact table to order grain BEFORE joining: the join
+    # then moves |orders| rows instead of |lineitem|, and the per-customer
+    # count-distinct degenerates to a plain count (one row per order) —
+    # at 100 TB this is the difference between shuffling the fact table
+    # twice and once
+    order_rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("order_rev")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        order_rev.join(o, order_rev.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("order_rev"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
@@ -549,14 +557,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.08)
 
 
-_DUCK_MINHASH_SIG = (
-    "SELECT doc_id, "
-    + ", ".join(
-        f"min(CAST(concat('0x', substr(md5('{j}:' || shingle), 1, 15)) AS BIGINT)) AS h{j}"
-        for j in range(16)
+def _minhash_sig_sql() -> str:
+    from pdf_brain_spark.operators.dedup import MINHASH_HASHES, MINHASH_PRIME, _minhash_coeffs
+
+    cols = []
+    for j in range(MINHASH_HASHES):
+        a, b = _minhash_coeffs(j)
+        cols.append(f"min((base * {a} + {b}) % {MINHASH_PRIME}) AS h{j}")
+    return (
+        "SELECT doc_id, "
+        + ", ".join(cols)
+        + " FROM (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 7)) AS BIGINT) AS base FROM sh)"
+        + " GROUP BY doc_id"
     )
-    + " FROM sh GROUP BY doc_id"
-)
+
+
+_DUCK_MINHASH_SIG = _minhash_sig_sql()
 
 
 @query(
@@ -1048,6 +1064,51 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed, centroids = ivf_index(emb, n_lists=16, seed=42)
     res = ivf_search(indexed, centroids, qvec, k=10, n_probes=4)
     return res.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+# --------------------------------------------------------------------------
+# Ingest pipeline shapes (SURVEY §3.2 S2/S3/M6/M7) — python-UDF stages, so
+# rows-only checks here; semantics are unit-tested in tests/test_chunking.py
+# and tests/test_ingest_and_streaming.py.
+# --------------------------------------------------------------------------
+
+
+@query("chunk_pipeline", oracle=None)
+def chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk the documents corpus with the reference chunker (S2 shape:
+    pandas UDF + posexplode): per-doc chunk counts."""
+    from pdf_brain_spark.operators.ingest import chunk_documents
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 100)
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
+    chunks = chunk_documents(docs, text_col="text")
+    return (
+        chunks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"), F.max(F.length("content")).alias("max_chunk_len"))
+        .orderBy("doc_id")
+    )
+
+
+@query("embed_pipeline", oracle=None)
+def embed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk + deterministic-embed pipeline (M6/M7 shape: mapInPandas with
+    Arrow batches): embedding validity stats."""
+    from pdf_brain_spark.functions.vector import is_valid_embedding
+    from pdf_brain_spark.operators.ingest import EMBED_DIM, chunk_documents, embed_chunks
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 100)
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
+    emb = embed_chunks(chunk_documents(docs, text_col="text"))
+    return emb.select(
+        F.count(F.lit(1)).alias("n_embeddings"),
+        F.sum(F.when(is_valid_embedding("embedding", EMBED_DIM), 1).otherwise(0)).alias("n_valid"),
+    )
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
