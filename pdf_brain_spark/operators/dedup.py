@@ -113,17 +113,40 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, h0..h15): minhash signature. Base hash = 28-bit md5 prefix
     (portable across engines), family = affine transforms mod 2^31-1;
-    products stay < 2^59 so everything fits signed 64-bit exactly."""
-    sh = _shingle_sets(docs, id_col, text_col, k)
-    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
-    sh = sh.withColumn("_base", base)
-    aggs = []
+    products stay < 2^59 so everything fits signed 64-bit exactly.
+
+    Shuffle-free by construction: a minhash signature is a per-document
+    reduction, so it's computed with higher-order array functions inside
+    the scan projection (transform + array_min) instead of
+    explode→groupBy. At 100 TB this is the difference between zero
+    shuffle and shuffling every (doc, shingle) pair in the corpus.
+    """
+    sh_arr = F.array_distinct(shingles(tokenize(text_col), k))
+    bases = F.transform(
+        sh_arr, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+    )
+    d = (
+        _parallelize(docs, id_col)
+        # empty shingle set => no signature row (same as the exploded form).
+        # Filter on the CHEAP equivalent (≥k tokens ⇔ ≥1 shingle): Catalyst
+        # pushes filters below the repartition into the scan stage, so the
+        # predicate must not contain the md5 chain or it runs twice — once
+        # single-threaded at the scan.
+        .filter(F.size(tokenize(text_col)) >= k)
+        .select(F.col(id_col), bases.alias("_bases"))
+    )
+    def _affine_min(a: int, b: int) -> F.Column:
+        return F.array_min(
+            F.transform(
+                F.col("_bases"), lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+            )
+        )
+
+    cols = []
     for j in range(MINHASH_HASHES):
         a, b = _minhash_coeffs(j)
-        aggs.append(
-            F.min((F.col("_base") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{j}")
-        )
-    return sh.groupBy(id_col).agg(*aggs)
+        cols.append(_affine_min(a, b).alias(f"h{j}"))
+    return d.select(id_col, *cols)
 
 
 def minhash_lsh_pairs(
@@ -134,19 +157,30 @@ def minhash_lsh_pairs(
     candidate pair list (band-agnostic)."""
     sig = minhash_signatures(docs, k, id_col, text_col)
     rows_per_band = MINHASH_HASHES // MINHASH_BANDS
-    bands = []
-    for b in range(MINHASH_BANDS):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bucket"),
-            )
+    # one pass over sig: band keys as an inline array-of-structs explode
+    # (NOT a 4-way union, which would re-run the signature scan per band)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
         )
-    banded = bands[0]
-    for x in bands[1:]:
-        banded = banded.unionByName(x)
+        for b in range(MINHASH_BANDS)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # self-join on (band, bucket): cache the banded table so the two join
+    # sides share one computation; candidate volume is O(sum bucket²), not
+    # O(n²) — the LSH contract
+    banded = banded.cache()
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     b_ = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     return (
