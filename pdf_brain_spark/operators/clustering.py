@@ -144,6 +144,25 @@ def cluster_summaries(assigned: DataFrame, id_col: str = "vec_id") -> DataFrame:
     return stats.join(rep, "cluster_id")
 
 
+def label_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic per-group mean vector (label, centroid) — the
+    oracle-able stand-in for k-means centroids (cluster_summaries.centroid,
+    LibSQLDatabase.ts:859-870). Uses MLlib Summarizer.mean: one pass with
+    map-side partial aggregation — the per-dimension shuffle is bounded by
+    groups × partitions, never rows."""
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    v = _to_mllib_vectors(emb, vec_col)
+    return (
+        v.groupBy(label_col)
+        .agg(Summarizer.mean(F.col("_features")).alias("_mean"))
+        .select(F.col(label_col), vector_to_array(F.col("_mean")).alias("centroid"))
+    )
+
+
 def nearest_concept(
     centroids_df: DataFrame,
     concepts: DataFrame,

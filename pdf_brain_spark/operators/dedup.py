@@ -191,6 +191,59 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_verified_pairs(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH-then-verify: the standard two-stage near-dup pipeline. Stage 1
+    (minhash_lsh_pairs) prunes the O(n²) space to bucket-mates; stage 2
+    joins each candidate pair back to its shingle SETS (kept as map-side
+    arrays, never exploded) and computes exact Jaccard via
+    array_intersect — so the expensive exact check runs only on the tiny
+    candidate list."""
+    cands = minhash_lsh_pairs(docs, k, id_col, text_col)
+    sets = _parallelize(docs, id_col).select(
+        F.col(id_col), F.array_distinct(shingles(tokenize(text_col), k)).alias("sh_set")
+    )
+    a = sets.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a"))
+    b = sets.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b"))
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance ≤ max_hamming:
+    bit_count(xor) over the fingerprint self-join. The pair join here is
+    exact O(n²) on fingerprints (8 bytes/doc — million-doc corpora fit a
+    broadcast); at larger scale partition by fingerprint prefix bands
+    (Manku et al.'s rotated-table scheme) so only prefix-mates meet."""
+    fp = simhash_fingerprints(docs, id_col, text_col, bits).cache()
+    a = fp.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = fp.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:

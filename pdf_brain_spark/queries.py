@@ -1111,6 +1111,519 @@ def embed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Taxonomy 1-hop + related (SURVEY §2.3 J4, §2.7 U3) on the same implicit
+# binary tree as transitive_closure
+# --------------------------------------------------------------------------
+
+
+@query(
+    "taxonomy_one_hop",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o_orderkey AS node, o_orderkey // 2 AS parent
+      FROM orders WHERE o_orderkey > 1
+    ),
+    sib AS (SELECT parent, count(*) AS n_children FROM edges GROUP BY parent)
+    SELECT e.node, e.parent, s.n_children
+    FROM edges e JOIN sib s ON e.parent = s.parent
+    WHERE e.node <= 64
+    ORDER BY e.node
+    """,
+)
+def taxonomy_one_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct broader/narrower joins (reference J4,
+    TaxonomyService.ts:359-385): each node's parent plus the parent's child
+    count — dimension-sized broadcast joins."""
+    orders = load_table(spark, "orders", sf_dir)
+    edges = (
+        orders.filter(F.col("o_orderkey") > 1)
+        .select(
+            F.col("o_orderkey").alias("node"),
+            F.floor(F.col("o_orderkey") / 2).cast("long").alias("parent"),
+        )
+        .distinct()
+    )
+    sib = edges.groupBy("parent").agg(F.count(F.lit(1)).alias("n_children"))
+    return (
+        edges.join(F.broadcast(sib), "parent")
+        .filter(F.col("node") <= 64)
+        .select("node", "parent", "n_children")
+        .orderBy("node")
+    )
+
+
+@query(
+    "taxonomy_related",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o_orderkey AS node, o_orderkey // 2 AS parent
+      FROM orders WHERE o_orderkey > 1
+    )
+    SELECT a.node AS concept_id, b.node AS related_id
+    FROM edges a JOIN edges b ON a.parent = b.parent AND a.node <> b.node
+    WHERE a.node <= 32
+    ORDER BY concept_id, related_id
+    """,
+)
+def taxonomy_related(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric 'related' edges stored both directions (reference
+    TaxonomyService.ts:429-445): sibling pairs under the same parent, each
+    pair emitted in both orientations by the symmetric self-join."""
+    orders = load_table(spark, "orders", sf_dir)
+    edges = (
+        orders.filter(F.col("o_orderkey") > 1)
+        .select(
+            F.col("o_orderkey").alias("node"),
+            F.floor(F.col("o_orderkey") / 2).cast("long").alias("parent"),
+        )
+        .distinct()
+    )
+    a = edges.select("parent", F.col("node").alias("concept_id"))
+    b = edges.select("parent", F.col("node").alias("related_id"))
+    return (
+        a.join(b, "parent")
+        .filter(F.col("concept_id") != F.col("related_id"))
+        .filter(F.col("concept_id") <= 32)
+        .select("concept_id", "related_id")
+        .orderBy("concept_id", "related_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Tag-filtered vector search with over-fetch (SURVEY §2.2 P4, §4 O2) +
+# fuzzy lookup (P3) + tag distribution buckets (A2)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "vector_tag_filter",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             {_duck_cosine_distance('e.embedding', 'q.query_vec')} AS d
+      FROM embeddings e, q
+    ),
+    ranked AS (
+      SELECT vec_id, label, d,
+             row_number() OVER (ORDER BY d ASC, vec_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT vec_id, label, round(d, 6) AS distance, round(1.0 - d / 2.0, 6) AS score
+    FROM ranked
+    WHERE rnk <= 30 AND label IN (2, 5)
+    ORDER BY d ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def vector_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-ANN tag filter with the reference's over-fetch semantics
+    (P4/O2, LibSQLDatabase.ts:340,345-357): fetch k×3 candidates, THEN
+    filter by tag (label stands in), re-limit to k. The over-fetch factor
+    is a recall knob, not an optimization — Catalyst must not reorder the
+    filter below the limit."""
+    from pdf_brain_spark.operators.vector_search import topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    res = topk(emb, [float(x) for x in qv], k=10, post_filter=F.col("label").isin(2, 5))
+    return res.select(
+        "vec_id", "label",
+        F.round("distance", 6).alias("distance"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+@query(
+    "fuzzy_doc_lookup",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE CAST(doc_id AS VARCHAR) LIKE '42%' OR contains(source, 'rc1')
+    ORDER BY doc_id
+    """,
+)
+def fuzzy_doc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy get-by-id-or-title (reference P3, src/index.ts:433-448):
+    id-prefix match OR case-insensitive substring over a text field."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.filter(
+            F.col("doc_id").cast("string").startswith("42")
+            | F.col("source").contains("rc1")
+        )
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "tag_distribution",
+    oracle="""
+    WITH total AS (SELECT count(*) AS n FROM documents),
+    tags AS (SELECT doc_id, unnest([lang, source]) AS tag FROM documents),
+    dist AS (SELECT tag, count(DISTINCT doc_id) AS n_docs FROM tags GROUP BY tag)
+    SELECT tag, n_docs,
+           round(100.0 * n_docs / t.n, 6) AS pct,
+           CASE WHEN n_docs >= 0.2 * t.n THEN 'high'
+                WHEN n_docs >= 0.05 * t.n THEN 'medium'
+                WHEN n_docs >= 0.01 * t.n THEN 'low'
+                ELSE 'rare' END AS bucket
+    FROM dist, total t
+    ORDER BY n_docs DESC, tag
+    """,
+)
+def tag_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag distribution with usage buckets (reference A2,
+    scripts/analyze-tags.ts:25-171): explode tags → per-tag doc counts →
+    coverage % → ≥20%/5-20%/1-5%/<1% buckets. Derived tags = [lang,
+    source] on this corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    total = docs.agg(F.count(F.lit(1)).alias("n"))
+    tags = docs.select("doc_id", F.explode(F.array("lang", "source")).alias("tag"))
+    dist = tags.groupBy("tag").agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        dist.crossJoin(F.broadcast(total))
+        .select(
+            "tag",
+            "n_docs",
+            F.round(100.0 * F.col("n_docs") / F.col("n"), 6).alias("pct"),
+            F.when(F.col("n_docs") >= 0.2 * F.col("n"), "high")
+            .when(F.col("n_docs") >= 0.05 * F.col("n"), "medium")
+            .when(F.col("n_docs") >= 0.01 * F.col("n"), "low")
+            .otherwise("rare")
+            .alias("bucket"),
+        )
+        .orderBy(F.col("n_docs").desc(), "tag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-scale RAPTOR retrieval + cluster→concept mapping (SURVEY §2.9 M13,
+# §2.3 J10, §2.5 W4, §2.7 U1) — label centroids stand in for cluster
+# summaries so both sides are deterministic and oracle-able
+# --------------------------------------------------------------------------
+
+_DUCK_CENTROIDS = """
+    cent AS (
+      SELECT label, list(avg_val ORDER BY pos) AS centroid
+      FROM (
+        SELECT label, pos, avg(CAST(val AS DOUBLE)) AS avg_val
+        FROM (
+          SELECT label, generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding) AS val
+          FROM embeddings
+        ) GROUP BY label, pos
+      ) GROUP BY label
+    )
+"""
+
+
+@query(
+    "multiscale_retrieval",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0),
+    {_DUCK_CENTROIDS},
+    chunk_hits AS (
+      SELECT entity_id, granularity, round(1.0 - d / 2.0, 6) AS score
+      FROM (
+        SELECT e.vec_id AS entity_id, 'chunk' AS granularity,
+               {_duck_cosine_distance('e.embedding', 'q.query_vec')} AS d
+        FROM embeddings e, q
+      ) ORDER BY d ASC, entity_id ASC LIMIT 5
+    ),
+    sum_hits AS (
+      SELECT entity_id, granularity, round(1.0 - d / 2.0, 6) AS score
+      FROM (
+        SELECT CAST(c.label AS BIGINT) AS entity_id, 'cluster_summary' AS granularity,
+               {_duck_cosine_distance('c.centroid', 'q.query_vec')} AS d
+        FROM cent c, q
+      ) ORDER BY d ASC, entity_id ASC LIMIT 3
+    )
+    SELECT entity_id, granularity, score
+    FROM (SELECT * FROM chunk_hits UNION ALL SELECT * FROM sum_hits)
+    ORDER BY score DESC, granularity ASC, entity_id ASC
+    LIMIT 8
+    """,
+)
+def multiscale_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAPTOR multi-scale retrieval (M13, LibSQLDatabase.ts:224-322):
+    probe BOTH the chunk-level index and the cluster-summary index, union,
+    re-sort by score, limit — label-mean centroids stand in for summary
+    embeddings. Union of two TakeOrdered arms; centroid arm is 10 rows."""
+    from pdf_brain_spark.functions.vector import cosine_distance, distance_to_score
+    from pdf_brain_spark.operators.vector_search import topk_by_query_df
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    chunk_hits = topk_by_query_df(emb, qdf, k=5).select(
+        F.col("vec_id").alias("entity_id"),
+        F.lit("chunk").alias("granularity"),
+        F.round("score", 6).alias("score"),
+    )
+    from pdf_brain_spark.operators.clustering import label_centroids
+
+    cents = label_centroids(emb)
+    sum_hits = (
+        cents.crossJoin(F.broadcast(qdf))
+        .withColumn("distance", cosine_distance(F.col("centroid"), F.col("query_vec")))
+        .orderBy(F.col("distance").asc(), F.col("label").asc())
+        .limit(3)
+        .select(
+            F.col("label").cast("long").alias("entity_id"),
+            F.lit("cluster_summary").alias("granularity"),
+            F.round(distance_to_score(F.col("distance")), 6).alias("score"),
+        )
+    )
+    return (
+        chunk_hits.unionByName(sum_hits)
+        .orderBy(F.col("score").desc(), F.col("granularity").asc(), F.col("entity_id").asc())
+        .limit(8)
+    )
+
+
+@query(
+    "cluster_concept_map",
+    oracle=f"""
+    WITH {_DUCK_CENTROIDS},
+    pairs AS (
+      SELECT a.label AS cluster_id, b.label AS concept_id,
+             {_DUCK_COS.format(a='a.centroid', b='b.centroid')} /
+             ({_DUCK_NORM.format(a='a.centroid')} * {_DUCK_NORM.format(a='b.centroid')}) AS sim
+      FROM cent a JOIN cent b ON a.label <> b.label
+    ),
+    ranked AS (
+      SELECT cluster_id, concept_id, sim,
+             row_number() OVER (PARTITION BY cluster_id ORDER BY sim DESC, concept_id ASC) AS rn
+      FROM pairs
+    )
+    SELECT cluster_id, concept_id, round(sim, 6) AS sim
+    FROM ranked WHERE rn = 1
+    ORDER BY cluster_id
+    """,
+)
+def cluster_concept_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster→concept nearest match (J10/W4,
+    ClusterConceptMapper.ts:80-117): argmax cosine per cluster centroid
+    over the broadcast concept table (here: the other label centroids),
+    rank-1 window. Cross join is |clusters|×|concepts| — dimension-sized."""
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.functions.vector import cosine_similarity
+    from pdf_brain_spark.operators.clustering import label_centroids
+
+    cents = label_centroids(load_table(spark, "embeddings", sf_dir)).cache()
+    a = cents.select(F.col("label").alias("cluster_id"), "centroid")
+    b = cents.select(F.col("label").alias("concept_id"), F.col("centroid").alias("c_emb"))
+    crossed = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("cluster_id") != F.col("concept_id"))
+        .withColumn("sim", cosine_similarity(F.col("centroid"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("sim").desc(), F.col("concept_id").asc())
+    return (
+        crossed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", "concept_id", F.round("sim", 6).alias("sim"))
+        .orderBy("cluster_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup stage 2: verify + simhash pairs (SURVEY §2.9 M10 shape; training-
+# data dedup extensions)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_minhash_verified",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sig AS ({{MINHASH_SIG}}),
+    banded AS (
+      SELECT doc_id, 0 AS band, md5(concat_ws('_', h0, h1, h2, h3)) AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 1, md5(concat_ws('_', h4, h5, h6, h7)) FROM sig
+      UNION ALL
+      SELECT doc_id, 2, md5(concat_ws('_', h8, h9, h10, h11)) FROM sig
+      UNION ALL
+      SELECT doc_id, 3, md5(concat_ws('_', h12, h13, h14, h15)) FROM sig
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sets AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(tokens) - 1, 1)),
+               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh_set
+      FROM toks
+    ),
+    verified AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE) /
+             (len(sa.sh_set) + len(sb.sh_set) - len(list_intersect(sa.sh_set, sb.sh_set))) AS j
+      FROM cands
+      JOIN sets sa ON sa.doc_id = doc_a
+      JOIN sets sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, round(j, 6) AS jaccard
+    FROM verified WHERE j >= 0.08
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-then-verify (the canonical two-stage near-dup pipeline): exact
+    Jaccard computed only on LSH candidate pairs, via array_intersect over
+    map-side shingle sets — never an exploded O(pairs × shingles) join."""
+    from pdf_brain_spark.operators.dedup import minhash_verified_pairs
+
+    return minhash_verified_pairs(
+        load_table(spark, "documents", sf_dir), threshold=0.08
+    ).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')) AS tok
+      FROM documents WHERE doc_id < 200
+    ),
+    hashed AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS th FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b.bit, CASE WHEN (th >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS v
+      FROM hashed, (SELECT unnest(range(32)) AS bit) b
+    ),
+    votes AS (SELECT doc_id, bit, sum(v) AS vote FROM bits GROUP BY doc_id, bit),
+    fp AS (
+      SELECT doc_id,
+             sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash near-dup pairs: hamming(fingerprint_a, fingerprint_b) ≤ 8
+    over the fingerprint self-join (8-byte fingerprints — a million-doc
+    corpus broadcasts; beyond that, Manku-style prefix banding)."""
+    from pdf_brain_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    return simhash_near_dup_pairs(docs, max_hamming=8).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# Data-quality gate (SURVEY §2.2 P10) + model selection (§2.4 A5) +
+# multimodal plumbing (training-data extensions)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_validation",
+    oracle="""
+    SELECT count(*) AS n_total,
+           sum(CASE WHEN len(embedding) = 64
+                     AND length(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0
+               THEN 1 ELSE 0 END) AS n_valid
+    FROM embeddings
+    """,
+)
+def embedding_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding validation gate (reference P10, Ollama.ts:70-106): correct
+    dimension + all components finite, as corpus-level counts."""
+    from pdf_brain_spark.functions.vector import is_valid_embedding
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(is_valid_embedding("embedding", 64), 1).otherwise(0)).alias("n_valid"),
+    )
+
+
+@query("bic_model_selection", oracle=None)
+def bic_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIC-based k selection (reference A5, Clustering.ts:336-359,657-676):
+    BIC = n·ln(RSS/n) + k·(dim+1)·ln(n) per candidate k, argmin flagged.
+    Distributed KMeans per k; scalar BIC math on the driver."""
+    from pdf_brain_spark.operators.clustering import bic_select_k
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    best, scores = bic_select_k(emb, range(2, 9, 3))
+    rows = [(int(k), round(float(v), 4), k == best) for k, v in sorted(scores.items())]
+    return spark.createDataFrame(rows, "k int, bic double, is_best boolean")
+
+
+@query("multimodal_features", oracle=None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-feature extraction plumbing (multimodal extension): opaque
+    binary column + mapInPandas Arrow-batched feature UDF (decode stubbed
+    deterministically — image libs absent), validity stats out."""
+    from pdf_brain_spark.operators.multimodal import IMAGE_FEATURE_DIM, extract_image_features
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    feats = extract_image_features(media)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.when(F.size("features") == IMAGE_FEATURE_DIM, 1).otherwise(0)).alias("n_ok_dim"),
+        F.round(F.avg("width"), 4).alias("avg_width"),
+    )
+
+
+@query(
+    "multimodal_frame_plan",
+    oracle="""
+    WITH vids AS (
+      SELECT CAST(doc_id AS VARCHAR) AS asset_id, n_chars * 10 AS duration_ms
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT asset_id, unnest(generate_series(0, greatest(duration_ms - 1, 0), 1000)) AS frame_ts_ms
+    FROM vids
+    ORDER BY asset_id, frame_ts_ms
+    """,
+)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (multimodal extension): explode each
+    video's timeline into per-frame rows BEFORE decode, so decode
+    parallelism is per-frame. Duration synthesized from n_chars."""
+    from pdf_brain_spark.operators.multimodal import frame_sample_plan
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 20)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("video").alias("kind"),
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+            F.lit(0).alias("sample_rate"),
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_ms=1000).orderBy("asset_id", "frame_ts_ms")
+
+
+# dedup_minhash_verified's oracle needs the minhash signature SQL, which is
+# built at import time from the shared coefficients
+ORACLES["dedup_minhash_verified"] = ORACLES["dedup_minhash_verified"].replace(
+    "{MINHASH_SIG}", _DUCK_MINHASH_SIG
+)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
