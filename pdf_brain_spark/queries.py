@@ -1617,6 +1617,182 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=1000).orderBy("asset_id", "frame_ts_ms")
 
 
+@query(
+    "streaming_tumbling_window",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS max_ts FROM events)
+    SELECT event_type,
+           time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events, m
+    GROUP BY event_type, time_bucket(INTERVAL 1 HOUR, ts), max_ts
+    HAVING time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR
+           <= max_ts - INTERVAL 2 HOUR
+    """,
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run (§2.10 extension): readStream over the
+    events parquet → watermark(2h) → tumbling 1-hour window agg →
+    Trigger.AvailableNow → memory sink; returns the drained sink table.
+    Append mode emits exactly the windows the final watermark has closed
+    (window_end ≤ max_ts − 2h); windows still open at termination remain
+    in state. That closure rule is encoded in the oracle's HAVING — the
+    streaming semantics are deterministic on a bounded source."""
+    import os as _os
+    import tempfile
+    import uuid
+
+    from pdf_brain_spark.streaming.events import windowed_event_counts
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    batch_types = dict(spark.read.parquet(path).dtypes)
+    # the file stream source wants a directory: stream the sf dir with a
+    # glob filter instead of the bare file path
+    if batch_types.get("ts") == "bigint":
+        schema = (
+            "event_id bigint, ts bigint, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        ev = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    else:
+        schema = (
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        ev = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    qname = "stream_win_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="sgraft_ckpt_")
+    q = (
+        windowed_event_counts(ev)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "event_type", "window_start", "n_events", F.round("total_value", 4).alias("total_value")
+    )
+
+
+@query(
+    "ingest_incremental",
+    oracle="""
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM documents e WHERE e.doc_id % 2 = 0 AND e.doc_id = d.doc_id
+    )
+    ORDER BY d.doc_id
+    LIMIT 100
+    """,
+)
+def ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup anti-join (reference J7, cli.ts:1496-1512):
+    incoming files minus already-ingested paths via left_anti — even
+    doc_ids stand in for the existing library."""
+    docs = load_table(spark, "documents", sf_dir)
+    existing = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    return (
+        docs.join(existing, "doc_id", "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "extractive_summary",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id, regexp_extract(text, '^[^.!?]*[.!?]') AS sent,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, string_agg(sent, ' ' ORDER BY doc_id) AS summary,
+           count(*) AS n_members
+    FROM ranked WHERE rn <= 3
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive cluster summary (reference A10,
+    ClusterSummarizer.ts:75-109): first sentence of the first ≤3 members
+    per group, concatenated — window rank + ordered collect. Language
+    groups stand in for clusters."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    ranked = (
+        docs.select(
+            "lang",
+            "doc_id",
+            F.regexp_extract("text", r"^[^.!?]*[.!?]", 0).alias("sent"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "sent"))),
+                    lambda s: s["sent"],
+                ),
+                " ",
+            ).alias("summary"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "string_normalize",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(
+             lower('Doc #' || doc_id || ' @ ' || upper(source)),
+             '[^a-z0-9]+', '-', 'g'), '^-+|-+$', '', 'g') AS tag,
+           substr(sha256('doc-' || doc_id), 1, 12) AS id12
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+)
+def string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string functions (§2.8): the reference's tag normalization
+    (AutoTagger.ts:383-389) and sha256-prefix document ids
+    (src/index.ts:111-114) as pure codegen'd expressions — byte-exact
+    parity with the oracle."""
+    from pdf_brain_spark.functions.text import normalize_tag, sha12_id
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
+    raw_tag = F.concat(
+        F.lit("Doc #"), F.col("doc_id").cast("string"), F.lit(" @ "), F.upper("source")
+    )
+    return docs.select(
+        "doc_id",
+        normalize_tag(raw_tag).alias("tag"),
+        sha12_id(F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))).alias("id12"),
+    ).orderBy("doc_id")
+
+
 # dedup_minhash_verified's oracle needs the minhash signature SQL, which is
 # built at import time from the shared coefficients
 ORACLES["dedup_minhash_verified"] = ORACLES["dedup_minhash_verified"].replace(
