@@ -97,14 +97,22 @@ def quality_score(text: Column | str) -> Column:
 
 
 def shingles(tokens: Column, k: int = 3) -> Column:
-    """k-gram shingles by explicit concatenation (portable to DuckDB's
-    1-based list indexing without slice-semantics mismatches)."""
+    """k-gram shingles via zip_with over k shifted slices of the token
+    array (portable to DuckDB's 1-based list indexing without
+    slice-semantics mismatches).
+
+    Why not element_at(tokens, i+j) inside a transform lambda: Spark
+    re-evaluates non-lambda-bound subtrees per lambda invocation, so with
+    `tokens = tokenize(text)` inline that shape re-runs the regex split
+    O(positions × k) times per row. zip_with references `tokens` only at
+    row level. Trailing partial shingles become null (concat propagates
+    null past the array end) and are filtered."""
     n = F.size(tokens)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    parts = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(tokens, i + j) for j in range(k)]
-    )
-    return F.transform(idx, parts)
+    out = tokens
+    for j in range(1, k):
+        shifted = F.slice(tokens, j + 1, F.greatest(n - j, F.lit(0)))
+        out = F.zip_with(out, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(out, lambda x: x.isNotNull())
 
 
 def doc_fingerprint(text: Column | str, k: int = 3) -> Column:

@@ -45,7 +45,9 @@ def kmeans_assign(
     `distance` to own centroid, centroids list)."""
     from pyspark.ml.clustering import KMeans
 
-    feats = _to_mllib_vectors(emb, vec_col)
+    # cache: Lloyd's iterations + k-means|| init each rescan the features;
+    # uncached this re-runs the parquet scan + array→vector per job
+    feats = _to_mllib_vectors(emb, vec_col).cache()
     model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="_features").fit(feats)
     centroids = [c.tolist() for c in model.clusterCenters()]
     assigned = model.transform(feats).withColumnRenamed("prediction", "cluster_id")

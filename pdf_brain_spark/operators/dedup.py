@@ -69,13 +69,33 @@ def ngram_jaccard_pairs(
     """Near-duplicate pairs by k-gram Jaccard ≥ threshold. Inverted-index
     join: pairs meet only on shared shingles, intersection = meet count,
     union = |A| + |B| - ∩."""
-    sh = _shingle_sets(docs, id_col, text_col, k).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    sh = _shingle_sets(docs, id_col, text_col, k)
+    # per-doc set sizes straight off the scan (map-side, no explode)
+    sizes = _parallelize(docs, id_col).select(
+        F.col(id_col),
+        F.size(F.array_distinct(shingles(tokenize(text_col), k))).alias("set_size"),
+    )
+    # inverted-index pair generation: group docs per shingle ONCE, then
+    # emit each group's ordered pairs map-side (flatten of nested
+    # transform) — one shuffle of the postings instead of a two-sided
+    # self-join. Per-shingle groups are bounded by shingle doc-frequency;
+    # a df cap (drop stop-shingles) is where this stays subquadratic at
+    # 100 TB.
+    ids = F.array_sort(F.collect_list(F.col(id_col)))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        sh.groupBy("shingle")
+        .agg(ids.alias("_ids"))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("intersection"))
     )

@@ -48,37 +48,65 @@ def bm25_scores(
     text_col: str = "text",
     k: int = 10,
 ) -> DataFrame:
-    """Top-k documents by BM25 against the (lowercased) query terms."""
-    terms = [t.lower() for t in query_terms]
-    # single tokenization pass for corpus stats AND postings: cache the
-    # token-length projection, collect n_docs + avgdl in one action
-    toked = docs.select(id_col, F.size(tokenize(text_col)).alias("_dl")).cache()
-    n_docs, avgdl = toked.select(
-        F.count(F.lit(1)).alias("n"), F.avg("_dl").alias("avgdl")
-    ).collect()[0]
-    avgdl = float(avgdl)
-    postings = build_postings(docs, id_col, text_col).filter(F.col("term").isin(terms))
+    """Top-k documents by BM25 against the (lowercased) query terms.
 
-    df_t = postings.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
-    scored = (
-        postings.join(F.broadcast(df_t), "term")
-        .withColumn(
-            "idf",
-            F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
-        )
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * (F.col("tf") * (BM25_K1 + 1))
-            / (
-                F.col("tf")
-                + BM25_K1 * (1 - BM25_B + BM25_B * F.col("doc_len") / F.lit(avgdl))
-            ),
-        )
+    Query-time plan: per-term tf computed map-side with array functions
+    (size∘filter over the token array) — NO explode, NO postings shuffle.
+    The whole pipeline is one cached tokenize pass + one scalar stats
+    action + one TakeOrdered. At index-time scale (repeated queries over a
+    static corpus) you'd persist build_postings() as a term-bucketed table
+    instead and prune to the queried terms; this path is the one-shot
+    query plan."""
+    terms = [t.lower() for t in query_terms]
+    sess = docs.sparkSession
+    # cache (id, tokens): the q tf-columns below each reference the token
+    # array, and without materialization project-collapse would inline (and
+    # recompute) tokenize() into every one of them
+    toked = (
+        docs.repartition(sess.sparkContext.defaultParallelism, id_col)
+        .select(id_col, tokenize(text_col).alias("_tokens"))
+        .cache()
+    )
+
+    def _tf(term: str):
+        return F.size(F.filter(F.col("_tokens"), lambda x: x == F.lit(term)))
+
+    per_doc = toked.select(
+        id_col,
+        F.size("_tokens").alias("_dl"),
+        *[_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)],
+    )
+    # one action: corpus size, avg doc length, per-term document frequency
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"_tf{i}") > 0, 1).otherwise(0)).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
+
+    def _term_score(i: int):
+        df = float(stats[f"_df{i}"])
+        idf = F.lit(0.0) if df == 0 else F.log(F.lit((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+        tf = F.col(f"_tf{i}")
+        return F.when(
+            tf > 0,
+            idf
+            * (tf * (BM25_K1 + 1))
+            / (tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("_dl") / F.lit(avgdl))),
+        ).otherwise(F.lit(0.0))
+
+    matched = sum(
+        (F.when(F.col(f"_tf{i}") > 0, 1).otherwise(0) for i in range(len(terms))),
+        F.lit(0),
     )
     return (
-        scored.groupBy(id_col)
-        .agg(F.sum("term_score").alias("bm25"), F.count(F.lit(1)).alias("terms_matched"))
+        per_doc.withColumn("bm25", sum((_term_score(i) for i in range(len(terms))), F.lit(0.0)))
+        .withColumn("terms_matched", matched)
+        .filter(F.col("terms_matched") > 0)
+        .select(id_col, "bm25", "terms_matched")
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
