@@ -130,6 +130,29 @@ def sha12_id(s: Column | str) -> Column:
     return F.substring(F.sha2(_c(s), 256), 1, 12)
 
 
+def clean_title(filename: Column | str) -> Column:
+    """Title cleanup chain (reference AutoTagger.ts:394-424): strip
+    extension, URL-decode spaces, separators → space, drop year-paren
+    metadata, collapse whitespace. Pure regexp_replace chain — codegen'd,
+    byte-exact oracle parity."""
+    t = F.regexp_replace(_c(filename), r"\.(pdf|md|markdown|txt)$", "")
+    t = F.regexp_replace(t, r"%20", " ")
+    t = F.regexp_replace(t, r"[_\-\.]+", " ")
+    t = F.regexp_replace(t, r"\((19|20)\d{2}\)", "")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def extract_author(filename: Column | str) -> Column:
+    """Author extraction (reference AutoTagger.ts:260-264,429-437): first
+    match across the pattern battery — 'by X', '(X)', trailing '- X'."""
+    f = _c(filename)
+    return F.coalesce(
+        F.nullif(F.regexp_extract(f, r"[bB]y[_ ]+([A-Za-z]+)", 1), F.lit("")),
+        F.nullif(F.regexp_extract(f, r"\(([A-Za-z]+)\)", 1), F.lit("")),
+        F.nullif(F.regexp_extract(f, r"- ([A-Za-z]+)$", 1), F.lit("")),
+    )
+
+
 def normalize_tag(tag: Column | str) -> Column:
     """Reference tag normalization (AutoTagger.ts:383-389): lowercase,
     non-alphanumeric → '-', squeeze repeats, strip leading/trailing dashes."""

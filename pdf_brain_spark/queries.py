@@ -1793,6 +1793,117 @@ def string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k,
+           sum(CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) > 50
+               THEN 1 ELSE 0 END) AS n_high
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON escape-hatch handling (§2.8 JSON group: the reference stores
+    tags/metadata as JSON-in-TEXT and queries via json_each): parse the
+    props column with from_json into a native struct at the boundary, then
+    aggregate natively — never string-ops over JSON in the hot path."""
+    ev = load_table(spark, "events", sf_dir)
+    parsed = ev.withColumn("p", F.from_json("props", "k int"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.round(F.avg(F.col("p.k")), 6).alias("avg_k"),
+            F.sum(F.when(F.col("p.k") > 50, 1).otherwise(0)).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "title_author_cleanup",
+    oracle="""
+    WITH files AS (
+      SELECT doc_id,
+             'docs/' || source || '/Annual_Report%20' || doc_id ||
+             '_(2021)_by_' || upper(lang) || '.pdf' AS filename
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(filename, '\\.(pdf|md|markdown|txt)$', '', 'g'),
+                   '%20', ' ', 'g'),
+                 '[_\\-\\.]+', ' ', 'g'),
+               '\\((19|20)\\d{2}\\)', '', 'g'),
+             '\\s+', ' ', 'g')) AS title,
+           coalesce(
+             nullif(regexp_extract(filename, '[bB]y[_ ]+([A-Za-z]+)', 1), ''),
+             nullif(regexp_extract(filename, '\\(([A-Za-z]+)\\)', 1), ''),
+             nullif(regexp_extract(filename, '- ([A-Za-z]+)$', 1), '')
+           ) AS author
+    FROM files
+    ORDER BY doc_id
+    """,
+)
+def title_author_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filename→title/author heuristics (reference M8 fallback tier,
+    AutoTagger.ts:394-437): regexp chains with byte-exact oracle parity —
+    the deterministic part of the enrichment pipeline."""
+    from pdf_brain_spark.functions.text import clean_title, extract_author
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
+    fname = F.concat(
+        F.lit("docs/"), F.col("source"), F.lit("/Annual_Report%20"),
+        F.col("doc_id").cast("string"), F.lit("_(2021)_by_"),
+        F.upper("lang"), F.lit(".pdf"),
+    )
+    return docs.select(
+        "doc_id",
+        clean_title(fname).alias("title"),
+        extract_author(fname).alias("author"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "concept_dedup_judge",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_DUCK_COS.format(a='a.embedding', b='b.embedding')} /
+             ({_DUCK_NORM.format(a='a.embedding')} * {_DUCK_NORM.format(a='b.embedding')}) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(sim, 6) AS sim,
+           CASE WHEN sim >= 0.6 THEN 'DUPLICATE' ELSE 'DISTINCT' END AS verdict
+    FROM pairs WHERE sim >= 0.45
+    ORDER BY id_a, id_b
+    """,
+)
+def concept_dedup_judge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-concept adjudication pipeline shape (reference M10,
+    AutoTagger.ts:597-669): candidate pairs from embedding similarity ≥
+    0.45, then a judge verdict per candidate. The judge tier here is the
+    deterministic threshold rule — in production an LLM-UDF slots into the
+    same column contract (candidates in, verdict out)."""
+    from pdf_brain_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cands = embedding_near_dup_pairs(emb, threshold=0.45)
+    return (
+        cands.withColumn(
+            "verdict",
+            F.when(F.col("cos_sim") >= 0.6, "DUPLICATE").otherwise("DISTINCT"),
+        )
+        .select("id_a", "id_b", F.col("cos_sim").alias("sim"), "verdict")
+        .orderBy("id_a", "id_b")
+    )
+
+
 # dedup_minhash_verified's oracle needs the minhash signature SQL, which is
 # built at import time from the shared coefficients
 ORACLES["dedup_minhash_verified"] = ORACLES["dedup_minhash_verified"].replace(
