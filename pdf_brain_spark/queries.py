@@ -1904,6 +1904,56 @@ def concept_dedup_judge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_sliding_window",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS window_start
+      FROM events
+    )
+    SELECT event_type, window_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM assigned
+    GROUP BY event_type, window_start
+    ORDER BY window_start, event_type
+    LIMIT 500
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 30-minute slide (§2.10 extension — beyond
+    the reference, a core Spark streaming/batch windowing primitive): each
+    event lands in 2 overlapping windows; Spark's window() does the
+    assignment explode internally."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select("event_type", F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+        .limit(500)
+    )
+
+
+@query("corpus_profile_sketch", oracle=None)
+def corpus_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based corpus profiling (§7 free Spark extensions —
+    approx_count_distinct is HyperLogLog++, percentile_approx is
+    KLL-style): one pass over the fact table, constant memory per
+    executor, the way profiling runs at 100 TB. Rows-only check (sketch
+    estimates are engine-specific)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_type").alias("approx_types"),
+        F.round(F.percentile_approx("value", [0.5, 0.95, 0.99]).getItem(0), 2).alias("p50"),
+        F.round(F.percentile_approx("value", [0.5, 0.95, 0.99]).getItem(2), 2).alias("p99"),
+    )
+
+
 # dedup_minhash_verified's oracle needs the minhash signature SQL, which is
 # built at import time from the shared coefficients
 ORACLES["dedup_minhash_verified"] = ORACLES["dedup_minhash_verified"].replace(
