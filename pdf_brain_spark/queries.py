@@ -1659,7 +1659,7 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
-        ev = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         schema = (
             "event_id bigint, ts timestamp, user_id bigint, "
@@ -1951,6 +1951,162 @@ def corpus_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("event_type").alias("approx_types"),
         F.round(F.percentile_approx("value", [0.5, 0.95, 0.99]).getItem(0), 2).alias("p50"),
         F.round(F.percentile_approx("value", [0.5, 0.95, 0.99]).getItem(2), 2).alias("p99"),
+    )
+
+
+@query(
+    "vector_search_with_docs",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             {_duck_cosine_distance('e.embedding', 'q.query_vec')} AS d
+      FROM embeddings e, q
+    ),
+    hits AS (
+      SELECT vec_id, label, d FROM scored ORDER BY d ASC, vec_id ASC LIMIT 10
+    )
+    SELECT h.vec_id, d.lang, d.source,
+           round(1.0 - h.d / 2.0, 6) AS score
+    FROM hits h JOIN documents d ON d.doc_id = h.vec_id
+    ORDER BY h.d ASC, h.vec_id ASC
+    """,
+)
+def vector_search_with_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE load-bearing reference join (J1, LibSQLDatabase.ts:325-337):
+    ANN top-k candidates joined back to the document dimension. Candidate
+    set is k rows; the documents side broadcasts — the join adds no
+    shuffle to the TakeOrdered plan."""
+    from pdf_brain_spark.operators.vector_search import topk_by_query_df
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    hits = topk_by_query_df(emb, qdf, k=10)
+    return (
+        hits.join(F.broadcast(docs), hits.vec_id == docs.doc_id)
+        .select("vec_id", "lang", "source", F.round("score", 6).alias("score"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+    )
+
+
+@query(
+    "library_stats",
+    oracle="""
+    SELECT (SELECT count(*) FROM documents) AS n_documents,
+           (SELECT count(*) FROM embeddings) AS n_embeddings,
+           (SELECT count(*) FROM events) AS n_events
+    """,
+)
+def library_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library stats (reference A1, LibSQLDatabase.ts:537-557): scalar
+    counts across tables, one row."""
+    d = load_table(spark, "documents", sf_dir).agg(F.count(F.lit(1)).alias("n_documents"))
+    e = load_table(spark, "embeddings", sf_dir).agg(F.count(F.lit(1)).alias("n_embeddings"))
+    v = load_table(spark, "events", sf_dir).agg(F.count(F.lit(1)).alias("n_events"))
+    return d.crossJoin(e).crossJoin(v)
+
+
+@query(
+    "concept_label_search",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE contains(lower(source), 'src1') OR contains(lower(lang), 'e')
+    ORDER BY doc_id
+    LIMIT 50
+    """,
+)
+def concept_label_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concept label substring search (reference P9, cli.ts:2023-2041):
+    case-insensitive substring over prefLabel/altLabels — source/lang
+    stand in for the label fields."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.filter(
+            F.lower(F.col("source")).contains("src1") | F.lower(F.col("lang")).contains("e")
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
+@query("search_pipeline", oracle=None)
+def search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end §3.1 search lifecycle in ONE job: vector arm (exact
+    cosine top-k over-fetched) ∪ BM25 arm → hybrid merge with the
+    reference's boost (min(1, 1.2s) when both arms hit) → document join →
+    threshold filter → final re-rank. The composite the reference runs as
+    four sequential SQL round-trips, here a single DAG Catalyst plans
+    end-to-end. Rows-only (the composition is covered piecewise by
+    vector_topk/fts_bm25/hybrid_search oracles)."""
+    from pdf_brain_spark.operators.fts import bm25_scores
+    from pdf_brain_spark.operators.hybrid import hybrid_merge
+    from pdf_brain_spark.operators.vector_search import topk_by_query_df
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    vec = (
+        topk_by_query_df(emb, qdf, k=20)
+        .select(F.col("vec_id").alias("doc_id"), F.col("score").alias("vec_score"))
+    )
+    fts = bm25_scores(docs, ["data", "analysis"], k=20).select(
+        "doc_id", F.col("bm25").alias("fts_score")
+    )
+    merged = hybrid_merge(vec, fts, key_cols=["doc_id"])
+    return (
+        merged.join(F.broadcast(docs.select("doc_id", "lang", "source")), "doc_id")
+        .filter(F.col("score") >= 0.1)
+        .select("doc_id", "lang", "source", F.round("score", 6).alias("score"), "match_type")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "events_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (§2.10 extension): Spark's session_window
+    merges events into variable-length sessions with a 30-minute gap —
+    the same operator drives streaming sessionization with state. A new
+    session opens when the gap is ≥ the timeout (window end is
+    exclusive), which the lag-gap oracle mirrors."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 20)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
     )
 
 

@@ -35,7 +35,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # micro-aligned so the nanos→micros conversion is lossless
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer div, not `/1000`: double division rounds the microsecond
+        # (53-bit mantissa) while nanos→micros must truncate like every
+        # other engine reading TIMESTAMP(NANOS) at micro precision
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
