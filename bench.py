@@ -34,6 +34,11 @@ HEADLINE = [
     "transitive_closure",
     "context_expansion",
     "kmeans_clusters",
+    "search_pipeline",
+    "multiscale_retrieval",
+    "events_session_window",
+    "vector_search_with_docs",
+    "dedup_minhash_verified",
 ]
 
 

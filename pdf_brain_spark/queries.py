@@ -2110,6 +2110,35 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_recall_report", oracle=None)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-validating ANN quality report: recall@10 of IVF (4/16 probes)
+    and hyperplane-LSH against the exact brute-force top-10, for 4 query
+    vectors. The contract the reference accepts implicitly with DiskANN
+    float8 compression (~1-2% recall loss) made measurable — approximate
+    candidate generation, exact verification."""
+    from pdf_brain_spark.operators.ann import ivf_index, ivf_search, lsh_search, lsh_sketch
+    from pdf_brain_spark.operators.vector_search import topk
+
+    emb = load_table(spark, "embeddings", sf_dir).cache()
+    queries_ = [r["embedding"] for r in emb.filter(F.col("vec_id") < 4).collect()]
+    dim = len(queries_[0])
+    indexed, centroids = ivf_index(emb)
+    indexed = indexed.cache()
+    sketched = lsh_sketch(emb, dim).cache()
+
+    rows = []
+    for qi, qv in enumerate(queries_):
+        qv = [float(x) for x in qv]
+        exact = {r["vec_id"] for r in topk(emb, qv, k=10).collect()}
+        ivf = {r["vec_id"] for r in ivf_search(indexed, centroids, qv, k=10).collect()}
+        lsh = {r["vec_id"] for r in lsh_search(sketched, dim, qv, k=10).collect()}
+        rows.append(
+            (qi, len(exact & ivf) / 10.0, len(exact & lsh) / 10.0)
+        )
+    return spark.createDataFrame(rows, "query_id int, ivf_recall double, lsh_recall double")
+
+
 # dedup_minhash_verified's oracle needs the minhash signature SQL, which is
 # built at import time from the shared coefficients
 ORACLES["dedup_minhash_verified"] = ORACLES["dedup_minhash_verified"].replace(
