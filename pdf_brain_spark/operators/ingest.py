@@ -140,6 +140,35 @@ def ingest(
     }
 
 
+def upsert_by_key(
+    spark: SparkSession, incoming: DataFrame, target_dir: str, key: str
+) -> int:
+    """Idempotent merge-by-key sink (reference S7: INSERT … ON CONFLICT(id)
+    DO UPDATE, LibSQLDatabase.ts:83-110): rows in `incoming` replace
+    same-key rows in the target, others are kept. Implemented as
+    keep = existing ⟕anti incoming, result = keep ∪ incoming, staged write
+    + atomic swap. At production scale this is a Delta/Iceberg MERGE (or a
+    partition-overwrite when the key maps to partitions) — the plan shape
+    (anti-join + union) is identical; only the commit protocol changes."""
+    import os
+    import shutil
+
+    incoming = incoming.cache()
+    n_in = incoming.count()
+    if os.path.isdir(target_dir):
+        existing = spark.read.parquet(target_dir)
+        keep = existing.join(incoming.select(key), key, "left_anti")
+        merged = keep.unionByName(incoming)
+    else:
+        merged = incoming
+    staging = target_dir.rstrip("/") + "._staging"
+    merged.write.mode("overwrite").parquet(staging)
+    if os.path.isdir(target_dir):
+        shutil.rmtree(target_dir)
+    os.rename(staging, target_dir)
+    return n_in
+
+
 def extract_pdf_pages_udf():
     """mapInPandas seam for binaryFile PDF rows → (path, page, text).
     pypdf is unavailable in this container: the decode is stubbed with a

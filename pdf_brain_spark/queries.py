@@ -2139,6 +2139,84 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "query_id int, ivf_recall double, lsh_recall double")
 
 
+@query(
+    "streaming_stateful_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    rolled AS (
+      SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events
+      FROM sessions GROUP BY user_id, sid
+    ),
+    last AS (SELECT user_id, max(sid) AS last_sid FROM rolled GROUP BY user_id)
+    SELECT r.user_id, r.session_start, r.session_end, r.n_events
+    FROM rolled r JOIN last l ON r.user_id = l.user_id AND r.sid <> l.last_sid
+    ORDER BY r.user_id, r.session_start
+    """,
+)
+def streaming_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState,
+    §2.11): per-user sessionization with explicit per-group state, run as
+    a real AvailableNow stream into a memory sink. Emitted = sessions
+    closed by an observed ≥30-min gap; each user's trailing open session
+    stays in state — the oracle is batch sessionize minus last-session."""
+    import os as _os
+    import tempfile
+    import uuid
+
+    from pdf_brain_spark.streaming.events import streaming_sessionize
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    batch_types = dict(spark.read.parquet(path).dtypes)
+    if batch_types.get("ts") == "bigint":
+        schema = (
+            "event_id bigint, ts bigint, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        schema = (
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        ev = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    qname = "stream_sess_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="sgraft_ckpt_")
+    q = (
+        streaming_sessionize(ev)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).orderBy("user_id", "session_start")
+
+
 # dedup_minhash_verified's oracle needs the minhash signature SQL, which is
 # built at import time from the shared coefficients
 ORACLES["dedup_minhash_verified"] = ORACLES["dedup_minhash_verified"].replace(

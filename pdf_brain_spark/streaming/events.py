@@ -58,6 +58,76 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str, out_dir: str) -
     q.awaitTermination()
 
 
+SESSION_GAP_MINUTES = 30
+
+
+def streaming_sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES):
+    """Custom stateful streaming operator via applyInPandasWithState
+    (SURVEY §2.11: the route for operators Spark lacks natively): per-user
+    sessionization with explicit state.
+
+    State per user = the currently-open session (start, last_ts, count).
+    Each micro-batch sorts the user's new events, closes sessions whenever
+    a gap ≥ gap_minutes is observed, EMITS the closed sessions, and parks
+    the trailing open session back in state. On a bounded AvailableNow run
+    the emitted set is therefore exactly 'every session except each user's
+    last' — deterministic, so the batch lag-gap SQL minus last-session is
+    its oracle. Scale: state is one tuple per active user, partitioned by
+    the groupBy key; no executor holds more than its hash-share of users."""
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _sessionize(key, pdf_iter, state):
+        rows = pd.concat(list(pdf_iter))
+        if rows.empty:
+            return
+        rows = rows.sort_values("ts")
+        ts_us = rows["ts"].astype("int64") // 1000  # datetime64[ns] → micros
+
+        if state.exists:
+            s_start, s_last, s_count = state.get
+        else:
+            s_start, s_last, s_count = None, None, 0
+
+        out = []
+        for t in ts_us:
+            if s_start is None:
+                s_start, s_last, s_count = int(t), int(t), 1
+            elif t - s_last >= gap_us:
+                out.append((key[0], s_start, s_last, s_count))
+                s_start, s_last, s_count = int(t), int(t), 1
+            else:
+                s_last, s_count = int(t), s_count + 1
+        state.update((s_start, s_last, s_count))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "session_start": pd.to_datetime([o[1] for o in out], unit="us"),
+                    "session_end": pd.to_datetime([o[2] for o in out], unit="us"),
+                    "n_events": [o[3] for o in out],
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=(
+                "user_id long, session_start timestamp, "
+                "session_end timestamp, n_events long"
+            ),
+            stateStructType="session_start long, last_ts long, n_events long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_ingest(
     spark: SparkSession,
     watch_dir: str,

@@ -125,3 +125,19 @@ def test_multimodal_image_features_plumbing(spark):
     assert len(feats) == 1 and len(feats[0]["features"]) == 16
     frames = frame_sample_plan(media, every_ms=1000).collect()
     assert [f["frame_ts_ms"] for f in frames] == [0, 1000, 2000, 3000]
+
+
+def test_upsert_by_key(spark, tmp_path):
+    from pdf_brain_spark.operators.ingest import upsert_by_key
+
+    target = str(tmp_path / "docs")
+    v1 = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], "doc_id string, version int"
+    )
+    upsert_by_key(spark, v1, target, "doc_id")
+    v2 = spark.createDataFrame([("b", 2), ("d", 2)], "doc_id string, version int")
+    upsert_by_key(spark, v2, target, "doc_id")
+
+    got = {r["doc_id"]: r["version"] for r in spark.read.parquet(target).collect()}
+    # conflict key updated, new key inserted, untouched keys kept
+    assert got == {"a": 1, "b": 2, "c": 1, "d": 2}
