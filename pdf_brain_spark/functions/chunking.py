@@ -76,7 +76,9 @@ def chunk_text(
     cleaned = re.sub(r"\s+", " ", sanitize_text(text))
     cleaned = re.sub(r"\n{3,}", "\n\n", cleaned).strip()
     if len(cleaned) <= chunk_size:
-        return [cleaned] if cleaned else []
+        # the reference's tiny-chunk filter applies to EVERY chunk,
+        # including a short whole-page chunk (PDFExtractor.ts:144)
+        return [cleaned] if len(cleaned) > MIN_CHUNK_CHARS else []
     return [c for c in _pack_and_split(cleaned, chunk_size, overlap) if len(c) > MIN_CHUNK_CHARS]
 
 
@@ -164,7 +166,9 @@ def chunk_markdown(
 
     if len(cleaned) <= chunk_size:
         restored = _restore(cleaned)
-        return [restored] if restored else []
+        # tiny-chunk filter applies to the short whole-doc path too
+        # (MarkdownExtractor.ts:471)
+        return [restored] if len(restored) > MIN_CHUNK_CHARS else []
 
     chunks = _pack_and_split(cleaned, chunk_size, overlap)
     return [c for c in (_restore(ch) for ch in chunks) if len(c) > MIN_CHUNK_CHARS]

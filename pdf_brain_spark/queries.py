@@ -2217,6 +2217,71 @@ def streaming_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(qname).orderBy("user_id", "session_start")
 
 
+@query("markdown_sections", oracle=None)
+def markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown extraction pipeline (S3/S4, MarkdownExtractor.ts): YAML
+    frontmatter fast-path + heading-delimited section split as an
+    Arrow-batched pandas UDF over synthesized markdown; per-doc section
+    stats out. Rows-only (Python chunker; splitting rules are
+    known-answer-tested in tests/test_chunking.py)."""
+    import pandas as pd
+
+    from pdf_brain_spark.functions.chunking import extract_frontmatter, extract_sections
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
+    md = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("---\ntitle: Doc "), F.col("doc_id").cast("string"),
+            F.lit("\nlang: "), F.col("lang"),
+            F.lit("\n---\n# Intro\n"), F.substring("text", 1, 120),
+            F.lit("\n## Body\n"), F.substring("text", 121, 200),
+        ).alias("md"),
+    )
+
+    def _extract(batches):
+        for pdf in batches:
+            fm = pdf["md"].map(lambda t: extract_frontmatter(t).get("title", ""))
+            secs = pdf["md"].map(lambda t: len(extract_sections(t)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "fm_title": fm, "n_sections": secs}
+            )
+
+    return (
+        md.mapInPandas(_extract, schema="doc_id long, fm_title string, n_sections int")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT o.o_orderkey, n.n_name
+    FROM orders o JOIN nation n ON o.o_orderkey % 5 = n.n_nationkey
+    WHERE o.o_orderkey < 2000
+    ORDER BY o.o_orderkey
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join for hot keys (§4 skew handling): o_orderkey%5 gives 5
+    keys each owning 20% of the fact rows — a worst-case skew. The salt
+    spreads each hot key across 8 reducers; result identical to the plain
+    join (the oracle)."""
+    from pdf_brain_spark.operators.skew import salted_join
+
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", (F.col("o_orderkey") % 5).alias("n_nationkey"))
+    )
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    return (
+        salted_join(o, n, "n_nationkey", n_salts=8)
+        .select("o_orderkey", "n_name")
+        .orderBy("o_orderkey")
+    )
+
+
 # dedup_minhash_verified's oracle needs the minhash signature SQL, which is
 # built at import time from the shared coefficients
 ORACLES["dedup_minhash_verified"] = ORACLES["dedup_minhash_verified"].replace(

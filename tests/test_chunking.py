@@ -26,8 +26,14 @@ def test_short_text_single_chunk():
 
 
 def test_whitespace_collapsed():
-    out = chunk_text("hello    world\t\tagain")
-    assert out == ["hello world again"]
+    out = chunk_text("hello    world\t\tagain and some more words here")
+    assert out == ["hello world again and some more words here"]
+
+
+def test_tiny_whole_page_dropped():
+    # the reference's >20-char filter applies to a short whole page too
+    # (PDFExtractor.ts:144): 17 chars → no chunks
+    assert chunk_text("hello world again") == []
 
 
 def test_no_tiny_chunks():
