@@ -36,6 +36,11 @@ def get_spark(app_name: str = "pdf_brain_spark", shuffle_partitions: int | None 
         # testdata events.parquet carries TIMESTAMP(NANOS); Spark reads it
         # as long (nanos) under this flag and loaders.py converts to micros
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # bucketed-table writes (co-located joins) land outside the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/sgraft_warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,63 @@
+"""Physical-layout evidence for the 100 TB posture: partition pruning on
+partitioned writes, and exchange elimination on bucketed co-located joins —
+the two storage-layout levers SURVEY §4 names (partition/cluster by hot
+keys; bucketing for co-located joins)."""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partition_pruning(spark, tmp_path):
+    from pdf_brain_spark.sources.loaders import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    out = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").parquet(out)
+
+    pruned = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = _plan(pruned)
+    # the lang predicate must land in PartitionFilters (pruning), not in
+    # PushedFilters/post-scan Filter
+    assert "PartitionFilters" in plan
+    filters_section = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "lang" in filters_section
+    # and only the en partition's rows are read
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert pruned.count() == n_en
+
+
+def test_bucketed_join_eliminates_shuffle(spark):
+    from pdf_brain_spark.sources.loaders import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").withColumn(
+        "doc_id", F.col("vec_id")
+    )
+
+    spark.sql("DROP TABLE IF EXISTS b_docs")
+    spark.sql("DROP TABLE IF EXISTS b_emb")
+    (docs.select("doc_id", "lang").write.bucketBy(8, "doc_id")
+     .sortBy("doc_id").mode("overwrite").saveAsTable("b_docs"))
+    (emb.select("doc_id", "label").write.bucketBy(8, "doc_id")
+     .sortBy("doc_id").mode("overwrite").saveAsTable("b_emb"))
+
+    joined = spark.table("b_docs").join(spark.table("b_emb"), "doc_id")
+    plan = _plan(joined)
+    # both sides bucketed on the join key: the sort-merge join runs with NO
+    # hash-partitioning exchange — the co-located join that at 100 TB
+    # removes the dominant shuffle
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() > 0
+
+    # contrast: the same join over unbucketed sources must shuffle
+    plain = docs.select("doc_id", "lang").join(
+        emb.select("doc_id", "label"), "doc_id"
+    )
+    # (broadcast may kick in at this tiny size; force SMJ to see the shuffle)
+    plain_smj = docs.select("doc_id", "lang").hint("merge").join(
+        emb.select("doc_id", "label"), "doc_id"
+    )
+    assert "Exchange hashpartitioning" in _plan(plain_smj)
