@@ -37,8 +37,15 @@ def test_bucketed_join_eliminates_shuffle(spark):
         "doc_id", F.col("vec_id")
     )
 
+    import shutil
+
     spark.sql("DROP TABLE IF EXISTS b_docs")
     spark.sql("DROP TABLE IF EXISTS b_emb")
+    # the in-memory catalog forgets tables between sessions but the
+    # warehouse files survive; clear stale locations
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_docs", "b_emb"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     (docs.select("doc_id", "lang").write.bucketBy(8, "doc_id")
      .sortBy("doc_id").mode("overwrite").saveAsTable("b_docs"))
     (emb.select("doc_id", "label").write.bucketBy(8, "doc_id")
