@@ -68,10 +68,89 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by k-gram Jaccard ≥ threshold. Inverted-index
     join: pairs meet only on shared shingles, intersection = meet count,
-    union = |A| + |B| - ∩."""
+    union = |A| + |B| - ∩.
+
+    Exact-duplicate contents are collapsed FIRST (content-hash groupBy)
+    and expanded back at the end: a corpus with d copies per doc makes
+    every shingle group d× larger and pair emission d²× — the collapse
+    keeps the inverted index quadratic only in DISTINCT contents, which is
+    what makes this survive duplicate-heavy 100 TB crawls. Identical docs
+    have Jaccard 1 by definition, so the expansion is semantics-free.
+    """
+    hashed = _parallelize(docs, id_col).select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_chash"), F.col(text_col)
+    )
+    # one shuffle builds both the member lists and the representatives
+    # (texts are identical within a hash group, so any_value stands in)
+    groups = hashed.groupBy("_chash").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("_members"),
+        F.first(F.col(text_col)).alias(text_col),
+    ).cache()
+    members = groups.select("_chash", "_members")
+    reps = groups.select(F.col("_chash").alias(id_col), F.col(text_col))
+
+    rep_pairs = _distinct_content_jaccard_pairs(reps, threshold, k, id_col, text_col)
+
+    # within-group pairs: every member pair of a duplicated content is a
+    # jaccard-1.0 pair (when the content has ≥1 shingle)
+    nonempty = reps.select(
+        F.col(id_col).alias("_chash"),
+        (F.size(F.array_distinct(shingles(tokenize(text_col), k))) > 0).alias("_has_sh"),
+    )
+    within_structs = F.flatten(
+        F.transform(
+            F.col("_members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_members"), i + 2, F.size(F.col("_members"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    within = (
+        members.join(nonempty, "_chash")
+        .filter(F.col("_has_sh") & (F.size("_members") > 1) & F.lit(1.0 >= threshold))
+        .select(F.explode(within_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b", F.lit(1.0).alias("jaccard"))
+    )
+
+    # cross-group pairs: expand each qualifying rep pair to all member
+    # combinations (same text ⇒ same jaccard); only threshold-passing
+    # pairs expand, so the blowup is bounded by the answer size
+    ma = members.select(F.col("_chash").alias("doc_a"), F.col("_members").alias("_ma"))
+    mb = members.select(F.col("_chash").alias("doc_b"), F.col("_members").alias("_mb"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.explode("_ma").alias("id_a"), F.col("_mb"), F.col("jaccard")
+        )
+        .select(
+            F.explode("_mb").alias("id_b"), F.col("id_a"), F.col("jaccard")
+        )
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return (
+        within.unionByName(cross)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _distinct_content_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    k: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Inverted-index Jaccard over distinct contents (callers guarantee
+    uniqueness of text per id)."""
     sh = _shingle_sets(docs, id_col, text_col, k)
     # per-doc set sizes straight off the scan (map-side, no explode)
-    sizes = _parallelize(docs, id_col).select(
+    sizes = docs.select(
         F.col(id_col),
         F.size(F.array_distinct(shingles(tokenize(text_col), k))).alias("set_size"),
     )
