@@ -36,6 +36,14 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokenize(text))
 
 
+def subword_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: words and punctuation marks counted as
+    separate tokens (`\\w+|[^\\w\\s]`) — the cheap approximation of an LLM
+    tokenizer's behavior for budget accounting. Twin SQL:
+    len(regexp_extract_all(x, '\\w+|[^\\w\\s]'))."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(r"\w+|[^\w\s]"), F.lit(0)))
+
+
 def punct_ratio(text: Column | str) -> Column:
     """Fraction of characters that are sentence punctuation."""
     t = _c(text)

@@ -343,6 +343,66 @@ def simhash_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: (node, component) where
+    component = min node id reachable — the canonical-document grouping
+    step that follows pair generation in every dedup pipeline.
+
+    Iterative min-label propagation to fixpoint over the symmetrized edge
+    list (large-star/small-star simplified): each round joins current
+    labels across edges, keeps the min seen, stops when no label changes.
+    Rounds needed = graph diameter in label-hops (≈log n for dup clusters,
+    which are near-cliques — typically 2-3 rounds); per-round cost is one
+    shuffle of the edge list. localCheckpoint keeps lineage flat."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        # candidate label for each node: min of own and neighbors' labels
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("_nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.join(
+                labels.withColumnRenamed("component", "_old"), "node"
+            )
+            .filter(F.col("component") != F.col("_old"))
+            .isEmpty()
+        )
+        labels = updated
+        if changed:
+            break
+    return labels
+
+
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:

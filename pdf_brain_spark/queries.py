@@ -2282,11 +2282,81 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLES.strip()},
+    sig AS ({{MINHASH_SIG}}),
+    banded AS (
+      SELECT doc_id, 0 AS band, md5(concat_ws('_', h0, h1, h2, h3)) AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 1, md5(concat_ws('_', h4, h5, h6, h7)) FROM sig
+      UNION ALL
+      SELECT doc_id, 2, md5(concat_ws('_', h8, h9, h10, h11)) FROM sig
+      UNION ALL
+      SELECT doc_id, 3, md5(concat_ws('_', h12, h13, h14, h15)) FROM sig
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cands
+      UNION
+      SELECT doc_b, doc_a FROM cands
+    ),
+    reach AS (
+      SELECT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+    )
+    SELECT node, min(r) AS component
+    FROM reach GROUP BY node ORDER BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the MinHash-LSH pair
+    graph via iterative min-label propagation — the canonical-document
+    grouping step after pair generation (each component keeps min doc_id
+    as canonical). The oracle is a recursive-CTE reachability query."""
+    from pdf_brain_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(load_table(spark, "documents", sf_dir))
+    return connected_components(pairs).orderBy("node")
+
+
 # dedup_minhash_verified's oracle needs the minhash signature SQL, which is
 # built at import time from the shared coefficients
-ORACLES["dedup_minhash_verified"] = ORACLES["dedup_minhash_verified"].replace(
-    "{MINHASH_SIG}", _DUCK_MINHASH_SIG
+@query(
+    "token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')) AS ws_tokens,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS subword_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS chars4_estimate
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
 )
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for budget accounting (training-data extension):
+    whitespace tokens, BPE-ish word+punctuation tokens, and the chars/4
+    heuristic — three codegen'd estimators per document."""
+    from pdf_brain_spark.functions.text import subword_token_count, token_count
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        subword_token_count("text").alias("subword_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("chars4_estimate"),
+    ).orderBy("doc_id")
+
+
+for _qname in ("dedup_minhash_verified", "dedup_components"):
+    ORACLES[_qname] = ORACLES[_qname].replace("{MINHASH_SIG}", _DUCK_MINHASH_SIG)
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
