@@ -2329,6 +2329,58 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_minhash_verified's oracle needs the minhash signature SQL, which is
 # built at import time from the shared coefficients
 @query(
+    "rag_concept_context",
+    oracle=f"""
+    WITH {_DUCK_CENTROIDS.strip()},
+    queries AS (
+      SELECT vec_id AS doc_id, embedding AS qv FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+      SELECT q.doc_id, CAST(c.label AS BIGINT) AS concept_id,
+             {_DUCK_COS.format(a='c.centroid', b='q.qv')} /
+             ({_DUCK_NORM.format(a='c.centroid')} * {_DUCK_NORM.format(a='q.qv')}) AS sim
+      FROM cent c, queries q
+    ),
+    ranked AS (
+      SELECT doc_id, concept_id, sim,
+             row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, concept_id ASC) AS rank
+      FROM scored WHERE sim >= -1.0
+    )
+    SELECT doc_id, concept_id, rank, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def rag_concept_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG concept-context retrieval (reference M9,
+    AutoTagger.ts:761-802): per-document top-3 nearest concepts as ONE
+    batched similarity join — 20 docs × broadcast concept table in a
+    single scan, where the reference loops one ANN probe per document."""
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.functions.vector import cosine_similarity
+    from pdf_brain_spark.operators.clustering import label_centroids
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_ = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("qv")
+    )
+    concepts = label_centroids(emb).select(
+        F.col("label").cast("long").alias("concept_id"), F.col("centroid")
+    )
+    scored = queries_.crossJoin(F.broadcast(concepts)).withColumn(
+        "sim", cosine_similarity(F.col("centroid"), F.col("qv"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("sim").desc(), F.col("concept_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "concept_id", "rank", F.round("sim", 6).alias("sim"))
+        .orderBy("doc_id", "rank")
+    )
+
+
+@query(
     "token_counts",
     oracle="""
     SELECT doc_id,
