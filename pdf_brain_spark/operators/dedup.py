@@ -436,12 +436,46 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Exact cosine near-duplicate pairs above threshold. O(n²) compare —
     correct baseline; at scale route through operators/ann.py (LSH/IVF
-    bucketing) so only bucket-mates are compared."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.withColumn("cos_sim", cosine_similarity(F.col("vec_a"), F.col("vec_b")))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    bucketing) so only bucket-mates are compared.
+
+    Executed as a block-matrix product: the L2-normalized matrix is
+    broadcast (same memory contract as a broadcast hash join — the
+    "small" side must fit an executor) and each partition computes its
+    row-block × matrixᵀ with vectorized BLAS via mapInPandas. Row-at-a-
+    time pair expressions — interpreted higher-order functions inside a
+    nested-loop join — are ~100× slower at the same output. Beyond
+    broadcastable corpus sizes, route through operators/ann.py and run
+    this only on bucket-mates."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    m = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, m))
+
+    def _block(batches):
+        b_ids, b_m = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            block = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            block = block / np.linalg.norm(block, axis=1, keepdims=True)
+            sims = block @ b_m.T
+            row_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            li, ri = np.nonzero((sims >= threshold) & (row_ids[:, None] < b_ids[None, :]))
+            if len(li):
+                yield pd.DataFrame(
+                    {
+                        "id_a": row_ids[li],
+                        "id_b": b_ids[ri],
+                        "cos_sim": sims[li, ri],
+                    }
+                )
+
+    out = emb.select(id_col, vec_col).mapInPandas(
+        _block, schema="id_a long, id_b long, cos_sim double"
     )
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
