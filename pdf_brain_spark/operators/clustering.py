@@ -74,16 +74,18 @@ def bic_select_k(
     k_range: range,
     seed: int = 42,
     vec_col: str = "embedding",
+    max_iter: int = 10,
 ) -> tuple[int, dict[int, float]]:
     """BIC = n·ln(RSS/n) + k·(dim+1)·ln(n); argmin over k
-    (Clustering.ts:657-676)."""
+    (Clustering.ts:657-676). Coarse fits (max_iter=10) rank k reliably;
+    refit the winner at full iterations for the final model."""
     import math
 
     n = emb.count()
     dim = len(emb.select(vec_col).first()[0])
     scores: dict[int, float] = {}
     for k in k_range:
-        assigned, _ = kmeans_assign(emb, k=k, seed=seed, vec_col=vec_col)
+        assigned, _ = kmeans_assign(emb, k=k, seed=seed, vec_col=vec_col, max_iter=max_iter)
         rss = kmeans_rss(assigned)
         params = k * (dim + 1)
         scores[k] = n * math.log(max(rss, 1e-12) / n) + params * math.log(n)

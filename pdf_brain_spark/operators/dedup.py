@@ -358,7 +358,15 @@ def connected_components(
     labels across edges, keeps the min seen, stops when no label changes.
     Rounds needed = graph diameter in label-hops (≈log n for dup clusters,
     which are near-cliques — typically 2-3 rounds); per-round cost is one
-    shuffle of the edge list. localCheckpoint keeps lineage flat."""
+    shuffle of the edge list. localCheckpoint keeps lineage flat.
+
+    Fast path: the pair graph is the REDUCED output of candidate
+    generation (LSH buckets), orders of magnitude smaller than the corpus
+    — when it fits the driver (< ~5M edges) a union-find there beats
+    3-4 distributed rounds; the iterative path covers the rest."""
+    # materialize the pair list ONCE before symmetrizing — the union
+    # references it twice and would re-run the whole candidate pipeline
+    pairs = pairs.select(a_col, b_col).localCheckpoint()
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -367,6 +375,33 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    n_edges = edges.count()
+    if n_edges < 5_000_000:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.collect():
+            s, d = r["src"], r["dst"]
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # union by min id so the component label is deterministic
+                lo, hi = (rs, rd) if rs < rd else (rd, rs)
+                parent[hi] = lo
+        rows = sorted((n, find(n)) for n in parent)
+        spark = pairs.sparkSession
+        schema = edges.select(F.col("src").alias("node")).schema.add(
+            "component", edges.schema["src"].dataType
+        )
+        return spark.createDataFrame(rows, schema)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
