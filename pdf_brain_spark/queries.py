@@ -2407,6 +2407,69 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "promo_revenue",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type = 'ECONOMY'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo revenue: date-pruned fact scan × broadcast
+    part dimension, conditional aggregation in one pass. The shipdate
+    filter reaches the parquet scan; part broadcasts."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = load_table(spark, "part", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "part_type_rollup",
+    oracle="""
+    SELECT p_type, p_brand,
+           count(*) AS n_parts,
+           round(sum(p_retailprice), 4) AS total_price
+    FROM part
+    GROUP BY ROLLUP (p_type, p_brand)
+    ORDER BY p_type NULLS FIRST, p_brand NULLS FIRST
+    """,
+)
+def part_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over the part dimension (§2.4 note: grouping
+    sets are a free Spark extension the reference lacks) — subtotals per
+    (type, brand), per type, and grand total in one pass."""
+    p = load_table(spark, "part", sf_dir)
+    return (
+        p.rollup("p_type", "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 4).alias("total_price"),
+        )
+        .orderBy(F.col("p_type").asc_nulls_first(), F.col("p_brand").asc_nulls_first())
+    )
+
+
 for _qname in ("dedup_minhash_verified", "dedup_components"):
     ORACLES[_qname] = ORACLES[_qname].replace("{MINHASH_SIG}", _DUCK_MINHASH_SIG)
 
