@@ -51,12 +51,20 @@ def _parallelize(docs: DataFrame, id_col: str) -> DataFrame:
     return docs.repartition(sess.sparkContext.defaultParallelism, id_col)
 
 
-def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(doc_id, shingle) distinct pairs + per-doc set size."""
-    sh = _parallelize(docs, id_col).select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(tokenize(text_col), k))).alias("shingle")
+def _shingle_set_df(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc_id, sh_set): per-doc distinct shingle set, computed ONCE so
+    callers that need both the set (exact verify) and derived values
+    (minhash bases, set size) share a single tokenize/shingle pass.
+    Docs with < k tokens have no shingles and are dropped (cheap
+    pushdown-safe predicate, no hash chain in the filter)."""
+    return (
+        _parallelize(docs, id_col)
+        .filter(F.size(tokenize(text_col)) >= k)
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles(tokenize(text_col), k)).alias("sh_set"),
+        )
     )
-    return sh
 
 
 def ngram_jaccard_pairs(
@@ -87,15 +95,19 @@ def ngram_jaccard_pairs(
         F.first(F.col(text_col)).alias(text_col),
     ).cache()
     members = groups.select("_chash", "_members")
-    reps = groups.select(F.col("_chash").alias(id_col), F.col(text_col))
 
-    rep_pairs = _distinct_content_jaccard_pairs(reps, threshold, k, id_col, text_col)
+    # one shingle pass over the distinct contents, shared by the inverted
+    # index, the set sizes, and the nonempty check below
+    rsets = groups.select(
+        F.col("_chash").alias(id_col),
+        F.array_distinct(shingles(tokenize(text_col), k)).alias("sh_set"),
+    ).cache()
+    rep_pairs = _jaccard_pairs_from_sets(rsets, threshold, id_col)
 
     # within-group pairs: every member pair of a duplicated content is a
     # jaccard-1.0 pair (when the content has ≥1 shingle)
-    nonempty = reps.select(
-        F.col(id_col).alias("_chash"),
-        (F.size(F.array_distinct(shingles(tokenize(text_col), k))) > 0).alias("_has_sh"),
+    nonempty = rsets.select(
+        F.col(id_col).alias("_chash"), (F.size("sh_set") > 0).alias("_has_sh")
     )
     within_structs = F.flatten(
         F.transform(
@@ -139,21 +151,16 @@ def ngram_jaccard_pairs(
     )
 
 
-def _distinct_content_jaccard_pairs(
-    docs: DataFrame,
+def _jaccard_pairs_from_sets(
+    sets: DataFrame,
     threshold: float,
-    k: int,
     id_col: str,
-    text_col: str,
 ) -> DataFrame:
-    """Inverted-index Jaccard over distinct contents (callers guarantee
-    uniqueness of text per id)."""
-    sh = _shingle_sets(docs, id_col, text_col, k)
-    # per-doc set sizes straight off the scan (map-side, no explode)
-    sizes = docs.select(
-        F.col(id_col),
-        F.size(F.array_distinct(shingles(tokenize(text_col), k))).alias("set_size"),
-    )
+    """Inverted-index Jaccard over precomputed distinct (id, sh_set) rows
+    (callers guarantee uniqueness of content per id)."""
+    sh = sets.select(F.col(id_col), F.explode("sh_set").alias("shingle"))
+    # per-doc set sizes straight off the cached sets (map-side, no explode)
+    sizes = sets.select(F.col(id_col), F.size("sh_set").alias("set_size"))
     # inverted-index pair generation: group docs per shingle ONCE, then
     # emit each group's ordered pairs map-side (flatten of nested
     # transform) — one shuffle of the postings instead of a two-sided
@@ -220,20 +227,23 @@ def minhash_signatures(
     explode→groupBy. At 100 TB this is the difference between zero
     shuffle and shuffling every (doc, shingle) pair in the corpus.
     """
-    sh_arr = F.array_distinct(shingles(tokenize(text_col), k))
+    # empty shingle set => no signature row (same as the exploded form);
+    # _shingle_set_df filters on the CHEAP equivalent (≥k tokens ⇔ ≥1
+    # shingle) so the pushed-down predicate has no md5 chain in it.
+    return minhash_signatures_from_sets(_shingle_set_df(docs, id_col, text_col, k), id_col)
+
+
+def minhash_signatures_from_sets(
+    sets: DataFrame, id_col: str = "doc_id", set_col: str = "sh_set"
+) -> DataFrame:
+    """Signatures from a precomputed (doc_id, sh_set) DF — lets LSH-then-
+    verify pipelines share one shingle pass between banding and exact
+    Jaccard."""
     bases = F.transform(
-        sh_arr, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+        F.col(set_col), lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
     )
-    d = (
-        _parallelize(docs, id_col)
-        # empty shingle set => no signature row (same as the exploded form).
-        # Filter on the CHEAP equivalent (≥k tokens ⇔ ≥1 shingle): Catalyst
-        # pushes filters below the repartition into the scan stage, so the
-        # predicate must not contain the md5 chain or it runs twice — once
-        # single-threaded at the scan.
-        .filter(F.size(tokenize(text_col)) >= k)
-        .select(F.col(id_col), bases.alias("_bases"))
-    )
+    d = sets.select(F.col(id_col), bases.alias("_bases"))
+
     def _affine_min(a: int, b: int) -> F.Column:
         return F.array_min(
             F.transform(
@@ -255,6 +265,10 @@ def minhash_lsh_pairs(
     is a candidate if any band's 4-tuple matches. Output is the distinct
     candidate pair list (band-agnostic)."""
     sig = minhash_signatures(docs, k, id_col, text_col)
+    return _lsh_pairs_from_signatures(sig, id_col)
+
+
+def _lsh_pairs_from_signatures(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     rows_per_band = MINHASH_HASHES // MINHASH_BANDS
     # one pass over sig: band keys as an inline array-of-structs explode
     # (NOT a 4-way union, which would re-run the signature scan per band)
@@ -302,11 +316,14 @@ def minhash_verified_pairs(
     joins each candidate pair back to its shingle SETS (kept as map-side
     arrays, never exploded) and computes exact Jaccard via
     array_intersect — so the expensive exact check runs only on the tiny
-    candidate list."""
-    cands = minhash_lsh_pairs(docs, k, id_col, text_col)
-    sets = _parallelize(docs, id_col).select(
-        F.col(id_col), F.array_distinct(shingles(tokenize(text_col), k)).alias("sh_set")
-    )
+    candidate list.
+
+    The shingle sets are computed ONCE and cached: banding derives its
+    minhash bases from the same cached sets the verify join reads, so the
+    corpus is tokenized/shingled a single time instead of twice."""
+    sets = _shingle_set_df(docs, id_col, text_col, k).cache()
+    sig = minhash_signatures_from_sets(sets, id_col)
+    cands = _lsh_pairs_from_signatures(sig, id_col)
     a = sets.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a"))
     b = sets.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b"))
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
