@@ -2470,6 +2470,177 @@ def part_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Temporal joins + analytic windows (beyond-reference: the as-of /
+# lag-lead / ranking surface a training-data event pipeline needs;
+# SURVEY §2.3 notes the reference has no as-of or interval joins and
+# §2.5 notes no rank/ntile/lag/lead)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS last_purchase_ts,
+           round(p.value, 6) AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's most recent purchase at
+    or before it. Spark lacks ASOF JOIN, and a range join explodes on wide
+    intervals — so this is the union-and-window formulation: tag both
+    streams, sort once per user, carry the last purchase forward with
+    last(..., ignorenulls). One shuffle on user_id, no join at all; at
+    100 TB both sides co-partition and the window is a single pass."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    both = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        # at equal ts a purchase sorts before a click ("at or before"
+        # includes it); the testdata has no per-user ts ties, but the
+        # operator must not rely on that
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("_ord"),
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("_pts"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("_pval"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("_ord").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        both.withColumn("last_purchase_ts", F.last("_pts", ignorenulls=True).over(w))
+        .withColumn("_lpv", F.last("_pval", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "last_purchase_ts",
+            F.round("_lpv", 6).alias("last_purchase_value"),
+        )
+    )
+
+
+@query(
+    "events_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           round((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0, 6)
+             AS secs_since_prev,
+           round((epoch_us(lead(ts) OVER w) - epoch_us(ts)) / 1000000.0, 6)
+             AS secs_until_next
+    FROM events
+    WHERE user_id < 40
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def events_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag/lead analytics: inter-event gaps per user in microsecond-exact
+    seconds — the adjacent-row surface (SURVEY §2.5: absent in the
+    reference) that feeds dwell-time and bot-rate features."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    next_us = F.unix_micros(F.lead("ts").over(w))
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round((us - prev_us) / 1_000_000.0, 6).alias("secs_since_prev"),
+        F.round((next_us - us) / 1_000_000.0, 6).alias("secs_until_next"),
+    )
+
+
+@query(
+    "supplier_rank_by_nation",
+    oracle="""
+    WITH ranked AS (
+      SELECT n.n_name AS nation, s.s_suppkey, s.s_name,
+             round(s.s_acctbal, 4) AS acctbal,
+             rank() OVER (PARTITION BY n.n_name
+                          ORDER BY s.s_acctbal DESC, s.s_suppkey ASC) AS bal_rank,
+             ntile(4) OVER (PARTITION BY n.n_name
+                            ORDER BY s.s_acctbal DESC, s.s_suppkey ASC) AS quartile
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT nation, s_suppkey, s_name, acctbal, bal_rank, quartile
+    FROM ranked WHERE bal_rank <= 3
+    """,
+)
+def supplier_rank_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows (rank + ntile, §2.5: absent in the reference) over a
+    broadcast dimension join: top-3 suppliers by balance per nation."""
+    from pyspark.sql import Window
+
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("bal_rank", F.rank().over(w))
+        .withColumn("quartile", F.ntile(4).over(w))
+        .filter(F.col("bal_rank") <= 3)
+        .select(
+            F.col("n_name").alias("nation"),
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 4).alias("acctbal"),
+            "bal_rank",
+            "quartile",
+        )
+    )
+
+
+@query(
+    "user_segments",
+    oracle="""
+    WITH hi_click AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'click' AND value > 0.9
+    ),
+    hi_purchase AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND value > 0.9
+    )
+    SELECT user_id, 'both' AS segment
+    FROM (SELECT user_id FROM hi_click INTERSECT SELECT user_id FROM hi_purchase)
+    UNION ALL
+    SELECT user_id, 'click_only' AS segment
+    FROM (SELECT user_id FROM hi_click EXCEPT SELECT user_id FROM hi_purchase)
+    UNION ALL
+    SELECT user_id, 'purchase_only' AS segment
+    FROM (SELECT user_id FROM hi_purchase EXCEPT SELECT user_id FROM hi_click)
+    """,
+)
+def user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (§2.7: absent in the reference) —
+    audience segmentation by high-value click vs purchase behavior."""
+    ev = load_table(spark, "events", sf_dir)
+    hi = ev.filter(F.col("value") > 0.9)
+    clicks = hi.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purch = hi.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return (
+        clicks.intersect(purch)
+        .withColumn("segment", F.lit("both"))
+        .unionByName(clicks.subtract(purch).withColumn("segment", F.lit("click_only")))
+        .unionByName(purch.subtract(clicks).withColumn("segment", F.lit("purchase_only")))
+    )
+
+
 for _qname in ("dedup_minhash_verified", "dedup_components"):
     ORACLES[_qname] = ORACLES[_qname].replace("{MINHASH_SIG}", _DUCK_MINHASH_SIG)
 
