@@ -2641,6 +2641,106 @@ def user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "train_val_test_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM assigned
+    GROUP BY 1
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by portable content-free
+    hash of the id — the assignment is stable across runs, engines, and
+    re-shards (a row's split never depends on what else is in the corpus),
+    which is the property a 100 TB training pipeline needs."""
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+@query(
+    "corpus_clean_pipeline",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, text,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             t -> t <> '')) AS n_tok,
+             length(text) AS n_chars,
+             (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+               / CAST(length(text) AS DOUBLE) AS punct,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 t -> t IN ('the','and','of','to','a','in','is','that','it','for')))
+               AS en_hits
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, keep_id, n_tok,
+             least(n_tok / 100.0, 1.0)
+             * (CASE WHEN n_tok > 0 AND n_chars / CAST(n_tok AS DOUBLE) >= 3.0
+                          AND n_chars / CAST(n_tok AS DOUBLE) <= 12.0
+                     THEN 1.0 ELSE 0.5 END)
+             * (1.0 - least(punct * 5.0, 1.0))
+             * (CASE WHEN en_hits > 0 THEN 1.0 ELSE 0.7 END) AS q
+      FROM scored
+    )
+    SELECT CASE WHEN doc_id <> keep_id THEN 'duplicate'
+                WHEN n_tok < 15 THEN 'too_short'
+                WHEN q < 0.35 THEN 'low_quality'
+                ELSE 'kept' END AS reason,
+           count(*) AS n_docs
+    FROM quality
+    GROUP BY 1
+    """,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus cleaning report in ONE pass: exact-dup keep
+    representative (window min over content hash), length gate, and
+    composite quality gate, with first-match drop-reason attribution.
+    No joins — the dedup representative is a window over the content
+    hash, so the whole report is one shuffle + one aggregation."""
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.functions.text import quality_score, token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    keep_id = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    n_tok = token_count("text")
+    reason = (
+        F.when(F.col("doc_id") != keep_id, "duplicate")
+        .when(n_tok < 15, "too_short")
+        .when(quality_score("text") < 0.35, "low_quality")
+        .otherwise("kept")
+    )
+    return (
+        docs.select(reason.alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 for _qname in ("dedup_minhash_verified", "dedup_components"):
     ORACLES[_qname] = ORACLES[_qname].replace("{MINHASH_SIG}", _DUCK_MINHASH_SIG)
 
