@@ -2741,6 +2741,150 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_range_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id,
+           round((epoch_us(e.ts) - epoch_us(p.ts)) / 1000000.0, 6) AS gap_seconds
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 6 HOUR
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join (errors within 6 h after each purchase, same user)
+    via bucketization: both sides get a 6-hour bucket key, the purchase
+    side duplicates into (b, b+1) so every qualifying pair meets on an
+    EQUI key, then the exact interval predicate filters. Turns an
+    unbounded theta join — a broadcast nested loop at scale — into one
+    hash shuffle with ≤2× fan-out, independent of corpus size."""
+    bucket_us = 6 * 3600 * 1_000_000
+    ev = load_table(spark, "events", sf_dir)
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.explode(
+            F.array(
+                F.floor(F.unix_micros("ts") / bucket_us),
+                F.floor(F.unix_micros("ts") / bucket_us) + 1,
+            )
+        ).alias("bucket"),
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.floor(F.unix_micros("ts") / bucket_us).alias("bucket"),
+    )
+    gap_us = F.unix_micros("e_ts") - F.unix_micros("p_ts")
+    return (
+        purch.join(err, (purch.user_id == err.e_user) & (purch.bucket == err.bucket))
+        .filter((gap_us >= 0) & (gap_us <= bucket_us))
+        .select(
+            "purchase_id",
+            "error_id",
+            "user_id",
+            F.round(gap_us / 1_000_000.0, 6).alias("gap_seconds"),
+        )
+    )
+
+
+@query(
+    "embedding_quantization",
+    oracle="""
+    WITH q AS (
+      SELECT label, embedding,
+             list_max(list_transform(embedding, x -> abs(x))) / 127.0 AS scale
+      FROM embeddings
+    ),
+    err AS (
+      SELECT label,
+             list_sum(list_transform(embedding,
+               x -> pow(x - greatest(least(floor(x / scale + 0.5), 127), -127) * scale, 2)))
+               / len(embedding) AS mse
+      FROM q WHERE scale > 0
+    )
+    SELECT label, count(*) AS n_vecs, round(avg(mse), 9) AS avg_mse
+    FROM err GROUP BY label
+    """,
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization error report — the engine-side analog of
+    the reference's float8 index compression trade-off
+    (LibSQLDatabase.ts:723-727: 4x smaller, ~1-2% recall loss). Per-vector
+    max-abs scale, round-half-up to [-127,127], reconstruction MSE per
+    label. Pure codegen'd array expressions; quantized storage would be
+    written as array<tinyint> + one float scale (≈4x smaller)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x))) / 127.0
+    q = emb.select("label", "embedding", scale.alias("scale")).filter(F.col("scale") > 0)
+    recon_err = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: F.pow(
+                x
+                - F.greatest(
+                    F.least(F.floor(x / F.col("scale") + 0.5), F.lit(127.0)),
+                    F.lit(-127.0),
+                )
+                * F.col("scale"),
+                F.lit(2.0),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size("embedding")
+    return (
+        q.select("label", recon_err.alias("mse"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.round(F.avg("mse"), 9).alias("avg_mse"))
+    )
+
+
+@query(
+    "grouped_topk_similarity",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.label, e.vec_id,
+             {_duck_cosine_distance('e.embedding', 'q.query_vec')} AS d
+      FROM embeddings e, q
+    ),
+    ranked AS (
+      SELECT label, vec_id, d,
+             row_number() OVER (PARTITION BY label ORDER BY d ASC, vec_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT label, vec_id, rnk, round(1.0 - d / 2.0, 6) AS score
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def grouped_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 nearest neighbors PER LABEL group (diversified retrieval — the
+    grouped variant of W1's global top-k): one scan, similarity expression,
+    rank window per group. At scale the window shuffle partitions by label,
+    so no group ever gathers the whole corpus."""
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.functions.vector import cosine_distance
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    )
+    scored = emb.crossJoin(qvec).select(
+        "label", "vec_id", cosine_distance(F.col("embedding"), F.col("query_vec")).alias("d")
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("label", "vec_id", "rnk", F.round(1.0 - F.col("d") / 2.0, 6).alias("score"))
+    )
+
+
 for _qname in ("dedup_minhash_verified", "dedup_components"):
     ORACLES[_qname] = ORACLES[_qname].replace("{MINHASH_SIG}", _DUCK_MINHASH_SIG)
 
