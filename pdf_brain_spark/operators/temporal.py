@@ -1,0 +1,88 @@
+"""Temporal join operators (beyond-reference: SURVEY §2.3 notes the
+reference has no as-of/interval joins). Spark has no ASOF JOIN; the
+standard formulations are:
+
+  * asof_backward_join — union-and-window: tag both inputs, sort once per
+    key by (ts, side), carry the most recent right-side row forward with
+    last(..., ignorenulls). ONE shuffle on the key, no join operator at
+    all, output size = |left|. The alternative (range join on a time
+    band) explodes on wide bands and silently misses matches beyond the
+    band; this form is exact for unbounded lookback.
+
+  * bucketized range joins live in queries.events_range_join: equi-join
+    on (key, time-bucket) with bounded fan-out, for bounded intervals.
+
+At 100 TB both sides co-partition by the key and the window is a single
+pass; skewed keys (one user with millions of events) are the only
+hotspot, mitigated upstream by salting once the per-key row count breaks
+executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_backward_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload_cols: tuple[str, ...] = ("value",),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, the most recent right row with
+    right_ts <= left_ts and the same key (ties: the right row at exactly
+    left_ts counts — "at or before"). Returns all left columns plus
+    `{prefix}ts` and `{prefix}<payload>` columns (NULL when no right row
+    precedes the left row)."""
+    from pyspark.sql import Window
+
+    l_struct = F.struct(*[F.col(c) for c in left.columns])
+    l2 = left.select(
+        F.col(key_col).alias("_key"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        l_struct.alias("_lrow"),
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("_rts"),
+        *[
+            F.lit(None).cast(dict(right.dtypes)[p]).alias(f"_p_{p}")
+            for p in payload_cols
+        ],
+    )
+    r2 = right.select(
+        F.col(key_col).alias("_key"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l2.schema["_lrow"].dataType).alias("_lrow"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(p).alias(f"_p_{p}") for p in payload_cols],
+    )
+    # right rows sort before left rows at equal ts so "at or before"
+    # includes the tie
+    w = (
+        Window.partitionBy("_key")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        l2.unionByName(r2)
+        .withColumn(f"{prefix}ts", F.last("_rts", ignorenulls=True).over(w))
+        .withColumn(
+            "_payload_struct",
+            F.last(
+                F.when(
+                    F.col("_side") == 0,
+                    F.struct(*[F.col(f"_p_{p}").alias(p) for p in payload_cols]),
+                ),
+                ignorenulls=True,
+            ).over(w),
+        )
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        "_lrow.*",
+        f"{prefix}ts",
+        *[F.col(f"_payload_struct.{p}").alias(f"{prefix}{p}") for p in payload_cols],
+    )

@@ -2496,37 +2496,20 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams, sort once per user, carry the last purchase forward with
     last(..., ignorenulls). One shuffle on user_id, no join at all; at
     100 TB both sides co-partition and the window is a single pass."""
-    from pyspark.sql import Window
+    from pdf_brain_spark.operators.temporal import asof_backward_join
 
     ev = load_table(spark, "events", sf_dir)
-    both = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_backward_join(
+        clicks, purch, key_col="user_id", payload_cols=("value",), prefix="last_purchase_"
+    )
+    return joined.select(
         "event_id",
         "user_id",
         "ts",
-        "event_type",
-        # at equal ts a purchase sorts before a click ("at or before"
-        # includes it); the testdata has no per-user ts ties, but the
-        # operator must not rely on that
-        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("_ord"),
-        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("_pts"),
-        F.when(F.col("event_type") == "purchase", F.col("value")).alias("_pval"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("_ord").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        both.withColumn("last_purchase_ts", F.last("_pts", ignorenulls=True).over(w))
-        .withColumn("_lpv", F.last("_pval", ignorenulls=True).over(w))
-        .filter(F.col("event_type") == "click")
-        .select(
-            "event_id",
-            "user_id",
-            "ts",
-            "last_purchase_ts",
-            F.round("_lpv", 6).alias("last_purchase_value"),
-        )
+        "last_purchase_ts",
+        F.round("last_purchase_value", 6).alias("last_purchase_value"),
     )
 
 
@@ -2882,6 +2865,59 @@ def grouped_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("label", "vec_id", "rnk", F.round(1.0 - F.col("d") / 2.0, 6).alias("score"))
+    )
+
+
+@query(
+    "streaming_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup (§2.10 extension): the events table is
+    staged TWICE into a directory (simulating an at-least-once upstream
+    that re-delivers), streamed with dropDuplicatesWithinWatermark on
+    event_id, drained with Trigger.AvailableNow. The per-type aggregate of
+    the deduped sink must equal the batch aggregate of the ORIGINAL table
+    — re-delivered rows vanish. State is bounded by the watermark horizon:
+    dedup keys older than max_ts - 2h are evicted, which is what keeps
+    this runnable forever at 100 TB/day."""
+    import tempfile
+    import uuid
+
+    ev_batch = load_table(spark, "events", sf_dir)
+    stage = tempfile.mkdtemp(prefix="sgraft_dedup_src_")
+    ev_batch.write.mode("append").parquet(stage)
+    ev_batch.write.mode("append").parquet(stage)
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    qname = "stream_dedup_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="sgraft_ckpt_")
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
     )
 
 

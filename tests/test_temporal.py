@@ -1,0 +1,83 @@
+"""As-of join semantics on hand-crafted edge cases the generated testdata
+can't exercise: exact-ts ties, no-prior-match NULLs, and key isolation."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_tie_and_nulls(spark):
+    from pdf_brain_spark.operators.temporal import asof_backward_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:00:00")),  # before any right row -> NULL
+            (2, 10, _ts("2024-01-01 12:00:00")),  # tie with right @12:00 -> matched
+            (3, 10, _ts("2024-01-01 13:00:00")),  # after -> still the 12:00 row
+            (4, 20, _ts("2024-01-01 12:30:00")),  # other key: only its own rights
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 12:00:00"), 5.0),
+            (10, _ts("2024-01-01 14:00:00"), 7.0),  # later than all left rows
+            (20, _ts("2024-01-01 12:15:00"), 9.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_backward_join(
+            left, right, key_col="user_id", payload_cols=("value",), prefix="asof_"
+        ).collect()
+    }
+    assert out[1]["asof_ts"] is None and out[1]["asof_value"] is None
+    # tie at exactly 12:00: "at or before" includes it
+    assert out[2]["asof_ts"] == _ts("2024-01-01 12:00:00")
+    assert out[2]["asof_value"] == 5.0
+    assert out[3]["asof_ts"] == _ts("2024-01-01 12:00:00")
+    # key isolation: user 20 matches its own 12:15 row, never user 10's
+    assert out[4]["asof_value"] == 9.0
+    # left row count preserved
+    assert len(out) == 4
+
+
+def test_asof_backward_picks_latest_of_equal_ts_rights(spark):
+    from pdf_brain_spark.operators.temporal import asof_backward_join
+
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 12:00:00"))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 11:00:00"), 1.0),
+            (10, _ts("2024-01-01 11:30:00"), 2.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    row = asof_backward_join(
+        left, right, key_col="user_id", payload_cols=("value",)
+    ).collect()[0]
+    assert row["asof_ts"] == _ts("2024-01-01 11:30:00")
+    assert row["asof_value"] == 2.0
+
+
+def test_asof_plan_is_single_window_no_join(spark):
+    """The operator's contract: one shuffle on the key, zero join nodes."""
+    from pdf_brain_spark.operators.temporal import asof_backward_join
+
+    left = spark.createDataFrame([(1, 10, _ts("2024-01-01 12:00:00"))],
+                                 "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame([(10, _ts("2024-01-01 11:00:00"), 1.0)],
+                                  "user_id long, ts timestamp, value double")
+    plan = (
+        asof_backward_join(left, right, key_col="user_id", payload_cols=("value",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
