@@ -39,6 +39,8 @@ HEADLINE = [
     "events_session_window",
     "vector_search_with_docs",
     "dedup_minhash_verified",
+    "events_asof_join",
+    "corpus_clean_pipeline",
 ]
 
 
