@@ -2921,6 +2921,82 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multi_format_roundtrip",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 4) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def multi_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink format breadth (SURVEY §2.1 S-series analog): customer
+    round-trips through CSV (header + explicit read schema), orders
+    through JSON lines, then the standard broadcast-dim join/agg must give
+    byte-identical results to the parquet originals. Explicit schemas on
+    read — schema inference is a full extra pass at 100 TB and can type-
+    drift; production sources always declare."""
+    import tempfile
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    csv_dir = tempfile.mkdtemp(prefix="sgraft_csv_")
+    json_dir = tempfile.mkdtemp(prefix="sgraft_json_")
+    cust.write.mode("overwrite").option("header", "true").csv(csv_dir)
+    orders.write.mode("overwrite").json(json_dir)
+
+    cust_rt = spark.read.schema(
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    ).option("header", "true").csv(csv_dir)
+    orders_rt = spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+    ).json(json_dir)
+    return (
+        orders_rt.join(F.broadcast(cust_rt), orders_rt.o_custkey == cust_rt.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "lang_source_pivot",
+    oracle="""
+    SELECT lang,
+           count(*) FILTER (WHERE source = 'src0') AS src0,
+           count(*) FILTER (WHERE source = 'src1') AS src1,
+           count(*) FILTER (WHERE source = 'src2') AS src2,
+           count(*) FILTER (WHERE source = 'src3') AS src3
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def lang_source_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot reshaping: lang × source contingency matrix. The pivot values
+    are DECLARED, not discovered — an undeclared pivot runs an extra
+    distinct scan to find the columns and breaks schema stability when new
+    sources appear; declared values keep it one map-side conditional agg."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = (
+        docs.groupBy("lang")
+        .pivot("source", ["src0", "src1", "src2", "src3"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for empty cells; the FILTER oracle yields 0
+    return out.select(
+        "lang",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("src0", "src1", "src2", "src3")],
+    )
+
+
 for _qname in ("dedup_minhash_verified", "dedup_components"):
     ORACLES[_qname] = ORACLES[_qname].replace("{MINHASH_SIG}", _DUCK_MINHASH_SIG)
 
