@@ -2547,6 +2547,43 @@ def events_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+             AS moving_avg_5,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS running_total
+    FROM events
+    WHERE user_id < 40 AND event_type = 'purchase'
+    """,
+)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec windows (SURVEY §2.5: the reference has no frame
+    specs): 5-row trailing moving average and running total of purchase
+    value per user. Ordering includes event_id so ts ties resolve
+    deterministically. One shuffle on user_id serves both frames; at
+    100 TB this co-partitions with every other per-user window pass."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter((F.col("user_id") < 40) & (F.col("event_type") == "purchase"))
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trailing = base.rowsBetween(-4, Window.currentRow)
+    running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(trailing), 6).alias("moving_avg_5"),
+        F.round(F.sum("value").over(running), 6).alias("running_total"),
+    )
+
+
+@query(
     "supplier_rank_by_nation",
     oracle="""
     WITH ranked AS (
