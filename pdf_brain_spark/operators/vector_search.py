@@ -81,11 +81,17 @@ def topk(
     if threshold is not None:
         scored = scored.filter(F.col("distance") <= F.lit(score_threshold_to_distance(threshold)))
     scored = scored.withColumn("score", distance_to_score(F.col("distance")))
+    # vec_id tiebreaker everywhere: tied distances must select the same
+    # candidate set as the oracle's ORDER BY d, vec_id
     if post_filter is not None:
         fetch = k * OVERFETCH_TAG_FILTER
-        candidates = scored.orderBy(F.col("distance").asc()).limit(fetch)
-        return candidates.filter(post_filter).orderBy(F.col("distance").asc()).limit(k)
-    return scored.orderBy(F.col("distance").asc()).limit(k)
+        candidates = scored.orderBy(F.col("distance").asc(), F.col("vec_id").asc()).limit(fetch)
+        return (
+            candidates.filter(post_filter)
+            .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+            .limit(k)
+        )
+    return scored.orderBy(F.col("distance").asc(), F.col("vec_id").asc()).limit(k)
 
 
 def similarity_join(

@@ -69,7 +69,7 @@ def _duck_cosine_distance(a: str, b: str) -> str:
       FROM embeddings e, q
     )
     SELECT vec_id, label,
-           round(d, 6) AS distance,
+           round(d, 6) + 0.0 AS distance,
            round(1.0 - d / 2.0, 6) AS score
     FROM scored
     ORDER BY d ASC, vec_id ASC
@@ -86,7 +86,7 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "vec_id",
         "label",
-        F.round("distance", 6).alias("distance"),
+        (F.round("distance", 6) + F.lit(0.0)).alias("distance"),
         F.round("score", 6).alias("score"),
     )
 
@@ -101,7 +101,7 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings e, q
     )
     SELECT vec_id, label,
-           round(d, 6) AS distance,
+           round(d, 6) + 0.0 AS distance,
            round(1.0 - d / 2.0, 6) AS score
     FROM scored
     WHERE d <= 2.0 * (1.0 - 0.55)
@@ -120,7 +120,7 @@ def vector_topk_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "vec_id",
         "label",
-        F.round("distance", 6).alias("distance"),
+        (F.round("distance", 6) + F.lit(0.0)).alias("distance"),
         F.round("score", 6).alias("score"),
     )
 
@@ -617,7 +617,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     votes AS (SELECT doc_id, bit, sum(v) AS vote FROM bits GROUP BY doc_id, bit)
     SELECT doc_id,
-           sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     ORDER BY doc_id LIMIT 100
     """,
@@ -1210,7 +1211,7 @@ def taxonomy_related(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (ORDER BY d ASC, vec_id ASC) AS rnk
       FROM scored
     )
-    SELECT vec_id, label, round(d, 6) AS distance, round(1.0 - d / 2.0, 6) AS score
+    SELECT vec_id, label, round(d, 6) + 0.0 AS distance, round(1.0 - d / 2.0, 6) AS score
     FROM ranked
     WHERE rnk <= 30 AND label IN (2, 5)
     ORDER BY d ASC, vec_id ASC
@@ -1230,7 +1231,7 @@ def vector_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = topk(emb, [float(x) for x in qv], k=10, post_filter=F.col("label").isin(2, 5))
     return res.select(
         "vec_id", "label",
-        F.round("distance", 6).alias("distance"),
+        (F.round("distance", 6) + F.lit(0.0)).alias("distance"),
         F.round("score", 6).alias("score"),
     )
 
@@ -1532,9 +1533,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_validation",
     oracle="""
     SELECT count(*) AS n_total,
-           sum(CASE WHEN len(embedding) = 64
+           CAST(sum(CASE WHEN len(embedding) = 64
                      AND length(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0
-               THEN 1 ELSE 0 END) AS n_valid
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
     FROM embeddings
     """,
 )
@@ -1798,8 +1799,8 @@ def string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k,
-           sum(CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) > 50
-               THEN 1 ELSE 0 END) AS n_high
+           CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) > 50
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_high
     FROM events
     GROUP BY event_type
     ORDER BY event_type

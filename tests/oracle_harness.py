@@ -32,9 +32,9 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 / 0.0 and format stable
-        if v == 0:
-            v = 0.0
+        # NO -0.0 collapse: the driver's gate distinguishes -0.0 from 0.0
+        # (round-1 vector_topk hash-fail), so queries must normalize it
+        # themselves on both sides
         return f"{v:.6f}"
     if isinstance(v, bool):
         return str(v)
@@ -59,17 +59,24 @@ def compare(name: str, spark, sf_dir: str, verbose: bool = True) -> bool:
     q = get_queries()[name]
     sql = get_oracles().get(name)
     sdf = q(spark, sf_dir)
-    srows = sdf.collect()
-    scols = sdf.columns
+    # toPandas, not collect(): the driver's gate compares pandas-to-pandas,
+    # so NULL float -> NaN and NULL timestamp -> NaT on BOTH sides
+    spdf = sdf.toPandas()
+    srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+    scols = list(spdf.columns)
     if sql is None:
         ok = len(srows) >= 0
         if verbose:
             print(f"{name}: rows-only check, {len(srows)} rows -> OK")
         return ok
     con = duck_connect(sf_dir)
-    dres = con.execute(sql)
-    dcols = [d[0] for d in dres.description]
-    drows = dres.fetchall()
+    # go through pandas, not fetchall(): the driver's gate does, and the
+    # dtype coercions differ (DuckDB HUGEINT -> float64 in pandas but
+    # Python int via fetchall) — round 1's dedup_simhash hash-fail was
+    # invisible locally for exactly this reason
+    ddf = con.execute(sql).df()
+    dcols = list(ddf.columns)
+    drows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
     ok = True
     if sorted(scols) != sorted(dcols):
         print(f"{name}: SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(dcols)}")
