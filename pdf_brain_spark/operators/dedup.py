@@ -30,6 +30,14 @@ from pyspark.sql import functions as F
 from pdf_brain_spark.functions.text import md5_long, shingles, tokenize
 from pdf_brain_spark.functions.vector import cosine_similarity
 
+# Shingles shared by more than this many DISTINCT contents are dropped from
+# the inverted index: a stop-shingle shared by m docs emits m²/2 pairs, so
+# an uncapped index is quadratic in the hottest shingle — the 100 TB
+# killer. Dropping them only LOWERS computed Jaccard (intersection loses
+# members, union keeps full set sizes), so results are a lower bound;
+# near-identical docs share many non-stop shingles and still surface.
+SHINGLE_DF_CAP = 512
+
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical documents: (content_hash, n_dups, doc_ids
@@ -73,6 +81,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    df_cap: int = SHINGLE_DF_CAP,
 ) -> DataFrame:
     """Near-duplicate pairs by k-gram Jaccard ≥ threshold. Inverted-index
     join: pairs meet only on shared shingles, intersection = meet count,
@@ -102,7 +111,7 @@ def ngram_jaccard_pairs(
         F.col("_chash").alias(id_col),
         F.array_distinct(shingles(tokenize(text_col), k)).alias("sh_set"),
     ).cache()
-    rep_pairs = _jaccard_pairs_from_sets(rsets, threshold, id_col)
+    rep_pairs = _jaccard_pairs_from_sets(rsets, threshold, id_col, df_cap)
 
     # within-group pairs: every member pair of a duplicated content is a
     # jaccard-1.0 pair (when the content has ≥1 shingle)
@@ -155,6 +164,7 @@ def _jaccard_pairs_from_sets(
     sets: DataFrame,
     threshold: float,
     id_col: str,
+    df_cap: int = SHINGLE_DF_CAP,
 ) -> DataFrame:
     """Inverted-index Jaccard over precomputed distinct (id, sh_set) rows
     (callers guarantee uniqueness of content per id)."""
@@ -164,9 +174,8 @@ def _jaccard_pairs_from_sets(
     # inverted-index pair generation: group docs per shingle ONCE, then
     # emit each group's ordered pairs map-side (flatten of nested
     # transform) — one shuffle of the postings instead of a two-sided
-    # self-join. Per-shingle groups are bounded by shingle doc-frequency;
-    # a df cap (drop stop-shingles) is where this stays subquadratic at
-    # 100 TB.
+    # self-join. Per-shingle groups are bounded by the df cap (stop-
+    # shingles dropped), which is what keeps this subquadratic at 100 TB.
     ids = F.array_sort(F.collect_list(F.col(id_col)))
     pair_structs = F.flatten(
         F.transform(
@@ -180,6 +189,7 @@ def _jaccard_pairs_from_sets(
     inter = (
         sh.groupBy("shingle")
         .agg(ids.alias("_ids"))
+        .filter(F.size("_ids") <= F.lit(df_cap))
         .select(F.explode(pair_structs).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
@@ -201,7 +211,13 @@ def _jaccard_pairs_from_sets(
 
 
 MINHASH_HASHES = 16
-MINHASH_BANDS = 4  # 4 rows per band
+# 8 bands × 2 rows: s-curve midpoint (1/b)^(1/r) = (1/8)^(1/2) ≈ 0.35, so
+# candidate recall is meaningful down toward the 0.2 verify threshold
+# (capture at J=0.2 ≈ 28%, at 0.35 ≈ 50%, at 0.6 ≈ 96%). The previous
+# 4×4 config had its midpoint at ≈ 0.71 — pairs in the 0.2–0.6 range the
+# verify stage claims to cover almost never became candidates. More
+# hashes (wider signatures) buy a sharper curve at the same midpoint.
+MINHASH_BANDS = 8  # 2 rows per band
 MINHASH_PRIME = 2147483647  # 2^31 - 1
 
 
@@ -342,21 +358,52 @@ def simhash_near_dup_pairs(
     max_hamming: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int = 60,
 ) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance ≤ max_hamming:
-    bit_count(xor) over the fingerprint self-join. The pair join here is
-    exact O(n²) on fingerprints (8 bytes/doc — million-doc corpora fit a
-    broadcast); at larger scale partition by fingerprint prefix bands
-    (Manku et al.'s rotated-table scheme) so only prefix-mates meet."""
-    fp = simhash_fingerprints(docs, id_col, text_col, bits).cache()
-    a = fp.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"))
-    b = fp.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"))
+    """Near-dup pairs by simhash hamming distance ≤ max_hamming, generated
+    with Manku-style banding (Manku/Jain/Das Sarma, WWW'07): split the
+    fingerprint into n_bands = max_hamming + 2 contiguous bit bands and
+    equi-join on (band, band_key). Completeness is a pigeonhole guarantee —
+    ≤ max_hamming differing bits can touch at most max_hamming bands, so
+    every qualifying pair matches exactly in ≥ 2 bands. Candidate volume
+    is Σ bucket² per band instead of n²/2, and the join is a shuffled
+    equi-join (no BroadcastNestedLoopJoin anywhere in the plan).
+
+    Band width (bits // n_bands) sets selectivity: 60-bit fingerprints and
+    hamming ≤ 8 give 10 six-bit bands. For corpora where 64 buckets/band
+    is too coarse, widen the fingerprint (two longs) or use Manku's
+    block-combination keys — the equi-join shape stays the same."""
+    n_bands = max_hamming + 2
+    base, extra = divmod(bits, n_bands)
+    # band b covers [offsets[b], offsets[b+1]): first `extra` bands get an
+    # extra bit so all `bits` are covered
+    offsets = [0]
+    for b in range(n_bands):
+        offsets.append(offsets[-1] + base + (1 if b < extra else 0))
+    fp = simhash_fingerprints(docs, id_col, text_col, bits)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), offsets[b])
+            .bitwiseAND(F.lit((1 << (offsets[b + 1] - offsets[b])) - 1))
+            .alias("key"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = (
+        fp.select(F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("bb"))
+        .select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+        .cache()
+    )
+    a = banded.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "key")
+    b_ = banded.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "key")
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        a.join(b_, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -485,49 +532,75 @@ def embedding_near_dup_pairs(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """Exact cosine near-duplicate pairs above threshold. O(n²) compare —
-    correct baseline; at scale route through operators/ann.py (LSH/IVF
-    bucketing) so only bucket-mates are compared.
+    """Exact cosine near-duplicate pairs above threshold, as a DISTRIBUTED
+    block self-join (tiled matrix product): vectors hash into `n_blocks`
+    row-blocks; every unordered block pair (i, j) is one task that computes
+    its tile with vectorized BLAS inside applyInPandas. Nothing transits
+    the driver and no side must fit in one executor beyond a single tile
+    (~2·n/n_blocks vectors) — the memory knob is n_blocks, the same
+    contract as any shuffled join. Shuffle volume is n·n_blocks vector
+    copies (distributed-matmul's √P replication, inherent to EXACT
+    all-pairs search); for approximate-recall candidate generation at far
+    lower cost, use operators/ann.py buckets and re-score exactly.
 
-    Executed as a block-matrix product: the L2-normalized matrix is
-    broadcast (same memory contract as a broadcast hash join — the
-    "small" side must fit an executor) and each partition computes its
-    row-block × matrixᵀ with vectorized BLAS via mapInPandas. Row-at-a-
-    time pair expressions — interpreted higher-order functions inside a
-    nested-loop join — are ~100× slower at the same output. Beyond
-    broadcastable corpus sizes, route through operators/ann.py and run
-    this only on bucket-mates."""
+    Exactness means the DuckDB all-pairs oracle must match bit-for-bit at
+    6 decimals — BLAS tile products agree with the sequential fold at that
+    precision."""
     import numpy as np
     import pandas as pd
 
-    spark = emb.sparkSession
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    m = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, m))
+    src = emb.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "_blk", F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int")
+    )
+    # a row in block b participates in every tile {min(b,o), max(b,o)}:
+    # one copy per other-block o, so each unordered tile sees both sides
+    tiled = src.select(
+        id_col,
+        vec_col,
+        "_blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_ob"),
+    ).select(
+        id_col,
+        vec_col,
+        "_blk",
+        F.least("_blk", "_ob").alias("_bi"),
+        F.greatest("_blk", "_ob").alias("_bj"),
+    )
 
-    def _block(batches):
-        b_ids, b_m = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            block = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
-            block = block / np.linalg.norm(block, axis=1, keepdims=True)
-            sims = block @ b_m.T
-            row_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            li, ri = np.nonzero((sims >= threshold) & (row_ids[:, None] < b_ids[None, :]))
-            if len(li):
-                yield pd.DataFrame(
-                    {
-                        "id_a": row_ids[li],
-                        "id_b": b_ids[ri],
-                        "cos_sim": sims[li, ri],
-                    }
-                )
+    def _tile(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bi, bj = int(key[0]), int(key[1])
+        a_pdf = pdf[pdf["_blk"] == bi]
+        b_pdf = pdf[pdf["_blk"] == bj] if bi != bj else a_pdf
+        if a_pdf.empty or b_pdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        a_m = np.stack(a_pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+        b_m = np.stack(b_pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+        a_m = a_m / np.linalg.norm(a_m, axis=1, keepdims=True)
+        b_m = b_m / np.linalg.norm(b_m, axis=1, keepdims=True)
+        sims = a_m @ b_m.T
+        a_ids = a_pdf[id_col].to_numpy(dtype=np.int64)
+        b_ids = b_pdf[id_col].to_numpy(dtype=np.int64)
+        mask = sims >= threshold
+        if bi == bj:
+            # diagonal tile: id_a < id_b dedupes the symmetric matrix
+            mask &= a_ids[:, None] < b_ids[None, :]
+        li, ri = np.nonzero(mask)
+        ida, idb = a_ids[li], b_ids[ri]
+        # off-diagonal pairs occur once in arbitrary orientation —
+        # canonicalize to (min, max)
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ida, idb),
+                "id_b": np.maximum(ida, idb),
+                "cos_sim": sims[li, ri],
+            }
+        )
 
-    out = emb.select(id_col, vec_col).mapInPandas(
-        _block, schema="id_a long, id_b long, cos_sim double"
+    out = tiled.groupBy("_bi", "_bj").applyInPandas(
+        _tile, schema="id_a long, id_b long, cos_sim double"
     )
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))

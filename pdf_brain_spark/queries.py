@@ -536,9 +536,17 @@ _DUCK_SHINGLES = """
     oracle=f"""
     WITH {_DUCK_SHINGLES},
     sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+    -- stop-shingle df cap mirrored from the Spark inverted index: shingles
+    -- shared by more than SHINGLE_DF_CAP distinct contents are dropped
+    -- (documents here have unique contents, so doc-count == content-count)
+    kept AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(DISTINCT doc_id) <= {{SHINGLE_DF_CAP}}
+    ),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN kept k ON k.shingle = a.shingle
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -575,19 +583,30 @@ def _minhash_sig_sql() -> str:
 _DUCK_MINHASH_SIG = _minhash_sig_sql()
 
 
+def _minhash_banded_sql() -> str:
+    """`banded` CTE body generated from the SAME (bands, rows) constants the
+    Spark operator uses — retuning the s-curve can't desync the oracle."""
+    from pdf_brain_spark.operators.dedup import MINHASH_BANDS, MINHASH_HASHES
+
+    rpb = MINHASH_HASHES // MINHASH_BANDS
+    parts = []
+    for b in range(MINHASH_BANDS):
+        hs = ", ".join(f"h{b * rpb + r}" for r in range(rpb))
+        cols = f"doc_id, {b} AS band, md5(concat_ws('_', {hs})) AS bucket" if b == 0 else f"doc_id, {b}, md5(concat_ws('_', {hs}))"
+        parts.append(f"SELECT {cols} FROM sig")
+    return "\n      UNION ALL\n      ".join(parts)
+
+
+_DUCK_MINHASH_BANDED = _minhash_banded_sql()
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_DUCK_SHINGLES},
     sig AS ({_DUCK_MINHASH_SIG}),
     banded AS (
-      SELECT doc_id, 0 AS band, md5(concat_ws('_', h0, h1, h2, h3)) AS bucket FROM sig
-      UNION ALL
-      SELECT doc_id, 1, md5(concat_ws('_', h4, h5, h6, h7)) FROM sig
-      UNION ALL
-      SELECT doc_id, 2, md5(concat_ws('_', h8, h9, h10, h11)) FROM sig
-      UNION ALL
-      SELECT doc_id, 3, md5(concat_ws('_', h12, h13, h14, h15)) FROM sig
+      {_DUCK_MINHASH_BANDED}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM banded a JOIN banded b
@@ -595,7 +614,8 @@ _DUCK_MINHASH_SIG = _minhash_sig_sql()
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs: 16 portable hashes, 4 bands × 4 rows."""
+    """MinHash-LSH candidate pairs: 16 portable hashes, 8 bands × 2 rows
+    (s-curve midpoint ≈ 0.35, matched to the verify threshold)."""
     from pdf_brain_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(load_table(spark, "documents", sf_dir))
@@ -1443,13 +1463,7 @@ def cluster_concept_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_DUCK_SHINGLES},
     sig AS ({{MINHASH_SIG}}),
     banded AS (
-      SELECT doc_id, 0 AS band, md5(concat_ws('_', h0, h1, h2, h3)) AS bucket FROM sig
-      UNION ALL
-      SELECT doc_id, 1, md5(concat_ws('_', h4, h5, h6, h7)) FROM sig
-      UNION ALL
-      SELECT doc_id, 2, md5(concat_ws('_', h8, h9, h10, h11)) FROM sig
-      UNION ALL
-      SELECT doc_id, 3, md5(concat_ws('_', h12, h13, h14, h15)) FROM sig
+      {{MINHASH_BANDED}}
     ),
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1498,7 +1512,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bits AS (
       SELECT doc_id, b.bit, CASE WHEN (th >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS v
-      FROM hashed, (SELECT unnest(range(32)) AS bit) b
+      FROM hashed, (SELECT unnest(range(60)) AS bit) b
     ),
     votes AS (SELECT doc_id, bit, sum(v) AS vote FROM bits GROUP BY doc_id, bit),
     fp AS (
@@ -1515,8 +1529,9 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash near-dup pairs: hamming(fingerprint_a, fingerprint_b) ≤ 8
-    over the fingerprint self-join (8-byte fingerprints — a million-doc
-    corpus broadcasts; beyond that, Manku-style prefix banding)."""
+    over 60-bit fingerprints, generated via Manku banding (equi-join on
+    fingerprint bit-bands — pigeonhole-complete, so the banded plan must
+    equal this oracle's exhaustive O(n²) pair scan)."""
     from pdf_brain_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
@@ -2289,13 +2304,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE {_DUCK_SHINGLES.strip()},
     sig AS ({{MINHASH_SIG}}),
     banded AS (
-      SELECT doc_id, 0 AS band, md5(concat_ws('_', h0, h1, h2, h3)) AS bucket FROM sig
-      UNION ALL
-      SELECT doc_id, 1, md5(concat_ws('_', h4, h5, h6, h7)) FROM sig
-      UNION ALL
-      SELECT doc_id, 2, md5(concat_ws('_', h8, h9, h10, h11)) FROM sig
-      UNION ALL
-      SELECT doc_id, 3, md5(concat_ws('_', h12, h13, h14, h15)) FROM sig
+      {{MINHASH_BANDED}}
     ),
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -3037,6 +3046,16 @@ def lang_source_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 for _qname in ("dedup_minhash_verified", "dedup_components"):
     ORACLES[_qname] = ORACLES[_qname].replace("{MINHASH_SIG}", _DUCK_MINHASH_SIG)
+    ORACLES[_qname] = ORACLES[_qname].replace("{MINHASH_BANDED}", _DUCK_MINHASH_BANDED)
+
+def _sub_shingle_cap() -> None:
+    from pdf_brain_spark.operators.dedup import SHINGLE_DF_CAP
+
+    ORACLES["dedup_ngram_jaccard"] = ORACLES["dedup_ngram_jaccard"].replace(
+        "{SHINGLE_DF_CAP}", str(SHINGLE_DF_CAP)
+    )
+
+_sub_shingle_cap()
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

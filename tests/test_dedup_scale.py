@@ -1,0 +1,139 @@
+"""Scale-posture tests for the dedup suite: banding recall at the verify
+threshold, stop-shingle df capping, and join-shape guarantees (no
+nested-loop joins, no driver collect of fact tables)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mid_similarity_corpus(spark, n_pairs: int = 20, overlap: int = 30, extra: int = 30):
+    """Docs in pairs with known mid-range Jaccard: each pair shares
+    `overlap` tokens of vocabulary and has `extra` private tokens each, so
+    3-gram shingle Jaccard lands around 0.1-0.3 (the range the 4x4 banding
+    config structurally missed). Deterministic content via seeded RNG."""
+    rng = random.Random(1234)
+    vocab = [f"tok{i}" for i in range(5000)]
+    rows = []
+    for p in range(n_pairs):
+        shared = " ".join(rng.choice(vocab) for _ in range(overlap))
+        a_extra = " ".join(rng.choice(vocab) for _ in range(extra))
+        b_extra = " ".join(rng.choice(vocab) for _ in range(extra))
+        rows.append((2 * p, f"{shared} {a_extra}"))
+        rows.append((2 * p + 1, f"{shared} {b_extra}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_banding_recall_at_mid_jaccard(spark):
+    """8 bands x 2 rows must surface a solid fraction of ~0.1-0.3-Jaccard
+    pairs (s-curve midpoint ~0.35). The planted pair ids are (2p, 2p+1)."""
+    from pdf_brain_spark.operators.dedup import minhash_verified_pairs
+
+    docs = _mid_similarity_corpus(spark)
+    found = minhash_verified_pairs(docs, threshold=0.05).collect()
+    planted = {(2 * p, 2 * p + 1) for p in range(20)}
+    hits = {(r["doc_a"], r["doc_b"]) for r in found} & planted
+    # deterministic given the fixed hash family; planted pairs sit at
+    # J ~ 0.3 where 8x2 capture is ~50% — require at least 6/20 so a
+    # regression back to a ~0.7-midpoint config (expected hits ~0) fails
+    assert len(hits) >= 6, f"only {len(hits)}/20 planted mid-similarity pairs found"
+    # every reported jaccard is exact (verify stage), not an estimate
+    for r in found:
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_shingle_df_cap_drops_stop_shingles(spark):
+    """A shingle shared by every doc must not emit O(n^2) pairs when the
+    cap binds: with df_cap below the corpus size, unrelated docs that share
+    ONLY the stop-shingle produce no pair at all."""
+    from pdf_brain_spark.operators.dedup import ngram_jaccard_pairs
+
+    stop = "the quick brown fox"  # one shared 4-token run => shared 3-grams
+    rows = [(i, f"{stop} private{i}a private{i}b private{i}c") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.01, df_cap=1000)
+    capped = ngram_jaccard_pairs(docs, threshold=0.01, df_cap=10)
+    n_uncapped = uncapped.count()
+    n_capped = capped.count()
+    assert n_uncapped == 30 * 29 // 2  # all pairs share the stop shingles
+    assert n_capped == 0  # cap binds -> stop-shingle pairs never generated
+
+
+def test_simhash_pairs_plan_is_equi_join(spark):
+    """Manku banding must produce an equi-join plan — a
+    BroadcastNestedLoopJoin here means the O(n^2) theta join came back."""
+    from pdf_brain_spark.operators.dedup import simhash_near_dup_pairs
+
+    rows = [(i, f"some words number {i} " * 5) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    res = simhash_near_dup_pairs(docs, max_hamming=8)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_banding_is_complete(spark):
+    """Pigeonhole completeness: banded candidate generation + hamming
+    verify must equal the exhaustive O(n^2) pair set."""
+    from pdf_brain_spark.operators.dedup import simhash_fingerprints, simhash_near_dup_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(40):
+        base = [rng.choice(vocab) for _ in range(30)]
+        rows.append((2 * i, " ".join(base)))
+        # near-dup: a couple of token substitutions => small hamming
+        mutated = list(base)
+        mutated[3] = rng.choice(vocab)
+        rows.append((2 * i + 1, " ".join(mutated)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dup_pairs(docs, max_hamming=8).collect()
+    }
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs, bits=60).collect()}
+    exhaustive = {
+        (a, b)
+        for a in fp
+        for b in fp
+        if a < b and bin(fp[a] ^ fp[b]).count("1") <= 8
+    }
+    assert banded == exhaustive
+
+
+def test_embedding_near_dup_no_driver_collect(spark):
+    """Block self-join: results must match the exact all-pairs answer and
+    the plan must be a grouped Pandas op (distributed tiles), with no
+    collect() of the embeddings in the operator itself."""
+    import numpy as np
+
+    from pdf_brain_spark.operators.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(99)
+    vecs = rng.standard_normal((60, 8))
+    # plant near-dups: vec 2i+1 = slightly-perturbed vec 2i for first 10
+    for i in range(10):
+        vecs[2 * i + 1] = vecs[2 * i] + 0.01 * rng.standard_normal(8)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.9, n_blocks=4).collect()
+    }
+    # exact reference
+    m = np.array([np.asarray(v, dtype=np.float32) for _, v in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    want = {
+        (a, b)
+        for a in range(60)
+        for b in range(a + 1, 60)
+        if sims[a, b] >= 0.9
+    }
+    assert set(got) == want
+    assert len(want) >= 10  # the planted near-dups are all found
+    plan = embedding_near_dup_pairs(emb, threshold=0.9, n_blocks=4)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
