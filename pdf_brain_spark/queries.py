@@ -801,23 +801,36 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "transitive_closure",
     oracle="""
     WITH RECURSIVE anc AS (
-      SELECT o_orderkey AS node, o_orderkey // 2 AS ancestor, 1 AS depth
+      SELECT o_orderkey AS node, o_orderkey // 2 AS other, 1 AS depth
       FROM orders WHERE o_orderkey > 1 AND o_orderkey <= 64
       UNION
-      SELECT a.node, e.o_orderkey // 2 AS ancestor, a.depth + 1
-      FROM anc a JOIN orders e ON e.o_orderkey = a.ancestor
+      SELECT a.node, e.o_orderkey // 2 AS other, a.depth + 1
+      FROM anc a JOIN orders e ON e.o_orderkey = a.other
       WHERE e.o_orderkey > 1
+    ),
+    descn AS (
+      SELECT o_orderkey // 2 AS node, o_orderkey AS other, 1 AS depth
+      FROM orders
+      WHERE o_orderkey > 1 AND o_orderkey <= 4096 AND o_orderkey // 2 <= 64
+      UNION
+      SELECT d.node, e.o_orderkey AS other, d.depth + 1
+      FROM descn d JOIN orders e ON e.o_orderkey // 2 = d.other
+      WHERE e.o_orderkey > 1 AND e.o_orderkey <= 4096
     )
-    SELECT node, ancestor, depth FROM anc
+    SELECT node, other, depth, 'up' AS direction FROM anc
+    UNION ALL
+    SELECT node, other, depth, 'down' AS direction FROM descn
     """,
 )
 def transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ancestors in the implicit binary tree parent(k)=k//2 over order keys
-    ≤ 64 — the reference's recursive-CTE taxonomy closure
-    (TaxonomyService.ts:387-423) as an iterative frontier join with a
-    fixpoint stop. Spark has no recursive CTE; each iteration is one join +
-    union, edges cached."""
-    from pdf_brain_spark.operators.taxonomy import transitive_ancestors
+    """BOTH closure directions of the implicit binary tree parent(k)=k//2
+    over order keys — the reference's recursive-CTE taxonomy closure
+    (TaxonomyService.ts:387-423) serves ancestors AND descendants; here
+    each is an iterative frontier join with a fixpoint stop, unioned with
+    a direction tag. Spark has no recursive CTE; each iteration is one
+    broadcast join + anti-join dedup. The descendants arm is key-bounded
+    (≤ 4096) so the bench cost stays proportional to the ancestors arm."""
+    from pdf_brain_spark.operators.taxonomy import descendants, transitive_ancestors
 
     orders = load_table(spark, "orders", sf_dir)
     edges = (
@@ -829,7 +842,15 @@ def transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     seeds = edges.filter(F.col("node") <= 64)
-    return transitive_ancestors(seeds, edges)
+    anc = transitive_ancestors(seeds, edges).select(
+        "node", F.col("ancestor").alias("other"), "depth", F.lit("up").alias("direction")
+    )
+    d_edges = edges.filter(F.col("node") <= 4096)
+    d_seeds = d_edges.filter(F.col("parent") <= 64)
+    desc = descendants(d_seeds, d_edges).select(
+        "node", F.col("descendant").alias("other"), "depth", F.lit("down").alias("direction")
+    )
+    return anc.unionByName(desc)
 
 
 # --------------------------------------------------------------------------
@@ -3041,6 +3062,136 @@ def lang_source_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "lang",
         *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("src0", "src1", "src2", "src3")],
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM enrichment (SURVEY §2.9 M8) + LLM-output hygiene scalars (§2.8:
+# JSON repair AutoTagger.ts:530-568, concept-id validation :977-1036)
+# --------------------------------------------------------------------------
+
+
+def _llm_enrichment_oracle() -> str:
+    from pdf_brain_spark.functions.llm_json import duck_is_valid_concept_id
+
+    # The oracle derives every output field DIRECTLY from the document row
+    # — an independent re-derivation of what canned-LLM -> repair -> parse
+    # -> validate must produce, not a replay of the repair chain.
+    valid_pred = duck_is_valid_concept_id("c")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, source,
+             regexp_replace(regexp_replace(trim(text), '\\s+', ' ', 'g'),
+                            '[^A-Za-z0-9 ]', '', 'g') AS cleaned
+      FROM documents WHERE doc_id < 100
+    ),
+    fields AS (
+      SELECT doc_id,
+             array_to_string(list_slice(string_split(cleaned, ' '), 1, 4), ' ') AS title,
+             trim(substr(cleaned, 1, 120)) || '...' AS summary,
+             'article' AS doc_type,
+             source AS category,
+             CAST(3 AS BIGINT) AS n_tags,
+             ['programming/' || lang, 'New/Concept', 'design/a b', 'meta/notes'] AS concepts
+      FROM base
+    )
+    SELECT doc_id, title, summary, doc_type, category, n_tags,
+           array_to_string(list_filter(concepts, c -> {valid_pred}), ',') AS valid_concepts_csv,
+           CAST(len(concepts) - len(list_filter(concepts, c -> {valid_pred})) AS BIGINT) AS n_rejected
+    FROM fields
+    """
+
+
+@query("llm_enrichment", oracle=_llm_enrichment_oracle())
+def llm_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end M8 enrichment pipeline (AutoTagger.ts:1158-1325) with the
+    deterministic LLM double: mapInPandas LLM seam emits realistically
+    messy JSON, the native repair chain (AutoTagger.ts:530-568 parity)
+    fixes it, get_json_object parses it, and proposed concept ids pass the
+    validation gate (AutoTagger.ts:977-1036). The oracle re-derives the
+    expected outputs directly from the document columns, so a defect
+    anywhere in double -> repair -> parse -> validate breaks the hash."""
+    from pdf_brain_spark.operators.enrich import enrich_documents
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    return enrich_documents(docs)
+
+
+def _llm_json_repair_oracle() -> str:
+    from pdf_brain_spark.functions.llm_json import duck_repair_llm_json
+
+    repaired = duck_repair_llm_json("raw")
+    return f"""
+    WITH variants AS (
+      SELECT doc_id, v.variant, v.raw
+      FROM documents,
+      LATERAL (
+        SELECT * FROM (VALUES
+          ('fenced',         concat('Answer:', chr(10), '```json', chr(10),
+                                   '{{"title": "t', doc_id, '", "tags": ["a", "b"]}}', chr(10),
+                                   '```')),
+          ('trailing_comma', concat('{{"title": "t', doc_id, '", "tags": ["a", "b",],}}')),
+          ('single_quotes',  concat('{{''title'': ''t', doc_id, ''', ''tags'': [''a'', ''b'']}}')),
+          ('bare_keys',      concat('{{title: "t', doc_id, '", tags: ["a", "b"]}}'))
+        ) AS v(variant, raw)
+      ) v
+      WHERE doc_id < 50
+    )
+    SELECT doc_id, variant,
+           json_extract_string({repaired}, '$.title') AS title,
+           CAST(json_array_length(json_extract({repaired}, '$.tags')) AS BIGINT) AS n_tags
+    FROM variants
+    """
+
+
+@query("llm_json_repair", oracle=_llm_json_repair_oracle())
+def llm_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON repair parity gate: four messy-LLM-output variants per document
+    (markdown fence, trailing commas, single quotes, bare keys), repaired
+    by the native regexp chain and parsed. Spark and DuckDB each run THEIR
+    OWN copy of the repair chain — divergence in any rule flips the hash."""
+    from pdf_brain_spark.functions.llm_json import repair_llm_json
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
+    did = F.col("doc_id").cast("string")
+    variants = F.array(
+        F.struct(
+            F.lit("fenced").alias("variant"),
+            F.concat(
+                F.lit('Answer:\n```json\n{"title": "t'), did,
+                F.lit('", "tags": ["a", "b"]}\n```'),
+            ).alias("raw"),
+        ),
+        F.struct(
+            F.lit("trailing_comma").alias("variant"),
+            F.concat(
+                F.lit('{"title": "t'), did, F.lit('", "tags": ["a", "b",],}')
+            ).alias("raw"),
+        ),
+        F.struct(
+            F.lit("single_quotes").alias("variant"),
+            F.concat(
+                F.lit("{'title': 't"), did, F.lit("', 'tags': ['a', 'b']}")
+            ).alias("raw"),
+        ),
+        F.struct(
+            F.lit("bare_keys").alias("variant"),
+            F.concat(
+                F.lit('{title: "t'), did, F.lit('", tags: ["a", "b"]}')
+            ).alias("raw"),
+        ),
+    )
+    exploded = docs.select("doc_id", F.explode(variants).alias("v")).select(
+        "doc_id", F.col("v.variant").alias("variant"), F.col("v.raw").alias("raw")
+    )
+    repaired = exploded.withColumn("_json", repair_llm_json("raw"))
+    return repaired.select(
+        "doc_id",
+        "variant",
+        F.get_json_object("_json", "$.title").alias("title"),
+        F.json_array_length(F.get_json_object("_json", "$.tags"))
+        .cast("long")
+        .alias("n_tags"),
     )
 
 
