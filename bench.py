@@ -62,6 +62,10 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+    batch = batch_amortization(spark)
+    timings["similarity_join_batch256"] = batch["total_sec"]
+    total += batch["total_sec"]
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -71,10 +75,40 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "batch_amortization": batch,
             }
         )
     )
     spark.stop()
+
+
+def batch_amortization(spark, n_queries: int = 256, k: int = 10) -> dict:
+    """The engine's answer to the reference's single-query ANN latency
+    (BASELINE.md: DiskANN top-10 avg 17.1 ms in-process): one scan of the
+    vector table serves ALL queries at once, so the honest metric for a
+    batch engine is per-query amortized cost at a realistic batch size.
+    256 query vectors through similarity_join → total wall and ms/query."""
+    from pyspark.sql import functions as F
+
+    from pdf_brain_spark.operators.vector_search import similarity_join
+    from pdf_brain_spark.sources.loaders import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    queries = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    t0 = time.perf_counter()
+    n_rows = similarity_join(queries, emb, k=k).count()
+    dt = time.perf_counter() - t0
+    return {
+        "n_queries": n_queries,
+        "k": k,
+        "result_rows": n_rows,
+        "total_sec": round(dt, 3),
+        "ms_per_query": round(1000.0 * dt / n_queries, 3),
+        "baseline_single_query_ms": 17.1,
+    }
 
 
 if __name__ == "__main__":

@@ -29,19 +29,32 @@ def transitive_ancestors(
     node_col: str = "node",
     parent_col: str = "parent",
     max_iterations: int = MAX_ITERATIONS,
+    acyclic: bool = False,
 ) -> DataFrame:
     """All (node, ancestor, depth) pairs reachable from `seeds` following
     `edges` upward. `seeds` must have (node, parent); `edges` is the full
-    edge list. Stops at fixpoint (empty frontier) or max_iterations."""
+    edge list. Stops at fixpoint (empty frontier) or max_iterations.
+
+    `acyclic=True` skips the per-iteration distinct + seen anti-join (one
+    eager job and one broadcast per level): legal whenever each node has at
+    most one parent (trees) or the graph is a DAG with unique paths —
+    frontier pairs then can't repeat, and termination comes from the
+    frontier emptying at the roots."""
     edges = edges.select(
         F.col(node_col).alias("_e_node"), F.col(parent_col).alias("_e_parent")
     ).cache()
 
+    # frontier/seen are path-bounded (dimension-sized for taxonomy DAGs —
+    # the reference ships 29 concepts), so materialize them single-partition:
+    # each localCheckpoint is an EAGER job, and at default parallelism the
+    # per-iteration task overhead (32 near-empty tasks × 3 materializations
+    # × depth) dominates closure wall time. For closures whose frontier is
+    # fact-sized, raise this to defaultParallelism.
     frontier = seeds.select(
         F.col(node_col).alias("node"),
         F.col(parent_col).alias("ancestor"),
         F.lit(1).alias("depth"),
-    ).localCheckpoint()
+    ).coalesce(1).localCheckpoint()
     pieces = [frontier]
     seen = frontier.select("node", "ancestor")
     for _ in range(max_iterations):
@@ -49,19 +62,24 @@ def transitive_ancestors(
         # into the edge scan, and localCheckpoint EVERY iteration: without
         # it each loop re-executes the whole prior lineage and the job
         # count grows quadratically with depth
-        nxt = (
-            edges.join(F.broadcast(frontier), frontier.ancestor == F.col("_e_node"))
-            .select("node", F.col("_e_parent").alias("ancestor"), (F.col("depth") + 1).alias("depth"))
-            .distinct()
-            # anti-join against accumulated result = the recursive-CTE UNION
-            # dedup, which is also what guarantees cycle termination
-            .join(F.broadcast(seen), ["node", "ancestor"], "left_anti")
-            .localCheckpoint()
+        nxt = edges.join(
+            F.broadcast(frontier), frontier.ancestor == F.col("_e_node")
+        ).select(
+            "node", F.col("_e_parent").alias("ancestor"), (F.col("depth") + 1).alias("depth")
         )
+        if not acyclic:
+            # distinct + anti-join against accumulated result = the
+            # recursive-CTE UNION dedup, which is also what guarantees
+            # cycle termination on general graphs
+            nxt = nxt.distinct().join(F.broadcast(seen), ["node", "ancestor"], "left_anti")
+        nxt = nxt.coalesce(1).localCheckpoint()
         if nxt.isEmpty():
             break
         pieces.append(nxt)
-        seen = seen.unionByName(nxt.select("node", "ancestor")).localCheckpoint()
+        if not acyclic:
+            seen = (
+                seen.unionByName(nxt.select("node", "ancestor")).coalesce(1).localCheckpoint()
+            )
         frontier = nxt
     result = pieces[0]
     for p in pieces[1:]:
@@ -80,7 +98,9 @@ def one_hop_broader(concepts: DataFrame, hierarchy: DataFrame) -> DataFrame:
 
 
 def descendants(seeds: DataFrame, edges: DataFrame, **kw) -> DataFrame:
-    """Transitive narrower: same loop with edges reversed."""
+    """Transitive narrower: same loop with edges reversed. NOTE: a tree is
+    only acyclic=True-safe downward when descent paths are unique, which
+    holds for trees (each child reached via its one parent)."""
     rev = edges.select(F.col("parent").alias("node"), F.col("node").alias("parent"))
     rev_seeds = seeds.select(F.col("parent").alias("node"), F.col("node").alias("parent"))
     return transitive_ancestors(rev_seeds, rev, **kw).withColumnRenamed("ancestor", "descendant")
