@@ -19,10 +19,10 @@ Design notes vs the reference:
     client reuse, retries inside).
 
 PDF binary extraction (reference shells to pypdf, PDFExtractor.ts:53-65)
-is represented by `extract_pdf_pages_udf`, a mapInPandas over
-spark.read.format("binaryFile") rows; pypdf is not in this container so the
-decode raises NotImplementedError behind a clearly marked seam while the
-plumbing (schema, batching) is real and tested with the text fast-path.
+is `extract_pdf_pages_udf`, a mapInPandas over
+spark.read.format("binaryFile") rows; decode uses pypdf when present and
+otherwise the pure-python parser in functions/pdftext.py, so the operator
+is real in this container (gated end-to-end by the `pdf_extract` query).
 """
 
 from __future__ import annotations
@@ -170,28 +170,31 @@ def upsert_by_key(
 
 
 def extract_pdf_pages_udf():
-    """mapInPandas seam for binaryFile PDF rows → (path, page, text).
-    pypdf is unavailable in this container: the decode is stubbed with a
-    clear error; the Spark-side plumbing (binary column in, per-page rows
-    out) is the real production shape."""
+    """mapInPandas seam for binaryFile PDF rows → (path, page, text) —
+    the reference's S1 operator (PDFExtractor.ts:53-65,169: load document,
+    iterate pages, extract text per page). Uses pypdf when executors have
+    it; otherwise the pure-python extractor in functions/pdftext.py
+    (object scan, FlateDecode, ObjStm, catalog page order, Tj/TJ/'/"
+    text operators) — no stub, the decode is real either way."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
-            import pypdf  # noqa: F401
-        except ImportError as e:  # pragma: no cover - container has no pypdf
-            raise NotImplementedError(
-                "PDF decode requires pypdf; install it on executors or "
-                "pre-extract text (reference shells out the same way, "
-                "PDFExtractor.ts:53-65)"
-            ) from e
-        for pdf in batches:  # pragma: no cover
+            import io
+
+            import pypdf
+
+            def pages_of(content: bytes) -> list[str]:  # pragma: no cover
+                reader = pypdf.PdfReader(io.BytesIO(content))
+                return [p.extract_text() for p in reader.pages]
+
+        except ImportError:
+            from pdf_brain_spark.functions.pdftext import extract_pdf_text as pages_of
+
+        for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                import io
-
-                reader = pypdf.PdfReader(io.BytesIO(r["content"]))
-                for i, page in enumerate(reader.pages, 1):
-                    rows.append({"path": r["path"], "page": i, "text": page.extract_text()})
+                for i, text in enumerate(pages_of(r["content"]), 1):
+                    rows.append({"path": r["path"], "page": i, "text": text})
             yield pd.DataFrame(rows, columns=["path", "page", "text"])
 
     return _extract

@@ -3341,15 +3341,24 @@ _sub_shingle_cap()
     SELECT 'fuzzy' AS match_kind, doc_id, lang, source, n_chars
     FROM documents
     WHERE CAST(doc_id AS VARCHAR) LIKE '42%' OR contains(source, 'rc1')
+    UNION ALL
+    SELECT 'label' AS match_kind, doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars
+      FROM documents
+      WHERE contains(lower(source), 'src1') OR contains(lower(lang), 'e')
+      ORDER BY doc_id LIMIT 50
+    )
     """,
 )
 def doc_lookup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's three lookup access paths (P1 tag-filtered listing,
-    P2 point lookup, P3 fuzzy id-or-title match, src/index.ts:433-448) in
-    one gate, tagged by match_kind. Each arm is the same plan as its
-    standalone registration (`doc_listing` / `doc_lookup` /
-    `fuzzy_doc_lookup`); at scale all three are partition-pruned parquet
-    scans with predicate pushdown, not index probes."""
+    """The reference's four lookup access paths in one gate, tagged by
+    match_kind: P1 tag-filtered listing, P2 point lookup, P3 fuzzy
+    id-or-title match (src/index.ts:433-448), and P9 concept-label
+    substring search (cli.ts:2023-2041; source/lang stand in for the
+    label fields). Each arm is the same plan as its standalone
+    registration (`doc_listing` / `doc_lookup` / `fuzzy_doc_lookup` /
+    `concept_label_search`); at scale all four are partition-pruned
+    parquet scans with predicate pushdown, not index probes."""
     docs = load_table(spark, "documents", sf_dir)
     cols = ["doc_id", "lang", "source", "n_chars"]
     listing = (
@@ -3365,7 +3374,76 @@ def doc_lookup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuzzy = docs.filter(
         F.col("doc_id").cast("string").startswith("42") | F.col("source").contains("rc1")
     ).select(F.lit("fuzzy").alias("match_kind"), *cols)
-    return listing.unionByName(point).unionByName(fuzzy)
+    label = (
+        docs.filter(
+            F.lower(F.col("source")).contains("src1") | F.lower(F.col("lang")).contains("e")
+        )
+        .select(*cols)
+        .orderBy("doc_id")
+        .limit(50)
+        .select(F.lit("label").alias("match_kind"), *cols)
+    )
+    return listing.unionByName(point).unionByName(fuzzy).unionByName(label)
+
+
+@query(
+    "pdf_extract",
+    oracle="""
+    SELECT doc_id, 1 AS page,
+           'Doc ' || doc_id || ': ' || substr(text, 1, 80) AS page_text
+    FROM documents WHERE doc_id < 40
+    UNION ALL
+    SELECT doc_id, 2 AS page, 'p2 ' || substr(text, 81, 40) AS page_text
+    FROM documents WHERE doc_id < 40
+    ORDER BY doc_id, page
+    """,
+)
+def pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF text extraction end-to-end (S1, PDFExtractor.ts:53-65,169):
+    synthesize a two-page PDF per document (page streams FlateDecode for
+    even ids, plain for odd — both decode paths exercised), push the
+    binary column through the `extract_pdf_pages_udf` mapInPandas seam
+    (the same shape a spark.read.format("binaryFile") scan feeds), and
+    return the EXTRACTED per-page text. The oracle computes the expected
+    page text directly from `documents` — so the gate passes only if the
+    parser (pdftext.py: object scan, Flate, page tree, Tj operators)
+    round-trips the text byte-exactly."""
+    import pandas as pd
+
+    from pdf_brain_spark.functions.pdftext import build_simple_pdf
+    from pdf_brain_spark.operators.ingest import extract_pdf_pages_udf
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 40)
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.concat(
+            F.lit("Doc "), F.col("doc_id").cast("string"), F.lit(": "),
+            F.substring("text", 1, 80),
+        ).alias("p1"),
+        F.concat(F.lit("p2 "), F.substring("text", 81, 40)).alias("p2"),
+    )
+
+    def _build(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "content": [
+                        build_simple_pdf([p1, p2], compress=(int(p) % 2 == 0))
+                        for p, p1, p2 in zip(pdf["path"], pdf["p1"], pdf["p2"])
+                    ],
+                }
+            )
+
+    binary = src.mapInPandas(_build, schema="path string, content binary")
+    pages = binary.mapInPandas(
+        extract_pdf_pages_udf(), schema="path string, page int, text string"
+    )
+    return pages.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "page",
+        F.col("text").alias("page_text"),
+    ).orderBy("doc_id", "page")
 
 
 @query("clustering_model_report", oracle=None)
@@ -3438,8 +3516,8 @@ GATE_WINDOW = [
     "streaming_tumbling_window", "streaming_dedup",
     # taxonomy graph (J4/J11, U3, J5/U4 both directions)
     "taxonomy_one_hop", "taxonomy_related", "transitive_closure",
-    # listings / lookups / corpus analytics (P1-P3, P9, A1, A2, J6)
-    "doc_lookup_suite", "concept_label_search", "library_stats",
+    # listings / lookups / corpus analytics (P1-P3 + P9 label arm, A1, A2, J6)
+    "doc_lookup_suite", "pdf_extract", "library_stats",
     "tag_distribution", "customers_without_orders",
     # clustering lifecycle (M3-M5, A3, A5-A7, J10/M12/W4, A10/M11)
     "clustering_model_report", "cluster_concept_map", "extractive_summary",
