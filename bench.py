@@ -90,7 +90,7 @@ def batch_amortization(spark, n_queries: int = 256, k: int = 10) -> dict:
     256 query vectors through similarity_join → total wall and ms/query."""
     from pyspark.sql import functions as F
 
-    from pdf_brain_spark.operators.vector_search import similarity_join
+    from pdf_brain_spark.operators.vector_search import similarity_join_topk
     from pdf_brain_spark.sources.loaders import load_table
 
     emb = load_table(spark, "embeddings", SF_DIR)
@@ -99,7 +99,7 @@ def batch_amortization(spark, n_queries: int = 256, k: int = 10) -> dict:
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     )
     t0 = time.perf_counter()
-    n_rows = similarity_join(queries, emb, k=k).count()
+    n_rows = similarity_join_topk(queries, emb, k=k).count()
     dt = time.perf_counter() - t0
     return {
         "n_queries": n_queries,

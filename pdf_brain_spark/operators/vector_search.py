@@ -106,8 +106,13 @@ def similarity_join(
 
     This is where Spark beats a one-query-at-a-time engine: thousands of
     queries amortize a single scan of the vector table. Query side is
-    broadcast (small); rank via window partitioned by query id so the
-    shuffle is on query_id — bounded by #queries×k output rows.
+    broadcast (small); scoring happens map-side in codegen, and the fat
+    array columns are dropped BEFORE the rank window so the query_id
+    shuffle carries only (query_id, vec_id, …scalars) — at 256 queries ×
+    a fact-sized corpus that's the difference between shuffling hundreds
+    of MB of float arrays and a few MB of scalars. Beyond exhaustive
+    Q×N scoring, prune candidates with the IVF index (operators/ann.py)
+    and re-rank exactly inside probed lists.
     """
     from pyspark.sql import Window
 
@@ -115,10 +120,85 @@ def similarity_join(
         vectors.crossJoin(F.broadcast(queries))
         .withColumn("distance", cosine_distance(F.col(vec_col), F.col(query_col)))
         .withColumn("score", distance_to_score(F.col("distance")))
+        .drop(query_col, vec_col)
     )
     w = Window.partitionBy(query_id).orderBy(F.col("distance").asc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .drop(query_col, vec_col)
+    )
+
+
+def similarity_join_topk(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_slack: int = 8,
+) -> DataFrame:
+    """Vectorized batch top-k: the serving-path version of
+    `similarity_join` for large query batches.
+
+    The pure-expression path scores with zip_with/aggregate, which Spark
+    evaluates interpreted per row (higher-order functions are outside
+    whole-stage codegen) — fine at 8 queries, dominant at 256+. Here the
+    query batch (bounded: it is a *serving batch*, not a fact table) is
+    collected to an L2-normalized numpy matrix and closed over an Arrow-
+    batched mapInPandas: each batch scores as ONE BLAS matmul (B×d @ d×Q)
+    and emits only its per-query partial top-(k+slack) rows, so the
+    post-map shuffle is partitions × Q × k rows — independent of corpus
+    size. A final rank window (distance, vec_id) merges partials exactly.
+
+    Tie caveat: a distance tie exactly at a batch's k+slack boundary can
+    admit a different tied candidate than the exhaustive plan; slack
+    absorbs realistic duplicates, byte-exactness on adversarial ties is
+    the exhaustive `similarity_join`'s job.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    q_rows = queries.select(query_id, query_col).collect()
+    qids = np.array([r[0] for r in q_rows])
+    qmat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    m_take = k + batch_slack
+
+    def _partial_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vmat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            vmat = vmat / np.linalg.norm(vmat, axis=1, keepdims=True)
+            dist = 1.0 - vmat @ qmat.T  # B×Q cosine distance
+            b = dist.shape[0]
+            take = min(m_take, b)
+            idx = (
+                np.argpartition(dist, take - 1, axis=0)[:take]
+                if take < b
+                else np.arange(b)[:, None].repeat(len(qids), axis=1)
+            )
+            vid = pdf[id_col].to_numpy()
+            out_q, out_v, out_d = [], [], []
+            for j in range(len(qids)):
+                rows = idx[:, j] if idx.ndim == 2 else idx
+                out_q.extend([qids[j]] * len(rows))
+                out_v.extend(vid[rows])
+                out_d.extend(dist[rows, j])
+            yield pd.DataFrame({query_id: out_q, id_col: out_v, "distance": out_d})
+
+    qid_type = dict(queries.dtypes)[query_id]
+    id_type = dict(vectors.dtypes)[id_col]
+    partials = vectors.select(id_col, vec_col).mapInPandas(
+        _partial_topk,
+        schema=f"{query_id} {qid_type}, {id_col} {id_type}, distance double",
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("score", distance_to_score(F.col("distance")))
     )

@@ -81,3 +81,36 @@ def test_embedding_validation_gate(spark):
     )
     ok = [r["id"] for r in df.filter(is_valid_embedding("emb", 2)).collect()]
     assert ok == [1]
+
+
+def test_similarity_join_topk_matches_exhaustive(spark):
+    """The vectorized (numpy-matmul, map-side partial top-k) batch path
+    must agree with the exhaustive expression plan on ids, ranks, and
+    distances (to 1e-9)."""
+    import random
+
+    from pdf_brain_spark.operators.vector_search import (
+        similarity_join,
+        similarity_join_topk,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(300)]
+    queries = [(q, [rng.uniform(-1, 1) for _ in range(dim)]) for q in range(12)]
+    vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>").repartition(5)
+    qdf = spark.createDataFrame(queries, "query_id long, query_vec array<double>")
+
+    exact = {
+        (r.query_id, r.rank): (r.vec_id, r.distance)
+        for r in similarity_join(qdf, vdf, k=7).collect()
+    }
+    fast = {
+        (r.query_id, r.rank): (r.vec_id, r.distance)
+        for r in similarity_join_topk(qdf, vdf, k=7).collect()
+    }
+    assert set(exact) == set(fast)
+    for key, (vid, dist) in exact.items():
+        fvid, fdist = fast[key]
+        assert fvid == vid, key
+        assert abs(fdist - dist) < 1e-9, key
