@@ -133,11 +133,14 @@ def ingest(
     docs.drop("content").write.mode("append").parquet(f"{out_dir}/documents")
     chunks.write.mode("append").parquet(f"{out_dir}/chunks")
     emb.write.mode("append").parquet(f"{out_dir}/embeddings")
-    return {
+    counts = {
         "documents": docs.count(),
         "chunks": chunks.count(),
         "embeddings": emb.count(),
     }
+    # all sinks + counts are materialized: the chunk cache's job is done
+    chunks.unpersist()
+    return counts
 
 
 def upsert_by_key(
@@ -166,6 +169,7 @@ def upsert_by_key(
     if os.path.isdir(target_dir):
         shutil.rmtree(target_dir)
     os.rename(staging, target_dir)
+    incoming.unpersist()
     return n_in
 
 
