@@ -86,3 +86,48 @@ def asof_backward_join(
         f"{prefix}ts",
         *[F.col(f"_payload_struct.{p}").alias(f"{prefix}{p}") for p in payload_cols],
     )
+
+
+def tiered_time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    value_col: str,
+    tiers: list[tuple[str, str]] = (("1h", "1 hour"), ("1d", "1 day")),
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the finest tier
+    aggregates the raw rows ONCE; every coarser tier re-aggregates the
+    previous tier's partials instead of rescanning the facts — at 100 TB
+    the daily tier reads hours (×24 reduction), not raw events. Emits the
+    union of tiers tagged by a `tier` column with columns
+    (…group_cols, tier, window_start, n_events, total_value); total_value
+    is rounded to 4 decimals at emission, partials stay exact."""
+    finest_label, finest_span = tiers[0]
+    cur = (
+        df.groupBy(*group_cols, F.window(ts_col, finest_span).alias("w"))
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum(value_col).alias("_sv"))
+        .select(*group_cols, F.col("w.start").alias("window_start"), "_n", "_sv")
+    )
+    out = cur.select(
+        *group_cols,
+        F.lit(finest_label).alias("tier"),
+        "window_start",
+        F.col("_n").alias("n_events"),
+        F.round("_sv", 4).alias("total_value"),
+    )
+    for label, span in tiers[1:]:
+        cur = (
+            cur.groupBy(*group_cols, F.window("window_start", span).alias("w"))
+            .agg(F.sum("_n").alias("_n"), F.sum("_sv").alias("_sv"))
+            .select(*group_cols, F.col("w.start").alias("window_start"), "_n", "_sv")
+        )
+        out = out.unionByName(
+            cur.select(
+                *group_cols,
+                F.lit(label).alias("tier"),
+                "window_start",
+                F.col("_n").alias("n_events"),
+                F.round("_sv", 4).alias("total_value"),
+            )
+        )
+    return out

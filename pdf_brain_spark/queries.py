@@ -689,23 +689,36 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_tumbling_window",
     oracle="""
-    SELECT event_type,
-           time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
-           count(*) AS n_events,
-           round(sum(value), 4) AS total_value
-    FROM events
-    GROUP BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+    WITH hourly AS (
+      SELECT event_type,
+             time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             count(*) AS n, sum(value) AS sv
+      FROM events
+      GROUP BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+    )
+    SELECT event_type, '1h' AS tier, window_start,
+           n AS n_events, round(sv, 4) AS total_value
+    FROM hourly
+    UNION ALL
+    SELECT event_type, '1d' AS tier,
+           time_bucket(INTERVAL 1 DAY, window_start) AS window_start,
+           CAST(sum(n) AS BIGINT) AS n_events, round(sum(sv), 4) AS total_value
+    FROM hourly
+    GROUP BY event_type, time_bucket(INTERVAL 1 DAY, window_start)
     """,
 )
 def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour window aggregation — the batch shape of the
-    Structured Streaming pipeline in streaming/events.py."""
+    """Tumbling-window aggregation as a hypertable-style continuous
+    aggregate (tiered rollup): the 1-hour tier aggregates raw events
+    once — the batch shape of the Structured Streaming pipeline in
+    streaming/events.py — and the 1-day tier re-aggregates the HOURLY
+    partials, not the facts (×24 less input at 100 TB; the
+    TimescaleDB/materialized-rollup pattern expressed as one Spark plan
+    with reuse of the finest-tier aggregate)."""
+    from pdf_brain_spark.operators.temporal import tiered_time_rollup
+
     ev = load_table(spark, "events", sf_dir)
-    return (
-        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
-        .select("event_type", F.col("w.start").alias("window_start"), "n_events", "total_value")
-    )
+    return tiered_time_rollup(ev, "ts", ["event_type"], "value")
 
 
 @query(

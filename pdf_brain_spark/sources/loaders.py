@@ -33,8 +33,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # events.parquet stores TIMESTAMP(NANOS), which Spark cannot read
         # natively; nanosAsLong is a runtime-settable SQL conf, so set it
         # here rather than at session build — callers (the driver) hand us
-        # externally built sessions that won't have it.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # externally built sessions that won't have it. Guarded: re-setting
+        # is avoidable session-state churn on every events load.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long under nanosAsLong; values are
