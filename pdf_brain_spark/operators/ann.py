@@ -111,3 +111,85 @@ def lsh_search(
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def ivf_search_topk_batch(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 4,
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_slack: int = 8,
+) -> DataFrame:
+    """Batched IVF: every query probes only its n_probes nearest lists.
+
+    Probe assignment happens on the driver against the tiny centroid
+    matrix (L×d); the corpus side then streams ONCE through an Arrow-
+    batched scorer that, per pandas batch, groups rows by list_id and
+    scores each group against only the queries probing that list — one
+    BLAS matmul per (batch, probed-list) pair, partial top-(k+slack) per
+    query emitted, exact merge via a final rank window. Scanned work is
+    the probed fraction (n_probes/n_lists) of Q×N; at 100 TB `list_id`
+    is a partition column and unprobed lists are never read at all
+    (partition pruning), while the shuffle stays partitions×Q×k rows.
+    Returned distances are exact; only candidate generation is
+    approximate (recall tunable via n_probes)."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    q_rows = queries.select(query_id, query_col).collect()
+    qids = np.array([r[0] for r in q_rows])
+    qmat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    cents = np.asarray(centroids, dtype=np.float64)
+    cents = cents / (np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12)
+    probe_lists = np.argsort(-(qmat @ cents.T), axis=1)[:, :n_probes]
+    by_list: dict[int, list[int]] = {}
+    for qi, lists in enumerate(probe_lists):
+        for lid in lists:
+            by_list.setdefault(int(lid), []).append(qi)
+    m_take = k + batch_slack
+
+    def _partial_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_q, out_v, out_d = [], [], []
+            for lid, grp in pdf.groupby("list_id"):
+                qsel = by_list.get(int(lid))
+                if not qsel:
+                    continue
+                vmat = np.asarray(list(grp[vec_col]), dtype=np.float64)
+                vmat = vmat / np.linalg.norm(vmat, axis=1, keepdims=True)
+                dist = 1.0 - vmat @ qmat[qsel].T  # B×|qsel|
+                b = dist.shape[0]
+                take = min(m_take, b)
+                vid = grp[id_col].to_numpy()
+                for j, qi in enumerate(qsel):
+                    rows = (
+                        np.argpartition(dist[:, j], take - 1)[:take]
+                        if take < b
+                        else np.arange(b)
+                    )
+                    out_q.extend([qids[qi]] * len(rows))
+                    out_v.extend(vid[rows])
+                    out_d.extend(dist[rows, j])
+            if out_q:
+                yield pd.DataFrame({query_id: out_q, id_col: out_v, "distance": out_d})
+
+    qid_type = dict(queries.dtypes)[query_id]
+    id_type = dict(indexed.dtypes)[id_col]
+    partials = indexed.select("list_id", id_col, vec_col).mapInPandas(
+        _partial_topk,
+        schema=f"{query_id} {qid_type}, {id_col} {id_type}, distance double",
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("score", distance_to_score(F.col("distance")))
+    )

@@ -97,3 +97,39 @@ def test_bic_selects_reasonable_k(spark, emb):
     small = emb.limit(200).cache()
     best, scores = bic_select_k(small, range(2, 7, 2), seed=42)
     assert best in scores and len(scores) == 3
+
+
+def test_ivf_batch_recall_and_exactness(spark):
+    """Batched IVF: probing ALL lists must equal the exhaustive batch
+    exactly; probing 4/16 keeps high recall with exact distances."""
+    import random
+
+    from pdf_brain_spark.operators.ann import ivf_index, ivf_search_topk_batch
+    from pdf_brain_spark.operators.vector_search import similarity_join_topk
+
+    rng = random.Random(3)
+    dim = 16
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(400)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>").repartition(4)
+    queries = spark.createDataFrame(
+        vecs[:8], "query_id long, query_vec array<double>"
+    )
+    indexed, centroids = ivf_index(emb, n_lists=8, seed=1)
+
+    exact = {
+        (r.query_id, r.rank): (r.vec_id, r.distance)
+        for r in similarity_join_topk(queries, emb, k=5).collect()
+    }
+    full_probe = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ivf_search_topk_batch(
+            indexed, centroids, queries, k=5, n_probes=8
+        ).collect()
+    }
+    assert full_probe == {key: vid for key, (vid, _) in exact.items()}
+
+    part = ivf_search_topk_batch(indexed, centroids, queries, k=5, n_probes=3).collect()
+    exact_pairs = {(q, vid) for (q, _), (vid, _) in exact.items()}
+    got = {(r.query_id, r.vec_id) for r in part}
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.7, recall
