@@ -55,7 +55,7 @@ def ivf_search(
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         indexed.filter(F.col("list_id").isin(probe_ids))
-        .withColumn("distance", cosine_distance(F.col(vec_col), qcol))
+        .withColumn("distance", cosine_distance(F.col(vec_col), qcol, len(query_vec)))
         .withColumn("score", distance_to_score(F.col("distance")))
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(k)
@@ -75,15 +75,13 @@ def lsh_sketch(
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0).cast("long")
     for i, h in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in h]),
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        # unrolled multiply-add (dim is known) keeps all n_planes
+        # projections inside whole-stage codegen; the HOF form would be
+        # n_planes interpreted folds per row
+        proj = None
+        for j, x in enumerate(h, 1):
+            term = F.element_at(F.col(vec_col), j).cast("double") * F.lit(float(x))
+            proj = term if proj is None else proj + term
         bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
     return emb.withColumn("bucket", bucket)
 
@@ -106,7 +104,7 @@ def lsh_search(
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         sketched.filter(F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket))) <= max_hamming)
-        .withColumn("distance", cosine_distance(F.col(vec_col), qcol))
+        .withColumn("distance", cosine_distance(F.col(vec_col), qcol, len(query_vec)))
         .withColumn("score", distance_to_score(F.col("distance")))
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(k)

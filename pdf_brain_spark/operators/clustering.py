@@ -62,7 +62,9 @@ def kmeans_assign(
     assigned = assigned.withColumn(
         "distance",
         euclidean_distance(
-            F.col(vec_col), F.element_at(cent_arr, F.col("cluster_id") + 1)
+            F.col(vec_col),
+            F.element_at(cent_arr, F.col("cluster_id") + 1),
+            dim=len(centroids[0]) if centroids else None,
         ),
     ).drop("_features")
     return assigned, centroids
@@ -118,7 +120,11 @@ def soft_assignments(
         F.col(vec_col).alias("_v"),
     ).withColumn(
         "neg_d",
-        -euclidean_distance(F.col("_v"), F.element_at(cent_arr, F.col("cluster_id") + 1))
+        -euclidean_distance(
+            F.col("_v"),
+            F.element_at(cent_arr, F.col("cluster_id") + 1),
+            dim=len(centroids[0]),
+        )
         / F.lit(temperature),
     )
     from pyspark.sql import Window

@@ -72,12 +72,14 @@ def topk(
     """Exact cosine top-k against a literal query vector, with the
     reference's over-fetch-then-post-filter semantics when `post_filter`
     is given (fetch k×3 candidates, filter, re-limit to k)."""
-    qcol = (
-        F.array(*[F.lit(float(x)) for x in query_vec])
-        if isinstance(query_vec, list)
-        else query_vec
-    )
-    scored = vectors.withColumn("distance", cosine_distance(F.col(vec_col), qcol))
+    if isinstance(query_vec, list):
+        qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+        # literal query ⇒ dimension statically known ⇒ unrolled codegen'd
+        # multiply-add chain instead of interpreted HOF (~4× on the scan)
+        dim = len(query_vec)
+    else:
+        qcol, dim = query_vec, None
+    scored = vectors.withColumn("distance", cosine_distance(F.col(vec_col), qcol, dim))
     if threshold is not None:
         scored = scored.filter(F.col("distance") <= F.lit(score_threshold_to_distance(threshold)))
     scored = scored.withColumn("score", distance_to_score(F.col("distance")))

@@ -3123,10 +3123,12 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multi_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source/sink format breadth (SURVEY §2.1 S-series analog): customer
     round-trips through CSV (header + explicit read schema), orders
-    through JSON lines, then the standard broadcast-dim join/agg must give
-    byte-identical results to the parquet originals. Explicit schemas on
-    read — schema inference is a full extra pass at 100 TB and can type-
-    drift; production sources always declare."""
+    through JSON lines and then through ORC (the third columnar format
+    Spark ships natively alongside parquet), then the standard
+    broadcast-dim join/agg must give byte-identical results to the
+    parquet originals. Explicit schemas on read — schema inference is a
+    full extra pass at 100 TB and can type-drift; production sources
+    always declare."""
     import tempfile
 
     cust = load_table(spark, "customer", sf_dir).select(
@@ -3137,6 +3139,7 @@ def multi_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     csv_dir = tempfile.mkdtemp(prefix="sgraft_csv_")
     json_dir = tempfile.mkdtemp(prefix="sgraft_json_")
+    orc_dir = tempfile.mkdtemp(prefix="sgraft_orc_")
     cust.write.mode("overwrite").option("header", "true").csv(csv_dir)
     orders.write.mode("overwrite").json(json_dir)
 
@@ -3144,9 +3147,15 @@ def multi_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey bigint, c_name string, c_nationkey int, "
         "c_acctbal double, c_mktsegment string"
     ).option("header", "true").csv(csv_dir)
-    orders_rt = spark.read.schema(
+    orders_json = spark.read.schema(
         "o_orderkey bigint, o_custkey bigint, o_totalprice double"
     ).json(json_dir)
+    # JSON-read orders re-land as ORC and are read back: both legs of the
+    # chain (text source → columnar sink → columnar source) are exercised
+    orders_json.write.mode("overwrite").orc(orc_dir)
+    orders_rt = spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+    ).orc(orc_dir)
     return (
         orders_rt.join(F.broadcast(cust_rt), orders_rt.o_custkey == cust_rt.c_custkey)
         .groupBy("c_mktsegment")

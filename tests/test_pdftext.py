@@ -152,3 +152,22 @@ def test_udf_seam_pure_python(spark):
         ("a.pdf", 2): "beta",
         ("b.pdf", 1): "gamma",
     }
+
+
+def test_roundtrip_property():
+    """Any text round-trips build → extract (hypothesis over unicode)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=200,
+        )
+    )
+    def check(text):
+        assert extract_pdf_text(build_simple_pdf([text])) == [text]
+        assert extract_pdf_text(build_simple_pdf([text], compress=True)) == [text]
+
+    check()
