@@ -157,3 +157,19 @@ def streaming_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream
+    broadcast-joins a STATIC dimension (user profile / segment table).
+    This is the standard streaming enrichment shape — the static side is
+    re-read per batch if its underlying files change, no state store is
+    involved (unlike stream-stream joins), and with a broadcastable dim
+    the per-batch plan is a map-side hash join: no shuffle of the stream.
+    At 100 TB the dim is a compacted table maintained by the batch tier;
+    left join keeps unmatched events (late dim arrival tolerated)."""
+    return events.join(F.broadcast(dim), key, "left")

@@ -141,3 +141,41 @@ def test_upsert_by_key(spark, tmp_path):
     got = {r["doc_id"]: r["version"] for r in spark.read.parquet(target).collect()}
     # conflict key updated, new key inserted, untouched keys kept
     assert got == {"a": 1, "b": 2, "c": 1, "d": 2}
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Stream-static broadcast join: every micro-batch row is enriched
+    from the static dim; unmatched keys keep NULL enrichment."""
+    import pandas as pd
+
+    from pdf_brain_spark.streaming.events import stream_static_enrich
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [10, 20, 99],
+            "value": [1.0, 2.0, 3.0],
+        }
+    ).to_parquet(src / "part0.parquet")
+
+    stream = spark.readStream.schema(
+        "event_id bigint, user_id bigint, value double"
+    ).parquet(str(src))
+    dim = spark.createDataFrame(
+        [(10, "gold"), (20, "basic")], "user_id long, segment string"
+    )
+    enriched = stream_static_enrich(stream, dim)
+
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.event_id: r.segment for r in spark.sql("select * from enriched_t").collect()}
+    assert rows == {1: "gold", 2: "basic", 3: None}
