@@ -120,12 +120,21 @@ def batch_amortization(spark, n_queries: int = 256, k: int = 10) -> dict:
     t0 = time.perf_counter()
     n_rows = similarity_join_topk(queries, emb, k=k).count()
     dt = time.perf_counter() - t0
+    # mirror the baseline's per-k table (BASELINE.md: avg latency at
+    # k ∈ {5,10,20,50}) with amortized batch cost at the same ks
+    k_sweep = {}
+    for kk in (5, 10, 20, 50):
+        t1 = time.perf_counter()
+        similarity_join_topk(queries, emb, k=kk).count()
+        k_sweep[str(kk)] = round(1000.0 * (time.perf_counter() - t1) / n_queries, 3)
     return {
         "n_queries": n_queries,
         "k": k,
         "result_rows": n_rows,
         "total_sec": round(dt, 3),
         "ms_per_query": round(1000.0 * dt / n_queries, 3),
+        "ms_per_query_by_k": k_sweep,
+        "baseline_single_query_ms_by_k": {"5": 19.71, "10": 17.09, "20": 16.99, "50": 17.2},
         "baseline_single_query_ms": 17.1,
     }
 
