@@ -202,3 +202,37 @@ def extract_pdf_pages_udf():
             yield pd.DataFrame(rows, columns=["path", "page", "text"])
 
     return _extract
+
+
+def ingest_pdfs(
+    spark: SparkSession,
+    pdf_files: DataFrame,
+    out_dir: str,
+    existing_docs: DataFrame | None = None,
+) -> dict[str, int]:
+    """The reference's core `add *.pdf` flow (S1→S2 composition,
+    PDFExtractor.ts → PDFProcessor chunking): binary PDF rows
+    (path, content) → per-page text extraction (pypdf or the pure-python
+    parser) → page texts reassembled per document with blank-line page
+    breaks (the chunker treats them as paragraph boundaries) →
+    the standard document/chunk/embed ingest. One extraction pass, all
+    Arrow-batched; at 100 TB this is a binaryFile scan feeding two
+    mapInPandas stages, no driver involvement."""
+    pages = pdf_files.mapInPandas(
+        extract_pdf_pages_udf(), schema="path string, page int, text string"
+    )
+    docs_text = (
+        pages.groupBy("path")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("page"), F.col("text")))
+                    ),
+                    lambda s: s["text"],
+                ),
+                "\n\n",
+            ).alias("content")
+        )
+    )
+    return ingest(spark, docs_text, out_dir, existing_docs=existing_docs)

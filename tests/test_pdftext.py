@@ -171,3 +171,24 @@ def test_roundtrip_property():
         assert extract_pdf_text(build_simple_pdf([text], compress=True)) == [text]
 
     check()
+
+
+def test_ingest_pdfs_end_to_end(spark, tmp_path):
+    """S1→S2 composition: binary PDFs in, documents/chunks/embeddings
+    parquet out, chunk text traceable to the PDF page text."""
+    from pdf_brain_spark.operators.ingest import ingest_pdfs
+
+    pdfs = [
+        ("docs/a.pdf", build_simple_pdf(["alpha body " * 30, "second page " * 20])),
+        ("docs/b.pdf", build_simple_pdf(["bravo " * 40], compress=True)),
+    ]
+    files = spark.createDataFrame(pdfs, "path string, content binary")
+    out = str(tmp_path / "brain")
+    counts = ingest_pdfs(spark, files, out)
+    assert counts["documents"] == 2
+    assert counts["chunks"] >= 2
+    assert counts["embeddings"] == counts["chunks"]
+    chunk_text = " ".join(
+        r.content for r in spark.read.parquet(f"{out}/chunks").collect()
+    )
+    assert "alpha body" in chunk_text and "bravo" in chunk_text
