@@ -168,7 +168,15 @@ def _jaccard_pairs_from_sets(
 ) -> DataFrame:
     """Inverted-index Jaccard over precomputed distinct (id, sh_set) rows
     (callers guarantee uniqueness of content per id)."""
-    sh = sets.select(F.col(id_col), F.explode("sh_set").alias("shingle"))
+    # hash each shingle to int64 BEFORE the explode/shuffle: the postings
+    # shuffle then carries 8-byte keys instead of ~25-byte 3-gram strings
+    # (the dominant shuffle of this operator). xxhash64 collisions at
+    # corpus scale (~n²/2⁶⁴) are orders below the 6-decimal jaccard
+    # rounding noise the gate tolerates.
+    sh = sets.select(
+        F.col(id_col),
+        F.explode(F.transform("sh_set", lambda s: F.xxhash64(s))).alias("shingle"),
+    )
     # per-doc set sizes straight off the cached sets (map-side, no explode)
     sizes = sets.select(F.col(id_col), F.size("sh_set").alias("set_size"))
     # inverted-index pair generation: group docs per shingle ONCE, then
