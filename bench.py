@@ -41,6 +41,8 @@ HEADLINE = [
     "dedup_minhash_verified",
     "events_asof_join",
     "corpus_clean_pipeline",
+    "pdf_extract",
+    "llm_enrichment",
 ]
 
 
