@@ -43,6 +43,9 @@ HEADLINE = [
     "corpus_clean_pipeline",
     "pdf_extract",
     "llm_enrichment",
+    "pii_scrub",
+    "doc_repetition_filter",
+    "benchmark_contamination",
 ]
 
 

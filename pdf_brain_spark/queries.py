@@ -3341,6 +3341,188 @@ _sub_shingle_cap()
 
 
 # --------------------------------------------------------------------------
+# Training-data hygiene extensions: PII scrubbing, repetition (duplicate
+# n-gram) filtering, and benchmark-contamination detection — the three
+# cleaning stages every large-scale pretraining pipeline runs that the
+# reference (a personal knowledge base) never needed.
+# --------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?\d[\d-]{7,}\d"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or +1-555-01'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                  || ' ip 10.0.' || (doc_id % 256) || '.7' AS raw
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(raw, '{_PII_PHONE}')) AS n_phones,
+           len(regexp_extract_all(raw, '{_PII_IP}')) AS n_ips,
+           right(regexp_replace(regexp_replace(regexp_replace(raw,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g'), 64) AS scrubbed_tail
+    FROM synth ORDER BY doc_id
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (training-data hygiene): email / phone / IP
+    patterns counted and replaced with typed placeholders, as pure
+    codegen'd regexp expressions — one map-side pass, no shuffle, which is
+    the only shape that works when the scrub runs over 100 TB of raw
+    crawl. PII is synthesized deterministically onto the corpus (the test
+    tables contain none) so the oracle can verify count AND replacement
+    byte-exactly."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_PHONE), F.lit("<PHONE>"),
+        ),
+        F.lit(_PII_IP), F.lit("<IP>"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count(raw, F.lit(_PII_EMAIL)).alias("n_emails"),
+            F.regexp_count(raw, F.lit(_PII_PHONE)).alias("n_phones"),
+            F.regexp_count(raw, F.lit(_PII_IP)).alias("n_ips"),
+            F.right(scrubbed, F.lit(64)).alias("scrubbed_tail"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_repetition_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tokens
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(tokens) - 3, 1)),
+               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3] || ' ' || tokens[i+4])) AS g
+      FROM toks
+    )
+    SELECT doc_id, count(*) AS n_grams,
+           count(DISTINCT g) AS n_distinct,
+           round(1.0 - count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) AS dup_gram_frac,
+           CASE WHEN 1.0 - count(DISTINCT g) / CAST(count(*) AS DOUBLE) > 0.05
+                THEN 'drop_repetitious' ELSE 'keep' END AS verdict
+    FROM grams
+    WHERE g IS NOT NULL
+    GROUP BY doc_id
+    ORDER BY doc_id
+    LIMIT 200
+    """,
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition gate (Gopher-style duplicate n-gram fraction): the share
+    of a document's 5-gram occurrences that are repeats of an earlier
+    5-gram in the SAME document. One explode + per-doc aggregate — no
+    joins, fully map-reducible, which is what a within-document quality
+    gate must be at 100 TB (cross-document dedup is the separate
+    dedup_* family)."""
+    from pdf_brain_spark.functions.text import shingles, tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    grams = docs.select(
+        "doc_id", F.explode(shingles(tokenize("text"), 5)).alias("g")
+    )
+    frac = F.lit(1.0) - F.countDistinct("g") / F.count(F.lit(1)).cast("double")
+    return (
+        grams.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("g").alias("n_distinct"),
+            F.round(frac, 6).alias("dup_gram_frac"),
+            F.when(frac > 0.05, "drop_repetitious").otherwise("keep").alias("verdict"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "benchmark_contamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tokens
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(tokens) - 1, 1)),
+               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))) AS g
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+    SELECT t.doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           round(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS contamination_rate
+    FROM train t LEFT JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+    ORDER BY n_contaminated DESC, t.doc_id
+    LIMIT 50
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detector: which training documents share
+    3-gram spans with a held-out benchmark set (docs with doc_id % 97 == 0
+    stand in for the eval suite). The benchmark side is tiny by
+    construction, so the overlap check is a BROADCAST semi-join against
+    its distinct n-gram set — at 100 TB the train side streams map-side
+    against a broadcast (or bloom-filtered) gram set, no shuffle of the
+    corpus. Decontamination = anti-join on the same predicate."""
+    from pdf_brain_spark.functions.text import shingles, tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokenize("text"), 3))).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    hit = F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+    joined = train.join(
+        F.broadcast(bench.withColumn("_hit", F.lit(1))), "g", "left"
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(hit).alias("n_contaminated"),
+            F.round(F.sum(hit) / F.count(F.lit(1)).cast("double"), 6).alias(
+                "contamination_rate"
+            ),
+        )
+        .orderBy(F.col("n_contaminated").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
 # Consolidated gate queries: the driver's correctness harness verifies the
 # FIRST 50 registered entries, so closely related operators are exposed both
 # individually (full API surface, below the window) and as consolidated
