@@ -2254,31 +2254,37 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_recall_report", oracle=None)
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-validating ANN quality report: recall@10 of IVF (4/16 probes)
-    and hyperplane-LSH against the exact brute-force top-10, for 4 query
-    vectors. The contract the reference accepts implicitly with DiskANN
-    float8 compression (~1-2% recall loss) made measurable — approximate
-    candidate generation, exact verification."""
-    from pdf_brain_spark.operators.ann import ivf_index, ivf_search, lsh_search, lsh_sketch
-    from pdf_brain_spark.operators.vector_search import topk
+    """Self-validating ANN quality report: per-query recall@10 of batched
+    IVF (8/16 probes) against the exact batched top-10, for 32 query
+    vectors — the contract the reference accepts implicitly with DiskANN
+    float8 compression (~1-2% recall loss) made measurable. Fully
+    distributed: both sides come from one corpus scan each
+    (similarity_join_topk / ivf_search_topk_batch), recall is a
+    left-join + per-query aggregate — no driver-side per-query loop, so
+    the report itself scales with the corpus."""
+    from pdf_brain_spark.operators.ann import ivf_index, ivf_search_topk_batch
+    from pdf_brain_spark.operators.vector_search import similarity_join_topk
 
     emb = load_table(spark, "embeddings", sf_dir).cache()
-    queries_ = [r["embedding"] for r in emb.filter(F.col("vec_id") < 4).collect()]
-    dim = len(queries_[0])
+    queries_df = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
     indexed, centroids = ivf_index(emb)
-    indexed = indexed.cache()
-    sketched = lsh_sketch(emb, dim).cache()
-
-    rows = []
-    for qi, qv in enumerate(queries_):
-        qv = [float(x) for x in qv]
-        exact = {r["vec_id"] for r in topk(emb, qv, k=10).collect()}
-        ivf = {r["vec_id"] for r in ivf_search(indexed, centroids, qv, k=10).collect()}
-        lsh = {r["vec_id"] for r in lsh_search(sketched, dim, qv, k=10).collect()}
-        rows.append(
-            (qi, len(exact & ivf) / 10.0, len(exact & lsh) / 10.0)
-        )
-    return spark.createDataFrame(rows, "query_id int, ivf_recall double, lsh_recall double")
+    exact = similarity_join_topk(queries_df, emb, k=10).select(
+        "query_id", "vec_id"
+    )
+    approx = (
+        ivf_search_topk_batch(indexed, centroids, queries_df, k=10, n_probes=8)
+        .select("query_id", "vec_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    report = (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg((F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1))).alias("ivf_recall"))
+        .orderBy("query_id")
+    )
+    return report
 
 
 @query(
