@@ -2174,15 +2174,62 @@ def concept_label_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("search_pipeline", oracle=None)
+@query(
+    "search_pipeline",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0),
+    vec_arm AS (
+      SELECT e.vec_id AS doc_id,
+             1.0 - {_duck_cosine_distance('e.embedding', 'q.query_vec')} / 2.0 AS vec_score
+      FROM embeddings e, q
+      ORDER BY vec_score DESC, e.vec_id ASC LIMIT 20
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tokens
+      FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(len(tokens)) AS avgdl FROM toks),
+    postings AS (
+      SELECT doc_id, term, len_tokens AS doc_len, count(*) AS tf
+      FROM (SELECT doc_id, unnest(tokens) AS term, len(tokens) AS len_tokens FROM toks)
+      WHERE term IN ('data', 'analysis')
+      GROUP BY doc_id, term, len_tokens
+    ),
+    dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term),
+    fts_arm AS (
+      SELECT doc_id, sum(
+        ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+          * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.doc_len / s.avgdl))
+      ) AS fts_score
+      FROM postings p JOIN dfs d USING (term), stats s
+      GROUP BY doc_id
+      ORDER BY 2 DESC, doc_id ASC LIMIT 20
+    ),
+    merged AS (
+      SELECT COALESCE(v.doc_id, f.doc_id) AS doc_id,
+             CASE WHEN v.doc_id IS NOT NULL AND f.doc_id IS NOT NULL
+                  THEN least(1.0, v.vec_score * 1.2)
+                  ELSE COALESCE(v.vec_score, f.fts_score) END AS raw_score,
+             CASE WHEN v.doc_id IS NOT NULL AND f.doc_id IS NOT NULL THEN 'hybrid'
+                  WHEN v.doc_id IS NOT NULL THEN 'vector' ELSE 'fts' END AS match_type
+      FROM vec_arm v FULL OUTER JOIN fts_arm f ON v.doc_id = f.doc_id
+    )
+    SELECT m.doc_id, d.lang, d.source,
+           round(m.raw_score, 6) AS score, m.match_type
+    FROM merged m JOIN documents d ON d.doc_id = m.doc_id
+    WHERE m.raw_score >= 0.1
+    ORDER BY round(m.raw_score, 6) DESC, m.doc_id ASC
+    LIMIT 10
+    """,
+)
 def search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end §3.1 search lifecycle in ONE job: vector arm (exact
     cosine top-k over-fetched) ∪ BM25 arm → hybrid merge with the
     reference's boost (min(1, 1.2s) when both arms hit) → document join →
     threshold filter → final re-rank. The composite the reference runs as
     four sequential SQL round-trips, here a single DAG Catalyst plans
-    end-to-end. Rows-only (the composition is covered piecewise by
-    vector_topk/fts_bm25/hybrid_search oracles)."""
+    end-to-end — with its own full-composition oracle."""
     from pdf_brain_spark.operators.fts import bm25_scores
     from pdf_brain_spark.operators.hybrid import hybrid_merge
     from pdf_brain_spark.operators.vector_search import topk_by_query_df
