@@ -1670,11 +1670,24 @@ def bic_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "k int, bic double, is_best boolean")
 
 
-@query("multimodal_features", oracle=None)
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(count(*) AS BIGINT) AS n_ok_dim,
+           round(avg(16 + ascii(substr(text, 1, 1))), 4) AS avg_width
+    FROM documents WHERE doc_id < 50
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-feature extraction plumbing (multimodal extension): opaque
     binary column + mapInPandas Arrow-batched feature UDF (decode stubbed
-    deterministically — image libs absent), validity stats out."""
+    deterministically — image libs absent), validity stats out. The
+    oracle re-derives the deterministic metadata contract (asset counts,
+    feature-dim validity, width = 16 + first payload byte) directly from
+    the source rows — a broken batch shape, dropped row, or dim mismatch
+    in the UDF plumbing flips the hash; the Gaussian feature values
+    themselves are Python-side by design."""
     from pdf_brain_spark.operators.multimodal import IMAGE_FEATURE_DIM, extract_image_features
 
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
@@ -2414,13 +2427,24 @@ def streaming_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(qname).orderBy("user_id", "session_start")
 
 
-@query("markdown_sections", oracle=None)
+@query(
+    "markdown_sections",
+    oracle="""
+    SELECT doc_id, 'Doc ' || doc_id AS fm_title, 2 AS n_sections
+    FROM documents WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+)
 def markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markdown extraction pipeline (S3/S4, MarkdownExtractor.ts): YAML
     frontmatter fast-path + heading-delimited section split as an
     Arrow-batched pandas UDF over synthesized markdown; per-doc section
-    stats out. Rows-only (Python chunker; splitting rules are
-    known-answer-tested in tests/test_chunking.py)."""
+    stats out. The synthesized markdown has a known parse (frontmatter
+    title 'Doc {id}', exactly the # Intro and ## Body sections — the
+    corpus text contains no headings), so the oracle re-derives the
+    expected parse and the gate verifies the extractor end-to-end;
+    splitting edge rules are known-answer-tested in
+    tests/test_chunking.py."""
     import pandas as pd
 
     from pdf_brain_spark.functions.chunking import extract_frontmatter, extract_sections
