@@ -108,6 +108,14 @@ def tiered_time_rollup(
         .agg(F.count(F.lit(1)).alias("_n"), F.sum(value_col).alias("_sv"))
         .select(*group_cols, F.col("w.start").alias("window_start"), "_n", "_sv")
     )
+    if len(tiers) > 1:
+        # without this, each coarser tier's union branch re-scans the FACTS
+        # and recomputes the finest aggregate (Catalyst's ReuseExchange
+        # can't match the branches) — cache pins the finest partials so
+        # coarser tiers genuinely read them. In production the finest tier
+        # is a materialized continuous-aggregate table; this is its
+        # in-plan stand-in.
+        cur = cur.cache()
     out = cur.select(
         *group_cols,
         F.lit(finest_label).alias("tier"),
