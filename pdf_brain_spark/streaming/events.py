@@ -173,3 +173,35 @@ def stream_static_enrich(
     At 100 TB the dim is a compacted table maintained by the batch tier;
     left join keeps unmatched events (late dim arrival tolerated)."""
     return events.join(F.broadcast(dim), key, "left")
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    left_watermark: str = "2 hours",
+    right_watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: left events match right
+    events of the same key whose timestamp falls within [left.ts,
+    left.ts + within]. Both sides carry watermarks so the state store
+    evicts rows once they can no longer match (state is bounded by
+    watermark + join window, the only way a stream-stream join survives
+    unbounded input). The time-bound predicate is what lets Spark derive
+    the state cleanup condition — an unconstrained stream-stream join
+    would keep both sides forever."""
+    l = left.withWatermark("ts", left_watermark).alias("l")
+    r = right.withWatermark("ts", right_watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{key} = r.{key} AND r.ts >= l.ts AND r.ts <= l.ts + interval {within}"
+        ),
+    ).select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("r.event_id").alias("right_event_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )

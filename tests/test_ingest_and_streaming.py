@@ -179,3 +179,51 @@ def test_stream_static_enrich(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r.event_id: r.segment for r in spark.sql("select * from enriched_t").collect()}
     assert rows == {1: "gold", 2: "basic", 3: None}
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Watermarked stream-stream join: clicks pair with views of the same
+    user within 1 hour, out-of-window pairs excluded."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    from pdf_brain_spark.streaming.events import stream_stream_join
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return datetime(2024, 1, 1, 10, 0, 0).replace(minute=0) + pd.Timedelta(minutes=minutes)
+
+    clicks_dir = tmp_path / "clicks"
+    views_dir = tmp_path / "views"
+    clicks_dir.mkdir()
+    views_dir.mkdir()
+    pd.DataFrame(
+        {"event_id": [1, 2], "user_id": [7, 8], "ts": [t0, ts(30)]}
+    ).to_parquet(clicks_dir / "p.parquet", coerce_timestamps="us", allow_truncated_timestamps=True)
+    pd.DataFrame(
+        # u7: one view 10 min after (match), one 3 h after (no match);
+        # u8: view 20 min after its click (match)
+        {"event_id": [11, 12, 13], "user_id": [7, 7, 8], "ts": [ts(10), ts(180), ts(50)]}
+    ).to_parquet(views_dir / "p.parquet", coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    schema = "event_id bigint, user_id bigint, ts timestamp"
+    clicks = spark.readStream.schema(schema).parquet(str(clicks_dir))
+    views = spark.readStream.schema(schema).parquet(str(views_dir))
+    joined = stream_stream_join(clicks, views, within="1 hour")
+
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pairs = {
+        (r.left_event_id, r.right_event_id)
+        for r in spark.sql("select * from ssj_t").collect()
+    }
+    assert pairs == {(1, 11), (2, 13)}
