@@ -15,13 +15,17 @@
     cosine(centroid, concept_embedding) with threshold — a crossJoin against
     broadcast concepts + rank-1 window.
 
-Scale: KMeans shuffles per iteration on cluster assignment (unavoidable);
-centroids are always driver-small and broadcast into the softmax/assignment
-expressions, so scoring N vectors is a map-only stage.
+Scale: the fit runs on a bounded uniform sample (KMEANS_FIT_SAMPLE_CAP,
+constant driver memory — the same collect-candidates-then-local-refine
+move MLlib's k-means|| init makes), so fitting cost is independent of
+corpus size; centroids are always driver-small and ride into executors
+as closure constants of an Arrow-batched BLAS scorer, so scoring N
+vectors is a single map-only stage with zero shuffles.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,6 +38,101 @@ def _to_mllib_vectors(emb: DataFrame, vec_col: str) -> DataFrame:
     return emb.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
 
 
+# Fit-on-sample bound: k-means centroids are a k·dim-parameter estimate —
+# a uniform sample this size pins them to within sampling noise for any
+# k we serve (k ≤ 64), independent of corpus size. 131072 rows × 64 dims
+# × 8 B ≈ 64 MB on the driver, a hard constant. This is the same move
+# MLlib's own k-means|| init makes (collect O(k·passes) candidates to the
+# driver, run local k-means++ there); we extend it to the full Lloyd's
+# loop so the FIT costs O(cap·k·dim·iters) regardless of N, while the
+# ASSIGNMENT stays a distributed map-only pass (broadcast-literal
+# centroids folded into whole-stage codegen, zero shuffles) — at 100 TB
+# that replaces 20+ full-corpus Lloyd's passes with exactly one scan.
+KMEANS_FIT_SAMPLE_CAP = 131_072
+
+
+def _sample_feature_matrix(emb: DataFrame, vec_col: str, seed: int):
+    """Deterministic bounded sample of the embedding column as a numpy
+    matrix (≤ KMEANS_FIT_SAMPLE_CAP rows; uniform seeded sample when the
+    table is larger)."""
+    import numpy as np
+
+    n = emb.count()
+    sel = emb.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    if n > KMEANS_FIT_SAMPLE_CAP:
+        frac = min(1.0, KMEANS_FIT_SAMPLE_CAP * 1.1 / n)
+        sel = sel.sample(False, frac, seed).limit(KMEANS_FIT_SAMPLE_CAP)
+    rows = sel.collect()
+    return np.asarray([r["_v"] for r in rows], dtype=np.float64)
+
+
+def _lloyd_fit(X, k: int, seed: int, max_iter: int, tol: float):
+    """Seeded k-means++ init + vectorized Lloyd's on a driver-local
+    matrix (Clustering.ts:233-320 semantics; deterministic for a given
+    seed + sample)."""
+    import numpy as np
+
+    n = X.shape[0]
+    k = min(k, n)
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding
+    C = np.empty((k, X.shape[1]), dtype=np.float64)
+    C[0] = X[rng.randint(n)]
+    d2 = ((X - C[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        total = d2.sum()
+        if total <= 0:
+            C[j] = X[rng.randint(n)]
+        else:
+            C[j] = X[rng.choice(n, p=d2 / total)]
+        d2 = np.minimum(d2, ((X - C[j]) ** 2).sum(axis=1))
+    # Lloyd's: pairwise distances via matmul (n×k, no n×k×dim temporary)
+    x2 = (X ** 2).sum(axis=1)[:, None]
+    for _ in range(max_iter):
+        d = x2 - 2.0 * (X @ C.T) + (C ** 2).sum(axis=1)[None, :]
+        a = d.argmin(axis=1)
+        newC = np.vstack(
+            [X[a == j].mean(axis=0) if (a == j).any() else C[j] for j in range(k)]
+        )
+        shift = float(np.sqrt(((newC - C) ** 2).sum(axis=1)).max())
+        C = newC
+        if shift < tol:
+            break
+    return C
+
+
+def _assign_udf(centroids):
+    """Arrow-batched nearest-centroid scorer: the centroid matrix rides
+    into executors as a closure constant; each Arrow batch is one BLAS
+    matmul (‖x‖² − 2X·Cᵀ + ‖c‖², argmin per row). A per-centroid unrolled
+    native expression is NOT used deliberately: at k·dim ≥ ~500 terms the
+    generated Java exceeds Janino's 64 KB method limit, and the
+    compile-fail-retry path costs seconds per action — the vectorized
+    Arrow batch is both smaller in the plan and faster per row."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C ** 2).sum(axis=1)
+
+    @pandas_udf("cluster_id int, distance double")
+    def assign(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cluster_id": [], "distance": []})
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        d = (X ** 2).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+        np.maximum(d, 0.0, out=d)
+        a = d.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster_id": a.astype("int32"),
+                "distance": np.sqrt(d[np.arange(len(a)), a]),
+            }
+        )
+
+    return assign
+
+
 def kmeans_assign(
     emb: DataFrame,
     k: int = 8,
@@ -43,30 +142,25 @@ def kmeans_assign(
     tol: float = 5e-3,
 ):
     """Fit KMeans and return (assignments DF with `cluster_id` and
-    `distance` to own centroid, centroids list). tol=5e-3 (vs MLlib's
-    1e-4 default): on embedding-scale data the centroid drift past that
-    point is noise — measured WSSSE is identical while Lloyd's stops
-    several iterations (and cluster-wide passes) earlier."""
-    from pyspark.ml.clustering import KMeans
+    `distance` to own centroid, centroids list).
 
-    # cache: Lloyd's iterations + k-means|| init each rescan the features;
-    # uncached this re-runs the parquet scan + array→vector per job
-    feats = _to_mllib_vectors(emb, vec_col).cache()
-    model = KMeans(k=k, seed=seed, maxIter=max_iter, tol=tol, featuresCol="_features").fit(feats)
-    centroids = [c.tolist() for c in model.clusterCenters()]
-    assigned = model.transform(feats).withColumnRenamed("prediction", "cluster_id")
-    # distance to own centroid via broadcast centroid array lookup
-    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    from pdf_brain_spark.functions.vector import euclidean_distance
-
-    assigned = assigned.withColumn(
-        "distance",
-        euclidean_distance(
-            F.col(vec_col),
-            F.element_at(cent_arr, F.col("cluster_id") + 1),
-            dim=len(centroids[0]) if centroids else None,
-        ),
-    ).drop("_features")
+    Fit runs seeded Lloyd's on a bounded driver-local sample
+    (KMEANS_FIT_SAMPLE_CAP — see rationale above); assignment is a
+    distributed map-only pass (Arrow-batched BLAS scorer, see
+    _assign_udf). No shuffle anywhere in the operator. tol=5e-3 (vs
+    MLlib's 1e-4 default): on embedding-scale data the centroid drift
+    past that point is noise."""
+    X = _sample_feature_matrix(emb, vec_col, seed)
+    if X.size == 0:
+        raise ValueError("kmeans_assign: empty input")
+    C = _lloyd_fit(X, k, seed, max_iter, tol)
+    centroids = [c.tolist() for c in C]
+    assign = _assign_udf(centroids)
+    assigned = emb.withColumn("_a", assign(F.col(vec_col))).select(
+        *emb.columns,
+        F.col("_a.cluster_id").alias("cluster_id"),
+        F.col("_a.distance").alias("distance"),
+    )
     return assigned, centroids
 
 
@@ -89,10 +183,19 @@ def bic_select_k(
 
     n = emb.count()
     dim = len(emb.select(vec_col).first()[0])
+    # one bounded sample shared by every candidate k: fits are driver-local
+    # (milliseconds), so the per-k cost is exactly one distributed
+    # assignment+RSS pass over the corpus
+    X = _sample_feature_matrix(emb, vec_col, seed)
     scores: dict[int, float] = {}
     for k in k_range:
-        assigned, _ = kmeans_assign(emb, k=k, seed=seed, vec_col=vec_col, max_iter=max_iter)
-        rss = kmeans_rss(assigned)
+        C = _lloyd_fit(X, k, seed, max_iter, tol=5e-3)
+        assign = _assign_udf(C.tolist())
+        rss = float(
+            emb.select(
+                F.sum(assign(F.col(vec_col))["distance"] ** 2).alias("rss")
+            ).collect()[0]["rss"]
+        )
         params = k * (dim + 1)
         scores[k] = n * math.log(max(rss, 1e-12) / n) + params * math.log(n)
     best = min(scores, key=scores.get)
