@@ -212,34 +212,48 @@ def soft_assignments(
 ) -> DataFrame:
     """Softmax(-distance/T) membership probabilities, max-shifted for
     stability exactly like the reference (Clustering.ts:217-224); rows with
-    p < min_probability dropped."""
-    from pdf_brain_spark.functions.vector import euclidean_distance
+    p < min_probability dropped.
 
-    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    k = len(centroids)
-    with_d = emb.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("cluster_id"),
-        F.col(vec_col).alias("_v"),
-    ).withColumn(
-        "neg_d",
-        -euclidean_distance(
-            F.col("_v"),
-            F.element_at(cent_arr, F.col("cluster_id") + 1),
-            dim=len(centroids[0]),
-        )
-        / F.lit(temperature),
-    )
-    from pyspark.sql import Window
+    The softmax is per-row over the k broadcast centroids, so it is
+    computed map-side in one Arrow batch (distances via BLAS matmul,
+    softmax across the k columns) and emitted as an array that a map-side
+    explode unpacks — no shuffle. The previous shape (explode to N×k rows,
+    window partitionBy(id) for max/sum) shuffled the whole exploded table
+    just to see a row's own k values together."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
-    w = Window.partitionBy(id_col)
-    shifted = with_d.withColumn("m", F.max("neg_d").over(w)).withColumn(
-        "e", F.exp(F.col("neg_d") - F.col("m"))
-    )
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C ** 2).sum(axis=1)
+
+    @pandas_udf("array<struct<cluster_id:int, probability:double>>")
+    def soft(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        d2 = (X ** 2).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+        np.maximum(d2, 0.0, out=d2)
+        neg = -np.sqrt(d2) / temperature
+        neg -= neg.max(axis=1, keepdims=True)
+        e = np.exp(neg)
+        p = e / e.sum(axis=1, keepdims=True)
+        out = [
+            [
+                {"cluster_id": int(j), "probability": round(float(row[j]), 6)}
+                for j in range(len(row))
+                if row[j] >= min_probability
+            ]
+            for row in p
+        ]
+        return pd.Series(out)
+
     return (
-        shifted.withColumn("p", F.col("e") / F.sum("e").over(w))
-        .filter(F.col("p") >= min_probability)
-        .select(id_col, "cluster_id", F.round("p", 6).alias("probability"))
+        emb.select(F.col(id_col), F.explode(soft(F.col(vec_col))).alias("_m"))
+        .select(
+            id_col,
+            F.col("_m.cluster_id").alias("cluster_id"),
+            F.col("_m.probability").alias("probability"),
+        )
     )
 
 

@@ -68,3 +68,41 @@ def test_bucketed_join_eliminates_shuffle(spark):
         emb.select("doc_id", "label"), "doc_id"
     )
     assert "Exchange hashpartitioning" in _plan(plain_smj)
+
+
+def test_kmeans_assignment_is_map_only_and_deterministic(spark):
+    """The clustering fit runs on a bounded driver-local sample; the
+    assignment must be a single map-side pass — any Exchange in the plan
+    would mean the operator shuffles N rows to score them. Fit + scoring
+    must also be bit-deterministic for a fixed seed."""
+    from pdf_brain_spark.operators.clustering import kmeans_assign
+
+    from pdf_brain_spark.sources.loaders import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    a1, c1 = kmeans_assign(emb, k=4, seed=42)
+    plan = _plan(a1.select("vec_id", "cluster_id", "distance"))
+    assert "Exchange" not in plan
+    a2, c2 = kmeans_assign(emb, k=4, seed=42)
+    assert c1 == c2
+    r1 = sorted(map(tuple, a1.select("vec_id", "cluster_id", "distance").collect()))
+    r2 = sorted(map(tuple, a2.select("vec_id", "cluster_id", "distance").collect()))
+    assert r1 == r2
+
+
+def test_soft_assignments_map_only(spark):
+    """Per-row softmax over broadcast centroids must not shuffle: the
+    previous explode+window shape repartitioned N×k rows just to compute
+    a row-local max/sum."""
+    from pdf_brain_spark.operators.clustering import kmeans_assign, soft_assignments
+
+    from pdf_brain_spark.sources.loaders import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    _, centroids = kmeans_assign(emb, k=4, seed=42)
+    soft = soft_assignments(emb, centroids)
+    assert "Exchange" not in _plan(soft)
+    rows = soft.collect()
+    assert len(rows) > 0
+    # probabilities for one vec sum to <= 1 and every row passes the floor
+    assert all(r.probability >= 0.1 for r in rows)
