@@ -22,6 +22,7 @@ scores are exact; only candidate generation is approximate.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -70,20 +71,27 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
 def lsh_sketch(
     emb: DataFrame, dim: int, n_planes: int = 16, seed: int = 7, vec_col: str = "embedding"
 ) -> DataFrame:
-    """Sign-bit sketch: bucket = Σ (v·hᵢ > 0) << i, as a codegen'd expression
-    over broadcast literal hyperplanes."""
+    """Sign-bit sketch: bucket = Σ (v·hᵢ > 0) << i. Computed as an
+    Arrow-batched matmul against the broadcast hyperplane matrix (one
+    BLAS call per batch, then a bit-weight dot): map-only, no shuffle.
+    An unrolled native expression was tried and rejected — n_planes·dim
+    terms blow Janino's 64 KB generated-method limit and every action
+    then pays a compile-fail-and-fallback penalty of ~10 s."""
     planes = _hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for i, h in enumerate(planes):
-        # unrolled multiply-add (dim is known) keeps all n_planes
-        # projections inside whole-stage codegen; the HOF form would be
-        # n_planes interpreted folds per row
-        proj = None
-        for j, x in enumerate(h, 1):
-            term = F.element_at(F.col(vec_col), j).cast("double") * F.lit(float(x))
-            proj = term if proj is None else proj + term
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return emb.withColumn("bucket", bucket)
+    from pyspark.sql.functions import pandas_udf
+
+    P = planes.T.copy()  # dim × n_planes
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("long")
+    def bucket(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        bits = (X @ P) > 0
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return emb.withColumn("bucket", bucket(F.col(vec_col)))
 
 
 def lsh_search(
