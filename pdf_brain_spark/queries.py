@@ -3514,22 +3514,29 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition gate (Gopher-style duplicate n-gram fraction): the share
     of a document's 5-gram occurrences that are repeats of an earlier
-    5-gram in the SAME document. One explode + per-doc aggregate — no
-    joins, fully map-reducible, which is what a within-document quality
-    gate must be at 100 TB (cross-document dedup is the separate
-    dedup_* family)."""
+    5-gram in the SAME document. Both counts are row-local facts of the
+    gram array (size / size∘distinct), so the whole gate is computed
+    map-side with NO explode, NO groupBy, NO shuffle beyond the final
+    top-200 ordering — which is what a within-document quality gate must
+    be at 100 TB (cross-document dedup is the separate dedup_* family)."""
     from pdf_brain_spark.functions.text import shingles, tokenize
 
     docs = load_table(spark, "documents", sf_dir)
-    grams = docs.select(
-        "doc_id", F.explode(shingles(tokenize("text"), 5)).alias("g")
+    g = (
+        docs.select("doc_id", shingles(tokenize("text"), 5).alias("_g"))
+        .filter(F.size("_g") > 0)
+        .select(
+            "doc_id",
+            F.size("_g").alias("n_grams"),
+            F.size(F.array_distinct("_g")).alias("n_distinct"),
+        )
     )
-    frac = F.lit(1.0) - F.countDistinct("g") / F.count(F.lit(1)).cast("double")
+    frac = F.lit(1.0) - F.col("n_distinct") / F.col("n_grams").cast("double")
     return (
-        grams.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.countDistinct("g").alias("n_distinct"),
+        g.select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
             F.round(frac, 6).alias("dup_gram_frac"),
             F.when(frac > 0.05, "drop_repetitious").otherwise("keep").alias("verdict"),
         )
