@@ -36,6 +36,10 @@ def get_spark(app_name: str = "pdf_brain_spark", shuffle_partitions: int | None 
         # testdata events.parquet carries TIMESTAMP(NANOS); Spark reads it
         # as long (nanos) under this flag and loaders.py converts to micros
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write timestamps as TIMESTAMP_MICROS, not the legacy INT96:
+        # INT96 columns carry NO footer min/max statistics, which silently
+        # disables file/row-group pruning on every time-clustered layout
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # bucketed-table writes (co-located joins) land outside the repo
         .config(
             "spark.sql.warehouse.dir",

@@ -1,0 +1,84 @@
+"""Physical file-layout optimization — the storage-side lever SURVEY §4
+names beyond partitioning and bucketing: range-cluster hot sort keys so
+parquet footer min/max statistics prune FILES (and row groups) before a
+single byte of data is read.
+
+At 100 TB this is the difference between "the filter is pushed down"
+(row-group decode still touches every file) and "the scan plans 0.4% of
+the files": a time-range query against an events table range-clustered
+on `ts` opens only the files whose [min,max] span intersects the
+predicate. Spark applies this automatically from parquet footers; the
+operator's job is just to WRITE data so the spans are narrow and
+disjoint instead of every file spanning the whole domain (which is what
+a hash-shuffled write produces).
+
+`file_stats` / `pruning_ratio` read the footer statistics back via
+pyarrow, so tests assert prunability as a measured property of the
+layout, not as a hope.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def cluster_by_range(df: DataFrame, n_files: int, *cols: str) -> DataFrame:
+    """Rewrite-shape for range clustering: global range partition on the
+    leading column(s) (one sampling pass + one shuffle, the same cost any
+    sorted write pays), then sort within each output file so row-group
+    stats are monotone too. The result written to parquet yields files
+    with narrow, mutually disjoint [min,max] spans on `cols`."""
+    # INT96 timestamp columns carry no footer statistics — force the
+    # stats-bearing physical type no matter which session writes
+    df.sparkSession.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    return df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+
+
+def file_stats(path: str, col: str) -> list[tuple[str, object, object]]:
+    """(file, min, max) of `col` from each parquet footer under `path` —
+    the exact statistics a scan's file-level pruning consults."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    def _naive(v):
+        # pyarrow returns tz-aware (UTC) datetimes; Spark collects naive
+        # session-UTC ones — normalize so callers can compare directly
+        if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+            return v.replace(tzinfo=None)
+        return v
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        f = pq.ParquetFile(os.path.join(path, name))
+        idx = f.schema_arrow.get_field_index(col)
+        lo, hi = None, None
+        for rg in range(f.metadata.num_row_groups):
+            st = f.metadata.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+        out.append((name, _naive(lo), _naive(hi)))
+    return out
+
+
+def pruning_ratio(path: str, col: str, lo, hi) -> float:
+    """Fraction of files a [lo, hi] predicate on `col` must open, judged
+    purely on footer min/max — 1.0 means the layout prunes nothing."""
+    stats = file_stats(path, col)
+    if not stats:
+        return 1.0
+    touched = sum(
+        1
+        for _, fmin, fmax in stats
+        if fmin is None or fmax is None or (fmax >= lo and fmin <= hi)
+    )
+    return touched / len(stats)

@@ -106,3 +106,32 @@ def test_soft_assignments_map_only(spark):
     assert len(rows) > 0
     # probabilities for one vec sum to <= 1 and every row passes the floor
     assert all(r.probability >= 0.1 for r in rows)
+
+
+def test_range_clustering_enables_file_pruning(spark, tmp_path):
+    """Range-clustered writes must produce narrow disjoint per-file
+    [min,max] spans so footer stats prune files; a hash-shuffled write of
+    the same data leaves every file spanning the whole domain (prunes
+    nothing). Measured from the parquet footers themselves."""
+    from pdf_brain_spark.sources.layout import cluster_by_range, file_stats, pruning_ratio
+    from pdf_brain_spark.sources.loaders import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.01").select("event_id", "ts")
+    clustered = str(tmp_path / "ev_clustered")
+    shuffled = str(tmp_path / "ev_shuffled")
+    cluster_by_range(ev, 8, "ts").write.parquet(clustered)
+    ev.repartition(8).write.parquet(shuffled)
+
+    # a predicate spanning ~1/8 of the time domain
+    lo, hi = ev.selectExpr("min(ts)", "max(ts)").first()
+    width = (hi - lo) / 8
+    r_clustered = pruning_ratio(clustered, "ts", lo, lo + width)
+    r_shuffled = pruning_ratio(shuffled, "ts", lo, lo + width)
+    assert r_shuffled == 1.0  # every hash-shuffled file spans everything
+    assert r_clustered <= 0.375  # ≤3 of 8 range files touched
+
+    # and the spans really are near-disjoint: sorted by min, each file's
+    # min must be >= the previous file's max (no interleaving)
+    spans = sorted((s for s in file_stats(clustered, "ts")), key=lambda s: s[1])
+    for (_, _, prev_max), (_, cur_min, _) in zip(spans, spans[1:]):
+        assert cur_min >= prev_max
