@@ -33,32 +33,56 @@ _FENCE_RE = r"```(?:json)?\s*([\s\S]*?)```"
 _OBJ_RE = r"\{[\s\S]*\}"
 _TRAILING_COMMA_RE = r",\s*([}\]])"
 _UNQUOTED_KEY_RE = r"(\{|,)\s*([a-zA-Z_][a-zA-Z0-9_]*)\s*:"
+# positional single->double quote rules: only a quote adjacent to JSON
+# structure ({ [ : , on the opening side; : , ] } on the closing side) is
+# rewritten, so apostrophes inside double-quoted values survive repair
+_SQUOTE_OPEN_RE = r"([{\[:,]\s*)'"
+_SQUOTE_CLOSE_RE = r"'(\s*[:,\]}])"
 
 
 def repair_llm_json(col: Column | str) -> Column:
     """Reference parseJSONFromText repair chain as native expressions:
-    fence-extract -> object-extract -> strip trailing commas -> single->
-    double quotes -> quote bare keys. Returns the repaired JSON text
+    fence-extract -> object-extract, then (like the reference, which tries
+    JSON.parse FIRST and only repairs on failure) the repair rules — strip
+    trailing commas, positional single->double quotes, quote bare keys —
+    apply only when the extracted object is not already strict JSON.
+    Valid JSON whose string values contain apostrophes or ', word:'
+    sequences passes through byte-identical. Returns the JSON text
     ('' when no object is found, mirroring the reference's throw)."""
     c = _c(col)
     fenced = F.regexp_extract(c, _FENCE_RE, 1)
     base = F.when(F.length(fenced) > 0, fenced).otherwise(c)
     obj = F.regexp_extract(base, _OBJ_RE, 0)
     cleaned = F.regexp_replace(obj, _TRAILING_COMMA_RE, "$1")
-    cleaned = F.regexp_replace(cleaned, "'", '"')
-    return F.regexp_replace(cleaned, _UNQUOTED_KEY_RE, '$1"$2":')
+    cleaned = F.regexp_replace(cleaned, _SQUOTE_OPEN_RE, '$1"')
+    cleaned = F.regexp_replace(cleaned, _SQUOTE_CLOSE_RE, '"$1')
+    repaired = F.regexp_replace(cleaned, _UNQUOTED_KEY_RE, '$1"$2":')
+    # try_parse_json is strict (rejects single quotes, trailing commas,
+    # bare keys — same acceptance set as ECMA JSON.parse), unlike
+    # get_json_object which tolerates single quotes
+    return F.when(F.try_parse_json(obj).isNotNull(), obj).otherwise(repaired)
 
 
 def duck_repair_llm_json(expr: str) -> str:
-    """DuckDB twin of repair_llm_json over the SQL expression `expr`."""
+    """DuckDB twin of repair_llm_json over the SQL expression `expr`.
+
+    DuckDB's json_valid is lenient about trailing commas (Spark's
+    try_parse_json is not), so the strictness gate ANDs in a no-trailing-
+    comma regex to keep the two engines' accept sets identical on the
+    gated fixtures."""
     fenced = f"regexp_extract({expr}, '{_FENCE_RE}', 1)"
     base = f"(CASE WHEN length({fenced}) > 0 THEN {fenced} ELSE {expr} END)"
     obj = f"regexp_extract({base}, '{_OBJ_RE}', 0)"
     cleaned = f"regexp_replace({obj}, '{_TRAILING_COMMA_RE}', '\\1', 'g')"
-    cleaned = f"regexp_replace({cleaned}, '''', '\"', 'g')"
-    return (
+    cleaned = f"regexp_replace({cleaned}, '([{{\\[:,]\\s*)''', '\\1\"', 'g')"
+    cleaned = f"regexp_replace({cleaned}, '''(\\s*[:,\\]}}])', '\"\\1', 'g')"
+    repaired = (
         f"regexp_replace({cleaned}, '{_UNQUOTED_KEY_RE}', '\\1\"\\2\":', 'g')"
     )
+    strict = (
+        f"(json_valid({obj}) AND NOT regexp_matches({obj}, ',\\s*[}}\\]]'))"
+    )
+    return f"(CASE WHEN {strict} THEN {obj} ELSE {repaired} END)"
 
 
 def extract_tags_fallback(col: Column | str) -> Column:

@@ -96,8 +96,19 @@ def _maybe_inflate(head: bytes, stream: bytes) -> bytes:
         try:
             return zlib.decompress(stream)
         except zlib.error:
-            # some writers omit the EOL handling above; try raw deflate
-            return zlib.decompressobj().decompress(stream)
+            # two salvage passes: headered decompressobj tolerates
+            # truncated tails / trailing garbage (unused_data), wbits=-15
+            # is genuine raw deflate for writers that omit the zlib header
+            # (default wbits would reject those outright). A stream
+            # malformed beyond both is skipped, not propagated.
+            for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):
+                try:
+                    out = zlib.decompressobj(wbits).decompress(stream)
+                except zlib.error:
+                    continue
+                if out:
+                    return out
+            return b""
     return stream
 
 
@@ -283,12 +294,16 @@ def extract_page_text(content: bytes) -> str:
             op = m.group()
             if op == b"Tj" and last_string is not None:
                 out.append(_decode_pdf_bytes(last_string))
+                # consume the buffer so a later TJ (malformed stream whose
+                # '[' the tokenizer skipped) can't re-emit this string
+                strings_since_open = []
             elif op == b"TJ":
                 out.append("".join(_decode_pdf_bytes(s) for s in strings_since_open))
                 strings_since_open = []
             elif op in (b"'", b'"') and last_string is not None:
                 out.append("\n")
                 out.append(_decode_pdf_bytes(last_string))
+                strings_since_open = []
             elif op in (b"Td", b"TD", b"T*"):
                 if out:
                     out.append("\n")

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pdf_brain_spark.functions.vector import cosine_distance, distance_to_score
+from pdf_brain_spark.operators.vector_search import topk_rows_tiebroken
 
 
 def ivf_index(
@@ -172,15 +173,11 @@ def ivf_search_topk_batch(
                 vmat = np.asarray(list(grp[vec_col]), dtype=np.float64)
                 vmat = vmat / np.linalg.norm(vmat, axis=1, keepdims=True)
                 dist = 1.0 - vmat @ qmat[qsel].T  # B×|qsel|
-                b = dist.shape[0]
-                take = min(m_take, b)
+                take = min(m_take, dist.shape[0])
                 vid = grp[id_col].to_numpy()
                 for j, qi in enumerate(qsel):
-                    rows = (
-                        np.argpartition(dist[:, j], take - 1)[:take]
-                        if take < b
-                        else np.arange(b)
-                    )
+                    # (distance, vec_id) tiebreak matches the merge window
+                    rows = topk_rows_tiebroken(dist[:, j], vid, take)
                     out_q.extend([qids[qi]] * len(rows))
                     out_v.extend(vid[rows])
                     out_d.extend(dist[rows, j])

@@ -111,11 +111,16 @@ def tiered_time_rollup(
     if len(tiers) > 1:
         # without this, each coarser tier's union branch re-scans the FACTS
         # and recomputes the finest aggregate (Catalyst's ReuseExchange
-        # can't match the branches) — cache pins the finest partials so
-        # coarser tiers genuinely read them. In production the finest tier
-        # is a materialized continuous-aggregate table; this is its
-        # in-plan stand-in.
-        cur = cur.cache()
+        # can't match the branches) — pinning the finest partials means
+        # coarser tiers genuinely read them. localCheckpoint, not cache():
+        # cache() entries live in the CacheManager until someone calls
+        # unpersist, which a lazy operator can't do safely (the caller
+        # collects after we return) — so repeated invocations in a
+        # long-lived session would accumulate. Checkpoint blocks are
+        # reclaimed by the ContextCleaner when the DataFrame goes out of
+        # scope. In production the finest tier is a materialized
+        # continuous-aggregate table; this is its in-plan stand-in.
+        cur = cur.localCheckpoint(eager=True)
     out = cur.select(
         *group_cols,
         F.lit(finest_label).alias("tier"),

@@ -131,6 +131,26 @@ def similarity_join(
     )
 
 
+def topk_rows_tiebroken(dist_col, vid, take: int):
+    """Indices of the `take` smallest entries under the total order
+    (distance, vec_id) — the SAME order as the final merge window, so a
+    distance tie straddling a batch's truncation boundary selects exactly
+    the candidates the exhaustive plan would. argpartition finds the kth
+    distance in O(B); only the tied tail (usually ~take rows) pays the
+    lexsort."""
+    import numpy as np
+
+    b = dist_col.shape[0]
+    if take >= b:
+        cand = np.arange(b)
+    else:
+        part = np.argpartition(dist_col, take - 1)[:take]
+        kth = dist_col[part].max()
+        cand = np.flatnonzero(dist_col <= kth)
+    order = np.lexsort((vid[cand], dist_col[cand]))
+    return cand[order[:take]]
+
+
 def similarity_join_topk(
     queries: DataFrame,
     vectors: DataFrame,
@@ -154,10 +174,10 @@ def similarity_join_topk(
     post-map shuffle is partitions × Q × k rows — independent of corpus
     size. A final rank window (distance, vec_id) merges partials exactly.
 
-    Tie caveat: a distance tie exactly at a batch's k+slack boundary can
-    admit a different tied candidate than the exhaustive plan; slack
-    absorbs realistic duplicates, byte-exactness on adversarial ties is
-    the exhaustive `similarity_join`'s job.
+    Per-batch truncation breaks ties by (distance, vec_id) — the same
+    total order as the merge window — so the result is byte-identical to
+    the exhaustive `similarity_join` even under adversarial distance
+    ties (slack is a perf knob, not a correctness crutch).
     """
     import numpy as np
     import pandas as pd
@@ -176,17 +196,11 @@ def similarity_join_topk(
             vmat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             vmat = vmat / np.linalg.norm(vmat, axis=1, keepdims=True)
             dist = 1.0 - vmat @ qmat.T  # B×Q cosine distance
-            b = dist.shape[0]
-            take = min(m_take, b)
-            idx = (
-                np.argpartition(dist, take - 1, axis=0)[:take]
-                if take < b
-                else np.arange(b)[:, None].repeat(len(qids), axis=1)
-            )
+            take = min(m_take, dist.shape[0])
             vid = pdf[id_col].to_numpy()
             out_q, out_v, out_d = [], [], []
             for j in range(len(qids)):
-                rows = idx[:, j] if idx.ndim == 2 else idx
+                rows = topk_rows_tiebroken(dist[:, j], vid, take)
                 out_q.extend([qids[j]] * len(rows))
                 out_v.extend(vid[rows])
                 out_d.extend(dist[rows, j])

@@ -2325,7 +2325,10 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_brain_spark.operators.ann import ivf_index, ivf_search_topk_batch
     from pdf_brain_spark.operators.vector_search import similarity_join_topk
 
-    emb = load_table(spark, "embeddings", sf_dir).cache()
+    # localCheckpoint, not cache(): this wrapper returns a lazy plan, so it
+    # can never unpersist safely — checkpoint blocks are ContextCleaner-
+    # reclaimed when the result goes out of scope instead of accumulating
+    emb = load_table(spark, "embeddings", sf_dir).localCheckpoint(eager=True)
     queries_df = emb.filter(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
