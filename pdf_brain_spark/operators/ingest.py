@@ -42,13 +42,18 @@ EMBED_DIM = 64
 
 
 def deterministic_embedding(text: str, dim: int = EMBED_DIM) -> np.ndarray:
-    """Seeded hash-embedding test double: sha256(text) seeds a Gaussian
-    unit vector. Deterministic across runs/executors — the hermetic stand-in
-    for the Ollama embed call (M6)."""
-    seed = int.from_bytes(hashlib.sha256(text.encode()).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    v = rng.standard_normal(dim)
-    return (v / np.linalg.norm(v)).astype(np.float32)
+    """md5-arithmetic hash-embedding test double: component i derives from
+    md5(f"{text}:{i}") — bytes [8:16] little-endian as uint64 (DuckDB's
+    md5_number_lower), mapped to [-1, 1) and L2-normalized. Deterministic
+    across runs/executors — the hermetic stand-in for the Ollama embed
+    call (M6). md5 arithmetic rather than a seeded-RNG Gaussian so the
+    embed_pipeline gate's DuckDB oracle can re-derive every component
+    exactly in SQL (the same trick llm_enrichment's oracle uses)."""
+    u = np.empty(dim)
+    for i in range(dim):
+        h = int.from_bytes(hashlib.md5(f"{text}:{i}".encode()).digest()[8:], "little")
+        u[i] = (h / 2.0**64) * 2.0 - 1.0
+    return (u / np.linalg.norm(u)).astype(np.float32)
 
 
 def embed_map_in_pandas(dim: int = EMBED_DIM):

@@ -1152,21 +1152,60 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Ingest pipeline shapes (SURVEY §3.2 S2/S3/M6/M7) — python-UDF stages, so
-# rows-only checks here; semantics are unit-tested in tests/test_chunking.py
-# and tests/test_ingest_and_streaming.py.
+# now FULLY oracle-gated: the fixture texts contain no sentence punctuation,
+# newlines, or tabs (asserted in tests/test_chunking.py), so the reference
+# chunker's behavior on them reduces to a closed form DuckDB can re-derive —
+# whitespace-collapse + trim, then either one whole-text chunk (≤512) or
+# hard-split 512-char windows at stride 462 (512−50 overlap), trimmed, with
+# the >20-char tiny-chunk filter. The md5-arithmetic hash-embedding double
+# is likewise re-derived component-by-component via md5_number_lower.
+# The general (punctuated, multi-paragraph) splitting rules stay
+# known-answer-tested in tests/test_chunking.py.
 # --------------------------------------------------------------------------
 
+# DuckDB twin of chunk_text() on punctuation-free single-paragraph text:
+# shared by the chunk_pipeline and embed_pipeline oracles.
+_CHUNK_ORACLE_CTE = """
+    docs AS (
+      SELECT doc_id::VARCHAR AS doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS c
+      FROM documents WHERE doc_id < 100
+    ),
+    slices AS (
+      SELECT doc_id, 0 AS off, trim(c) AS content FROM docs WHERE length(c) <= 512
+      UNION ALL
+      SELECT d.doc_id, s.off, trim(substr(d.c, s.off + 1, 512)) AS content
+      FROM docs d, LATERAL (SELECT unnest(generate_series(0, length(d.c) - 1, 462)) AS off) s
+      WHERE length(d.c) > 512
+    ),
+    chunks AS (
+      SELECT doc_id,
+             (row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1) AS chunk_index,
+             content
+      FROM slices WHERE length(content) > 20
+    )
+"""
 
-@query("chunk_pipeline", oracle=None)
+
+@query(
+    "chunk_pipeline",
+    oracle=f"""
+    WITH {_CHUNK_ORACLE_CTE}
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           max(length(content))::INT AS max_chunk_len,
+           'Doc ' || doc_id AS fm_title,
+           2 AS n_sections
+    FROM chunks GROUP BY doc_id ORDER BY doc_id
+    """,
+)
 def chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk the documents corpus with the reference chunker (S2 shape:
     pandas UDF + posexplode) AND run the markdown extraction path
     (S3/S4, MarkdownExtractor.ts: YAML frontmatter fast-path +
     heading-delimited section split) over synthesized markdown for the
     same documents — per-doc chunk counts joined with section stats.
-    Rows-only (Python chunker; splitting rules are known-answer-tested in
-    tests/test_chunking.py). `markdown_sections` stays registered as the
-    standalone S3 API."""
+    Oracle re-derives the chunker in SQL (see _CHUNK_ORACLE_CTE);
+    `markdown_sections` stays registered as the standalone S3 API."""
     import pandas as pd
 
     from pdf_brain_spark.functions.chunking import extract_frontmatter, extract_sections
@@ -1204,10 +1243,41 @@ def chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.join(md_stats, "doc_id").orderBy("doc_id")
 
 
-@query("embed_pipeline", oracle=None)
+@query(
+    "embed_pipeline",
+    oracle=f"""
+    WITH {_CHUNK_ORACLE_CTE},
+    ids AS (
+      SELECT doc_id || '-' || chunk_index::VARCHAR AS chunk_id, content FROM chunks
+    ),
+    comps AS (
+      SELECT chunk_id, i,
+             (md5_number_lower(content || ':' || i::VARCHAR)
+              / 18446744073709551616.0) * 2.0 - 1.0 AS u
+      FROM ids, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) g
+    ),
+    normed AS (
+      SELECT chunk_id, i,
+             (u / sqrt(sum(u * u) OVER (PARTITION BY chunk_id)))::FLOAT AS comp
+      FROM comps
+    )
+    SELECT chunk_id,
+           count(*)::INT AS dim,
+           CASE WHEN count(*) = 64
+                 AND bool_and(isfinite(comp)) THEN 1 ELSE 0 END AS valid,
+           round(max(CASE WHEN i = 0 THEN comp END)::DOUBLE, 6) AS comp_first,
+           round(max(CASE WHEN i = 31 THEN comp END)::DOUBLE, 6) AS comp_mid,
+           round(max(CASE WHEN i = 63 THEN comp END)::DOUBLE, 6) AS comp_last
+    FROM normed GROUP BY chunk_id ORDER BY chunk_id
+    """,
+)
 def embed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk + deterministic-embed pipeline (M6/M7 shape: mapInPandas with
-    Arrow batches): embedding validity stats."""
+    Arrow batches). Per-chunk embedding components are pinned by value: the
+    oracle re-derives the md5-arithmetic hash-embedding double entirely in
+    DuckDB (md5_number_lower == md5 digest bytes [8:16] little-endian,
+    verified), normalizing in float64 and casting to float32 exactly as
+    deterministic_embedding does."""
     from pdf_brain_spark.functions.vector import is_valid_embedding
     from pdf_brain_spark.operators.ingest import EMBED_DIM, chunk_documents, embed_chunks
 
@@ -1218,9 +1288,13 @@ def embed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = embed_chunks(chunk_documents(docs, text_col="text"))
     return emb.select(
-        F.count(F.lit(1)).alias("n_embeddings"),
-        F.sum(F.when(is_valid_embedding("embedding", EMBED_DIM), 1).otherwise(0)).alias("n_valid"),
-    )
+        "chunk_id",
+        F.size("embedding").alias("dim"),
+        F.when(is_valid_embedding("embedding", EMBED_DIM), 1).otherwise(0).alias("valid"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("comp_first"),
+        F.round(F.element_at("embedding", 32).cast("double"), 6).alias("comp_mid"),
+        F.round(F.element_at("embedding", 64).cast("double"), 6).alias("comp_last"),
+    ).orderBy("chunk_id")
 
 
 # --------------------------------------------------------------------------

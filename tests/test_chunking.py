@@ -119,3 +119,53 @@ def test_sections_numbered_like_pages():
     assert secs[0]["heading"] == ""
     assert secs[1]["heading"] == "First" and secs[1]["level"] == 1
     assert secs[2]["heading"] == "Second" and secs[2]["level"] == 2
+
+
+def test_fixture_texts_satisfy_oracle_closed_form():
+    """The chunk_pipeline/embed_pipeline DuckDB oracles re-derive chunk_text
+    as a closed-form slice formula. That is only valid while the fixture
+    texts contain no sentence punctuation, newlines, or tabs (otherwise the
+    greedy sentence-packing loop kicks in). Pin the precondition, and check
+    the closed form IS chunk_text on every fixture doc."""
+    import os
+    import re
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"select text from read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    assert rows
+    for (text,) in rows:
+        assert not re.search(r"[.!?\n\t\x00]", text), "oracle precondition broken"
+        cleaned = re.sub(r"\s+", " ", text).strip()
+        if len(cleaned) <= 512:
+            expected = [cleaned] if len(cleaned) > 20 else []
+        else:
+            expected = [
+                c
+                for c in (cleaned[i : i + 512].strip() for i in range(0, len(cleaned), 462))
+                if len(c) > 20
+            ]
+        assert chunk_text(text) == expected
+
+
+def test_md5_embedding_matches_duckdb_arithmetic():
+    """deterministic_embedding's md5 arithmetic must equal DuckDB's
+    md5_number_lower (digest bytes [8:16] little-endian) — the embed_pipeline
+    oracle depends on this exact correspondence."""
+    import duckdb
+    import numpy as np
+
+    from pdf_brain_spark.operators.ingest import deterministic_embedding
+
+    text = "the quick brown fox"
+    emb = deterministic_embedding(text, dim=4)
+    got = []
+    for i in range(4):
+        (h,) = duckdb.sql(f"select md5_number_lower('{text}:{i}')").fetchone()
+        got.append((h / 2.0**64) * 2.0 - 1.0)
+    u = np.asarray(got)
+    expected = (u / np.linalg.norm(u)).astype(np.float32)
+    assert np.array_equal(emb, expected)
