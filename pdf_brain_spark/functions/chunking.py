@@ -175,21 +175,46 @@ def chunk_markdown(
 
 
 _FRONTMATTER_RE = re.compile(r"\A---\n([\s\S]*?)\n---\n?")
+_FRONTMATTER_TOML_RE = re.compile(r"\A\+\+\+\n([\s\S]*?)\n\+\+\+\n?")
 _HEADING_RE = re.compile(r"^(#{1,6})\s+(.*)$", re.MULTILINE)
 
 
+def _strip_frontmatter(text: str) -> str:
+    """Remove either frontmatter form (YAML `---` or TOML `+++`) from the
+    document head; gray-matter treats exactly one leading block as
+    frontmatter, so only one substitution applies."""
+    if _FRONTMATTER_RE.match(text):
+        return _FRONTMATTER_RE.sub("", text, count=1)
+    return _FRONTMATTER_TOML_RE.sub("", text, count=1)
+
+
 def extract_frontmatter(text: str) -> dict[str, str]:
-    """Minimal YAML frontmatter: top-level `key: value` pairs only
-    (MarkdownExtractor.ts:222-237 fast path)."""
+    """Minimal frontmatter parser mirroring gray-matter's two delimiter
+    conventions (the reference uses gray-matter, MarkdownExtractor.ts:222-237):
+    `---` fences parse as top-level YAML `key: value` pairs; `+++` fences
+    parse as top-level TOML `key = value` pairs. Nested structures are out
+    of scope for the fast path, exactly as in the YAML case."""
     m = _FRONTMATTER_RE.match(text)
-    if not m:
-        return {}
-    out: dict[str, str] = {}
-    for line in m.group(1).split("\n"):
-        if ":" in line and not line.startswith((" ", "\t", "-")):
-            k, v = line.split(":", 1)
-            out[k.strip()] = v.strip().strip("'\"")
-    return out
+    if m:
+        out: dict[str, str] = {}
+        for line in m.group(1).split("\n"):
+            if ":" in line and not line.startswith((" ", "\t", "-")):
+                k, v = line.split(":", 1)
+                out[k.strip()] = v.strip().strip("'\"")
+        return out
+    m = _FRONTMATTER_TOML_RE.match(text)
+    if m:
+        out = {}
+        for line in m.group(1).split("\n"):
+            line = line.strip()
+            # top-level `key = value`; skip [tables], comments, and blank lines
+            if not line or line.startswith(("#", "[")):
+                continue
+            if "=" in line:
+                k, v = line.split("=", 1)
+                out[k.strip()] = v.strip().strip("'\"")
+        return out
+    return {}
 
 
 def extract_sections(text: str) -> list[dict]:
@@ -197,7 +222,7 @@ def extract_sections(text: str) -> list[dict]:
     [{section, heading, level, content}]; content before the first heading
     is section 0 with empty heading. Section number is the reference's
     markdown 'page' (MarkdownExtractor.ts:70-73)."""
-    body = _FRONTMATTER_RE.sub("", sanitize_text(text))
+    body = _strip_frontmatter(sanitize_text(text))
     matches = list(_HEADING_RE.finditer(body))
     sections: list[dict] = []
     if not matches:

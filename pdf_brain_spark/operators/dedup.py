@@ -53,10 +53,15 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def _parallelize(docs: DataFrame, id_col: str) -> DataFrame:
     """Single-file parquet sources scan as one partition; the tokenize/
     shingle/hash map chain is CPU-bound, so spread it across the cluster
-    first. (With a properly laid-out many-file table this is a no-op
-    decision — the scan already parallelizes.)"""
+    first. CONDITIONAL: a well-laid-out many-file table already scans with
+    enough parallelism, and repartitioning it again would be one avoidable
+    full shuffle per operator at 100 TB — so only shuffle when the scan is
+    under-parallel (fewer partitions than half the cluster's slots)."""
     sess = docs.sparkSession
-    return docs.repartition(sess.sparkContext.defaultParallelism, id_col)
+    target = sess.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() * 2 >= target:
+        return docs
+    return docs.repartition(target, id_col)
 
 
 def _shingle_set_df(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:

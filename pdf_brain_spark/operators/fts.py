@@ -28,12 +28,22 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def _parallelize(docs: DataFrame, id_col: str) -> DataFrame:
+    """Spread an under-parallel scan before the CPU-bound tokenize map
+    stage (single-file test sources scan as one partition). Conditional:
+    a many-file table that already scans with ≥ half the cluster's slots
+    is left alone — no avoidable full shuffle at scale."""
+    sess = docs.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() * 2 >= target:
+        return docs
+    return docs.repartition(target, id_col)
+
+
 def build_postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(term, doc_id, tf, doc_len) postings list. Tokenizes once; the doc
-    side is repartitioned first because tokenization is the CPU-bound map
-    stage (single-file test sources scan as one partition)."""
-    sess = docs.sparkSession
-    docs = docs.repartition(sess.sparkContext.defaultParallelism, id_col)
+    side is spread first because tokenization is the CPU-bound map stage."""
+    docs = _parallelize(docs, id_col)
     toked = docs.select(id_col, tokenize(text_col).alias("_tokens"))
     toks = toked.select(
         id_col, F.explode(F.col("_tokens")).alias("term"), F.size(F.col("_tokens")).alias("doc_len")
@@ -58,12 +68,11 @@ def bm25_scores(
     instead and prune to the queried terms; this path is the one-shot
     query plan."""
     terms = [t.lower() for t in query_terms]
-    sess = docs.sparkSession
     # cache (id, tokens): the q tf-columns below each reference the token
     # array, and without materialization project-collapse would inline (and
     # recompute) tokenize() into every one of them
     toked = (
-        docs.repartition(sess.sparkContext.defaultParallelism, id_col)
+        _parallelize(docs, id_col)
         .select(id_col, tokenize(text_col).alias("_tokens"))
         .cache()
     )

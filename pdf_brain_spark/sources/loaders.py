@@ -38,15 +38,27 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long under nanosAsLong; values are
-        # micro-aligned so the nanos→micros conversion is lossless
-        from pyspark.sql import functions as F
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as long under nanosAsLong; values are
+            # micro-aligned so the nanos→micros conversion is lossless
+            from pyspark.sql import functions as F
 
-        # integer div, not `/1000`: double division rounds the microsecond
-        # (53-bit mantissa) while nanos→micros must truncate like every
-        # other engine reading TIMESTAMP(NANOS) at micro precision
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # integer div, not `/1000`: double division rounds the
+            # microsecond (53-bit mantissa) while nanos→micros must
+            # truncate like every other engine reading TIMESTAMP(NANOS)
+            # at micro precision
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) scans as
+            # TIMESTAMP_NTZ, which Spark's epoch functions (unix_micros
+            # et al.) reject. Normalize to session-tz TIMESTAMP — the
+            # engine session pins UTC, so the cast preserves wall-clock
+            # exactly like DuckDB's naive read of the same file.
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -112,6 +112,30 @@ def test_frontmatter_parse():
     assert extract_frontmatter("no frontmatter here") == {}
 
 
+def test_frontmatter_toml_parse():
+    """gray-matter's `+++` TOML convention (reference parses via gray-matter,
+    MarkdownExtractor.ts:222-237): top-level `key = value` pairs, quotes
+    stripped, [tables]/comments/blank lines skipped."""
+    text = '+++\ntitle = "My Doc"\ndraft = false\n\n# a comment\n[extra]\nweight = 3\n+++\n# Body\ncontent'
+    fm = extract_frontmatter(text)
+    assert fm["title"] == "My Doc"
+    assert fm["draft"] == "false"
+    # [extra] table header skipped; its keys still parse at top level per fast-path scope
+    assert "[extra]" not in fm
+    # YAML delimiters take precedence and are unchanged
+    assert extract_frontmatter("---\ntitle: y\n---\nbody") == {"title": "y"}
+    # `+++` mid-document is not frontmatter
+    assert extract_frontmatter("body\n+++\nk = v\n+++\n") == {}
+
+
+def test_sections_strip_toml_frontmatter():
+    text = '+++\ntitle = "t"\n+++\npreamble\n\n# First\nbody'
+    secs = extract_sections(text)
+    assert [s["section"] for s in secs] == [1, 2]
+    assert secs[0]["content"] == "preamble"
+    assert "+++" not in secs[0]["content"]
+
+
 def test_sections_numbered_like_pages():
     text = "---\ntitle: t\n---\npreamble text\n\n# First\nbody one\n\n## Second\nbody two"
     secs = extract_sections(text)
