@@ -121,6 +121,118 @@ def bm25_scores(
     )
 
 
+def phrase_bm25_scores(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents by BM25 over an exact PHRASE match — the parity
+    path for the reference's quoted-query MATCH (LibSQLDatabase.ts:408
+    wraps the query as `"${escaped}"` before FTS5 MATCH, so token
+    ADJACENCY matters, unlike bag-of-words bm25_scores).
+
+    FTS5 semantics re-expressed: the phrase acts as a single synthetic
+    term whose tf is the number of start positions i where
+    tokens[i..i+m) equals the phrase (overlapping starts each count),
+    and whose df is the number of docs with tf > 0. Scored with the
+    same Okapi BM25 as the term path.
+
+    Plan shape: tf is computed map-side with higher-order array
+    functions over the token array (F.filter over a sequence of start
+    offsets + F.get element probes) — NO explode, NO positional-postings
+    shuffle. One cached tokenize pass, one scalar stats action, one
+    TakeOrdered; at 100 TB the corpus scan stays embarrassingly parallel
+    and only the top-k reduction crosses the wire."""
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    m = len(terms)
+    toked = (
+        _parallelize(docs, id_col)
+        .select(id_col, tokenize(text_col).alias("_tokens"))
+        .cache()
+    )
+
+    def _match_at(i):
+        cond = F.get(F.col("_tokens"), i) == F.lit(terms[0])
+        for j, t in enumerate(terms[1:], start=1):
+            cond = cond & (F.get(F.col("_tokens"), i + F.lit(j)) == F.lit(t))
+        return cond
+
+    starts = F.sequence(F.lit(0), F.size("_tokens") - F.lit(m))
+    ptf = F.when(
+        F.size("_tokens") >= m, F.size(F.filter(starts, _match_at))
+    ).otherwise(F.lit(0))
+    per_doc = toked.select(
+        id_col, F.size("_tokens").alias("_dl"), ptf.alias("_ptf")
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_dl").alias("avgdl"),
+        F.sum(F.when(F.col("_ptf") > 0, 1).otherwise(0)).alias("df"),
+    ).collect()[0]
+    n_docs, avgdl, df = float(stats["n"]), float(stats["avgdl"]), float(stats["df"])
+    result = per_doc.filter(F.col("_ptf") > 0)
+    if df == 0:
+        return result.select(
+            F.col(id_col), F.lit(0.0).alias("bm25"), F.col("_ptf").alias("phrase_hits")
+        )
+    idf = F.lit(float(__import__("math").log((n_docs - df + 0.5) / (df + 0.5) + 1.0)))
+    tf = F.col("_ptf")
+    score = (
+        idf
+        * (tf * (BM25_K1 + 1))
+        / (tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("_dl") / F.lit(avgdl)))
+    )
+    return (
+        result.withColumn("bm25", score)
+        .select(id_col, "bm25", F.col("_ptf").alias("phrase_hits"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def duck_phrase_bm25_sql(phrase: str, k: int = 10) -> str:
+    """DuckDB oracle twin of phrase_bm25_scores over the `documents` view.
+    Same positional definition: DuckDB lists are 1-based, so start
+    positions run 1..len-m+1 and term j probes tokens[i+j]."""
+    terms = [t for t in phrase.lower().split() if t]
+    m = len(terms)
+    cond = " AND ".join(
+        f"tokens[i + {j}] = '{t}'" for j, t in enumerate(terms)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tokens
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, len(tokens) AS dl,
+             CASE WHEN len(tokens) >= {m} THEN
+               len(list_filter(generate_series(1, len(tokens) - {m} + 1), i -> {cond}))
+             ELSE 0 END AS ptf
+      FROM toks
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+             sum(CASE WHEN ptf > 0 THEN 1 ELSE 0 END) AS df
+      FROM per_doc
+    )
+    SELECT doc_id,
+           round(ln((s.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0)
+             * (p.ptf * ({BM25_K1} + 1))
+             / (p.ptf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * p.dl / s.avgdl)), 6) AS bm25,
+           p.ptf AS phrase_hits
+    FROM per_doc p, stats s
+    WHERE p.ptf > 0
+    ORDER BY 2 DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
 def duck_bm25_sql(query_terms: list[str], k: int = 10) -> str:
     """DuckDB oracle twin of bm25_scores over the `documents` view."""
     terms = ", ".join(f"'{t.lower()}'" for t in query_terms)

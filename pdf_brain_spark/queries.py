@@ -304,27 +304,64 @@ def _register_fts_oracle() -> None:
 _register_fts_oracle()
 
 
-_DUCK_BM25_ARM = """
+# The reference quotes the whole query string before MATCH
+# (LibSQLDatabase.ts:408: `"${escaped}"`), so its FTS arm is PHRASE
+# search — token adjacency matters. fts_phrase is the parity gate for
+# that semantics; fts_bm25 stays as the multi-term rank path (W2).
+FTS_QUERY_PHRASE = "spark window"
+
+
+@query("fts_phrase", oracle=None)  # oracle registered below
+def fts_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-phrase FTS MATCH + BM25 rank (J2 parity: adjacency-aware,
+    LibSQLDatabase.ts:408). Phrase tf counts start positions; computed
+    map-side over the token array, no explode/shuffle."""
+    from pdf_brain_spark.operators.fts import phrase_bm25_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    res = phrase_bm25_scores(docs, FTS_QUERY_PHRASE, k=10)
+    return res.select("doc_id", F.round("bm25", 6).alias("bm25"), "phrase_hits")
+
+
+def _register_fts_phrase_oracle() -> None:
+    from pdf_brain_spark.operators.fts import duck_phrase_bm25_sql
+
+    ORACLES["fts_phrase"] = duck_phrase_bm25_sql(FTS_QUERY_PHRASE, k=10)
+
+
+_register_fts_phrase_oracle()
+
+
+# Phrase-BM25 FTS arm for the hybrid/search composites: the reference's
+# search path MATCHes the quoted query (LibSQLDatabase.ts:408), so the arm
+# is adjacency-aware phrase scoring, scaled into the [0,1]-ish range of the
+# vector arm. DuckDB lists are 1-based: start positions 1..len-m+1.
+_DUCK_PHRASE_ARM = """
     toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tokens
       FROM documents
     ),
-    stats AS (SELECT count(*) AS n_docs, avg(len(tokens)) AS avgdl FROM toks),
-    postings AS (
-      SELECT doc_id, term, len_tokens AS doc_len, count(*) AS tf
-      FROM (SELECT doc_id, unnest(tokens) AS term, len(tokens) AS len_tokens FROM toks)
-      WHERE term IN ('spark', 'shuffle', 'join')
-      GROUP BY doc_id, term, len_tokens
+    per_doc AS (
+      SELECT doc_id, len(tokens) AS dl,
+             CASE WHEN len(tokens) >= 2 THEN
+               len(list_filter(generate_series(1, len(tokens) - 1),
+                   i -> tokens[i] = 'spark' AND tokens[i + 1] = 'window'))
+             ELSE 0 END AS ptf
+      FROM toks
     ),
-    dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term),
+    pstats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+             sum(CASE WHEN ptf > 0 THEN 1 ELSE 0 END) AS df
+      FROM per_doc
+    ),
     fts_arm AS (
-      SELECT doc_id, sum(
-        ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
-          * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.doc_len / s.avgdl))
-      ) / 10.0 AS fts_score
-      FROM postings p JOIN dfs d USING (term), stats s
-      GROUP BY doc_id
+      SELECT doc_id,
+             ln((s.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0)
+               * (p.ptf * 2.2) / (p.ptf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
+               / 10.0 AS fts_score
+      FROM per_doc p, pstats s
+      WHERE p.ptf > 0
       ORDER BY 2 DESC, doc_id ASC LIMIT 10
     )
 """
@@ -340,7 +377,7 @@ _DUCK_BM25_ARM = """
       FROM embeddings e, q
       ORDER BY vec_score DESC, e.vec_id ASC LIMIT 10
     ),
-    {_DUCK_BM25_ARM}
+    {_DUCK_PHRASE_ARM}
     SELECT COALESCE(v.doc_id, f.doc_id) AS doc_id,
            round(CASE WHEN v.doc_id IS NOT NULL AND f.doc_id IS NOT NULL
                       THEN least(1.0, v.vec_score * 1.2)
@@ -354,8 +391,10 @@ _DUCK_BM25_ARM = """
 def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid vector∪FTS merge with the reference's exact boost semantics:
     in-both ⇒ min(1, vec_score·1.2), matchType='hybrid' (src/index.ts:323-353).
+    The FTS arm is PHRASE scoring — the reference quotes the query before
+    MATCH (LibSQLDatabase.ts:408), so adjacency matters end-to-end.
     Embeddings vec_id keys the documents table (synthetic 1:1)."""
-    from pdf_brain_spark.operators.fts import bm25_scores
+    from pdf_brain_spark.operators.fts import phrase_bm25_scores
     from pdf_brain_spark.operators.hybrid import hybrid_merge
     from pdf_brain_spark.operators.vector_search import topk_by_query_df
 
@@ -366,7 +405,7 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), F.col("score").alias("vec_score")
     )
     # scale bm25 (unbounded) into a score comparable to the [0,1] vector arm
-    fts = bm25_scores(docs, FTS_QUERY_TERMS, k=10).select(
+    fts = phrase_bm25_scores(docs, FTS_QUERY_PHRASE, k=10).select(
         "doc_id", (F.col("bm25") / 10.0).alias("fts_score")
     )
     merged = hybrid_merge(vec, fts, ["doc_id"], limit=10)
@@ -3865,9 +3904,10 @@ GATE_WINDOW = [
     # vector search + validation (M1/M2, P4/P5/P10, J1, W1)
     "vector_topk", "vector_topk_threshold", "vector_similarity_join",
     "vector_tag_filter", "embedding_validation", "vector_search_with_docs",
-    # fts / hybrid / retrieval pipelines (J2/W2, J8/U2/W3, J3/U1/M13, J9/W6, M9, M10)
-    "fts_bm25", "hybrid_search", "multiscale_retrieval", "context_expansion",
-    "rag_concept_context", "concept_dedup_judge",
+    # fts / hybrid / retrieval pipelines (J2/W2 + quoted-phrase MATCH parity,
+    # J8/U2/W3, J3/U1/M13, J9/W6, M9, M10)
+    "fts_bm25", "fts_phrase", "hybrid_search", "multiscale_retrieval",
+    "context_expansion", "rag_concept_context", "concept_dedup_judge",
     # scalar text ops (§2.8, A8)
     "text_stats", "lang_id", "doc_fingerprints", "string_normalize", "keyword_topn",
     # dedup suite (training-data extension)
@@ -3881,9 +3921,12 @@ GATE_WINDOW = [
     "streaming_tumbling_window", "streaming_dedup",
     # taxonomy graph (J4/J11, U3, J5/U4 both directions)
     "taxonomy_one_hop", "taxonomy_related", "transitive_closure",
-    # listings / lookups / corpus analytics (P1-P3 + P9 label arm, A1, A2, J6)
-    "doc_lookup_suite", "pdf_extract", "library_stats",
-    "tag_distribution", "customers_without_orders",
+    # listings / lookups / corpus analytics (P1-P3 + P9 label arm, A1, A2).
+    # J6 anti-join moved post-window: its gated row was a 0-row green at
+    # sf0.01 (weakest possible evidence) and the same anti-join shape stays
+    # driver-gated inside ingest_incremental (J7); quoted-phrase MATCH
+    # parity (fts_phrase) takes the slot.
+    "doc_lookup_suite", "pdf_extract", "library_stats", "tag_distribution",
     # clustering lifecycle (M3-M5, A3, A5-A7, J10/M12/W4, A10/M11)
     "clustering_model_report", "cluster_concept_map", "extractive_summary",
     # ingest / enrichment pipelines (S2/S3/S4, M6-M8, S12/P8/J7, §2.8 repair)

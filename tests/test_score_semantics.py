@@ -114,3 +114,51 @@ def test_similarity_join_topk_matches_exhaustive(spark):
         fvid, fdist = fast[key]
         assert fvid == vid, key
         assert abs(fdist - dist) < 1e-9, key
+
+
+def test_phrase_bm25_adjacency(spark):
+    """Quoted-phrase MATCH parity (LibSQLDatabase.ts:408): adjacency is
+    what separates phrase scoring from bag-of-words — a doc with both
+    words NON-adjacent must not match; overlapping starts each count
+    (FTS5 position semantics)."""
+    from pdf_brain_spark.operators.fts import phrase_bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),          # phrase "alpha beta" once
+            (2, "beta alpha x alpha beta"),   # once, later in doc
+            (3, "alpha gamma beta"),          # both words, NOT adjacent
+            (4, "alpha alpha alpha"),         # overlapping "alpha alpha": 2 starts
+            (5, "unrelated text entirely"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in phrase_bm25_scores(docs, "alpha beta", k=10).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["phrase_hits"] == 1 and out[2]["phrase_hits"] == 1
+    # doc 1 is shorter -> higher BM25 at equal tf
+    assert out[1]["bm25"] > out[2]["bm25"]
+
+    over = {r["doc_id"]: r for r in phrase_bm25_scores(docs, "alpha alpha", k=10).collect()}
+    assert set(over) == {4}
+    assert over[4]["phrase_hits"] == 2
+
+    # phrase longer than every doc -> empty, no crash (sequence guard)
+    none = phrase_bm25_scores(docs, "a b c d e f g h i j", k=10).collect()
+    assert none == []
+
+
+def test_phrase_bm25_single_term_equals_bag(spark):
+    """A one-word phrase degenerates to single-term BM25 — same scores as
+    bm25_scores on that term."""
+    from pdf_brain_spark.operators.fts import bm25_scores, phrase_bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "x y x z"), (2, "y z y"), (3, "x x x x")],
+        "doc_id int, text string",
+    )
+    ph = {r["doc_id"]: r["bm25"] for r in phrase_bm25_scores(docs, "x", k=10).collect()}
+    bag = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["x"], k=10).collect()}
+    assert set(ph) == set(bag)
+    for d in ph:
+        assert ph[d] == pytest.approx(bag[d])
