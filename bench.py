@@ -46,6 +46,10 @@ HEADLINE = [
     "pii_scrub",
     "doc_repetition_filter",
     "benchmark_contamination",
+    # exact tiled self-join vs ANN-candidates scale path, same threshold —
+    # the pair demonstrates the candidates path beating exact all-pairs
+    "dedup_embedding_cosine",
+    "dedup_embedding_ann",
 ]
 
 
@@ -96,6 +100,14 @@ def main() -> None:
     timings["ann_ivf_batch256"] = ivf["total_sec"]
     total += ivf["total_sec"]
     spark.catalog.clearCache()
+    ivf_clustered = ivf_batch_clustered(spark)
+    timings["ann_ivf_batch256_clustered"] = ivf_clustered["total_sec"]
+    total += ivf_clustered["total_sec"]
+    spark.catalog.clearCache()
+    neardup = neardup_ann_vs_exact(spark)
+    timings["neardup_ann_16k"] = neardup["ann_candidates_sec"]
+    total += neardup["ann_candidates_sec"]
+    spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -108,6 +120,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "batch_amortization": batch,
                 "ann_ivf_batch": ivf,
+                "ann_ivf_batch_clustered": ivf_clustered,
+                "neardup_ann_vs_exact": neardup,
             }
         )
     )
@@ -140,7 +154,28 @@ def batch_amortization(spark, n_queries: int = 256, k: int = 10) -> dict:
         t1 = time.perf_counter()
         similarity_join_topk(queries, emb, k=kk).count()
         k_sweep[str(kk)] = round(1000.0 * (time.perf_counter() - t1) / n_queries, 3)
+    # amortization limit: 1024 queries through the same single corpus scan.
+    # The embeddings table may hold fewer than 1024 vectors at small SF, so
+    # tile the query set by shifting vec_ids (distinct query_ids, reused
+    # vectors — the scan/score cost is identical to 1024 true queries).
+    n_big = 1024
+    base = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    n_avail = base.count()
+    reps = -(-n_big // n_avail)
+    big = None
+    for r in range(reps):
+        part = base.select(
+            (F.col("query_id") + F.lit(r * n_avail)).alias("query_id"), "query_vec"
+        )
+        big = part if big is None else big.unionByName(part)
+    big = big.filter(F.col("query_id") < n_big)
+    t2 = time.perf_counter()
+    similarity_join_topk(big, emb, k=k).count()
+    dt_big = time.perf_counter() - t2
     return {
+        "n_queries_big": n_big,
+        "total_sec_big": round(dt_big, 3),
+        "ms_per_query_at_1024": round(1000.0 * dt_big / n_big, 3),
         "n_queries": n_queries,
         "k": k,
         "result_rows": n_rows,
@@ -198,6 +233,117 @@ def ivf_batch(spark, n_queries: int = 256, k: int = 10, n_probes: int = 8) -> di
         "total_sec": round(dt, 3),
         "ms_per_query": round(1000.0 * dt / n_queries, 3),
         "recall_at_k": round(hit / max(len(exact_set), 1), 4),
+    }
+
+
+def ivf_batch_clustered(
+    spark, n_queries: int = 256, k: int = 10, n_probes: int = 4, n_lists: int = 16
+) -> dict:
+    """Same IVF batch probe on a CLUSTERED corpus (mixture of Gaussians,
+    synthetic_clustered_embeddings) — the geometry real embedding corpora
+    have. Reported next to the uniform-random numbers so the recall/probe
+    tradeoff is visible on both: uniform is the worst case for a
+    partition-pruned index, clustered is the operating regime (expect
+    ≥0.95 recall probing n_probes/n_lists of the corpus)."""
+    from pyspark.sql import functions as F
+
+    from pdf_brain_spark.operators.ann import (
+        ivf_index,
+        ivf_search_topk_batch,
+        synthetic_clustered_embeddings,
+    )
+    from pdf_brain_spark.operators.vector_search import similarity_join_topk
+
+    emb = synthetic_clustered_embeddings(spark).localCheckpoint(eager=True)
+    queries = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    indexed, centroids = ivf_index(emb, n_lists=n_lists, seed=42)
+    indexed = indexed.cache()
+    indexed.count()
+    t0 = time.perf_counter()
+    approx = ivf_search_topk_batch(
+        indexed, centroids, queries, k=k, n_probes=n_probes
+    ).select("query_id", "vec_id").collect()
+    dt = time.perf_counter() - t0
+    exact = similarity_join_topk(queries, emb, k=k).select("query_id", "vec_id").collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    hit = sum((r.query_id, r.vec_id) in exact_set for r in approx)
+    indexed.unpersist()
+    return {
+        "corpus": "mixture_of_gaussians_8192x64x32centers",
+        "n_queries": n_queries,
+        "k": k,
+        "n_probes": n_probes,
+        "n_lists": n_lists,
+        "probed_fraction": round(n_probes / n_lists, 3),
+        "total_sec": round(dt, 3),
+        "ms_per_query": round(1000.0 * dt / n_queries, 3),
+        "recall_at_k": round(hit / max(len(exact_set), 1), 4),
+    }
+
+
+def neardup_ann_vs_exact(spark) -> dict:
+    """Embedding near-dup at a size where the asymptotics bite: 16k
+    clustered vectors with 5% planted near-duplicate twins (the dedup
+    operating regime). The sf0.1 headline pair (2k vectors) is fixed-
+    overhead-bound — exact all-pairs there is only 2M sims, so the ANN
+    path's extra stages cost more than they save; THIS is the number that
+    extrapolates. Exact tiled self-join (n·n_blocks replication, n²/2
+    sims) vs spherical-IVF candidates (n·n_assign copies, Σ|list|²/2
+    sims ≈ m²/L of exact) at the same threshold, with recall measured
+    against the exact answer."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf_brain_spark.operators.ann import synthetic_clustered_embeddings
+    from pdf_brain_spark.operators.dedup import (
+        embedding_near_dup_ann,
+        embedding_near_dup_pairs,
+    )
+
+    n = 32768
+    base = synthetic_clustered_embeddings(spark, n=n, dim=64, n_centers=64, seed=5)
+    bp = base.toPandas()
+    rng = np.random.default_rng(17)
+    n_twin = len(bp) // 20
+    twins = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(bp), len(bp) + n_twin, dtype=np.int64),
+            "embedding": [
+                (np.asarray(v, dtype=np.float32) + 0.01 * rng.standard_normal(64).astype(np.float32))
+                for v in bp["embedding"].iloc[:n_twin]
+            ],
+        }
+    )
+    emb = spark.createDataFrame(
+        pd.concat([bp, twins], ignore_index=True), "vec_id long, embedding array<float>"
+    ).localCheckpoint(eager=True)
+
+    # min-of-2 per side, same discipline as the headline loop (first pass
+    # pays python-worker warmup for whichever path runs first)
+    t_exact, t_ann = float("inf"), float("inf")
+    exact_set: set = set()
+    ann_set: set = set()
+    for _ in range(2):
+        t0 = time.perf_counter()
+        exact_pairs = embedding_near_dup_pairs(emb, threshold=0.9, n_blocks=16).collect()
+        t_exact = min(t_exact, time.perf_counter() - t0)
+        t1 = time.perf_counter()
+        ann_pairs = embedding_near_dup_ann(emb, threshold=0.9, n_lists=64, n_assign=3).collect()
+        t_ann = min(t_ann, time.perf_counter() - t1)
+        exact_set = {(r.id_a, r.id_b) for r in exact_pairs}
+        ann_set = {(r.id_a, r.id_b) for r in ann_pairs}
+    return {
+        "corpus": f"clustered_{n}+{n_twin}_twins_x64",
+        "threshold": 0.9,
+        "n_exact_pairs": len(exact_set),
+        "exact_tiled_sec": round(t_exact, 3),
+        "ann_candidates_sec": round(t_ann, 3),
+        "speedup": round(t_exact / max(t_ann, 1e-9), 2),
+        "recall": round(len(ann_set & exact_set) / max(len(exact_set), 1), 4),
+        "false_positives": len(ann_set - exact_set),
     }
 
 

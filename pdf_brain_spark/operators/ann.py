@@ -196,3 +196,25 @@ def ivf_search_topk_batch(
         .filter(F.col("rank") <= k)
         .withColumn("score", distance_to_score(F.col("distance")))
     )
+
+
+def synthetic_clustered_embeddings(
+    spark, n: int = 8192, dim: int = 64, n_centers: int = 32, spread: float = 0.15, seed: int = 11
+) -> DataFrame:
+    """Deterministic mixture-of-Gaussians embedding corpus for ANN
+    evaluation. The parquet test embeddings are uniform random — the
+    ADVERSARIAL geometry for any partition-pruned index (neighbors are
+    not localized, so every probe misses mass). Real embedding corpora
+    cluster; this generator provides that geometry so recall/probe
+    curves can be reported on BOTH. Unit-norm centers, isotropic spread;
+    one Arrow batch from the driver (n·dim floats, MBs at eval sizes —
+    the corpus under test, not the corpus at scale)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_centers, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_centers, n)
+    X = centers[assign] + spread * rng.standard_normal((n, dim))
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": [r.astype(np.float32) for r in X]}
+    )
+    return spark.createDataFrame(pdf, "vec_id long, embedding array<float>")

@@ -720,6 +720,70 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(load_table(spark, "embeddings", sf_dir), threshold=0.45)
 
 
+@query("dedup_embedding_ann", oracle=None)
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-candidates near-dup pairs ≥ 0.45 — the 100 TB path for
+    dedup_embedding_cosine: spherical-IVF multi-assign buckets, exact
+    BLAS re-rank within each list (n²/2 → Σ|list|²/2 work, n·n_assign
+    shuffle copies instead of n·n_blocks). Rows-only at the driver (the
+    IVF fit is seeded Lloyd's); subset-of-exact + identical-sims
+    invariants are pytest-asserted and measured by
+    embedding_neardup_recall."""
+    from pdf_brain_spark.operators.dedup import embedding_near_dup_ann
+
+    return embedding_near_dup_ann(load_table(spark, "embeddings", sf_dir), threshold=0.45)
+
+
+@query("embedding_neardup_recall", oracle=None)
+def embedding_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-exact report for the ANN-candidates near-dup scale path:
+    spherical-IVF multi-assign candidates → within-list exact BLAS re-rank
+    (embedding_near_dup_ann) compared against the exact tiled self-join
+    (embedding_near_dup_pairs) at the same threshold. Columns are the
+    invariants: ANN pairs must be a SUBSET of exact pairs with identical
+    similarities (n_false_positive = 0, max_sim_diff = 0), recall is the
+    approximation's price. Rows-only at the driver (the IVF fit is seeded
+    Lloyd's, not SQL-expressible); the subset/exactness invariants are
+    pytest-asserted in tests/test_dedup_scale.py."""
+    from pdf_brain_spark.operators.dedup import (
+        embedding_near_dup_ann,
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = embedding_near_dup_pairs(emb, threshold=0.45).select(
+        "id_a", "id_b", F.col("cos_sim").alias("exact_sim")
+    )
+    ann = embedding_near_dup_ann(emb, threshold=0.45).select(
+        "id_a", "id_b", F.col("cos_sim").alias("ann_sim")
+    )
+    joined = exact.join(ann, ["id_a", "id_b"], "full_outer")
+    return joined.agg(
+        F.sum(F.when(F.col("exact_sim").isNotNull(), 1).otherwise(0)).alias("n_exact"),
+        F.sum(F.when(F.col("ann_sim").isNotNull(), 1).otherwise(0)).alias("n_ann"),
+        F.sum(
+            F.when(F.col("exact_sim").isNotNull() & F.col("ann_sim").isNotNull(), 1).otherwise(0)
+        ).alias("n_matched"),
+        F.sum(
+            F.when(F.col("exact_sim").isNull() & F.col("ann_sim").isNotNull(), 1).otherwise(0)
+        ).alias("n_false_positive"),
+        F.round(
+            F.sum(F.when(F.col("ann_sim").isNotNull() & F.col("exact_sim").isNotNull(), 1).otherwise(0))
+            / F.greatest(F.sum(F.when(F.col("exact_sim").isNotNull(), 1).otherwise(0)), F.lit(1)),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("exact_sim").isNotNull() & F.col("ann_sim").isNotNull(),
+                    F.abs(F.col("exact_sim") - F.col("ann_sim")),
+                )
+            ),
+            6,
+        ).alias("max_sim_diff"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Events: windows / sessionization (SURVEY §2.10 extension; §2.5 analogs)
 # --------------------------------------------------------------------------

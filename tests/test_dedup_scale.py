@@ -137,3 +137,45 @@ def test_embedding_near_dup_no_driver_collect(spark):
     assert len(want) >= 10  # the planted near-dups are all found
     plan = embedding_near_dup_pairs(emb, threshold=0.9, n_blocks=4)._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_embedding_near_dup_ann_subset_and_recall(spark):
+    """ANN-candidates scale path invariants: every pair it returns is in
+    the exact answer with an IDENTICAL similarity (re-rank is exact BLAS,
+    only candidate generation approximates), and planted high-sim
+    near-dups are recalled (multi-assign keeps boundary pairs together)."""
+    import numpy as np
+
+    from pdf_brain_spark.operators.dedup import (
+        embedding_near_dup_ann,
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(123)
+    vecs = rng.standard_normal((80, 8))
+    for i in range(12):
+        vecs[2 * i + 1] = vecs[2 * i] + 0.01 * rng.standard_normal(8)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.9, n_blocks=4).collect()
+    }
+    ann = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_dup_ann(
+            emb, threshold=0.9, n_lists=4, n_assign=2
+        ).collect()
+    }
+    # subset of exact, identical sims (both sides round to 6 decimals)
+    assert set(ann) <= set(exact)
+    for pair, sim in ann.items():
+        assert sim == exact[pair]
+    # planted pairs have sim ~0.9999: a perturbed twin lands in the same
+    # nearest list, so recall on them must be total
+    planted = {(2 * i, 2 * i + 1) for i in range(12)} & set(exact)
+    assert planted <= set(ann)
+    # overall recall: boundary pairs may straddle lists, but multi-assign
+    # keeps the loss small on this geometry
+    assert len(ann) / max(len(exact), 1) >= 0.9

@@ -133,3 +133,38 @@ def test_ivf_batch_recall_and_exactness(spark):
     got = {(r.query_id, r.vec_id) for r in part}
     recall = len(got & exact_pairs) / len(exact_pairs)
     assert recall >= 0.7, recall
+
+
+def test_ivf_recall_on_clustered_geometry(spark):
+    """Recall/probe behavior on the geometry real corpora have: a
+    mixture-of-Gaussians corpus probes FAR better than uniform-random
+    (the adversarial case) — ≥0.95 recall@10 probing only 4/16 lists.
+    Measured, not assumed: this is the evaluation 100 TB planning needs."""
+    from pyspark.sql import functions as F
+
+    from pdf_brain_spark.operators.ann import (
+        ivf_index,
+        ivf_search_topk_batch,
+        synthetic_clustered_embeddings,
+    )
+    from pdf_brain_spark.operators.vector_search import similarity_join_topk
+
+    emb = synthetic_clustered_embeddings(spark, n=2048, dim=32, n_centers=16).localCheckpoint(
+        eager=True
+    )
+    queries = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    indexed, centroids = ivf_index(emb, n_lists=16, seed=42)
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_search_topk_batch(indexed, centroids, queries, k=10, n_probes=4)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity_join_topk(queries, emb, k=10).select("query_id", "vec_id").collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.95, f"clustered-geometry recall {recall:.3f} < 0.95 at 4/16 probes"
