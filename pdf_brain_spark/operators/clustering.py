@@ -175,10 +175,13 @@ def bic_select_k(
     seed: int = 42,
     vec_col: str = "embedding",
     max_iter: int = 10,
+    rss_out: dict | None = None,
 ) -> tuple[int, dict[int, float]]:
     """BIC = n·ln(RSS/n) + k·(dim+1)·ln(n); argmin over k
     (Clustering.ts:657-676). Coarse fits (max_iter=10) rank k reliably;
-    refit the winner at full iterations for the final model."""
+    refit the winner at full iterations for the final model. Pass a dict
+    as `rss_out` to also receive the per-k WSSSE (invariant reporting:
+    WSSSE must be non-increasing in k on separable data)."""
     import math
 
     n = emb.count()
@@ -196,6 +199,8 @@ def bic_select_k(
                 F.sum(assign(F.col(vec_col))["distance"] ** 2).alias("rss")
             ).collect()[0]["rss"]
         )
+        if rss_out is not None:
+            rss_out[k] = rss
         params = k * (dim + 1)
         scores[k] = n * math.log(max(rss, 1e-12) / n) + params * math.log(n)
     best = min(scores, key=scores.get)

@@ -3932,7 +3932,9 @@ def clustering_model_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     emb.cache()
-    best, scores = bic_select_k(emb, range(2, 9, 3))
+    n_points = emb.count()
+    rss_by_k: dict = {}
+    best, scores = bic_select_k(emb, range(2, 9, 3), rss_out=rss_by_k)
     assigned, centroids = kmeans_assign(emb, k=best, seed=42)
     summaries = cluster_summaries(assigned)
     soft = (
@@ -3943,15 +3945,24 @@ def clustering_model_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("probability"), 6).alias("mean_probability"),
         )
     )
+    # invariant columns (checkable from the rows alone): sum(chunk_count)
+    # over the result must equal n_points, and the per-k WSSSE from model
+    # selection must be non-increasing in k
+    ks = sorted(rss_by_k)
+    monotone = all(rss_by_k[a] >= rss_by_k[b] - 1e-9 for a, b in zip(ks, ks[1:]))
     out = (
         summaries.join(soft, "cluster_id", "left")
         .withColumn("chosen_k", F.lit(int(best)))
         .withColumn("bic", F.lit(round(float(scores[best]), 4)))
+        .withColumn("n_points", F.lit(int(n_points)))
+        .withColumn("wssse_chosen_k", F.lit(round(float(rss_by_k[best]), 4)))
+        .withColumn("wssse_monotone_in_k", F.lit(bool(monotone)))
         .orderBy("cluster_id")
     )
     result = out.select(
         "cluster_id", "chunk_count", "mean_distance", "representative_id",
         "n_soft_members", "mean_probability", "chosen_k", "bic",
+        "n_points", "wssse_chosen_k", "wssse_monotone_in_k",
     )
     emb.unpersist()
     return result

@@ -168,3 +168,29 @@ def test_ivf_recall_on_clustered_geometry(spark):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.95, f"clustered-geometry recall {recall:.3f} < 0.95 at 4/16 probes"
+
+
+def test_clustering_invariants_seeded_fixture(spark):
+    """The clustering_model_report invariants, asserted where the driver
+    gate can't reach (rows-only entry): cluster sizes sum to n, WSSSE is
+    non-increasing in k, and BIC's chosen k is stable across seeds on a
+    separable fixture."""
+    from pdf_brain_spark.operators.ann import synthetic_clustered_embeddings
+    from pdf_brain_spark.operators.clustering import bic_select_k, kmeans_assign
+
+    emb = synthetic_clustered_embeddings(spark, n=1024, dim=16, n_centers=5, seed=3).cache()
+    n = emb.count()
+
+    assigned, _ = kmeans_assign(emb, k=5, seed=42)
+    sizes = {r["cluster_id"]: r["n"] for r in assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(sizes.values()) == n
+
+    rss: dict = {}
+    best_a, _ = bic_select_k(emb, range(2, 9, 3), seed=42, rss_out=rss)
+    ks = sorted(rss)
+    for a, b in zip(ks, ks[1:]):
+        assert rss[a] >= rss[b] - 1e-9, f"WSSSE increased from k={a} to k={b}"
+
+    best_b, _ = bic_select_k(emb, range(2, 9, 3), seed=7)
+    assert best_a == best_b, f"chosen_k unstable across seeds: {best_a} vs {best_b}"
+    emb.unpersist()

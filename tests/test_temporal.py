@@ -81,3 +81,60 @@ def test_asof_plan_is_single_window_no_join(spark):
     )
     assert "Join" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_asof_salted_matches_unsalted_on_100x_skew(spark):
+    """Skew hardening (the mitigation temporal.py's header names): a user
+    with 100x everyone else's events must (a) produce IDENTICAL results
+    through the time-bucketed salted as-of, and (b) have its window work
+    split so no (key, bucket) task sees more than a bucket's worth of
+    rows — per-task input bounded by the salt, not the key."""
+    import random
+
+    from pdf_brain_spark.operators.temporal import (
+        asof_backward_join,
+        asof_backward_join_salted,
+    )
+
+    rng = random.Random(7)
+    base = datetime(2025, 1, 1)
+    rows_l, rows_r = [], []
+    # 10 normal users x 20 events; user 0 hot with 2000 events
+    for u in range(1, 11):
+        for i in range(20):
+            ts = base.replace(hour=rng.randrange(24), minute=rng.randrange(60))
+            rows_l.append((u, ts))
+            if i % 2 == 0:
+                rows_r.append((u, ts.replace(second=30), float(u * 100 + i)))
+    for i in range(2000):
+        ts = base.replace(
+            hour=rng.randrange(24), minute=rng.randrange(60), second=rng.randrange(60)
+        )
+        rows_l.append((0, ts))
+        if i % 10 == 0:
+            rows_r.append((0, ts, float(i)))
+    left = spark.createDataFrame(rows_l, "user_id long, ts timestamp")
+    right = spark.createDataFrame(rows_r, "user_id long, ts timestamp, value double")
+
+    plain = {
+        tuple(r)
+        for r in asof_backward_join(left, right, "user_id").collect()
+    }
+    salted_df = asof_backward_join_salted(left, right, "user_id", bucket_span="1 hour")
+    salted = {tuple(r) for r in salted_df.collect()}
+    assert salted == plain
+
+    # per-task bound: the hot key splits across 24 hourly buckets — the
+    # largest (key, bucket) group is far below the key's 2200 rows
+    sizes = (
+        left.unionByName(right.select("user_id", "ts"), allowMissingColumns=False)
+        .groupBy("user_id", F.window("ts", "1 hour")["start"].alias("b"))
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert sizes < 300  # ~2200/24 + slack; the unsalted window would see 2200
+
+    # the salted plan's big window really partitions on (key, bucket)
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan
