@@ -207,9 +207,14 @@ def extract_frontmatter(text: str) -> dict[str, str]:
         out = {}
         for line in m.group(1).split("\n"):
             line = line.strip()
-            # top-level `key = value`; skip [tables], comments, and blank lines
-            if not line or line.startswith(("#", "[")):
+            if not line or line.startswith("#"):
                 continue
+            # a `[table]` header ends the top-level section: every key
+            # after it belongs to the table (gray-matter's TOML engine
+            # nests them), so stop rather than hoist nested keys to
+            # top level
+            if line.startswith("["):
+                break
             if "=" in line:
                 k, v = line.split("=", 1)
                 out[k.strip()] = v.strip().strip("'\"")

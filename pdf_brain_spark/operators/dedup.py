@@ -58,9 +58,24 @@ def _parallelize(docs: DataFrame, id_col: str) -> DataFrame:
     first. CONDITIONAL: a well-laid-out many-file table already scans with
     enough parallelism, and repartitioning it again would be one avoidable
     full shuffle per operator at 100 TB — so only shuffle when the scan is
-    under-parallel (fewer partitions than half the cluster's slots)."""
+    under-parallel (fewer partitions than half the cluster's slots).
+
+    Two-stage probe (VERDICT r3: `df.rdd` converts the plan to RDD per
+    call and pins the pre-AQE partition count): `inputFiles()` is just a
+    listing — when the file count alone already clears the threshold (the
+    normal well-laid-out case at scale) the decision is made with no RDD
+    conversion at all. Only when the file count looks low (few files —
+    which may still SPLIT into many partitions if they are large) does the
+    RDD probe run to confirm, so a 10×10 GB table is not wrongly
+    reshuffled and in-memory fixtures (no input files) still resolve."""
     sess = docs.sparkSession
     target = sess.sparkContext.defaultParallelism
+    try:
+        n_files = len(docs.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files * 2 >= target:
+        return docs
     if docs.rdd.getNumPartitions() * 2 >= target:
         return docs
     return docs.repartition(target, id_col)
@@ -105,11 +120,16 @@ def ngram_jaccard_pairs(
         F.col(id_col), F.md5(F.col(text_col)).alias("_chash"), F.col(text_col)
     )
     # one shuffle builds both the member lists and the representatives
-    # (texts are identical within a hash group, so any_value stands in)
+    # (texts are identical within a hash group, so any_value stands in).
+    # localCheckpoint, not cache(): a lazy operator can't safely unpersist
+    # (the caller collects after we return), so cache() entries would
+    # accumulate in the CacheManager across invocations in a long-lived
+    # session; checkpoint blocks are reclaimed by the ContextCleaner when
+    # the plan is GC'd (same rationale as temporal.py tiered rollup).
     groups = hashed.groupBy("_chash").agg(
         F.array_sort(F.collect_list(F.col(id_col))).alias("_members"),
         F.first(F.col(text_col)).alias(text_col),
-    ).cache()
+    ).localCheckpoint(eager=True)
     members = groups.select("_chash", "_members")
 
     # one shingle pass over the distinct contents, shared by the inverted
@@ -117,7 +137,7 @@ def ngram_jaccard_pairs(
     rsets = groups.select(
         F.col("_chash").alias(id_col),
         F.array_distinct(shingles(tokenize(text_col), k)).alias("sh_set"),
-    ).cache()
+    ).localCheckpoint(eager=True)
     rep_pairs = _jaccard_pairs_from_sets(rsets, threshold, id_col, df_cap)
 
     # within-group pairs: every member pair of a duplicated content is a
@@ -321,10 +341,11 @@ def _lsh_pairs_from_signatures(sig: DataFrame, id_col: str = "doc_id") -> DataFr
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # self-join on (band, bucket): cache the banded table so the two join
-    # sides share one computation; candidate volume is O(sum bucket²), not
-    # O(n²) — the LSH contract
-    banded = banded.cache()
+    # self-join on (band, bucket): materialize the banded table so the two
+    # join sides share one computation; candidate volume is O(sum bucket²),
+    # not O(n²) — the LSH contract. localCheckpoint for lifecycle safety
+    # (see ngram_jaccard_pairs).
+    banded = banded.localCheckpoint(eager=True)
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     b_ = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     return (
@@ -352,7 +373,7 @@ def minhash_verified_pairs(
     The shingle sets are computed ONCE and cached: banding derives its
     minhash bases from the same cached sets the verify join reads, so the
     corpus is tokenized/shingled a single time instead of twice."""
-    sets = _shingle_set_df(docs, id_col, text_col, k).cache()
+    sets = _shingle_set_df(docs, id_col, text_col, k).localCheckpoint(eager=True)
     sig = minhash_signatures_from_sets(sets, id_col)
     cands = _lsh_pairs_from_signatures(sig, id_col)
     a = sets.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a"))
@@ -408,7 +429,7 @@ def simhash_near_dup_pairs(
     banded = (
         fp.select(F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("bb"))
         .select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     a = banded.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "key")
     b_ = banded.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "key")

@@ -32,9 +32,19 @@ def _parallelize(docs: DataFrame, id_col: str) -> DataFrame:
     """Spread an under-parallel scan before the CPU-bound tokenize map
     stage (single-file test sources scan as one partition). Conditional:
     a many-file table that already scans with ≥ half the cluster's slots
-    is left alone — no avoidable full shuffle at scale."""
+    is left alone — no avoidable full shuffle at scale. Two-stage probe:
+    `inputFiles()` first (a listing — no plan-to-RDD conversion, AQE
+    unaffected) decides the well-parallel case; the RDD probe only runs
+    to confirm when the file count looks low — see
+    operators/dedup.py::_parallelize for the full rationale."""
     sess = docs.sparkSession
     target = sess.sparkContext.defaultParallelism
+    try:
+        n_files = len(docs.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files * 2 >= target:
+        return docs
     if docs.rdd.getNumPartitions() * 2 >= target:
         return docs
     return docs.repartition(target, id_col)
@@ -68,13 +78,18 @@ def bm25_scores(
     instead and prune to the queried terms; this path is the one-shot
     query plan."""
     terms = [t.lower() for t in query_terms]
-    # cache (id, tokens): the q tf-columns below each reference the token
-    # array, and without materialization project-collapse would inline (and
-    # recompute) tokenize() into every one of them
+    # materialize (id, tokens): the q tf-columns below each reference the
+    # token array, and without materialization project-collapse would inline
+    # (and recompute) tokenize() into every one of them. localCheckpoint,
+    # not cache(): a lazy operator can't safely unpersist (the caller
+    # collects after we return), so cache() entries would accumulate in the
+    # CacheManager across invocations in a long-lived session; checkpoint
+    # blocks are reclaimed by the ContextCleaner when the plan is GC'd
+    # (same rationale as temporal.py tiered rollup).
     toked = (
         _parallelize(docs, id_col)
         .select(id_col, tokenize(text_col).alias("_tokens"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
 
     def _tf(term: str):
@@ -149,10 +164,12 @@ def phrase_bm25_scores(
     if not terms:
         raise ValueError("empty phrase")
     m = len(terms)
+    # localCheckpoint, not cache() — see bm25_scores for the lifecycle
+    # rationale.
     toked = (
         _parallelize(docs, id_col)
         .select(id_col, tokenize(text_col).alias("_tokens"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
 
     def _match_at(i):
@@ -200,8 +217,11 @@ def duck_phrase_bm25_sql(phrase: str, k: int = 10) -> str:
     positions run 1..len-m+1 and term j probes tokens[i+j]."""
     terms = [t for t in phrase.lower().split() if t]
     m = len(terms)
+    # escape single quotes so a token like o'brien stays a valid SQL
+    # string literal in the oracle
     cond = " AND ".join(
-        f"tokens[i + {j}] = '{t}'" for j, t in enumerate(terms)
+        "tokens[i + {j}] = '{t}'".format(j=j, t=t.replace("'", "''"))
+        for j, t in enumerate(terms)
     )
     return f"""
     WITH toks AS (
@@ -220,22 +240,29 @@ def duck_phrase_bm25_sql(phrase: str, k: int = 10) -> str:
       SELECT count(*) AS n_docs, avg(dl) AS avgdl,
              sum(CASE WHEN ptf > 0 THEN 1 ELSE 0 END) AS df
       FROM per_doc
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             ln((s.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0)
+               * (p.ptf * ({BM25_K1} + 1))
+               / (p.ptf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * p.dl / s.avgdl)) AS bm25_raw,
+             p.ptf AS phrase_hits
+      FROM per_doc p, stats s
+      WHERE p.ptf > 0
     )
-    SELECT doc_id,
-           round(ln((s.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0)
-             * (p.ptf * ({BM25_K1} + 1))
-             / (p.ptf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * p.dl / s.avgdl)), 6) AS bm25,
-           p.ptf AS phrase_hits
-    FROM per_doc p, stats s
-    WHERE p.ptf > 0
-    ORDER BY 2 DESC, doc_id ASC
+    -- order by the UNROUNDED score (mirroring the Spark plan, which sorts
+    -- full precision before rounding) so a tie introduced only by the
+    -- 6-decimal rounding can't flip the k-boundary tie-break to doc_id
+    SELECT doc_id, round(bm25_raw, 6) AS bm25, phrase_hits
+    FROM scored
+    ORDER BY bm25_raw DESC, doc_id ASC
     LIMIT {k}
     """
 
 
 def duck_bm25_sql(query_terms: list[str], k: int = 10) -> str:
     """DuckDB oracle twin of bm25_scores over the `documents` view."""
-    terms = ", ".join(f"'{t.lower()}'" for t in query_terms)
+    terms = ", ".join("'{}'".format(t.lower().replace("'", "''")) for t in query_terms)
     return f"""
     WITH toks AS (
       SELECT doc_id,

@@ -50,20 +50,48 @@ def _fake_features(payload: bytes, dim: int) -> list[float]:
 
 def image_features_map_in_pandas(dim: int = IMAGE_FEATURE_DIM, use_fake: bool = True):
     """(asset_id, content) → (asset_id, features array<float>, width, height).
-    Real mode decodes via PIL; fake mode derives deterministic features from
-    the payload hash (plumbing test double)."""
+    Real mode decodes via PIL (grayscale thumbnail features, true pixel
+    dimensions); fake mode derives deterministic features from the payload
+    hash (plumbing test double — the container has no PIL, so fake mode is
+    what the gate exercises; tests/test_real_mode_seams.py smoke-tests the
+    real branch wherever pillow IS installed)."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real_decode = None
         if not use_fake:
             try:
-                from PIL import Image  # noqa: F401
+                import io
+                import math
+
+                from PIL import Image
             except ImportError as e:
                 raise NotImplementedError(
                     "image decode requires pillow on executors; run with "
                     "use_fake=True for the deterministic stand-in"
                 ) from e
+            side = max(int(math.isqrt(dim)), 1)
+
+            def real_decode(b: bytes) -> tuple[list[float], int, int]:
+                img = Image.open(io.BytesIO(bytes(b)))
+                thumb = img.convert("L").resize((side, side))
+                v = np.asarray(thumb, dtype=np.float64).ravel()
+                v = np.resize(v, dim)  # pad/truncate to the feature dim
+                n = float(np.linalg.norm(v)) or 1.0
+                return (v / n).astype(np.float32).tolist(), img.width, img.height
+
         for pdf in batches:
             payloads = pdf["content"]
+            if real_decode is not None:
+                decoded = [real_decode(bytes(b)) for b in payloads]
+                yield pd.DataFrame(
+                    {
+                        "asset_id": pdf["asset_id"],
+                        "features": [d[0] for d in decoded],
+                        "width": [d[1] for d in decoded],
+                        "height": [d[2] for d in decoded],
+                    }
+                )
+                continue
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

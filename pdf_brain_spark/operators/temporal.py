@@ -61,10 +61,18 @@ def asof_backward_join(
         *[F.col(p).alias(f"_p_{p}") for p in payload_cols],
     )
     # right rows sort before left rows at equal ts so "at or before"
-    # includes the tie
+    # includes the tie. Among right rows at the SAME timestamp the carried
+    # row is otherwise arbitrary (window order within equal sort keys is
+    # not deterministic), so the payload struct is a final sort key: the
+    # winner is the max payload — deterministic, and identical to the
+    # salted variant's max_by tie-break.
+    r_tie = F.when(
+        F.col("_side") == 0,
+        F.struct(*[F.col(f"_p_{p}").alias(p) for p in payload_cols]),
+    )
     w = (
         Window.partitionBy("_key")
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), r_tie.asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = (
@@ -200,10 +208,17 @@ def asof_backward_join_salted(
         F.col(right_ts).alias("_rts"),
         *[F.col(p).alias(f"_p_{p}") for p in payload_cols],
     )
-    # pass 1: carry within (key, bucket) — bounded per-task input
+    # pass 1: carry within (key, bucket) — bounded per-task input. Same
+    # payload-struct tie-break as the unsalted path: among right rows at
+    # an identical timestamp the max payload wins, so salted == unsalted
+    # even on corpora with duplicate right timestamps per key.
+    r_tie = F.when(
+        F.col("_side") == 0,
+        F.struct(*[F.col(f"_p_{p}").alias(p) for p in payload_cols]),
+    )
     w = (
         Window.partitionBy("_key", "_bkt")
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), r_tie.asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     rstruct = F.when(
@@ -220,10 +235,21 @@ def asof_backward_join_salted(
         .select("_key", "_bkt", "_lrow", "_in_bkt")
     )
 
-    # pass 2: per-(key, bucket) last right row — one summary row per bucket
+    # pass 2: per-(key, bucket) last right row — one summary row per
+    # bucket. The max_by ordering key is (ts, payload struct) so equal-ts
+    # ties resolve to the max payload, matching pass 1 and the unsalted
+    # window path.
     summaries = (
         r2.groupBy("_key", "_bkt")
-        .agg(F.max_by(rstruct, F.col("_ts")).alias("_last"))
+        .agg(
+            F.max_by(
+                rstruct,
+                F.struct(
+                    F.col("_ts").alias("_ts"),
+                    *[F.col(f"_p_{p}").alias(p) for p in payload_cols],
+                ),
+            ).alias("_last")
+        )
     )
     axis = (
         l2.select("_key", "_bkt")
@@ -250,4 +276,87 @@ def asof_backward_join_salted(
             F.col("_eff._rts").alias(f"{prefix}ts"),
             *[F.col(f"_eff.{p}").alias(f"{prefix}{p}") for p in payload_cols],
         )
+    )
+
+
+def sessionize_salted(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    bucket_span: str = "1 hour",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Skew-hardened gap sessionization: identical semantics to the
+    classic lag+running-sum formulation (queries.events_sessionize), but
+    the per-key window is SALTED BY TIME BUCKET so a hot key's rows never
+    serialize through one task — the same two-pass shape as
+    asof_backward_join_salted.
+
+      1. within-bucket: window on (key, bucket) ordered by
+         (ts, *order_cols); a row opens a session when its gap from the
+         previous IN-BUCKET row exceeds gap_seconds. The bucket-opening
+         row's verdict is deferred to pass 2.
+      2. bucket axis: per (key, bucket) summary (first_ts, last_ts,
+         internal session starts). A window over the per-key BUCKET axis
+         (rows = buckets, not events) decides each bucket-opening row
+         against the PREVIOUS bucket's last_ts, and a running sum of
+         per-bucket session starts provides the session-id offset, so a
+         session spanning any number of buckets numbers continuously.
+
+    Returns all input columns plus `session_id` (1-based, per key,
+    increasing in event-time order). Tune bucket_span so the hottest
+    (key, bucket) fits a task; sessions longer than a bucket are handled
+    exactly (carry is from the previous NON-EMPTY bucket)."""
+    from pyspark.sql import Window
+
+    gap_us = int(gap_seconds) * 1_000_000
+    ev = events.withColumn("_bkt", F.window(F.col(ts_col), bucket_span)["start"])
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
+    wb = Window.partitionBy(key_col, "_bkt").orderBy(*order)
+    lag_ts = F.lag(F.col(ts_col)).over(wb)
+    new_in_bucket = F.when(
+        lag_ts.isNull(), F.lit(0)  # bucket opener: decided in pass 2
+    ).otherwise(
+        (
+            (F.unix_micros(F.col(ts_col)) - F.unix_micros(lag_ts)) > gap_us
+        ).cast("int")
+    )
+    rows = ev.withColumn("_new_in", new_in_bucket).withColumn(
+        "_run_in",
+        F.sum("_new_in").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+    # pass 2: one summary row per (key, bucket) — tiny relative to events
+    summ = rows.groupBy(key_col, "_bkt").agg(
+        F.min(ts_col).alias("_first_ts"),
+        F.max(ts_col).alias("_last_ts"),
+        F.sum("_new_in").alias("_n_internal"),
+    )
+    wk = Window.partitionBy(key_col).orderBy(F.col("_bkt").asc())
+    prev_last = F.lag(F.col("_last_ts")).over(wk)
+    opens_new = F.when(
+        prev_last.isNull()
+        | ((F.unix_micros(F.col("_first_ts")) - F.unix_micros(prev_last)) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    buckets = summ.withColumn("_opens", opens_new).withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum(F.col("_n_internal") + F.col("_opens")).over(
+                wk.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+
+    # join the bucket verdicts back: equi-join on (key, bucket), both
+    # sides already hash-partitioned on the same keys by the windows
+    out_cols = [c for c in events.columns]
+    return (
+        rows.join(buckets.select(key_col, "_bkt", "_opens", "_offset"), [key_col, "_bkt"])
+        .withColumn(
+            "session_id", (F.col("_offset") + F.col("_opens") + F.col("_run_in")).cast("long")
+        )
+        .select(*out_cols, "session_id")
     )

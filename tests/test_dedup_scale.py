@@ -179,3 +179,52 @@ def test_embedding_near_dup_ann_subset_and_recall(spark):
     # overall recall: boundary pairs may straddle lists, but multi-assign
     # keeps the loss small on this geometry
     assert len(ann) / max(len(exact), 1) >= 0.9
+
+
+def test_operator_reuse_does_not_leak_cache_entries(spark):
+    """Cache-lifecycle invariant (VERDICT r3 item 3): fts and dedup
+    operators materialize intermediates with localCheckpoint, not
+    cache(). Two leak modes are distinguished:
+
+      * the SQL CacheManager (df.cache) holds entries until an explicit
+        unpersist — a lazy operator can never call it safely, so ANY
+        entry after the runs is a leak: must stay empty;
+      * localCheckpoint blocks are registered as persistent RDDs but are
+        reclaimed by the ContextCleaner once the plan is garbage
+        collected — so after dropping the plans and forcing GC the
+        persistent-RDD count must drain back to its starting level."""
+    import gc
+    import time
+
+    from pdf_brain_spark.operators.dedup import minhash_verified_pairs
+    from pdf_brain_spark.operators.fts import bm25_scores, phrase_bm25_scores
+
+    docs = _mid_similarity_corpus(spark, n_pairs=10)
+
+    def persistent_rdds() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    # start from a clean slate: earlier tests in the session may hold
+    # legitimate fixture caches
+    spark.catalog.clearCache()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_mgr.isEmpty(), "CacheManager dirty after clearCache"
+    before = persistent_rdds()
+    for _ in range(2):
+        bm25_scores(docs, ["tok1", "tok2"], k=5).collect()
+        phrase_bm25_scores(docs, "tok1 tok2", k=5).collect()
+        minhash_verified_pairs(docs, threshold=0.1).collect()
+    # mode 1: nothing may sit in the SQL CacheManager — those entries
+    # would survive until session death
+    assert cache_mgr.isEmpty(), "operator left entries in the SQL CacheManager"
+    # mode 2: checkpoint blocks drain via ContextCleaner after GC
+    deadline = time.time() + 30
+    after = persistent_rdds()
+    while after > before and time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+        after = persistent_rdds()
+    assert after <= before, (
+        f"persistent RDDs not reclaimed after GC: {before} -> {after}"
+    )

@@ -194,3 +194,57 @@ def test_clustering_invariants_seeded_fixture(spark):
     best_b, _ = bic_select_k(emb, range(2, 9, 3), seed=7)
     assert best_a == best_b, f"chosen_k unstable across seeds: {best_a} vs {best_b}"
     emb.unpersist()
+
+
+def test_model_invariant_checker_rejects_poisoned_inputs():
+    """check_model_invariants is the fail-fast core of the rows-only gate
+    row: every violated invariant must raise, valid inputs must not."""
+    import pytest
+
+    from pdf_brain_spark.operators.clustering import check_model_invariants
+
+    ok = dict(
+        n_points=10,
+        rss_by_k={2: 8.0, 5: 4.0, 8: 2.0},
+        chosen_k=5,
+        member_counts=[4, 6],
+        mean_probabilities=[0.8, 0.9, None],
+    )
+    check_model_invariants(**ok)  # sanity: valid model passes
+
+    with pytest.raises(AssertionError, match="non-increasing"):
+        check_model_invariants(**{**ok, "rss_by_k": {2: 4.0, 5: 9.0, 8: 2.0}})
+    with pytest.raises(AssertionError, match="no recorded WSSSE"):
+        check_model_invariants(**{**ok, "chosen_k": 3})
+    with pytest.raises(AssertionError, match="negative WSSSE"):
+        check_model_invariants(**{**ok, "rss_by_k": {2: 8.0, 5: -1.0}, "chosen_k": 5})
+    with pytest.raises(AssertionError, match="sum to n_points"):
+        check_model_invariants(**{**ok, "member_counts": [4, 5]})
+    with pytest.raises(AssertionError, match="probabilities outside"):
+        check_model_invariants(**{**ok, "mean_probabilities": [0.8, 1.7]})
+
+
+def test_clustering_report_query_fails_on_poisoned_wssse(spark, monkeypatch):
+    """Poisoned-fixture proof (VERDICT r3 item 5): when the model's WSSSE
+    ordering is violated, clustering_model_report RAISES — the rows-only
+    driver row can never record a green run over a broken model."""
+    import pytest
+
+    import pdf_brain_spark.operators.clustering as cl
+    from pdf_brain_spark.queries import get_queries
+
+    orig = cl.bic_select_k
+
+    def poisoned(emb, k_range, seed=42, vec_col="embedding", max_iter=10, rss_out=None):
+        best, scores = orig(
+            emb, k_range, seed=seed, vec_col=vec_col, max_iter=max_iter, rss_out=rss_out
+        )
+        if rss_out is not None and rss_out:
+            ks = sorted(rss_out)
+            # violate monotonicity: largest k suddenly fits worst
+            rss_out[ks[-1]] = rss_out[ks[0]] * 10.0 + 1.0
+        return best, scores
+
+    monkeypatch.setattr(cl, "bic_select_k", poisoned)
+    with pytest.raises(AssertionError, match="non-increasing"):
+        get_queries()["clustering_model_report"](spark, SF_DIR).collect()

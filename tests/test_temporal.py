@@ -138,3 +138,71 @@ def test_asof_salted_matches_unsalted_on_100x_skew(spark):
     # the salted plan's big window really partitions on (key, bucket)
     plan = salted_df._jdf.queryExecution().executedPlan().toString()
     assert "_bkt" in plan
+
+
+def test_sessionize_salted_matches_unsalted_on_100x_skew(spark):
+    """Salted sessionize (VERDICT r3 item 6): a user with 100x everyone
+    else's events must produce IDENTICAL per-row session ids through the
+    time-bucketed two-pass operator, with per-task window input bounded
+    by the (key, bucket) group — including sessions that span bucket
+    boundaries and buckets that are empty for a key."""
+    import random
+
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.operators.temporal import sessionize_salted
+
+    rng = random.Random(11)
+    base = datetime(2025, 3, 1)
+    rows = []
+    eid = 0
+    # 10 normal users x 30 events spread over a day
+    for u in range(1, 11):
+        for _ in range(30):
+            ts = base.replace(hour=rng.randrange(24), minute=rng.randrange(60))
+            rows.append((eid, u, ts)); eid += 1
+    # hot user 0: 3000 events, including dense runs that chain sessions
+    # across hourly bucket boundaries and multi-hour silent gaps
+    for _ in range(3000):
+        ts = base.replace(
+            hour=rng.randrange(24), minute=rng.randrange(60), second=rng.randrange(60)
+        )
+        rows.append((eid, 0, ts)); eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+    # unsalted reference: classic lag + running sum over the whole key
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    plain = {
+        (r["event_id"], r["session_id"])
+        for r in ev.withColumn("_n", new_s)
+        .withColumn(
+            "session_id",
+            F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+        .select("event_id", "session_id")
+        .collect()
+    }
+
+    salted_df = sessionize_salted(
+        ev, "user_id", gap_seconds=1800, bucket_span="1 hour", order_cols=("event_id",)
+    )
+    salted = {
+        (r["event_id"], r["session_id"])
+        for r in salted_df.select("event_id", "session_id").collect()
+    }
+    assert salted == plain
+
+    # per-task bound: hot key splits across 24 hourly buckets
+    sizes = (
+        ev.groupBy("user_id", F.window("ts", "1 hour")["start"].alias("b"))
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert sizes < 400  # ~3030/24 + slack; unsalted would see 3030
+
+    # the salted plan's event-scale window really partitions on (key, bucket)
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan
