@@ -32,19 +32,12 @@ def _parallelize(docs: DataFrame, id_col: str) -> DataFrame:
     """Spread an under-parallel scan before the CPU-bound tokenize map
     stage (single-file test sources scan as one partition). Conditional:
     a many-file table that already scans with ≥ half the cluster's slots
-    is left alone — no avoidable full shuffle at scale. Two-stage probe:
-    `inputFiles()` first (a listing — no plan-to-RDD conversion, AQE
-    unaffected) decides the well-parallel case; the RDD probe only runs
-    to confirm when the file count looks low — see
-    operators/dedup.py::_parallelize for the full rationale."""
+    is left alone — no avoidable full shuffle at scale. The RDD probe is
+    deliberate — a file-count probe misjudges post-scan coalesce /
+    AQE-reduced parallelism; see operators/dedup.py::_parallelize for the
+    full rationale."""
     sess = docs.sparkSession
     target = sess.sparkContext.defaultParallelism
-    try:
-        n_files = len(docs.inputFiles())
-    except Exception:
-        n_files = 0
-    if n_files * 2 >= target:
-        return docs
     if docs.rdd.getNumPartitions() * 2 >= target:
         return docs
     return docs.repartition(target, id_col)

@@ -38,6 +38,29 @@ def cluster_by_range(df: DataFrame, n_files: int, *cols: str) -> DataFrame:
     return df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
 
 
+def write_ivf_partitioned(indexed: DataFrame, path: str, list_col: str = "list_id") -> None:
+    """Persist an IVF-indexed corpus with `list_col` as a PARTITION column —
+    the storage half of the 100 TB ANN story (operators/ann.py probes the
+    n_probes nearest lists; with this layout the unprobed lists are pruned
+    at planning time and never read at all). A probe query's scan shows the
+    probe set under PartitionFilters instead of a data filter, and file
+    listing is restricted to the probed directories.
+
+    At real scale you'd additionally range-cluster within each list (see
+    cluster_by_range) so footer stats prune row groups inside the probed
+    lists too."""
+    indexed.write.partitionBy(list_col).mode("overwrite").parquet(path)
+
+
+def partition_dirs_read(path: str, probe_ids: list[int], list_col: str = "list_id") -> tuple[int, int]:
+    """(probed_dirs, total_dirs) for a probe set against a partitioned
+    layout — the file-system-level pruning bound a partition-filtered scan
+    cannot exceed."""
+    dirs = [d for d in os.listdir(path) if d.startswith(f"{list_col}=")]
+    probed = [d for d in dirs if int(d.split("=", 1)[1]) in set(probe_ids)]
+    return len(probed), len(dirs)
+
+
 def file_stats(path: str, col: str) -> list[tuple[str, object, object]]:
     """(file, min, max) of `col` from each parquet footer under `path` —
     the exact statistics a scan's file-level pruning consults."""

@@ -162,3 +162,39 @@ def test_map_stage_repartition_is_conditional(spark, tmp_path):
         one = spark.read.parquet(many).coalesce(1)
         spread1 = par(one, "doc_id")
         assert spread1.rdd.getNumPartitions() == target
+
+
+def test_ivf_partitioned_probe_prunes_partitions(spark, tmp_path):
+    """The storage half of the IVF story: written with list_id as a
+    partition column, a probe's list filter becomes a PARTITION filter —
+    pruned at planning time, unprobed lists never read — and the probed
+    read returns exactly the rows the in-memory index path selects."""
+    from pdf_brain_spark.operators.ann import (
+        ivf_index,
+        synthetic_clustered_embeddings,
+    )
+    from pdf_brain_spark.sources.layout import (
+        partition_dirs_read,
+        write_ivf_partitioned,
+    )
+
+    emb = synthetic_clustered_embeddings(spark, n=2048, dim=16, n_centers=8, seed=9)
+    indexed, _ = ivf_index(emb, n_lists=8, seed=42)
+    out = str(tmp_path / "ivf_corpus")
+    write_ivf_partitioned(indexed, out)
+
+    probes = [1, 4, 6]
+    scan = spark.read.parquet(out).filter(F.col("list_id").isin(probes))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # the probe is a PartitionFilter (directory pruning), not a data filter
+    assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters", 1)[1][:200]
+
+    # filesystem-level bound: only the probed directories exist in the
+    # probe set the scan can touch
+    probed_dirs, total_dirs = partition_dirs_read(out, probes)
+    assert total_dirs == 8 and probed_dirs == 3
+
+    # semantics: the pruned scan returns exactly the index path's rows
+    expected = {r["vec_id"] for r in indexed.filter(F.col("list_id").isin(probes)).collect()}
+    got = {r["vec_id"] for r in scan.collect()}
+    assert got == expected and len(got) > 0
