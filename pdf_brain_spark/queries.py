@@ -3862,6 +3862,224 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "boilerplate_ngram_report",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tokens
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(tokens), 1)),
+               i -> tokens[i] || ' ' || tokens[i+1]))) AS g
+      FROM toks
+    ),
+    dfreq AS (
+      SELECT g AS ngram, count(DISTINCT doc_id) AS df FROM grams
+      WHERE g IS NOT NULL GROUP BY g
+    ),
+    total AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT ngram, df, round(df / CAST(t.n_docs AS DOUBLE), 6) AS doc_frac
+    FROM dfreq, total t
+    WHERE df >= 20
+    ORDER BY df DESC, ngram ASC
+    LIMIT 25
+    """,
+)
+def boilerplate_ngram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate detector (the C4/Gopher cleaning stage that
+    precedes line/paragraph removal): the top repeated 2-gram phrases by
+    DOCUMENT frequency — phrases appearing across many distinct documents
+    are navigation chrome, license headers, templates.
+
+    Plan shape at 100 TB: per-doc DISTINCT grams are computed map-side
+    (array transform + array_distinct inside the scan projection), so the
+    only shuffle is the gram-frequency aggregation — combiner-friendly,
+    carrying one row per (doc, distinct gram), never positional copies.
+    The report feeds a broadcast semi-join removal pass (same shape as
+    benchmark_contamination's decontaminate arm)."""
+    from pdf_brain_spark.functions.text import shingles, tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokenize("text"), 2))).alias("ngram"),
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 20)
+        .withColumn("doc_frac", F.round(F.col("df") / F.lit(float(n_docs)), 6))
+        .orderBy(F.col("df").desc(), F.col("ngram").asc())
+        .limit(25)
+    )
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+               % 8 AS shard,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             t -> t <> '')) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, doc_id, n_tok,
+             CAST(FLOOR((sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tok)
+                        / 2048.0) AS BIGINT) AS bin_id
+      FROM toks
+    )
+    SELECT shard, bin_id, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(sum(n_tok) / 2048.0, 6) AS fill_rate
+    FROM packed
+    GROUP BY shard, bin_id
+    ORDER BY shard, bin_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing for training (greedy-by-order into
+    2048-token bins): every document lands in the bin where its running
+    token total starts. The running sum is windowed PER SHARD (portable
+    content-free hash of the id, 8 shards), so at 100 TB the packing is
+    embarrassingly parallel across shards instead of one global sort —
+    the same trade every distributed training-data packer makes (bin
+    boundaries are per-shard, global order is not promised). Assignment
+    is stable across runs/engines/re-shards: shard and order derive only
+    from doc_id."""
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 8
+    )
+    n_tok = F.size(tokenize("text"))
+    toks = docs.select("doc_id", shard.alias("shard"), n_tok.alias("n_tok"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(2048.0)).cast("long"),
+    )
+    return (
+        packed.groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.sum("n_tok") / F.lit(2048.0), 6).alias("fill_rate"),
+        )
+        .orderBy("shard", "bin_id")
+    )
+
+
+@query(
+    "domain_mixture_sample",
+    oracle="""
+    WITH weighted AS (
+      SELECT doc_id, source,
+             1.0 / (1 + CAST(substr(source, 4) AS BIGINT) % 4) AS weight,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+               % 1000 AS bucket
+      FROM documents
+    )
+    SELECT source, round(any_value(weight), 6) AS weight,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN bucket < weight * 1000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(sum(CASE WHEN bucket < weight * 1000 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS realized_rate
+    FROM weighted
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted domain-mixture sampling — the data-mixing
+    stage of a pretraining pipeline: each source gets a target sampling
+    weight and a document is kept iff its portable content-free hash
+    bucket falls under the weight. Map-only (no shuffle for the DECISION;
+    the one aggregation here is just the per-source report), stable across
+    runs, engines, and re-shards, and a document's fate never depends on
+    what else is in the corpus — the property that lets 100 TB be sampled
+    incrementally. Weights derive from the source id here (1, 1/2, 1/3,
+    1/4 cycling) standing in for a configured mixture table."""
+    docs = load_table(spark, "documents", sf_dir)
+    weight = 1.0 / (
+        1 + F.substring(F.col("source"), 4, 10).cast("long") % 4
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    keep = F.when(bucket < weight * 1000, 1).otherwise(0)
+    return (
+        docs.select("doc_id", "source", weight.alias("weight"), keep.alias("_keep"))
+        .groupBy("source")
+        .agg(
+            F.round(F.any_value("weight"), 6).alias("weight"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("_keep").alias("n_kept"),
+            F.round(F.sum("_keep") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "realized_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "stratified_sample_per_source",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, lang,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source, doc_id, lang
+    FROM ranked WHERE rn <= 5
+    ORDER BY source, doc_id
+    """,
+)
+def stratified_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly k=5 documents per source,
+    chosen by ranking on the portable content-free hash of the id — a
+    seedless, engine-stable reservoir ("give me the same 5 per domain every
+    run") used for eval-set carving and manual corpus QA. One rank window
+    partitioned by the stratum; at 100 TB each stratum ranks
+    independently (no global sort) and the hash order is stable under
+    re-sharding, unlike rand()-based sampleBy."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id", "lang")
+        .orderBy("source", "doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Consolidated gate queries: the driver's correctness harness verifies the
 # FIRST 50 registered entries, so closely related operators are exposed both

@@ -14,6 +14,19 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "pdf_brain_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    # Unpinned py4j gateway (must be set BEFORE the JVM gateway launches).
+    # PySpark's default pinned-thread ClientServer never propagates Python
+    # garbage collection to the JVM, so EVERY python-created plan object —
+    # and with it every persisted/localCheckpoint'd block it references —
+    # is pinned until session death; measured here: a dropped
+    # localCheckpoint DataFrame's blocks are never reclaimed under pinned
+    # mode and drain in ~1 s under the legacy gateway, whose finalizers
+    # work. This engine submits queries sequentially and uses no
+    # per-thread job-group/cancellation semantics, so the legacy gateway
+    # is safe — and it is what makes a LONG-LIVED session's storage
+    # bounded (the ContextCleaner can only reclaim what the JVM can
+    # collect). tests/test_dedup_scale.py asserts the drain.
+    os.environ.setdefault("PYSPARK_PIN_THREAD", "false")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32

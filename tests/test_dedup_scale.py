@@ -201,15 +201,20 @@ def test_operator_reuse_does_not_leak_cache_entries(spark):
 
     docs = _mid_similarity_corpus(spark, n_pairs=10)
 
-    def persistent_rdds() -> int:
-        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    def persistent_rdd_ids() -> set[int]:
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = m.keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(int(it.next()))
+        return ids
 
     # start from a clean slate: earlier tests in the session may hold
     # legitimate fixture caches
     spark.catalog.clearCache()
     cache_mgr = spark._jsparkSession.sharedState().cacheManager()
     assert cache_mgr.isEmpty(), "CacheManager dirty after clearCache"
-    before = persistent_rdds()
+    before = persistent_rdd_ids()
     for _ in range(2):
         bm25_scores(docs, ["tok1", "tok2"], k=5).collect()
         phrase_bm25_scores(docs, "tok1 tok2", k=5).collect()
@@ -217,14 +222,16 @@ def test_operator_reuse_does_not_leak_cache_entries(spark):
     # mode 1: nothing may sit in the SQL CacheManager — those entries
     # would survive until session death
     assert cache_mgr.isEmpty(), "operator left entries in the SQL CacheManager"
-    # mode 2: checkpoint blocks drain via ContextCleaner after GC
-    deadline = time.time() + 30
-    after = persistent_rdds()
-    while after > before and time.time() < deadline:
+    # mode 2: the RDDs the operators registered (id-set delta, so other
+    # tests' RDDs draining or lingering can't skew the comparison) must
+    # drain via ContextCleaner once the plans are dropped and GC runs —
+    # py4j detaches flush on the next gateway call, JVM GC is advisory,
+    # and the cleaner is async, so poll generously
+    deadline = time.time() + 90
+    leaked = persistent_rdd_ids() - before
+    while leaked and time.time() < deadline:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)
-        after = persistent_rdds()
-    assert after <= before, (
-        f"persistent RDDs not reclaimed after GC: {before} -> {after}"
-    )
+        leaked = persistent_rdd_ids() - before
+    assert not leaked, f"operator RDDs not reclaimed after GC: ids {sorted(leaked)}"
