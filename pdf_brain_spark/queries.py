@@ -4043,6 +4043,126 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ingest_sink_roundtrip",
+    oracle=f"""
+    WITH {_CHUNK_ORACLE_CTE}
+    SELECT 'chunks' AS sink, count(*) AS n_rows FROM chunks
+    UNION ALL
+    SELECT 'documents', count(*) FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT 'documents_rerun', 0
+    UNION ALL
+    SELECT 'embeddings', count(*) FROM chunks
+    ORDER BY sink
+    """,
+)
+def ingest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink attestation (S7/S8/S9, previously test-only in the SURVEY map):
+    run the REAL ingest job — build_documents → chunk UDF → embed UDF →
+    three parquet sinks — into a scratch dir, read the sinks back, and
+    re-run the same files against the written documents table. The
+    read-back row counts must equal the oracle's re-derivation from the
+    source table (chunks/embeddings via the SQL chunker twin), and the
+    rerun must ingest ZERO documents (S7 idempotency: the path anti-join
+    drops every already-ingested file)."""
+    import tempfile
+
+    from pdf_brain_spark.operators.ingest import ingest
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    files = docs.select(
+        F.col("doc_id").cast("string").alias("path"), F.col("text").alias("content")
+    )
+    out = tempfile.mkdtemp(prefix="sgraft_sink_rt_")
+    ingest(spark, files, out)
+    written_docs = spark.read.parquet(f"{out}/documents")
+    rerun_counts = ingest(spark, files, out, existing_docs=written_docs)
+    rows = [
+        ("chunks", spark.read.parquet(f"{out}/chunks").count()),
+        ("documents", spark.read.parquet(f"{out}/documents").count()),
+        ("documents_rerun", rerun_counts["documents"]),
+        ("embeddings", spark.read.parquet(f"{out}/embeddings").count()),
+    ]
+    return spark.createDataFrame(rows, "sink string, n_rows long").orderBy("sink")
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+    SELECT c.user_id, count(*) AS n_pairs,
+           round(sum(p.value), 4) AS total_matched_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    LIMIT 50
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream join run (§2.10, previously test-only): the
+    events table is staged once, read as TWO independent file streams
+    (clicks, purchases), joined with the watermarked time-bound inner
+    join (operators in streaming/events.py: state evicted once rows can
+    no longer match), drained with Trigger.AvailableNow into a memory
+    sink. The drain is a single micro-batch (all staged files available
+    at start), so no in-flight watermark eviction can drop matches and
+    the result must equal the batch time-bound join the oracle runs."""
+    import tempfile
+    import uuid
+
+    from pdf_brain_spark.streaming.events import stream_stream_join
+
+    ev_batch = load_table(spark, "events", sf_dir)
+    stage = tempfile.mkdtemp(prefix="sgraft_ssj_src_")
+    ev_batch.write.mode("append").parquet(stage)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+    def _typed_stream(etype: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(stage)
+            .filter(F.col("event_type") == etype)
+            .select("event_id", "ts", "user_id", "value")
+        )
+
+    joined = stream_stream_join(
+        _typed_stream("click"), _typed_stream("purchase"), key="user_id", within="1 hour"
+    )
+    qname = "ssj_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="sgraft_ckpt_")
+    q = (
+        joined.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.table(qname)
+    # join the purchase value back on (the join emits ids + timestamps;
+    # the memory sink is the ground truth for WHICH pairs matched)
+    purch = ev_batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("right_event_id"), F.col("value")
+    )
+    return (
+        sunk.join(purch, "right_event_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("value"), 4).alias("total_matched_value"),
+        )
+        .orderBy("user_id")
+        .limit(50)
+    )
+
+
+@query(
     "stratified_sample_per_source",
     oracle="""
     WITH ranked AS (
