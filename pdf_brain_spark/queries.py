@@ -377,15 +377,22 @@ _DUCK_PHRASE_ARM = """
       FROM embeddings e, q
       ORDER BY vec_score DESC, e.vec_id ASC LIMIT 10
     ),
-    {_DUCK_PHRASE_ARM}
-    SELECT COALESCE(v.doc_id, f.doc_id) AS doc_id,
-           round(CASE WHEN v.doc_id IS NOT NULL AND f.doc_id IS NOT NULL
-                      THEN least(1.0, v.vec_score * 1.2)
-                      ELSE COALESCE(v.vec_score, f.fts_score) END, 6) AS score,
-           CASE WHEN v.doc_id IS NOT NULL AND f.doc_id IS NOT NULL THEN 'hybrid'
-                WHEN v.doc_id IS NOT NULL THEN 'vector' ELSE 'fts' END AS match_type
-    FROM vec_arm v FULL OUTER JOIN fts_arm f ON v.doc_id = f.doc_id
-    ORDER BY 2 DESC, 1 ASC LIMIT 10
+    {_DUCK_PHRASE_ARM},
+    merged AS (
+      SELECT COALESCE(v.doc_id, f.doc_id) AS doc_id,
+             CASE WHEN v.doc_id IS NOT NULL AND f.doc_id IS NOT NULL
+                  THEN least(1.0, v.vec_score * 1.2)
+                  ELSE COALESCE(v.vec_score, f.fts_score) END AS raw_score,
+             CASE WHEN v.doc_id IS NOT NULL AND f.doc_id IS NOT NULL THEN 'hybrid'
+                  WHEN v.doc_id IS NOT NULL THEN 'vector' ELSE 'fts' END AS match_type
+      FROM vec_arm v FULL OUTER JOIN fts_arm f ON v.doc_id = f.doc_id
+    )
+    -- order by the UNROUNDED score, mirroring hybrid_merge's sort-then-
+    -- round plan, so a 6th-decimal tie at the limit boundary cannot flip
+    -- the doc_id tie-break (same fix as the fts_phrase oracle)
+    SELECT doc_id, round(raw_score, 6) AS score, match_type
+    FROM merged
+    ORDER BY raw_score DESC, doc_id ASC LIMIT 10
     """,
 )
 def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:

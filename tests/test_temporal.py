@@ -206,3 +206,75 @@ def test_sessionize_salted_matches_unsalted_on_100x_skew(spark):
     # the salted plan's event-scale window really partitions on (key, bucket)
     plan = salted_df._jdf.queryExecution().executedPlan().toString()
     assert "_bkt" in plan
+
+
+def test_salted_operators_match_unsalted_on_random_corpora(spark):
+    """Property-style equivalence over randomized corpora (seeded, multiple
+    draws in one Spark session — a hypothesis @given would pay a Spark job
+    per example): for random event sets with duplicate timestamps, sparse
+    keys, and empty-bucket gaps, salted as-of == unsalted as-of and salted
+    sessionize == the classic window formulation, row for row."""
+    import random
+
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.operators.temporal import (
+        asof_backward_join,
+        asof_backward_join_salted,
+        sessionize_salted,
+    )
+
+    base = datetime(2025, 5, 1)
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        n_users = rng.randint(2, 6)
+        rows_l, rows_r, rows_e = [], [], []
+        eid = 0
+        for u in range(n_users):
+            # bursty hours with gaps; duplicate timestamps on both sides
+            for _ in range(rng.randint(5, 60)):
+                ts = base.replace(
+                    hour=rng.choice([0, 1, 2, 9, 10, 22, 23]),
+                    minute=rng.randrange(60),
+                    second=rng.choice([0, 0, 30]),  # forced ts collisions
+                )
+                rows_l.append((u, ts))
+                rows_e.append((eid, u, ts)); eid += 1
+                if rng.random() < 0.4:
+                    rows_r.append((u, ts, float(rng.randint(0, 50))))
+        left = spark.createDataFrame(rows_l, "user_id long, ts timestamp")
+        right = spark.createDataFrame(rows_r, "user_id long, ts timestamp, value double")
+        ev = spark.createDataFrame(rows_e, "event_id long, user_id long, ts timestamp")
+
+        plain_asof = {tuple(r) for r in asof_backward_join(left, right, "user_id").collect()}
+        salted_asof = {
+            tuple(r)
+            for r in asof_backward_join_salted(
+                left, right, "user_id", bucket_span="1 hour"
+            ).collect()
+        }
+        assert salted_asof == plain_asof, f"as-of mismatch at seed {seed}"
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+        new_s = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+        plain_sess = {
+            (r["event_id"], r["session_id"])
+            for r in ev.withColumn("_n", new_s)
+            .withColumn(
+                "session_id",
+                F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+            )
+            .select("event_id", "session_id")
+            .collect()
+        }
+        salted_sess = {
+            (r["event_id"], r["session_id"])
+            for r in sessionize_salted(
+                ev, "user_id", gap_seconds=1800, bucket_span="1 hour",
+                order_cols=("event_id",),
+            )
+            .select("event_id", "session_id")
+            .collect()
+        }
+        assert salted_sess == plain_sess, f"sessionize mismatch at seed {seed}"
