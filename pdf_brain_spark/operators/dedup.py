@@ -315,10 +315,14 @@ def minhash_lsh_pairs(
     return _lsh_pairs_from_signatures(sig, id_col)
 
 
-def _lsh_pairs_from_signatures(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def banded_from_signatures(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, band, bucket) LSH band keys from a signature DF — one pass
+    over sig: band keys as an inline array-of-structs explode (NOT a
+    per-band union, which would re-run the signature scan per band). This
+    is the PERSISTABLE index form: write it partitioned/bucketed by
+    (band, bucket) and incremental batches probe it without recomputing
+    the corpus (incremental_lsh_candidates)."""
     rows_per_band = MINHASH_HASHES // MINHASH_BANDS
-    # one pass over sig: band keys as an inline array-of-structs explode
-    # (NOT a 4-way union, which would re-run the signature scan per band)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -334,9 +338,13 @@ def _lsh_pairs_from_signatures(sig: DataFrame, id_col: str = "doc_id") -> DataFr
         )
         for b in range(MINHASH_BANDS)
     ]
-    banded = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _lsh_pairs_from_signatures(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    banded = banded_from_signatures(sig, id_col)
     # self-join on (band, bucket): materialize the banded table so the two
     # join sides share one computation; candidate volume is O(sum bucket²),
     # not O(n²) — the LSH contract. localCheckpoint for lifecycle safety
@@ -348,6 +356,42 @@ def _lsh_pairs_from_signatures(sig: DataFrame, id_col: str = "doc_id") -> DataFr
         a.join(b_, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_banded_index(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Banded LSH index rows (doc_id, band, bucket) for a corpus — the
+    artifact a continuous-crawl pipeline PERSISTS so each new batch probes
+    the accumulated index instead of re-deduping the whole corpus."""
+    return banded_from_signatures(minhash_signatures(docs, k, id_col, text_col), id_col)
+
+
+def incremental_lsh_candidates(
+    index_banded: DataFrame, new_banded: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate near-dup pairs INVOLVING AT LEAST ONE NEW document: the
+    new batch's band rows equi-join the (index ∪ new) band table on
+    (band, bucket). Work scales with |new| × bucket occupancy, NOT with
+    the corpus — the property that makes continuous dedup sustainable at
+    100 TB (the index side is a persisted table partitioned by band and
+    bucketable by bucket, so the join co-locates without a corpus-wide
+    shuffle; appending the new rows is the only index maintenance).
+    Old-old pairs are intentionally absent: they were emitted when their
+    batches arrived."""
+    probe = new_banded.select(F.col(id_col).alias("_new"), "band", "bucket")
+    base = index_banded.unionByName(new_banded).select(
+        F.col(id_col).alias("_any"), "band", "bucket"
+    )
+    return (
+        probe.join(base, ["band", "bucket"])
+        .filter(F.col("_new") != F.col("_any"))
+        .select(
+            F.least("_new", "_any").alias("doc_a"),
+            F.greatest("_new", "_any").alias("doc_b"),
+        )
         .distinct()
     )
 

@@ -680,6 +680,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sig AS ({_DUCK_MINHASH_SIG}),
+    banded AS (
+      {_DUCK_MINHASH_BANDED}
+    )
+    -- pairs involving at least one NEW doc (doc_id >= 400): with a < b,
+    -- "at least one new" is exactly b >= 400
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE b.doc_id >= 400
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup — the continuous-crawl shape: docs
+    with doc_id < 400 are the ALREADY-INDEXED corpus (their banded LSH
+    rows persisted to parquet, read back, never re-shingled in the
+    incremental pass), docs >= 400 are the arriving batch. The batch's
+    band rows probe (index ∪ batch) on (band, bucket), emitting exactly
+    the candidate pairs that involve a new document. The oracle re-derives
+    the SAME pairs from a full-corpus banding restricted to new-involving
+    pairs — so the gate proves the incremental path loses nothing vs the
+    batch recompute it replaces."""
+    import tempfile
+
+    from pdf_brain_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_banded_index,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    existing = docs.filter(F.col("doc_id") < 400)
+    new_batch = docs.filter(F.col("doc_id") >= 400)
+    # persist the index exactly as a production pipeline would, and read
+    # it back: the incremental pass must work from the stored artifact
+    idx_dir = tempfile.mkdtemp(prefix="sgraft_lsh_idx_")
+    minhash_banded_index(existing).write.mode("overwrite").parquet(idx_dir)
+    index_banded = spark.read.parquet(idx_dir)
+    new_banded = minhash_banded_index(new_batch)
+    return incremental_lsh_candidates(index_banded, new_banded).orderBy("doc_a", "doc_b")
+
+
+@query(
     "dedup_simhash",
     oracle="""
     WITH toks AS (

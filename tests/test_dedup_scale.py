@@ -235,3 +235,37 @@ def test_operator_reuse_does_not_leak_cache_entries(spark):
         time.sleep(0.5)
         leaked = persistent_rdd_ids() - before
     assert not leaked, f"operator RDDs not reclaimed after GC: ids {sorted(leaked)}"
+
+
+def test_incremental_lsh_matches_batch_and_reads_index(spark, tmp_path):
+    """Incremental LSH (continuous-crawl shape): candidates from a stored
+    band index + a new batch must equal the full-corpus banding's pairs
+    restricted to new-involving ones, and the incremental plan must read
+    the PERSISTED index (one parquet scan) instead of re-shingling the
+    already-indexed corpus."""
+    from pdf_brain_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_banded_index,
+        minhash_lsh_pairs,
+    )
+
+    docs = _mid_similarity_corpus(spark, n_pairs=15, overlap=60, extra=10)
+    new_ids = {i for i in range(30) if i >= 20}
+    existing = docs.filter(F.col("doc_id") < 20)
+    batch = docs.filter(F.col("doc_id") >= 20)
+
+    idx = str(tmp_path / "lsh_index")
+    minhash_banded_index(existing).write.parquet(idx)
+    cand = incremental_lsh_candidates(spark.read.parquet(idx), minhash_banded_index(batch))
+
+    full = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    expected = {(a, b) for a, b in full if b in new_ids}
+    got = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    assert got == expected and expected  # non-degenerate: planted pairs exist
+
+    # AQE prints the plan twice (Final + Initial) — count within one section
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1, "index side must come from the stored parquet"
