@@ -144,6 +144,10 @@ def main() -> None:
     timings["neardup_ann_32k"] = neardup["ann_candidates_sec"]
     total += neardup["ann_candidates_sec"]
     spark.catalog.clearCache()
+    inc_lsh = incremental_lsh_vs_batch(spark)
+    timings["lsh_incremental_32kx384"] = inc_lsh["incremental_sec"]
+    total += inc_lsh["incremental_sec"]
+    spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -166,6 +170,7 @@ def main() -> None:
         "ann_ivf_batch": ivf,
         "ann_ivf_batch_clustered": ivf_clustered,
         "neardup_ann_vs_exact": neardup,
+        "incremental_lsh_vs_batch": inc_lsh,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
@@ -407,6 +412,80 @@ def neardup_ann_vs_exact(spark) -> dict:
         "speedup": round(t_exact / max(t_ann, 1e-9), 2),
         "recall": round(len(ann_set & exact_set) / max(len(exact_set), 1), 4),
         "false_positives": len(ann_set - exact_set),
+    }
+
+
+def incremental_lsh_vs_batch(spark, n: int = 32768, doc_tokens: int = 384, batch_frac: float = 0.1) -> dict:
+    """Steady-state incremental dedup vs full recompute, at a corpus
+    size/document length where the asymptotics bite (sf0.1's 5k short docs
+    are fixed-overhead-bound: both paths measure ~0.9 s of job scheduling
+    — same lesson as neardup_ann_vs_exact; 48-token docs make shingling
+    too cheap to separate the paths). 32k docs x 384 tokens: the batch
+    path re-shingles and re-minhashes the WHOLE corpus (~12.6M shingles x
+    16 hashes) and self-joins it; the incremental path bands only the 10%
+    batch and probes the PRE-BUILT stored index (index build/write
+    excluded — it was paid when those batches arrived; this measures the
+    recurring cost). Each path timed min-of-2 so first-execution codegen
+    JIT doesn't bias whichever runs first. Same candidate semantics for
+    new-involving pairs (oracle-gated as dedup_incremental_minhash at
+    gate scale)."""
+    import tempfile
+    import time as _t
+
+    import numpy as np
+    import pandas as pd
+
+    from pdf_brain_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_banded_index,
+        minhash_lsh_pairs,
+    )
+
+    # deterministic corpus with planted near-dup pairs: doc 2i+1 shares
+    # most of doc 2i's tokens (like the dedup fixtures, at bench scale)
+    rng = np.random.default_rng(31)
+    vocab = np.array([f"w{i}" for i in range(50_000)])
+    idx = rng.integers(0, len(vocab), size=(n, doc_tokens))
+    # plant: odd docs copy the previous even doc with a 10%-token mutation.
+    # NOTE pairwise fancy indexing (row array + col array), NOT a slice —
+    # a slice here broadcasts the assignment across all odd rows and makes
+    # every odd doc identical
+    idx[1::2] = idx[0::2]
+    odd = np.arange(1, n, 2)
+    n_mut = max(doc_tokens // 10, 1)
+    mut = rng.integers(0, doc_tokens, size=(n // 2, n_mut))
+    for j in range(n_mut):
+        idx[odd, mut[:, j]] = rng.integers(0, len(vocab), size=n // 2)
+    texts = [" ".join(row) for row in vocab[idx]]
+    pdf = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+    docs = spark.createDataFrame(pdf, "doc_id long, text string").localCheckpoint(eager=True)
+
+    split = int(n * (1.0 - batch_frac))
+    existing = docs.filter(f"doc_id < {split}")
+    batch = docs.filter(f"doc_id >= {split}")
+    idx_dir = tempfile.mkdtemp(prefix="sgraft_lsh_bench_idx_")
+    minhash_banded_index(existing).write.mode("overwrite").parquet(idx_dir)
+    spark.catalog.clearCache()
+
+    batch_sec, inc_sec = float("inf"), float("inf")
+    for _ in range(2):
+        t0 = _t.perf_counter()
+        n_full = minhash_lsh_pairs(docs).count()
+        batch_sec = min(batch_sec, _t.perf_counter() - t0)
+        spark.catalog.clearCache()
+        t0 = _t.perf_counter()
+        n_inc = incremental_lsh_candidates(
+            spark.read.parquet(idx_dir), minhash_banded_index(batch)
+        ).count()
+        inc_sec = min(inc_sec, _t.perf_counter() - t0)
+        spark.catalog.clearCache()
+    return {
+        "corpus": f"synthetic_{n}x{doc_tokens}tok_10pct_batch",
+        "batch_recompute_sec": round(batch_sec, 3),
+        "incremental_sec": round(inc_sec, 3),
+        "speedup": round(batch_sec / max(inc_sec, 1e-9), 2),
+        "n_pairs_full": int(n_full),
+        "n_pairs_new_involving": int(n_inc),
     }
 
 

@@ -255,9 +255,24 @@ MINHASH_PRIME = 2147483647  # 2^31 - 1
 def _minhash_coeffs(j: int) -> tuple[int, int]:
     """Deterministic affine hash family h_j(x) = (a_j·x + b_j) mod p over a
     28-bit base hash: one md5 per shingle instead of one per (shingle,
-    hash-function) — 16× less hashing on the map side."""
-    a = (1103515245 * (j + 1)) % MINHASH_PRIME
-    b = (12345 * (j + 1) + 67890) % MINHASH_PRIME
+    hash-function) — 16× less hashing on the map side.
+
+    Coefficients are derived INDEPENDENTLY per j from md5(j). The previous
+    family used a_j = (j+1)·a₀, b_j = (j+1)·b₀' + c — linearly related, so
+    h_j(x) = (j+1)·g(x) + c whenever no mod-p wrap occurs; since E[min g]
+    ≈ p/|set| ≪ p/16, the SAME shingle minimized every h_j and all 16
+    minhashes collapsed to a function of one value. Banding then behaved
+    like a single-hash LSH (collision probability ≈ J instead of the
+    8-band × 2-row s-curve 1-(1-J²)⁸ the tuning comments assume), and any
+    shingle shared across many docs with a small g pooled them all into
+    one bucket per band. Independent coefficients restore pairwise-
+    independent minhashes. Products stay in int64: a < p ≈ 2³¹, base
+    < 2²⁸ ⇒ a·x + b < 2⁵⁹ + 2³¹ (same bound DuckDB's BIGINT oracle uses)."""
+    import hashlib
+
+    d = hashlib.md5(f"minhash-{j}".encode()).digest()
+    a = (int.from_bytes(d[:8], "big") % (MINHASH_PRIME - 1)) + 1
+    b = int.from_bytes(d[8:16], "big") % MINHASH_PRIME
     return a, b
 
 
