@@ -205,3 +205,56 @@ def stream_stream_join(
         F.col("l.ts").alias("left_ts"),
         F.col("r.ts").alias("right_ts"),
     )
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    new_docs_stream: DataFrame,
+    index_dir: str,
+    candidates_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous-crawl dedup driver: a stream of arriving documents is
+    deduplicated against the PERSISTED banded LSH index via foreachBatch —
+    each micro-batch (1) bands its documents, (2) probes index ∪ batch for
+    candidate pairs involving a batch document, (3) appends its bands to
+    the index so later batches dedup against it. Per-batch work scales
+    with the batch (operators/dedup.py::incremental_lsh_candidates); the
+    index grows by exactly the batch's band rows — the streaming
+    composition of the batch-gated dedup_incremental_minhash semantics.
+
+    Exactly-once caveat: the two appends (candidates, index) are not
+    atomic with the checkpoint; production would write both through a
+    transactional table format. The shape (probe-then-append per batch)
+    is the production shape."""
+
+    def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pdf_brain_spark.operators.dedup import (
+            incremental_lsh_candidates,
+            minhash_banded_index,
+        )
+
+        new_banded = minhash_banded_index(batch_df).localCheckpoint(eager=True)
+        import os
+
+        if os.path.isdir(index_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(index_dir)
+        ):
+            index_banded = spark.read.parquet(index_dir)
+            cands = incremental_lsh_candidates(index_banded, new_banded)
+        else:
+            # first batch: no index yet — dedup within the batch only
+            cands = incremental_lsh_candidates(
+                new_banded.limit(0), new_banded
+            )
+        cands.write.mode("append").parquet(candidates_dir)
+        new_banded.write.mode("append").parquet(index_dir)
+
+    return (
+        new_docs_stream.writeStream.foreachBatch(_each_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -227,3 +227,51 @@ def test_stream_stream_join(spark, tmp_path):
         for r in spark.sql("select * from ssj_t").collect()
     }
     assert pairs == {(1, 11), (2, 13)}
+
+
+def test_streaming_incremental_dedup_accumulates_full_pairset(spark, tmp_path):
+    """Continuous-crawl dedup composition: documents arriving as separate
+    micro-batches (maxFilesPerTrigger=1) through the foreachBatch
+    probe-then-append driver must accumulate EXACTLY the candidate pairs
+    the one-shot batch LSH computes on the full corpus — within-batch
+    pairs from each batch's self-probe, cross-batch pairs from probing
+    the accumulated index, nothing lost or duplicated, in any arrival
+    order."""
+    import random
+
+    from pdf_brain_spark.operators.dedup import minhash_lsh_pairs
+    from pdf_brain_spark.streaming.events import streaming_incremental_dedup
+
+    rng = random.Random(77)
+    vocab = [f"tok{i}" for i in range(3000)]
+    rows = []
+    for p in range(12):
+        shared = " ".join(rng.choice(vocab) for _ in range(50))
+        extra_a = " ".join(rng.choice(vocab) for _ in range(8))
+        extra_b = " ".join(rng.choice(vocab) for _ in range(8))
+        rows.append((2 * p, f"{shared} {extra_a}"))
+        rows.append((2 * p + 1, f"{shared} {extra_b}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    watch = str(tmp_path / "arrivals")
+    # two arrival files -> two micro-batches (near-dup pairs straddle both)
+    docs.filter(F.col("doc_id") % 4 < 2).coalesce(1).write.mode("append").parquet(watch)
+    docs.filter(F.col("doc_id") % 4 >= 2).coalesce(1).write.mode("append").parquet(watch)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    idx = str(tmp_path / "band_index")
+    cands = str(tmp_path / "candidates")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_incremental_dedup(spark, stream, idx, cands, ckpt)
+    q.awaitTermination()
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(cands).collect()
+    }
+    want = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert got == want and want, f"streaming {len(got)} vs batch {len(want)}"
