@@ -281,11 +281,21 @@ def ivf_batch(spark, n_queries: int = 256, k: int = 10, n_probes: int = 8) -> di
     indexed, centroids = ivf_index(emb, n_lists=16, seed=42)
     indexed = indexed.cache()
     indexed.count()  # index build is one-time; don't bill it to the probe
-    t0 = time.perf_counter()
-    approx = ivf_search_topk_batch(
-        indexed, centroids, queries, k=k, n_probes=n_probes
-    ).select("query_id", "vec_id").collect()
-    dt = time.perf_counter() - t0
+    # min-of-3 probes: this entry was single-shot through r4 — the only
+    # headline measurement without the min-of-N discipline, and exactly
+    # the one that drifted +43% r3→r4 on this shared VM (VERDICT r4 item
+    # 2). Same work every pass; recall from the first.
+    dt = float("inf")
+    dts = []
+    approx = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        got = ivf_search_topk_batch(
+            indexed, centroids, queries, k=k, n_probes=n_probes
+        ).select("query_id", "vec_id").collect()
+        dts.append(round(time.perf_counter() - t0, 3))
+        dt = min(dt, dts[-1])
+        approx = approx if approx is not None else got
     exact = (
         similarity_join_topk(queries, emb, k=k).select("query_id", "vec_id").collect()
     )
@@ -299,6 +309,7 @@ def ivf_batch(spark, n_queries: int = 256, k: int = 10, n_probes: int = 8) -> di
         "n_lists": 16,
         "probed_fraction": round(n_probes / 16, 3),
         "total_sec": round(dt, 3),
+        "samples_sec": dts,
         "ms_per_query": round(1000.0 * dt / n_queries, 3),
         "recall_at_k": round(hit / max(len(exact_set), 1), 4),
     }
@@ -330,11 +341,18 @@ def ivf_batch_clustered(
     indexed, centroids = ivf_index(emb, n_lists=n_lists, seed=42)
     indexed = indexed.cache()
     indexed.count()
-    t0 = time.perf_counter()
-    approx = ivf_search_topk_batch(
-        indexed, centroids, queries, k=k, n_probes=n_probes
-    ).select("query_id", "vec_id").collect()
-    dt = time.perf_counter() - t0
+    # min-of-3, same discipline as ivf_batch (see note there)
+    dt = float("inf")
+    dts = []
+    approx = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        got = ivf_search_topk_batch(
+            indexed, centroids, queries, k=k, n_probes=n_probes
+        ).select("query_id", "vec_id").collect()
+        dts.append(round(time.perf_counter() - t0, 3))
+        dt = min(dt, dts[-1])
+        approx = approx if approx is not None else got
     exact = similarity_join_topk(queries, emb, k=k).select("query_id", "vec_id").collect()
     exact_set = {(r.query_id, r.vec_id) for r in exact}
     hit = sum((r.query_id, r.vec_id) in exact_set for r in approx)
@@ -347,6 +365,7 @@ def ivf_batch_clustered(
         "n_lists": n_lists,
         "probed_fraction": round(n_probes / n_lists, 3),
         "total_sec": round(dt, 3),
+        "samples_sec": dts,
         "ms_per_query": round(1000.0 * dt / n_queries, 3),
         "recall_at_k": round(hit / max(len(exact_set), 1), 4),
     }
@@ -463,22 +482,27 @@ def incremental_lsh_vs_batch(spark, n: int = 32768, doc_tokens: int = 384, batch
     split = int(n * (1.0 - batch_frac))
     existing = docs.filter(f"doc_id < {split}")
     batch = docs.filter(f"doc_id >= {split}")
-    idx_dir = tempfile.mkdtemp(prefix="sgraft_lsh_bench_idx_")
-    minhash_banded_index(existing).write.mode("overwrite").parquet(idx_dir)
-    spark.catalog.clearCache()
+    import shutil
 
-    batch_sec, inc_sec = float("inf"), float("inf")
-    for _ in range(2):
-        t0 = _t.perf_counter()
-        n_full = minhash_lsh_pairs(docs).count()
-        batch_sec = min(batch_sec, _t.perf_counter() - t0)
+    idx_dir = tempfile.mkdtemp(prefix="sgraft_lsh_bench_idx_")
+    try:
+        minhash_banded_index(existing).write.mode("overwrite").parquet(idx_dir)
         spark.catalog.clearCache()
-        t0 = _t.perf_counter()
-        n_inc = incremental_lsh_candidates(
-            spark.read.parquet(idx_dir), minhash_banded_index(batch)
-        ).count()
-        inc_sec = min(inc_sec, _t.perf_counter() - t0)
-        spark.catalog.clearCache()
+
+        batch_sec, inc_sec = float("inf"), float("inf")
+        for _ in range(2):
+            t0 = _t.perf_counter()
+            n_full = minhash_lsh_pairs(docs).count()
+            batch_sec = min(batch_sec, _t.perf_counter() - t0)
+            spark.catalog.clearCache()
+            t0 = _t.perf_counter()
+            n_inc = incremental_lsh_candidates(
+                spark.read.parquet(idx_dir), minhash_banded_index(batch)
+            ).count()
+            inc_sec = min(inc_sec, _t.perf_counter() - t0)
+            spark.catalog.clearCache()
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
     return {
         "corpus": f"synthetic_{n}x{doc_tokens}tok_10pct_batch",
         "batch_recompute_sec": round(batch_sec, 3),

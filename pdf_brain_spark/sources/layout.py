@@ -56,8 +56,16 @@ def partition_dirs_read(path: str, probe_ids: list[int], list_col: str = "list_i
     """(probed_dirs, total_dirs) for a probe set against a partitioned
     layout — the file-system-level pruning bound a partition-filtered scan
     cannot exceed."""
+    def _pid(d: str) -> int | None:
+        # NULL keys land in list_id=__HIVE_DEFAULT_PARTITION__ and values
+        # can be URL-escaped — anything non-integer is simply never probed
+        try:
+            return int(d.split("=", 1)[1])
+        except ValueError:
+            return None
+
     dirs = [d for d in os.listdir(path) if d.startswith(f"{list_col}=")]
-    probed = [d for d in dirs if int(d.split("=", 1)[1]) in set(probe_ids)]
+    probed = [d for d in dirs if _pid(d) in set(probe_ids)]
     return len(probed), len(dirs)
 
 

@@ -207,6 +207,59 @@ def stream_stream_join(
     )
 
 
+def make_incremental_dedup_batch_fn(
+    spark: SparkSession, index_dir: str, candidates_dir: str
+):
+    """The per-micro-batch body of streaming_incremental_dedup, exposed so
+    replay behavior is directly testable: calling it twice with the same
+    (batch_df, batch_id) must produce byte-identical candidates/index
+    state (tests/test_ingest_and_streaming.py)."""
+
+    def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pyspark.errors import AnalysisException
+
+        from pdf_brain_spark.operators.dedup import (
+            incremental_lsh_candidates,
+            minhash_banded_index,
+        )
+
+        new_banded = minhash_banded_index(batch_df).localCheckpoint(eager=True)
+        # Probe only band rows from STRICTLY EARLIER batches. The index is
+        # laid out as hive-style batch_id=N subdirectories, so this filter
+        # is a PartitionFilter (pruned at planning time) — and on a replay
+        # of batch N after a crash between the subdir write and the
+        # checkpoint commit, batch N's own (possibly partial) rows are
+        # excluded, making the probe set identical to the first attempt.
+        # Existence is probed by attempting the read and catching
+        # AnalysisException — works on any Hadoop filesystem (local, HDFS,
+        # object stores), unlike a driver-local os.listdir.
+        try:
+            index_banded = (
+                spark.read.parquet(index_dir)
+                .filter(F.col("batch_id") < F.lit(batch_id))
+                .drop("batch_id")
+            )
+            cands = incremental_lsh_candidates(index_banded, new_banded)
+        except AnalysisException:
+            # first batch: no index yet — dedup within the batch only
+            cands = incremental_lsh_candidates(new_banded.limit(0), new_banded)
+        # Idempotent replay: each batch OVERWRITES its own batch_id=N
+        # subdirectory, so re-running a micro-batch after a crash cannot
+        # duplicate candidate pairs or band rows — the at-least-once
+        # foreachBatch contract composes to effectively-once output
+        # without a transactional table format.
+        cands.write.mode("overwrite").parquet(
+            f"{candidates_dir}/batch_id={batch_id}"
+        )
+        new_banded.write.mode("overwrite").parquet(
+            f"{index_dir}/batch_id={batch_id}"
+        )
+
+    return _each_batch
+
+
 def streaming_incremental_dedup(
     spark: SparkSession,
     new_docs_stream: DataFrame,
@@ -217,43 +270,24 @@ def streaming_incremental_dedup(
     """Continuous-crawl dedup driver: a stream of arriving documents is
     deduplicated against the PERSISTED banded LSH index via foreachBatch —
     each micro-batch (1) bands its documents, (2) probes index ∪ batch for
-    candidate pairs involving a batch document, (3) appends its bands to
-    the index so later batches dedup against it. Per-batch work scales
-    with the batch (operators/dedup.py::incremental_lsh_candidates); the
-    index grows by exactly the batch's band rows — the streaming
-    composition of the batch-gated dedup_incremental_minhash semantics.
+    candidate pairs involving a batch document, (3) writes its candidates
+    and bands under batch_id=N subdirectories so later batches dedup
+    against the accumulated index. Per-batch work scales with the batch
+    (operators/dedup.py::incremental_lsh_candidates); the index grows by
+    exactly the batch's band rows — the streaming composition of the
+    batch-gated dedup_incremental_minhash semantics.
 
-    Exactly-once caveat: the two appends (candidates, index) are not
-    atomic with the checkpoint; production would write both through a
-    transactional table format. The shape (probe-then-append per batch)
-    is the production shape."""
-
-    def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        from pdf_brain_spark.operators.dedup import (
-            incremental_lsh_candidates,
-            minhash_banded_index,
-        )
-
-        new_banded = minhash_banded_index(batch_df).localCheckpoint(eager=True)
-        import os
-
-        if os.path.isdir(index_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(index_dir)
-        ):
-            index_banded = spark.read.parquet(index_dir)
-            cands = incremental_lsh_candidates(index_banded, new_banded)
-        else:
-            # first batch: no index yet — dedup within the batch only
-            cands = incremental_lsh_candidates(
-                new_banded.limit(0), new_banded
-            )
-        cands.write.mode("append").parquet(candidates_dir)
-        new_banded.write.mode("append").parquet(index_dir)
-
+    Replay-idempotent: each batch overwrites its own batch_id=N subdir and
+    probes only batch_id < N, so a foreachBatch replay after a crash
+    reproduces the first attempt exactly (see
+    make_incremental_dedup_batch_fn). Consumers read candidates_dir as
+    one partitioned table; a document re-delivered across batches can
+    re-emit a pair under two batch_ids — distinct (doc_a, doc_b) on read
+    if the upstream is at-least-once."""
     return (
-        new_docs_stream.writeStream.foreachBatch(_each_batch)
+        new_docs_stream.writeStream.foreachBatch(
+            make_incremental_dedup_batch_fn(spark, index_dir, candidates_dir)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

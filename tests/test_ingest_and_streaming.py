@@ -275,3 +275,51 @@ def test_streaming_incremental_dedup_accumulates_full_pairset(spark, tmp_path):
     }
     want = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
     assert got == want and want, f"streaming {len(got)} vs batch {len(want)}"
+
+
+def test_streaming_incremental_dedup_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: after a crash between the batch's
+    writes and the checkpoint commit, Spark re-invokes the batch function
+    with the SAME (batch_df, batch_id). Because each batch overwrites its
+    own batch_id=N subdir and probes only batch_id < N, the replay must
+    leave the candidate set and the index byte-identical — no duplicated
+    pairs, no duplicated band rows, even when the first attempt's own
+    subdir is already on disk when the replay probes the index."""
+    import random
+
+    from pdf_brain_spark.streaming.events import make_incremental_dedup_batch_fn
+
+    rng = random.Random(42)
+    vocab = [f"tok{i}" for i in range(2000)]
+    rows = []
+    for p in range(8):
+        shared = " ".join(rng.choice(vocab) for _ in range(50))
+        rows.append((2 * p, f"{shared} alpha beta gamma"))
+        rows.append((2 * p + 1, f"{shared} delta epsilon zeta"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch0 = docs.filter(F.col("doc_id") % 4 < 2)
+    batch1 = docs.filter(F.col("doc_id") % 4 >= 2)
+
+    idx = str(tmp_path / "band_index")
+    cands = str(tmp_path / "candidates")
+    fn = make_incremental_dedup_batch_fn(spark, idx, cands)
+    fn(batch0, 0)
+    fn(batch1, 1)
+
+    def snapshot():
+        pairs = sorted(
+            (r["batch_id"], r["doc_a"], r["doc_b"])
+            for r in spark.read.parquet(cands).collect()
+        )
+        index_rows = sorted(
+            (r["batch_id"], r["doc_id"], r["band"], r["bucket"])
+            for r in spark.read.parquet(idx).collect()
+        )
+        return pairs, index_rows
+
+    before = snapshot()
+    fn(batch1, 1)  # replay of the last micro-batch
+    assert snapshot() == before
+    fn(batch0, 0)  # replay of an EARLIER batch (checkpoint rollback shape)
+    assert snapshot() == before
+    assert before[0], "replay test needs a non-empty candidate set"
