@@ -260,6 +260,59 @@ def make_incremental_dedup_batch_fn(
     return _each_batch
 
 
+def compact_band_index(
+    spark: SparkSession, index_dir: str, upto_batch_id: int, n_files: int = 8
+) -> int:
+    """Compact the incremental-dedup band index: merge every batch_id ≤
+    upto_batch_id subdirectory into ONE consolidated subdirectory keyed at
+    the highest compacted batch_id. A continuous crawl accrues one small
+    directory per micro-batch — at 100 TB that is the classic small-files
+    problem (file listing and footer reads come to dominate the probe),
+    and because each probe reads batch_id < N, consolidating old batches
+    under max(compacted ids) preserves every future batch's probe set
+    exactly. Returns the number of directories merged (0 = nothing to do).
+
+    Only compact batches the stream's checkpoint has committed: a replay
+    can only re-run the LAST uncommitted batch, so `upto_batch_id` should
+    be below it (the gate/test shape: compact between AvailableNow runs,
+    when nothing is in flight). The delete-then-rename swap is not atomic
+    for concurrent readers — production would run this under a
+    transactional table format or on a snapshot the serving path switches
+    to; the layout and probe semantics are what this operator attests.
+
+    All filesystem access goes through the Hadoop FileSystem API, so the
+    same code compacts local-disk, HDFS, and object-store indexes."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(index_dir).getFileSystem(conf)
+    if not fs.exists(HPath(index_dir)):
+        return 0
+    batch_ids = []
+    for st in fs.listStatus(HPath(index_dir)):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            b = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if b <= upto_batch_id:
+            batch_ids.append(b)
+    if len(batch_ids) <= 1:
+        return 0
+    # read the batch subdirs DIRECTLY (no partition discovery — the rows
+    # are batch-agnostic once merged), rewrite as n_files consolidated
+    # files, then swap in under the highest compacted batch_id
+    src = spark.read.parquet(*[f"{index_dir}/batch_id={b}" for b in sorted(batch_ids)])
+    tmp = f"{index_dir}/.compact_tmp_{upto_batch_id}"
+    src.coalesce(max(1, n_files)).write.mode("overwrite").parquet(tmp)
+    for b in batch_ids:
+        fs.delete(HPath(f"{index_dir}/batch_id={b}"), True)
+    fs.rename(HPath(tmp), HPath(f"{index_dir}/batch_id={max(batch_ids)}"))
+    return len(batch_ids)
+
+
 def streaming_incremental_dedup(
     spark: SparkSession,
     new_docs_stream: DataFrame,

@@ -323,3 +323,63 @@ def test_streaming_incremental_dedup_replay_idempotent(spark, tmp_path):
     fn(batch0, 0)  # replay of an EARLIER batch (checkpoint rollback shape)
     assert snapshot() == before
     assert before[0], "replay test needs a non-empty candidate set"
+
+
+def test_compact_band_index_preserves_probe_semantics(spark, tmp_path):
+    """Compaction merges committed batch_id subdirs into one consolidated
+    directory keyed at the highest compacted id. A later batch's probe
+    (batch_id < N) must see exactly the same band rows before and after —
+    so the candidates it emits are identical — while the directory count
+    (the small-files cost a continuous crawl accrues) drops to one."""
+    import random
+
+    from pdf_brain_spark.streaming.events import (
+        compact_band_index,
+        make_incremental_dedup_batch_fn,
+    )
+
+    rng = random.Random(99)
+    vocab = [f"tok{i}" for i in range(2000)]
+    rows = []
+    # near-dup twins straddle the batch boundaries: doc p (arrives in
+    # batch p//6) twins doc p+12 (batches 2-3), so the new batch's pairs
+    # can ONLY be found through the persisted — then compacted — index
+    for p in range(12):
+        shared = " ".join(rng.choice(vocab) for _ in range(50))
+        rows.append((p, f"{shared} one two three"))
+        rows.append((p + 12, f"{shared} four five six"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    idx = str(tmp_path / "band_index")
+    cands_a = str(tmp_path / "cands_uncompacted")
+    cands_b = str(tmp_path / "cands_compacted")
+    # three arrived batches (docs 0-17) build the index
+    for b in range(3):
+        make_incremental_dedup_batch_fn(spark, idx, cands_a)(
+            docs.filter((F.col("doc_id") >= 6 * b) & (F.col("doc_id") < 6 * (b + 1))),
+            b,
+        )
+    new_batch = docs.filter(F.col("doc_id") >= 18)
+
+    # probe BEFORE compaction (scratch candidates dir, batch id 3)
+    make_incremental_dedup_batch_fn(spark, idx, cands_a)(new_batch, 3)
+    got_before = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(f"{cands_a}/batch_id=3").collect()
+    }
+
+    import os
+
+    n_dirs_before = sum(d.startswith("batch_id=") for d in os.listdir(idx))
+    merged = compact_band_index(spark, idx, upto_batch_id=2, n_files=1)
+    assert merged == 3 and n_dirs_before == 4  # 0,1,2 merged; dir 3 untouched
+    dirs_after = sorted(d for d in os.listdir(idx) if d.startswith("batch_id="))
+    assert dirs_after == ["batch_id=2", "batch_id=3"]
+
+    # the same probe AFTER compaction emits the identical candidate set
+    make_incremental_dedup_batch_fn(spark, idx, cands_b)(new_batch, 3)
+    got_after = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(f"{cands_b}/batch_id=3").collect()
+    }
+    assert got_after == got_before and got_before

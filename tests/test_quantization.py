@@ -1,0 +1,210 @@
+"""Product-quantization invariants — the guarantees behind the rows-only
+pq_compression_report gate entry:
+
+  * ADC identity: the LUT-gathered distance equals the true squared
+    distance to the reconstructed vector (×1/2, the unit-sphere cosine
+    form) EXACTLY up to float summation order — this is the subspace
+    decomposition theorem the whole method rests on, not an
+    approximation.
+  * Serving parity: pq_topk_adc_batch over the codes table equals a
+    driver-local numpy evaluation of the same LUT — the distributed
+    partial-top-k + merge window loses nothing.
+  * More subspaces, less error: reconstruction MSE at m=16 ≤ m=4 on the
+    same corpus/codebook budget (finer quantization cells).
+  * Exactness limit: when every distinct subvector fits in the codebook
+    (n distinct ≤ n_codes per subspace), reconstruction is exact and
+    ADC top-k == exact float top-k.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _normalize(X):
+    return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+
+def test_adc_equals_reconstructed_distance(spark):
+    from pdf_brain_spark.operators.quantization import (
+        adc_lut,
+        pq_encode,
+        pq_reconstruct_np,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_train(emb, m=8, n_codes=32, seed=7)
+    codes_rows = pq_encode(emb, books).collect()
+    codes = np.asarray([r["codes"] for r in codes_rows], dtype=np.int64)
+    R = pq_reconstruct_np(codes, books)
+
+    qmat = _normalize(
+        np.asarray(
+            [r["embedding"] for r in emb.limit(5).collect()], dtype=np.float64
+        )
+    )
+    LUT = adc_lut(qmat, books)
+    adc = np.zeros((qmat.shape[0], codes.shape[0]))
+    for j in range(LUT.shape[0]):
+        adc += LUT[j][:, codes[:, j]]
+    # the subspace-decomposition identity: Σ_j ‖q_j − cb_j[c_j]‖² == ‖q − recon‖²
+    direct = ((qmat[:, None, :] - R[None, :, :]) ** 2).sum(axis=2)
+    assert np.allclose(adc, direct, atol=1e-9)
+
+
+def test_adc_topk_matches_driver_local_evaluation(spark):
+    from pdf_brain_spark.operators.quantization import (
+        adc_lut,
+        pq_encode,
+        pq_topk_adc_batch,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_train(emb, m=8, n_codes=32, seed=7)
+    codes_df = pq_encode(emb, books).localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in pq_topk_adc_batch(codes_df, books, queries, k=5).collect()
+    }
+
+    codes_rows = codes_df.collect()
+    codes = np.asarray([r["codes"] for r in codes_rows], dtype=np.int64)
+    vids = np.asarray([r["vec_id"] for r in codes_rows])
+    q_rows = queries.collect()
+    qmat = _normalize(
+        np.asarray([r["query_vec"] for r in q_rows], dtype=np.float64)
+    )
+    LUT = adc_lut(qmat, books)
+    dist = np.zeros((qmat.shape[0], codes.shape[0]))
+    for j in range(LUT.shape[0]):
+        dist += LUT[j][:, codes[:, j]]
+    dist *= 0.5
+    want = set()
+    for qi, qr in enumerate(q_rows):
+        order = np.lexsort((vids, dist[qi]))[:5]
+        for rank, i in enumerate(order, start=1):
+            want.add((qr["query_id"], rank, int(vids[i])))
+    assert got == want
+
+
+def test_more_subspaces_less_error(spark):
+    from pdf_brain_spark.operators.quantization import (
+        pq_encode,
+        pq_reconstruct_np,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    V = _normalize(
+        np.asarray(
+            [r["embedding"] for r in emb.collect()], dtype=np.float64
+        )
+    )
+
+    def mse(m):
+        books = pq_train(emb, m=m, n_codes=32, seed=7)
+        codes = np.asarray(
+            [r["codes"] for r in pq_encode(emb, books).orderBy("vec_id").collect()],
+            dtype=np.int64,
+        )
+        ids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").collect()]
+        R = pq_reconstruct_np(codes, books)
+        Vo = _normalize(
+            np.asarray(
+                [r["embedding"] for r in emb.orderBy("vec_id").collect()],
+                dtype=np.float64,
+            )
+        )
+        assert len(ids) == R.shape[0]
+        return float(((Vo - R) ** 2).sum(axis=1).mean())
+
+    assert mse(16) <= mse(4) + 1e-12
+    assert V.shape[0] > 0
+
+
+def test_exact_when_codebook_memorizes(spark):
+    """With fewer distinct vectors than codes per subspace, Lloyd's can
+    place a centroid on every distinct subvector — reconstruction becomes
+    exact and the ADC top-k equals the exact float top-k with identical
+    distances (6-decimal)."""
+    from pdf_brain_spark.operators.quantization import (
+        pq_encode,
+        pq_topk_adc_batch,
+        pq_train,
+    )
+    from pdf_brain_spark.operators.vector_search import similarity_join_topk
+
+    rng = np.random.default_rng(3)
+    n, dim = 12, 16
+    V = rng.standard_normal((n, dim))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    books = pq_train(emb, m=4, n_codes=64, seed=11, max_iter=60)
+    codes_df = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = {
+        (r["query_id"], r["rank"], r["vec_id"], round(r["distance"], 6))
+        for r in pq_topk_adc_batch(codes_df, books, queries, k=4).collect()
+    }
+    exact = {
+        (r["query_id"], r["rank"], r["vec_id"], round(r["distance"], 6))
+        for r in similarity_join_topk(queries, emb, k=4).collect()
+    }
+    assert approx == exact
+
+
+def test_rerank_exact_within_candidates(spark):
+    """The re-rank arm must return EXACTLY the float-path top-k whenever
+    the true top-k all sit inside the ADC candidate set — proven here by
+    over-fetching the whole corpus (overfetch ≥ n/k): rerank == exact,
+    ranks and 6-decimal distances included, regardless of ADC quality."""
+    from pdf_brain_spark.operators.quantization import (
+        pq_encode,
+        pq_topk_adc_rerank,
+        pq_train,
+    )
+    from pdf_brain_spark.operators.vector_search import similarity_join_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    books = pq_train(emb, m=8, n_codes=16, seed=7)
+    codes_df = pq_encode(emb, books).localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    k = 5
+    got = {
+        (r["query_id"], r["rank"], r["vec_id"], round(r["distance"], 6))
+        for r in pq_topk_adc_rerank(
+            codes_df, books, queries, emb, k=k, overfetch=(n // k) + 1
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"], r["vec_id"], round(r["distance"], 6))
+        for r in similarity_join_topk(queries, emb, k=k).collect()
+    }
+    assert got == want
+
+
+def test_compression_report_shape(spark):
+    from pdf_brain_spark.operators.quantization import pq_compression_report
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    row = pq_compression_report(emb, k=5, n_queries=8, n_codes=32).collect()[0]
+    assert row["compression_x"] == pytest.approx(row["dim"] * 4.0 / row["m"], abs=0.01)
+    assert 0.0 <= row["recall_at_k"] <= 1.0
+    # re-rank can only improve on ADC-only (same candidates, exact order)
+    assert row["recall_rerank"] >= row["recall_at_k"]
+    assert row["recon_mse"] >= 0.0
+    assert row["n_exact_pairs"] > 0
