@@ -46,10 +46,15 @@ HEADLINE = [
     "pii_scrub",
     "doc_repetition_filter",
     "benchmark_contamination",
-    # exact tiled self-join vs ANN-candidates scale path, same threshold —
-    # the pair demonstrates the candidates path beating exact all-pairs
+    # exact tiled near-dup self-join baseline; the ANN-candidates scale
+    # path vs this exact path is measured at 4x the corpus in the
+    # dedicated neardup_ann_vs_exact section (bench key neardup_ann_32k).
+    # (r5: the dedup_embedding_ann REGISTRY query became the exhaustive-
+    # assign oracle invariant — no longer the approximate operating point,
+    # so it left this list; its timing history ends at r4.)
     "dedup_embedding_cosine",
-    "dedup_embedding_ann",
+    # substring-level duplicate-span detection (new r5)
+    "duplicate_span_report",
 ]
 
 

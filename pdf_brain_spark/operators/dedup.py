@@ -795,3 +795,85 @@ def embedding_near_dup_ann(
         pairs.groupBy("id_a", "id_b")
         .agg(F.round(F.max("cos_sim"), 6).alias("cos_sim"))
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level duplicate-span detection (the ExactSubstr idea of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022 — approximated at the token-k-gram grain instead of
+    a suffix array, which keeps it a two-shuffle DataFrame pipeline):
+    find, for every document, the maximal token spans whose every k-gram
+    also appears in at least `min_docs` distinct documents. Doc-level
+    dedup (minhash/simhash above) misses boilerplate licence blocks,
+    navigation chrome, and quoted passages embedded in otherwise-unique
+    documents; span detection is what lets a training pipeline CUT the
+    duplicated region and keep the rest.
+
+    Shape: one map-side pass builds positional k-grams per doc (zip_with
+    shingling — same idiom as `shingles()`, but keeping the start
+    position via posexplode of the unfiltered array); grams hash to
+    int64 (xxhash64) so the shuffle key is 8 bytes, not the gram text.
+    One groupBy on the hash finds grams with >= min_docs distinct docs;
+    a left_semi join marks the duplicated positions; one per-doc window
+    pass merges seed positions into maximal spans (gaps-and-islands: a
+    seed at pos p covers [p, p+k-1], so seeds with pos-gap <= k
+    overlap-or-touch and merge). Total work is linear in corpus tokens —
+    there is no pair emission anywhere, so unlike the pair-based dedups
+    no hot-key m² blowup exists; a boilerplate gram shared by a million
+    docs is just a million seed rows, each merged locally in its own
+    doc's window. The positional gram rows are localCheckpointed so the
+    dup-gram aggregate and the probe side share one tokenize pass.
+
+    Returns one row per maximal span: (id_col, span_start, span_end,
+    span_tokens, n_seeds) with token positions 0-based inclusive.
+    """
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    # unfiltered positional shingles: gram[i] = tokens i..i+k-1, null past
+    # the end (concat propagates null), so posexplode's index IS the
+    # 0-based start position
+    out = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
+        out = F.zip_with(out, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = (
+        _parallelize(docs, id_col)
+        .filter(n >= k)
+        .select(F.col(id_col), F.posexplode(out).alias("pos", "gram"))
+        .filter(F.col("gram").isNotNull())
+        .select(id_col, "pos", F.xxhash64("gram").alias("gh"))
+        .localCheckpoint(eager=True)
+    )
+    dup_grams = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    seeds = grams.join(dup_grams, "gh", "left_semi")
+
+    from pyspark.sql.window import Window
+
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    new_island = (
+        F.when(F.col("pos") - F.lag("pos").over(wdoc) > k, 1).otherwise(0)
+    )
+    return (
+        seeds.withColumn("island", F.sum(new_island).over(wdoc))
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_seeds"),
+        )
+        .withColumn(
+            "span_tokens", F.col("span_end") - F.col("span_start") + F.lit(1)
+        )
+        .select(id_col, "span_start", "span_end", "span_tokens", "n_seeds")
+    )

@@ -218,3 +218,103 @@ def similarity_join_topk(
         .filter(F.col("rank") <= k)
         .withColumn("score", distance_to_score(F.col("distance")))
     )
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_candidates: int = 30,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98): greedily pick the candidate maximizing
+    lam * rel(d) − (1−lam) * max_{s∈S} sim(d, s), so near-duplicate
+    results don't crowd the top of a RAG context window. The reference's
+    search surface returns raw similarity order (LibSQLDatabase.ts:
+    325-376); MMR is the standard diversity layer on top of it.
+
+    Two-stage distributed shape: stage 1 is the exact cosine top-N
+    candidate fetch — the same scan → codegen'd score →
+    TakeOrderedAndProject(N) plan as `topk` (no shuffle of the corpus;
+    only N rows move). Stage 2 is the greedy selection, which is
+    INHERENTLY sequential in k — it runs as one bounded applyInPandas
+    task over the N candidate rows (N ≤ ~100 by construction, the same
+    bounded-kernel discipline as the k-means fit). Both terms are on the
+    engine's score scale 1 − d/2 ∈ [0, 1] — rel IS the search score, and
+    the pairwise penalty is (1 + cos)/2. Raw cosine ∈ [−1, 1] in the
+    penalty would PAY candidates for being anti-correlated with the
+    selected set, so junk pointing away from everything outranks
+    genuinely relevant diverse results. Both terms are rounded to 6
+    decimals BEFORE selection so the greedy path is bit-reproducible
+    across engines (the DuckDB oracle re-derives the identical selection
+    from the same rounded values); ties break on the lower id.
+
+    Returns (rank 1..k, id_col, rel, mmr_score) in selection order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cand = (
+        topk_by_query_df(
+            vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col)),
+            vectors.sparkSession.createDataFrame(
+                [([float(x) for x in query_vec],)], "query_vec array<double>"
+            ),
+            k=n_candidates,
+            vec_col=vec_col,
+        )
+        .select(
+            F.col("vec_id").alias(id_col),
+            F.col(vec_col),
+            F.round("score", 6).alias("rel"),
+        )
+        # single logical group: the greedy step needs ALL candidates in
+        # one task — N is bounded, so this is a 1-task kernel by design
+        .withColumn("_g", F.lit(0))
+    )
+
+    lam_ = float(lam)
+
+    def _greedy(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        M = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+        M = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-12)
+        sims = np.round((1.0 + M @ M.T) / 2.0, 6)  # score scale, like rel
+        order = np.argsort(ids, kind="stable")  # id-ascending tie-break base
+        ids, rel, sims = ids[order], rel[order], sims[order][:, order]
+        n = len(ids)
+        chosen: list[int] = []
+        out_rows = []
+        remaining = list(range(n))
+        for rank in range(1, min(k, n) + 1):
+            if chosen:
+                max_sim = np.max(sims[np.ix_(remaining, chosen)], axis=1)
+            else:
+                max_sim = np.zeros(len(remaining))
+            mmr = lam_ * rel[remaining] - (1.0 - lam_) * max_sim
+            best = int(np.argmax(np.round(mmr, 6)))  # first max = lowest id
+            pick = remaining[best]
+            out_rows.append(
+                {
+                    "rank": rank,
+                    id_col: ids[pick],
+                    "rel": rel[pick],
+                    "mmr_score": round(float(np.round(mmr[best], 6)), 6),
+                }
+            )
+            chosen.append(pick)
+            remaining.pop(best)
+        return pd.DataFrame(out_rows)
+
+    id_type = dict(vectors.dtypes)[id_col]
+    return (
+        cand.groupBy("_g")
+        .applyInPandas(
+            _greedy, schema=f"rank int, {id_col} {id_type}, rel double, mmr_score double"
+        )
+        .orderBy("rank")
+    )

@@ -277,6 +277,57 @@ def regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mmr_rerank",
+    oracle=f"""
+    WITH RECURSIVE q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    cand AS (
+      SELECT e.vec_id, e.embedding,
+             round(1.0 - {_duck_cosine_distance('e.embedding', 'q.qv')} / 2.0, 6) AS rel
+      FROM embeddings e, q
+      ORDER BY {_duck_cosine_distance('e.embedding', 'q.qv')} ASC, e.vec_id ASC
+      LIMIT 30
+    ),
+    pair AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round((1.0 + {_DUCK_COS.format(a='a.embedding', b='b.embedding')} /
+                   ({_DUCK_NORM.format(a='a.embedding')} * {_DUCK_NORM.format(a='b.embedding')})) / 2.0, 6) AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    sel AS (
+      (SELECT 1 AS rank, vec_id, rel, round(0.7 * rel, 6) AS mmr_score, [vec_id] AS chosen
+       FROM cand ORDER BY round(0.7 * rel, 6) DESC, vec_id ASC LIMIT 1)
+      UNION ALL
+      (SELECT sel.rank + 1, nxt.vec_id, nxt.rel, nxt.mmr, list_append(sel.chosen, nxt.vec_id)
+       FROM sel, LATERAL (
+         SELECT c.vec_id, c.rel,
+                round(0.7 * c.rel - 0.3 * (SELECT max(p.sim) FROM pair p
+                                           WHERE p.ia = c.vec_id AND list_contains(sel.chosen, p.ib)), 6) AS mmr
+         FROM cand c
+         WHERE NOT list_contains(sel.chosen, c.vec_id)
+         ORDER BY mmr DESC, c.vec_id ASC
+         LIMIT 1
+       ) nxt
+       WHERE sel.rank < 10)
+    )
+    SELECT rank, vec_id, rel, mmr_score FROM sel
+    """,
+)
+def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 (λ=0.7) from a 30-candidate exact cosine
+    fetch — the diversity layer over the reference's raw-similarity
+    search order (LibSQLDatabase.ts:325-376). The greedy selection is
+    sequential by definition, so the oracle is a recursive CTE running
+    the SAME greedy over the SAME 6-decimal-rounded rel/sim values —
+    a full-path attestation of candidate fetch, pairwise-sim kernel,
+    penalty arithmetic, and tie-breaks."""
+    from pdf_brain_spark.operators.vector_search import mmr_rerank
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    return mmr_rerank(emb, qvec, k=10, n_candidates=30, lam=0.7)
+
+
 # --------------------------------------------------------------------------
 # Full-text search / BM25 (SURVEY §2.3 J2, §2.5 W2) + hybrid merge (J8/U2)
 # --------------------------------------------------------------------------
@@ -782,18 +833,88 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(load_table(spark, "embeddings", sf_dir), threshold=0.45)
 
 
-@query("dedup_embedding_ann", oracle=None)
+@query(
+    "dedup_embedding_ann",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DUCK_COS.format(a='a.embedding', b='b.embedding')} /
+                 ({_DUCK_NORM.format(a='a.embedding')} * {_DUCK_NORM.format(a='b.embedding')}), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DUCK_COS.format(a='a.embedding', b='b.embedding')} /
+          ({_DUCK_NORM.format(a='a.embedding')} * {_DUCK_NORM.format(a='b.embedding')}) >= 0.45
+    """,
+)
 def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN-candidates near-dup pairs ≥ 0.45 — the 100 TB path for
-    dedup_embedding_cosine: spherical-IVF multi-assign buckets, exact
-    BLAS re-rank within each list (n²/2 → Σ|list|²/2 work, n·n_assign
-    shuffle copies instead of n·n_blocks). Rows-only at the driver (the
-    IVF fit is seeded Lloyd's); subset-of-exact + identical-sims
-    invariants are pytest-asserted and measured by
-    embedding_neardup_recall."""
+    """ANN-candidates near-dup pairs ≥ 0.45 through the full IVF-bucketed
+    path — spherical-IVF assignment, per-list exact BLAS re-rank, cross-
+    list max-collapse — run with an EXHAUSTIVE multi-assign
+    (n_assign = n_lists, same play as ann_ivf_topk): every vector lands
+    in every list, so candidate generation is provably lossless and the
+    result MUST equal the exact tiled self-join the oracle re-derives.
+    This driver-checks the whole bucketing machinery (assignment explode,
+    per-list pair kernel, id_a<id_b orientation, duplicate-pair collapse,
+    rounding) rather than the seeded centroid geometry. Approximation
+    quality at n_assign < n_lists — the actual 100 TB operating point
+    (n²/2 → Σ|list|²/2 work) — stays quantified by
+    embedding_neardup_recall and bench `neardup_ann_32k`."""
     from pdf_brain_spark.operators.dedup import embedding_near_dup_ann
 
-    return embedding_near_dup_ann(load_table(spark, "embeddings", sf_dir), threshold=0.45)
+    return embedding_near_dup_ann(
+        load_table(spark, "embeddings", sf_dir),
+        threshold=0.45,
+        n_lists=8,
+        n_assign=8,
+    )
+
+
+@query(
+    "duplicate_span_report",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS arr
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(arr, i, i + 7), ' ') AS gram
+      FROM base, LATERAL (SELECT unnest(generate_series(1, len(arr) - 7)) AS i) s
+      WHERE len(arr) >= 8
+    ),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    seeds AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+    lagged AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+      FROM seeds
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN pos - prev_pos > 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM lagged
+    )
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + 7 AS span_end,
+           max(pos) + 7 - min(pos) + 1 AS span_tokens,
+           count(*) AS n_seeds
+    FROM islands
+    GROUP BY doc_id, island
+    """,
+)
+def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate spans (Lee et al. 2022 ExactSubstr at
+    the token-8-gram grain): maximal token spans whose every 8-gram
+    appears in >= 2 distinct documents — the regions a training pipeline
+    would cut while keeping the rest of the doc. Fully native pipeline
+    (zip_with positional shingles → xxhash64 → count_distinct groupBy →
+    left_semi → gaps-and-islands window); the oracle re-derives the same
+    spans from the gram TEXT, so a hash-green row also certifies the
+    int64 gram-hash shuffle key loses nothing."""
+    from pdf_brain_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(load_table(spark, "documents", sf_dir), k=8, min_docs=2)
 
 
 @query("embedding_neardup_recall", oracle=None)

@@ -269,3 +269,102 @@ def test_incremental_lsh_matches_batch_and_reads_index(spark, tmp_path):
     plan = cand._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1, "index side must come from the stored parquet"
+
+
+# --------------------------------------------------------------------------
+# duplicate_spans — substring-level (Lee et al. ExactSubstr-style) spans
+# --------------------------------------------------------------------------
+
+
+def _span_corpus(spark):
+    """Three docs sharing a 12-token passage embedded at different offsets
+    in otherwise-unique text, plus one doc whose only repetition is
+    WITHIN itself, plus one fully unique doc."""
+    shared = " ".join(f"common{i}" for i in range(12))
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        # shared passage at token offset 5
+        (0, f"{uniq('a', 5)} {shared} {uniq('b', 6)}"),
+        # shared passage at token offset 0
+        (1, f"{shared} {uniq('c', 9)}"),
+        # shared passage at the very end (offset 7)
+        (2, f"{uniq('d', 7)} {shared}"),
+        # internal repeat only: the same 10 tokens twice in ONE doc —
+        # min_docs=2 counts DISTINCT docs, so this must emit nothing
+        (3, f"{uniq('e', 10)} {uniq('e', 10)}"),
+        (4, uniq("f", 25)),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_known_boundaries(spark):
+    """A 12-token passage shared by 3 docs yields exactly one maximal
+    span per doc with exact token boundaries (k=8: seeds at the 5
+    positions 0..4 within the passage merge into [start, start+11])."""
+    from pdf_brain_spark.operators.dedup import duplicate_spans
+
+    out = duplicate_spans(_span_corpus(spark), k=8, min_docs=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {0, 1, 2}
+    for doc_id, start in [(0, 5), (1, 0), (2, 7)]:
+        r = rows[doc_id]
+        assert r["span_start"] == start
+        assert r["span_end"] == start + 11
+        assert r["span_tokens"] == 12
+        assert r["n_seeds"] == 5  # positions start..start+4
+
+
+def test_duplicate_spans_within_doc_repeat_excluded(spark):
+    """min_docs counts DISTINCT documents: doc 3's internal 10-token
+    repeat produces no span; with min_docs=1 the repeated gram positions
+    DO surface (sanity that the distinct-count is the only gate)."""
+    from pdf_brain_spark.operators.dedup import duplicate_spans
+
+    corpus = _span_corpus(spark).filter(F.col("doc_id") >= 3)
+    assert duplicate_spans(corpus, k=8, min_docs=2).count() == 0
+    relaxed = duplicate_spans(corpus, k=8, min_docs=1)
+    # every position of doc 3 is part of SOME repeated 8-gram? no — only
+    # grams fully inside either copy of the repeated block repeat; but at
+    # least the two copies' aligned grams do, so doc 3 must appear
+    assert {r["doc_id"] for r in relaxed.collect()} >= {3}
+
+
+def test_duplicate_spans_merge_properties(spark):
+    """On a random corpus with planted shared passages: spans within a
+    doc are disjoint and non-touching (merge is maximal), each spans >= k
+    tokens, and n_seeds is consistent with the span extent (a span of t
+    tokens holds at most t-k+1 seeds)."""
+    import random as _r
+
+    from pdf_brain_spark.operators.dedup import duplicate_spans
+
+    rng = _r.Random(77)
+    vocab = [f"w{i}" for i in range(2000)]
+    shared_a = " ".join(rng.choice(vocab) for _ in range(15))
+    shared_b = " ".join(rng.choice(vocab) for _ in range(9))
+    rows = []
+    for d in range(30):
+        body = [rng.choice(vocab) for _ in range(rng.randrange(20, 60))]
+        txt = " ".join(body)
+        if d % 2 == 0:
+            txt = f"{txt} {shared_a}"
+        if d % 3 == 0:
+            txt = f"{shared_b} {txt}"
+        rows.append((d, txt))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 8
+    spans = duplicate_spans(docs, k=k, min_docs=2).collect()
+    assert spans, "planted shared passages must surface"
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["span_start"])
+        for r in rs:
+            assert r["span_tokens"] >= k
+            assert r["span_tokens"] == r["span_end"] - r["span_start"] + 1
+            assert 1 <= r["n_seeds"] <= r["span_tokens"] - k + 1
+        for a, b in zip(rs, rs[1:]):
+            # maximality: the next span's first seed must start more than
+            # k past the previous span's last seed (else they'd merge)
+            assert b["span_start"] - (a["span_end"] - k + 1) > k

@@ -162,3 +162,65 @@ def test_phrase_bm25_single_term_equals_bag(spark):
     assert set(ph) == set(bag)
     for d in ph:
         assert ph[d] == pytest.approx(bag[d])
+
+
+# --------------------------------------------------------------------------
+# MMR diversified re-ranking
+# --------------------------------------------------------------------------
+
+
+def test_mmr_demotes_near_duplicate(spark):
+    """Two near-identical vectors closest to the query, plus an equally
+    relevant vector on the OTHER side of the query direction: raw
+    similarity ranks the twins 1-2; MMR (λ=0.5) must demote the second
+    twin (penalty sim ≈ 1 against the chosen first twin) below the
+    diverse vector (penalty sim ≈ 0.8). Note the query must NOT coincide
+    with the top result — if it does, every candidate's rel equals its
+    sim-to-chosen and step 2 of the greedy is degenerate."""
+    import numpy as np
+
+    from pdf_brain_spark.operators.vector_search import mmr_rerank, topk
+
+    rng = np.random.default_rng(7)
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    a = np.array([0.9, 0.436, 0.0, 0.0])        # best match (cos 0.9)
+    a2 = np.array([0.9, 0.436, 0.02, 0.0])      # its near-duplicate
+    b = np.array([0.895, -0.446, 0.0, 0.0])     # as relevant, diverse side
+    # fillers orthogonal to q (cosine is scale-free, so "small" vectors
+    # are NOT low-relevance — direction is everything): rel = 0.5 exactly
+    rows = [(0, a), (1, a2), (2, b)] + [
+        (10 + i, np.concatenate([[0.0, 0.0], rng.normal(size=2)])) for i in range(5)
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    raw = [r["vec_id"] for r in topk(emb, [float(x) for x in q], k=3).collect()]
+    assert raw[:2] in ([0, 1], [1, 0]), "raw order must rank the twins 1-2"
+    mmr = mmr_rerank(emb, [float(x) for x in q], k=3, n_candidates=8, lam=0.5)
+    got = [r["vec_id"] for r in mmr.collect()]
+    assert got[0] in (0, 1)
+    assert got[1] == 2, f"MMR must promote the diverse vector: {got}"
+
+
+def test_mmr_invariants(spark):
+    """rank is 1..k with distinct ids; rank 1 is the raw-relevance argmax;
+    every mmr_score <= λ·rel (the penalty only subtracts); λ=1 degenerates
+    to raw similarity order."""
+    from pyspark.sql import functions as F
+
+    from pdf_brain_spark.operators.vector_search import mmr_rerank, topk
+    from pdf_brain_spark.sources.loaders import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    out = mmr_rerank(emb, qvec, k=8, n_candidates=20, lam=0.7).collect()
+    assert [r["rank"] for r in out] == list(range(1, 9))
+    assert len({r["vec_id"] for r in out}) == 8
+    top1 = topk(emb, qvec, k=1).collect()[0]["vec_id"]
+    assert out[0]["vec_id"] == top1
+    for r in out:
+        assert r["mmr_score"] <= 0.7 * r["rel"] + 1e-9
+    degenerate = mmr_rerank(emb, qvec, k=8, n_candidates=20, lam=1.0).collect()
+    raw = [r["vec_id"] for r in topk(emb, qvec, k=8).collect()]
+    assert [r["vec_id"] for r in degenerate] == raw
