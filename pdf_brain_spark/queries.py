@@ -2535,6 +2535,44 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_key_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS cnt FROM events GROUP BY 1
+    ),
+    summary AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) AS total_rows,
+             CAST(count(*) AS DOUBLE) AS distinct_keys,
+             CAST(max(cnt) AS DOUBLE) AS max_cnt,
+             quantile_cont(cnt, 0.5) AS p50,
+             quantile_cont(cnt, 0.9) AS p90,
+             quantile_cont(cnt, 0.99) AS p99
+      FROM counts
+    )
+    SELECT 'total_rows' AS kind, CAST(NULL AS VARCHAR) AS key, total_rows AS value FROM summary
+    UNION ALL SELECT 'distinct_keys', NULL, distinct_keys FROM summary
+    UNION ALL SELECT 'max_share_ppm', NULL, round(max_cnt * 1e6 / total_rows, 2) FROM summary
+    UNION ALL SELECT 'p50', NULL, p50 FROM summary
+    UNION ALL SELECT 'p90', NULL, p90 FROM summary
+    UNION ALL SELECT 'p99', NULL, p99 FROM summary
+    UNION ALL SELECT 'max', NULL, max_cnt FROM summary
+    UNION ALL (SELECT 'hot_key', k, CAST(cnt AS DOUBLE) FROM counts
+               ORDER BY cnt DESC, k ASC LIMIT 10)
+    """,
+)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostic on events.user_id — the measurement
+    that decides between the plain and salted operator variants
+    (operators/skew.py, operators/temporal.py): per-key count shuffle,
+    then exact percentiles + hottest-key share (ppm) over the REDUCED
+    count table, plus the top-10 hot keys. Fully SQL-expressible, so the
+    whole report is hash-gated."""
+    from pdf_brain_spark.operators.skew import skew_profile
+
+    return skew_profile(load_table(spark, "events", sf_dir), "user_id", top_n=10)
+
+
 @query("corpus_profile_sketch", oracle=None)
 def corpus_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based corpus profiling (§7 free Spark extensions —
@@ -4429,6 +4467,75 @@ def streaming_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame
             .orderBy("doc_a", "doc_b")
             .localCheckpoint(eager=True)
         )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_incremental_ann",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 9),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             {_duck_cosine_distance('e.embedding', 'q.query_vec')} AS d
+      FROM embeddings e, q
+    )
+    SELECT vec_id, label,
+           round(d, 6) + 0.0 AS distance,
+           round(1.0 - d / 2.0, 6) AS score
+    FROM scored
+    ORDER BY d ASC, vec_id ASC
+    LIMIT 12
+    """,
+)
+def streaming_incremental_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run of the incremental ANN index maintenance
+    (streaming/ann_ingest.py): the embeddings table staged as two arrival
+    files, streamed one file per micro-batch through the foreachBatch
+    assign-and-append driver into the batch_id=N/list_id=L partitioned
+    layout, then searched FROM STORAGE with an EXHAUSTIVE probe
+    (n_probes = n_lists, the ann_ivf_topk invariant). The result must
+    equal brute-force top-k over the whole table — which certifies the
+    streaming ingest dropped no vector AND duplicated none (a vector
+    landing in two batch generations would appear twice in the ordered
+    top-k and flip the hash). Probe pruning and replay idempotency are
+    pytest-attested (tests/test_ingest_and_streaming.py)."""
+    import shutil
+    import tempfile
+
+    from pdf_brain_spark.operators.clustering import kmeans_assign
+    from pdf_brain_spark.streaming.ann_ingest import (
+        ivf_search_persisted,
+        streaming_ann_ingest,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "label", "embedding")
+    # fit once on the initial corpus (seeded, bounded sample); the
+    # assignment pass kmeans_assign also returns stays unexecuted — only
+    # the centroids are used, each micro-batch runs its own map-only assign
+    _, centroids = kmeans_assign(emb, k=16, seed=42)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 9).first()["embedding"]]
+    root = tempfile.mkdtemp(prefix="sgraft_sann_")
+    stage, idx, ckpt = (f"{root}/{d}" for d in ("stage", "idx", "ckpt"))
+    try:
+        mid = emb.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+        emb.filter(F.col("vec_id") <= mid).coalesce(1).write.mode("append").parquet(stage)
+        emb.filter(F.col("vec_id") > mid).coalesce(1).write.mode("append").parquet(stage)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        streaming_ann_ingest(spark, stream, idx, centroids, ckpt).awaitTermination()
+        res = ivf_search_persisted(
+            spark, idx, centroids, qvec, k=12, n_probes=16
+        )
+        return res.select(
+            "vec_id",
+            "label",
+            (F.round("distance", 6) + F.lit(0.0)).alias("distance"),
+            F.round("score", 6).alias("score"),
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

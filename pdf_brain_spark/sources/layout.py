@@ -113,3 +113,78 @@ def pruning_ratio(path: str, col: str, lo, hi) -> float:
         if fmin is None or fmax is None or (fmax >= lo and fmin <= hi)
     )
     return touched / len(stats)
+
+
+def cluster_by_zorder(df: DataFrame, n_files: int, *cols: str, bits: int = 12) -> DataFrame:
+    """Multi-column interleaved-bit (Morton / Z-order) clustering: the
+    rewrite shape for tables queried by MORE THAN ONE filter dimension,
+    where `cluster_by_range` can only serve its leading column. Each
+    column is min-max-normalized to a `bits`-bit integer bucket (one
+    scalar aggregate to the driver — 2 values per column), the buckets'
+    bits are interleaved into a single z-value with a statically unrolled
+    chain of native shift/mask expressions (no UDF; whole-stage codegen
+    keeps it JVM-side), and the write range-partitions + sorts on z.
+
+    Files then cover compact axis-aligned rectangles of the key space
+    instead of full-width stripes: a box predicate on (c1, c2) touches
+    O(box area + perimeter) files rather than min(1, box side) of the
+    whole table. The claim is measured, not hoped — see
+    tests/test_scale_layout.py, which counts footer-stat file hits for a
+    2-D box against this layout vs a linear sort.
+
+    At 100 TB: the normalization bounds should come from table metadata
+    (or a fixed domain contract) rather than the extra scan; the z
+    computation and write shape are unchanged. Skewed dimensions warrant
+    quantile (rank) bucketing instead of min-max — same interleave,
+    different bucket map."""
+    from pyspark.sql import functions as F
+
+    df.sparkSession.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    n = len(cols)
+    if n < 2:
+        raise ValueError("cluster_by_zorder needs >= 2 columns; use cluster_by_range for one")
+    as_num = [F.col(c).cast("double") for c in cols]
+    bounds = df.agg(
+        *[f(c).alias(f"{tag}{i}") for i, c in enumerate(as_num) for tag, f in (("lo", F.min), ("hi", F.max))]
+    ).first()
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(as_num):
+        lo, hi = float(bounds[f"lo{i}"]), float(bounds[f"hi{i}"])
+        span = (hi - lo) or 1.0
+        bucket = F.least(
+            F.lit(top),
+            F.greatest(F.lit(0), F.floor((c - F.lit(lo)) / F.lit(span) * F.lit(top + 0.0))),
+        ).cast("long")
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(bucket, b).bitwiseAND(F.lit(1)), b * n + i)
+            )
+    return (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+
+
+def files_touched_2d(path: str, pred1: tuple, pred2: tuple) -> tuple[int, int]:
+    """(touched, total) file counts for a conjunctive 2-D box predicate
+    judged purely on footer min/max of both columns — what a scan's
+    file-level pruning achieves on this layout. Each pred is
+    (col, lo, hi)."""
+    c1, lo1, hi1 = pred1
+    c2, lo2, hi2 = pred2
+    s1 = dict((f, (a, b)) for f, a, b in file_stats(path, c1))
+    s2 = dict((f, (a, b)) for f, a, b in file_stats(path, c2))
+    touched = 0
+    for f in s1:
+        a1, b1 = s1[f]
+        a2, b2 = s2.get(f, (None, None))
+        hit1 = a1 is None or b1 is None or (b1 >= lo1 and a1 <= hi1)
+        hit2 = a2 is None or b2 is None or (b2 >= lo2 and a2 <= hi2)
+        if hit1 and hit2:
+            touched += 1
+    return touched, len(s1)

@@ -1,0 +1,106 @@
+"""Streaming incremental ANN index maintenance — the continuous-crawl
+answer for the VECTOR side, composing the two storage/streaming designs
+already attested separately in this repo:
+
+  * the IVF PARTITION-column layout (sources/layout.py::
+    write_ivf_partitioned): unprobed lists prune at planning time;
+  * the replay-idempotent per-batch_id subdirectory protocol
+    (streaming/events.py::make_incremental_dedup_batch_fn): each
+    micro-batch overwrites ONLY its own `batch_id=N` subdir, so an
+    at-least-once foreachBatch composes to effectively-once index state.
+
+A stream of arriving vectors is assigned to FIXED IVF centroids (fit once,
+seeded, on the initial corpus — the map-only Arrow/BLAS assigner from
+operators/clustering.py; no shuffle, no refit per batch) and appended
+under `batch_id=N/list_id=L` directories. Search reads the accumulated
+index with a `list_id IN (probes)` filter — a PartitionFilter across every
+batch generation — and exact-re-ranks inside the probed lists, so returned
+scores are exact and only candidate recall is approximate, exactly as in
+the batch IVF path (operators/ann.py).
+
+Centroid staleness is the honest operational caveat: fixed centroids keep
+every batch map-only, but a drifting corpus degrades list balance and
+recall over time. The production answer is periodic refit + rewrite (a
+compaction, not a streaming step); the recall instrumentation to trigger
+it is ann_recall_report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def make_ann_ingest_batch_fn(index_dir: str, centroids: list[list[float]], vec_col: str = "embedding"):
+    """Per-micro-batch body, exposed so replay behavior is directly
+    testable: calling it twice with the same (batch_df, batch_id) must
+    leave byte-identical index state (its own batch_id=N subdir is
+    overwritten; nothing else is touched)."""
+    from pdf_brain_spark.operators.clustering import _assign_udf
+
+    assign = _assign_udf(centroids)
+
+    def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        assigned = batch_df.withColumn("_a", assign(F.col(vec_col))).select(
+            *batch_df.columns, F.col("_a.cluster_id").alias("list_id")
+        )
+        assigned.write.partitionBy("list_id").mode("overwrite").parquet(
+            f"{index_dir}/batch_id={batch_id}"
+        )
+
+    return _each_batch
+
+
+def streaming_ann_ingest(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    index_dir: str,
+    centroids: list[list[float]],
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+):
+    """Drive the incremental ANN ingest as a Structured Streaming query
+    (AvailableNow in tests/gate; continuous in production)."""
+    return (
+        vec_stream.writeStream.foreachBatch(
+            make_ann_ingest_batch_fn(index_dir, centroids, vec_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ivf_search_persisted(
+    spark: SparkSession,
+    index_dir: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against the PERSISTED streaming-maintained index: read
+    the accumulated batch generations as one partitioned table, prune to
+    the probed lists (PartitionFilter on list_id across every batch_id
+    subdir), exact cosine re-rank inside. Mirrors operators/ann.py::
+    ivf_search but from storage instead of an in-memory DataFrame."""
+    import numpy as np
+
+    from pdf_brain_spark.functions.vector import cosine_distance, distance_to_score
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    sims = cents @ q / (np.linalg.norm(cents, axis=1) * np.linalg.norm(q) + 1e-12)
+    probe_ids = [int(i) for i in np.argsort(-sims)[:n_probes]]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    indexed = spark.read.option("basePath", index_dir).parquet(index_dir)
+    return (
+        indexed.filter(F.col("list_id").isin(probe_ids))
+        .withColumn("distance", cosine_distance(F.col(vec_col), qcol, len(query_vec)))
+        .withColumn("score", distance_to_score(F.col("distance")))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )

@@ -383,3 +383,65 @@ def test_compact_band_index_preserves_probe_semantics(spark, tmp_path):
         for r in spark.read.parquet(f"{cands_b}/batch_id=3").collect()
     }
     assert got_after == got_before and got_before
+
+
+def test_streaming_ann_ingest_replay_idempotent_and_pruned(spark, tmp_path):
+    """Incremental ANN index maintenance (streaming/ann_ingest.py):
+
+    1. replay safety — re-invoking the batch fn with the same
+       (batch_df, batch_id) leaves the index row-identical (its own
+       batch_id=N subdir is overwritten, other generations untouched);
+    2. losslessness — the union of batch generations holds every vector
+       exactly once, each in exactly one list;
+    3. pruning — the persisted search's scan reads only the probed
+       list_id directories (PartitionFilters, checked in the plan).
+    """
+    from pdf_brain_spark.operators.clustering import kmeans_assign
+    from pdf_brain_spark.sources.loaders import load_table
+    from pdf_brain_spark.streaming.ann_ingest import (
+        ivf_search_persisted,
+        make_ann_ingest_batch_fn,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").select(
+        "vec_id", "label", "embedding"
+    )
+    _, centroids = kmeans_assign(emb, k=8, seed=42)
+    idx = str(tmp_path / "ann_index")
+    fn = make_ann_ingest_batch_fn(idx, centroids)
+    b0 = emb.filter(F.col("vec_id") % 2 == 0)
+    b1 = emb.filter(F.col("vec_id") % 2 == 1)
+    fn(b0, 0)
+    fn(b1, 1)
+
+    def snapshot():
+        return sorted(
+            (r["batch_id"], r["list_id"], r["vec_id"])
+            for r in spark.read.option("basePath", idx).parquet(idx).collect()
+        )
+
+    before = snapshot()
+    fn(b1, 1)  # crash-replay of the last batch
+    assert snapshot() == before
+
+    # losslessness: every vector exactly once, in exactly one list
+    ids = [v for _, _, v in before]
+    assert sorted(ids) == sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+
+    # pruning: the probe filter must appear as a PartitionFilter, and the
+    # scanned row count must equal the probed lists' population
+    qvec = [float(x) for x in emb.first()["embedding"]]
+    res = ivf_search_persisted(spark, idx, centroids, qvec, k=5, n_probes=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters", 1)[1][:200]
+    assert res.count() == 5
+
+    # exhaustive probe == brute force (the gate invariant, small-scale)
+    from pdf_brain_spark.operators.vector_search import topk
+
+    exhaustive = [
+        r["vec_id"]
+        for r in ivf_search_persisted(spark, idx, centroids, qvec, k=7, n_probes=8).collect()
+    ]
+    brute = [r["vec_id"] for r in topk(emb, qvec, k=7).collect()]
+    assert exhaustive == brute

@@ -198,3 +198,54 @@ def test_ivf_partitioned_probe_prunes_partitions(spark, tmp_path):
     expected = {r["vec_id"] for r in indexed.filter(F.col("list_id").isin(probes)).collect()}
     got = {r["vec_id"] for r in scan.collect()}
     assert got == expected and len(got) > 0
+
+
+def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
+    """Z-order vs linear sort on (ts, user_id), 64 files each, judged by
+    footer stats on a 2-D box covering ~1/4 of each dimension:
+
+    - the linear ts-sorted layout serves ts (touches ~1/4 of files) but
+      every file spans the whole user_id domain, so the box prunes
+      nothing further;
+    - the z-ordered layout tiles the (ts, user_id) plane with compact
+      rectangles: the same box must touch strictly fewer files, and BOTH
+      single-dimension ratios must be < 1 (no dimension is sacrificed).
+    """
+    from pdf_brain_spark.sources.layout import (
+        cluster_by_range,
+        cluster_by_zorder,
+        files_touched_2d,
+        pruning_ratio,
+    )
+    from pdf_brain_spark.sources.loaders import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.01").select(
+        "event_id", "ts", "user_id"
+    )
+    linear = str(tmp_path / "ev_linear")
+    zordered = str(tmp_path / "ev_zorder")
+    cluster_by_range(ev, 64, "ts").write.parquet(linear)
+    cluster_by_zorder(ev, 64, "ts", "user_id").write.parquet(zordered)
+
+    tlo, thi, ulo, uhi = ev.selectExpr(
+        "min(ts)", "max(ts)", "min(user_id)", "max(user_id)"
+    ).first()
+    tbox = (tlo, tlo + (thi - tlo) / 4)
+    ubox = (ulo, ulo + (uhi - ulo) // 4)
+
+    lin_t, lin_n = files_touched_2d(
+        linear, ("ts", *tbox), ("user_id", *ubox)
+    )
+    z_t, z_n = files_touched_2d(
+        zordered, ("ts", *tbox), ("user_id", *ubox)
+    )
+    assert lin_n == z_n == 64
+    # linear: user_id spans everything per file, so the box degenerates
+    # to the ts stripe (~16 of 64)
+    assert lin_t >= 12
+    # z-order: box area ~1/16 of the plane + boundary cells
+    assert z_t < lin_t, f"z-order must beat linear: {z_t} vs {lin_t}"
+    assert z_t <= lin_n // 4
+    # neither dimension is sacrificed: both 1-D ratios prune
+    assert pruning_ratio(zordered, "ts", *tbox) < 1.0
+    assert pruning_ratio(zordered, "user_id", *ubox) < 1.0
