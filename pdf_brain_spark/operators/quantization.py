@@ -290,8 +290,15 @@ def pq_compression_report(
     a = {(r["query_id"], r[id_col]) for r in approx.collect()}
     rr = {(r["query_id"], r[id_col]) for r in rerank.collect()}
     e = {(r["query_id"], r[id_col]) for r in exact.collect()}
-    # reconstruction MSE over the corpus: map-side, scalar aggregate
-    sample = codes.join(emb.select(id_col, vec_col), id_col).collect()
+    # reconstruction MSE on a BOUNDED sample (deterministic id order) —
+    # the estimate is corpus-size-independent, and an unbounded collect
+    # here would be the one scale violation in the module
+    sample = (
+        codes.join(emb.select(id_col, vec_col), id_col)
+        .orderBy(id_col)
+        .limit(2048)
+        .collect()
+    )
     V = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
     R = pq_reconstruct_np([r["codes"] for r in sample], books)
@@ -314,4 +321,218 @@ def pq_compression_report(
         "dim int, m int, n_codes int, compression_x double, "
         "n_exact_pairs int, recall_at_k double, recall_rerank double, "
         "recon_mse double",
+    )
+
+
+def ivfpq_index(
+    emb: DataFrame,
+    n_lists: int = 16,
+    m: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF-PQ index build (the IVFADC composition of Jégou et al. 2011 —
+    the FAISS-style index this module's two halves were built toward):
+    every vector gets an IVF list assignment (coarse quantizer, for
+    probe pruning) AND an m-byte PQ code (fine quantizer, for ADC
+    serving), in one map-only pass each. Returns
+    ((id, codes, list_id) DataFrame, centroids, codebooks).
+
+    This variant encodes the RAW unit vector, not the residual
+    v − centroid(list): reusing one global codebook keeps encode/serve
+    identical to the flat-PQ path (and lets the exhaustive-probe
+    invariant hold EXACTLY — see ivfpq_topk_adc_batch). Residual
+    encoding buys finer cells per list at the cost of per-list LUTs
+    (n_probes × m × n_codes tables per query instead of one); the
+    recall step-up is quantified in the literature, the plumbing here
+    would be unchanged.
+
+    At 100 TB the index persists with list_id as a PARTITION column
+    (sources/layout.py::write_ivf_partitioned — same layout the
+    streaming ANN ingest maintains incrementally), so a probe's list
+    filter prunes at planning time and the scan reads m bytes per
+    vector instead of 4·dim."""
+    from pdf_brain_spark.operators.ann import ivf_index
+
+    indexed, centroids = ivf_index(emb, n_lists=n_lists, seed=seed, vec_col=vec_col)
+    codebooks = pq_train(emb, m=m, n_codes=n_codes, seed=seed, vec_col=vec_col)
+    codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+    return (
+        indexed.select(id_col, "list_id").join(codes, id_col),
+        centroids,
+        codebooks,
+    )
+
+
+def ivfpq_topk_adc_batch(
+    indexed_codes: DataFrame,
+    centroids,
+    codebooks,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 4,
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+    id_col: str = "vec_id",
+    batch_slack: int = 8,
+) -> DataFrame:
+    """Batch cosine top-k over the IVF-PQ index: each query probes its
+    `n_probes` centroid-nearest lists and scores ONLY those lists' rows,
+    from codes (m LUT gathers per row), never reading floats. The scan
+    is filtered to the UNION of all queries' probe sets — a partition
+    filter against the persisted layout — and inside the kernel a
+    per-(query, list) boolean mask routes each row to exactly the
+    queries probing its list, so a 256-query batch still makes one pass
+    over the probed fraction of the corpus (the FAISS batch-serving
+    shape re-expressed as mapInPandas + merge window).
+
+    Invariant (pytest-asserted): with n_probes = n_lists the mask is
+    all-true and the result EQUALS pq_topk_adc_batch over the full codes
+    table — probe routing loses nothing beyond the probe choice itself.
+    Recall at n_probes < n_lists is the product of the IVF candidate
+    recall and the PQ code resolution; measure with ivfpq_recall_report
+    before trusting an operating point."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.operators.vector_search import topk_rows_tiebroken
+
+    q_rows = queries.select(query_id, query_col).collect()
+    qids = np.array([r[0] for r in q_rows])
+    qmat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    n_lists = C.shape[0]
+    n_probes = min(n_probes, n_lists)
+    # per-query probe sets from the coarse quantizer (driver-side: the
+    # centroid table is k rows, corpus-independent)
+    probe_rank = np.argsort(-(qmat @ Cn.T), axis=1)[:, :n_probes]  # (nq, p)
+    probe_mask = np.zeros((len(qids), n_lists), dtype=bool)
+    np.put_along_axis(probe_mask, probe_rank, True, axis=1)
+    probe_union = sorted(int(l) for l in np.unique(probe_rank))
+
+    LUT = adc_lut(qmat, codebooks)
+    m = LUT.shape[0]
+    m_take = k + batch_slack
+
+    def _partial_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)
+            lists = pdf["list_id"].to_numpy(dtype=np.int64)
+            vid = pdf[id_col].to_numpy()
+            dist = np.zeros((len(qids), codes.shape[0]), dtype=np.float64)
+            for j in range(m):
+                dist += LUT[j][:, codes[:, j]]
+            dist *= 0.5
+            mask = probe_mask[:, lists]  # (nq, b): does q probe this row's list
+            out_q, out_v, out_d = [], [], []
+            for qi in range(len(qids)):
+                rows = np.flatnonzero(mask[qi])
+                if rows.size == 0:
+                    continue
+                sel = topk_rows_tiebroken(dist[qi, rows], vid[rows], min(m_take, rows.size))
+                picked = rows[sel]
+                out_q.extend([qids[qi]] * len(picked))
+                out_v.extend(vid[picked])
+                out_d.extend(dist[qi, picked])
+            if out_q:
+                yield pd.DataFrame({query_id: out_q, id_col: out_v, "distance": out_d})
+
+    qid_type = dict(queries.dtypes)[query_id]
+    id_type = dict(indexed_codes.dtypes)[id_col]
+    partials = (
+        indexed_codes.filter(F.col("list_id").isin(probe_union))
+        .select(id_col, "codes", "list_id")
+        .mapInPandas(
+            _partial_topk,
+            schema=f"{query_id} {qid_type}, {id_col} {id_type}, distance double",
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_recall_report(
+    emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 32,
+    n_lists: int = 16,
+    n_probes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row report for an IVF-PQ operating point, with the losslessness
+    invariant enforced fail-fast (the clustering_model_report discipline:
+    a violated invariant RAISES rather than reporting plausible numbers):
+
+      * invariant — the EXHAUSTIVE probe (n_probes = n_lists) must equal
+        flat ADC over the full codes table on every (query, rank, id,
+        distance); probe routing may only ever REMOVE unprobed lists.
+      * recall_vs_adc — what the probe choice costs, isolated from code
+        resolution (IVF candidate recall).
+      * recall_vs_exact — the full trade against exact float search
+        (probe loss × PQ resolution loss), the number a 100 TB operator
+        actually tunes n_probes/m against.
+    """
+    import numpy as np
+
+    from pdf_brain_spark.operators.vector_search import similarity_join_topk
+
+    spark = emb.sparkSession
+    indexed_codes, centroids, books = ivfpq_index(
+        emb, n_lists=n_lists, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    indexed_codes = indexed_codes.localCheckpoint(eager=True)
+    queries = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    flat = pq_topk_adc_batch(
+        indexed_codes.drop("list_id"), books, queries, k=k, id_col=id_col
+    )
+    exhaustive = ivfpq_topk_adc_batch(
+        indexed_codes, centroids, books, queries, k=k, n_probes=n_lists, id_col=id_col
+    )
+    flat_rows = {
+        (r["query_id"], r["rank"], r[id_col], round(r["distance"], 9))
+        for r in flat.collect()
+    }
+    exh_rows = {
+        (r["query_id"], r["rank"], r[id_col], round(r["distance"], 9))
+        for r in exhaustive.collect()
+    }
+    if flat_rows != exh_rows:
+        raise AssertionError(
+            "ivfpq invariant violated: exhaustive probe != flat ADC "
+            f"({len(flat_rows ^ exh_rows)} differing rows)"
+        )
+    probed = ivfpq_topk_adc_batch(
+        indexed_codes, centroids, books, queries, k=k, n_probes=n_probes, id_col=id_col
+    )
+    exact = similarity_join_topk(queries, emb, k=k, id_col=id_col, vec_col=vec_col)
+    p = {(r["query_id"], r[id_col]) for r in probed.collect()}
+    a = {(q, vid) for (q, _rank, vid, _d) in flat_rows}
+    e = {(r["query_id"], r[id_col]) for r in exact.collect()}
+    row = [
+        (
+            int(n_lists),
+            int(n_probes),
+            int(len(e)),
+            float(round(len(p & a) / max(len(a), 1), 4)),
+            float(round(len(p & e) / max(len(e), 1), 4)),
+            float(round(len(a & e) / max(len(e), 1), 4)),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_lists int, n_probes int, n_exact_pairs int, "
+        "recall_vs_adc double, recall_vs_exact double, adc_recall_vs_exact double",
     )

@@ -2573,6 +2573,36 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_profile(load_table(spark, "events", sf_dir), "user_id", top_n=10)
 
 
+@query("pq_compression_report", oracle=None)
+def pq_compression_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization trade report (operators/quantization.py):
+    recall@10 of ADC-from-codes serving (flat and ADC-then-exact-rerank)
+    vs the exact float path for 32 corpus queries, bounded-sample
+    reconstruction MSE, and the storage compression ratio. Rows-only
+    (seeded Lloyd's codebooks are not SQL-expressible); the ADC distance
+    identity, serving parity, monotone-in-m error, and rerank==exact
+    invariants are pytest-asserted in tests/test_quantization.py."""
+    from pdf_brain_spark.operators.quantization import pq_compression_report
+
+    return pq_compression_report(load_table(spark, "embeddings", sf_dir))
+
+
+@query("ivfpq_recall_report", oracle=None)
+def ivfpq_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ operating-point report (operators/quantization.py): the
+    FAISS-style composition — coarse IVF probe pruning over PQ
+    ADC-from-codes serving. Fail-fast invariant INSIDE the query (the
+    clustering_model_report discipline): the exhaustive probe must equal
+    flat ADC on every (query, rank, id, distance) or the query RAISES;
+    the reported recalls isolate probe loss (recall_vs_adc) from code
+    resolution (adc_recall_vs_exact). Rows-only (seeded fits); the
+    invariant also runs in tests/test_quantization.py at two probe
+    depths."""
+    from pdf_brain_spark.operators.quantization import ivfpq_recall_report
+
+    return ivfpq_recall_report(load_table(spark, "embeddings", sf_dir))
+
+
 @query("corpus_profile_sketch", oracle=None)
 def corpus_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based corpus profiling (§7 free Spark extensions —

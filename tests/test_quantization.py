@@ -208,3 +208,80 @@ def test_compression_report_shape(spark):
     assert row["recall_rerank"] >= row["recall_at_k"]
     assert row["recon_mse"] >= 0.0
     assert row["n_exact_pairs"] > 0
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ composition (coarse probe pruning over ADC-from-codes serving)
+# --------------------------------------------------------------------------
+
+
+def test_ivfpq_exhaustive_probe_equals_flat_adc(spark):
+    """With n_probes = n_lists the probe mask is all-true, so the routed
+    kernel must reproduce flat ADC on every (query, rank, id, distance) —
+    the losslessness invariant of the probe machinery, independent of
+    centroid geometry. Also asserted inside ivfpq_recall_report (which
+    RAISES on violation); here it runs directly at a second config."""
+    from pdf_brain_spark.operators.quantization import (
+        ivfpq_index,
+        ivfpq_topk_adc_batch,
+        pq_topk_adc_batch,
+    )
+    from pdf_brain_spark.sources.loaders import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    indexed, centroids, books = ivfpq_index(emb, n_lists=6, n_codes=32, seed=7)
+    indexed = indexed.localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    flat = pq_topk_adc_batch(indexed.drop("list_id"), books, queries, k=7)
+    routed = ivfpq_topk_adc_batch(indexed, centroids, books, queries, k=7, n_probes=6)
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], round(r["distance"], 9))
+    assert sorted(map(key, flat.collect())) == sorted(map(key, routed.collect()))
+
+
+def test_ivfpq_probed_results_come_from_probed_lists(spark):
+    """At n_probes < n_lists every returned (query, vector) pair's list
+    must be in that query's probe set — no leakage through the mask."""
+    from pdf_brain_spark.operators.quantization import ivfpq_index, ivfpq_topk_adc_batch
+    from pdf_brain_spark.sources.loaders import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    indexed, centroids, books = ivfpq_index(emb, n_lists=6, n_codes=32, seed=7)
+    indexed = indexed.localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = ivfpq_topk_adc_batch(indexed, centroids, books, queries, k=7, n_probes=2)
+    C = _normalize(np.asarray(centroids, dtype=np.float64))
+    qm = {r["query_id"]: np.asarray(r["query_vec"], dtype=np.float64) for r in queries.collect()}
+    probe_of = {
+        qid: set(np.argsort(-(C @ (q / np.linalg.norm(q))))[:2].tolist())
+        for qid, q in qm.items()
+    }
+    list_of = {r["vec_id"]: r["list_id"] for r in indexed.select("vec_id", "list_id").collect()}
+    rows = res.collect()
+    assert rows
+    for r in rows:
+        assert list_of[r["vec_id"]] in probe_of[r["query_id"]]
+
+
+def test_ivfpq_recall_on_clustered_geometry(spark):
+    """On a clustered corpus (the realistic embedding geometry) probing
+    25% of lists must retain high recall vs flat ADC — the IVF half of
+    the composition does its job when neighbors are localized. Uniform
+    corpora are the adversarial case and are reported, not asserted."""
+    from pdf_brain_spark.operators.ann import synthetic_clustered_embeddings
+    from pdf_brain_spark.operators.quantization import ivfpq_recall_report
+
+    emb = synthetic_clustered_embeddings(spark, n=4096, dim=64, n_centers=16, seed=11)
+    row = ivfpq_recall_report(
+        emb, k=10, n_queries=24, n_lists=16, n_probes=4, seed=42
+    ).collect()[0]
+    assert row["recall_vs_adc"] >= 0.9, row
+    # the probe adds (almost) no loss beyond the PQ code resolution
+    # ceiling: exact-recall of the probed path tracks flat ADC's. The
+    # ceiling itself is LOW on tightly clustered corpora (codes collapse
+    # within-cluster ranking — measured 0.5 here) and is what the
+    # ADC-then-exact-rerank path exists to restore (pq_topk_adc_rerank).
+    assert row["recall_vs_exact"] >= row["adc_recall_vs_exact"] - 0.05, row
