@@ -536,3 +536,184 @@ def ivfpq_recall_report(
         "n_lists int, n_probes int, n_exact_pairs int, "
         "recall_vs_adc double, recall_vs_exact double, adc_recall_vs_exact double",
     )
+
+
+def ivfpq_index_residual(
+    emb: DataFrame,
+    n_lists: int = 16,
+    m: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Residual IVF-PQ index build — the full IVFADC of Jégou et al.
+    2011, upgrading ivfpq_index's raw-vector codes: each vector encodes
+    its RESIDUAL r = v̂ − c(list) against its coarse centroid. Residuals
+    concentrate around 0 with within-cluster spread, so the same
+    codebook budget resolves WITHIN-cluster structure instead of
+    re-describing the coarse geometry.
+
+    Measured honestly (tests/test_quantization.py, synthetic clustered
+    corpora): residual encoding cuts reconstruction MSE to 0.66× of the
+    raw variant at tight clustering (spread 0.05) and lifts ADC-only
+    recall@10 from 0.40 to 0.51 at the same 1-byte-per-8-dims rate. The
+    lift is real but RATE-LIMITED — on isotropic within-cluster noise,
+    per-vector reconstruction error at this rate stays larger than the
+    gap between adjacent neighbors, for ANY encoding of the residual.
+    Exact ranking at serving time therefore still belongs to the
+    ADC-then-exact-rerank path (pq_topk_adc_rerank); what residual
+    encoding buys is a better candidate set and a tighter distance
+    estimate per byte. (The paper's larger gains come from real corpora
+    whose residuals have low intrinsic dimension — structure Lloyd's can
+    exploit — not from the gaussian worst case these tests measure.)
+
+    Build is ONE mapInPandas pass (no assignment join): per Arrow batch,
+    normalize → coarse-assign (one BLAS matmul against the centroid
+    table) → subtract centroid → per-subspace argmin encode. Codebooks
+    are fit on the bounded sample's residuals (driver-local, same
+    budget). Returns ((id, list_id, codes), centroids, codebooks);
+    serving needs per-(query, list) LUTs — see
+    ivfpq_topk_adc_batch_residual."""
+    import numpy as np
+
+    from pdf_brain_spark.operators.clustering import (
+        _lloyd_fit,
+        _sample_feature_matrix,
+    )
+
+    X = _sample_feature_matrix(emb, vec_col, seed)
+    if X.size == 0:
+        raise ValueError("ivfpq_index_residual: empty input")
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = Xn.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"ivfpq_index_residual: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    C = _lloyd_fit(Xn, min(n_lists, len(Xn)), seed, 20, 5e-3)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    # codebooks on the SAMPLE's residuals against the same centroids
+    Rs = Xn - Cn[np.argmax(Xn @ Cn.T, axis=1)]
+    books = np.zeros((m, n_codes, dsub), dtype=np.float64)
+    for j in range(m):
+        B = _lloyd_fit(Rs[:, j * dsub : (j + 1) * dsub], n_codes, seed + j, 12, 1e-4)
+        books[j, : B.shape[0]] = B
+        if B.shape[0] < n_codes:
+            books[j, B.shape[0] :] = B[0]
+    cb2 = (books ** 2).sum(axis=2)  # (m, c)
+
+    def _assign_encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            lists = np.argmax(M @ Cn.T, axis=1)
+            R = M - Cn[lists]
+            codes = np.empty((len(pdf), m), dtype=np.int16)
+            for j in range(m):
+                Rj = R[:, j * dsub : (j + 1) * dsub]
+                d = (Rj ** 2).sum(axis=1)[:, None] - 2.0 * (Rj @ books[j].T) + cb2[j][None, :]
+                codes[:, j] = d.argmin(axis=1).astype(np.int16)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "list_id": lists.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    id_type = dict(emb.dtypes)[id_col]
+    indexed = emb.select(id_col, vec_col).mapInPandas(
+        _assign_encode, schema=f"{id_col} {id_type}, list_id int, codes array<smallint>"
+    )
+    return indexed, [c.tolist() for c in Cn], books
+
+
+def ivfpq_topk_adc_batch_residual(
+    indexed_codes: DataFrame,
+    centroids,
+    codebooks,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 4,
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+    id_col: str = "vec_id",
+    batch_slack: int = 8,
+) -> DataFrame:
+    """Residual-ADC batch serving: distance to a stored vector in list l
+    decomposes as ||q̂ − c_l − r_recon||² = Σ_j ||(q̂ − c_l)_j −
+    codebook_j[code_j]||², so each (query, PROBED list) pair gets its own
+    m × n_codes LUT built from q̂ − c_l. LUT tensor is (m, nq,
+    |probe_union|, n_codes) — corpus-independent, ~134 MB at nq=256,
+    16 lists, m=8, c=256 doubles; rows gather from their list's slab.
+    Per-(query, list) probe masking, partial-top-k truncation, and the
+    exact merge window are identical to the raw variant."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.operators.vector_search import topk_rows_tiebroken
+
+    CB = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = CB.shape
+    q_rows = queries.select(query_id, query_col).collect()
+    qids = np.array([r[0] for r in q_rows])
+    qmat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    Cn = np.asarray(centroids, dtype=np.float64)
+    n_lists = Cn.shape[0]
+    n_probes = min(n_probes, n_lists)
+    probe_rank = np.argsort(-(qmat @ Cn.T), axis=1)[:, :n_probes]
+    probe_mask = np.zeros((len(qids), n_lists), dtype=bool)
+    np.put_along_axis(probe_mask, probe_rank, True, axis=1)
+    probe_union = sorted(int(l) for l in np.unique(probe_rank))
+    slot_of = {l: i for i, l in enumerate(probe_union)}
+
+    # per-(query, probed list) LUTs: adc_lut of (q̂ − c_l)
+    LUT = np.empty((m, len(qids), len(probe_union), n_codes), dtype=np.float64)
+    for si, l in enumerate(probe_union):
+        LUT[:, :, si, :] = adc_lut(qmat - Cn[l][None, :], CB)
+    m_take = k + batch_slack
+
+    def _partial_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)
+            lists = pdf["list_id"].to_numpy(dtype=np.int64)
+            vid = pdf[id_col].to_numpy()
+            slots = np.asarray([slot_of[int(l)] for l in lists], dtype=np.int64)
+            dist = np.zeros((len(qids), codes.shape[0]), dtype=np.float64)
+            for j in range(m):
+                dist += LUT[j][:, slots, codes[:, j]]
+            dist *= 0.5
+            mask = probe_mask[:, lists]
+            out_q, out_v, out_d = [], [], []
+            for qi in range(len(qids)):
+                rows = np.flatnonzero(mask[qi])
+                if rows.size == 0:
+                    continue
+                sel = topk_rows_tiebroken(dist[qi, rows], vid[rows], min(m_take, rows.size))
+                picked = rows[sel]
+                out_q.extend([qids[qi]] * len(picked))
+                out_v.extend(vid[picked])
+                out_d.extend(dist[qi, picked])
+            if out_q:
+                yield pd.DataFrame({query_id: out_q, id_col: out_v, "distance": out_d})
+
+    qid_type = dict(queries.dtypes)[query_id]
+    id_type = dict(indexed_codes.dtypes)[id_col]
+    partials = (
+        indexed_codes.filter(F.col("list_id").isin(probe_union))
+        .select(id_col, "codes", "list_id")
+        .mapInPandas(
+            _partial_topk,
+            schema=f"{query_id} {qid_type}, {id_col} {id_type}, distance double",
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -104,3 +104,58 @@ def ivf_search_persisted(
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def compact_ann_index(
+    spark: SparkSession, index_dir: str, upto_batch_id: int
+) -> int:
+    """Compact the streaming ANN index: merge every batch_id ≤
+    upto_batch_id generation into one consolidated generation keyed at
+    the highest compacted id, PRESERVING the list_id partitioning (the
+    rewrite is partitionBy("list_id"), so the consolidated generation
+    still prunes probes at planning time). The continuous-crawl
+    small-files answer for the vector side, mirroring
+    streaming/events.py::compact_band_index: a micro-batch per directory
+    means file listing and footer reads eventually dominate the probe;
+    after compaction each list has O(n_files) files per surviving
+    generation instead of one per historical micro-batch.
+
+    Search semantics are untouched — ivf_search_persisted reads all
+    generations and filters on list_id only, so "which batch a vector
+    arrived in" never affects results (asserted by the before/after
+    equality test). Same operational caveats as the band-index
+    compaction: only compact batches the stream's checkpoint has
+    committed, and the delete-then-rename swap wants a transactional
+    table format or a snapshot switch for concurrent readers at
+    production scale. Returns the number of generations merged."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(index_dir).getFileSystem(conf)
+    if not fs.exists(HPath(index_dir)):
+        return 0
+    batch_ids = []
+    for st in fs.listStatus(HPath(index_dir)):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            b = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if b <= upto_batch_id:
+            batch_ids.append(b)
+    if len(batch_ids) <= 1:
+        return 0
+    # partition discovery ON here (basePath at the generation root) so
+    # list_id survives the read and the rewrite re-partitions by it
+    srcs = [f"{index_dir}/batch_id={b}" for b in sorted(batch_ids)]
+    src = spark.read.option("basePath", srcs[0]).parquet(srcs[0])
+    for s in srcs[1:]:
+        src = src.unionByName(spark.read.option("basePath", s).parquet(s))
+    tmp = f"{index_dir}/.compact_tmp_{upto_batch_id}"
+    src.write.partitionBy("list_id").mode("overwrite").parquet(tmp)
+    for b in batch_ids:
+        fs.delete(HPath(f"{index_dir}/batch_id={b}"), True)
+    fs.rename(HPath(tmp), HPath(f"{index_dir}/batch_id={max(batch_ids)}"))
+    return len(batch_ids)

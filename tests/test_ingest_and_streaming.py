@@ -445,3 +445,53 @@ def test_streaming_ann_ingest_replay_idempotent_and_pruned(spark, tmp_path):
     ]
     brute = [r["vec_id"] for r in topk(emb, qvec, k=7).collect()]
     assert exhaustive == brute
+
+
+def test_compact_ann_index_preserves_search(spark, tmp_path):
+    """Merging committed batch generations must not change ANY search
+    result (search filters on list_id only; arrival batch is storage
+    bookkeeping), must keep list_id as a partition column in the
+    consolidated generation (probes still prune), and must leave later
+    uncompacted generations untouched."""
+    import os
+
+    from pdf_brain_spark.operators.clustering import kmeans_assign
+    from pdf_brain_spark.sources.loaders import load_table
+    from pdf_brain_spark.streaming.ann_ingest import (
+        compact_ann_index,
+        ivf_search_persisted,
+        make_ann_ingest_batch_fn,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").select(
+        "vec_id", "label", "embedding"
+    )
+    _, centroids = kmeans_assign(emb, k=8, seed=42)
+    idx = str(tmp_path / "ann_index")
+    fn = make_ann_ingest_batch_fn(idx, centroids)
+    for i in range(3):
+        fn(emb.filter(F.col("vec_id") % 3 == i), i)
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 5).first()["embedding"]]
+
+    def results(n_probes):
+        return [
+            (r["vec_id"], round(r["distance"], 9))
+            for r in ivf_search_persisted(
+                spark, idx, centroids, qvec, k=9, n_probes=n_probes
+            ).collect()
+        ]
+
+    before_probed, before_exh = results(2), results(8)
+    merged = compact_ann_index(spark, idx, upto_batch_id=1)  # batch 2 in flight
+    assert merged == 2
+    gens = sorted(d for d in os.listdir(idx) if d.startswith("batch_id="))
+    assert gens == ["batch_id=1", "batch_id=2"]
+    # consolidated generation keeps hive list_id subdirs (probe pruning)
+    assert any(d.startswith("list_id=") for d in os.listdir(f"{idx}/batch_id=1"))
+    assert results(2) == before_probed
+    assert results(8) == before_exh
+    # the stream keeps appending after compaction; totals stay lossless
+    fn(emb.filter(F.col("vec_id") % 3 == 0).withColumn("vec_id", F.col("vec_id") + 10000), 3)
+    n = spark.read.option("basePath", idx).parquet(idx).count()
+    assert n == emb.count() + emb.filter(F.col("vec_id") % 3 == 0).count()

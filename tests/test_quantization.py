@@ -285,3 +285,128 @@ def test_ivfpq_recall_on_clustered_geometry(spark):
     # within-cluster ranking — measured 0.5 here) and is what the
     # ADC-then-exact-rerank path exists to restore (pq_topk_adc_rerank).
     assert row["recall_vs_exact"] >= row["adc_recall_vs_exact"] - 0.05, row
+
+
+# --------------------------------------------------------------------------
+# Residual IVF-PQ (full IVFADC: codes encode v̂ − centroid(list))
+# --------------------------------------------------------------------------
+
+
+def test_residual_ivfpq_beats_raw_on_tight_clusters(spark):
+    """Why residual encoding exists, measured on the geometry where it
+    helps (tightly clustered, spread 0.05): raw-vector codes spend the
+    codebook budget re-describing coarse geometry, residuals spend it on
+    within-cluster structure. Two assertions, both of the measured-honest
+    kind (see the operator docstring for why neither path reaches high
+    ADC-only exact-recall at this 1-byte-per-8-dims rate — the rerank
+    path owns exact ranking):
+
+      1. ADC-only recall@10 of the residual path strictly beats raw
+         (measured 0.51 vs 0.40);
+      2. full-corpus reconstruction MSE of c_list + recon(residual
+         codes) is at most 0.8× the raw variant's (measured 0.66×).
+    """
+    import numpy as np
+
+    from pdf_brain_spark.operators.ann import synthetic_clustered_embeddings
+    from pdf_brain_spark.operators.quantization import (
+        ivfpq_index,
+        ivfpq_index_residual,
+        ivfpq_topk_adc_batch,
+        ivfpq_topk_adc_batch_residual,
+        pq_reconstruct_np,
+    )
+    from pdf_brain_spark.operators.vector_search import similarity_join_topk
+
+    emb = synthetic_clustered_embeddings(
+        spark, n=4096, dim=64, n_centers=16, seed=11, spread=0.05
+    ).localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") < 24).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity_join_topk(queries, emb, k=10).collect()
+    }
+
+    raw_idx, raw_cents, raw_books = ivfpq_index(emb, n_lists=16, seed=42)
+    raw_idx = raw_idx.localCheckpoint(eager=True)
+    raw = {
+        (r["query_id"], r["vec_id"])
+        for r in ivfpq_topk_adc_batch(
+            raw_idx, raw_cents, raw_books, queries, k=10, n_probes=4
+        ).collect()
+    }
+    res_idx, res_cents, res_books = ivfpq_index_residual(emb, n_lists=16, seed=42)
+    res_idx = res_idx.localCheckpoint(eager=True)
+    res = {
+        (r["query_id"], r["vec_id"])
+        for r in ivfpq_topk_adc_batch_residual(
+            res_idx, res_cents, res_books, queries, k=10, n_probes=4
+        ).collect()
+    }
+    raw_recall = len(raw & exact) / len(exact)
+    res_recall = len(res & exact) / len(exact)
+    assert res_recall > raw_recall, (raw_recall, res_recall)
+
+    V = np.asarray(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    Vn = _normalize(V)
+    raw_rows = raw_idx.orderBy("vec_id").collect()
+    mse_raw = float(
+        ((Vn - pq_reconstruct_np([r["codes"] for r in raw_rows], raw_books)) ** 2)
+        .sum(axis=1)
+        .mean()
+    )
+    res_rows = res_idx.orderBy("vec_id").collect()
+    C = np.asarray(res_cents)
+    recon = C[[r["list_id"] for r in res_rows]] + pq_reconstruct_np(
+        [r["codes"] for r in res_rows], res_books
+    )
+    mse_res = float(((Vn - recon) ** 2).sum(axis=1).mean())
+    assert mse_res <= 0.8 * mse_raw, (mse_raw, mse_res)
+
+
+def test_residual_adc_identity_and_probe_membership(spark):
+    """(1) The served residual-ADC distance equals the driver-computed
+    ||q̂ − c_list − recon(residual codes)||²/2 for every returned row —
+    the per-(query, list) LUT decomposition is exact, not approximate.
+    (2) Every returned pair's list is in that query's probe set."""
+    from pdf_brain_spark.operators.quantization import (
+        ivfpq_index_residual,
+        ivfpq_topk_adc_batch_residual,
+        pq_reconstruct_np,
+    )
+    from pdf_brain_spark.sources.loaders import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    indexed, cents, books = ivfpq_index_residual(emb, n_lists=6, n_codes=32, seed=7)
+    indexed = indexed.localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = ivfpq_topk_adc_batch_residual(
+        indexed, cents, books, queries, k=6, n_probes=3
+    ).collect()
+    assert res
+    C = np.asarray(cents, dtype=np.float64)
+    meta = {
+        r["vec_id"]: (r["list_id"], r["codes"])
+        for r in indexed.collect()
+    }
+    qvecs = {
+        r["query_id"]: _normalize(
+            np.asarray(r["query_vec"], dtype=np.float64)[None, :]
+        )[0]
+        for r in queries.collect()
+    }
+    probe_of = {
+        qid: set(np.argsort(-(C @ q))[:3].tolist()) for qid, q in qvecs.items()
+    }
+    for r in res:
+        lst, codes = meta[r["vec_id"]]
+        assert lst in probe_of[r["query_id"]]
+        recon = C[lst] + pq_reconstruct_np([codes], books)[0]
+        expect = float(((qvecs[r["query_id"]] - recon) ** 2).sum() / 2.0)
+        assert abs(r["distance"] - expect) < 1e-9
