@@ -2536,6 +2536,53 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_gapfill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             count(*) AS n,
+             round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / (count(*) * 100.0), 6) AS avg_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT min(time_bucket(INTERVAL 1 HOUR, ts)) AS lo,
+             max(time_bucket(INTERVAL 1 HOUR, ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, s.bucket
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           bounds,
+           LATERAL (SELECT unnest(generate_series(bounds.lo, bounds.hi, INTERVAL 1 HOUR)) AS bucket) s
+    ),
+    joined AS (
+      SELECT sp.event_type, sp.bucket, h.n, h.avg_value,
+             CASE WHEN h.n IS NULL THEN 1 ELSE 0 END AS is_gap
+      FROM spine sp LEFT JOIN hourly h USING (event_type, bucket)
+    )
+    SELECT event_type, bucket,
+           coalesce(n, 0) AS n_events,
+           last_value(avg_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg_value,
+           is_gap
+    FROM joined
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid per event_type with gaps filled by
+    last-observation-carried-forward (the time_bucket_gapfill + locf
+    analog, operators/temporal.py::gapfill_locf): the fact table is
+    scanned once by the hourly aggregate; the spine, join, and LOCF
+    window all run at bucket grain. Fully SQL-oracled (DuckDB
+    generate_series spine + IGNORE NULLS window twin)."""
+    from pdf_brain_spark.operators.temporal import gapfill_locf
+
+    return gapfill_locf(load_table(spark, "events", sf_dir))
+
+
+@query(
     "events_key_skew_profile",
     oracle="""
     WITH counts AS (

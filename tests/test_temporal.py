@@ -278,3 +278,38 @@ def test_salted_operators_match_unsalted_on_random_corpora(spark):
             .collect()
         }
         assert salted_sess == plain_sess, f"sessionize mismatch at seed {seed}"
+
+
+def test_gapfill_locf_known_gaps(spark):
+    """Planted series: type 'a' has events at hours 0, 1, 3 (hour 2
+    missing) and type 'b' only at hour 3 (leading gap). The dense grid
+    must cover hours 0..3 for BOTH series; gap slots carry n_events=0,
+    is_gap=1, and the last non-null average — except b's leading gaps,
+    which stay NULL (nothing to carry)."""
+    from pdf_brain_spark.operators.temporal import gapfill_locf
+
+    rows = [
+        ("a", "2024-01-01 00:10:00", 10.0),
+        ("a", "2024-01-01 00:50:00", 20.0),
+        ("a", "2024-01-01 01:10:00", 30.0),
+        ("a", "2024-01-01 03:10:00", 40.0),
+        ("b", "2024-01-01 03:30:00", 99.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string, value double").selectExpr(
+        "event_type", "CAST(ts_s AS TIMESTAMP) AS ts", "value"
+    )
+    out = {
+        (r["event_type"], r["bucket"].hour): r
+        for r in gapfill_locf(ev).collect()
+    }
+    assert len(out) == 8  # 2 series x 4 hours
+    a2 = out[("a", 2)]
+    assert a2["n_events"] == 0 and a2["is_gap"] == 1
+    assert a2["locf_avg_value"] == 30.0  # carried from hour 1
+    assert out[("a", 0)]["locf_avg_value"] == 15.0  # avg(10, 20)
+    assert out[("a", 3)]["locf_avg_value"] == 40.0 and out[("a", 3)]["is_gap"] == 0
+    for h in (0, 1, 2):
+        b = out[("b", h)]
+        assert b["n_events"] == 0 and b["is_gap"] == 1
+        assert b["locf_avg_value"] is None  # leading gap: nothing to carry
+    assert out[("b", 3)]["locf_avg_value"] == 99.0
