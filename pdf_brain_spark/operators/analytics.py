@@ -89,3 +89,73 @@ def orphans(child: DataFrame, parent: DataFrame, key: str | list[str]) -> DataFr
     literal of the reference's NOT EXISTS orphan scans."""
     keys = [key] if isinstance(key, str) else key
     return child.join(parent.select(*keys).distinct(), keys, "left_anti")
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed step 1, then
+    step 2 AFTER it, then step 3 after that, and so on — the product-
+    analytics staple a plain per-type count cannot answer (it ignores
+    ordering). Greedy first-occurrence matching: a user reaches step k
+    iff some step-k event occurs at a strictly LATER row (total order
+    (ts, tiebreak) within the user) than a row that already reached
+    step k−1.
+
+    Scale shape: ONE shuffle, ever. The per-user running state is a
+    stack of window functions over the same (user, ts, tiebreak) sort —
+    `max(reached_{k-1}) OVER (... ROWS UNBOUNDED PRECEDING TO 1
+    PRECEDING)` marks whether any earlier row reached the previous step,
+    so k steps cost k window expressions over one sorted partition pass,
+    not k self-joins. The per-user flag aggregate reuses the window's
+    hash partitioning (no second exchange) and the final report is a
+    |steps|-row scalar aggregate. Per-user state is O(1) — no
+    collect_list of a hot user's history anywhere.
+
+    Returns (step 1..k, step_name, n_users, conversion) where
+    conversion = n_users(step) / n_users(step 1), rounded 6.
+    """
+    w_prec = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    df = events.select(user_col, type_col, ts_col, tiebreak_col)
+    reach_flags = []
+    prev = None
+    for i, step in enumerate(steps):
+        is_step = F.col(type_col) == F.lit(step)
+        if i == 0:
+            reached = F.when(is_step, 1).otherwise(0)
+        else:
+            seen_prev = F.coalesce(F.max(prev).over(w_prec), F.lit(0))
+            reached = F.when(is_step & (seen_prev == 1), 1).otherwise(0)
+        col = f"_r{i}"
+        df = df.withColumn(col, reached)
+        prev = F.col(col)
+        reach_flags.append(col)
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(c).alias(c) for c in reach_flags]
+    )
+    totals = per_user.agg(
+        *[F.sum(c).alias(f"n{i}") for i, c in enumerate(reach_flags)]
+    ).first()
+    base = max(int(totals["n0"] or 0), 1)
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                i + 1,
+                steps[i],
+                int(totals[f"n{i}"] or 0),
+                round((totals[f"n{i}"] or 0) / base, 6),
+            )
+            for i in range(len(steps))
+        ],
+        "step int, step_name string, n_users bigint, conversion double",
+    )

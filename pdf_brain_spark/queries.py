@@ -2536,6 +2536,60 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS r0
+      FROM events
+    ),
+    s1 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                      AND coalesce(max(r0) OVER w, 0) = 1 THEN 1 ELSE 0 END AS r1
+      FROM flagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    s2 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                      AND coalesce(max(r1) OVER w, 0) = 1 THEN 1 ELSE 0 END AS r2
+      FROM s1
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    per_user AS (
+      SELECT user_id, max(r0) AS r0, max(r1) AS r1, max(r2) AS r2
+      FROM s2 GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(sum(r0) AS BIGINT) AS n0, CAST(sum(r1) AS BIGINT) AS n1,
+             CAST(sum(r2) AS BIGINT) AS n2
+      FROM per_user
+    )
+    SELECT 1 AS step, 'view' AS step_name, n0 AS n_users,
+           round(CAST(n0 AS DOUBLE) / greatest(n0, 1), 6) AS conversion FROM tot
+    UNION ALL
+    SELECT 2, 'click', n1, round(CAST(n1 AS DOUBLE) / greatest(n0, 1), 6) FROM tot
+    UNION ALL
+    SELECT 3, 'purchase', n2, round(CAST(n2 AS DOUBLE) / greatest(n0, 1), 6) FROM tot
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase
+    (operators/analytics.py::funnel_conversion): a user counts for step k
+    only if a step-k event occurs at a strictly later (ts, event_id) row
+    than a row that already reached step k−1 — greedy first-occurrence
+    matching in ONE window shuffle (stacked running-max windows over one
+    per-user sort; no self-joins, no per-user history collection). The
+    oracle re-runs the identical window stack in SQL."""
+    from pdf_brain_spark.operators.analytics import funnel_conversion
+
+    return funnel_conversion(
+        load_table(spark, "events", sf_dir), ["view", "click", "purchase"]
+    )
+
+
+@query(
     "events_gapfill_locf",
     oracle="""
     WITH hourly AS (

@@ -313,3 +313,43 @@ def test_gapfill_locf_known_gaps(spark):
         assert b["n_events"] == 0 and b["is_gap"] == 1
         assert b["locf_avg_value"] is None  # leading gap: nothing to carry
     assert out[("b", 3)]["locf_avg_value"] == 99.0
+
+
+def test_funnel_ordering_semantics(spark):
+    """Planted sequences prove ORDER matters, not mere presence:
+    a click before any view must not count step 2, a purchase without a
+    prior qualifying click must not count step 3."""
+    from pdf_brain_spark.operators.analytics import funnel_conversion
+
+    rows = [
+        # user 1: view -> click -> purchase  (reaches all three)
+        (1, "view", "2024-01-01 00:00:00", 1),
+        (1, "click", "2024-01-01 00:01:00", 2),
+        (1, "purchase", "2024-01-01 00:02:00", 3),
+        # user 2: click BEFORE view — step 2 not reached
+        (2, "click", "2024-01-01 00:00:00", 4),
+        (2, "view", "2024-01-01 00:01:00", 5),
+        # user 3: view -> purchase, no click — step 3 not reached
+        (3, "view", "2024-01-01 00:00:00", 6),
+        (3, "purchase", "2024-01-01 00:01:00", 7),
+        # user 4: view -> click -> click -> purchase (reaches all)
+        (4, "view", "2024-01-01 00:00:00", 8),
+        (4, "click", "2024-01-01 00:01:00", 9),
+        (4, "click", "2024-01-01 00:02:00", 10),
+        (4, "purchase", "2024-01-01 00:03:00", 11),
+        # user 5: purchase -> click -> view (reaches step 1 only)
+        (5, "purchase", "2024-01-01 00:00:00", 12),
+        (5, "click", "2024-01-01 00:01:00", 13),
+        (5, "view", "2024-01-01 00:02:00", 14),
+        # user 6: no view at all — reaches nothing
+        (6, "click", "2024-01-01 00:00:00", 15),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_s string, event_id long"
+    ).selectExpr("user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts", "event_id")
+    out = {r["step"]: r for r in funnel_conversion(ev, ["view", "click", "purchase"]).collect()}
+    assert out[1]["n_users"] == 5  # users 1-5 all have a view
+    assert out[2]["n_users"] == 2  # only 1 and 4 clicked AFTER a view
+    assert out[3]["n_users"] == 2  # only 1 and 4 completed in order
+    assert out[2]["conversion"] == 0.4
+    assert out[3]["step_name"] == "purchase"
