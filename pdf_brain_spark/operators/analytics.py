@@ -159,3 +159,52 @@ def funnel_conversion(
         ],
         "step int, step_name string, n_users bigint, conversion double",
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int = 8,
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by their FIRST active week
+    (the cohort), counted in every later week they return — the matrix
+    behind "week-2 retention is 34%". Two user-grain frames do all the
+    work: distinct (user, week) activity (one fact-table aggregate —
+    map-side distinct first, so the shuffle carries user-week pairs, not
+    events) and per-user min week (same shuffle grain). Their join is
+    user-grain × user-grain on the same key, and the final count is a
+    (cohort, offset) aggregate over |active user-weeks| rows. The fact
+    table is scanned once; nothing downstream exceeds user grain.
+
+    Returns (cohort_week, week_offset 0..max_offset, n_users,
+    retention = n_users / cohort size, rounded 6) — offset 0 rows carry
+    the cohort sizes and retention 1.0 by construction.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    active = events.select(F.col(user_col), week.alias("week")).distinct()
+    cohorts = active.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
+    joined = active.join(cohorts, user_col).withColumn(
+        "week_offset",
+        F.floor(
+            (F.col("week").cast("long") - F.col("cohort_week").cast("long"))
+            / F.lit(7 * 24 * 3600)
+        ).cast("int"),
+    )
+    counts = (
+        joined.filter(F.col("week_offset") <= max_offset)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    sizes = counts.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        counts.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            F.round(F.col("n_users") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )

@@ -2590,6 +2590,43 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, min(week) AS cohort_week FROM active GROUP BY user_id
+    ),
+    joined AS (
+      SELECT a.user_id, a.week, c.cohort_week,
+             CAST(floor((epoch(a.week) - epoch(c.cohort_week)) / 604800) AS INT) AS week_offset
+      FROM active a JOIN cohorts c USING (user_id)
+    ),
+    counts AS (
+      SELECT cohort_week, week_offset, count(*) AS n_users
+      FROM joined WHERE week_offset <= 8 GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort_week, n_users AS cohort_size FROM counts WHERE week_offset = 0
+    )
+    SELECT c.cohort_week, c.week_offset, c.n_users,
+           round(CAST(c.n_users AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM counts c JOIN sizes s USING (cohort_week)
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix
+    (operators/analytics.py::retention_cohorts): users bucketed by first
+    active week, counted in each later week they return. One fact-table
+    scan (map-side-distinct user-weeks); everything downstream at user
+    grain. Fully SQL-oracled."""
+    from pdf_brain_spark.operators.analytics import retention_cohorts
+
+    return retention_cohorts(load_table(spark, "events", sf_dir))
+
+
+@query(
     "events_gapfill_locf",
     oracle="""
     WITH hourly AS (

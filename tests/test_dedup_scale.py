@@ -368,3 +368,61 @@ def test_duplicate_spans_merge_properties(spark):
             # maximality: the next span's first seed must start more than
             # k past the previous span's last seed (else they'd merge)
             assert b["span_start"] - (a["span_end"] - k + 1) > k
+
+
+def test_duplicate_spans_matches_bruteforce_reference(spark):
+    """Randomized cross-check against an independent O(n²)-ish pure-
+    python reference: tokenize, enumerate every positional 8-gram,
+    find grams in ≥2 distinct docs, merge seed positions per doc with
+    the gap-≤k rule. The distributed pipeline must produce the IDENTICAL
+    span set on corpora with planted shared passages, repeated blocks,
+    and overlapping shared regions."""
+    import random as _r
+
+    from pdf_brain_spark.operators.dedup import duplicate_spans
+
+    k = 8
+    rng = _r.Random(2024)
+    vocab = [f"v{i}" for i in range(300)]  # small vocab → accidental overlaps
+    shared = [" ".join(rng.choice(vocab) for _ in range(n)) for n in (9, 14, 22)]
+    texts = {}
+    for d in range(24):
+        body = [rng.choice(vocab) for _ in range(rng.randrange(15, 50))]
+        t = " ".join(body)
+        for si, s in enumerate(shared):
+            if d % (si + 2) == 0:
+                t = f"{t} {s}" if d % 2 else f"{s} {t}"
+        texts[d] = t
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    # ---- reference ----
+    grams: dict[str, set[int]] = {}
+    positions: dict[int, list[tuple[int, str]]] = {}
+    for d, t in texts.items():
+        toks = [x for x in t.lower().strip().split() if x]
+        plist = []
+        for i in range(len(toks) - k + 1):
+            g = " ".join(toks[i : i + k])
+            plist.append((i, g))
+            grams.setdefault(g, set()).add(d)
+        positions[d] = plist
+    expected = set()
+    for d, plist in positions.items():
+        seeds = sorted(i for i, g in plist if len(grams[g]) >= 2)
+        if not seeds:
+            continue
+        start = prev = seeds[0]
+        n_seeds = 1
+        for p in seeds[1:]:
+            if p - prev > k:
+                expected.add((d, start, prev + k - 1, prev + k - start, n_seeds))
+                start, n_seeds = p, 0
+            prev = p
+            n_seeds += 1
+        expected.add((d, start, prev + k - 1, prev + k - start, n_seeds))
+
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"], r["n_seeds"])
+        for r in duplicate_spans(docs, k=k, min_docs=2).collect()
+    }
+    assert got == expected, f"only_got={got - expected} only_expected={expected - got}"

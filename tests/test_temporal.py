@@ -353,3 +353,34 @@ def test_funnel_ordering_semantics(spark):
     assert out[3]["n_users"] == 2  # only 1 and 4 completed in order
     assert out[2]["conversion"] == 0.4
     assert out[3]["step_name"] == "purchase"
+
+
+def test_retention_cohorts_known_matrix(spark):
+    """Planted cohorts across two start weeks (weeks are Monday-aligned:
+    2024-01-01 and 2024-01-08 are Mondays): cohort A = users 1,2,3
+    first active week 0; user 1 returns weeks 1 and 2, user 2 returns
+    week 1, user 3 never returns. Cohort B = user 4, first active week
+    1, returns week 2. Duplicate events inside a week must not inflate
+    counts (distinct user-week grain)."""
+    from pdf_brain_spark.operators.analytics import retention_cohorts
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-02 10:00:00"),  # dup week
+        (1, "2024-01-08 10:00:00"), (1, "2024-01-15 10:00:00"),
+        (2, "2024-01-03 10:00:00"), (2, "2024-01-09 10:00:00"),
+        (3, "2024-01-04 10:00:00"),
+        (4, "2024-01-08 10:00:00"), (4, "2024-01-16 10:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_s string").selectExpr(
+        "user_id", "CAST(ts_s AS TIMESTAMP) AS ts"
+    )
+    out = {
+        (str(r["cohort_week"])[:10], r["week_offset"]): (r["n_users"], r["retention"])
+        for r in retention_cohorts(ev).collect()
+    }
+    assert out[("2024-01-01", 0)] == (3, 1.0)
+    assert out[("2024-01-01", 1)] == (2, round(2 / 3, 6))
+    assert out[("2024-01-01", 2)] == (1, round(1 / 3, 6))
+    assert out[("2024-01-08", 0)] == (1, 1.0)
+    assert out[("2024-01-08", 1)] == (1, 1.0)
+    assert len(out) == 5
