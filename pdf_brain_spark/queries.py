@@ -3198,6 +3198,70 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("node")
 
 
+@query(
+    "dedup_decision_report",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLES.strip()},
+    sig AS ({{MINHASH_SIG}}),
+    banded AS (
+      {{MINHASH_BANDED}}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cands
+      UNION
+      SELECT doc_b, doc_a FROM cands
+    ),
+    reach AS (
+      SELECT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           comp.component AS cluster_id,
+           CASE WHEN comp.node IS NULL OR d.doc_id = comp.component
+                THEN 'keep' ELSE 'drop' END AS decision
+    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_decision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE actionable dedup output a training pipeline consumes — one row
+    per document with its duplicate-cluster id (NULL if unique) and a
+    keep/drop decision (keep = the cluster's canonical min doc_id, and
+    every un-clustered doc): the end-to-end composition of MinHash-LSH
+    pair generation (dedup_minhash_lsh) and min-label connected
+    components (dedup_components), which the gate otherwise attests only
+    as separate stages. Adds one user-grain left join over the
+    components output; the expensive stages are unchanged. The oracle
+    extends the recursive-CTE reachability query with the same per-doc
+    decision join."""
+    from pdf_brain_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    comps = connected_components(minhash_lsh_pairs(docs))
+    return (
+        docs.select("doc_id")
+        .join(comps.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("component").alias("cluster_id"),
+            F.when(
+                F.col("component").isNull() | (F.col("doc_id") == F.col("component")),
+                F.lit("keep"),
+            )
+            .otherwise(F.lit("drop"))
+            .alias("decision"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # dedup_minhash_verified's oracle needs the minhash signature SQL, which is
 # built at import time from the shared coefficients
 @query(
@@ -4072,7 +4136,7 @@ def llm_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-for _qname in ("dedup_minhash_verified", "dedup_components"):
+for _qname in ("dedup_minhash_verified", "dedup_components", "dedup_decision_report"):
     ORACLES[_qname] = ORACLES[_qname].replace("{MINHASH_SIG}", _DUCK_MINHASH_SIG)
     ORACLES[_qname] = ORACLES[_qname].replace("{MINHASH_BANDED}", _DUCK_MINHASH_BANDED)
 

@@ -426,3 +426,30 @@ def test_duplicate_spans_matches_bruteforce_reference(spark):
         for r in duplicate_spans(docs, k=k, min_docs=2).collect()
     }
     assert got == expected, f"only_got={got - expected} only_expected={expected - got}"
+
+
+def test_dedup_decision_report_invariants(spark):
+    """Per-doc keep/drop decisions over the real corpus: every cluster
+    has EXACTLY one keep (its min doc_id), every drop belongs to a
+    cluster, unique docs are all keeps with NULL cluster, and the report
+    covers every document exactly once."""
+    from pdf_brain_spark.queries import get_queries
+
+    docs_n = 500
+    out = get_queries()["dedup_decision_report"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(out) == docs_n
+    assert len({r["doc_id"] for r in out}) == docs_n
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        if r["cluster_id"] is None:
+            assert r["decision"] == "keep"
+        else:
+            by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert by_cluster, "corpus has known duplicate clusters"
+    for cid, rows in by_cluster.items():
+        keeps = [r for r in rows if r["decision"] == "keep"]
+        assert len(keeps) == 1
+        assert keeps[0]["doc_id"] == min(r["doc_id"] for r in rows) == cid
+        assert len(rows) >= 2, "a cluster implies at least one pair"
