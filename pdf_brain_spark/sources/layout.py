@@ -115,7 +115,9 @@ def pruning_ratio(path: str, col: str, lo, hi) -> float:
     return touched / len(stats)
 
 
-def cluster_by_zorder(df: DataFrame, n_files: int, *cols: str, bits: int = 12) -> DataFrame:
+def cluster_by_zorder(
+    df: DataFrame, n_files: int, *cols: str, bits: int = 12, bucket: str = "minmax"
+) -> DataFrame:
     """Multi-column interleaved-bit (Morton / Z-order) clustering: the
     rewrite shape for tables queried by MORE THAN ONE filter dimension,
     where `cluster_by_range` can only serve its leading column. Each
@@ -134,9 +136,19 @@ def cluster_by_zorder(df: DataFrame, n_files: int, *cols: str, bits: int = 12) -
 
     At 100 TB: the normalization bounds should come from table metadata
     (or a fixed domain contract) rather than the extra scan; the z
-    computation and write shape are unchanged. Skewed dimensions warrant
-    quantile (rank) bucketing instead of min-max — same interleave,
-    different bucket map."""
+    computation and write shape are unchanged.
+
+    `bucket="quantile"` swaps the min-max bucket map for an equi-DEPTH
+    one (approxQuantile boundaries, one bounded-error pass; lookup via
+    MLlib's JVM-side Bucketizer): min-max cells collapse on
+    value-skewed dimensions — a log-distributed key packs most rows
+    into the lowest few cells, so a predicate over the dense region
+    touches almost every file — while quantile cells hold equal row
+    counts by construction, keeping the Z-tiling balanced whatever the
+    value distribution (measured in tests/test_scale_layout.py). The
+    interleave and write shape are identical; quantile mode caps bits
+    at 8 (255 boundaries) since finer equi-depth cuts exceed
+    approxQuantile's usefulness."""
     from pyspark.sql import functions as F
 
     df.sparkSession.conf.set(
@@ -145,28 +157,59 @@ def cluster_by_zorder(df: DataFrame, n_files: int, *cols: str, bits: int = 12) -
     n = len(cols)
     if n < 2:
         raise ValueError("cluster_by_zorder needs >= 2 columns; use cluster_by_range for one")
+    if bucket not in ("minmax", "quantile"):
+        raise ValueError(f"unknown bucket mode {bucket!r}")
     as_num = [F.col(c).cast("double") for c in cols]
-    bounds = df.agg(
-        *[f(c).alias(f"{tag}{i}") for i, c in enumerate(as_num) for tag, f in (("lo", F.min), ("hi", F.max))]
-    ).first()
-    top = (1 << bits) - 1
+
+    if bucket == "quantile":
+        from pyspark.ml.feature import Bucketizer
+
+        bits = min(bits, 8)
+        n_buckets = 1 << bits
+        work = df.select(
+            "*", *[c.alias(f"_num{i}") for i, c in enumerate(as_num)]
+        )
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bucket_cols = []
+        for i in range(n):
+            qs = work.approxQuantile(f"_num{i}", probs, 0.001)
+            splits = [float("-inf")] + sorted(set(qs)) + [float("inf")]
+            b = Bucketizer(
+                splits=splits, inputCol=f"_num{i}", outputCol=f"_b{i}"
+            )
+            work = b.transform(work)
+            bucket_cols.append(F.col(f"_b{i}").cast("long"))
+        src = work
+    else:
+        bounds = df.agg(
+            *[f(c).alias(f"{tag}{i}") for i, c in enumerate(as_num) for tag, f in (("lo", F.min), ("hi", F.max))]
+        ).first()
+        top = (1 << bits) - 1
+        bucket_cols = []
+        for i, c in enumerate(as_num):
+            lo, hi = float(bounds[f"lo{i}"]), float(bounds[f"hi{i}"])
+            span = (hi - lo) or 1.0
+            bucket_cols.append(
+                F.least(
+                    F.lit(top),
+                    F.greatest(
+                        F.lit(0), F.floor((c - F.lit(lo)) / F.lit(span) * F.lit(top + 0.0))
+                    ),
+                ).cast("long")
+            )
+        src = df
+
     z = F.lit(0).cast("long")
-    for i, c in enumerate(as_num):
-        lo, hi = float(bounds[f"lo{i}"]), float(bounds[f"hi{i}"])
-        span = (hi - lo) or 1.0
-        bucket = F.least(
-            F.lit(top),
-            F.greatest(F.lit(0), F.floor((c - F.lit(lo)) / F.lit(span) * F.lit(top + 0.0))),
-        ).cast("long")
+    for i, bc in enumerate(bucket_cols):
         for b in range(bits):
             z = z.bitwiseOR(
-                F.shiftleft(F.shiftright(bucket, b).bitwiseAND(F.lit(1)), b * n + i)
+                F.shiftleft(F.shiftright(bc, b).bitwiseAND(F.lit(1)), b * n + i)
             )
     return (
-        df.withColumn("_z", z)
+        src.withColumn("_z", z)
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
-        .drop("_z")
+        .drop("_z", *[c for c in src.columns if c.startswith("_num") or c.startswith("_b")])
     )
 
 
