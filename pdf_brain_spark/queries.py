@@ -4773,6 +4773,55 @@ def streaming_incremental_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_incremental_rollup",
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+    """,
+)
+def streaming_incremental_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run of incremental rollup maintenance
+    (streaming/events.py::streaming_incremental_rollup): events staged
+    as two arrival files SPLIT BY PARITY — so the second micro-batch is
+    all late data for hours the first batch already covered — streamed
+    through the foreachBatch partials writer, then served via
+    read_rollup's re-aggregation. The result must equal the one-shot
+    batch hourly rollup: partials from different batches for the same
+    (type, hour) must combine losslessly, which is the whole design
+    (count/sum are associative; no read-modify-write of existing
+    buckets, no watermark needed for correctness)."""
+    import shutil
+    import tempfile
+
+    from pdf_brain_spark.streaming.events import (
+        read_rollup,
+        streaming_incremental_rollup,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "ts", "value"
+    )
+    root = tempfile.mkdtemp(prefix="sgraft_sroll_")
+    stage, roll, ckpt = (f"{root}/{d}" for d in ("stage", "rollup", "ckpt"))
+    try:
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(stage)
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        streaming_incremental_rollup(spark, stream, roll, ckpt).awaitTermination()
+        return read_rollup(spark, roll).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "stratified_sample_per_source",
     oracle="""
     WITH ranked AS (

@@ -345,3 +345,67 @@ def streaming_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def make_rollup_batch_fn(rollup_dir: str):
+    """Per-micro-batch body for incremental rollup maintenance: each
+    batch writes its OWN hourly partial aggregates (event_type, hour,
+    n, sum) under `batch_id=N` — never touching other generations, so a
+    foreachBatch replay overwrites its own subdir and the at-least-once
+    contract composes to effectively-once, exactly like the LSH band
+    index and the ANN ingest. The persisted table is PARTIALS; reading
+    the rollup re-aggregates them (read_rollup), which is sound because
+    count and sum are associative — the same "coarser tiers read finer
+    partials, never facts" principle as tiered_time_rollup, extended in
+    the time dimension: per-batch work is one aggregate over the BATCH,
+    however large the rollup history grows. Late-arriving events simply
+    contribute another partial for an old hour; no read-modify-write of
+    existing buckets ever happens."""
+
+    def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = batch_df.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("window_start")
+        ).agg(
+            F.count(F.lit(1)).alias("n_partial"),
+            F.sum("value").alias("sum_partial"),
+        )
+        partial.write.mode("overwrite").parquet(f"{rollup_dir}/batch_id={batch_id}")
+
+    return _each_batch
+
+
+def streaming_incremental_rollup(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    rollup_dir: str,
+    checkpoint_dir: str,
+):
+    """Drive incremental hourly-rollup maintenance as a Structured
+    Streaming query (AvailableNow in tests/gate; continuous in
+    production). Unlike the watermarked streaming_tumbling_window (which
+    must decide when a window CLOSES to emit append-mode rows), the
+    partials design needs no watermark at all for correctness — an
+    arbitrarily late event lands as one more partial row — making it the
+    right shape when the rollup must stay exactly consistent with
+    whatever has arrived, and the window variant the right shape when
+    bounded state and final-on-emit rows matter more."""
+    return (
+        events_stream.writeStream.foreachBatch(make_rollup_batch_fn(rollup_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """Serve the incremental rollup: re-aggregate the persisted partials
+    across all batch generations. |rows| = Σ per-batch distinct buckets
+    — bucket grain × generation count, compacted by merging batch_id
+    dirs (same sweep as compact_band_index) when generations accumulate."""
+    parts = spark.read.option("basePath", rollup_dir).parquet(rollup_dir)
+    return parts.groupBy("event_type", "window_start").agg(
+        F.sum("n_partial").alias("n_events"),
+        F.round(F.sum("sum_partial"), 4).alias("total_value"),
+    )

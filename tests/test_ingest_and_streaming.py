@@ -495,3 +495,56 @@ def test_compact_ann_index_preserves_search(spark, tmp_path):
     fn(emb.filter(F.col("vec_id") % 3 == 0).withColumn("vec_id", F.col("vec_id") + 10000), 3)
     n = spark.read.option("basePath", idx).parquet(idx).count()
     assert n == emb.count() + emb.filter(F.col("vec_id") % 3 == 0).count()
+
+
+def test_incremental_rollup_replay_idempotent_and_late_data(spark, tmp_path):
+    """Incremental rollup partials (streaming/events.py): replaying a
+    micro-batch leaves the persisted partials row-identical; a late
+    batch contributing to hours an earlier batch already covered merges
+    losslessly (read_rollup == one-shot batch rollup); per-batch state
+    is bucket-grain (each generation holds at most |buckets| rows, not
+    |events|)."""
+    from pdf_brain_spark.sources.loaders import load_table
+    from pdf_brain_spark.streaming.events import make_rollup_batch_fn, read_rollup
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    roll = str(tmp_path / "rollup")
+    fn = make_rollup_batch_fn(roll)
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)  # same hours: all late data
+    fn(b0, 0)
+    fn(b1, 1)
+
+    def snapshot():
+        return sorted(
+            (r["batch_id"], r["event_type"], str(r["window_start"]), r["n_partial"], round(r["sum_partial"], 9))
+            for r in spark.read.option("basePath", roll).parquet(roll).collect()
+        )
+
+    before = snapshot()
+    fn(b1, 1)  # crash replay
+    assert snapshot() == before
+
+    served = {
+        (r["event_type"], str(r["window_start"])): (r["n_events"], r["total_value"])
+        for r in read_rollup(spark, roll).collect()
+    }
+    batch = {
+        (r["event_type"], str(r["window_start"])): (r["n_events"], r["total_value"])
+        for r in ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("window_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .collect()
+    }
+    assert served == batch
+    # bucket-grain state: each generation's rows <= distinct buckets
+    n_buckets = len(batch)
+    for bid in (0, 1):
+        gen = spark.read.parquet(f"{roll}/batch_id={bid}").count()
+        assert gen <= n_buckets
