@@ -2627,6 +2627,73 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_count_anomalies",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             count(*) AS n FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS k,
+             CAST(sum(n) AS DOUBLE) AS s1,
+             CAST(sum(n * n) AS DOUBLE) AS s2
+      FROM counts GROUP BY event_type
+    ),
+    scored AS (
+      SELECT c.event_type, c.bucket, c.n,
+             round((c.n - s.s1 / s.k) /
+                   sqrt(greatest(s.s2 / s.k - (s.s1 / s.k) * (s.s1 / s.k), 1e-12)), 6) AS zscore
+      FROM counts c JOIN stats s USING (event_type)
+    ),
+    ranked AS (
+      SELECT event_type, bucket, n AS n_events, zscore,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(zscore) DESC, bucket ASC) AS rnk
+      FROM scored
+    )
+    SELECT event_type, bucket, n_events, zscore, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def events_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series volume-anomaly detection: the top-3 hourly buckets per
+    event_type by |z-score| of the bucket's event count against the
+    series' own mean/stddev. One fact-table aggregate (the hourly
+    counts); the stats, scoring, and rank window all run at bucket
+    grain. Every input to the z-score is an INTEGER sum (Σn, Σn²), so
+    the mean/variance/score are bit-identical across engines regardless
+    of summation order — the determinism lesson the gap-fill query's
+    rounding-boundary flake taught, applied by construction."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n").cast("double").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("s2"),
+    )
+    mu = F.col("s1") / F.col("k")
+    var = F.greatest(F.col("s2") / F.col("k") - mu * mu, F.lit(1e-12))
+    scored = counts.join(stats, "event_type").select(
+        "event_type",
+        "bucket",
+        F.col("n").alias("n_events"),
+        F.round((F.col("n") - mu) / F.sqrt(var), 6).alias("zscore"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("zscore")).desc(), F.col("bucket").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
     "events_gapfill_locf",
     oracle="""
     WITH hourly AS (

@@ -384,3 +384,37 @@ def test_retention_cohorts_known_matrix(spark):
     assert out[("2024-01-08", 0)] == (1, 1.0)
     assert out[("2024-01-08", 1)] == (1, 1.0)
     assert len(out) == 5
+
+
+def test_count_anomalies_finds_planted_spike(spark):
+    """A series with uniform hourly volume plus one 10x spike hour: the
+    spike must rank 1 with a large positive z-score; a flat series must
+    still return 3 ranked rows with near-zero scores (top-k, not a
+    threshold, so quiet series are reported too, just unremarkably)."""
+    from pdf_brain_spark.queries import get_queries
+
+    rows = []
+    eid = 0
+    for h in range(24):
+        n = 50 if h == 7 else 5  # spike at hour 7
+        for i in range(n):
+            rows.append((eid, "spiky", f"2024-01-01 {h:02d}:10:00", 1.0))
+            eid += 1
+        rows.append((eid, "flat", f"2024-01-01 {h:02d}:20:00", 1.0))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_s string, value double"
+    ).selectExpr("event_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+
+    import tempfile, shutil, os
+    d = tempfile.mkdtemp()
+    try:
+        ev.write.parquet(f"{d}/events.parquet")
+        out = get_queries()["events_count_anomalies"](spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    spiky = sorted((r for r in out if r["event_type"] == "spiky"), key=lambda r: r["rnk"])
+    flat = [r for r in out if r["event_type"] == "flat"]
+    assert spiky[0]["n_events"] == 50 and spiky[0]["bucket"].hour == 7
+    assert spiky[0]["zscore"] > 4.0
+    assert len(flat) == 3 and all(abs(r["zscore"]) < 1e-6 for r in flat)
