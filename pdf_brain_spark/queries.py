@@ -5129,57 +5129,58 @@ def clustering_model_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and every LLM-data-pipeline operator sits inside that window; redundant /
 # standalone variants keep their registration after it.
 #
-# ROUND-5 ROTATION (VERDICT r4 item 1, taken to completion): this round
-# rotates in the ENTIRE remaining never-driver-attested oracled set — all
-# 25 entries of COVERAGE.md's round-5 queue plus the newly registered
-# streaming_incremental_dedup — so after this round every oracled query in
-# the registry has at least one full-green driver row. Rotated out (26
-# entries, every one hash-green for 3 consecutive driver rounds r2-r4;
-# attestations persist in CORRECTNESS_r02-r04): vector_topk_threshold,
-# vector_tag_filter, embedding_validation, vector_search_with_docs,
-# multiscale_retrieval, context_expansion, rag_concept_context,
-# concept_dedup_judge, taxonomy_related, doc_lookup_suite, pdf_extract,
-# events_tumbling_window, events_percentiles, events_asof_join,
-# dedup_ngram_jaccard, dedup_minhash_verified, dedup_simhash_pairs,
-# dedup_embedding_cosine, dedup_components, extractive_summary,
-# embed_pipeline, ingest_incremental, llm_enrichment, llm_json_repair,
-# multimodal_frame_plan, corpus_clean_pipeline. Kept in-window: the 11
-# entries whose FIRST driver row was r4 (a second consecutive attestation),
-# fts_phrase (first attested r3), and 12 family anchors. Rationale in
-# COVERAGE.md.
+# ROUND-6 ROTATION (VERDICT r5 item 1): rotate in the 11-entry round-6
+# queue — the only oracled queries with no driver row, all judge-attested
+# green at sf0.01 in VERDICT r5: dedup_embedding_ann, duplicate_span_report,
+# mmr_rerank, events_key_skew_profile, streaming_incremental_ann,
+# events_gapfill_locf, events_funnel, events_retention_cohorts,
+# dedup_decision_report, streaming_incremental_rollup,
+# events_count_anomalies. After this round's driver run, EVERY oracled
+# query ever registered (through r5) has at least one full-green driver
+# attestation. Rotated out (11 entries, each with >= 2 full-green driver
+# rows persisting in CORRECTNESS_r03-r05): ann_ivf_topk,
+# grouped_topk_similarity, fts_phrase, search_pipeline,
+# title_author_cleanup, pii_scrub, events_lag_lead, events_range_join,
+# skew_salted_join, customers_without_orders, markdown_sections. Kept
+# in-window: the 2025-08 r5-first-attested entries (one row each — held for
+# a consecutive attestation) and the family anchors. Queries REGISTERED
+# this round (round-7 queue, sealed after this window) are listed in
+# CHANGES_r06.md. Rationale in COVERAGE.md.
 # --------------------------------------------------------------------------
 
 GATE_WINDOW = [
-    # vector search anchors (M1/M2, J1-shape, W1) + the IVF index path —
-    # ann_ivf_topk/grouped_topk_similarity first attested r4, kept for a
-    # consecutive row
-    "vector_topk", "vector_similarity_join", "ann_ivf_topk",
-    "grouped_topk_similarity",
-    # fts / hybrid / retrieval anchors (J2/W2, J8/U2/W3) + fts_phrase and
-    # the composed search_pipeline (first attested r3/r4)
-    "fts_bm25", "fts_phrase", "hybrid_search", "search_pipeline",
-    # corpus text prep (first attested r4, kept)
-    "title_author_cleanup", "pii_scrub",
-    # dedup anchor + the INCREMENTAL LSH paths (batch: rotated in, first
-    # driver attestation; streaming: newly registered this round — the
-    # foreachBatch probe-then-append run vs the full-corpus banding oracle)
+    # vector search anchors (M1/M2, J1-shape, W1); the IVF index path is
+    # now attested through its streaming/persisted variant below
+    "vector_topk", "vector_similarity_join",
+    # fts / hybrid / retrieval anchors (J2/W2, J8/U2/W3)
+    "fts_bm25", "hybrid_search",
+    # MMR diversity re-rank (rotated IN — r6 queue, judge-attested r5)
+    "mmr_rerank",
+    # dedup anchor + the INCREMENTAL LSH paths + rotated-IN r6-queue dedup
+    # surface: embedding-ANN near-dup (exactly oracled), duplicate spans,
+    # per-doc keep/drop decisions
     "dedup_minhash_lsh", "dedup_incremental_minhash",
-    "streaming_incremental_dedup",
-    # events / temporal: sessionize anchor + r4-first-attested lag/lead,
-    # range join, salted-skew agg, plus rotated-in session_window /
-    # sliding / moving-avg / salted sessionize / JSON props
-    "events_sessionize", "events_lag_lead", "events_range_join",
-    "skew_salted_join", "events_session_window", "events_sliding_window",
+    "streaming_incremental_dedup", "dedup_embedding_ann",
+    "duplicate_span_report", "dedup_decision_report",
+    # events / temporal: sessionize anchor + kept r5-first-attested
+    # windows + rotated-IN r6-queue temporal analytics (gap-fill LOCF,
+    # funnel, retention cohorts, volume anomalies, skew profiler)
+    "events_sessionize", "events_session_window", "events_sliding_window",
     "events_moving_avg", "events_sessionize_salted", "events_json_props",
-    # structured streaming (§2.10/§2.11): anchors + rotated-in
-    # stream-stream join and stateful sessionize
+    "events_gapfill_locf", "events_funnel", "events_retention_cohorts",
+    "events_count_anomalies", "events_key_skew_profile",
+    # streaming incremental maintenance (rotated IN — r6 queue): ANN index
+    # ingest + hourly rollup partials
+    "streaming_incremental_ann", "streaming_incremental_rollup",
+    # structured streaming (§2.10/§2.11): anchors + r5-first-attested
+    # stream-stream join and stateful sessionize (held for a second row)
     "streaming_tumbling_window", "streaming_dedup",
     "streaming_stream_join", "streaming_stateful_sessionize",
     # taxonomy graph anchor (J5/U4 both directions)
     "transitive_closure",
-    # listings / rollups: r4-first-attested TPC-H pricing + anti-join +
-    # markdown pipeline, plus rotated-in rollup/pivot/segment analytics
-    "pricing_summary", "customers_without_orders", "markdown_sections",
+    # listings / rollups: TPC-H pricing anchor + r5-first-attested
+    # rollup/pivot/segment analytics (held for a second row)
+    "pricing_summary",
     "part_type_rollup", "promo_revenue", "supplier_rank_by_nation",
     "lang_source_pivot", "user_segments", "concept_label_search",
     # clustering lifecycle anchors (A5-A7/M3-M5 rows-only + J10/M12/W4)
