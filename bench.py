@@ -15,6 +15,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def _git_head() -> str | None:
+    """HEAD sha of the repo this script sits in, so every bench artifact
+    names the exact code it measured (None outside a git checkout)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)), "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        )
+        return out.stdout.strip() or None
+    except Exception:
+        return None
+
 # Headline set: the load-bearing paths. Anything not listed here still runs
 # in the correctness gate; bench keeps to representative operators so the
 # number is comparable round over round.
@@ -174,6 +189,8 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
         "unit": "sec",
+        "run_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "git_head": _git_head(),
         "sf": sf_val,
         "queries": timings,
         "queries_median": medians,
@@ -187,8 +204,22 @@ def main() -> None:
         "pq_adc_vs_exact": pq,
         "ivfpq_probed_vs_flat": ivfpq,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+    # BENCH_DETAIL.json is the LATEST run (mutable — the driver's
+    # post-commit rerun overwrites it, which desynced the round notes in
+    # r4 and r5). Round narratives must cite the FROZEN per-round artifact
+    # instead: run the final bench with SPARK_GRAFT_BENCH_ROUND=N to also
+    # write BENCH_DETAIL_r{N:02d}.json, which nothing else ever touches —
+    # the driver doesn't set the env, so its rerun can't clobber it, and
+    # run_utc/git_head in both files make any remaining ambiguity
+    # self-describing.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_dir, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
+    bench_round = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if bench_round:
+        frozen = os.path.join(repo_dir, f"BENCH_DETAIL_r{int(bench_round):02d}.json")
+        with open(frozen, "w") as f:
+            json.dump(detail, f, indent=1)
     print(
         json.dumps(
             {

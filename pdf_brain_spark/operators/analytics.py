@@ -142,22 +142,29 @@ def funnel_conversion(
     per_user = df.groupBy(user_col).agg(
         *[F.max(c).alias(c) for c in reach_flags]
     )
+    # Pure plan to the end: the |steps|-row report is stack() over the
+    # 1-row flag aggregate (no driver action, no createDataFrame), so the
+    # operator composes lazily like every other report in the engine.
     totals = per_user.agg(
-        *[F.sum(c).alias(f"n{i}") for i, c in enumerate(reach_flags)]
-    ).first()
-    base = max(int(totals["n0"] or 0), 1)
-    spark = events.sparkSession
-    return spark.createDataFrame(
-        [
-            (
-                i + 1,
-                steps[i],
-                int(totals[f"n{i}"] or 0),
-                round((totals[f"n{i}"] or 0) / base, 6),
-            )
-            for i in range(len(steps))
-        ],
-        "step int, step_name string, n_users bigint, conversion double",
+        *[F.coalesce(F.sum(c), F.lit(0)).alias(f"n{i}") for i, c in enumerate(reach_flags)]
+    )
+    stack_args = ", ".join(
+        f"{i + 1}, '" + steps[i].replace("'", "''") + f"', n{i}"
+        for i in range(len(steps))
+    )
+    return (
+        totals.select(
+            F.expr(
+                f"stack({len(steps)}, {stack_args}) as (step, step_name, n_users)"
+            ),
+            F.greatest(F.col("n0"), F.lit(1)).alias("_base"),
+        )
+        .select(
+            F.col("step").cast("int"),
+            "step_name",
+            F.col("n_users").cast("bigint"),
+            F.round(F.col("n_users") / F.col("_base"), 6).alias("conversion"),
+        )
     )
 
 
@@ -184,12 +191,15 @@ def retention_cohorts(
     week = F.date_trunc("week", F.col(ts_col))
     active = events.select(F.col(user_col), week.alias("week")).distinct()
     cohorts = active.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
+    # Calendar-wise offset (datediff in days / 7), NOT an epoch-seconds
+    # diff: date_trunc('week') is wall-clock, so in a DST session timezone
+    # a week spanning a transition is 604800±3600 s and the epoch formula
+    # lands one off (floor((604800k − 3600)/604800) = k−1). Week starts
+    # are always a whole number of calendar days apart, so this form is
+    # timezone-immune.
     joined = active.join(cohorts, user_col).withColumn(
         "week_offset",
-        F.floor(
-            (F.col("week").cast("long") - F.col("cohort_week").cast("long"))
-            / F.lit(7 * 24 * 3600)
-        ).cast("int"),
+        F.floor(F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("int"),
     )
     counts = (
         joined.filter(F.col("week_offset") <= max_offset)

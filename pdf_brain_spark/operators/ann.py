@@ -48,8 +48,12 @@ def ivf_search(
     k: int = 10,
     n_probes: int = 4,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> DataFrame:
-    """Probe the n_probes centroid-nearest lists, exact re-rank inside."""
+    """Probe the n_probes centroid-nearest lists, exact re-rank inside.
+    The deterministic tie-break orders on `id_col` (the caller's vector
+    id column), matching the parameterization of the other search
+    operators."""
     q = np.asarray(query_vec, dtype=np.float64)
     cents = np.asarray(centroids, dtype=np.float64)
     sims = cents @ q / (np.linalg.norm(cents, axis=1) * np.linalg.norm(q) + 1e-12)
@@ -59,7 +63,7 @@ def ivf_search(
         indexed.filter(F.col("list_id").isin(probe_ids))
         .withColumn("distance", cosine_distance(F.col(vec_col), qcol, len(query_vec)))
         .withColumn("score", distance_to_score(F.col("distance")))
-        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
 
@@ -104,6 +108,7 @@ def lsh_search(
     seed: int = 7,
     max_hamming: int = 2,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Candidates = buckets within `max_hamming` bits of the query bucket
     (bit_count(xor)), then exact re-rank."""
@@ -115,7 +120,7 @@ def lsh_search(
         sketched.filter(F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket))) <= max_hamming)
         .withColumn("distance", cosine_distance(F.col(vec_col), qcol, len(query_vec)))
         .withColumn("score", distance_to_score(F.col("distance")))
-        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
 

@@ -808,8 +808,13 @@ def duplicate_spans(
     Lee et al., "Deduplicating Training Data Makes Language Models
     Better", ACL 2022 — approximated at the token-k-gram grain instead of
     a suffix array, which keeps it a two-shuffle DataFrame pipeline):
-    find, for every document, the maximal token spans whose every k-gram
-    also appears in at least `min_docs` distinct documents. Doc-level
+    find, for every document, the maximal token spans in which EVERY
+    TOKEN is covered by at least one k-gram that appears in >= `min_docs`
+    distinct documents. (Islands merge seed positions with gap <= k, so a
+    merged span can contain individual k-grams that are not themselves
+    duplicated — the guarantee is token coverage by duplicated k-grams,
+    which is exactly the ExactSubstr cut-region intent: every token in
+    the span participates in some cross-document repeat.) Doc-level
     dedup (minhash/simhash above) misses boilerplate licence blocks,
     navigation chrome, and quoted passages embedded in otherwise-unique
     documents; span detection is what lets a training pipeline CUT the

@@ -905,9 +905,10 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplicate spans (Lee et al. 2022 ExactSubstr at
-    the token-8-gram grain): maximal token spans whose every 8-gram
-    appears in >= 2 distinct documents — the regions a training pipeline
-    would cut while keeping the rest of the doc. Fully native pipeline
+    the token-8-gram grain): maximal token spans in which every token is
+    covered by some 8-gram appearing in >= 2 distinct documents — the
+    regions a training pipeline would cut while keeping the rest of the
+    doc. Fully native pipeline
     (zip_with positional shingles → xxhash64 → count_distinct groupBy →
     left_semi → gaps-and-islands window); the oracle re-derives the same
     spans from the gram TEXT, so a hash-green row also certifies the
@@ -2600,7 +2601,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     joined AS (
       SELECT a.user_id, a.week, c.cohort_week,
-             CAST(floor((epoch(a.week) - epoch(c.cohort_week)) / 604800) AS INT) AS week_offset
+             CAST(floor(date_diff('day', CAST(c.cohort_week AS DATE), CAST(a.week AS DATE)) / 7) AS INT) AS week_offset
       FROM active a JOIN cohorts c USING (user_id)
     ),
     counts AS (
@@ -4845,7 +4846,8 @@ def streaming_incremental_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
            count(*) AS n_events,
-           round(sum(value), 4) AS total_value
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 4) AS total_value
     FROM events
     GROUP BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
     """,

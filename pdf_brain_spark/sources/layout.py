@@ -30,12 +30,30 @@ def cluster_by_range(df: DataFrame, n_files: int, *cols: str) -> DataFrame:
     sorted write pays), then sort within each output file so row-group
     stats are monotone too. The result written to parquet yields files
     with narrow, mutually disjoint [min,max] spans on `cols`."""
-    # INT96 timestamp columns carry no footer statistics — force the
-    # stats-bearing physical type no matter which session writes
-    df.sparkSession.conf.set(
-        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-    )
+    _require_stats_bearing_timestamps(df, cols)
     return df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+
+
+def _require_stats_bearing_timestamps(df: DataFrame, cols) -> None:
+    """INT96 timestamp columns carry no parquet footer statistics, so a
+    clustering rewrite on a timestamp key would produce files that cannot
+    prune. Spark has no per-write option for the physical timestamp type
+    (ParquetOptions exposes only compression/mergeSchema/rebase), and
+    silently mutating the shared session conf from inside an operator is
+    a hidden side effect on every other write in the session — so this is
+    a loud contract instead: raise if a cluster column is a timestamp and
+    the session would write INT96. The repo's own sessions set
+    TIMESTAMP_MICROS at build time (session.py)."""
+    ts_cols = {f.name for f in df.schema.fields if f.dataType.typeName().startswith("timestamp")}
+    if not ts_cols.intersection(cols):
+        return
+    conf = df.sparkSession.conf.get("spark.sql.parquet.outputTimestampType", "INT96")
+    if conf == "INT96":
+        raise ValueError(
+            "clustering on a timestamp column requires footer stats: set "
+            "spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS (or _MILLIS) "
+            "on the writing session (INT96 timestamps carry no parquet min/max)"
+        )
 
 
 def write_ivf_partitioned(indexed: DataFrame, path: str, list_col: str = "list_id") -> None:
@@ -151,14 +169,19 @@ def cluster_by_zorder(
     approxQuantile's usefulness."""
     from pyspark.sql import functions as F
 
-    df.sparkSession.conf.set(
-        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-    )
+    _require_stats_bearing_timestamps(df, cols)
     n = len(cols)
     if n < 2:
         raise ValueError("cluster_by_zorder needs >= 2 columns; use cluster_by_range for one")
     if bucket not in ("minmax", "quantile"):
         raise ValueError(f"unknown bucket mode {bucket!r}")
+    # 63-bit budget for the interleave (bit positions b*n+i must stay
+    # below the long sign bit): with many columns the per-column depth
+    # shrinks — bits=12 at 6 columns would push positions past 63 and
+    # silently corrupt the z-value, so clamp to what fits
+    if 63 // n < 1:
+        raise ValueError(f"cluster_by_zorder supports at most 63 columns, got {n}")
+    bits = min(bits, 63 // n)
     as_num = [F.col(c).cast("double") for c in cols]
 
     if bucket == "quantile":

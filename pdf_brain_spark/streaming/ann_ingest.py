@@ -81,12 +81,15 @@ def ivf_search_persisted(
     k: int = 10,
     n_probes: int = 4,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """IVF top-k against the PERSISTED streaming-maintained index: read
     the accumulated batch generations as one partitioned table, prune to
     the probed lists (PartitionFilter on list_id across every batch_id
     subdir), exact cosine re-rank inside. Mirrors operators/ann.py::
-    ivf_search but from storage instead of an in-memory DataFrame."""
+    ivf_search but from storage instead of an in-memory DataFrame; the
+    tie-break orders on `id_col`, whatever the persisted id column is
+    named."""
     import numpy as np
 
     from pdf_brain_spark.functions.vector import cosine_distance, distance_to_score
@@ -101,7 +104,7 @@ def ivf_search_persisted(
         indexed.filter(F.col("list_id").isin(probe_ids))
         .withColumn("distance", cosine_distance(F.col(vec_col), qcol, len(query_vec)))
         .withColumn("score", distance_to_score(F.col("distance")))
-        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
 

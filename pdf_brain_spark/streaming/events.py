@@ -365,11 +365,19 @@ def make_rollup_batch_fn(rollup_dir: str):
     def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # Partials carry a CENT-SCALED INTEGER sum, not a float sum:
+        # read_rollup re-sums partials in arbitrary order, and float
+        # addition order across engines is exactly the 6-decimal
+        # rounding-boundary flake class gapfill_locf already hit and
+        # fixed (operators/temporal.py:392-399). Integer addition is
+        # exact and associative, so the served total is bit-identical
+        # however the generations merge; value is summed at 2-decimal
+        # (cent) input precision.
         partial = batch_df.groupBy(
             "event_type", F.date_trunc("hour", F.col("ts")).alias("window_start")
         ).agg(
             F.count(F.lit(1)).alias("n_partial"),
-            F.sum("value").alias("sum_partial"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents_partial"),
         )
         partial.write.mode("overwrite").parquet(f"{rollup_dir}/batch_id={batch_id}")
 
@@ -407,5 +415,7 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     parts = spark.read.option("basePath", rollup_dir).parquet(rollup_dir)
     return parts.groupBy("event_type", "window_start").agg(
         F.sum("n_partial").alias("n_events"),
-        F.round(F.sum("sum_partial"), 4).alias("total_value"),
+        F.round(
+            F.sum("sum_cents_partial").cast("double") / F.lit(100.0), 4
+        ).alias("total_value"),
     )

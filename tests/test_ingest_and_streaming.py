@@ -519,7 +519,7 @@ def test_incremental_rollup_replay_idempotent_and_late_data(spark, tmp_path):
 
     def snapshot():
         return sorted(
-            (r["batch_id"], r["event_type"], str(r["window_start"]), r["n_partial"], round(r["sum_partial"], 9))
+            (r["batch_id"], r["event_type"], str(r["window_start"]), r["n_partial"], r["sum_cents_partial"])
             for r in spark.read.option("basePath", roll).parquet(roll).collect()
         )
 
@@ -538,7 +538,11 @@ def test_incremental_rollup_replay_idempotent_and_late_data(spark, tmp_path):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / F.lit(100.0),
+                4,
+            ).alias("total_value"),
         )
         .collect()
     }
