@@ -93,13 +93,18 @@ def ivf_search_persisted(
     import numpy as np
 
     from pdf_brain_spark.functions.vector import cosine_distance, distance_to_score
+    from pdf_brain_spark.streaming.generations import live_generation_dirs
 
     q = np.asarray(query_vec, dtype=np.float64)
     cents = np.asarray(centroids, dtype=np.float64)
     sims = cents @ q / (np.linalg.norm(cents, axis=1) * np.linalg.norm(q) + 1e-12)
     probe_ids = [int(i) for i in np.argsort(-sims)[:n_probes]]
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
-    indexed = spark.read.option("basePath", index_dir).parquet(index_dir)
+    # live generations only (generation protocol): safe to search while
+    # a compaction is mid-flight or after a compactor crash
+    indexed = spark.read.option("basePath", index_dir).parquet(
+        *live_generation_dirs(spark, index_dir)
+    )
     return (
         indexed.filter(F.col("list_id").isin(probe_ids))
         .withColumn("distance", cosine_distance(F.col(vec_col), qcol, len(query_vec)))
@@ -113,8 +118,8 @@ def compact_ann_index(
     spark: SparkSession, index_dir: str, upto_batch_id: int
 ) -> int:
     """Compact the streaming ANN index: merge every batch_id ≤
-    upto_batch_id generation into one consolidated generation keyed at
-    the highest compacted id, PRESERVING the list_id partitioning (the
+    upto_batch_id generation into one compacted generation (negative
+    batch_id), PRESERVING the list_id partitioning (the
     rewrite is partitionBy("list_id"), so the consolidated generation
     still prunes probes at planning time). The continuous-crawl
     small-files answer for the vector side, mirroring
@@ -123,42 +128,24 @@ def compact_ann_index(
     after compaction each list has O(n_files) files per surviving
     generation instead of one per historical micro-batch.
 
-    Search semantics are untouched — ivf_search_persisted reads all
+    Search semantics are untouched — ivf_search_persisted reads the live
     generations and filters on list_id only, so "which batch a vector
     arrived in" never affects results (asserted by the before/after
-    equality test). Same operational caveats as the band-index
-    compaction: only compact batches the stream's checkpoint has
-    committed, and the delete-then-rename swap wants a transactional
-    table format or a snapshot switch for concurrent readers at
-    production scale. Returns the number of generations merged."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    HPath = jvm.org.apache.hadoop.fs.Path
-    fs = HPath(index_dir).getFileSystem(conf)
-    if not fs.exists(HPath(index_dir)):
-        return 0
-    batch_ids = []
-    for st in fs.listStatus(HPath(index_dir)):
-        name = st.getPath().getName()
-        if not name.startswith("batch_id="):
-            continue
-        try:
-            b = int(name.split("=", 1)[1])
-        except ValueError:
-            continue
-        if b <= upto_batch_id:
-            batch_ids.append(b)
-    if len(batch_ids) <= 1:
-        return 0
-    # partition discovery ON here (basePath at the generation root) so
-    # list_id survives the read and the rewrite re-partitions by it
-    srcs = [f"{index_dir}/batch_id={b}" for b in sorted(batch_ids)]
-    src = spark.read.option("basePath", srcs[0]).parquet(srcs[0])
-    for s in srcs[1:]:
-        src = src.unionByName(spark.read.option("basePath", s).parquet(s))
-    tmp = f"{index_dir}/.compact_tmp_{upto_batch_id}"
-    src.write.partitionBy("list_id").mode("overwrite").parquet(tmp)
-    for b in batch_ids:
-        fs.delete(HPath(f"{index_dir}/batch_id={b}"), True)
-    fs.rename(HPath(tmp), HPath(f"{index_dir}/batch_id={max(batch_ids)}"))
-    return len(batch_ids)
+    equality test). READER-SAFE via the generation protocol
+    (streaming/generations.py): the consolidated generation is written
+    aside, renamed into a negative batch_id in one atomic directory
+    move, and the superseded dirs deleted after — a concurrent searcher
+    sees the pre- or post-compaction index, never a partial mixture.
+    Only compact batches the stream's checkpoint has committed. Returns
+    the number of generations merged."""
+    from pdf_brain_spark.streaming.generations import compact_generations
+
+    def _rewrite(src_dirs: list[str], tmp: str) -> None:
+        # partition discovery ON here (basePath at the generation root) so
+        # list_id survives the read and the rewrite re-partitions by it
+        src = spark.read.option("basePath", src_dirs[0]).parquet(src_dirs[0])
+        for s in src_dirs[1:]:
+            src = src.unionByName(spark.read.option("basePath", s).parquet(s))
+        src.write.partitionBy("list_id").mode("overwrite").parquet(tmp)
+
+    return compact_generations(spark, index_dir, upto_batch_id, _rewrite)

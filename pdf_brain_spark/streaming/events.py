@@ -218,31 +218,39 @@ def make_incremental_dedup_batch_fn(
     def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        from pyspark.errors import AnalysisException
-
         from pdf_brain_spark.operators.dedup import (
             incremental_lsh_candidates,
             minhash_banded_index,
         )
+        from pdf_brain_spark.streaming.generations import (
+            coverage,
+            generation_ids,
+            live_generation_ids,
+        )
 
         new_banded = minhash_banded_index(batch_df).localCheckpoint(eager=True)
-        # Probe only band rows from STRICTLY EARLIER batches. The index is
-        # laid out as hive-style batch_id=N subdirectories, so this filter
-        # is a PartitionFilter (pruned at planning time) — and on a replay
-        # of batch N after a crash between the subdir write and the
-        # checkpoint commit, batch N's own (possibly partial) rows are
-        # excluded, making the probe set identical to the first attempt.
-        # Existence is probed by attempting the read and catching
-        # AnalysisException — works on any Hadoop filesystem (local, HDFS,
-        # object stores), unlike a driver-local os.listdir.
-        try:
-            index_banded = (
-                spark.read.parquet(index_dir)
-                .filter(F.col("batch_id") < F.lit(batch_id))
-                .drop("batch_id")
+        # Probe only band rows from STRICTLY EARLIER batches, resolved
+        # through the generation protocol (streaming/generations.py): the
+        # live set excludes dirs superseded by a compacted generation, so
+        # the probe is correct even mid-compaction or after a compactor
+        # crash left stale dirs behind. Coverage < batch_id keeps the
+        # replay guarantee — on a replay of batch N after a crash between
+        # the subdir write and the checkpoint commit, batch N's own
+        # (possibly partial) rows are excluded, making the probe set
+        # identical to the first attempt. Selecting explicit generation
+        # dirs prunes at the driver, the same effect as the former
+        # batch_id < N PartitionFilter.
+        probe_gens = [
+            g
+            for g in live_generation_ids(generation_ids(spark, index_dir))
+            if coverage(g) < batch_id
+        ]
+        if probe_gens:
+            index_banded = spark.read.parquet(
+                *[f"{index_dir}/batch_id={g}" for g in probe_gens]
             )
             cands = incremental_lsh_candidates(index_banded, new_banded)
-        except AnalysisException:
+        else:
             # first batch: no index yet — dedup within the batch only
             cands = incremental_lsh_candidates(new_banded.limit(0), new_banded)
         # Idempotent replay: each batch OVERWRITES its own batch_id=N
@@ -263,54 +271,36 @@ def make_incremental_dedup_batch_fn(
 def compact_band_index(
     spark: SparkSession, index_dir: str, upto_batch_id: int, n_files: int = 8
 ) -> int:
-    """Compact the incremental-dedup band index: merge every batch_id ≤
-    upto_batch_id subdirectory into ONE consolidated subdirectory keyed at
-    the highest compacted batch_id. A continuous crawl accrues one small
-    directory per micro-batch — at 100 TB that is the classic small-files
-    problem (file listing and footer reads come to dominate the probe),
-    and because each probe reads batch_id < N, consolidating old batches
-    under max(compacted ids) preserves every future batch's probe set
-    exactly. Returns the number of directories merged (0 = nothing to do).
+    """Compact the incremental-dedup band index: merge every live
+    generation covering ≤ upto_batch_id into ONE compacted generation. A
+    continuous crawl accrues one small directory per micro-batch — at
+    100 TB that is the classic small-files problem (file listing and
+    footer reads come to dominate the probe); consolidation preserves
+    every future batch's probe set exactly because the compacted
+    generation covers precisely the batches it replaced.
 
-    Only compact batches the stream's checkpoint has committed: a replay
-    can only re-run the LAST uncommitted batch, so `upto_batch_id` should
-    be below it (the gate/test shape: compact between AvailableNow runs,
-    when nothing is in flight). The delete-then-rename swap is not atomic
-    for concurrent readers — production would run this under a
-    transactional table format or on a snapshot the serving path switches
-    to; the layout and probe semantics are what this operator attests.
+    READER-SAFE: the consolidated data is written aside, renamed into a
+    NEGATIVE `batch_id=-m` generation in one atomic directory move, and
+    only then are the superseded dirs deleted — a concurrent reader
+    resolving generations through streaming/generations.py sees the
+    pre- or post-compaction set, never a partial mixture (asserted by
+    the mid-compaction read test). Only compact batches the stream's
+    checkpoint has committed: a replay can only re-run the LAST
+    uncommitted batch, so `upto_batch_id` should be below it. Returns
+    the number of generations merged.
 
     All filesystem access goes through the Hadoop FileSystem API, so the
     same code compacts local-disk, HDFS, and object-store indexes."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    HPath = jvm.org.apache.hadoop.fs.Path
-    fs = HPath(index_dir).getFileSystem(conf)
-    if not fs.exists(HPath(index_dir)):
-        return 0
-    batch_ids = []
-    for st in fs.listStatus(HPath(index_dir)):
-        name = st.getPath().getName()
-        if not name.startswith("batch_id="):
-            continue
-        try:
-            b = int(name.split("=", 1)[1])
-        except ValueError:
-            continue
-        if b <= upto_batch_id:
-            batch_ids.append(b)
-    if len(batch_ids) <= 1:
-        return 0
-    # read the batch subdirs DIRECTLY (no partition discovery — the rows
-    # are batch-agnostic once merged), rewrite as n_files consolidated
-    # files, then swap in under the highest compacted batch_id
-    src = spark.read.parquet(*[f"{index_dir}/batch_id={b}" for b in sorted(batch_ids)])
-    tmp = f"{index_dir}/.compact_tmp_{upto_batch_id}"
-    src.coalesce(max(1, n_files)).write.mode("overwrite").parquet(tmp)
-    for b in batch_ids:
-        fs.delete(HPath(f"{index_dir}/batch_id={b}"), True)
-    fs.rename(HPath(tmp), HPath(f"{index_dir}/batch_id={max(batch_ids)}"))
-    return len(batch_ids)
+    from pdf_brain_spark.streaming.generations import compact_generations
+
+    def _rewrite(src_dirs: list[str], tmp: str) -> None:
+        # read the generation subdirs DIRECTLY (no partition discovery —
+        # the rows are batch-agnostic once merged), rewrite as n_files
+        # consolidated files
+        src = spark.read.parquet(*src_dirs)
+        src.coalesce(max(1, n_files)).write.mode("overwrite").parquet(tmp)
+
+    return compact_generations(spark, index_dir, upto_batch_id, _rewrite)
 
 
 def streaming_incremental_dedup(
@@ -409,13 +399,41 @@ def streaming_incremental_rollup(
 
 def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     """Serve the incremental rollup: re-aggregate the persisted partials
-    across all batch generations. |rows| = Σ per-batch distinct buckets
-    — bucket grain × generation count, compacted by merging batch_id
-    dirs (same sweep as compact_band_index) when generations accumulate."""
-    parts = spark.read.option("basePath", rollup_dir).parquet(rollup_dir)
+    across the LIVE batch generations (generation protocol — safe to
+    read mid-compaction). |rows| = Σ per-batch distinct buckets —
+    bucket grain × generation count, compacted by compact_rollup when
+    generations accumulate."""
+    from pdf_brain_spark.streaming.generations import live_generation_dirs
+
+    parts = spark.read.option("basePath", rollup_dir).parquet(
+        *live_generation_dirs(spark, rollup_dir)
+    )
     return parts.groupBy("event_type", "window_start").agg(
         F.sum("n_partial").alias("n_events"),
         F.round(
             F.sum("sum_cents_partial").cast("double") / F.lit(100.0), 4
         ).alias("total_value"),
     )
+
+
+def compact_rollup(spark: SparkSession, rollup_dir: str, upto_batch_id: int) -> int:
+    """Compact rollup partials: merge every live generation covering
+    ≤ upto_batch_id into one compacted generation whose rows are the
+    bucket-grain MERGED partials (n and cent-sums summed — exact, since
+    both are integers), so the compacted generation holds at most
+    |buckets| rows however many micro-batches it replaced. Same
+    reader-safe write→rename→delete protocol as compact_band_index."""
+    from pdf_brain_spark.streaming.generations import compact_generations
+
+    def _rewrite(src_dirs: list[str], tmp: str) -> None:
+        merged = (
+            spark.read.parquet(*src_dirs)
+            .groupBy("event_type", "window_start")
+            .agg(
+                F.sum("n_partial").alias("n_partial"),
+                F.sum("sum_cents_partial").alias("sum_cents_partial"),
+            )
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+
+    return compact_generations(spark, rollup_dir, upto_batch_id, _rewrite)

@@ -374,7 +374,10 @@ def test_compact_band_index_preserves_probe_semantics(spark, tmp_path):
     merged = compact_band_index(spark, idx, upto_batch_id=2, n_files=1)
     assert merged == 3 and n_dirs_before == 4  # 0,1,2 merged; dir 3 untouched
     dirs_after = sorted(d for d in os.listdir(idx) if d.startswith("batch_id="))
-    assert dirs_after == ["batch_id=2", "batch_id=3"]
+    # compacted generation lands under the NEGATIVE id (generation
+    # protocol: -2 replaces coverage <= 2, can't collide with future
+    # stream batches); dir 3 untouched
+    assert dirs_after == ["batch_id=-2", "batch_id=3"]
 
     # the same probe AFTER compaction emits the identical candidate set
     make_incremental_dedup_batch_fn(spark, idx, cands_b)(new_batch, 3)
@@ -486,14 +489,20 @@ def test_compact_ann_index_preserves_search(spark, tmp_path):
     merged = compact_ann_index(spark, idx, upto_batch_id=1)  # batch 2 in flight
     assert merged == 2
     gens = sorted(d for d in os.listdir(idx) if d.startswith("batch_id="))
-    assert gens == ["batch_id=1", "batch_id=2"]
-    # consolidated generation keeps hive list_id subdirs (probe pruning)
-    assert any(d.startswith("list_id=") for d in os.listdir(f"{idx}/batch_id=1"))
+    assert gens == ["batch_id=-1", "batch_id=2"]
+    # compacted generation keeps hive list_id subdirs (probe pruning)
+    assert any(d.startswith("list_id=") for d in os.listdir(f"{idx}/batch_id=-1"))
     assert results(2) == before_probed
     assert results(8) == before_exh
     # the stream keeps appending after compaction; totals stay lossless
     fn(emb.filter(F.col("vec_id") % 3 == 0).withColumn("vec_id", F.col("vec_id") + 10000), 3)
-    n = spark.read.option("basePath", idx).parquet(idx).count()
+    from pdf_brain_spark.streaming.generations import live_generation_dirs
+
+    n = (
+        spark.read.option("basePath", idx)
+        .parquet(*live_generation_dirs(spark, idx))
+        .count()
+    )
     assert n == emb.count() + emb.filter(F.col("vec_id") % 3 == 0).count()
 
 
@@ -552,3 +561,72 @@ def test_incremental_rollup_replay_idempotent_and_late_data(spark, tmp_path):
     for bid in (0, 1):
         gen = spark.read.parquet(f"{roll}/batch_id={bid}").count()
         assert gen <= n_buckets
+
+
+def test_generation_protocol_mid_compaction_reader_safety(spark, tmp_path):
+    """The reader-safe compaction contract (streaming/generations.py):
+    a reader that resolves generations through the protocol gets CORRECT
+    results at every point of a compaction — including the window after
+    the compacted generation is renamed in but before the superseded
+    dirs are deleted (simulated here as a compactor crash: back up the
+    old dirs, compact, restore them). Precedence must exclude the stale
+    dirs; the next compaction sweep must garbage-collect them."""
+    import shutil
+
+    from pdf_brain_spark.sources.loaders import load_table
+    from pdf_brain_spark.streaming.events import (
+        compact_rollup,
+        make_rollup_batch_fn,
+        read_rollup,
+    )
+    from pdf_brain_spark.streaming.generations import (
+        generation_ids,
+        live_generation_ids,
+    )
+
+    # unit-level precedence: -m replaces coverage <= m, including older
+    # compacted generations
+    assert live_generation_ids([0, 1, 2]) == [0, 1, 2]
+    assert live_generation_ids([-1, 0, 1, 2]) == [-1, 2]
+    assert live_generation_ids([-5, -8, 6, 7, 9]) == [-8, 9]
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    roll = str(tmp_path / "rollup")
+    fn = make_rollup_batch_fn(roll)
+    for b in range(3):
+        fn(ev.filter(F.col("event_id") % 3 == b), b)
+
+    def served():
+        return sorted(
+            (r["event_type"], str(r["window_start"]), r["n_events"], r["total_value"])
+            for r in read_rollup(spark, roll).collect()
+        )
+
+    before = served()
+
+    # crash-window superposition: compact 0..1, then RESTORE the
+    # superseded dirs — exactly the state a reader sees between the
+    # rename and the deletes (or after a compactor crash there)
+    for b in (0, 1):
+        shutil.copytree(f"{roll}/batch_id={b}", str(tmp_path / f"bak{b}"))
+    assert compact_rollup(spark, roll, upto_batch_id=1) == 2
+    assert generation_ids(spark, roll) == [-1, 2]
+    for b in (0, 1):
+        shutil.copytree(str(tmp_path / f"bak{b}"), f"{roll}/batch_id={b}")
+    assert generation_ids(spark, roll) == [-1, 0, 1, 2]  # raw listing: stale dirs present
+    assert served() == before  # precedence hides them: no double counting
+
+    # the next sweep garbage-collects the stale dirs without re-merging
+    assert compact_rollup(spark, roll, upto_batch_id=1) == 0
+    assert generation_ids(spark, roll) == [-1, 2]
+    assert served() == before
+
+    # chained compaction over a compacted generation: -1 + 2 -> -2
+    assert compact_rollup(spark, roll, upto_batch_id=2) == 2
+    assert generation_ids(spark, roll) == [-2]
+    assert served() == before
+    # compacted partials are bucket-grain: one row per (type, hour)
+    n_rows = spark.read.parquet(f"{roll}/batch_id=-2").count()
+    assert n_rows == len(before)
