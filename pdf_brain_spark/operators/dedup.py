@@ -882,3 +882,73 @@ def duplicate_spans(
         )
         .select(id_col, "span_start", "span_end", "span_tokens", "n_seeds")
     )
+
+
+def cut_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus surgery over `duplicate_spans`: emit the CLEANED corpus —
+    every document retained, the duplicated spans removed from its token
+    stream — which is the ExactSubstr pipeline's actual output in Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", ACL 2022: cut the repeated substring, keep the document).
+    The span analog of `dedup_decision_report`: that operator closes the
+    loop for doc-level dedup (keep/drop per doc), this one closes it at
+    substring level (keep the doc, drop the duplicated region).
+
+    Output text is the NORMALIZED token stream (lowercased whitespace
+    tokens re-joined with single spaces, the same `tokenize()` the span
+    detector positions refer to) minus the cut spans — token-level
+    surgery, exactly as ExactSubstr operates.
+
+    Shape on top of duplicate_spans' two shuffles: one span aggregate to
+    doc grain (collect_list is bounded — spans are disjoint islands, at
+    most n_tokens/k per doc), one doc-grain left join, then a fully
+    native per-row token filter (filter(toks, (x, i) -> NOT exists(spans,
+    s -> s.s <= i <= s.e)) — O(tokens × spans_per_doc) inside codegen,
+    no UDF, no extra shuffle). Docs with no spans pass through untouched.
+
+    Returns (id_col, clean_text, n_tokens, tokens_removed, n_spans_cut).
+    """
+    spans = duplicate_spans(
+        docs, k=k, min_docs=min_docs, id_col=id_col, text_col=text_col
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").cast("int").alias("s"),
+                F.col("span_end").cast("int").alias("e"),
+            )
+        ).alias("_spans"),
+        F.count(F.lit(1)).alias("_n_spans"),
+    )
+    toks = tokenize(text_col)
+    in_span = lambda sp, i: (i >= sp["s"]) & (i <= sp["e"])
+    return (
+        docs.join(per_doc, id_col, "left")
+        .withColumn("_toks", toks)
+        .withColumn(
+            "_kept",
+            F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
+                F.filter(
+                    F.col("_toks"),
+                    lambda x, i: ~F.exists(
+                        F.col("_spans"), lambda sp: in_span(sp, i)
+                    ),
+                )
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(F.col("_kept"), " ").alias("clean_text"),
+            F.size(F.col("_toks")).cast("long").alias("n_tokens"),
+            (F.size(F.col("_toks")) - F.size(F.col("_kept")))
+            .cast("long")
+            .alias("tokens_removed"),
+            F.coalesce(F.col("_n_spans"), F.lit(0)).cast("long").alias("n_spans_cut"),
+        )
+    )

@@ -918,6 +918,81 @@ def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(load_table(spark, "documents", sf_dir), k=8, min_docs=2)
 
 
+@query(
+    "cut_duplicate_spans",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS arr
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(arr, i, i + 7), ' ') AS gram
+      FROM base, LATERAL (SELECT unnest(generate_series(1, len(arr) - 7)) AS i) s
+      WHERE len(arr) >= 8
+    ),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    seeds AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+    lagged AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+      FROM seeds
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN pos - prev_pos > 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM lagged
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      FROM islands GROUP BY doc_id, island
+    ),
+    toks AS (
+      SELECT doc_id, i - 1 AS pos, arr[i] AS tok
+      FROM base, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) s
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t LEFT JOIN spans sp
+        ON t.doc_id = sp.doc_id AND t.pos BETWEEN sp.s AND sp.e
+      WHERE sp.doc_id IS NULL
+    ),
+    kept_agg AS (
+      SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    span_agg AS (
+      SELECT doc_id, count(*) AS n_spans_cut FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           coalesce(k.clean_text, '') AS clean_text,
+           len(b.arr) AS n_tokens,
+           len(b.arr) - coalesce(k.n_kept, 0) AS tokens_removed,
+           coalesce(sa.n_spans_cut, 0) AS n_spans_cut
+    FROM base b
+    LEFT JOIN kept_agg k USING (doc_id)
+    LEFT JOIN span_agg sa USING (doc_id)
+    """,
+)
+def cut_duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-cut corpus surgery (operators/dedup.py::cut_duplicate_spans):
+    the cleaned corpus the ExactSubstr pipeline actually emits — every
+    doc retained, its cross-document duplicated spans removed from the
+    normalized token stream, offsets reported. The oracle re-derives the
+    identical spans from the gram TEXT and re-assembles the kept tokens
+    with string_agg, so a hash-green row certifies both the cut
+    positions and the surviving text byte-for-byte."""
+    from pdf_brain_spark.operators.dedup import cut_duplicate_spans
+
+    return cut_duplicate_spans(
+        load_table(spark, "documents", sf_dir), k=8, min_docs=2
+    )
+
+
 @query("embedding_neardup_recall", oracle=None)
 def embedding_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall-vs-exact report for the ANN-candidates near-dup scale path:

@@ -453,3 +453,53 @@ def test_dedup_decision_report_invariants(spark):
         assert len(keeps) == 1
         assert keeps[0]["doc_id"] == min(r["doc_id"] for r in rows) == cid
         assert len(rows) >= 2, "a cluster implies at least one pair"
+
+
+def test_cut_duplicate_spans_planted_passage(spark):
+    """Corpus surgery: the planted 12-token shared passage is REMOVED
+    from every doc that carries it, the surrounding unique text survives
+    byte-for-byte (as the normalized token stream), and untouched docs
+    pass through whole — including the within-doc-repeat doc (min_docs
+    counts distinct documents) and the empty-span doc."""
+    from pdf_brain_spark.operators.dedup import cut_duplicate_spans
+
+    out = {r["doc_id"]: r for r in cut_duplicate_spans(_span_corpus(spark), k=8, min_docs=2).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+
+    shared = " ".join(f"common{i}" for i in range(12))
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    # docs 0-2: passage cut, remainder preserved in order
+    assert out[0]["clean_text"] == f"{uniq('a', 5)} {uniq('b', 6)}"
+    assert out[1]["clean_text"] == uniq("c", 9)
+    assert out[2]["clean_text"] == uniq("d", 7)
+    for d in (0, 1, 2):
+        assert out[d]["tokens_removed"] == 12
+        assert out[d]["n_spans_cut"] == 1
+        assert shared not in out[d]["clean_text"]
+    # doc 3 (within-doc repeat) and doc 4 (unique): untouched
+    assert out[3]["clean_text"] == f"{uniq('e', 10)} {uniq('e', 10)}"
+    assert out[4]["clean_text"] == uniq("f", 25)
+    for d in (3, 4):
+        assert out[d]["tokens_removed"] == 0 and out[d]["n_spans_cut"] == 0
+    # bookkeeping: n_tokens is the pre-cut token count
+    assert out[0]["n_tokens"] == 23 and out[4]["n_tokens"] == 25
+
+
+def test_cut_duplicate_spans_multiple_spans_per_doc(spark):
+    """Two separate planted passages in one doc produce two cut regions;
+    the text between them survives."""
+    from pdf_brain_spark.operators.dedup import cut_duplicate_spans
+
+    p1 = " ".join(f"x{i}" for i in range(10))
+    p2 = " ".join(f"y{i}" for i in range(10))
+    mid = " ".join(f"m{i}" for i in range(15))
+    rows = [
+        (0, f"{p1} {mid} {p2}"),
+        (1, f"{p1} unrelated tail tokens here now"),
+        (2, f"lead tokens before {p2}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cut_duplicate_spans(docs, k=8, min_docs=2).collect()}
+    assert out[0]["n_spans_cut"] == 2
+    assert out[0]["tokens_removed"] == 20
+    assert out[0]["clean_text"] == mid
