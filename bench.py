@@ -176,6 +176,10 @@ def main() -> None:
     timings["lsh_incremental_32kx384"] = inc_lsh["incremental_sec"]
     total += inc_lsh["incremental_sec"]
     spark.catalog.clearCache()
+    mmr = mmr_batch_amortization(spark)
+    timings["mmr_batch64"] = mmr["batch64_sec"]
+    total += mmr["batch64_sec"]
+    spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -201,6 +205,7 @@ def main() -> None:
         "ann_ivf_batch_clustered": ivf_clustered,
         "neardup_ann_vs_exact": neardup,
         "incremental_lsh_vs_batch": inc_lsh,
+        "mmr_batch_amortization": mmr,
         "pq_adc_vs_exact": pq,
         "ivfpq_probed_vs_flat": ivfpq,
     }
@@ -240,6 +245,36 @@ def main() -> None:
         )
     )
     spark.stop()
+
+
+def mmr_batch_amortization(spark, n_queries: int = 64, k: int = 10, n_candidates: int = 30) -> dict:
+    """Batched-MMR amortization: one BLAS corpus pass fetches all 64
+    candidate sets and 64 bounded greedy kernels run in one applyInPandas
+    stage, vs. the single-query operator paying a full candidate fetch
+    per query. Reported as total wall + ms/query both ways."""
+    from pyspark.sql import functions as F
+
+    from pdf_brain_spark.operators.vector_search import mmr_rerank, mmr_rerank_batch
+    from pdf_brain_spark.sources.loaders import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    t0 = time.perf_counter()
+    mmr_rerank(emb, qvec, k=k, n_candidates=n_candidates).count()
+    single = time.perf_counter() - t0
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    t1 = time.perf_counter()
+    mmr_rerank_batch(emb, queries, k=k, n_candidates=n_candidates).count()
+    batch = time.perf_counter() - t1
+    return {
+        "single_query_sec": round(single, 3),
+        "batch64_sec": round(batch, 3),
+        "ms_per_query_single": round(1000.0 * single, 3),
+        "ms_per_query_batch64": round(1000.0 * batch / n_queries, 3),
+        "amortization_x": round(single * n_queries / batch, 2) if batch else None,
+    }
 
 
 def batch_amortization(spark, n_queries: int = 256, k: int = 10) -> dict:

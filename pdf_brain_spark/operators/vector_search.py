@@ -276,45 +276,134 @@ def mmr_rerank(
         .withColumn("_g", F.lit(0))
     )
 
-    lam_ = float(lam)
+    id_type = dict(vectors.dtypes)[id_col]
+    greedy = _make_mmr_greedy(id_col, vec_col, float(lam), k)
+    return (
+        cand.groupBy("_g")
+        .applyInPandas(
+            greedy, schema=f"rank int, {id_col} {id_type}, rel double, mmr_score double"
+        )
+        .orderBy("rank")
+    )
+
+
+def _make_mmr_greedy(id_col: str, vec_col: str, lam: float, k: int, qid_col: str | None = None):
+    """The bounded sequential MMR kernel shared by the single-query and
+    batched paths: greedy over one candidate group's pandas frame, ties
+    to the lowest id. When `qid_col` is given the group key (the query
+    id) is emitted as the leading column.
+
+    Cross-engine determinism is by EXACT INTEGER ARITHMETIC, not by
+    rounding at a boundary: rel and the pairwise sims are 6-dp values,
+    so both MMR terms are integer micro-units (rel6, sim6 ∈ [0, 1e6]);
+    with λ expressed in tenths (λ=0.7 → 7/10) the objective
+    λ·rel − (1−λ)·max_sim scaled by 10·1e6 is the exact int
+    λ10·rel6 − (10−λ10)·sim6 — the argmax compares integers, so no
+    float rounding mode can flip a selection or a reported score (a
+    6-dp round() here differed between numpy half-even and DuckDB
+    half-away exactly at ...5 boundaries — caught by the 64-query
+    batch oracle). The reported mmr_score is that integer / 1e7: the
+    identical double on every engine."""
+    import numpy as np
+    import pandas as pd
+
+    lam10 = int(round(lam * 10))
+    if abs(lam10 - lam * 10) > 1e-9:
+        raise ValueError(f"lam must be a multiple of 0.1 for exact integer MMR, got {lam}")
 
     def _greedy(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         ids = pdf[id_col].to_numpy()
         rel = pdf["rel"].to_numpy(dtype=np.float64)
         M = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
         M = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-12)
-        sims = np.round((1.0 + M @ M.T) / 2.0, 6)  # score scale, like rel
+        # 6-dp integer micro-units: exact from here on
+        sims6 = np.rint(np.round((1.0 + M @ M.T) / 2.0, 6) * 1e6).astype(np.int64)
+        rel6 = np.rint(rel * 1e6).astype(np.int64)
         order = np.argsort(ids, kind="stable")  # id-ascending tie-break base
-        ids, rel, sims = ids[order], rel[order], sims[order][:, order]
+        ids, rel, rel6 = ids[order], rel[order], rel6[order]
+        sims6 = sims6[order][:, order]
         n = len(ids)
         chosen: list[int] = []
         out_rows = []
         remaining = list(range(n))
         for rank in range(1, min(k, n) + 1):
             if chosen:
-                max_sim = np.max(sims[np.ix_(remaining, chosen)], axis=1)
+                max_sim6 = np.max(sims6[np.ix_(remaining, chosen)], axis=1)
             else:
-                max_sim = np.zeros(len(remaining))
-            mmr = lam_ * rel[remaining] - (1.0 - lam_) * max_sim
-            best = int(np.argmax(np.round(mmr, 6)))  # first max = lowest id
+                max_sim6 = np.zeros(len(remaining), dtype=np.int64)
+            mmr_i = lam10 * rel6[remaining] - (10 - lam10) * max_sim6
+            best = int(np.argmax(mmr_i))  # first max = lowest id
             pick = remaining[best]
-            out_rows.append(
-                {
-                    "rank": rank,
-                    id_col: ids[pick],
-                    "rel": rel[pick],
-                    "mmr_score": round(float(np.round(mmr[best], 6)), 6),
-                }
-            )
+            row = {
+                "rank": rank,
+                id_col: ids[pick],
+                "rel": rel[pick],
+                "mmr_score": float(int(mmr_i[best]) / 1e7),
+            }
+            if qid_col is not None:
+                row[qid_col] = key[0]
+            out_rows.append(row)
             chosen.append(pick)
             remaining.pop(best)
-        return pd.DataFrame(out_rows)
+        cols = ([qid_col] if qid_col else []) + ["rank", id_col, "rel", "mmr_score"]
+        return pd.DataFrame(out_rows, columns=cols)
 
-    id_type = dict(vectors.dtypes)[id_col]
-    return (
-        cand.groupBy("_g")
-        .applyInPandas(
-            _greedy, schema=f"rank int, {id_col} {id_type}, rel double, mmr_score double"
+    return _greedy
+
+
+def mmr_rerank_batch(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_candidates: int = 30,
+    lam: float = 0.7,
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched MMR — the serving-batch twin of `mmr_rerank`, matching the
+    engine's batch shape everywhere else (similarity_join_topk,
+    ivf_search_topk_batch): Q queries amortize ONE corpus pass for the
+    candidate fetch and run Q independent bounded greedy kernels.
+
+    Stage 1 fetches every query's exact top-n_candidates via the BLAS-
+    batched partial-top-k scan (`similarity_join_topk` — one corpus
+    pass, shuffle is partitions × Q × n rows). Stage 2 re-attaches the
+    candidate vectors by broadcasting the Q × n candidate set into a
+    corpus scan (broadcast hash join — the corpus is never shuffled).
+    Stage 3 groups by query id and runs the SAME greedy kernel as the
+    single-query path per group (applyInPandas; each group is <= n rows
+    by construction, so per-task state stays bounded however large Q
+    grows). Scores/penalties/tie-breaks are identical to `mmr_rerank`,
+    so a batch of one reproduces it exactly.
+
+    Returns (query_id, rank 1..k, id_col, rel, mmr_score).
+    """
+    cand = (
+        similarity_join_topk(
+            queries,
+            vectors,
+            k=n_candidates,
+            query_id=query_id,
+            query_col=query_col,
+            vec_col=vec_col,
+            id_col=id_col,
         )
-        .orderBy("rank")
+        .select(query_id, id_col, F.round("score", 6).alias("rel"))
+    )
+    with_vec = vectors.select(id_col, vec_col).join(F.broadcast(cand), id_col)
+    qid_type = dict(queries.dtypes)[query_id]
+    id_type = dict(vectors.dtypes)[id_col]
+    greedy = _make_mmr_greedy(id_col, vec_col, float(lam), k, qid_col=query_id)
+    return (
+        with_vec.groupBy(query_id)
+        .applyInPandas(
+            greedy,
+            schema=(
+                f"{query_id} {qid_type}, rank int, {id_col} {id_type}, "
+                "rel double, mmr_score double"
+            ),
+        )
+        .orderBy(query_id, "rank")
     )

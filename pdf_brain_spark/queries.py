@@ -283,26 +283,29 @@ def regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
     cand AS (
       SELECT e.vec_id, e.embedding,
-             round(1.0 - {_duck_cosine_distance('e.embedding', 'q.qv')} / 2.0, 6) AS rel
+             round(1.0 - {_duck_cosine_distance('e.embedding', 'q.qv')} / 2.0, 6) AS rel,
+             CAST(round(round(1.0 - {_duck_cosine_distance('e.embedding', 'q.qv')} / 2.0, 6) * 1000000) AS BIGINT) AS rel6
       FROM embeddings e, q
       ORDER BY {_duck_cosine_distance('e.embedding', 'q.qv')} ASC, e.vec_id ASC
       LIMIT 30
     ),
     pair AS (
       SELECT a.vec_id AS ia, b.vec_id AS ib,
-             round((1.0 + {_DUCK_COS.format(a='a.embedding', b='b.embedding')} /
-                   ({_DUCK_NORM.format(a='a.embedding')} * {_DUCK_NORM.format(a='b.embedding')})) / 2.0, 6) AS sim
+             CAST(round(round((1.0 + {_DUCK_COS.format(a='a.embedding', b='b.embedding')} /
+                   ({_DUCK_NORM.format(a='a.embedding')} * {_DUCK_NORM.format(a='b.embedding')})) / 2.0, 6) * 1000000) AS BIGINT) AS sim6
       FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
     ),
     sel AS (
-      (SELECT 1 AS rank, vec_id, rel, round(0.7 * rel, 6) AS mmr_score, [vec_id] AS chosen
-       FROM cand ORDER BY round(0.7 * rel, 6) DESC, vec_id ASC LIMIT 1)
+      (SELECT 1 AS rank, vec_id, rel,
+              CAST(7 * rel6 AS DOUBLE) / 10000000.0 AS mmr_score, [vec_id] AS chosen
+       FROM cand ORDER BY 7 * rel6 DESC, vec_id ASC LIMIT 1)
       UNION ALL
       (SELECT sel.rank + 1, nxt.vec_id, nxt.rel, nxt.mmr, list_append(sel.chosen, nxt.vec_id)
        FROM sel, LATERAL (
          SELECT c.vec_id, c.rel,
-                round(0.7 * c.rel - 0.3 * (SELECT max(p.sim) FROM pair p
-                                           WHERE p.ia = c.vec_id AND list_contains(sel.chosen, p.ib)), 6) AS mmr
+                CAST(7 * c.rel6 - 3 * (SELECT max(p.sim6) FROM pair p
+                                       WHERE p.ia = c.vec_id AND list_contains(sel.chosen, p.ib))
+                     AS DOUBLE) / 10000000.0 AS mmr
          FROM cand c
          WHERE NOT list_contains(sel.chosen, c.vec_id)
          ORDER BY mmr DESC, c.vec_id ASC
@@ -326,6 +329,75 @@ def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
     return mmr_rerank(emb, qvec, k=10, n_candidates=30, lam=0.7)
+
+
+@query(
+    "mmr_rerank_batch",
+    oracle=f"""
+    WITH RECURSIVE qs AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 64
+    ),
+    ranked AS (
+      SELECT q.query_id, e.vec_id, e.embedding,
+             round(1.0 - {_duck_cosine_distance('e.embedding', 'q.qv')} / 2.0, 6) AS rel,
+             CAST(round(round(1.0 - {_duck_cosine_distance('e.embedding', 'q.qv')} / 2.0, 6) * 1000000) AS BIGINT) AS rel6,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {_duck_cosine_distance('e.embedding', 'q.qv')} ASC, e.vec_id ASC
+             ) AS rn
+      FROM embeddings e, qs q
+    ),
+    cand AS (SELECT query_id, vec_id, embedding, rel, rel6 FROM ranked WHERE rn <= 30),
+    pair AS (
+      SELECT a.query_id, a.vec_id AS ia, b.vec_id AS ib,
+             CAST(round(round((1.0 + {_DUCK_COS.format(a='a.embedding', b='b.embedding')} /
+                   ({_DUCK_NORM.format(a='a.embedding')} * {_DUCK_NORM.format(a='b.embedding')})) / 2.0, 6) * 1000000) AS BIGINT) AS sim6
+      FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+    ),
+    sel AS (
+      (SELECT query_id, 1 AS rank, vec_id, rel,
+              CAST(7 * rel6 AS DOUBLE) / 10000000.0 AS mmr_score,
+              [vec_id] AS chosen
+       FROM (SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY 7 * rel6 DESC, vec_id ASC
+             ) AS rr FROM cand)
+       WHERE rr = 1)
+      UNION ALL
+      (SELECT sel.query_id, sel.rank + 1, nxt.vec_id, nxt.rel, nxt.mmr,
+              list_append(sel.chosen, nxt.vec_id)
+       FROM sel, LATERAL (
+         SELECT c.vec_id, c.rel,
+                CAST(7 * c.rel6 - 3 * (SELECT max(p.sim6) FROM pair p
+                                       WHERE p.query_id = sel.query_id
+                                         AND p.ia = c.vec_id
+                                         AND list_contains(sel.chosen, p.ib))
+                     AS DOUBLE) / 10000000.0 AS mmr
+         FROM cand c
+         WHERE c.query_id = sel.query_id AND NOT list_contains(sel.chosen, c.vec_id)
+         ORDER BY mmr DESC, c.vec_id ASC
+         LIMIT 1
+       ) nxt
+       WHERE sel.rank < 10)
+    )
+    SELECT query_id, rank, vec_id, rel, mmr_score FROM sel
+    """,
+)
+def mmr_rerank_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched MMR at 64 queries (operators/vector_search.py::
+    mmr_rerank_batch) — the serving-batch twin of mmr_rerank, matching
+    the engine's batch shape (one BLAS corpus pass fetches all 64
+    candidate sets; 64 bounded greedy kernels run as one applyInPandas
+    stage). The oracle runs the per-query recursive-CTE greedy over the
+    same 6-dp-rounded rel/sim values, so a hash-green row attests the
+    batched candidate fetch, the vector re-attach join, and every
+    query's full selection path at once."""
+    from pdf_brain_spark.operators.vector_search import mmr_rerank_batch
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return mmr_rerank_batch(emb, queries, k=10, n_candidates=30, lam=0.7)
 
 
 # --------------------------------------------------------------------------

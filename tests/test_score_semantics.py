@@ -224,3 +224,41 @@ def test_mmr_invariants(spark):
     degenerate = mmr_rerank(emb, qvec, k=8, n_candidates=20, lam=1.0).collect()
     raw = [r["vec_id"] for r in topk(emb, qvec, k=8).collect()]
     assert [r["vec_id"] for r in degenerate] == raw
+
+
+def test_mmr_rerank_batch_of_one_matches_single(spark):
+    """The batched MMR path (BLAS candidate fetch + broadcast vector
+    re-attach + per-group greedy) must reproduce the single-query
+    operator exactly for a batch of one — same picks, same exact-integer
+    mmr_score doubles."""
+    from pdf_brain_spark.operators.vector_search import mmr_rerank, mmr_rerank_batch
+    from pdf_brain_spark.sources.loaders import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    single = [
+        (r["rank"], r["vec_id"], r["rel"], r["mmr_score"])
+        for r in mmr_rerank(emb, qvec, k=10, n_candidates=30, lam=0.7).collect()
+    ]
+    queries = spark.createDataFrame([(7, qvec)], "query_id long, query_vec array<double>")
+    batch = [
+        (r["rank"], r["vec_id"], r["rel"], r["mmr_score"])
+        for r in mmr_rerank_batch(emb, queries, k=10, n_candidates=30, lam=0.7).collect()
+    ]
+    assert single == batch and len(single) == 10
+    # diversity contract on a real batch: per query, k distinct picks,
+    # rank-1 is the top-rel candidate, ranks are 1..k
+    out = mmr_rerank_batch(
+        emb, emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        ), k=5, n_candidates=20, lam=0.7,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(8))
+    for qid, rows in by_q.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+        assert len({r["vec_id"] for r in rows}) == 5
+        top = max(rows, key=lambda r: (r["rel"], -r["vec_id"]))
+        assert next(r for r in rows if r["rank"] == 1)["rel"] == top["rel"]
