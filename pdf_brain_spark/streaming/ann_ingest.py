@@ -20,9 +20,10 @@ the batch IVF path (operators/ann.py).
 
 Centroid staleness is the honest operational caveat: fixed centroids keep
 every batch map-only, but a drifting corpus degrades list balance and
-recall over time. The production answer is periodic refit + rewrite (a
-compaction, not a streaming step); the recall instrumentation to trigger
-it is ann_recall_report.
+recall over time. The answer is `refit_ann_index` below — a periodic
+refit + reassign rewrite run as a reader-safe compaction step (not a
+streaming step); the recall instrumentation to trigger it is
+ann_recall_report.
 """
 
 from __future__ import annotations
@@ -149,3 +150,88 @@ def compact_ann_index(
         src.write.partitionBy("list_id").mode("overwrite").parquet(tmp)
 
     return compact_generations(spark, index_dir, upto_batch_id, _rewrite)
+
+
+def write_index_centroids(spark: SparkSession, index_dir: str, centroids: list[list[float]]) -> None:
+    """Persist the centroid matrix inside the index under `_centroids`
+    (underscore-prefixed: Spark's file listing ignores it, so data reads
+    never see it). Makes the index self-describing — search and ingest
+    can recover the probe geometry without an out-of-band channel."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "list_id int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{index_dir}/_centroids")
+
+
+def read_index_centroids(spark: SparkSession, index_dir: str) -> list[list[float]]:
+    """Recover the persisted centroid matrix (write_index_centroids)."""
+    rows = spark.read.parquet(f"{index_dir}/_centroids").orderBy("list_id").collect()
+    return [[float(x) for x in r["centroid"]] for r in rows]
+
+
+def refit_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    upto_batch_id: int,
+    n_lists: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+    tol: float = 1e-6,
+) -> tuple[list[list[float]], int]:
+    """Periodic centroid refit — the compaction-step answer to the
+    centroid-staleness caveat at the top of this module: fixed centroids
+    keep every ingest batch map-only, but a drifting corpus concentrates
+    new vectors into few stale lists and recall-at-probes decays. The
+    refit is a LAYOUT REWRITE run through the reader-safe generation
+    protocol: (1) fit fresh seeded centroids on a bounded sample of the
+    full live index (the same deterministic k-means++/Lloyd's kernel as
+    the batch fit — driver work is capped by KMEANS_FIT_SAMPLE_CAP
+    regardless of index size); (2) one distributed pass re-assigns every
+    vector map-only (Arrow/BLAS assigner, no shuffle) and rewrites the
+    merged generations partitioned by the NEW list_id; (3) the rewrite
+    lands as a compacted generation via write → atomic rename → delete,
+    so concurrent searches see the old or the new index, never a
+    mixture. The new centroids are persisted under `_centroids` AFTER
+    the swap; a searcher pairing old centroids with the new index (or
+    vice versa) during that instant only mis-ranks which lists to probe
+    — returned scores stay exact, recall dips for that one query, which
+    is the same class of staleness the refit exists to fix.
+
+    Returns (new_centroids, n_generations_rewritten). If nothing has
+    arrived since the last rewrite at this coverage, returns the FITTED
+    centroids with 0 rewritten (see generations.compact_generations)."""
+    from pdf_brain_spark.operators.clustering import (
+        _assign_udf,
+        _lloyd_fit,
+        _sample_feature_matrix,
+    )
+    from pdf_brain_spark.streaming.generations import (
+        compact_generations,
+        live_generation_dirs,
+    )
+
+    live = live_generation_dirs(spark, index_dir)
+    if not live:
+        return [], 0
+    src_all = spark.read.option("basePath", index_dir).parquet(*live)
+    X = _sample_feature_matrix(src_all.select(vec_col), vec_col, seed)
+    C = _lloyd_fit(X, n_lists, seed, max_iter, tol)
+    centroids = [[float(x) for x in row] for row in C]
+    assign = _assign_udf(centroids)
+
+    def _rewrite(src_dirs: list[str], tmp: str) -> None:
+        s = spark.read.option("basePath", index_dir).parquet(*src_dirs).drop(
+            "batch_id", "list_id"
+        )
+        reassigned = s.withColumn("_a", assign(F.col(vec_col))).select(
+            *s.columns, F.col("_a.cluster_id").alias("list_id")
+        )
+        reassigned.write.partitionBy("list_id").mode("overwrite").parquet(tmp)
+
+    merged = compact_generations(
+        spark, index_dir, upto_batch_id, _rewrite, min_sources=1
+    )
+    if merged:
+        write_index_centroids(spark, index_dir, centroids)
+    return centroids, merged

@@ -98,6 +98,7 @@ def compact_generations(
     index_dir: str,
     upto_batch_id: int,
     rewrite,
+    min_sources: int = 2,
 ) -> int:
     """Reader-safe compaction driver shared by the band-index, ANN-index,
     and rollup compactors. Merges every LIVE generation covering
@@ -111,7 +112,12 @@ def compact_generations(
     replayed batch overwrites its positive dir, so compacting an
     in-flight batch would freeze a possibly-partial copy into the
     compacted generation. Returns the number of generations merged
-    (0 = nothing to do; stale superseded dirs are still swept)."""
+    (0 = nothing to do; stale superseded dirs are still swept).
+
+    `min_sources` is the rewrite threshold: plain merges skip a single
+    live generation (nothing to consolidate), while rewrites that change
+    the DATA LAYOUT (e.g. an IVF centroid refit reassigning list_id)
+    pass 1 — a lone generation still needs the rewrite."""
     HPath, fs = _fs(spark, index_dir)
     all_ids = generation_ids(spark, index_dir)
     live = live_generation_ids(all_ids)
@@ -120,9 +126,17 @@ def compact_generations(
     # invisible to readers, so deleting them is always safe
     for g in set(all_ids) - set(live):
         fs.delete(HPath(f"{index_dir}/batch_id={g}"), True)
-    if len(sources) <= 1:
+    if len(sources) < max(min_sources, 1):
         return 0
     m = max(coverage(g) for g in sources)
+    if sources == [-m]:
+        # the lone source IS the compacted generation at this coverage —
+        # the target name would collide with a live source, and replacing
+        # a directory in place cannot be made reader-safe on a plain
+        # filesystem. No data has arrived since that generation was
+        # written, so a layout rewrite should be driven AFTER the next
+        # batch lands (its positive dir makes the target id fresh).
+        return 0
     src_dirs = [f"{index_dir}/batch_id={g}" for g in sources]
     tmp = f"{index_dir}/.compact_tmp_{m}"
     fs.delete(HPath(tmp), True)  # stale temp from a crashed attempt

@@ -630,3 +630,67 @@ def test_generation_protocol_mid_compaction_reader_safety(spark, tmp_path):
     # compacted partials are bucket-grain: one row per (type, hour)
     n_rows = spark.read.parquet(f"{roll}/batch_id=-2").count()
     assert n_rows == len(before)
+
+
+def test_refit_ann_index_recovers_recall_after_drift(spark, tmp_path):
+    """Centroid-staleness repair (streaming/ann_ingest.py::
+    refit_ann_index): centroids fit on the initial corpus, then a
+    DRIFTED corpus (different cluster centers) streams in — recall at
+    few probes degrades because the new mass straddles stale list
+    boundaries. The refit (bounded-sample re-fit + map-only reassign
+    rewrite through the reader-safe generation protocol) must recover
+    recall, preserve every vector, and persist the new centroids."""
+    from pdf_brain_spark.operators.ann import synthetic_clustered_embeddings
+    from pdf_brain_spark.operators.clustering import _lloyd_fit, _sample_feature_matrix
+    from pdf_brain_spark.streaming.ann_ingest import (
+        ivf_search_persisted,
+        make_ann_ingest_batch_fn,
+        read_index_centroids,
+        refit_ann_index,
+    )
+    from pdf_brain_spark.streaming.generations import (
+        generation_ids,
+        live_generation_dirs,
+    )
+
+    A = synthetic_clustered_embeddings(spark, n=2000, dim=32, n_centers=8, spread=0.12, seed=11)
+    B = synthetic_clustered_embeddings(spark, n=2000, dim=32, n_centers=8, spread=0.12, seed=99)
+    B = B.withColumn("vec_id", F.col("vec_id") + 10000)
+    X = _sample_feature_matrix(A.select("embedding"), "embedding", 42)
+    cents = [[float(x) for x in r] for r in _lloyd_fit(X, 16, 42, 20, 1e-6)]
+    idx = str(tmp_path / "ann_index")
+    fn = make_ann_ingest_batch_fn(idx, cents)
+    fn(A, 0)
+    fn(B, 1)  # drifted arrivals, assigned by the STALE centroids
+
+    qids = [10005, 10123, 10456, 10789, 11000, 11222]
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in B.filter(F.col("vec_id").isin(qids)).collect()
+    }
+
+    def recall(cc, n_probes):
+        tot = hit = 0
+        for qv in qvecs.values():
+            exact = {r["vec_id"] for r in ivf_search_persisted(spark, idx, cc, qv, k=10, n_probes=16).collect()}
+            probed = {r["vec_id"] for r in ivf_search_persisted(spark, idx, cc, qv, k=10, n_probes=n_probes).collect()}
+            tot += len(exact)
+            hit += len(exact & probed)
+        return hit / tot
+
+    before = recall(cents, 2)
+    new_cents, merged = refit_ann_index(spark, idx, upto_batch_id=1, n_lists=16, seed=42)
+    assert merged == 2
+    after = recall(new_cents, 2)
+    # measured on this seeded fixture: 0.70 -> 0.98
+    assert after > before and after >= 0.85
+    # rewrite is lossless and lands as one compacted generation
+    assert generation_ids(spark, idx) == [-1]
+    n = spark.read.option("basePath", idx).parquet(*live_generation_dirs(spark, idx)).count()
+    assert n == 4000
+    # centroids persisted with the index, byte-equal round-trip
+    assert read_index_centroids(spark, idx) == new_cents
+    # re-refit with no new data: reader-safe in-place replacement is
+    # impossible on a plain FS, so the protocol declines (0 rewritten)
+    _, again = refit_ann_index(spark, idx, upto_batch_id=1, n_lists=16, seed=42)
+    assert again == 0
