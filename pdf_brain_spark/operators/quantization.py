@@ -717,3 +717,66 @@ def ivfpq_topk_adc_batch_residual(
         partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk_exact_rerank_residual(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 16,
+    rerank: int = 64,
+    n_lists: int = 16,
+    m: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    seed: int = 42,
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual IVF-PQ serving with EXACT re-ranking — the IVFADC +
+    rerank pipeline of Jégou et al. 2011 end-to-end: residual-ADC
+    distances select `rerank` candidates per query from the probed
+    lists, then the TRUE vectors of just those candidates are fetched
+    (broadcast of the Q × rerank candidate id set into one corpus scan —
+    the corpus is never shuffled) and re-scored with the exact cosine
+    expression; the final top-k is exact WITHIN the candidate set.
+
+    With exhaustive probes (n_probes = n_lists) and a generous rerank
+    depth this equals the brute-force top-k whenever ADC recall@rerank
+    is 1 — an empirical property of the configuration, not a theorem,
+    which is exactly what the SQL oracle attests: the gate compares this
+    pipeline against brute-force per-query top-k, so a green row
+    certifies the coarse assignment, residual encode, LUT arithmetic,
+    candidate truncation, and exact re-rank all at once (the same
+    exactness-gate pattern as dedup_embedding_ann).
+
+    Returns (query_id, id_col, rank, score) with score = 1 − d/2
+    rounded 6."""
+    from pdf_brain_spark.functions.vector import cosine_distance
+    from pyspark.sql import Window
+
+    indexed, cents, books = ivfpq_index_residual(
+        emb, n_lists=n_lists, m=m, n_codes=n_codes, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cand = ivfpq_topk_adc_batch_residual(
+        indexed, cents, books, queries, k=rerank, n_probes=n_probes,
+        query_id=query_id, query_col=query_col, id_col=id_col,
+    ).select(query_id, id_col)
+    withv = emb.select(id_col, vec_col).join(F.broadcast(cand), id_col)
+    scored = (
+        withv.join(F.broadcast(queries.select(query_id, query_col)), query_id)
+        .withColumn("distance", cosine_distance(F.col(vec_col), F.col(query_col)))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            id_col,
+            "rank",
+            F.round(1.0 - F.col("distance") / 2.0, 6).alias("score"),
+        )
+    )

@@ -2956,6 +2956,60 @@ def ivfpq_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_recall_report(load_table(spark, "embeddings", sf_dir))
 
 
+@query(
+    "ivfpq_exact_rerank",
+    oracle=f"""
+    WITH queries AS (
+      SELECT vec_id AS query_id, embedding AS query_vec
+      FROM embeddings WHERE vec_id < 16
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_duck_cosine_distance('e.embedding', 'q.query_vec')} AS d
+      FROM embeddings e, queries q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, d,
+             row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, rank,
+           round(1.0 - d / 2.0, 6) AS score
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ivfpq_exact_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ + exact re-rank behind a FULL exactness gate
+    (operators/quantization.py::ivfpq_topk_exact_rerank_residual): 16
+    queries served by the complete IVFADC pipeline — coarse assign,
+    residual encode, per-(query,list) LUT ADC, candidate truncation,
+    exact cosine re-rank — compared against the brute-force per-query
+    top-10 oracle (the dedup_embedding_ann exactness-gate pattern,
+    extending the rows-only ivfpq reports with a driver-checkable
+    equality). A hash-green row attests every stage end-to-end.
+
+    Depth honesty: the parquet embeddings are UNIFORM RANDOM — ADC's
+    adversarial geometry (quantization.py:557-569; reconstruction error
+    exceeds neighbor gaps, ADC-only recall ~0.4) — so the candidate
+    depth must be deep for the exact re-rank to provably cover the true
+    top-10. Measured worst-case ADC rank of a true top-10 member at
+    sf0.1 is 666/2000; rerank=1024 gives >1.5x margin there and is the
+    FULL corpus at sf0.01 and below (equality provable, not just
+    measured). Realistic clustered-geometry recall at shallow depth is
+    attested separately (ivfpq_recall_report + test_quantization)."""
+    from pdf_brain_spark.operators.quantization import (
+        ivfpq_topk_exact_rerank_residual,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_topk_exact_rerank_residual(
+        emb, queries, k=10, n_probes=16, rerank=1024
+    )
+
+
 @query("corpus_profile_sketch", oracle=None)
 def corpus_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based corpus profiling (§7 free Spark extensions —
