@@ -5092,6 +5092,67 @@ def streaming_incremental_rollup_q(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "streaming_incremental_percentiles",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS bucket, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, sum(n) AS total FROM b GROUP BY 1),
+    cum AS (
+      SELECT event_type, bucket,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS c
+      FROM b
+    ),
+    qs AS (SELECT unnest([50, 95, 99]) AS q_pct)
+    SELECT cum.event_type,
+           CAST(qs.q_pct AS DOUBLE) / 100.0 AS quantile,
+           round(CAST(min(cum.bucket) AS DOUBLE) / 100.0, 2) AS value
+    FROM cum JOIN tot USING (event_type), qs
+    WHERE cum.c >= (qs.q_pct * tot.total + 99) // 100
+    GROUP BY cum.event_type, qs.q_pct
+    """,
+)
+def streaming_incremental_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run of incremental percentile maintenance
+    (streaming/events.py::streaming_incremental_percentiles): exact
+    percentiles are normally un-incremental, but a CENT-RESOLUTION
+    histogram is a mergeable sketch whose quantiles of the cent-rounded
+    distribution are exact — so the foreachBatch partials (event_type,
+    cent bucket, n) merge by integer addition across arrival batches and
+    the served p50/p95/p99 must equal the one-shot batch computation,
+    which is the DuckDB oracle (type-1 quantile with the rank in integer
+    arithmetic on BOTH sides). Events staged as two parity-split arrival
+    files so the second micro-batch reshapes every bucket the first
+    already wrote."""
+    import shutil
+    import tempfile
+
+    from pdf_brain_spark.streaming.events import (
+        read_histogram_percentiles,
+        streaming_incremental_percentiles,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "ts", "value"
+    )
+    root = tempfile.mkdtemp(prefix="sgraft_spct_")
+    stage, hist, ckpt = (f"{root}/{d}" for d in ("stage", "hist", "ckpt"))
+    try:
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(stage)
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        streaming_incremental_percentiles(spark, stream, hist, ckpt).awaitTermination()
+        return read_histogram_percentiles(spark, hist).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "stratified_sample_per_source",
     oracle="""
     WITH ranked AS (

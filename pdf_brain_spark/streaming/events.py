@@ -437,3 +437,104 @@ def compact_rollup(spark: SparkSession, rollup_dir: str, upto_batch_id: int) -> 
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
 
     return compact_generations(spark, rollup_dir, upto_batch_id, _rewrite)
+
+
+def make_value_histogram_batch_fn(hist_dir: str):
+    """Per-micro-batch body for incremental PERCENTILE maintenance.
+    Exact percentiles normally resist incrementality (they need the full
+    sorted stream), but a fixed-resolution histogram is a mergeable
+    sketch with a deterministic error contract: bucket `value` at CENT
+    resolution (the same integer grain as the rollup/gap-fill sums) and
+    per-batch partials (event_type, bucket, n) merge by integer
+    addition — so any quantile of the CENT-ROUNDED distribution is
+    served EXACTLY, incrementally, with no watermark and no
+    read-modify-write, and the whole state is |types| × |distinct
+    cents| rows. The t-digest idea with the approximation made exact by
+    fixing the grid up front. Same replay-idempotent batch_id=N
+    overwrite protocol as the rollup partials."""
+
+    def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = batch_df.groupBy(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("bucket"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+        partial.write.mode("overwrite").parquet(f"{hist_dir}/batch_id={batch_id}")
+
+    return _each_batch
+
+
+def streaming_incremental_percentiles(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    hist_dir: str,
+    checkpoint_dir: str,
+):
+    """Drive incremental histogram maintenance as a Structured Streaming
+    query (AvailableNow in tests/gate; continuous in production)."""
+    return (
+        events_stream.writeStream.foreachBatch(make_value_histogram_batch_fn(hist_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_histogram_percentiles(
+    spark: SparkSession, hist_dir: str, quantiles_pct: tuple[int, ...] = (50, 95, 99)
+) -> DataFrame:
+    """Serve exact cent-resolution percentiles from the persisted
+    histogram partials (live generations — safe mid-compaction): merge
+    partials by integer addition, cumulative-sum the buckets per type,
+    and pick, for each quantile q%, the smallest bucket whose cumulative
+    count reaches rank ceil(q·n/100) — the classic type-1 quantile, with
+    the rank computed in INTEGER arithmetic ((q·n + 99) div 100) so no
+    float ceil boundary can differ across engines. Returns (event_type,
+    quantile, value) with value = bucket/100."""
+    from pyspark.sql.window import Window
+
+    from pdf_brain_spark.streaming.generations import live_generation_dirs
+
+    parts = spark.read.option("basePath", hist_dir).parquet(
+        *live_generation_dirs(spark, hist_dir)
+    )
+    hist = parts.groupBy("event_type", "bucket").agg(F.sum("n").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("c", F.sum("n").over(w))
+    tot = hist.groupBy("event_type").agg(F.sum("n").alias("total"))
+    qs = F.explode(
+        F.array(*[F.lit(int(q)) for q in quantiles_pct])
+    ).alias("q_pct")
+    with_q = cum.join(tot, "event_type").select("*", qs)
+    rank = F.floor((F.col("q_pct") * F.col("total") + F.lit(99)) / F.lit(100))
+    return (
+        with_q.filter(F.col("c") >= rank)
+        .groupBy("event_type", "q_pct")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            "event_type",
+            (F.col("q_pct") / F.lit(100.0)).alias("quantile"),
+            F.round(F.col("bucket").cast("double") / F.lit(100.0), 2).alias("value"),
+        )
+    )
+
+
+def compact_value_histogram(spark: SparkSession, hist_dir: str, upto_batch_id: int) -> int:
+    """Compact histogram partials: merge live generations covering
+    ≤ upto_batch_id into one compacted generation holding the bucket-
+    grain SUMMED histogram (integer addition — exact). Same reader-safe
+    protocol as the other compactors."""
+    from pdf_brain_spark.streaming.generations import compact_generations
+
+    def _rewrite(src_dirs: list[str], tmp: str) -> None:
+        merged = (
+            spark.read.parquet(*src_dirs)
+            .groupBy("event_type", "bucket")
+            .agg(F.sum("n").alias("n"))
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+
+    return compact_generations(spark, hist_dir, upto_batch_id, _rewrite)

@@ -694,3 +694,61 @@ def test_refit_ann_index_recovers_recall_after_drift(spark, tmp_path):
     # impossible on a plain FS, so the protocol declines (0 rewritten)
     _, again = refit_ann_index(spark, idx, upto_batch_id=1, n_lists=16, seed=42)
     assert again == 0
+
+
+def test_incremental_percentiles_replay_merge_compact(spark, tmp_path):
+    """Histogram-sketch percentiles (streaming/events.py): replaying a
+    micro-batch leaves the partials row-identical; partials from
+    arrival batches merge to the one-shot batch answer; compaction
+    preserves the served quantiles and shrinks state to bucket grain."""
+    from pdf_brain_spark.sources.loaders import load_table
+    from pdf_brain_spark.streaming.events import (
+        compact_value_histogram,
+        make_value_histogram_batch_fn,
+        read_histogram_percentiles,
+    )
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "event_type", "value"
+    )
+    hist = str(tmp_path / "hist")
+    fn = make_value_histogram_batch_fn(hist)
+    for b in range(3):
+        fn(ev.filter(F.col("event_id") % 3 == b), b)
+
+    def snapshot():
+        return sorted(
+            (r["batch_id"], r["event_type"], r["bucket"], r["n"])
+            for r in spark.read.option("basePath", hist).parquet(hist).collect()
+        )
+
+    before = snapshot()
+    fn(ev.filter(F.col("event_id") % 3 == 1), 1)  # crash replay
+    assert snapshot() == before
+
+    def served():
+        return sorted(
+            (r["event_type"], r["quantile"], r["value"])
+            for r in read_histogram_percentiles(spark, hist).collect()
+        )
+
+    got = served()
+    # one-shot exact quantile of the cent-rounded values, type-1 rank
+    import math
+
+    rows = ev.select("event_type", F.round(F.col("value") * 100).cast("long").alias("b")).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["b"])
+    want = []
+    for t, bs in by_type.items():
+        bs.sort()
+        for q in (50, 95, 99):
+            rank = (q * len(bs) + 99) // 100
+            want.append((t, q / 100.0, round(bs[rank - 1] / 100.0, 2)))
+    assert got == sorted(want)
+
+    assert compact_value_histogram(spark, hist, upto_batch_id=2) == 3
+    assert served() == got
+    n_buckets = len({(t, b) for t, bs in by_type.items() for b in bs})
+    assert spark.read.parquet(f"{hist}/batch_id=-2").count() == n_buckets
