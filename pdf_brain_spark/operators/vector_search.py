@@ -407,3 +407,48 @@ def mmr_rerank_batch(
         )
         .orderBy(query_id, "rank")
     )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    dup_threshold: float = 0.95,
+    anchor_id: str = "anchor_id",
+    anchor_col: str = "anchor_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    each anchor, the most-similar OTHER vectors that are NOT near-
+    duplicates — the negatives that actually carry gradient signal
+    (easy random negatives are trivially separable; near-duplicates are
+    false negatives that poison the loss). Standard practice in dense
+    retrieval training (e.g. DPR, Karpukhin et al. 2020 mines hard
+    negatives from BM25/ANN top results).
+
+    Plan shape is the engine's batch-serving shape: anchors broadcast
+    into one corpus scan, codegen'd cosine, then a per-anchor rank
+    window over (distance, id). The near-dup exclusion compares the
+    6-dp-ROUNDED score against the threshold so the boundary decision
+    is identical across engines. Self-pairs are excluded by id, so an
+    anchor drawn from the corpus never mines itself.
+
+    Returns (anchor_id, id_col, rank 1..k, score) — score on the 1 − d/2
+    scale, rounded 6."""
+    from pyspark.sql import Window
+
+    scored = (
+        vectors.crossJoin(F.broadcast(anchors))
+        .filter(F.col(id_col) != F.col(anchor_id))
+        .withColumn("distance", cosine_distance(F.col(vec_col), F.col(anchor_col)))
+        .withColumn("score", F.round(distance_to_score(F.col("distance")), 6))
+        .filter(F.col("score") < F.lit(float(dup_threshold)))
+        .drop(anchor_col, vec_col)
+    )
+    w = Window.partitionBy(anchor_id).orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(anchor_id, id_col, "rank", "score")
+    )

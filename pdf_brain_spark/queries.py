@@ -162,6 +162,47 @@ def vector_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, embedding AS anchor_vec
+      FROM embeddings WHERE vec_id < 32
+    ),
+    scored AS (
+      SELECT a.anchor_id, e.vec_id,
+             {_duck_cosine_distance('e.embedding', 'a.anchor_vec')} AS d,
+             round(1.0 - {_duck_cosine_distance('e.embedding', 'a.anchor_vec')} / 2.0, 6) AS score
+      FROM embeddings e, anchors a
+      WHERE e.vec_id <> a.anchor_id
+    ),
+    kept AS (SELECT * FROM scored WHERE score < 0.72),
+    ranked AS (
+      SELECT anchor_id, vec_id, score,
+             row_number() OVER (PARTITION BY anchor_id ORDER BY d ASC, vec_id ASC) AS rank
+      FROM kept
+    )
+    SELECT anchor_id, vec_id, rank, score
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (operators/
+    vector_search.py::hard_negatives): per anchor, the most-similar
+    non-near-duplicate vectors — the negatives that carry gradient
+    signal (DPR-style mining). 32 anchors broadcast into one corpus
+    scan; the near-dup exclusion (score >= 0.72 on this corpus's
+    similarity range — exercised at all three scales) compares the
+    6-dp-rounded score so the boundary decision is engine-identical."""
+    from pdf_brain_spark.operators.vector_search import hard_negatives
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    anchors = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_vec")
+    )
+    return hard_negatives(emb, anchors, k=5, dup_threshold=0.72)
+
+
 # --------------------------------------------------------------------------
 # Relational core on the TPC-H-ish star schema (SURVEY §2.3/2.4/2.5/2.6)
 # --------------------------------------------------------------------------

@@ -262,3 +262,35 @@ def test_mmr_rerank_batch_of_one_matches_single(spark):
         assert len({r["vec_id"] for r in rows}) == 5
         top = max(rows, key=lambda r: (r["rel"], -r["vec_id"]))
         assert next(r for r in rows if r["rank"] == 1)["rel"] == top["rel"]
+
+
+def test_hard_negatives_excludes_near_duplicates(spark):
+    """Planted geometry: a near-duplicate of the anchor (score >= thr)
+    must NOT be mined as a negative; the hardest legitimate negative
+    ranks first; the anchor never mines itself."""
+    import numpy as np
+
+    from pdf_brain_spark.operators.vector_search import hard_negatives
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    base /= np.linalg.norm(base)
+    near = base + 0.01 * rng.standard_normal(16)      # ~duplicate, score ~1
+    hardish = base + 0.8 * rng.standard_normal(16)    # similar, below thr
+    far = -base                                        # opposite, score ~0
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in near]),
+        (2, [float(x) for x in hardish]),
+        (3, [float(x) for x in far]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_vec")
+    )
+    got = hard_negatives(vecs, anchors, k=3, dup_threshold=0.95).collect()
+    ids = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert 0 not in ids       # no self-pair
+    assert 1 not in ids       # near-dup excluded
+    assert ids[0] == 2        # hardest legitimate negative first
+    assert all(r["score"] < 0.95 for r in got)
