@@ -218,3 +218,53 @@ def retention_cohorts(
             F.round(F.col("n_users") / F.col("cohort_size"), 6).alias("retention"),
         )
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF (raw term count ×
+    (ln((1+N)/(1+df)) + 1), the sklearn-style smooth idf) — the document
+    fingerprint / keyword surface a corpus pipeline uses for topic
+    routing and near-dup triage at term level.
+
+    Shape: one tokenize/explode pass feeds BOTH frequency aggregates
+    (per-(doc, term) tf and per-term df — each a hash aggregate with
+    map-side partials); their join re-shuffles the doc-term table on
+    term (at 100 TB the vocabulary is fact-sized, so no broadcast —
+    co-partition by term), and the corpus size attaches as a broadcast
+    1-row aggregate, keeping the whole operator a lazy plan. Ranking
+    orders by the 6-dp-ROUNDED score (then term asc) so selection at a
+    score tie is engine-identical — the same determinism discipline as
+    the MMR kernel.
+
+    Returns (id_col, term, rank 1..k, tfidf rounded 6)."""
+    from pyspark.sql.window import Window
+
+    from pdf_brain_spark.functions.text import tokenize
+
+    terms = docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("n_td"))
+    df_ = terms.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("n_td")
+                * (F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "rank", "tfidf")
+    )

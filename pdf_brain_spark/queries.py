@@ -5133,6 +5133,43 @@ def streaming_incremental_rollup_q(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS arr
+      FROM documents
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    terms AS (SELECT doc_id, unnest(arr) AS term FROM base),
+    tf AS (SELECT doc_id, term, count(*) AS n_td FROM terms GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.n_td * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0), 6) AS tfidf
+      FROM tf JOIN df USING (term), n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, rank, tfidf FROM ranked WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (operators/analytics.py::
+    tfidf_top_terms): smoothed idf, selection ordered on the
+    6-dp-rounded score then term — document fingerprinting at term
+    level, completing the text-analysis family next to keyword_scores
+    (the reference's dampened-tf heuristic) with the standard
+    corpus-statistical weighting."""
+    from pdf_brain_spark.operators.analytics import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, "documents", sf_dir), k=3)
+
+
+@query(
     "streaming_incremental_percentiles",
     oracle="""
     WITH b AS (
