@@ -952,3 +952,53 @@ def cut_duplicate_spans(
             F.coalesce(F.col("_n_spans"), F.lit(0)).cast("long").alias("n_spans_cut"),
         )
     )
+
+
+def novelty_scores(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gram-level novelty scoring — the curation weight dual of the
+    duplicate-span detector: per document, the fraction of its token
+    k-gram INSTANCES whose gram appears in no other document. A
+    dedup-aware sampling pipeline up-weights high-novelty documents and
+    down-weights boilerplate-heavy ones without any pair enumeration
+    (Lee et al. 2022 measure duplication's training cost at exactly this
+    substring grain).
+
+    Shape shares the span detector's discipline: one map-side pass
+    builds the gram stream hashed to int64 (8-byte shuffle keys), one
+    groupBy finds each gram's distinct-doc count, and the gram stream
+    re-joins that table on the hash to aggregate per doc — no pair
+    emission, so a million-doc boilerplate gram costs a million rows,
+    never m². Docs with fewer than k tokens have no grams and report
+    NULL novelty (no evidence either way).
+
+    Returns (id_col, n_grams, n_novel, novelty = n_novel / n_grams
+    rounded 6, or NULL when n_grams = 0)."""
+    toks = tokenize(text_col)
+    grams = (
+        _parallelize(docs, id_col)
+        .select(F.col(id_col), F.explode(shingles(toks, k)).alias("gram"))
+        .select(id_col, F.xxhash64("gram").alias("gh"))
+        .localCheckpoint(eager=True)
+    )
+    gram_docs = grams.groupBy("gh").agg(
+        F.count_distinct(F.col(id_col)).alias("nd")
+    )
+    scored = grams.join(gram_docs, "gh").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("nd") == 1, 1).otherwise(0)).alias("n_novel"),
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )

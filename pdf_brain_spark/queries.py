@@ -5133,6 +5133,44 @@ def streaming_incremental_rollup_q(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "doc_novelty_scores",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS arr
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(list_slice(arr, i, i + 7), ' ') AS gram
+      FROM base, LATERAL (SELECT unnest(generate_series(1, len(arr) - 7)) AS i) s
+      WHERE len(arr) >= 8
+    ),
+    gd AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM grams GROUP BY 1),
+    scored AS (
+      SELECT g.doc_id, count(*) AS n_grams,
+             sum(CASE WHEN gd.nd = 1 THEN 1 ELSE 0 END) AS n_novel
+      FROM grams g JOIN gd USING (gram) GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(s.n_novel, 0) AS BIGINT) AS n_novel,
+           round(CAST(s.n_novel AS DOUBLE) / s.n_grams, 6) AS novelty
+    FROM base b LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def doc_novelty_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram-level novelty weights (operators/dedup.py::novelty_scores):
+    per doc, the fraction of its token-8-gram instances unique to it in
+    the corpus — the dedup-aware sampling weight dual of the
+    duplicate-span report, with the same no-pair-emission shape. The
+    oracle re-derives the counts from gram text, certifying the int64
+    gram-hash shuffle key loses nothing."""
+    from pdf_brain_spark.operators.dedup import novelty_scores
+
+    return novelty_scores(load_table(spark, "documents", sf_dir), k=8)
+
+
+@query(
     "tfidf_top_terms",
     oracle="""
     WITH base AS (

@@ -503,3 +503,21 @@ def test_cut_duplicate_spans_multiple_spans_per_doc(spark):
     assert out[0]["n_spans_cut"] == 2
     assert out[0]["tokens_removed"] == 20
     assert out[0]["clean_text"] == mid
+
+
+def test_novelty_scores_planted(spark):
+    """Known answers on the span corpus: the fully-unique doc scores
+    novelty 1.0; docs sharing the planted passage lose exactly the
+    grams fully inside it; short docs (< k tokens) report NULL."""
+    from pdf_brain_spark.operators.dedup import novelty_scores
+
+    corpus = _span_corpus(spark)
+    short = spark.createDataFrame([(9, "too short")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in novelty_scores(corpus.union(short), k=8).collect()}
+    assert out[4]["novelty"] == 1.0
+    assert out[9]["n_grams"] == 0 and out[9]["novelty"] is None
+    # doc 1: 21 tokens -> 14 grams; the 12-token shared passage at
+    # offset 0 contributes 5 grams (starts 0..4) duplicated in docs 0/2
+    assert out[1]["n_grams"] == 14
+    assert out[1]["n_novel"] == 9
+    assert out[1]["novelty"] == round(9 / 14, 6)
