@@ -433,3 +433,59 @@ def gapfill_locf(
         F.last("avg_value", ignorenulls=True).over(w).alias("locf_avg_value"),
         F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
     )
+
+
+def debounce_events(
+    events: DataFrame,
+    epsilon_seconds: int = 60,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Burst-collapse (debounce/throttle) — the telemetry-cleaning
+    staple: collapse each BURST of same-key events into one row, where a
+    burst chains transitively (an event joins the burst if it is within
+    epsilon of the PREVIOUS event, not of the burst head — the standard
+    throttle semantics; a long steady drizzle of sub-epsilon gaps is one
+    burst however long it spans). Retries, double-clicks, and sensor
+    chatter become single logical events; the collapsed count is kept so
+    downstream aggregates can still weight by raw volume.
+
+    Same gaps-and-islands shape as sessionize and duplicate_spans — ONE
+    shuffle on the key, two window passes over the same sort (island
+    numbering, then first-row pick), burst-grain aggregate reusing the
+    partitioning. Per-key state is O(1); a hot key is a big sorted
+    partition, salted upstream if it breaks executor memory (the
+    sessionize_salted play).
+
+    Returns one row per burst: key_cols + (burst_id 0-based per key,
+    ts = burst start, kept id = first event's tiebreak,
+    n_collapsed, burst_span_seconds)."""
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    # all time arithmetic in EXACT MICROSECOND integers: a seconds cast
+    # floors each endpoint independently, so floor(a)−floor(b) disagrees
+    # with the true gap (and with any engine using fractional epochs) by
+    # ±1 around sub-second offsets — the cross-engine class the cent-sums
+    # fixed for values, applied to time
+    us = F.unix_micros(F.col(ts_col))
+    gap_us = us - F.lag(us).over(w)
+    new_burst = F.when(gap_us > epsilon_seconds * 1_000_000, 1).otherwise(0)
+    with_burst = events.select(
+        *keys, ts_col, tiebreak_col
+    ).withColumn("_us", us).withColumn("burst_id", F.sum(new_burst).over(w))
+    return (
+        with_burst.groupBy(*keys, "burst_id")
+        .agg(
+            F.min(ts_col).alias(ts_col),
+            F.min(F.struct(F.col("_us"), F.col(tiebreak_col)))[tiebreak_col].alias(
+                f"kept_{tiebreak_col}"
+            ),
+            F.count(F.lit(1)).alias("n_collapsed"),
+            F.floor((F.max("_us") - F.min("_us")) / F.lit(1_000_000)).alias(
+                "burst_span_seconds"
+            ),
+        )
+    )

@@ -5133,6 +5133,50 @@ def streaming_incremental_rollup_q(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "events_debounce",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    bursts AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(sum(CASE WHEN epoch_us(ts) - prev_us > 60000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS BIGINT) AS burst_id
+      FROM ordered
+    ),
+    sel AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type, burst_id ORDER BY ts, event_id
+      ) AS rn FROM bursts
+    ),
+    stats AS (
+      SELECT user_id, event_type, burst_id,
+             min(ts) AS mts,
+             count(*) AS n_collapsed,
+             (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS burst_span_seconds
+      FROM bursts GROUP BY 1, 2, 3
+    )
+    SELECT s.user_id, s.event_type, s.burst_id,
+           st.mts AS ts, s.event_id AS kept_event_id,
+           st.n_collapsed, st.burst_span_seconds
+    FROM sel s JOIN stats st USING (user_id, event_type, burst_id)
+    WHERE s.rn = 1
+    """,
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-collapse / debounce at 60 s on (user, type)
+    (operators/temporal.py::debounce_events): retries and chatter
+    collapse to one logical event per transitively-chained burst, with
+    the collapsed count and span retained. Gaps-and-islands in one
+    shuffle; DuckDB twin re-derives the identical bursts."""
+    from pdf_brain_spark.operators.temporal import debounce_events
+
+    return debounce_events(load_table(spark, "events", sf_dir), epsilon_seconds=60)
+
+
+@query(
     "doc_novelty_scores",
     oracle="""
     WITH base AS (

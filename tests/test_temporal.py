@@ -418,3 +418,37 @@ def test_count_anomalies_finds_planted_spike(spark):
     assert spiky[0]["n_events"] == 50 and spiky[0]["bucket"].hour == 7
     assert spiky[0]["zscore"] > 4.0
     assert len(flat) == 3 and all(abs(r["zscore"]) < 1e-6 for r in flat)
+
+
+def test_debounce_chained_burst_semantics(spark):
+    """Transitive chaining: a drizzle of sub-epsilon gaps is ONE burst
+    even when its total span exceeds epsilon; a gap just over epsilon
+    starts a new burst; the kept id is the burst's first event."""
+    from datetime import datetime, timedelta
+
+    from pdf_brain_spark.operators.temporal import debounce_events
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # burst A: events at +0s, +50s, +100s, +150s (each gap 50 <= 60,
+    # span 150 > epsilon — still one burst under chaining)
+    for i, off in enumerate([0, 50, 100, 150]):
+        rows.append((1, "click", t0 + timedelta(seconds=off), 100 + i))
+    # 61 s after the LAST event: new burst
+    rows.append((1, "click", t0 + timedelta(seconds=211.5), 200))
+    # other key untouched
+    rows.append((1, "view", t0, 300))
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    got = {
+        (r["user_id"], r["event_type"], r["burst_id"]): r
+        for r in debounce_events(ev, epsilon_seconds=60).collect()
+    }
+    assert set(got) == {(1, "click", 0), (1, "click", 1), (1, "view", 0)}
+    a = got[(1, "click", 0)]
+    assert a["n_collapsed"] == 4 and a["kept_event_id"] == 100
+    assert a["burst_span_seconds"] == 150
+    b = got[(1, "click", 1)]
+    assert b["n_collapsed"] == 1 and b["kept_event_id"] == 200
+    assert b["burst_span_seconds"] == 0
