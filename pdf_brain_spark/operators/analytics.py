@@ -268,3 +268,61 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "rank", "tfidf")
     )
+
+
+def curation_weighted_sample(
+    docs: DataFrame,
+    novelty_k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup-aware corpus curation sampling — the composition a training
+    pipeline actually runs: each document's sampling weight is
+    novelty × quality (gram-level novelty from the duplicate-span
+    machinery × the corpus-filter quality composite), and a document is
+    kept iff its CONTENT-FREE deterministic hash draw falls under the
+    weight. Boilerplate-heavy or low-quality docs are down-sampled
+    smoothly instead of hard-dropped; the draw depends only on the doc
+    id, so membership is reproducible row-locally (the same property the
+    train/val/test split guarantees — a row's fate never depends on the
+    rest of the corpus once its weight is computed).
+
+    Determinism discipline: the weight is materialized as INTEGER
+    micro-units (round(novelty × quality × 1e6)) and compared against
+    the hash draw's residue mod 1e6 — an integer-vs-integer decision,
+    so no float rounding mode can flip membership across engines. Docs
+    too short to carry grams (novelty NULL) default to full novelty.
+
+    Returns the kept docs: (id_col, novelty, quality, weight,
+    draw) with weight/draw in [0, 1) at micro-unit resolution."""
+    from pdf_brain_spark.functions.text import quality_score
+    from pdf_brain_spark.operators.dedup import novelty_scores
+
+    nov = novelty_scores(docs, k=novelty_k, id_col=id_col, text_col=text_col).select(
+        id_col, "novelty"
+    )
+    q = quality_score(F.col(text_col))
+    weighted = (
+        docs.select(id_col, text_col)
+        .join(nov, id_col)
+        .withColumn("_nov", F.coalesce(F.col("novelty"), F.lit(1.0)))
+        .withColumn(
+            "_wi", F.round(F.col("_nov") * q * F.lit(1_000_000)).cast("long")
+        )
+        .withColumn(
+            "_draw",
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % F.lit(1_000_000),
+        )
+    )
+    return (
+        weighted.filter(F.col("_draw") < F.col("_wi"))
+        .select(
+            F.col(id_col),
+            F.round(F.col("_nov"), 6).alias("novelty"),
+            F.round(q, 6).alias("quality"),
+            (F.col("_wi").cast("double") / F.lit(1_000_000.0)).alias("weight"),
+            (F.col("_draw").cast("double") / F.lit(1_000_000.0)).alias("draw"),
+        )
+    )

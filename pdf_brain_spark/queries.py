@@ -5133,6 +5133,74 @@ def streaming_incremental_rollup_q(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "corpus_curation_sample",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS arr
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(list_slice(arr, i, i + 7), ' ') AS gram
+      FROM base, LATERAL (SELECT unnest(generate_series(1, len(arr) - 7)) AS i) s
+      WHERE len(arr) >= 8
+    ),
+    gd AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM grams GROUP BY 1),
+    novel AS (
+      SELECT g.doc_id, count(*) AS n_grams,
+             sum(CASE WHEN gd.nd = 1 THEN 1 ELSE 0 END) AS n_novel
+      FROM grams g JOIN gd USING (gram) GROUP BY 1
+    ),
+    feats AS (
+      SELECT b.doc_id,
+             coalesce(round(CAST(nv.n_novel AS DOUBLE) / nv.n_grams, 6), 1.0) AS novr,
+             len(b.arr) AS n_tok,
+             length(b.text) AS n_chars,
+             (length(b.text) - length(regexp_replace(b.text, '[.!?,;:]', '', 'g')))
+               / CAST(length(b.text) AS DOUBLE) AS punct,
+             len(list_filter(b.arr,
+                 t -> t IN ('the','and','of','to','a','in','is','that','it','for')))
+               AS en_hits
+      FROM base b LEFT JOIN novel nv USING (doc_id)
+    ),
+    weighted AS (
+      SELECT doc_id, novr,
+             least(n_tok / 100.0, 1.0)
+             * (CASE WHEN n_tok > 0 AND n_chars / CAST(n_tok AS DOUBLE) >= 3.0
+                          AND n_chars / CAST(n_tok AS DOUBLE) <= 12.0
+                     THEN 1.0 ELSE 0.5 END)
+             * (1.0 - least(punct * 5.0, 1.0))
+             * (CASE WHEN en_hits > 0 THEN 1.0 ELSE 0.7 END) AS q
+      FROM feats
+    ),
+    decided AS (
+      SELECT doc_id, novr, q,
+             CAST(round(novr * q * 1000000) AS BIGINT) AS wi,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000000 AS draw_i
+      FROM weighted
+    )
+    SELECT doc_id,
+           round(novr, 6) AS novelty,
+           round(q, 6) AS quality,
+           CAST(wi AS DOUBLE) / 1000000.0 AS weight,
+           CAST(draw_i AS DOUBLE) / 1000000.0 AS draw
+    FROM decided WHERE draw_i < wi
+    """,
+)
+def corpus_curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware curation sampling (operators/analytics.py::
+    curation_weighted_sample): sampling weight = gram-level novelty ×
+    quality composite; membership decided by comparing the content-free
+    per-doc hash draw against the weight in INTEGER micro-units — the
+    flagship composition of the dedup, text-quality, and deterministic-
+    sampling families into the pass a training pipeline actually runs."""
+    from pdf_brain_spark.operators.analytics import curation_weighted_sample
+
+    return curation_weighted_sample(load_table(spark, "documents", sf_dir))
+
+
+@query(
     "events_debounce",
     oracle="""
     WITH ordered AS (
