@@ -5381,6 +5381,68 @@ def streaming_incremental_percentiles_q(spark: SparkSession, sf_dir: str) -> Dat
 
 
 @query(
+    "streaming_rollup_backfill",
+    oracle="""
+    WITH h AS (SELECT time_bucket(INTERVAL 1 HOUR, min(ts)) AS h0 FROM events),
+    norm AS (
+      SELECT e.event_type, e.ts,
+             CASE WHEN time_bucket(INTERVAL 1 HOUR, e.ts) = h.h0
+                  THEN round(e.value * 2, 2) ELSE e.value END AS value
+      FROM events e, h
+    )
+    SELECT event_type,
+           time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 4) AS total_value
+    FROM norm
+    GROUP BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+    """,
+)
+def streaming_rollup_backfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run + REPAIR of the incremental rollup
+    (streaming/events.py::backfill_rollup): events stream in as two
+    parity micro-batches, then the FIRST HOUR of history turns out to be
+    wrong (every value doubled on re-measurement) and a backfill
+    generation with floor=1 replaces that hour's additive partials with
+    corrected ones — replacement semantics on the append-only store,
+    reader-safe by namespace precedence. Served result must equal the
+    one-shot batch rollup over the corrected fact table, which is the
+    DuckDB oracle."""
+    import shutil
+    import tempfile
+
+    from pdf_brain_spark.streaming.events import (
+        backfill_rollup,
+        read_rollup,
+        streaming_incremental_rollup,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "ts", "value"
+    )
+    root = tempfile.mkdtemp(prefix="sgraft_sbf_")
+    stage, roll, ckpt = (f"{root}/{d}" for d in ("stage", "rollup", "ckpt"))
+    try:
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(stage)
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        streaming_incremental_rollup(spark, stream, roll, ckpt).awaitTermination()
+        h0 = ev.agg(F.date_trunc("hour", F.min("ts")).alias("h")).first()["h"]
+        corrected = ev.filter(
+            F.date_trunc("hour", F.col("ts")) == F.lit(h0)
+        ).withColumn("value", F.round(F.col("value") * 2, 2))
+        backfill_rollup(spark, roll, corrected, floor_batch_id=1)
+        return read_rollup(spark, roll).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "stratified_sample_per_source",
     oracle="""
     WITH ranked AS (

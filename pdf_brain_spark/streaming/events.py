@@ -400,15 +400,15 @@ def streaming_incremental_rollup(
 def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     """Serve the incremental rollup: re-aggregate the persisted partials
     across the LIVE batch generations (generation protocol — safe to
-    read mid-compaction). |rows| = Σ per-batch distinct buckets —
-    bucket grain × generation count, compacted by compact_rollup when
-    generations accumulate."""
-    from pdf_brain_spark.streaming.generations import live_generation_dirs
-
-    parts = spark.read.option("basePath", rollup_dir).parquet(
-        *live_generation_dirs(spark, rollup_dir)
-    )
-    return parts.groupBy("event_type", "window_start").agg(
+    read mid-compaction), honoring any BACKFILL generations
+    (backfill_rollup): a backfilled bucket takes its corrected partials
+    from the newest applicable backfill plus only the additive
+    generations newer than that backfill's floor. |rows| = Σ per-batch
+    distinct buckets — bucket grain × generation count, compacted by
+    compact_rollup when generations accumulate."""
+    return _rollup_kept_rows(spark, rollup_dir).groupBy(
+        "event_type", "window_start"
+    ).agg(
         F.sum("n_partial").alias("n_events"),
         F.round(
             F.sum("sum_cents_partial").cast("double") / F.lit(100.0), 4
@@ -416,27 +416,173 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     )
 
 
-def compact_rollup(spark: SparkSession, rollup_dir: str, upto_batch_id: int) -> int:
-    """Compact rollup partials: merge every live generation covering
-    ≤ upto_batch_id into one compacted generation whose rows are the
-    bucket-grain MERGED partials (n and cent-sums summed — exact, since
-    both are integers), so the compacted generation holds at most
-    |buckets| rows however many micro-batches it replaced. Same
-    reader-safe write→rename→delete protocol as compact_band_index."""
-    from pdf_brain_spark.streaming.generations import compact_generations
+def _rollup_kept_rows(
+    spark: SparkSession, rollup_dir: str, upto: int | None = None
+):
+    """The partial rows the serve semantics keeps — shared by
+    read_rollup and the floor-aware compactor so the two can never
+    disagree. Selection:
 
-    def _rewrite(src_dirs: list[str], tmp: str) -> None:
-        merged = (
-            spark.read.parquet(*src_dirs)
-            .groupBy("event_type", "window_start")
-            .agg(
-                F.sum("n_partial").alias("n_partial"),
-                F.sum("sum_cents_partial").alias("sum_cents_partial"),
-            )
+      * additive: live generations (compaction precedence), optionally
+        restricted to coverage <= upto;
+      * backfill: dirs with floor > m* (the newest compacted coverage —
+        floors at or below it were materialized by a compaction and the
+        dirs are dead, swept later), optionally floor <= upto;
+      * per backfilled bucket: rows of the NEWEST applicable backfill,
+        plus additive rows with coverage strictly above that floor
+        (late additive data on top of the correction); non-backfilled
+        buckets keep all additive rows."""
+    from pdf_brain_spark.streaming.generations import (
+        backfill_floors,
+        coverage,
+        generation_ids,
+        live_generation_ids,
+    )
+
+    ids = live_generation_ids(generation_ids(spark, rollup_dir))
+    m_star = max([coverage(g) for g in ids if g < 0], default=-1)
+    floors = [k for k in backfill_floors(spark, rollup_dir) if k > m_star]
+    if upto is not None:
+        ids = [g for g in ids if coverage(g) <= upto]
+        floors = [k for k in floors if k <= upto]
+    cols = ["event_type", "window_start", "n_partial", "sum_cents_partial"]
+    schema = (
+        "event_type string, window_start timestamp, n_partial bigint, "
+        "sum_cents_partial bigint, _cov bigint"
+    )
+    if ids:
+        adds = spark.read.option("basePath", rollup_dir).parquet(
+            *[f"{rollup_dir}/batch_id={g}" for g in ids]
+        ).select(*cols, F.abs(F.col("batch_id")).alias("_cov"))
+    else:
+        adds = spark.createDataFrame([], schema)
+    if not floors:
+        return adds.drop("_cov")
+    bucket = ["event_type", "window_start"]
+    backs = spark.read.option("basePath", rollup_dir).parquet(
+        *[f"{rollup_dir}/backfill_floor={k}" for k in floors]
+    )
+    fl = backs.groupBy(*bucket).agg(F.max("backfill_floor").alias("_fl"))
+    backs_kept = (
+        backs.join(fl, bucket)
+        .filter(F.col("backfill_floor") == F.col("_fl"))
+        .select(*cols)
+    )
+    adds_kept = (
+        adds.join(F.broadcast(fl), bucket, "left")
+        .filter(F.col("_fl").isNull() | (F.col("_cov") > F.col("_fl")))
+        .select(*cols)
+    )
+    return adds_kept.unionByName(backs_kept)
+
+
+def backfill_rollup(
+    spark: SparkSession,
+    rollup_dir: str,
+    corrected_events: DataFrame,
+    floor_batch_id: int,
+) -> None:
+    """REPLACEMENT semantics on the append-only rollup store — the
+    production repair the additive partials model cannot express: when a
+    slice of history turns out to be WRONG (bad sensor, bug-era double
+    counting), late additive partials can only add, never retract. A
+    backfill generation carries the CORRECTED full partials for its
+    buckets, recomputed from the corrected fact slice, and declares (via
+    its floor) that for those buckets every additive generation covering
+    <= floor is superseded; additive batches newer than the floor still
+    apply on top, so the stream never pauses.
+
+    Reader-safe by the same namespace precedence as compaction: the dir
+    appears atomically (single overwrite into its own
+    `backfill_floor=K` dir — idempotent on retry, like a micro-batch),
+    readers either see it or not, and a later compaction materializes
+    the resolution and retires the dir. Floor contract: must exceed the
+    newest compacted coverage (otherwise the backfill would be dead on
+    arrival) and must only cover stream batches that are committed."""
+    from pdf_brain_spark.streaming.generations import (
+        coverage,
+        generation_ids,
+    )
+
+    m_star = max(
+        [coverage(g) for g in generation_ids(spark, rollup_dir) if g < 0],
+        default=-1,
+    )
+    if floor_batch_id <= m_star:
+        raise ValueError(
+            f"backfill floor {floor_batch_id} is at or below the newest "
+            f"compacted coverage {m_star}: it would be superseded on arrival. "
+            "Backfill above the compaction frontier (or recompute from facts)."
         )
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    partial = corrected_events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("window_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_partial"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents_partial"),
+    )
+    partial.write.mode("overwrite").parquet(
+        f"{rollup_dir}/backfill_floor={floor_batch_id}"
+    )
 
-    return compact_generations(spark, rollup_dir, upto_batch_id, _rewrite)
+
+def compact_rollup(spark: SparkSession, rollup_dir: str, upto_batch_id: int) -> int:
+    """Floor-aware rollup compaction: merge every live additive
+    generation covering ≤ upto_batch_id AND every applicable backfill
+    generation (floor in (m*, upto]) into one compacted generation
+    holding the bucket-grain RESOLVED partials — the serve semantics
+    materialized (corrected buckets keep backfill + post-floor additive
+    rows only), computed by the same `_rollup_kept_rows` the reader
+    uses, so compaction can never disagree with serving. The compacted
+    id is -max(coverage, floors), so the new generation supersedes both
+    the consumed additive dirs AND the consumed backfill dirs
+    (precedence: -m kills floors ≤ m); deletes happen after the atomic
+    rename, and dead dirs from either namespace are swept. Returns the
+    number of generations (additive + backfill) merged."""
+    from pdf_brain_spark.streaming.generations import (
+        _fs,
+        backfill_floors,
+        coverage,
+        generation_ids,
+        live_generation_ids,
+    )
+
+    HPath, fs = _fs(spark, rollup_dir)
+    all_ids = generation_ids(spark, rollup_dir)
+    live = live_generation_ids(all_ids)
+    m_star = max([coverage(g) for g in live if g < 0], default=-1)
+    all_floors = backfill_floors(spark, rollup_dir)
+    # sweep: additive dirs superseded by precedence, backfill dirs at or
+    # below the compaction frontier — both invisible to readers
+    for g in set(all_ids) - set(live):
+        fs.delete(HPath(f"{rollup_dir}/batch_id={g}"), True)
+    for k in all_floors:
+        if k <= m_star:
+            fs.delete(HPath(f"{rollup_dir}/backfill_floor={k}"), True)
+    src_add = [g for g in live if coverage(g) <= upto_batch_id]
+    src_fl = [k for k in all_floors if m_star < k <= upto_batch_id]
+    if len(src_add) + len(src_fl) < 2:
+        return 0
+    m = max([coverage(g) for g in src_add] + src_fl)
+    if src_add == [-m] and not src_fl:
+        return 0  # lone compacted gen: nothing new (see compact_generations)
+    merged = (
+        _rollup_kept_rows(spark, rollup_dir, upto=upto_batch_id)
+        .groupBy("event_type", "window_start")
+        .agg(
+            F.sum("n_partial").alias("n_partial"),
+            F.sum("sum_cents_partial").alias("sum_cents_partial"),
+        )
+    )
+    tmp = f"{rollup_dir}/.compact_tmp_{m}"
+    fs.delete(HPath(tmp), True)
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs.rename(HPath(tmp), HPath(f"{rollup_dir}/batch_id={-m}"))
+    for g in src_add:
+        if g != -m:
+            fs.delete(HPath(f"{rollup_dir}/batch_id={g}"), True)
+    for k in src_fl:
+        fs.delete(HPath(f"{rollup_dir}/backfill_floor={k}"), True)
+    return len(src_add) + len(src_fl)
 
 
 def make_value_histogram_batch_fn(hist_dir: str):

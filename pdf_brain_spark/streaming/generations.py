@@ -146,3 +146,29 @@ def compact_generations(
         if g != -m:
             fs.delete(HPath(f"{index_dir}/batch_id={g}"), True)
     return len(sources)
+
+
+def backfill_floors(spark: SparkSession, index_dir: str) -> list[int]:
+    """All `backfill_floor=<int>` generation dirs under index_dir — the
+    REPLACEMENT-semantics namespace (see streaming/events.py::
+    backfill_rollup): a backfill generation carries corrected FULL
+    partials for its buckets and declares that, for those buckets, it
+    supersedes every additive generation covering <= its floor. A
+    compacted generation -m in turn supersedes backfill dirs with
+    floor <= m (they were materialized into it, or were already dead) —
+    the same precedence shape as the additive namespace, so the two
+    compose: readers consult only floors above the newest compacted
+    coverage."""
+    HPath, fs = _fs(spark, index_dir)
+    if not fs.exists(HPath(index_dir)):
+        return []
+    out = []
+    for st in fs.listStatus(HPath(index_dir)):
+        name = st.getPath().getName()
+        if not name.startswith("backfill_floor="):
+            continue
+        try:
+            out.append(int(name.split("=", 1)[1]))
+        except ValueError:
+            continue
+    return sorted(out)

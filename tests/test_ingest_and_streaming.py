@@ -752,3 +752,97 @@ def test_incremental_percentiles_replay_merge_compact(spark, tmp_path):
     assert served() == got
     n_buckets = len({(t, b) for t, bs in by_type.items() for b in bs})
     assert spark.read.parquet(f"{hist}/batch_id=-2").count() == n_buckets
+
+
+def test_rollup_backfill_replacement_semantics(spark, tmp_path):
+    """Backfill = REPLACEMENT on the append-only rollup store
+    (streaming/events.py::backfill_rollup): corrected partials for a
+    bucket supersede every additive generation at or below the floor,
+    later additive batches still apply on top, compaction materializes
+    the resolution (via the same kept-rows selection the reader uses)
+    and retires the backfill dir, and a resurrected dead backfill dir
+    stays invisible (precedence)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from pdf_brain_spark.sources.loaders import load_table
+    from pdf_brain_spark.streaming.events import (
+        backfill_rollup,
+        compact_rollup,
+        make_rollup_batch_fn,
+        read_rollup,
+    )
+    from pdf_brain_spark.streaming.generations import backfill_floors, generation_ids
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    roll = str(tmp_path / "rollup")
+    fn = make_rollup_batch_fn(roll)
+    for b in range(3):
+        fn(ev.filter(F.col("event_id") % 3 == b), b)
+
+    def served():
+        return {
+            (r["event_type"], str(r["window_start"])): (r["n_events"], r["total_value"])
+            for r in read_rollup(spark, roll).collect()
+        }
+
+    base = served()
+
+    # the corrected slice: hour H re-measured, every value doubled
+    h0 = ev.agg(F.date_trunc("hour", F.min("ts")).alias("h")).first()["h"]
+    in_h = F.date_trunc("hour", F.col("ts")) == F.lit(h0)
+    corrected = ev.filter(in_h).withColumn("value", F.round(F.col("value") * 2, 2))
+    backfill_rollup(spark, roll, corrected, floor_batch_id=2)
+
+    want = dict(base)
+    for r in (
+        corrected.groupBy("event_type", F.date_trunc("hour", "ts").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0, 4
+            ).alias("tv"),
+        )
+        .collect()
+    ):
+        want[(r["event_type"], str(r["w"]))] = (r["n"], r["tv"])
+    got = served()
+    assert got == want and got != base
+
+    # replay-idempotent: rewriting the same backfill changes nothing
+    backfill_rollup(spark, roll, corrected, floor_batch_id=2)
+    assert served() == want
+
+    # late additive data lands ON TOP of the correction
+    late = ev.filter(in_h & (F.col("event_id") % 3 == 0))
+    fn(late, 3)
+    got2 = served()
+    for r in (
+        late.groupBy("event_type", F.date_trunc("hour", "ts").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+        .collect()
+    ):
+        k = (r["event_type"], str(r["w"]))
+        n0, tv0 = want[k]
+        assert got2[k] == (n0 + r["n"], round(tv0 + r["c"] / 100.0, 4))
+
+    # compaction resolves floors with the reader's own selection
+    shutil.copytree(f"{roll}/backfill_floor=2", str(tmp_path / "bak_fl"))
+    assert compact_rollup(spark, roll, upto_batch_id=3) == 5  # gens 0-3 + 1 backfill
+    assert generation_ids(spark, roll) == [-3]
+    assert backfill_floors(spark, roll) == []
+    assert served() == got2
+
+    # a resurrected dead backfill dir (floor 2 <= compacted coverage 3)
+    # is invisible to readers and swept by the next compaction pass
+    shutil.copytree(str(tmp_path / "bak_fl"), f"{roll}/backfill_floor=2")
+    assert served() == got2
+    assert compact_rollup(spark, roll, upto_batch_id=3) == 0
+    assert backfill_floors(spark, roll) == []
+
+    # floor at or below the compaction frontier is refused
+    with _pytest.raises(ValueError):
+        backfill_rollup(spark, roll, corrected, floor_batch_id=3)
