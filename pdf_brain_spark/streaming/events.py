@@ -419,61 +419,18 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
 def _rollup_kept_rows(
     spark: SparkSession, rollup_dir: str, upto: int | None = None
 ):
-    """The partial rows the serve semantics keeps — shared by
-    read_rollup and the floor-aware compactor so the two can never
-    disagree. Selection:
+    """Rollup instantiation of the generic mergeable-partials selection
+    (streaming/generations.py::kept_partial_rows) — one selection shared
+    by the reader and the compactor so they can never disagree."""
+    from pdf_brain_spark.streaming.generations import kept_partial_rows
 
-      * additive: live generations (compaction precedence), optionally
-        restricted to coverage <= upto;
-      * backfill: dirs with floor > m* (the newest compacted coverage —
-        floors at or below it were materialized by a compaction and the
-        dirs are dead, swept later), optionally floor <= upto;
-      * per backfilled bucket: rows of the NEWEST applicable backfill,
-        plus additive rows with coverage strictly above that floor
-        (late additive data on top of the correction); non-backfilled
-        buckets keep all additive rows."""
-    from pdf_brain_spark.streaming.generations import (
-        backfill_floors,
-        coverage,
-        generation_ids,
-        live_generation_ids,
+    return kept_partial_rows(
+        spark,
+        rollup_dir,
+        ["event_type", "window_start"],
+        ["n_partial", "sum_cents_partial"],
+        upto=upto,
     )
-
-    ids = live_generation_ids(generation_ids(spark, rollup_dir))
-    m_star = max([coverage(g) for g in ids if g < 0], default=-1)
-    floors = [k for k in backfill_floors(spark, rollup_dir) if k > m_star]
-    if upto is not None:
-        ids = [g for g in ids if coverage(g) <= upto]
-        floors = [k for k in floors if k <= upto]
-    cols = ["event_type", "window_start", "n_partial", "sum_cents_partial"]
-    schema = (
-        "event_type string, window_start timestamp, n_partial bigint, "
-        "sum_cents_partial bigint, _cov bigint"
-    )
-    if ids:
-        adds = spark.read.option("basePath", rollup_dir).parquet(
-            *[f"{rollup_dir}/batch_id={g}" for g in ids]
-        ).select(*cols, F.abs(F.col("batch_id")).alias("_cov"))
-    else:
-        adds = spark.createDataFrame([], schema)
-    if not floors:
-        return adds.drop("_cov")
-    bucket = ["event_type", "window_start"]
-    backs = spark.read.option("basePath", rollup_dir).parquet(
-        *[f"{rollup_dir}/backfill_floor={k}" for k in floors]
-    )
-    fl = backs.groupBy(*bucket).agg(F.max("backfill_floor").alias("_fl"))
-    backs_kept = (
-        backs.join(fl, bucket)
-        .filter(F.col("backfill_floor") == F.col("_fl"))
-        .select(*cols)
-    )
-    adds_kept = (
-        adds.join(F.broadcast(fl), bucket, "left")
-        .filter(F.col("_fl").isNull() | (F.col("_cov") > F.col("_fl")))
-        .select(*cols)
-    )
-    return adds_kept.unionByName(backs_kept)
 
 
 def backfill_rollup(
@@ -499,30 +456,15 @@ def backfill_rollup(
     the resolution and retires the dir. Floor contract: must exceed the
     newest compacted coverage (otherwise the backfill would be dead on
     arrival) and must only cover stream batches that are committed."""
-    from pdf_brain_spark.streaming.generations import (
-        coverage,
-        generation_ids,
-    )
+    from pdf_brain_spark.streaming.generations import backfill_partials
 
-    m_star = max(
-        [coverage(g) for g in generation_ids(spark, rollup_dir) if g < 0],
-        default=-1,
-    )
-    if floor_batch_id <= m_star:
-        raise ValueError(
-            f"backfill floor {floor_batch_id} is at or below the newest "
-            f"compacted coverage {m_star}: it would be superseded on arrival. "
-            "Backfill above the compaction frontier (or recompute from facts)."
-        )
     partial = corrected_events.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("window_start")
     ).agg(
         F.count(F.lit(1)).alias("n_partial"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents_partial"),
     )
-    partial.write.mode("overwrite").parquet(
-        f"{rollup_dir}/backfill_floor={floor_batch_id}"
-    )
+    backfill_partials(spark, rollup_dir, partial, floor_batch_id)
 
 
 def compact_rollup(spark: SparkSession, rollup_dir: str, upto_batch_id: int) -> int:
@@ -538,51 +480,15 @@ def compact_rollup(spark: SparkSession, rollup_dir: str, upto_batch_id: int) -> 
     (precedence: -m kills floors ≤ m); deletes happen after the atomic
     rename, and dead dirs from either namespace are swept. Returns the
     number of generations (additive + backfill) merged."""
-    from pdf_brain_spark.streaming.generations import (
-        _fs,
-        backfill_floors,
-        coverage,
-        generation_ids,
-        live_generation_ids,
-    )
+    from pdf_brain_spark.streaming.generations import compact_partials
 
-    HPath, fs = _fs(spark, rollup_dir)
-    all_ids = generation_ids(spark, rollup_dir)
-    live = live_generation_ids(all_ids)
-    m_star = max([coverage(g) for g in live if g < 0], default=-1)
-    all_floors = backfill_floors(spark, rollup_dir)
-    # sweep: additive dirs superseded by precedence, backfill dirs at or
-    # below the compaction frontier — both invisible to readers
-    for g in set(all_ids) - set(live):
-        fs.delete(HPath(f"{rollup_dir}/batch_id={g}"), True)
-    for k in all_floors:
-        if k <= m_star:
-            fs.delete(HPath(f"{rollup_dir}/backfill_floor={k}"), True)
-    src_add = [g for g in live if coverage(g) <= upto_batch_id]
-    src_fl = [k for k in all_floors if m_star < k <= upto_batch_id]
-    if len(src_add) + len(src_fl) < 2:
-        return 0
-    m = max([coverage(g) for g in src_add] + src_fl)
-    if src_add == [-m] and not src_fl:
-        return 0  # lone compacted gen: nothing new (see compact_generations)
-    merged = (
-        _rollup_kept_rows(spark, rollup_dir, upto=upto_batch_id)
-        .groupBy("event_type", "window_start")
-        .agg(
-            F.sum("n_partial").alias("n_partial"),
-            F.sum("sum_cents_partial").alias("sum_cents_partial"),
-        )
+    return compact_partials(
+        spark,
+        rollup_dir,
+        upto_batch_id,
+        ["event_type", "window_start"],
+        ["n_partial", "sum_cents_partial"],
     )
-    tmp = f"{rollup_dir}/.compact_tmp_{m}"
-    fs.delete(HPath(tmp), True)
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    fs.rename(HPath(tmp), HPath(f"{rollup_dir}/batch_id={-m}"))
-    for g in src_add:
-        if g != -m:
-            fs.delete(HPath(f"{rollup_dir}/batch_id={g}"), True)
-    for k in src_fl:
-        fs.delete(HPath(f"{rollup_dir}/backfill_floor={k}"), True)
-    return len(src_add) + len(src_fl)
 
 
 def make_value_histogram_batch_fn(hist_dir: str):
@@ -636,14 +542,20 @@ def read_histogram_percentiles(
     and pick, for each quantile q%, the smallest bucket whose cumulative
     count reaches rank ceil(q·n/100) — the classic type-1 quantile, with
     the rank computed in INTEGER arithmetic ((q·n + 99) div 100) so no
-    float ceil boundary can differ across engines. Returns (event_type,
-    quantile, value) with value = bucket/100."""
+    float ceil boundary can differ across engines. Reads through the
+    generic partials selection (generations.py::kept_partial_rows), so
+    backfill generations (backfill_value_histogram) are honored and
+    mid-compaction reads are safe. Returns (event_type, quantile,
+    value) with value = bucket/100."""
     from pyspark.sql.window import Window
 
-    from pdf_brain_spark.streaming.generations import live_generation_dirs
+    from pdf_brain_spark.streaming.generations import kept_partial_rows
 
-    parts = spark.read.option("basePath", hist_dir).parquet(
-        *live_generation_dirs(spark, hist_dir)
+    # floor grain = event_type: a histogram correction moves events
+    # between value cells, so a backfill replaces the TYPE's whole
+    # distribution up to its floor (see backfill_value_histogram)
+    parts = kept_partial_rows(
+        spark, hist_dir, ["event_type", "bucket"], ["n"], floor_cols=["event_type"]
     )
     hist = parts.groupBy("event_type", "bucket").agg(F.sum("n").alias("n"))
     w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
@@ -668,19 +580,40 @@ def read_histogram_percentiles(
     )
 
 
+def backfill_value_histogram(
+    spark: SparkSession,
+    hist_dir: str,
+    corrected_events: DataFrame,
+    floor_batch_id: int,
+) -> None:
+    """Replacement semantics for the histogram store (the rollup's
+    backfill_rollup, at cent-bucket grain): corrected FULL histogram
+    partials supersede additive generations covering <= floor at
+    EVENT_TYPE grain — not cell grain, because a correction moves events
+    between value cells and a cell-grain replacement would leave the
+    vacated stale cells standing. Consequence of the type-grain floor:
+    `corrected_events` must be each affected type's COMPLETE corrected
+    history up to the floor (a value distribution cannot be patched from
+    a sub-slice), and this helper recomputes that full per-type
+    histogram from the corrected facts."""
+    from pdf_brain_spark.streaming.generations import backfill_partials
+
+    partial = corrected_events.groupBy(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    backfill_partials(spark, hist_dir, partial, floor_batch_id)
+
+
 def compact_value_histogram(spark: SparkSession, hist_dir: str, upto_batch_id: int) -> int:
     """Compact histogram partials: merge live generations covering
-    ≤ upto_batch_id into one compacted generation holding the bucket-
-    grain SUMMED histogram (integer addition — exact). Same reader-safe
-    protocol as the other compactors."""
-    from pdf_brain_spark.streaming.generations import compact_generations
+    ≤ upto_batch_id (and applicable backfill generations) into one
+    compacted generation holding the bucket-grain RESOLVED histogram
+    (integer addition — exact), via the generic floor-aware compactor
+    that shares the reader's selection."""
+    from pdf_brain_spark.streaming.generations import compact_partials
 
-    def _rewrite(src_dirs: list[str], tmp: str) -> None:
-        merged = (
-            spark.read.parquet(*src_dirs)
-            .groupBy("event_type", "bucket")
-            .agg(F.sum("n").alias("n"))
-        )
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-
-    return compact_generations(spark, hist_dir, upto_batch_id, _rewrite)
+    return compact_partials(
+        spark, hist_dir, upto_batch_id, ["event_type", "bucket"], ["n"],
+        floor_cols=["event_type"],
+    )

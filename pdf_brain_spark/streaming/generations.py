@@ -172,3 +172,162 @@ def backfill_floors(spark: SparkSession, index_dir: str) -> list[int]:
         except ValueError:
             continue
     return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# Generic mergeable-partials store: the shared machinery behind the rollup
+# and histogram maintenance — per-batch additive partials (integer-mergeable
+# value columns at bucket grain), backfill generations with replacement
+# semantics, and a floor-aware compactor that materializes the reader's own
+# selection. Parameterized by (bucket_cols, value_cols); the domain modules
+# own the partial computation and the serve-time presentation.
+# ---------------------------------------------------------------------------
+
+
+def kept_partial_rows(
+    spark: SparkSession,
+    store_dir: str,
+    bucket_cols: list[str],
+    value_cols: list[str],
+    upto: int | None = None,
+    floor_cols: list[str] | None = None,
+):
+    """The partial rows the serve semantics keeps — ONE selection shared
+    by readers and the compactor so they can never disagree:
+
+      * additive: live generations (compaction precedence), optionally
+        restricted to coverage <= upto;
+      * backfill: dirs with floor > m* (the newest compacted coverage —
+        floors at or below it were materialized by a compaction and the
+        dirs are dead, swept later), optionally floor <= upto;
+      * per backfilled FLOOR GROUP: rows of the NEWEST applicable
+        backfill, plus additive rows with coverage strictly above that
+        floor (late additive data on top of the correction);
+        non-backfilled groups keep all additive rows.
+
+    `floor_cols` is the REPLACEMENT GRAIN — the key at which a backfill
+    supersedes additive history. It defaults to `bucket_cols`, which is
+    right when corrections stay within their bucket (the rollup: a
+    re-measured hour is still that hour). When corrections MOVE rows
+    between buckets — a value-keyed histogram, where fixing a value
+    changes its cell — the floor grain must be the stable part of the
+    key (e.g. just event_type) and the backfill must carry that group's
+    COMPLETE corrected partials, else stale cells the correction
+    vacated would survive."""
+    from pyspark.sql import functions as F
+
+    floor_cols = list(floor_cols) if floor_cols is not None else list(bucket_cols)
+    ids = live_generation_ids(generation_ids(spark, store_dir))
+    m_star = max([coverage(g) for g in ids if g < 0], default=-1)
+    floors = [k for k in backfill_floors(spark, store_dir) if k > m_star]
+    if upto is not None:
+        ids = [g for g in ids if coverage(g) <= upto]
+        floors = [k for k in floors if k <= upto]
+    cols = list(bucket_cols) + list(value_cols)
+    adds = None
+    if ids:
+        adds = spark.read.option("basePath", store_dir).parquet(
+            *[f"{store_dir}/batch_id={g}" for g in ids]
+        ).select(*cols, F.abs(F.col("batch_id")).alias("_cov"))
+    if not floors:
+        if adds is None:
+            raise ValueError(f"partials store {store_dir} has no live generations")
+        return adds.drop("_cov")
+    backs = spark.read.option("basePath", store_dir).parquet(
+        *[f"{store_dir}/backfill_floor={k}" for k in floors]
+    )
+    fl = backs.groupBy(*floor_cols).agg(F.max("backfill_floor").alias("_fl"))
+    backs_kept = (
+        backs.join(fl, floor_cols)
+        .filter(F.col("backfill_floor") == F.col("_fl"))
+        .select(*cols)
+    )
+    if adds is None:
+        return backs_kept
+    adds_kept = (
+        adds.join(F.broadcast(fl), floor_cols, "left")
+        .filter(F.col("_fl").isNull() | (F.col("_cov") > F.col("_fl")))
+        .select(*cols)
+    )
+    return adds_kept.unionByName(backs_kept)
+
+
+def backfill_partials(spark: SparkSession, store_dir: str, partial_df, floor: int) -> None:
+    """Write a backfill generation (replacement semantics — see
+    backfill_floors): `partial_df` must hold the CORRECTED full partials
+    for the buckets it covers, at the store's partial schema. The write
+    is a single overwrite into the floor's own dir — idempotent on
+    retry, atomic-on-appearance to readers. Floor contract: above the
+    newest compacted coverage, and covering only committed batches."""
+    m_star = max(
+        [coverage(g) for g in generation_ids(spark, store_dir) if g < 0],
+        default=-1,
+    )
+    if floor <= m_star:
+        raise ValueError(
+            f"backfill floor {floor} is at or below the newest compacted "
+            f"coverage {m_star}: it would be superseded on arrival. "
+            "Backfill above the compaction frontier (or recompute from facts)."
+        )
+    partial_df.write.mode("overwrite").parquet(
+        f"{store_dir}/backfill_floor={floor}"
+    )
+
+
+def compact_partials(
+    spark: SparkSession,
+    store_dir: str,
+    upto_batch_id: int,
+    bucket_cols: list[str],
+    value_cols: list[str],
+    floor_cols: list[str] | None = None,
+) -> int:
+    """Floor-aware partials compaction: merge every live additive
+    generation covering ≤ upto_batch_id AND every applicable backfill
+    generation (floor in (m*, upto]) into one compacted generation
+    holding the bucket-grain RESOLVED partials (value columns summed —
+    exact for the integer-mergeable columns this store requires),
+    computed by the same `kept_partial_rows` the readers use. The
+    compacted id is -max(coverages, floors), so it supersedes both the
+    consumed additive dirs AND the consumed backfill dirs; deletes
+    happen after the atomic rename, and dead dirs from either namespace
+    are swept. Returns the number of generations merged."""
+    from pyspark.sql import functions as F
+
+    HPath, fs = _fs(spark, store_dir)
+    all_ids = generation_ids(spark, store_dir)
+    live = live_generation_ids(all_ids)
+    m_star = max([coverage(g) for g in live if g < 0], default=-1)
+    all_floors = backfill_floors(spark, store_dir)
+    # sweep: additive dirs superseded by precedence, backfill dirs at or
+    # below the compaction frontier — both invisible to readers
+    for g in set(all_ids) - set(live):
+        fs.delete(HPath(f"{store_dir}/batch_id={g}"), True)
+    for k in all_floors:
+        if k <= m_star:
+            fs.delete(HPath(f"{store_dir}/backfill_floor={k}"), True)
+    src_add = [g for g in live if coverage(g) <= upto_batch_id]
+    src_fl = [k for k in all_floors if m_star < k <= upto_batch_id]
+    if len(src_add) + len(src_fl) < 2:
+        return 0
+    m = max([coverage(g) for g in src_add] + src_fl)
+    if src_add == [-m] and not src_fl:
+        return 0  # lone compacted gen: nothing new arrived at this coverage
+    merged = (
+        kept_partial_rows(
+            spark, store_dir, bucket_cols, value_cols,
+            upto=upto_batch_id, floor_cols=floor_cols,
+        )
+        .groupBy(*bucket_cols)
+        .agg(*[F.sum(c).alias(c) for c in value_cols])
+    )
+    tmp = f"{store_dir}/.compact_tmp_{m}"
+    fs.delete(HPath(tmp), True)
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs.rename(HPath(tmp), HPath(f"{store_dir}/batch_id={-m}"))
+    for g in src_add:
+        if g != -m:
+            fs.delete(HPath(f"{store_dir}/batch_id={g}"), True)
+    for k in src_fl:
+        fs.delete(HPath(f"{store_dir}/backfill_floor={k}"), True)
+    return len(src_add) + len(src_fl)

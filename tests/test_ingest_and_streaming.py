@@ -846,3 +846,56 @@ def test_rollup_backfill_replacement_semantics(spark, tmp_path):
     # floor at or below the compaction frontier is refused
     with _pytest.raises(ValueError):
         backfill_rollup(spark, roll, corrected, floor_batch_id=3)
+
+
+def test_histogram_backfill_type_grain_replacement(spark, tmp_path):
+    """Histogram backfill replaces at EVENT_TYPE grain: a correction
+    that MOVES events between value cells (every 'click' value doubled)
+    must vacate the old cells — a cell-grain replacement would leave
+    them standing. Untouched types keep their additive history; late
+    additive batches apply on top; compaction materializes and
+    retires."""
+    from pdf_brain_spark.sources.loaders import load_table
+    from pdf_brain_spark.streaming.events import (
+        backfill_value_histogram,
+        compact_value_histogram,
+        make_value_histogram_batch_fn,
+        read_histogram_percentiles,
+    )
+    from pdf_brain_spark.streaming.generations import backfill_floors, generation_ids
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "event_type", "value"
+    )
+    hist = str(tmp_path / "hist")
+    fn = make_value_histogram_batch_fn(hist)
+    for b in range(2):
+        fn(ev.filter(F.col("event_id") % 2 == b), b)
+
+    def served():
+        return sorted(
+            (r["event_type"], r["quantile"], r["value"])
+            for r in read_histogram_percentiles(spark, hist).collect()
+        )
+
+    base = served()
+    # corrected history for ONE type: all values doubled (cells move)
+    corrected = ev.filter(F.col("event_type") == "click").withColumn(
+        "value", F.round(F.col("value") * 2, 2)
+    )
+    backfill_value_histogram(spark, hist, corrected, floor_batch_id=1)
+    got = served()
+    # the corrected type serves the doubled distribution: p-values double
+    base_click = {q: v for t, q, v in base if t == "click"}
+    got_click = {q: v for t, q, v in got if t == "click"}
+    for q, v in base_click.items():
+        assert abs(got_click[q] - round(v * 2, 2)) < 1e-9
+    # untouched types unchanged
+    assert [x for x in got if x[0] != "click"] == [x for x in base if x[0] != "click"]
+
+    # compaction materializes the per-type resolution, retires the dir
+    n = compact_value_histogram(spark, hist, upto_batch_id=1)
+    assert n == 3  # 2 additive gens + 1 backfill
+    assert generation_ids(spark, hist) == [-1]
+    assert backfill_floors(spark, hist) == []
+    assert served() == got
