@@ -5083,6 +5083,74 @@ def streaming_incremental_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_ann_deletion",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 9),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             {_duck_cosine_distance('e.embedding', 'q.query_vec')} AS d
+      FROM embeddings e, q
+      WHERE e.vec_id % 7 <> 3
+    )
+    SELECT vec_id, label,
+           round(d, 6) + 0.0 AS distance,
+           round(1.0 - d / 2.0, 6) AS score
+    FROM scored
+    ORDER BY d ASC, vec_id ASC
+    LIMIT 12
+    """,
+)
+def streaming_ann_deletion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion on the streaming ANN index (streaming/ann_ingest.py::
+    delete_vectors): the embeddings stream in as two arrival
+    micro-batches, then every vec_id % 7 == 3 vector is tombstoned —
+    the governance takedown on an append-only store. An EXHAUSTIVE
+    search (n_probes = n_lists) must then equal brute-force top-12 over
+    the SURVIVORS, which certifies both directions at once: every
+    tombstoned vector is gone from serving, and no surviving vector was
+    lost. The tombstone dir's reader-safety, compaction
+    materialization, and post-floor re-ingest semantics are
+    pytest-attested (test_index_deletion_tombstones)."""
+    import shutil
+    import tempfile
+
+    from pdf_brain_spark.operators.clustering import kmeans_assign
+    from pdf_brain_spark.streaming.ann_ingest import (
+        delete_vectors,
+        ivf_search_persisted,
+        streaming_ann_ingest,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "label", "embedding")
+    _, centroids = kmeans_assign(emb, k=16, seed=42)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 9).first()["embedding"]]
+    root = tempfile.mkdtemp(prefix="sgraft_sdel_")
+    stage, idx, ckpt = (f"{root}/{d}" for d in ("stage", "idx", "ckpt"))
+    try:
+        mid = emb.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+        emb.filter(F.col("vec_id") <= mid).coalesce(1).write.mode("append").parquet(stage)
+        emb.filter(F.col("vec_id") > mid).coalesce(1).write.mode("append").parquet(stage)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        streaming_ann_ingest(spark, stream, idx, centroids, ckpt).awaitTermination()
+        delete_vectors(
+            spark, idx, emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"), 1
+        )
+        res = ivf_search_persisted(spark, idx, centroids, qvec, k=12, n_probes=16)
+        return res.select(
+            "vec_id",
+            "label",
+            (F.round("distance", 6) + F.lit(0.0)).alias("distance"),
+            F.round("score", 6).alias("score"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "streaming_incremental_rollup",
     oracle="""
     SELECT event_type,

@@ -94,18 +94,17 @@ def ivf_search_persisted(
     import numpy as np
 
     from pdf_brain_spark.functions.vector import cosine_distance, distance_to_score
-    from pdf_brain_spark.streaming.generations import live_generation_dirs
+    from pdf_brain_spark.streaming.generations import kept_index_rows
 
     q = np.asarray(query_vec, dtype=np.float64)
     cents = np.asarray(centroids, dtype=np.float64)
     sims = cents @ q / (np.linalg.norm(cents, axis=1) * np.linalg.norm(q) + 1e-12)
     probe_ids = [int(i) for i in np.argsort(-sims)[:n_probes]]
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
-    # live generations only (generation protocol): safe to search while
-    # a compaction is mid-flight or after a compactor crash
-    indexed = spark.read.option("basePath", index_dir).parquet(
-        *live_generation_dirs(spark, index_dir)
-    )
+    # live generations minus tombstoned vectors (generation protocol):
+    # safe to search mid-compaction, after a compactor crash, and after
+    # deletions (delete_vectors) that have not yet been materialized
+    indexed = kept_index_rows(spark, index_dir, [id_col])
     return (
         indexed.filter(F.col("list_id").isin(probe_ids))
         .withColumn("distance", cosine_distance(F.col(vec_col), qcol, len(query_vec)))
@@ -116,7 +115,7 @@ def ivf_search_persisted(
 
 
 def compact_ann_index(
-    spark: SparkSession, index_dir: str, upto_batch_id: int
+    spark: SparkSession, index_dir: str, upto_batch_id: int, id_col: str = "vec_id"
 ) -> int:
     """Compact the streaming ANN index: merge every batch_id ≤
     upto_batch_id generation into one compacted generation (negative
@@ -137,19 +136,40 @@ def compact_ann_index(
     aside, renamed into a negative batch_id in one atomic directory
     move, and the superseded dirs deleted after — a concurrent searcher
     sees the pre- or post-compaction index, never a partial mixture.
-    Only compact batches the stream's checkpoint has committed. Returns
-    the number of generations merged."""
-    from pdf_brain_spark.streaming.generations import compact_generations
+    TOMBSTONE-AWARE: deletions (delete_vectors) with floor ≤
+    upto_batch_id are materialized (the dead vectors physically leave
+    the index) and their dirs retired. Only compact batches the
+    stream's checkpoint has committed. Returns the number of
+    generations (additive + tombstone) merged."""
+    from pdf_brain_spark.streaming.generations import compact_index_rows
 
-    def _rewrite(src_dirs: list[str], tmp: str) -> None:
-        # partition discovery ON here (basePath at the generation root) so
-        # list_id survives the read and the rewrite re-partitions by it
-        src = spark.read.option("basePath", src_dirs[0]).parquet(src_dirs[0])
-        for s in src_dirs[1:]:
-            src = src.unionByName(spark.read.option("basePath", s).parquet(s))
-        src.write.partitionBy("list_id").mode("overwrite").parquet(tmp)
+    def _write_kept(kept, tmp: str) -> None:
+        kept.write.partitionBy("list_id").mode("overwrite").parquet(tmp)
 
-    return compact_generations(spark, index_dir, upto_batch_id, _rewrite)
+    return compact_index_rows(
+        spark, index_dir, upto_batch_id, [id_col], _write_kept
+    )
+
+
+def delete_vectors(
+    spark: SparkSession,
+    index_dir: str,
+    vec_ids: DataFrame,
+    floor_batch_id: int,
+    id_col: str = "vec_id",
+) -> None:
+    """Delete vectors from the streaming ANN index — the governance
+    operation (a revoked document's embeddings, a user's
+    right-to-be-forgotten request) on an append-only store: a tombstone
+    generation records the ids, every search immediately excludes them
+    (kept_index_rows), and the next compaction materializes the removal
+    so the bytes physically leave the index. A vector re-ingested in a
+    batch AFTER the floor is a fresh insert and is served again."""
+    from pdf_brain_spark.streaming.generations import write_tombstones
+
+    write_tombstones(
+        spark, index_dir, vec_ids.select(F.col(id_col).alias(id_col)), floor_batch_id
+    )
 
 
 def write_index_centroids(spark: SparkSession, index_dir: str, centroids: list[list[float]]) -> None:
@@ -176,6 +196,7 @@ def refit_ann_index(
     n_lists: int = 16,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     max_iter: int = 20,
     tol: float = 1e-6,
 ) -> tuple[list[list[float]], int]:
@@ -200,37 +221,37 @@ def refit_ann_index(
 
     Returns (new_centroids, n_generations_rewritten). If nothing has
     arrived since the last rewrite at this coverage, returns the FITTED
-    centroids with 0 rewritten (see generations.compact_generations)."""
+    centroids with 0 rewritten (see generations.compact_index_rows)."""
     from pdf_brain_spark.operators.clustering import (
         _assign_udf,
         _lloyd_fit,
         _sample_feature_matrix,
     )
     from pdf_brain_spark.streaming.generations import (
-        compact_generations,
-        live_generation_dirs,
+        compact_index_rows,
+        generation_ids,
+        kept_index_rows,
     )
 
-    live = live_generation_dirs(spark, index_dir)
-    if not live:
+    if not generation_ids(spark, index_dir):
         return [], 0
-    src_all = spark.read.option("basePath", index_dir).parquet(*live)
+    # fit on the KEPT rows — a refit must not learn centroid mass from
+    # tombstoned (deleted) vectors
+    src_all = kept_index_rows(spark, index_dir, [id_col])
     X = _sample_feature_matrix(src_all.select(vec_col), vec_col, seed)
     C = _lloyd_fit(X, n_lists, seed, max_iter, tol)
     centroids = [[float(x) for x in row] for row in C]
     assign = _assign_udf(centroids)
 
-    def _rewrite(src_dirs: list[str], tmp: str) -> None:
-        s = spark.read.option("basePath", index_dir).parquet(*src_dirs).drop(
-            "batch_id", "list_id"
-        )
+    def _write_kept(kept, tmp: str) -> None:
+        s = kept.drop("list_id")
         reassigned = s.withColumn("_a", assign(F.col(vec_col))).select(
             *s.columns, F.col("_a.cluster_id").alias("list_id")
         )
         reassigned.write.partitionBy("list_id").mode("overwrite").parquet(tmp)
 
-    merged = compact_generations(
-        spark, index_dir, upto_batch_id, _rewrite, min_sources=1
+    merged = compact_index_rows(
+        spark, index_dir, upto_batch_id, [id_col], _write_kept, min_sources=1
     )
     if merged:
         write_index_centroids(spark, index_dir, centroids)

@@ -231,11 +231,12 @@ def make_incremental_dedup_batch_fn(
         new_banded = minhash_banded_index(batch_df).localCheckpoint(eager=True)
         # Probe only band rows from STRICTLY EARLIER batches, resolved
         # through the generation protocol (streaming/generations.py): the
-        # live set excludes dirs superseded by a compacted generation, so
-        # the probe is correct even mid-compaction or after a compactor
-        # crash left stale dirs behind. Coverage < batch_id keeps the
-        # replay guarantee — on a replay of batch N after a crash between
-        # the subdir write and the checkpoint commit, batch N's own
+        # kept-rows selection excludes dirs superseded by a compacted
+        # generation AND rows tombstoned by delete_documents, so the
+        # probe is correct mid-compaction, after a compactor crash, and
+        # after deletions. Coverage < batch_id keeps the replay
+        # guarantee — on a replay of batch N after a crash between the
+        # subdir write and the checkpoint commit, batch N's own
         # (possibly partial) rows are excluded, making the probe set
         # identical to the first attempt. Selecting explicit generation
         # dirs prunes at the driver, the same effect as the former
@@ -246,9 +247,11 @@ def make_incremental_dedup_batch_fn(
             if coverage(g) < batch_id
         ]
         if probe_gens:
-            index_banded = spark.read.parquet(
-                *[f"{index_dir}/batch_id={g}" for g in probe_gens]
-            )
+            from pdf_brain_spark.streaming.generations import kept_index_rows
+
+            index_banded = kept_index_rows(
+                spark, index_dir, ["doc_id"], upto=batch_id - 1
+            ).drop("batch_id")
             cands = incremental_lsh_candidates(index_banded, new_banded)
         else:
             # first batch: no index yet — dedup within the batch only
@@ -289,18 +292,39 @@ def compact_band_index(
     uncommitted batch, so `upto_batch_id` should be below it. Returns
     the number of generations merged.
 
+    TOMBSTONE-AWARE: deletions (delete_documents) with floor ≤
+    upto_batch_id are materialized and their dirs retired.
+
     All filesystem access goes through the Hadoop FileSystem API, so the
     same code compacts local-disk, HDFS, and object-store indexes."""
-    from pdf_brain_spark.streaming.generations import compact_generations
+    from pdf_brain_spark.streaming.generations import compact_index_rows
 
-    def _rewrite(src_dirs: list[str], tmp: str) -> None:
-        # read the generation subdirs DIRECTLY (no partition discovery —
-        # the rows are batch-agnostic once merged), rewrite as n_files
-        # consolidated files
-        src = spark.read.parquet(*src_dirs)
-        src.coalesce(max(1, n_files)).write.mode("overwrite").parquet(tmp)
+    def _write_kept(kept, tmp: str) -> None:
+        kept.coalesce(max(1, n_files)).write.mode("overwrite").parquet(tmp)
 
-    return compact_generations(spark, index_dir, upto_batch_id, _rewrite)
+    return compact_index_rows(
+        spark, index_dir, upto_batch_id, ["doc_id"], _write_kept
+    )
+
+
+def delete_documents(
+    spark: SparkSession,
+    index_dir: str,
+    doc_ids: DataFrame,
+    floor_batch_id: int,
+) -> None:
+    """Delete documents from the persisted LSH band index — the takedown
+    operation (revoked licence, opted-out content) on the append-only
+    dedup store: a tombstone generation records the doc ids, every probe
+    immediately excludes their band rows (a deleted document stops
+    generating candidate pairs), and the next compaction materializes
+    the removal. A document re-ingested after the floor is a fresh
+    insert and participates again."""
+    from pdf_brain_spark.streaming.generations import write_tombstones
+
+    write_tombstones(
+        spark, index_dir, doc_ids.select("doc_id"), floor_batch_id
+    )
 
 
 def streaming_incremental_dedup(

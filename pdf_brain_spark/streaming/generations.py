@@ -331,3 +331,144 @@ def compact_partials(
     for k in src_fl:
         fs.delete(HPath(f"{store_dir}/backfill_floor={k}"), True)
     return len(src_add) + len(src_fl)
+
+
+# ---------------------------------------------------------------------------
+# Row-store deletion (tombstones): the governance operation — remove
+# specific keys (a revoked document, a right-to-be-forgotten user's
+# vectors) from an append-only index without rewriting it in place. A
+# tombstone generation `tombstone_floor=K` holds the KEYS to delete and
+# declares that matching rows in additive generations covering <= K are
+# dead; a key re-ingested in a LATER batch is a fresh insert and survives.
+# Same reader-safety story as backfill: the dir appears atomically,
+# readers resolve precedence (a compacted generation -m retires tombstones
+# with floor <= m — their deletions were materialized), and compaction
+# sweeps the dead dirs.
+# ---------------------------------------------------------------------------
+
+
+def tombstone_floors(spark: SparkSession, index_dir: str) -> list[int]:
+    """All `tombstone_floor=<int>` dirs under index_dir."""
+    HPath, fs = _fs(spark, index_dir)
+    if not fs.exists(HPath(index_dir)):
+        return []
+    out = []
+    for st in fs.listStatus(HPath(index_dir)):
+        name = st.getPath().getName()
+        if not name.startswith("tombstone_floor="):
+            continue
+        try:
+            out.append(int(name.split("=", 1)[1]))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
+def write_tombstones(spark: SparkSession, index_dir: str, keys_df, floor: int) -> None:
+    """Write a tombstone generation: `keys_df` holds the key columns of
+    the rows to delete from generations covering <= floor. Single
+    overwrite into the floor's own dir — idempotent on retry. Floor
+    contract: above the newest compacted coverage (deletions at or below
+    it were already materialized or are unreachable), covering only
+    committed batches."""
+    m_star = max(
+        [coverage(g) for g in generation_ids(spark, index_dir) if g < 0],
+        default=-1,
+    )
+    if floor <= m_star:
+        raise ValueError(
+            f"tombstone floor {floor} is at or below the newest compacted "
+            f"coverage {m_star}: those generations were already materialized. "
+            "Tombstone above the compaction frontier."
+        )
+    keys_df.distinct().write.mode("overwrite").parquet(
+        f"{index_dir}/tombstone_floor={floor}"
+    )
+
+
+def kept_index_rows(
+    spark: SparkSession,
+    index_dir: str,
+    key_cols: list[str],
+    upto: int | None = None,
+):
+    """Row-store counterpart of kept_partial_rows: the live generations'
+    rows minus tombstoned ones — a row from a generation with coverage c
+    is dead iff some applicable tombstone for its key has floor >= c.
+    Returns all data columns plus the hive partition columns (batch_id,
+    and e.g. list_id for the ANN layout); readers that don't want
+    batch_id drop it. ONE selection shared by search paths, probe paths,
+    and the compactor."""
+    from pyspark.sql import functions as F
+
+    ids = live_generation_ids(generation_ids(spark, index_dir))
+    m_star = max([coverage(g) for g in ids if g < 0], default=-1)
+    floors = [k for k in tombstone_floors(spark, index_dir) if k > m_star]
+    if upto is not None:
+        ids = [g for g in ids if coverage(g) <= upto]
+        floors = [k for k in floors if k <= upto]
+    if not ids:
+        raise ValueError(f"index store {index_dir} has no live generations")
+    rows = spark.read.option("basePath", index_dir).parquet(
+        *[f"{index_dir}/batch_id={g}" for g in ids]
+    )
+    if not floors:
+        return rows
+    tombs = spark.read.option("basePath", index_dir).parquet(
+        *[f"{index_dir}/tombstone_floor={k}" for k in floors]
+    )
+    fl = tombs.groupBy(*key_cols).agg(F.max("tombstone_floor").alias("_fl"))
+    return (
+        rows.join(fl, list(key_cols), "left")
+        .filter(F.col("_fl").isNull() | (F.abs(F.col("batch_id")) > F.col("_fl")))
+        .drop("_fl")
+    )
+
+
+def compact_index_rows(
+    spark: SparkSession,
+    index_dir: str,
+    upto_batch_id: int,
+    key_cols: list[str],
+    write_kept,
+    min_sources: int = 2,
+) -> int:
+    """Tombstone-aware row-store compaction: materialize the reader's own
+    selection (kept_index_rows restricted to coverage <= upto) into one
+    compacted generation via `write_kept(kept_df, tmp_dir)` (each index
+    keeps its own layout — coalesce for band rows, partitionBy(list_id)
+    for ANN lists), renamed in atomically as batch_id=-m where m covers
+    both the consumed additive generations and the consumed tombstones;
+    then delete sources and consumed tombstone dirs, sweeping dead dirs
+    from both namespaces. Returns the number of generations (additive +
+    tombstone) merged."""
+    HPath, fs = _fs(spark, index_dir)
+    all_ids = generation_ids(spark, index_dir)
+    live = live_generation_ids(all_ids)
+    m_star = max([coverage(g) for g in live if g < 0], default=-1)
+    all_floors = tombstone_floors(spark, index_dir)
+    for g in set(all_ids) - set(live):
+        fs.delete(HPath(f"{index_dir}/batch_id={g}"), True)
+    for k in all_floors:
+        if k <= m_star:
+            fs.delete(HPath(f"{index_dir}/tombstone_floor={k}"), True)
+    src_add = [g for g in live if coverage(g) <= upto_batch_id]
+    src_fl = [k for k in all_floors if m_star < k <= upto_batch_id]
+    if len(src_add) + len(src_fl) < max(min_sources, 1):
+        return 0
+    m = max([coverage(g) for g in src_add] + src_fl)
+    if src_add == [-m] and not src_fl:
+        return 0  # lone compacted gen: nothing new arrived at this coverage
+    kept = kept_index_rows(spark, index_dir, key_cols, upto=upto_batch_id).drop(
+        "batch_id"
+    )
+    tmp = f"{index_dir}/.compact_tmp_{m}"
+    fs.delete(HPath(tmp), True)
+    write_kept(kept, tmp)
+    fs.rename(HPath(tmp), HPath(f"{index_dir}/batch_id={-m}"))
+    for g in src_add:
+        if g != -m:
+            fs.delete(HPath(f"{index_dir}/batch_id={g}"), True)
+    for k in src_fl:
+        fs.delete(HPath(f"{index_dir}/tombstone_floor={k}"), True)
+    return len(src_add) + len(src_fl)

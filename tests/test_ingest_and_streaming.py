@@ -899,3 +899,96 @@ def test_histogram_backfill_type_grain_replacement(spark, tmp_path):
     assert generation_ids(spark, hist) == [-1]
     assert backfill_floors(spark, hist) == []
     assert served() == got
+
+
+def test_index_deletion_tombstones(spark, tmp_path):
+    """Deletion on the append-only indexes (generation-protocol
+    tombstones): deleted vectors vanish from every search immediately,
+    compaction materializes the removal and retires the tombstone dir,
+    and a re-ingest after the floor is a fresh insert. Band-index side:
+    a deleted document stops generating candidate pairs."""
+    from pdf_brain_spark.operators.clustering import kmeans_assign
+    from pdf_brain_spark.sources.loaders import load_table
+    from pdf_brain_spark.streaming.ann_ingest import (
+        compact_ann_index,
+        delete_vectors,
+        ivf_search_persisted,
+        make_ann_ingest_batch_fn,
+    )
+    from pdf_brain_spark.streaming.events import (
+        delete_documents,
+        make_incremental_dedup_batch_fn,
+    )
+    from pdf_brain_spark.streaming.generations import (
+        generation_ids,
+        kept_index_rows,
+        tombstone_floors,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").select(
+        "vec_id", "label", "embedding"
+    )
+    _, cents = kmeans_assign(emb, k=8, seed=42)
+    idx = str(tmp_path / "ann")
+    fn = make_ann_ingest_batch_fn(idx, cents)
+    fn(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    fn(emb.filter(F.col("vec_id") % 2 == 1), 1)
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 9).first()["embedding"]]
+    dead = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    delete_vectors(spark, idx, dead, floor_batch_id=1)
+
+    def topk():
+        return [
+            r["vec_id"]
+            for r in ivf_search_persisted(spark, idx, cents, qvec, k=12, n_probes=8).collect()
+        ]
+
+    dead_ids = {r["vec_id"] for r in dead.collect()}
+    got = topk()
+    assert dead_ids.isdisjoint(got)
+    # exhaustive search == brute force over the survivors
+    from pdf_brain_spark.operators.vector_search import topk as brute_topk
+
+    want = [
+        r["vec_id"]
+        for r in brute_topk(
+            emb.filter(F.col("vec_id") % 7 != 3), qvec, k=12
+        ).collect()
+    ]
+    assert got == want
+
+    # compaction materializes: bytes gone, tombstone retired, search same
+    n_alive = emb.count() - len(dead_ids)
+    assert compact_ann_index(spark, idx, upto_batch_id=1) == 3  # 2 gens + 1 tombstone
+    assert generation_ids(spark, idx) == [-1] and tombstone_floors(spark, idx) == []
+    assert kept_index_rows(spark, idx, ["vec_id"]).count() == n_alive
+    assert topk() == want
+
+    # re-ingest one deleted vector AFTER the floor: fresh insert, served
+    revived = emb.filter(F.col("vec_id") == sorted(dead_ids)[0])
+    fn(revived, 2)
+    assert sorted(dead_ids)[0] in {
+        r["vec_id"]
+        for r in kept_index_rows(spark, idx, ["vec_id"]).collect()
+    }
+
+    # band-index side: a deleted doc stops generating candidate pairs
+    shared = " ".join(f"tok{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, shared + " one"), (2, "completely different words here " * 10)],
+        "doc_id long, text string",
+    )
+    bidx = str(tmp_path / "band")
+    cands = str(tmp_path / "cands")
+    bfn = make_incremental_dedup_batch_fn(spark, bidx, cands)
+    bfn(docs, 0)
+    twin = spark.createDataFrame([(3, shared + " two")], "doc_id long, text string")
+    bfn(twin, 1)  # twin of doc 1 -> pair (1, 3)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(f"{cands}/batch_id=1").collect()}
+    assert (1, 3) in pairs
+    delete_documents(spark, bidx, docs.filter(F.col("doc_id") == 1).select("doc_id"), 1)
+    twin2 = spark.createDataFrame([(4, shared + " three")], "doc_id long, text string")
+    bfn(twin2, 2)  # probes the index: doc 1 is deleted, doc 3 remains
+    pairs2 = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(f"{cands}/batch_id=2").collect()}
+    assert (3, 4) in pairs2 and not any(1 in p for p in pairs2)
