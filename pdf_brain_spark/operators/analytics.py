@@ -326,3 +326,68 @@ def curation_weighted_sample(
             (F.col("_draw").cast("double") / F.lit(1_000_000.0)).alias("draw"),
         )
     )
+
+
+def winsorized_value_stats(
+    events: DataFrame,
+    lo_pct: int = 1,
+    hi_pct: int = 99,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group winsorized statistics — the robust-scaling prep step a
+    feature pipeline runs before normalization: values are clipped to
+    the group's exact [p_lo, p_hi] band and the mean recomputed, so a
+    handful of corrupted magnitudes can't dominate the scale.
+
+    Everything derives from ONE fact-table aggregate: the cent-resolution
+    histogram (group, cent bucket, count). Quantile bounds are type-1
+    ranks over the cumulative histogram with the rank computed in
+    INTEGER arithmetic ((q·n + 99) div 100 — no float-ceil boundary),
+    and the winsorized mean is Σ clamp(bucket, lo, hi)·count over 100·n
+    — an integer sum, so the result is bit-identical across engines and
+    no second scan of the facts ever happens; all post-aggregate work is
+    at |groups| × |distinct cents| grain.
+
+    Returns (type_col, n_events, lo_value, hi_value, n_clipped_lo,
+    n_clipped_hi, winsorized_mean rounded 6)."""
+    hist = events.groupBy(
+        F.col(type_col),
+        F.round(F.col(value_col) * 100).cast("long").alias("_b"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_c", F.sum("_n").over(w))
+    tot = hist.groupBy(type_col).agg(F.sum("_n").alias("_total"))
+    ranked = cum.join(tot, type_col)
+    lo_rank = F.floor((F.lit(lo_pct) * F.col("_total") + F.lit(99)) / F.lit(100))
+    hi_rank = F.floor((F.lit(hi_pct) * F.col("_total") + F.lit(99)) / F.lit(100))
+    bounds = ranked.groupBy(type_col).agg(
+        F.min(F.when(F.col("_c") >= lo_rank, F.col("_b"))).alias("_lo"),
+        F.min(F.when(F.col("_c") >= hi_rank, F.col("_b"))).alias("_hi"),
+    )
+    clipped = hist.join(bounds, type_col).withColumn(
+        "_cb", F.greatest(F.col("_lo"), F.least(F.col("_hi"), F.col("_b")))
+    )
+    return (
+        clipped.groupBy(type_col)
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.round(F.first("_lo").cast("double") / F.lit(100.0), 2).alias("lo_value"),
+            F.round(F.first("_hi").cast("double") / F.lit(100.0), 2).alias("hi_value"),
+            F.sum(F.when(F.col("_b") < F.col("_lo"), F.col("_n")).otherwise(0)).alias(
+                "n_clipped_lo"
+            ),
+            F.sum(F.when(F.col("_b") > F.col("_hi"), F.col("_n")).otherwise(0)).alias(
+                "n_clipped_hi"
+            ),
+            F.round(
+                F.sum(F.col("_cb") * F.col("_n")).cast("double")
+                / (F.lit(100.0) * F.sum("_n")),
+                6,
+            ).alias("winsorized_mean"),
+        )
+    )

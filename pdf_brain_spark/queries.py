@@ -5201,6 +5201,49 @@ def streaming_incremental_rollup_q(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "events_winsorized_stats",
+    oracle="""
+    WITH hist AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS b, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, b, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY b) AS c
+      FROM hist
+    ),
+    tot AS (SELECT event_type, sum(n) AS total FROM hist GROUP BY 1),
+    bounds AS (
+      SELECT c.event_type,
+             min(CASE WHEN c.c >= (1 * t.total + 99) // 100 THEN c.b END) AS lo,
+             min(CASE WHEN c.c >= (99 * t.total + 99) // 100 THEN c.b END) AS hi
+      FROM cum c JOIN tot t USING (event_type)
+      GROUP BY 1
+    )
+    SELECT h.event_type,
+           CAST(sum(h.n) AS BIGINT) AS n_events,
+           round(CAST(b.lo AS DOUBLE) / 100.0, 2) AS lo_value,
+           round(CAST(b.hi AS DOUBLE) / 100.0, 2) AS hi_value,
+           CAST(sum(CASE WHEN h.b < b.lo THEN h.n ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+           CAST(sum(CASE WHEN h.b > b.hi THEN h.n ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+           round(CAST(sum(greatest(b.lo, least(b.hi, h.b)) * h.n) AS DOUBLE)
+                 / (100.0 * sum(h.n)), 6) AS winsorized_mean
+    FROM hist h JOIN bounds b USING (event_type)
+    GROUP BY h.event_type, b.lo, b.hi
+    """,
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorized statistics at exact cent-grain [p1, p99]
+    (operators/analytics.py::winsorized_value_stats): quantile bounds,
+    clip counts, and the winsorized mean all derived from ONE histogram
+    aggregate with integer-arithmetic ranks and sums — the robust-
+    scaling prep step, engine-identical by construction."""
+    from pdf_brain_spark.operators.analytics import winsorized_value_stats
+
+    return winsorized_value_stats(load_table(spark, "events", sf_dir))
+
+
+@query(
     "corpus_curation_sample",
     oracle="""
     WITH base AS (
