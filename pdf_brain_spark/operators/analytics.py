@@ -391,3 +391,76 @@ def winsorized_value_stats(
             ).alias("winsorized_mean"),
         )
     )
+
+
+def funnel_conversion_windowed(
+    events: DataFrame,
+    steps: list[str],
+    within_seconds: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Funnel with CONVERSION WINDOWS — the product-analytics refinement
+    of `funnel_conversion`: a step-k event counts only if some earlier
+    event that already reached step k−1 occurred within
+    `within_seconds` before it (chained, so the whole journey is a
+    sequence of bounded hops, not one unbounded lookback). Semantics
+    stated precisely: reached_k(row) ⇔ row is a step-k event AND
+    max{ts(r) : r earlier, reached_{k−1}(r)} ≥ ts(row) − within — the
+    "any qualifying predecessor in the window" rule, which the SQL twin
+    re-derives verbatim.
+
+    Same ONE-shuffle shape as the unconstrained funnel: per step, one
+    window expression over the same (user, ts, tiebreak) sort carries
+    the latest predecessor timestamp (max of a flagged EXACT-MICROSECOND
+    integer — the debounce lesson: no seconds-cast floor), so k steps
+    are k window passes over one sorted partition, O(1) state per user.
+
+    Returns (step 1..k, step_name, n_users, conversion rounded 6)."""
+    w_prec = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col(ts_col))
+    df = events.select(user_col, type_col, ts_col, tiebreak_col).withColumn("_us", us)
+    within_us = within_seconds * 1_000_000
+    reach_flags: list[str] = []
+    prev = None
+    for i, step in enumerate(steps):
+        is_step = F.col(type_col) == F.lit(step)
+        if i == 0:
+            reached = F.when(is_step, 1).otherwise(0)
+        else:
+            prev_ts = F.max(
+                F.when(F.col(prev) == 1, F.col("_us"))
+            ).over(w_prec)
+            reached = F.when(
+                is_step & (prev_ts >= F.col("_us") - F.lit(within_us)), 1
+            ).otherwise(0)
+        col = f"_rw{i}"
+        df = df.withColumn(col, reached)
+        prev = col
+        reach_flags.append(col)
+    per_user = df.groupBy(user_col).agg(*[F.max(c).alias(c) for c in reach_flags])
+    totals = per_user.agg(
+        *[F.coalesce(F.sum(c), F.lit(0)).alias(f"n{i}") for i, c in enumerate(reach_flags)]
+    )
+    stack_args = ", ".join(
+        f"{i + 1}, '" + steps[i].replace("'", "''") + f"', n{i}"
+        for i in range(len(steps))
+    )
+    return (
+        totals.select(
+            F.expr(f"stack({len(steps)}, {stack_args}) as (step, step_name, n_users)"),
+            F.greatest(F.col("n0"), F.lit(1)).alias("_base"),
+        )
+        .select(
+            F.col("step").cast("int"),
+            "step_name",
+            F.col("n_users").cast("bigint"),
+            F.round(F.col("n_users") / F.col("_base"), 6).alias("conversion"),
+        )
+    )

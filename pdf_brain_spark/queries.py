@@ -2779,6 +2779,63 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel_windowed",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id, epoch_us(ts) AS us,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS r0
+      FROM events
+    ),
+    s1 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                      AND coalesce(max(CASE WHEN r0 = 1 THEN us END) OVER w, -1)
+                          >= us - 3600000000 THEN 1 ELSE 0 END AS r1
+      FROM flagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    s2 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                      AND coalesce(max(CASE WHEN r1 = 1 THEN us END) OVER w, -1)
+                          >= us - 3600000000 THEN 1 ELSE 0 END AS r2
+      FROM s1
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    per_user AS (
+      SELECT user_id, max(r0) AS r0, max(r1) AS r1, max(r2) AS r2
+      FROM s2 GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(sum(r0) AS BIGINT) AS n0, CAST(sum(r1) AS BIGINT) AS n1,
+             CAST(sum(r2) AS BIGINT) AS n2
+      FROM per_user
+    )
+    SELECT 1 AS step, 'view' AS step_name, n0 AS n_users,
+           round(CAST(n0 AS DOUBLE) / greatest(n0, 1), 6) AS conversion FROM tot
+    UNION ALL
+    SELECT 2, 'click', n1, round(CAST(n1 AS DOUBLE) / greatest(n0, 1), 6) FROM tot
+    UNION ALL
+    SELECT 3, 'purchase', n2, round(CAST(n2 AS DOUBLE) / greatest(n0, 1), 6) FROM tot
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with 1-hour CONVERSION WINDOWS (operators/analytics.py::
+    funnel_conversion_windowed): each step must follow a qualifying
+    previous-step event within the window — chained bounded hops, the
+    product-analytics refinement of events_funnel. Same one-shuffle
+    window-stack shape; timestamps compared as exact microsecond
+    integers on both engines."""
+    from pdf_brain_spark.operators.analytics import funnel_conversion_windowed
+
+    return funnel_conversion_windowed(
+        load_table(spark, "events", sf_dir),
+        ["view", "click", "purchase"],
+        within_seconds=3600,
+    )
+
+
+@query(
     "events_retention_cohorts",
     oracle="""
     WITH active AS (

@@ -452,3 +452,37 @@ def test_debounce_chained_burst_semantics(spark):
     b = got[(1, "click", 1)]
     assert b["n_collapsed"] == 1 and b["kept_event_id"] == 200
     assert b["burst_span_seconds"] == 0
+
+
+def test_funnel_windowed_bounds_conversion(spark):
+    """Planted journeys: a hop inside the window converts; a hop just
+    outside it does not; the windowed count is never above the
+    unconstrained funnel's."""
+    from datetime import datetime, timedelta
+
+    from pdf_brain_spark.operators.analytics import (
+        funnel_conversion,
+        funnel_conversion_windowed,
+    )
+
+    t0 = datetime(2024, 3, 1, 9, 0, 0)
+    rows = [
+        # user 1: view -> click 30 min later (inside 1h window)
+        (1, "view", t0, 10), (1, "click", t0 + timedelta(minutes=30), 11),
+        # user 2: view -> click 90 min later (outside)
+        (2, "view", t0, 20), (2, "click", t0 + timedelta(minutes=90), 21),
+        # user 3: view only
+        (3, "view", t0, 30),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    win = {r["step_name"]: r["n_users"] for r in funnel_conversion_windowed(
+        ev, ["view", "click"], within_seconds=3600
+    ).collect()}
+    base = {r["step_name"]: r["n_users"] for r in funnel_conversion(
+        ev, ["view", "click"]
+    ).collect()}
+    assert win == {"view": 3, "click": 1}
+    assert base == {"view": 3, "click": 2}
+    assert win["click"] <= base["click"]
