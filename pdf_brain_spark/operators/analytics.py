@@ -142,21 +142,27 @@ def funnel_conversion(
     per_user = df.groupBy(user_col).agg(
         *[F.max(c).alias(c) for c in reach_flags]
     )
-    # Pure plan to the end: the |steps|-row report is stack() over the
-    # 1-row flag aggregate (no driver action, no createDataFrame), so the
-    # operator composes lazily like every other report in the engine.
+    # Pure plan to the end: the |steps|-row report is inline() over an
+    # array of struct literals built from the 1-row flag aggregate (no
+    # driver action, no createDataFrame — and no SQL-string
+    # interpolation, so arbitrary step names are safe), keeping the
+    # operator lazily composable like every other report in the engine.
     totals = per_user.agg(
         *[F.coalesce(F.sum(c), F.lit(0)).alias(f"n{i}") for i, c in enumerate(reach_flags)]
     )
-    stack_args = ", ".join(
-        f"{i + 1}, '" + steps[i].replace("'", "''") + f"', n{i}"
-        for i in range(len(steps))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(steps[i]).alias("step_name"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+            for i in range(len(steps))
+        ]
     )
     return (
         totals.select(
-            F.expr(
-                f"stack({len(steps)}, {stack_args}) as (step, step_name, n_users)"
-            ),
+            F.inline(rows),
             F.greatest(F.col("n0"), F.lit(1)).alias("_base"),
         )
         .select(
@@ -448,13 +454,19 @@ def funnel_conversion_windowed(
     totals = per_user.agg(
         *[F.coalesce(F.sum(c), F.lit(0)).alias(f"n{i}") for i, c in enumerate(reach_flags)]
     )
-    stack_args = ", ".join(
-        f"{i + 1}, '" + steps[i].replace("'", "''") + f"', n{i}"
-        for i in range(len(steps))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(steps[i]).alias("step_name"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+            for i in range(len(steps))
+        ]
     )
     return (
         totals.select(
-            F.expr(f"stack({len(steps)}, {stack_args}) as (step, step_name, n_users)"),
+            F.inline(rows),
             F.greatest(F.col("n0"), F.lit(1)).alias("_base"),
         )
         .select(

@@ -295,21 +295,22 @@ def _make_mmr_greedy(id_col: str, vec_col: str, lam: float, k: int, qid_col: str
 
     Cross-engine determinism is by EXACT INTEGER ARITHMETIC, not by
     rounding at a boundary: rel and the pairwise sims are 6-dp values,
-    so both MMR terms are integer micro-units (rel6, sim6 ∈ [0, 1e6]);
-    with λ expressed in tenths (λ=0.7 → 7/10) the objective
-    λ·rel − (1−λ)·max_sim scaled by 10·1e6 is the exact int
-    λ10·rel6 − (10−λ10)·sim6 — the argmax compares integers, so no
+    so both MMR terms are integer micro-units (rel6, sim6 ∈ [0, 1e6]),
+    and λ is quantized to PARTS-PER-MILLION (λppm = round(λ·1e6) — a
+    quantization error ≤ 5e-7, far below the 1e-6 score resolution, so
+    any float λ is accepted). The objective λ·rel − (1−λ)·max_sim
+    scaled by 1e6·1e6 is the exact int λppm·rel6 − (1e6−λppm)·sim6
+    (≤ ~1e12, well inside int64) — the argmax compares integers, so no
     float rounding mode can flip a selection or a reported score (a
     6-dp round() here differed between numpy half-even and DuckDB
     half-away exactly at ...5 boundaries — caught by the 64-query
-    batch oracle). The reported mmr_score is that integer / 1e7: the
-    identical double on every engine."""
+    batch oracle). The reported mmr_score is that integer / 1e12: for
+    λ in tenths this is the identical double as the tenths-scaled form
+    the oracles use (same real value, correctly rounded division)."""
     import numpy as np
     import pandas as pd
 
-    lam10 = int(round(lam * 10))
-    if abs(lam10 - lam * 10) > 1e-9:
-        raise ValueError(f"lam must be a multiple of 0.1 for exact integer MMR, got {lam}")
+    lam_ppm = int(round(lam * 1_000_000))
 
     def _greedy(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         ids = pdf[id_col].to_numpy()
@@ -331,14 +332,14 @@ def _make_mmr_greedy(id_col: str, vec_col: str, lam: float, k: int, qid_col: str
                 max_sim6 = np.max(sims6[np.ix_(remaining, chosen)], axis=1)
             else:
                 max_sim6 = np.zeros(len(remaining), dtype=np.int64)
-            mmr_i = lam10 * rel6[remaining] - (10 - lam10) * max_sim6
+            mmr_i = lam_ppm * rel6[remaining] - (1_000_000 - lam_ppm) * max_sim6
             best = int(np.argmax(mmr_i))  # first max = lowest id
             pick = remaining[best]
             row = {
                 "rank": rank,
                 id_col: ids[pick],
                 "rel": rel[pick],
-                "mmr_score": float(int(mmr_i[best]) / 1e7),
+                "mmr_score": float(int(mmr_i[best]) / 1e12),
             }
             if qid_col is not None:
                 row[qid_col] = key[0]

@@ -219,6 +219,16 @@ def refit_ann_index(
     — returned scores stay exact, recall dips for that one query, which
     is the same class of staleness the refit exists to fix.
 
+    Operational contract: pass the FULL committed frontier as
+    upto_batch_id. Generations above it — and batches a still-running
+    ingest stream writes with its old closed-over centroid matrix —
+    remain partitioned by the OLD geometry while `_centroids` already
+    holds the new one. Searches stay CORRECT regardless (list membership
+    only affects which candidates are probed; re-ranking is exact), but
+    those vectors' probe recall follows the old centroids until the next
+    refit sweeps them in — so restart the ingest stream with the new
+    centroids after a refit rather than letting the mix accumulate.
+
     Returns (new_centroids, n_generations_rewritten). If nothing has
     arrived since the last rewrite at this coverage, returns the FITTED
     centroids with 0 rewritten (see generations.compact_index_rows)."""
@@ -239,6 +249,11 @@ def refit_ann_index(
     # tombstoned (deleted) vectors
     src_all = kept_index_rows(spark, index_dir, [id_col])
     X = _sample_feature_matrix(src_all.select(vec_col), vec_col, seed)
+    if X.size == 0:
+        raise ValueError(
+            "refit_ann_index: no live (non-tombstoned) vectors to fit on — "
+            "compact to materialize the deletions instead of refitting"
+        )
     C = _lloyd_fit(X, n_lists, seed, max_iter, tol)
     centroids = [[float(x) for x in row] for row in C]
     assign = _assign_udf(centroids)

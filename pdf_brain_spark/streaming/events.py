@@ -462,6 +462,8 @@ def backfill_rollup(
     rollup_dir: str,
     corrected_events: DataFrame,
     floor_batch_id: int,
+    buckets: DataFrame | None = None,
+    overwrite: bool = False,
 ) -> None:
     """REPLACEMENT semantics on the append-only rollup store — the
     production repair the additive partials model cannot express: when a
@@ -479,7 +481,16 @@ def backfill_rollup(
     readers either see it or not, and a later compaction materializes
     the resolution and retires the dir. Floor contract: must exceed the
     newest compacted coverage (otherwise the backfill would be dead on
-    arrival) and must only cover stream batches that are committed."""
+    arrival), must only cover stream batches that are committed, and a
+    floor can be used once (generations.backfill_partials — pass
+    overwrite=True only to retry the SAME logical repair after a crash).
+
+    Replacement is row-presence-based, so a bucket the correction leaves
+    EMPTY (every event of that hour was bogus) needs an explicit marker:
+    pass `buckets` = the (event_type, window_start) frame of ALL buckets
+    this repair covers, and absent buckets get a (0, 0) partial that
+    supersedes their stale additive history; without it, only buckets
+    with surviving corrected events are replaced."""
     from pdf_brain_spark.streaming.generations import backfill_partials
 
     partial = corrected_events.groupBy(
@@ -488,7 +499,21 @@ def backfill_rollup(
         F.count(F.lit(1)).alias("n_partial"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents_partial"),
     )
-    backfill_partials(spark, rollup_dir, partial, floor_batch_id)
+    if buckets is not None:
+        partial = (
+            buckets.select("event_type", "window_start")
+            .distinct()
+            .join(partial, ["event_type", "window_start"], "left")
+            .select(
+                "event_type",
+                "window_start",
+                F.coalesce(F.col("n_partial"), F.lit(0)).cast("long").alias("n_partial"),
+                F.coalesce(F.col("sum_cents_partial"), F.lit(0))
+                .cast("long")
+                .alias("sum_cents_partial"),
+            )
+        )
+    backfill_partials(spark, rollup_dir, partial, floor_batch_id, overwrite=overwrite)
 
 
 def compact_rollup(spark: SparkSession, rollup_dir: str, upto_batch_id: int) -> int:
@@ -609,6 +634,7 @@ def backfill_value_histogram(
     hist_dir: str,
     corrected_events: DataFrame,
     floor_batch_id: int,
+    overwrite: bool = False,
 ) -> None:
     """Replacement semantics for the histogram store (the rollup's
     backfill_rollup, at cent-bucket grain): corrected FULL histogram
@@ -626,7 +652,7 @@ def backfill_value_histogram(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("bucket"),
     ).agg(F.count(F.lit(1)).alias("n"))
-    backfill_partials(spark, hist_dir, partial, floor_batch_id)
+    backfill_partials(spark, hist_dir, partial, floor_batch_id, overwrite=overwrite)
 
 
 def compact_value_histogram(spark: SparkSession, hist_dir: str, upto_batch_id: int) -> int:

@@ -93,61 +93,6 @@ def live_generation_dirs(spark: SparkSession, index_dir: str) -> list[str]:
     ]
 
 
-def compact_generations(
-    spark: SparkSession,
-    index_dir: str,
-    upto_batch_id: int,
-    rewrite,
-    min_sources: int = 2,
-) -> int:
-    """Reader-safe compaction driver shared by the band-index, ANN-index,
-    and rollup compactors. Merges every LIVE generation covering
-    <= upto_batch_id into one compacted generation `batch_id=-m`
-    (m = the highest coverage merged), with the write → rename → delete
-    ordering documented in the module docstring. `rewrite(src_dirs,
-    tmp_dir)` owns the data movement (each index keeps its own layout:
-    coalesce for band rows, partitionBy(list_id) for ANN lists).
-
-    Only compact batches the stream's checkpoint has committed — a
-    replayed batch overwrites its positive dir, so compacting an
-    in-flight batch would freeze a possibly-partial copy into the
-    compacted generation. Returns the number of generations merged
-    (0 = nothing to do; stale superseded dirs are still swept).
-
-    `min_sources` is the rewrite threshold: plain merges skip a single
-    live generation (nothing to consolidate), while rewrites that change
-    the DATA LAYOUT (e.g. an IVF centroid refit reassigning list_id)
-    pass 1 — a lone generation still needs the rewrite."""
-    HPath, fs = _fs(spark, index_dir)
-    all_ids = generation_ids(spark, index_dir)
-    live = live_generation_ids(all_ids)
-    sources = [g for g in live if coverage(g) <= upto_batch_id]
-    # sweep dirs already superseded by precedence (post-crash leftovers):
-    # invisible to readers, so deleting them is always safe
-    for g in set(all_ids) - set(live):
-        fs.delete(HPath(f"{index_dir}/batch_id={g}"), True)
-    if len(sources) < max(min_sources, 1):
-        return 0
-    m = max(coverage(g) for g in sources)
-    if sources == [-m]:
-        # the lone source IS the compacted generation at this coverage —
-        # the target name would collide with a live source, and replacing
-        # a directory in place cannot be made reader-safe on a plain
-        # filesystem. No data has arrived since that generation was
-        # written, so a layout rewrite should be driven AFTER the next
-        # batch lands (its positive dir makes the target id fresh).
-        return 0
-    src_dirs = [f"{index_dir}/batch_id={g}" for g in sources]
-    tmp = f"{index_dir}/.compact_tmp_{m}"
-    fs.delete(HPath(tmp), True)  # stale temp from a crashed attempt
-    rewrite(src_dirs, tmp)
-    fs.rename(HPath(tmp), HPath(f"{index_dir}/batch_id={-m}"))
-    for g in sources:
-        if g != -m:
-            fs.delete(HPath(f"{index_dir}/batch_id={g}"), True)
-    return len(sources)
-
-
 def backfill_floors(spark: SparkSession, index_dir: str) -> list[int]:
     """All `backfill_floor=<int>` generation dirs under index_dir — the
     REPLACEMENT-semantics namespace (see streaming/events.py::
@@ -252,13 +197,28 @@ def kept_partial_rows(
     return adds_kept.unionByName(backs_kept)
 
 
-def backfill_partials(spark: SparkSession, store_dir: str, partial_df, floor: int) -> None:
+def backfill_partials(
+    spark: SparkSession,
+    store_dir: str,
+    partial_df,
+    floor: int,
+    overwrite: bool = False,
+) -> None:
     """Write a backfill generation (replacement semantics — see
     backfill_floors): `partial_df` must hold the CORRECTED full partials
-    for the buckets it covers, at the store's partial schema. The write
-    is a single overwrite into the floor's own dir — idempotent on
-    retry, atomic-on-appearance to readers. Floor contract: above the
-    newest compacted coverage, and covering only committed batches."""
+    for the floor groups it covers, at the store's partial schema.
+
+    A floor can be used ONCE: unlike tombstones (pure key sets that
+    union), two backfills at one floor cannot compose — the second's
+    buckets would silently revert the first's to uncorrected additive
+    history if it overwrote, and same-floor rows would double-count if
+    dirs unioned. So an occupied floor RAISES; pass overwrite=True only
+    to retry the SAME logical backfill after a crash (the write is a
+    single dir overwrite — atomic-on-appearance to readers). A new
+    repair between the same stream batches should either merge its
+    corrections into one backfill frame or wait for the frontier to
+    advance to a fresh floor. Floor contract: above the newest compacted
+    coverage, and covering only committed batches."""
     m_star = max(
         [coverage(g) for g in generation_ids(spark, store_dir) if g < 0],
         default=-1,
@@ -268,6 +228,13 @@ def backfill_partials(spark: SparkSession, store_dir: str, partial_df, floor: in
             f"backfill floor {floor} is at or below the newest compacted "
             f"coverage {m_star}: it would be superseded on arrival. "
             "Backfill above the compaction frontier (or recompute from facts)."
+        )
+    if not overwrite and floor in backfill_floors(spark, store_dir):
+        raise ValueError(
+            f"backfill floor {floor} is already occupied: overwriting would "
+            "revert the earlier correction's buckets. Merge the corrections "
+            "into one backfill, use a fresher committed floor, or pass "
+            "overwrite=True to retry the same logical backfill."
         )
     partial_df.write.mode("overwrite").parquet(
         f"{store_dir}/backfill_floor={floor}"
@@ -347,8 +314,14 @@ def compact_partials(
 # ---------------------------------------------------------------------------
 
 
-def tombstone_floors(spark: SparkSession, index_dir: str) -> list[int]:
-    """All `tombstone_floor=<int>` dirs under index_dir."""
+def _tombstone_dirs(spark: SparkSession, index_dir: str) -> list[tuple[int, str]]:
+    """(floor, dir-name) for every tombstone dir. Tombstone dirs are
+    APPEND-ONLY as a set: each delete call creates a NEW dir
+    `tombstone_floor=<K>` or `tombstone_floor=<K>_<serial>` rather than
+    overwriting — a second deletion at the same floor must not wipe the
+    first one's keys (they union on read), and never rewriting an
+    existing dir keeps every instant reader-safe with no swap window.
+    The floor parses from the part before the serial suffix."""
     HPath, fs = _fs(spark, index_dir)
     if not fs.exists(HPath(index_dir)):
         return []
@@ -358,19 +331,27 @@ def tombstone_floors(spark: SparkSession, index_dir: str) -> list[int]:
         if not name.startswith("tombstone_floor="):
             continue
         try:
-            out.append(int(name.split("=", 1)[1]))
+            out.append((int(name.split("=", 1)[1].split("_")[0]), name))
         except ValueError:
             continue
     return sorted(out)
 
 
+def tombstone_floors(spark: SparkSession, index_dir: str) -> list[int]:
+    """Distinct tombstone floors present under index_dir."""
+    return sorted({k for k, _ in _tombstone_dirs(spark, index_dir)})
+
+
 def write_tombstones(spark: SparkSession, index_dir: str, keys_df, floor: int) -> None:
     """Write a tombstone generation: `keys_df` holds the key columns of
-    the rows to delete from generations covering <= floor. Single
-    overwrite into the floor's own dir — idempotent on retry. Floor
-    contract: above the newest compacted coverage (deletions at or below
-    it were already materialized or are unreachable), covering only
-    committed batches."""
+    the rows to delete from generations covering <= floor. Each call
+    lands in a FRESH dir (serial-suffixed when the floor is reused) —
+    deletions at the same floor accumulate by union instead of the
+    overwrite that would silently resurrect earlier deletions, and
+    readers never observe a dir being rewritten. Floor contract: above
+    the newest compacted coverage (deletions at or below it were
+    already materialized or are unreachable), covering only committed
+    batches."""
     m_star = max(
         [coverage(g) for g in generation_ids(spark, index_dir) if g < 0],
         default=-1,
@@ -381,9 +362,13 @@ def write_tombstones(spark: SparkSession, index_dir: str, keys_df, floor: int) -
             f"coverage {m_star}: those generations were already materialized. "
             "Tombstone above the compaction frontier."
         )
-    keys_df.distinct().write.mode("overwrite").parquet(
-        f"{index_dir}/tombstone_floor={floor}"
-    )
+    existing = {name for _, name in _tombstone_dirs(spark, index_dir)}
+    name = f"tombstone_floor={floor}"
+    serial = 2
+    while name in existing:
+        name = f"tombstone_floor={floor}_{serial}"
+        serial += 1
+    keys_df.distinct().write.mode("overwrite").parquet(f"{index_dir}/{name}")
 
 
 def kept_index_rows(
@@ -399,27 +384,37 @@ def kept_index_rows(
     and e.g. list_id for the ANN layout); readers that don't want
     batch_id drop it. ONE selection shared by search paths, probe paths,
     and the compactor."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
     ids = live_generation_ids(generation_ids(spark, index_dir))
     m_star = max([coverage(g) for g in ids if g < 0], default=-1)
-    floors = [k for k in tombstone_floors(spark, index_dir) if k > m_star]
+    tdirs = [(k, name) for k, name in _tombstone_dirs(spark, index_dir) if k > m_star]
     if upto is not None:
         ids = [g for g in ids if coverage(g) <= upto]
-        floors = [k for k in floors if k <= upto]
+        tdirs = [(k, name) for k, name in tdirs if k <= upto]
     if not ids:
         raise ValueError(f"index store {index_dir} has no live generations")
     rows = spark.read.option("basePath", index_dir).parquet(
         *[f"{index_dir}/batch_id={g}" for g in ids]
     )
-    if not floors:
+    if not tdirs:
         return rows
-    tombs = spark.read.option("basePath", index_dir).parquet(
-        *[f"{index_dir}/tombstone_floor={k}" for k in floors]
+    # per-dir reads with the floor attached as a literal (serial-suffixed
+    # dir names are not hive-parsable, by design — see _tombstone_dirs)
+    tombs = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(f"{index_dir}/{name}")
+            .select(*key_cols)
+            .withColumn("_tf", F.lit(k))
+            for k, name in tdirs
+        ],
     )
-    fl = tombs.groupBy(*key_cols).agg(F.max("tombstone_floor").alias("_fl"))
+    fl = tombs.groupBy(*key_cols).agg(F.max("_tf").alias("_fl"))
     return (
-        rows.join(fl, list(key_cols), "left")
+        rows.join(F.broadcast(fl), list(key_cols), "left")
         .filter(F.col("_fl").isNull() | (F.abs(F.col("batch_id")) > F.col("_fl")))
         .drop("_fl")
     )
@@ -446,18 +441,18 @@ def compact_index_rows(
     all_ids = generation_ids(spark, index_dir)
     live = live_generation_ids(all_ids)
     m_star = max([coverage(g) for g in live if g < 0], default=-1)
-    all_floors = tombstone_floors(spark, index_dir)
+    tdirs = _tombstone_dirs(spark, index_dir)
     for g in set(all_ids) - set(live):
         fs.delete(HPath(f"{index_dir}/batch_id={g}"), True)
-    for k in all_floors:
+    for k, name in tdirs:
         if k <= m_star:
-            fs.delete(HPath(f"{index_dir}/tombstone_floor={k}"), True)
+            fs.delete(HPath(f"{index_dir}/{name}"), True)
     src_add = [g for g in live if coverage(g) <= upto_batch_id]
-    src_fl = [k for k in all_floors if m_star < k <= upto_batch_id]
-    if len(src_add) + len(src_fl) < max(min_sources, 1):
+    src_t = [(k, name) for k, name in tdirs if m_star < k <= upto_batch_id]
+    if len(src_add) + len(src_t) < max(min_sources, 1):
         return 0
-    m = max([coverage(g) for g in src_add] + src_fl)
-    if src_add == [-m] and not src_fl:
+    m = max([coverage(g) for g in src_add] + [k for k, _ in src_t])
+    if src_add == [-m] and not src_t:
         return 0  # lone compacted gen: nothing new arrived at this coverage
     kept = kept_index_rows(spark, index_dir, key_cols, upto=upto_batch_id).drop(
         "batch_id"
@@ -469,6 +464,6 @@ def compact_index_rows(
     for g in src_add:
         if g != -m:
             fs.delete(HPath(f"{index_dir}/batch_id={g}"), True)
-    for k in src_fl:
-        fs.delete(HPath(f"{index_dir}/tombstone_floor={k}"), True)
-    return len(src_add) + len(src_fl)
+    for _, name in src_t:
+        fs.delete(HPath(f"{index_dir}/{name}"), True)
+    return len(src_add) + len(src_t)

@@ -812,8 +812,13 @@ def test_rollup_backfill_replacement_semantics(spark, tmp_path):
     got = served()
     assert got == want and got != base
 
-    # replay-idempotent: rewriting the same backfill changes nothing
-    backfill_rollup(spark, roll, corrected, floor_batch_id=2)
+    # a floor can be used once: a DIFFERENT repair at the same floor
+    # must refuse (overwriting would revert the first correction) …
+    with _pytest.raises(ValueError):
+        backfill_rollup(spark, roll, corrected.limit(1), floor_batch_id=2)
+    # … while an explicit overwrite=True retries the SAME logical repair
+    # idempotently
+    backfill_rollup(spark, roll, corrected, floor_batch_id=2, overwrite=True)
     assert served() == want
 
     # late additive data lands ON TOP of the correction
@@ -992,3 +997,70 @@ def test_index_deletion_tombstones(spark, tmp_path):
     bfn(twin2, 2)  # probes the index: doc 1 is deleted, doc 3 remains
     pairs2 = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(f"{cands}/batch_id=2").collect()}
     assert (3, 4) in pairs2 and not any(1 in p for p in pairs2)
+
+
+def test_rollup_backfill_empty_bucket_marker(spark, tmp_path):
+    """A bucket the correction leaves EMPTY (every event of that hour
+    was bogus) needs the explicit bucket spine: with `buckets` passed,
+    the vacated hour serves (0, 0.0); without it, replacement is
+    row-presence-based and the stale totals would survive."""
+    from pdf_brain_spark.sources.loaders import load_table
+    from pdf_brain_spark.streaming.events import (
+        backfill_rollup,
+        make_rollup_batch_fn,
+        read_rollup,
+    )
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    roll = str(tmp_path / "rollup")
+    make_rollup_batch_fn(roll)(ev, 0)
+
+    h0 = ev.agg(F.date_trunc("hour", F.min("ts")).alias("h")).first()["h"]
+    in_h = F.date_trunc("hour", F.col("ts")) == F.lit(h0)
+    # every event of hour h0 was bogus: corrected slice is EMPTY there
+    spine = ev.filter(in_h).select(
+        "event_type", F.date_trunc("hour", "ts").alias("window_start")
+    )
+    backfill_rollup(
+        spark, roll, ev.filter(in_h).limit(0), floor_batch_id=0, buckets=spine
+    )
+    got = {
+        (r["event_type"], str(r["window_start"])): (r["n_events"], r["total_value"])
+        for r in read_rollup(spark, roll).collect()
+    }
+    for r in spine.distinct().collect():
+        assert got[(r["event_type"], str(r["window_start"]))] == (0, 0.0)
+
+
+def test_tombstone_same_floor_accumulates(spark, tmp_path):
+    """Two delete calls at the SAME floor must both stick (the earlier
+    keys must not be resurrected by the later call) — tombstone dirs
+    accumulate as a set and union on read."""
+    from pdf_brain_spark.operators.clustering import kmeans_assign
+    from pdf_brain_spark.sources.loaders import load_table
+    from pdf_brain_spark.streaming.ann_ingest import (
+        delete_vectors,
+        make_ann_ingest_batch_fn,
+    )
+    from pdf_brain_spark.streaming.generations import (
+        kept_index_rows,
+        tombstone_floors,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").select(
+        "vec_id", "embedding"
+    )
+    _, cents = kmeans_assign(emb, k=8, seed=42)
+    idx = str(tmp_path / "ann")
+    make_ann_ingest_batch_fn(idx, cents)(emb, 0)
+
+    a = emb.filter(F.col("vec_id") < 5).select("vec_id")
+    b = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)).select("vec_id")
+    delete_vectors(spark, idx, a, floor_batch_id=0)
+    delete_vectors(spark, idx, b, floor_batch_id=0)  # same floor, new dir
+    assert tombstone_floors(spark, idx) == [0]
+    alive = {r["vec_id"] for r in kept_index_rows(spark, idx, ["vec_id"]).collect()}
+    assert alive.isdisjoint(set(range(10)))
+    assert len(alive) == emb.count() - 10
