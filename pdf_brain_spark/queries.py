@@ -5258,6 +5258,70 @@ def streaming_incremental_rollup_q(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE)
+                 / 10000.0, 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the join-planning showcase the relational core
+    lacked: a six-table star join (region → nation → customer → orders
+    → lineitem → supplier) with the LOCAL-SUPPLIER constraint
+    (c_nationkey = s_nationkey) that makes Q5 the classic join-order
+    test. Spark-first shape: the three dimension tables broadcast
+    (region 5 rows, nation 25, supplier small relative to facts), the
+    date filter pushes to the orders scan, and the only shuffles are
+    the fact-fact orderkey join and the final nation aggregate. Revenue
+    is an EXACT INTEGER sum (cents × discount-percent products summed
+    as int64, divided once at the end) so the cross-engine hash cannot
+    hit a float summation-order boundary."""
+    region = load_table(spark, "region", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    rev_units = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev_units).cast("double") / F.lit(10000.0), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
     "events_winsorized_stats",
     oracle="""
     WITH hist AS (
