@@ -300,11 +300,14 @@ def _make_mmr_greedy(id_col: str, vec_col: str, lam: float, k: int, qid_col: str
     quantization error ≤ 5e-7, far below the 1e-6 score resolution, so
     any float λ is accepted). The objective λ·rel − (1−λ)·max_sim
     scaled by 1e6·1e6 is the exact int λppm·rel6 − (1e6−λppm)·sim6
-    (≤ ~1e12, well inside int64) — the argmax compares integers, so no
-    float rounding mode can flip a selection or a reported score (a
-    6-dp round() here differed between numpy half-even and DuckDB
-    half-away exactly at ...5 boundaries — caught by the 64-query
-    batch oracle). The reported mmr_score is that integer / 1e12: for
+    (≤ ~1e12, well inside int64) — the argmax compares integers. The
+    micro-units themselves are derived HALF-AWAY-FROM-ZERO
+    (floor(x·1e6 + 0.5) for these non-negative [0,1] values), the same
+    rounding mode DuckDB's round() and Spark's F.round use — a plain
+    np.round here is half-EVEN and differed from the oracle exactly at
+    ...5e-7 boundaries (first caught by the 64-query batch oracle; the
+    half-away derivation closes the class rather than betting the
+    boundary is unreachable). The reported mmr_score is that integer / 1e12: for
     λ in tenths this is the identical double as the tenths-scaled form
     the oracles use (same real value, correctly rounded division)."""
     import numpy as np
@@ -317,9 +320,11 @@ def _make_mmr_greedy(id_col: str, vec_col: str, lam: float, k: int, qid_col: str
         rel = pdf["rel"].to_numpy(dtype=np.float64)
         M = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
         M = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-12)
-        # 6-dp integer micro-units: exact from here on
-        sims6 = np.rint(np.round((1.0 + M @ M.T) / 2.0, 6) * 1e6).astype(np.int64)
-        rel6 = np.rint(rel * 1e6).astype(np.int64)
+        # 6-dp integer micro-units, half-away like DuckDB/Spark round
+        # (inputs are non-negative, so floor(x*1e6 + 0.5) IS half-away):
+        # exact integer arithmetic from here on
+        sims6 = np.floor((1.0 + M @ M.T) / 2.0 * 1e6 + 0.5).astype(np.int64)
+        rel6 = np.floor(rel * 1e6 + 0.5).astype(np.int64)
         order = np.argsort(ids, kind="stable")  # id-ascending tie-break base
         ids, rel, rel6 = ids[order], rel[order], rel6[order]
         sims6 = sims6[order][:, order]

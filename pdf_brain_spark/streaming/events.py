@@ -283,7 +283,7 @@ def compact_band_index(
     generation covers precisely the batches it replaced.
 
     READER-SAFE: the consolidated data is written aside, renamed into a
-    NEGATIVE `batch_id=-m` generation in one atomic directory move, and
+    NEGATIVE `batch_id=-(m+1)` generation in one atomic directory move, and
     only then are the superseded dirs deleted — a concurrent reader
     resolving generations through streaming/generations.py sees the
     pre- or post-compaction set, never a partial mixture (asserted by
@@ -524,7 +524,7 @@ def compact_rollup(spark: SparkSession, rollup_dir: str, upto_batch_id: int) -> 
     materialized (corrected buckets keep backfill + post-floor additive
     rows only), computed by the same `_rollup_kept_rows` the reader
     uses, so compaction can never disagree with serving. The compacted
-    id is -max(coverage, floors), so the new generation supersedes both
+    id is compacted_id(max(coverage, floors)), so the new generation supersedes both
     the consumed additive dirs AND the consumed backfill dirs
     (precedence: -m kills floors ≤ m); deletes happen after the atomic
     rename, and dead dirs from either namespace are swept. Returns the

@@ -7,14 +7,19 @@ attested in streaming/events.py. Compaction adds one rule on top so that
 CONCURRENT READERS are safe at every instant, without a transactional
 table format:
 
-  * a compacted generation is written under a NEGATIVE id, `batch_id=-m`,
-    and declares that it REPLACES every generation covering <= m — i.e.
-    every positive generation b <= m and every older compacted generation
-    -m' with m' < m;
+  * a compacted generation is written under a NEGATIVE id,
+    `batch_id=-(m+1)`, and declares that it REPLACES every generation
+    covering <= m — i.e. every positive generation b <= m and every
+    older compacted generation covering m' < m. The +1 offset is load-
+    bearing: a compaction whose coverage is exactly batch 0 lands at
+    `batch_id=-1`, not the unrepresentable `-0` that would collide with
+    the live `batch_id=0` directory itself;
   * the consolidated data is first written to a dot-prefixed temp dir
     (invisible to the generation listing) and then RENAMED to
-    `batch_id=-m` — a single-directory rename, atomic on local disk and
-    HDFS — so the new generation appears all-at-once;
+    `batch_id=-(m+1)` — a single-directory rename, atomic on local disk
+    and HDFS — so the new generation appears all-at-once. The rename's
+    boolean result is CHECKED: on failure nothing is deleted, so the
+    pre-compaction state stays fully intact;
   * superseded directories are deleted only AFTER the rename. A reader
     that resolves the live set through `live_generation_ids` therefore
     sees either the pre-compaction set or the post-compaction set, never
@@ -66,15 +71,23 @@ def generation_ids(spark: SparkSession, index_dir: str) -> list[int]:
 
 def coverage(gen_id: int) -> int:
     """The highest stream batch a generation accounts for: a positive
-    generation covers itself; a compacted generation -m covers 0..m."""
-    return -gen_id if gen_id < 0 else gen_id
+    generation covers itself; a compacted generation -(m+1) covers
+    0..m. The offset keeps coverage-0 representable (batch_id=-1)
+    instead of colliding with batch_id=0 (the former -m encoding wrote
+    a coverage-0 compaction onto the live batch-0 directory)."""
+    return -gen_id - 1 if gen_id < 0 else gen_id
+
+
+def compacted_id(cov: int) -> int:
+    """The generation id of a compacted generation covering 0..cov."""
+    return -(cov + 1)
 
 
 def live_generation_ids(ids: list[int]) -> list[int]:
     """Apply compaction precedence to a raw generation listing: the
-    newest compacted generation -m* (largest coverage among negatives)
+    newest compacted generation (largest coverage m* among negatives)
     replaces every generation covering <= m*. Returns the live set —
-    [-m*] plus every positive batch > m* — or all positives when no
+    [compacted_id(m*)] plus every positive batch > m* — or all positives when no
     compacted generation exists. Reading exactly this set yields each
     row exactly once at ANY point of a compaction or a post-crash
     state."""
@@ -82,7 +95,7 @@ def live_generation_ids(ids: list[int]) -> list[int]:
     if not negs:
         return sorted(ids)
     m_star = max(coverage(g) for g in negs)
-    return sorted([-m_star] + [g for g in ids if g >= 0 and g > m_star])
+    return sorted([compacted_id(m_star)] + [g for g in ids if g >= 0 and g > m_star])
 
 
 def live_generation_dirs(spark: SparkSession, index_dir: str) -> list[str]:
@@ -91,6 +104,16 @@ def live_generation_dirs(spark: SparkSession, index_dir: str) -> list[str]:
         f"{index_dir}/batch_id={g}"
         for g in live_generation_ids(generation_ids(spark, index_dir))
     ]
+
+
+def _coverage_col():
+    """`coverage()` as a column expression over the hive `batch_id`
+    partition column — exact for both namespaces (positive stream batch
+    b covers b; compacted -(m+1) covers m)."""
+    from pyspark.sql import functions as F
+
+    b = F.col("batch_id")
+    return F.when(b < 0, -b - 1).otherwise(b)
 
 
 def backfill_floors(spark: SparkSession, index_dir: str) -> list[int]:
@@ -173,7 +196,7 @@ def kept_partial_rows(
     if ids:
         adds = spark.read.option("basePath", store_dir).parquet(
             *[f"{store_dir}/batch_id={g}" for g in ids]
-        ).select(*cols, F.abs(F.col("batch_id")).alias("_cov"))
+        ).select(*cols, _coverage_col().alias("_cov"))
     if not floors:
         if adds is None:
             raise ValueError(f"partials store {store_dir} has no live generations")
@@ -255,7 +278,7 @@ def compact_partials(
     holding the bucket-grain RESOLVED partials (value columns summed —
     exact for the integer-mergeable columns this store requires),
     computed by the same `kept_partial_rows` the readers use. The
-    compacted id is -max(coverages, floors), so it supersedes both the
+    compacted id is compacted_id(max(coverages, floors)), so it supersedes both the
     consumed additive dirs AND the consumed backfill dirs; deletes
     happen after the atomic rename, and dead dirs from either namespace
     are swept. Returns the number of generations merged."""
@@ -277,9 +300,10 @@ def compact_partials(
     src_fl = [k for k in all_floors if m_star < k <= upto_batch_id]
     if len(src_add) + len(src_fl) < 2:
         return 0
-    m = max([coverage(g) for g in src_add] + src_fl)
-    if src_add == [-m] and not src_fl:
+    if all(g < 0 for g in src_add) and not src_fl:
         return 0  # lone compacted gen: nothing new arrived at this coverage
+    m = max([coverage(g) for g in src_add] + src_fl)
+    dest = compacted_id(m)
     merged = (
         kept_partial_rows(
             spark, store_dir, bucket_cols, value_cols,
@@ -291,9 +315,13 @@ def compact_partials(
     tmp = f"{store_dir}/.compact_tmp_{m}"
     fs.delete(HPath(tmp), True)
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    fs.rename(HPath(tmp), HPath(f"{store_dir}/batch_id={-m}"))
+    if not fs.rename(HPath(tmp), HPath(f"{store_dir}/batch_id={dest}")):
+        raise IOError(
+            f"compact_partials: rename {tmp} -> batch_id={dest} failed; "
+            "aborting with sources intact (nothing was deleted)"
+        )
     for g in src_add:
-        if g != -m:
+        if g != dest:
             fs.delete(HPath(f"{store_dir}/batch_id={g}"), True)
     for k in src_fl:
         fs.delete(HPath(f"{store_dir}/backfill_floor={k}"), True)
@@ -415,7 +443,7 @@ def kept_index_rows(
     fl = tombs.groupBy(*key_cols).agg(F.max("_tf").alias("_fl"))
     return (
         rows.join(F.broadcast(fl), list(key_cols), "left")
-        .filter(F.col("_fl").isNull() | (F.abs(F.col("batch_id")) > F.col("_fl")))
+        .filter(F.col("_fl").isNull() | (_coverage_col() > F.col("_fl")))
         .drop("_fl")
     )
 
@@ -432,8 +460,9 @@ def compact_index_rows(
     selection (kept_index_rows restricted to coverage <= upto) into one
     compacted generation via `write_kept(kept_df, tmp_dir)` (each index
     keeps its own layout — coalesce for band rows, partitionBy(list_id)
-    for ANN lists), renamed in atomically as batch_id=-m where m covers
-    both the consumed additive generations and the consumed tombstones;
+    for ANN lists), renamed in atomically as batch_id=compacted_id(m)
+    where m covers both the consumed additive generations and the
+    consumed tombstones;
     then delete sources and consumed tombstone dirs, sweeping dead dirs
     from both namespaces. Returns the number of generations (additive +
     tombstone) merged."""
@@ -451,18 +480,23 @@ def compact_index_rows(
     src_t = [(k, name) for k, name in tdirs if m_star < k <= upto_batch_id]
     if len(src_add) + len(src_t) < max(min_sources, 1):
         return 0
-    m = max([coverage(g) for g in src_add] + [k for k, _ in src_t])
-    if src_add == [-m] and not src_t:
+    if all(g < 0 for g in src_add) and not src_t:
         return 0  # lone compacted gen: nothing new arrived at this coverage
+    m = max([coverage(g) for g in src_add] + [k for k, _ in src_t])
+    dest = compacted_id(m)
     kept = kept_index_rows(spark, index_dir, key_cols, upto=upto_batch_id).drop(
         "batch_id"
     )
     tmp = f"{index_dir}/.compact_tmp_{m}"
     fs.delete(HPath(tmp), True)
     write_kept(kept, tmp)
-    fs.rename(HPath(tmp), HPath(f"{index_dir}/batch_id={-m}"))
+    if not fs.rename(HPath(tmp), HPath(f"{index_dir}/batch_id={dest}")):
+        raise IOError(
+            f"compact_index_rows: rename {tmp} -> batch_id={dest} failed; "
+            "aborting with sources intact (nothing was deleted)"
+        )
     for g in src_add:
-        if g != -m:
+        if g != dest:
             fs.delete(HPath(f"{index_dir}/batch_id={g}"), True)
     for _, name in src_t:
         fs.delete(HPath(f"{index_dir}/{name}"), True)

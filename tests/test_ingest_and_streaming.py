@@ -375,9 +375,9 @@ def test_compact_band_index_preserves_probe_semantics(spark, tmp_path):
     assert merged == 3 and n_dirs_before == 4  # 0,1,2 merged; dir 3 untouched
     dirs_after = sorted(d for d in os.listdir(idx) if d.startswith("batch_id="))
     # compacted generation lands under the NEGATIVE id (generation
-    # protocol: -2 replaces coverage <= 2, can't collide with future
+    # protocol: -3 replaces coverage <= 2, can't collide with future
     # stream batches); dir 3 untouched
-    assert dirs_after == ["batch_id=-2", "batch_id=3"]
+    assert dirs_after == ["batch_id=-3", "batch_id=3"]
 
     # the same probe AFTER compaction emits the identical candidate set
     make_incremental_dedup_batch_fn(spark, idx, cands_b)(new_batch, 3)
@@ -489,9 +489,9 @@ def test_compact_ann_index_preserves_search(spark, tmp_path):
     merged = compact_ann_index(spark, idx, upto_batch_id=1)  # batch 2 in flight
     assert merged == 2
     gens = sorted(d for d in os.listdir(idx) if d.startswith("batch_id="))
-    assert gens == ["batch_id=-1", "batch_id=2"]
+    assert gens == ["batch_id=-2", "batch_id=2"]
     # compacted generation keeps hive list_id subdirs (probe pruning)
-    assert any(d.startswith("list_id=") for d in os.listdir(f"{idx}/batch_id=-1"))
+    assert any(d.startswith("list_id=") for d in os.listdir(f"{idx}/batch_id=-2"))
     assert results(2) == before_probed
     assert results(8) == before_exh
     # the stream keeps appending after compaction; totals stay lossless
@@ -584,11 +584,12 @@ def test_generation_protocol_mid_compaction_reader_safety(spark, tmp_path):
         live_generation_ids,
     )
 
-    # unit-level precedence: -m replaces coverage <= m, including older
-    # compacted generations
+    # unit-level precedence: -(m+1) replaces coverage <= m, including
+    # older compacted generations; coverage 0 is representable (-1)
     assert live_generation_ids([0, 1, 2]) == [0, 1, 2]
-    assert live_generation_ids([-1, 0, 1, 2]) == [-1, 2]
-    assert live_generation_ids([-5, -8, 6, 7, 9]) == [-8, 9]
+    assert live_generation_ids([-1, 0, 1, 2]) == [-1, 1, 2]  # -1 covers only batch 0
+    assert live_generation_ids([-2, 0, 1, 2]) == [-2, 2]
+    assert live_generation_ids([-5, -8, 6, 7, 9]) == [-8, 9]  # -8 covers 0..7
 
     ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
         "event_id", "event_type", "ts", "value"
@@ -612,23 +613,23 @@ def test_generation_protocol_mid_compaction_reader_safety(spark, tmp_path):
     for b in (0, 1):
         shutil.copytree(f"{roll}/batch_id={b}", str(tmp_path / f"bak{b}"))
     assert compact_rollup(spark, roll, upto_batch_id=1) == 2
-    assert generation_ids(spark, roll) == [-1, 2]
+    assert generation_ids(spark, roll) == [-2, 2]
     for b in (0, 1):
         shutil.copytree(str(tmp_path / f"bak{b}"), f"{roll}/batch_id={b}")
-    assert generation_ids(spark, roll) == [-1, 0, 1, 2]  # raw listing: stale dirs present
+    assert generation_ids(spark, roll) == [-2, 0, 1, 2]  # raw listing: stale dirs present
     assert served() == before  # precedence hides them: no double counting
 
     # the next sweep garbage-collects the stale dirs without re-merging
     assert compact_rollup(spark, roll, upto_batch_id=1) == 0
-    assert generation_ids(spark, roll) == [-1, 2]
+    assert generation_ids(spark, roll) == [-2, 2]
     assert served() == before
 
-    # chained compaction over a compacted generation: -1 + 2 -> -2
+    # chained compaction over a compacted generation: -2 + 2 -> -3
     assert compact_rollup(spark, roll, upto_batch_id=2) == 2
-    assert generation_ids(spark, roll) == [-2]
+    assert generation_ids(spark, roll) == [-3]
     assert served() == before
     # compacted partials are bucket-grain: one row per (type, hour)
-    n_rows = spark.read.parquet(f"{roll}/batch_id=-2").count()
+    n_rows = spark.read.parquet(f"{roll}/batch_id=-3").count()
     assert n_rows == len(before)
 
 
@@ -685,7 +686,7 @@ def test_refit_ann_index_recovers_recall_after_drift(spark, tmp_path):
     # measured on this seeded fixture: 0.70 -> 0.98
     assert after > before and after >= 0.85
     # rewrite is lossless and lands as one compacted generation
-    assert generation_ids(spark, idx) == [-1]
+    assert generation_ids(spark, idx) == [-2]
     n = spark.read.option("basePath", idx).parquet(*live_generation_dirs(spark, idx)).count()
     assert n == 4000
     # centroids persisted with the index, byte-equal round-trip
@@ -751,7 +752,7 @@ def test_incremental_percentiles_replay_merge_compact(spark, tmp_path):
     assert compact_value_histogram(spark, hist, upto_batch_id=2) == 3
     assert served() == got
     n_buckets = len({(t, b) for t, bs in by_type.items() for b in bs})
-    assert spark.read.parquet(f"{hist}/batch_id=-2").count() == n_buckets
+    assert spark.read.parquet(f"{hist}/batch_id=-3").count() == n_buckets
 
 
 def test_rollup_backfill_replacement_semantics(spark, tmp_path):
@@ -837,7 +838,7 @@ def test_rollup_backfill_replacement_semantics(spark, tmp_path):
     # compaction resolves floors with the reader's own selection
     shutil.copytree(f"{roll}/backfill_floor=2", str(tmp_path / "bak_fl"))
     assert compact_rollup(spark, roll, upto_batch_id=3) == 5  # gens 0-3 + 1 backfill
-    assert generation_ids(spark, roll) == [-3]
+    assert generation_ids(spark, roll) == [-4]
     assert backfill_floors(spark, roll) == []
     assert served() == got2
 
@@ -901,7 +902,7 @@ def test_histogram_backfill_type_grain_replacement(spark, tmp_path):
     # compaction materializes the per-type resolution, retires the dir
     n = compact_value_histogram(spark, hist, upto_batch_id=1)
     assert n == 3  # 2 additive gens + 1 backfill
-    assert generation_ids(spark, hist) == [-1]
+    assert generation_ids(spark, hist) == [-2]
     assert backfill_floors(spark, hist) == []
     assert served() == got
 
@@ -966,7 +967,7 @@ def test_index_deletion_tombstones(spark, tmp_path):
     # compaction materializes: bytes gone, tombstone retired, search same
     n_alive = emb.count() - len(dead_ids)
     assert compact_ann_index(spark, idx, upto_batch_id=1) == 3  # 2 gens + 1 tombstone
-    assert generation_ids(spark, idx) == [-1] and tombstone_floors(spark, idx) == []
+    assert generation_ids(spark, idx) == [-2] and tombstone_floors(spark, idx) == []
     assert kept_index_rows(spark, idx, ["vec_id"]).count() == n_alive
     assert topk() == want
 
@@ -1064,3 +1065,89 @@ def test_tombstone_same_floor_accumulates(spark, tmp_path):
     alive = {r["vec_id"] for r in kept_index_rows(spark, idx, ["vec_id"]).collect()}
     assert alive.isdisjoint(set(range(10)))
     assert len(alive) == emb.count() - 10
+
+
+def test_coverage_zero_compaction_and_refit(spark, tmp_path):
+    """Coverage-0 regression (the -(m+1) encoding): a compaction whose
+    entire coverage is batch 0 must be representable. Under the former
+    -m encoding it would target `batch_id=-0` == the live `batch_id=0`
+    dir itself — the rename landed nowhere and the consumed tombstone
+    dirs were deleted anyway, resurrecting deleted keys. Now:
+
+    1. batch 0 + a tombstone at floor 0 compact to `batch_id=-1`, the
+       deletion is materialized, and the tombstone dir is retired;
+    2. refit_ann_index on a lone positive batch 0 REWRITES (it used to
+       silently no-op via the [-0]==[0] lone-compacted-gen check);
+    3. the same floor-0 shape works on the partials store.
+    """
+    from pdf_brain_spark.operators.clustering import kmeans_assign
+    from pdf_brain_spark.sources.loaders import load_table
+    from pdf_brain_spark.streaming.ann_ingest import (
+        compact_ann_index,
+        delete_vectors,
+        make_ann_ingest_batch_fn,
+        refit_ann_index,
+    )
+    from pdf_brain_spark.streaming.generations import (
+        generation_ids,
+        kept_index_rows,
+        tombstone_floors,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").select(
+        "vec_id", "embedding"
+    )
+    _, cents = kmeans_assign(emb, k=8, seed=42)
+    idx = str(tmp_path / "ann")
+    make_ann_ingest_batch_fn(idx, cents)(emb, 0)
+    dead = emb.filter(F.col("vec_id") % 11 == 0).select("vec_id")
+    n_dead = dead.count()
+    delete_vectors(spark, idx, dead, floor_batch_id=0)
+
+    # (1) lone batch 0 + floor-0 tombstone: compacts to -1, materialized
+    assert compact_ann_index(spark, idx, upto_batch_id=0) == 2
+    assert generation_ids(spark, idx) == [-1]
+    assert tombstone_floors(spark, idx) == []
+    alive = {r["vec_id"] for r in kept_index_rows(spark, idx, ["vec_id"]).collect()}
+    assert len(alive) == emb.count() - n_dead
+    assert not any(v % 11 == 0 for v in alive)
+
+    # (2) refit on a lone positive batch 0 rewrites instead of no-opping
+    idx2 = str(tmp_path / "ann2")
+    make_ann_ingest_batch_fn(idx2, cents)(emb, 0)
+    _, merged = refit_ann_index(spark, idx2, upto_batch_id=0, n_lists=8, seed=42)
+    assert merged == 1
+    assert generation_ids(spark, idx2) == [-1]
+    assert kept_index_rows(spark, idx2, ["vec_id"]).count() == emb.count()
+
+    # (3) partials store: batch 0 + a floor-0 backfill compact to -1
+    from pdf_brain_spark.streaming.events import (
+        backfill_rollup,
+        compact_rollup,
+        make_rollup_batch_fn,
+        read_rollup,
+    )
+    from pdf_brain_spark.streaming.generations import backfill_floors
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    roll = str(tmp_path / "rollup")
+    make_rollup_batch_fn(roll)(ev, 0)
+    h0 = ev.agg(F.date_trunc("hour", F.min("ts")).alias("h")).first()["h"]
+    corrected = ev.filter(F.date_trunc("hour", F.col("ts")) == F.lit(h0)).withColumn(
+        "value", F.round(F.col("value") * 2, 2)
+    )
+    backfill_rollup(spark, roll, corrected, floor_batch_id=0)
+    want = sorted(
+        (r["event_type"], str(r["window_start"]), r["n_events"], r["total_value"])
+        for r in read_rollup(spark, roll).collect()
+    )
+    assert compact_rollup(spark, roll, upto_batch_id=0) == 2
+    assert generation_ids(spark, roll) == [-1]
+    assert backfill_floors(spark, roll) == []
+    got = sorted(
+        (r["event_type"], str(r["window_start"]), r["n_events"], r["total_value"])
+        for r in read_rollup(spark, roll).collect()
+    )
+    assert got == want
