@@ -5915,71 +5915,71 @@ def clustering_model_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and every LLM-data-pipeline operator sits inside that window; redundant /
 # standalone variants keep their registration after it.
 #
-# ROUND-6 ROTATION (VERDICT r5 item 1): rotate in the 11-entry round-6
-# queue — the only oracled queries with no driver row, all judge-attested
-# green at sf0.01 in VERDICT r5: dedup_embedding_ann, duplicate_span_report,
-# mmr_rerank, events_key_skew_profile, streaming_incremental_ann,
-# events_gapfill_locf, events_funnel, events_retention_cohorts,
-# dedup_decision_report, streaming_incremental_rollup,
-# events_count_anomalies. After this round's driver run, EVERY oracled
-# query ever registered (through r5) has at least one full-green driver
-# attestation. Rotated out (11 entries, each with >= 2 full-green driver
-# rows persisting in CORRECTNESS_r03-r05): ann_ivf_topk,
-# grouped_topk_similarity, fts_phrase, search_pipeline,
-# title_author_cleanup, pii_scrub, events_lag_lead, events_range_join,
-# skew_salted_join, customers_without_orders, markdown_sections. Kept
-# in-window: the 2025-08 r5-first-attested entries (one row each — held for
-# a consecutive attestation) and the family anchors. Queries REGISTERED
-# this round (round-7 queue, sealed after this window) are listed in
-# CHANGES_r06.md. Rationale in COVERAGE.md.
+# ROUND-7 ROTATION (the r6 play, repeated): rotate in the full 14-entry
+# round-7 queue (CHANGES_r06.md) — the only oracled queries with no driver
+# row, all three-scale-attested green in r6: cut_duplicate_spans,
+# mmr_rerank_batch, ivfpq_exact_rerank, streaming_incremental_percentiles,
+# hard_negative_mining, tfidf_top_terms, doc_novelty_scores,
+# events_debounce, corpus_curation_sample, streaming_rollup_backfill,
+# streaming_ann_deletion, events_winsorized_stats, events_funnel_windowed,
+# local_supplier_volume. When CORRECTNESS_r07 lands green, every oracled
+# query registered through r6 has at least one driver attestation.
+# Rotated out (14 entries, each now holding >= 2 full-green driver rows in
+# CORRECTNESS_r05 + r06): events_session_window, events_sliding_window,
+# events_moving_avg, events_json_props, streaming_stream_join,
+# streaming_stateful_sessionize, part_type_rollup, promo_revenue,
+# supplier_rank_by_nation, lang_source_pivot, user_segments,
+# multi_format_roundtrip, sequence_packing, domain_mixture_sample. Kept
+# in-window: the r6-first-attested entries (one row each — held for a
+# consecutive attestation) and the family anchors. Queries REGISTERED this
+# round (round-8 queue, sealed after this window) are listed in
+# CHANGES_r07.md. Rationale in COVERAGE.md.
 # --------------------------------------------------------------------------
 
 GATE_WINDOW = [
-    # vector search anchors (M1/M2, J1-shape, W1); the IVF index path is
-    # now attested through its streaming/persisted variant below
+    # vector search anchors (M1/M2, J1-shape, W1)
     "vector_topk", "vector_similarity_join",
     # fts / hybrid / retrieval anchors (J2/W2, J8/U2/W3)
     "fts_bm25", "hybrid_search",
-    # MMR diversity re-rank (rotated IN — r6 queue, judge-attested r5)
-    "mmr_rerank",
-    # dedup anchor + the INCREMENTAL LSH paths + rotated-IN r6-queue dedup
-    # surface: embedding-ANN near-dup (exactly oracled), duplicate spans,
-    # per-doc keep/drop decisions
+    # MMR diversity re-rank: single (held for 2nd row) + rotated-IN batch
+    "mmr_rerank", "mmr_rerank_batch",
+    # residual IVF-PQ behind the exact-rerank gate (rotated IN)
+    "ivfpq_exact_rerank",
+    # dedup anchor + incremental LSH + r6-first-attested dedup surface
+    # (held) + rotated-IN span-cut corpus surgery
     "dedup_minhash_lsh", "dedup_incremental_minhash",
     "streaming_incremental_dedup", "dedup_embedding_ann",
     "duplicate_span_report", "dedup_decision_report",
-    # events / temporal: sessionize anchor + kept r5-first-attested
-    # windows + rotated-IN r6-queue temporal analytics (gap-fill LOCF,
-    # funnel, retention cohorts, volume anomalies, skew profiler)
-    "events_sessionize", "events_session_window", "events_sliding_window",
-    "events_moving_avg", "events_sessionize_salted", "events_json_props",
+    "cut_duplicate_spans",
+    # events / temporal: sessionize anchors + r6-first-attested analytics
+    # (held for a 2nd row) + rotated-IN debounce/winsorized/windowed-funnel
+    "events_sessionize", "events_sessionize_salted",
     "events_gapfill_locf", "events_funnel", "events_retention_cohorts",
     "events_count_anomalies", "events_key_skew_profile",
-    # streaming incremental maintenance (rotated IN — r6 queue): ANN index
-    # ingest + hourly rollup partials
+    "events_debounce", "events_winsorized_stats", "events_funnel_windowed",
+    # streaming incremental maintenance: ANN ingest + rollup (held) +
+    # rotated-IN percentile sketch, rollup backfill, ANN tombstone delete
     "streaming_incremental_ann", "streaming_incremental_rollup",
-    # structured streaming (§2.10/§2.11): anchors + r5-first-attested
-    # stream-stream join and stateful sessionize (held for a second row)
+    "streaming_incremental_percentiles", "streaming_rollup_backfill",
+    "streaming_ann_deletion",
+    # structured streaming anchors (§2.10/§2.11)
     "streaming_tumbling_window", "streaming_dedup",
-    "streaming_stream_join", "streaming_stateful_sessionize",
     # taxonomy graph anchor (J5/U4 both directions)
     "transitive_closure",
-    # listings / rollups: TPC-H pricing anchor + r5-first-attested
-    # rollup/pivot/segment analytics (held for a second row)
-    "pricing_summary",
-    "part_type_rollup", "promo_revenue", "supplier_rank_by_nation",
-    "lang_source_pivot", "user_segments", "concept_label_search",
+    # listings / rollups: TPC-H pricing anchor + rotated-IN Q5-shaped
+    # six-table star join
+    "pricing_summary", "local_supplier_volume", "concept_label_search",
     # clustering lifecycle anchors (A5-A7/M3-M5 rows-only + J10/M12/W4)
     "clustering_model_report", "cluster_concept_map",
-    # ingest / sinks: chunking anchor + rotated-in sink round-trip
-    # (S7/S8/S9 idempotency attestation) + multi-format source/sink chain
-    "chunk_pipeline", "ingest_sink_roundtrip", "multi_format_roundtrip",
-    # training-data prep: rotated-in quality gates, splits, packing,
-    # sampling, quantization, token counts, contamination
+    # ingest / sinks: chunking anchor + sink round-trip (held)
+    "chunk_pipeline", "ingest_sink_roundtrip",
+    # training-data prep: held quality gates + rotated-IN hard negatives,
+    # TF-IDF fingerprints, novelty scores, curation sampling
     "doc_repetition_filter", "benchmark_contamination",
-    "train_val_test_split", "sequence_packing", "boilerplate_ngram_report",
-    "domain_mixture_sample", "embedding_quantization", "token_counts",
-    "stratified_sample_per_source",
+    "train_val_test_split", "boilerplate_ngram_report",
+    "embedding_quantization", "token_counts", "stratified_sample_per_source",
+    "hard_negative_mining", "tfidf_top_terms", "doc_novelty_scores",
+    "corpus_curation_sample",
 ]
 
 
