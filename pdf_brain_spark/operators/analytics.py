@@ -476,3 +476,38 @@ def funnel_conversion_windowed(
             F.round(F.col("n_users") / F.col("_base"), 6).alias("conversion"),
         )
     )
+
+
+def column_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Data-quality column profile — per column: row count, NULL count,
+    exact distinct count — the ingestion-gate summary a pipeline checks
+    before accepting a new data drop (schema drift shows up as a NULL
+    spike or a distinct-count collapse).
+
+    Plan shape: UNPIVOT via a literal struct array + explode, then ONE
+    groupBy on column name. Deliberately NOT `agg(countDistinct(c) for
+    c in cols)` — multiple distinct aggregates in one Spark aggregate
+    compile to an Expand that replicates every input row once per
+    column ANYWAY, but through a single first-class operator whose
+    exact-distinct shuffle is at (column, value) grain and combines
+    map-side. Values compare as strings (injective for the int/string
+    columns this profiles; floats would need a canonical format first).
+
+    Returns (column_name, n_rows, n_nulls, n_distinct)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(c).cast("string").alias("value_str"),
+            )
+            for c in columns
+        ]
+    )
+    exploded = df.select(F.explode(entries).alias("e")).select(
+        "e.column_name", "e.value_str"
+    )
+    return exploded.groupBy("column_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value_str").isNull(), 1).otherwise(0)).alias("n_nulls"),
+        F.countDistinct("value_str").alias("n_distinct"),
+    )

@@ -489,3 +489,193 @@ def debounce_events(
             ),
         )
     )
+
+
+def scd2_compress(
+    snapshots: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    attr_col: str = "tier",
+    period_col: str = "day",
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build — compress a per-period
+    attribute history (one row per key per observed period) into
+    validity ranges: a new version opens whenever the attribute CHANGES
+    between consecutive observed periods, and closes when the next
+    version opens (valid_to = the next version's valid_from; NULL =
+    current). The lakehouse dimension-maintenance staple: turns an
+    event-derived attribute stream into the join-able dimension a
+    warehouse keeps.
+
+    Gaps-and-islands again (the sessionize/debounce shape): ONE shuffle
+    on the key, change-flag + running-sum windows over the same sort,
+    then a version-grain aggregate and one more window for the
+    valid_to handoff — all reusing the key partitioning, so the whole
+    build is a single exchange however long the history. Per-key state
+    is O(1) in the windows.
+
+    Returns key_cols + (version 1-based, attr_col, valid_from,
+    valid_to NULL-for-current, n_periods)."""
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col(period_col).asc())
+    changed = F.when(
+        F.lag(F.col(attr_col)).over(w).isNull()
+        | (F.lag(F.col(attr_col)).over(w) != F.col(attr_col)),
+        1,
+    ).otherwise(0)
+    islands = snapshots.withColumn("_v", F.sum(changed).over(w))
+    vers = islands.groupBy(*keys, "_v").agg(
+        F.first(attr_col).alias(attr_col),
+        F.min(period_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_periods"),
+    )
+    wv = Window.partitionBy(*keys).orderBy(F.col("valid_from").asc())
+    return vers.select(
+        *keys,
+        F.col("_v").alias("version"),
+        attr_col,
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_periods",
+    )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    touch_type: str = "click",
+    conversion_type: str = "purchase",
+    window_seconds: int = 7 * 24 * 3600,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: each conversion is attributed to the
+    LATEST preceding touch event by the same user within the lookback
+    window (or left unattributed). The marketing/analytics staple that
+    is secretly an as-of join — re-expressed with the union-and-window
+    play (asof_backward_join): both event roles sort ONCE per user and
+    a running max of struct(ts, id) over touch rows carries the most
+    recent touch onto every conversion row. ONE shuffle on user_id, no
+    per-conversion probe join, no range explosion.
+
+    Time arithmetic is exact integer microseconds (the debounce rule).
+    Returns one row per conversion: (id_col, user_col, ts_col,
+    attributed_touch_id NULL-if-none, touch_gap_seconds NULL-if-none)."""
+    from pyspark.sql.window import Window
+
+    both = events.filter(F.col(type_col).isin([touch_type, conversion_type])).select(
+        user_col, type_col, ts_col, id_col, F.unix_micros(F.col(ts_col)).alias("_us")
+    )
+    # conversions sort after simultaneous touches (a touch at the exact
+    # conversion instant attributes), hence the role key in the ordering
+    role = F.when(F.col(type_col) == touch_type, 0).otherwise(1)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col("_us").asc(), role.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(
+        F.col(type_col) == touch_type, F.struct(F.col("_us"), F.col(id_col))
+    )
+    carried = both.withColumn("_last_touch", F.max(touch).over(w))
+    conv = carried.filter(F.col(type_col) == conversion_type)
+    in_window = F.col("_last_touch").isNotNull() & (
+        F.col("_us") - F.col("_last_touch._us") <= window_seconds * 1_000_000
+    )
+    return conv.select(
+        id_col,
+        user_col,
+        ts_col,
+        F.when(in_window, F.col(f"_last_touch.{id_col}")).alias("attributed_touch_id"),
+        F.when(
+            in_window,
+            F.floor((F.col("_us") - F.col("_last_touch._us")) / F.lit(1_000_000)),
+        ).alias("touch_gap_seconds"),
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count (event_type -> next_event_type) adjacencies and
+    their per-source probabilities — the behavioral-modeling summary
+    (next-action prediction, anomaly baselines, path analysis).
+
+    ONE shuffle on user_id for the lead() window, then a tiny
+    (|types|²-row) aggregate with map-side partial counting; the
+    probability divides two exact integer counts, rounded 6 on both
+    engines. Returns (from_type, to_type, n_transitions, prob)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = (
+        events.select(user_col, ts_col, id_col, F.col(type_col).alias("from_type"))
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wsrc = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wsrc).cast("double"),
+            6,
+        ).alias("prob"),
+    )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Open/high/low/close value bars per (key, time bucket) — the
+    time-series downsampling primitive (market bars, sensor rollups,
+    metric retention tiers). Values are cent-grain exact integers
+    internally (the engine's cross-engine float rule); open/close pick
+    the first/last event by (ts, id) via min/max over struct — ONE
+    groupBy shuffle, no window pass, map-side combinable (min/max/count
+    of structs are associative).
+
+    Returns (key_col, bar_start, open/high/low/close 2-dp values,
+    n_events)."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    ordkey = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.col(id_col).alias("_id"),
+        cents.alias("_c"),
+    )
+    money = lambda c: F.round(c.cast("double") / 100.0, 2)  # noqa: E731
+    return (
+        events.select(
+            F.col(key_col),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bar_start"),
+            ordkey.alias("_ord"),
+            cents.alias("_cents"),
+        )
+        .groupBy(key_col, "bar_start")
+        .agg(
+            money(F.min("_ord")["_c"]).alias("open"),
+            money(F.max("_cents")).alias("high"),
+            money(F.min("_cents")).alias("low"),
+            money(F.max("_ord")["_c"]).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

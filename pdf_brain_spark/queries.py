@@ -5910,6 +5910,710 @@ def clustering_model_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-8 queue: rank fusion + relevance feedback (IR compositions), SCD2 /
+# attribution / transitions / OHLC (event-warehouse operators), column
+# profiling (data-quality gate), exact streaming heavy hitters, curriculum
+# ordering + contrastive pairs (training-data prep), TPC-H Q3/Q10 shapes
+# (join-planning showcases). Registered AFTER the sealed round-7 window;
+# rotation candidates for round 8.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rrf_fusion",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0),
+    vec_arm AS (
+      SELECT e.vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY (1.0 - {_duck_cosine_distance('e.embedding', 'q.query_vec')} / 2.0) DESC,
+                        e.vec_id ASC
+             ) AS rank
+      FROM embeddings e, q
+      ORDER BY rank LIMIT 20
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tokens
+      FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(len(tokens)) AS avgdl FROM toks),
+    postings AS (
+      SELECT doc_id, term, len_tokens AS doc_len, count(*) AS tf
+      FROM (SELECT doc_id, unnest(tokens) AS term, len(tokens) AS len_tokens FROM toks)
+      WHERE term IN ('spark', 'shuffle', 'join')
+      GROUP BY doc_id, term, len_tokens
+    ),
+    dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term),
+    fts_arm AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY sum(term_score) DESC, doc_id ASC) AS rank
+      FROM (
+        SELECT p.doc_id,
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                 * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.doc_len / s.avgdl))
+                 AS term_score
+        FROM postings p JOIN dfs d USING (term), stats s
+      )
+      GROUP BY doc_id
+      ORDER BY rank LIMIT 20
+    ),
+    fused AS (
+      SELECT COALESCE(v.doc_id, f.doc_id) AS doc_id,
+             COALESCE(1.0 / (60.0 + v.rank), 0.0) + COALESCE(1.0 / (60.0 + f.rank), 0.0) AS raw,
+             (CASE WHEN v.rank IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN f.rank IS NOT NULL THEN 1 ELSE 0 END) AS n_arms
+      FROM vec_arm v FULL OUTER JOIN fts_arm f ON v.doc_id = f.doc_id
+    )
+    SELECT doc_id, round(raw, 6) AS rrf_score, n_arms
+    FROM fused
+    ORDER BY raw DESC, doc_id ASC LIMIT 10
+    """,
+)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the vector and BM25 arms (operators/
+    relevance.py::rrf_fuse, Cormack et al. SIGIR'09) — the score-free
+    merge that needs no calibration between the [0,1] cosine arm and the
+    unbounded BM25 arm, complementing the reference's boost-merge
+    (hybrid_search). Both arms are top-20; ranks, not scores, cross the
+    fusion boundary, so the fused score is a fixed-order sum of exact
+    1/(60+rank) doubles — identical expression on both engines."""
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.operators.fts import bm25_scores
+    from pdf_brain_spark.operators.relevance import rrf_fuse
+    from pdf_brain_spark.operators.vector_search import topk_by_query_df
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    vec = (
+        topk_by_query_df(emb, qdf, k=20)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    fts = (
+        bm25_scores(docs, FTS_QUERY_TERMS, k=20)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .select("doc_id", "rank")
+    )
+    return rrf_fuse([vec, fts], "doc_id", limit=10)
+
+
+@query(
+    "prf_query_expansion",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tokens
+      FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(len(tokens)) AS avgdl FROM toks),
+    p1 AS (
+      SELECT doc_id, term, len_tokens AS doc_len, count(*) AS tf
+      FROM (SELECT doc_id, unnest(tokens) AS term, len(tokens) AS len_tokens FROM toks)
+      WHERE term IN ('spark', 'shuffle', 'join')
+      GROUP BY doc_id, term, len_tokens
+    ),
+    d1 AS (SELECT term, count(DISTINCT doc_id) AS df FROM p1 GROUP BY term),
+    fb AS (
+      SELECT doc_id
+      FROM (
+        SELECT p.doc_id,
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                 * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.doc_len / s.avgdl))
+                 AS term_score
+        FROM p1 p JOIN d1 d USING (term), stats s
+      )
+      GROUP BY doc_id
+      ORDER BY sum(term_score) DESC, doc_id ASC LIMIT 5
+    ),
+    eterms AS (
+      SELECT term FROM (
+        SELECT unnest(t.tokens) AS term
+        FROM toks t JOIN fb USING (doc_id)
+      )
+      WHERE length(term) >= 4 AND term NOT IN ('spark', 'shuffle', 'join')
+      GROUP BY term
+      ORDER BY count(*) DESC, term ASC LIMIT 3
+    ),
+    allterms AS (
+      SELECT unnest(['spark', 'shuffle', 'join']) AS term
+      UNION SELECT term FROM eterms
+    ),
+    p2 AS (
+      SELECT doc_id, term, len_tokens AS doc_len, count(*) AS tf
+      FROM (SELECT doc_id, unnest(tokens) AS term, len(tokens) AS len_tokens FROM toks)
+      WHERE term IN (SELECT term FROM allterms)
+      GROUP BY doc_id, term, len_tokens
+    ),
+    d2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM p2 GROUP BY term),
+    scored AS (
+      SELECT p.doc_id,
+             ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.doc_len / s.avgdl))
+               AS term_score
+      FROM p2 p JOIN d2 d USING (term), stats s
+    )
+    SELECT doc_id, round(sum(term_score), 6) AS bm25,
+           CAST(count(*) AS BIGINT) AS terms_matched
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY sum(term_score) DESC, doc_id ASC LIMIT 10
+    """,
+)
+def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (operators/relevance.py
+    ::prf_search, RM3-style): BM25 top-5 feedback docs → the 3 most
+    frequent non-query terms (length ≥ 4, tie term-asc — exact integer
+    tf selection) → BM25 re-run with the expanded term set. The oracle
+    replays the whole two-pass pipeline in SQL, feedback selection
+    included. Residual risk shared with fts_bm25: feedback-set and
+    k-boundary ties resolve on raw double BM25 sums whose addition
+    order differs across engines (≈1e-16 noise) — attested stable at
+    all three scales."""
+    from pdf_brain_spark.operators.relevance import prf_search
+
+    docs = load_table(spark, "documents", sf_dir)
+    res = prf_search(docs, FTS_QUERY_TERMS, fb_docs=5, fb_terms=3, k=10)
+    return res.select(
+        "doc_id",
+        F.round("bm25", 6).alias("bm25"),
+        F.col("terms_matched").cast("long").alias("terms_matched"),
+    )
+
+
+@query(
+    "scd2_user_tiers",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    tiers AS (
+      SELECT user_id, day,
+             CASE WHEN cents >= 20000 THEN 'high'
+                  WHEN cents >= 7500 THEN 'mid'
+                  ELSE 'low' END AS tier
+      FROM daily
+    ),
+    flagged AS (
+      SELECT user_id, day, tier,
+             CASE WHEN lag(tier) OVER w IS NULL
+                       OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+      FROM tiers
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    islands AS (
+      SELECT user_id, day, tier,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY day) AS v
+      FROM flagged
+    ),
+    vers AS (
+      SELECT user_id, v AS version, min(tier) AS tier,
+             min(day) AS valid_from, CAST(count(*) AS BIGINT) AS n_periods
+      FROM islands GROUP BY user_id, v
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, tier, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+           n_periods
+    FROM vers
+    """,
+)
+def scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the event stream
+    (operators/temporal.py::scd2_compress): each user's DAILY spend tier
+    (exact cent thresholds 75.00 / 200.00) compresses into validity
+    ranges — a new version opens on tier change, valid_to hands off to
+    the next version (NULL = current). Two window passes + one
+    aggregate, all on the single user_id exchange."""
+    from pdf_brain_spark.operators.temporal import scd2_compress
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    tiers = daily.select(
+        "user_id",
+        "day",
+        F.when(F.col("cents") >= 20000, "high")
+        .when(F.col("cents") >= 7500, "mid")
+        .otherwise("low")
+        .alias("tier"),
+    )
+    out = scd2_compress(tiers, key_cols=("user_id",), attr_col="tier", period_col="day")
+    return out.select(
+        "user_id", F.col("version").cast("long").alias("version"), "tier",
+        "valid_from", "valid_to", "n_periods",
+    )
+
+
+@query(
+    "events_last_touch_attribution",
+    oracle="""
+    WITH touches AS (
+      SELECT user_id, event_type, ts, event_id, value,
+             epoch_us(ts) AS us
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    carried AS (
+      SELECT *,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER w AS lt_id,
+             last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+               OVER w AS lt_us
+      FROM touches
+      WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY us, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      )
+    ),
+    conv AS (
+      SELECT date_trunc('day', ts) AS conv_day,
+             (lt_id IS NOT NULL AND us - lt_us <= 604800000000) AS attributed,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM carried WHERE event_type = 'purchase'
+    )
+    SELECT conv_day, attributed,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total_value
+    FROM conv GROUP BY 1, 2
+    """,
+)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (operators/temporal.py::
+    last_touch_attribution): every purchase is attributed to the user's
+    latest preceding click within 7 days via the union-and-window as-of
+    play (one user_id shuffle, exact microsecond gap arithmetic), then
+    rolled up per (conversion day, attributed?) with exact cent revenue."""
+    from pdf_brain_spark.operators.temporal import last_touch_attribution
+
+    ev = load_table(spark, "events", sf_dir)
+    attr = last_touch_attribution(
+        ev.select("user_id", "event_type", "ts", "event_id"),
+        touch_type="click",
+        conversion_type="purchase",
+        window_seconds=7 * 24 * 3600,
+    )
+    vals = ev.select("event_id", F.round(F.col("value") * 100).cast("long").alias("cents"))
+    return (
+        attr.join(vals, "event_id")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("conv_day"),
+            F.col("attributed_touch_id").isNotNull().alias("attributed"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("cents").cast("double") / F.lit(100.0), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    counts AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           round(CAST(n_transitions AS DOUBLE)
+                 / CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
+    FROM counts
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/temporal.py::event_transitions): one user_id
+    shuffle for lead(), a |types|²-row aggregate, probabilities as a
+    ratio of exact integer counts rounded 6."""
+    from pdf_brain_spark.operators.temporal import event_transitions
+
+    ev = load_table(spark, "events", sf_dir)
+    return event_transitions(ev)
+
+
+@query(
+    "documents_column_profile",
+    oracle="""
+    SELECT 'doc_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_distinct
+    FROM documents
+    UNION ALL
+    SELECT 'text', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT CAST(text AS VARCHAR)) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT CAST(lang AS VARCHAR)) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT CAST(source AS VARCHAR)) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT CAST(n_chars AS VARCHAR)) AS BIGINT)
+    FROM documents
+    """,
+)
+def documents_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile of the documents table (operators/
+    analytics.py::column_profile): per-column row/NULL/exact-distinct
+    counts through ONE unpivot-then-groupBy plan (no N scans, no
+    multi-distinct Expand pileup)."""
+    from pdf_brain_spark.operators.analytics import column_profile
+
+    docs = load_table(spark, "documents", sf_dir)
+    return column_profile(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+@query(
+    "streaming_incremental_topk_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+        regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> ''
+      )) AS term
+      FROM documents
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS n
+    FROM toks GROUP BY term
+    ORDER BY n DESC, term ASC LIMIT 25
+    """,
+)
+def streaming_incremental_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT heavy hitters (streaming/events.py::
+    streaming_incremental_term_counts): the documents table streams in
+    as two micro-batches of vocabulary-grain count partials on the
+    generation store; the served top-25 must equal the one-shot count
+    over the whole corpus — integer partials merge exactly whatever
+    order generations land in. A real AvailableNow run per invocation."""
+    import shutil
+    import tempfile
+
+    from pdf_brain_spark.streaming.events import (
+        read_top_terms,
+        streaming_incremental_term_counts,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="sgraft_terms_")
+    stage, store, ckpt = (f"{root}/{d}" for d in ("stage", "store", "ckpt"))
+    try:
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(stage)
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        streaming_incremental_term_counts(spark, stream, store, ckpt).awaitTermination()
+        return read_top_terms(spark, store, k=25).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE)
+                 / 10000.0, 4) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-03-15'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT)) DESC,
+             o.o_orderdate ASC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority top-10): segment-filtered
+    customers broadcast into orders, the date filters push to both fact
+    scans, one orderkey fact-fact shuffle, TakeOrdered 10 on the exact
+    integer revenue (the Q5 cents×discount-percent device), date and
+    orderkey breaking ties deterministically."""
+    customer = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1996-03-15")
+    )
+    lineitem = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1996-03-15")
+    )
+    rev_units = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev_units).alias("_units"))
+        .orderBy(
+            F.col("_units").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()
+        )
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round(F.col("_units").cast("double") / F.lit(10000.0), 4).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE)
+                 / 10000.0, 4) AS revenue,
+           round(c.c_acctbal, 2) AS c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT)) DESC,
+             c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item customer report): one quarter of
+    orders joins return-flagged lineitems on the orderkey shuffle,
+    customers and the nation dim broadcast onto the aggregate, top-20 by
+    exact integer revenue with custkey tie-break."""
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    lineitem = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag") == "R"
+    )
+    rev_units = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev_units).alias("_units"))
+        .orderBy(F.col("_units").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("_units").cast("double") / F.lit(10000.0), 4).alias("revenue"),
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+@query(
+    "curriculum_ordering",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS subword_tokens
+      FROM documents
+    ),
+    tiered AS (
+      SELECT doc_id, subword_tokens,
+             CASE WHEN subword_tokens < 60 THEN 'easy'
+                  WHEN subword_tokens < 120 THEN 'medium'
+                  ELSE 'hard' END AS tier,
+             CASE WHEN subword_tokens < 60 THEN 0
+                  WHEN subword_tokens < 120 THEN 1
+                  ELSE 2 END AS tier_rank,
+             (doc_id * 2654435761) % 4294967296 AS mix
+      FROM scored
+    ),
+    ordered AS (
+      SELECT doc_id, tier, subword_tokens,
+             row_number() OVER (ORDER BY tier_rank ASC, mix ASC, doc_id ASC) AS position
+      FROM tiered
+    )
+    SELECT CAST(position AS BIGINT) AS position, doc_id, tier, subword_tokens
+    FROM ordered
+    ORDER BY position LIMIT 100
+    """,
+)
+def curriculum_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering for training: docs tiered easy → medium
+    → hard by BPE-ish token count (exact thresholds 60/120), shuffled
+    WITHIN each tier by a deterministic multiplicative hash (Knuth
+    2654435761 — same exact int64 arithmetic on both engines, no
+    engine-specific RNG), emitting the first 100 curriculum positions.
+    The global order is a TakeOrdered (limit-pushed), not a full sort;
+    the position column numbers the bounded result."""
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.functions.text import subword_token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    st = subword_token_count("text").cast("long")
+    tiered = docs.select(
+        "doc_id",
+        st.alias("subword_tokens"),
+        F.when(st < 60, "easy").when(st < 120, "medium").otherwise("hard").alias("tier"),
+        F.when(st < 60, 0).when(st < 120, 1).otherwise(2).alias("_tr"),
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("_mix"),
+    )
+    head = tiered.orderBy(
+        F.col("_tr").asc(), F.col("_mix").asc(), F.col("doc_id").asc()
+    ).limit(100)
+    w = Window.orderBy(F.col("_tr").asc(), F.col("_mix").asc(), F.col("doc_id").asc())
+    return head.select(
+        F.row_number().over(w).cast("long").alias("position"),
+        "doc_id",
+        "tier",
+        "subword_tokens",
+    )
+
+
+@query(
+    "contrastive_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tokens
+      FROM documents
+    ),
+    eligible AS (
+      SELECT doc_id, tokens, len(tokens) AS n,
+             CAST(floor(len(tokens) / 2) AS BIGINT) AS half
+      FROM toks WHERE len(tokens) >= 20
+    )
+    SELECT doc_id,
+           half AS n_anchor_tokens,
+           CAST(n - half AS BIGINT) AS n_positive_tokens,
+           md5(array_to_string(tokens[1:half], ' ')) AS anchor_md5,
+           md5(array_to_string(tokens[half+1:n], ' ')) AS positive_md5,
+           CAST(doc_id % 16 AS BIGINT) AS pair_group
+    FROM eligible
+    ORDER BY doc_id LIMIT 50
+    """,
+)
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair generation (the Contriever/ICT-style
+    independent-cropping recipe, deterministic variant): each document
+    of ≥ 20 tokens splits into an (anchor, positive) half-pair; pairs
+    carry a hash-bucket group for in-batch negative sampling. Pure
+    map-side token arithmetic (slice + array_join + md5 — no UDF, no
+    shuffle); the oracle re-derives both halves and their digests, so a
+    green row byte-certifies the emitted training text."""
+    from pdf_brain_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    toked = docs.select("doc_id", tokenize("text").alias("_toks"))
+    n = F.size("_toks")
+    half = F.floor(n / 2).cast("int")
+    eligible = toked.filter(n >= 20).select(
+        "doc_id",
+        "_toks",
+        n.alias("_n"),
+        half.alias("_half"),
+    )
+    return (
+        eligible.select(
+            "doc_id",
+            F.col("_half").cast("long").alias("n_anchor_tokens"),
+            (F.col("_n") - F.col("_half")).cast("long").alias("n_positive_tokens"),
+            F.md5(F.array_join(F.slice("_toks", 1, F.col("_half")), " ")).alias("anchor_md5"),
+            F.md5(
+                F.array_join(
+                    F.slice("_toks", F.col("_half") + 1, F.col("_n") - F.col("_half")), " "
+                )
+            ).alias("positive_md5"),
+            (F.col("doc_id") % 16).cast("long").alias("pair_group"),
+        )
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
+@query(
+    "events_ohlc_bars",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_start,
+             CAST(round(value * 100) AS BIGINT) AS c, ts, event_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bar_start
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, bar_start
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT event_type, bar_start,
+           round(CAST(max(CASE WHEN rn_a = 1 THEN c END) AS DOUBLE) / 100.0, 2) AS open,
+           round(CAST(max(c) AS DOUBLE) / 100.0, 2) AS high,
+           round(CAST(min(c) AS DOUBLE) / 100.0, 2) AS low,
+           round(CAST(max(CASE WHEN rn_d = 1 THEN c END) AS DOUBLE) / 100.0, 2) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM ranked
+    GROUP BY event_type, bar_start
+    """,
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open/high/low/close hourly value bars per event type (operators/
+    temporal.py::ohlc_bars) — the time-series downsampling primitive.
+    ONE map-side-combinable groupBy (open/close via min/max over an
+    ordering struct, no window pass); values exact at cent grain."""
+    from pdf_brain_spark.operators.temporal import ohlc_bars
+
+    ev = load_table(spark, "events", sf_dir)
+    return ohlc_bars(ev, bucket="hour")
+
+
+# --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
 # and every LLM-data-pipeline operator sits inside that window; redundant /

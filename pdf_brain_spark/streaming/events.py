@@ -667,3 +667,83 @@ def compact_value_histogram(spark: SparkSession, hist_dir: str, upto_batch_id: i
         spark, hist_dir, upto_batch_id, ["event_type", "bucket"], ["n"],
         floor_cols=["event_type"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental TERM COUNTS (top-k heavy hitters): the corpus-
+# vocabulary twin of the hourly rollup — per-batch (term, count) partials
+# on the generic mergeable-partials store. Counts are integers, so partials
+# merge exactly and associatively whatever order generations land or
+# compact in, and the served top-k is always exactly consistent with every
+# document that has arrived (no sketch error: this is the EXACT heavy-
+# hitter design — per-batch map-side combine keeps each generation at
+# vocabulary grain, not token grain, which is the memory story a CMS
+# would otherwise buy approximately).
+# ---------------------------------------------------------------------------
+
+
+def make_term_counts_batch_fn(store_dir: str, text_col: str = "text", min_len: int = 1):
+    """Per-micro-batch term-count partials, replay-idempotent (the
+    batch_id=N overwrite protocol). Tokenization is the engine-wide
+    whitespace rule (functions/text.py::tokenize)."""
+    from pdf_brain_spark.functions.text import tokenize
+
+    def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = (
+            batch_df.select(F.explode(tokenize(text_col)).alias("term"))
+            .filter(F.length("term") >= min_len)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n_partial"))
+        )
+        partial.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+
+    return _each_batch
+
+
+def streaming_incremental_term_counts(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+):
+    """Drive incremental vocabulary maintenance as a Structured Streaming
+    query (AvailableNow in tests/gate; continuous in production). No
+    watermark needed — counts are additive, late documents just land as
+    one more partial generation."""
+    return (
+        docs_stream.writeStream.foreachBatch(
+            make_term_counts_batch_fn(store_dir, text_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_top_terms(spark: SparkSession, store_dir: str, k: int = 25) -> DataFrame:
+    """Serve the exact top-k terms from the persisted partials (live
+    generations, mid-compaction-safe): re-sum integer partials per term,
+    TakeOrdered k by (n desc, term asc). The re-aggregate is one shuffle
+    at vocabulary grain — independent of how many documents ever
+    streamed in."""
+    from pdf_brain_spark.streaming.generations import kept_partial_rows
+
+    merged = (
+        kept_partial_rows(spark, store_dir, ["term"], ["n_partial"])
+        .groupBy("term")
+        .agg(F.sum("n_partial").alias("n"))
+    )
+    return merged.orderBy(F.col("n").desc(), F.col("term").asc()).limit(k)
+
+
+def compact_term_counts(spark: SparkSession, store_dir: str, upto_batch_id: int) -> int:
+    """Merge committed term-count generations into one vocabulary-grain
+    compacted generation (reader-safe generation protocol)."""
+    from pdf_brain_spark.streaming.generations import compact_partials
+
+    return compact_partials(
+        spark, store_dir, upto_batch_id, ["term"], ["n_partial"]
+    )

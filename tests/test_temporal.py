@@ -486,3 +486,123 @@ def test_funnel_windowed_bounds_conversion(spark):
     assert win == {"view": 3, "click": 1}
     assert base == {"view": 3, "click": 2}
     assert win["click"] <= base["click"]
+
+
+def test_scd2_compress_known_history(spark):
+    """Planted attribute history: changes open versions, repeats extend
+    them, valid_to hands off to the next version, last version is open
+    (NULL), gaps in observed periods do NOT split a version."""
+    from pdf_brain_spark.operators.temporal import scd2_compress
+
+    snaps = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01"), "low"),
+            (1, _ts("2024-01-02"), "low"),
+            (1, _ts("2024-01-04"), "high"),   # gap on the 3rd: no split
+            (1, _ts("2024-01-05"), "high"),
+            (1, _ts("2024-01-06"), "low"),    # back to low = NEW version
+            (2, _ts("2024-01-01"), "mid"),
+        ],
+        "user_id long, day timestamp, tier string",
+    )
+    rows = {
+        (r["user_id"], r["version"]): r
+        for r in scd2_compress(snaps, ("user_id",), "tier", "day").collect()
+    }
+    assert len(rows) == 4
+    v1, v2, v3 = rows[(1, 1)], rows[(1, 2)], rows[(1, 3)]
+    assert (v1["tier"], v1["n_periods"]) == ("low", 2)
+    assert (v2["tier"], v2["n_periods"]) == ("high", 2)
+    assert (v3["tier"], v3["n_periods"]) == ("low", 1)
+    # valid_to chains to the next version's valid_from; current is open
+    assert v1["valid_to"] == v2["valid_from"] == _ts("2024-01-04")
+    assert v2["valid_to"] == v3["valid_from"] == _ts("2024-01-06")
+    assert v3["valid_to"] is None
+    assert rows[(2, 1)]["valid_to"] is None
+
+
+def test_last_touch_attribution_window_and_ties(spark):
+    """Planted journeys: latest preceding click wins, same-instant click
+    attributes, out-of-window click does not, and a user with no click
+    is unattributed."""
+    from pdf_brain_spark.operators.temporal import last_touch_attribution
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: two clicks then purchase -> latest click (id 2) wins
+            (1, 1, "click", _ts("2024-01-01 10:00:00")),
+            (2, 1, "click", _ts("2024-01-01 11:00:00")),
+            (3, 1, "purchase", _ts("2024-01-01 12:00:00")),
+            # user 2: click at the exact purchase instant -> attributes
+            (4, 2, "click", _ts("2024-01-02 09:00:00")),
+            (5, 2, "purchase", _ts("2024-01-02 09:00:00")),
+            # user 3: click 8 days before purchase -> outside 7d window
+            (6, 3, "click", _ts("2024-01-01 00:00:00")),
+            (7, 3, "purchase", _ts("2024-01-09 00:00:01")),
+            # user 4: purchase with no click at all
+            (8, 4, "purchase", _ts("2024-01-03 00:00:00")),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    out = {
+        r["event_id"]: (r["attributed_touch_id"], r["touch_gap_seconds"])
+        for r in last_touch_attribution(ev).collect()
+    }
+    assert out[3] == (2, 3600)
+    assert out[5] == (4, 0)
+    assert out[7] == (None, None)
+    assert out[8] == (None, None)
+
+
+def test_event_transitions_probabilities(spark):
+    """Planted sequences: transitions count per user in ts order and
+    probabilities normalize per source type."""
+    from pdf_brain_spark.operators.temporal import event_transitions
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "view", _ts("2024-01-01 10:00:00")),
+            (2, 1, "click", _ts("2024-01-01 10:01:00")),
+            (3, 1, "view", _ts("2024-01-01 10:02:00")),
+            (4, 2, "view", _ts("2024-01-01 11:00:00")),
+            (5, 2, "purchase", _ts("2024-01-01 11:05:00")),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["prob"])
+        for r in event_transitions(ev).collect()
+    }
+    # view -> click, view -> purchase (one each of 2 view-transitions),
+    # click -> view (the only click transition)
+    assert got[("view", "click")] == (1, 0.5)
+    assert got[("view", "purchase")] == (1, 0.5)
+    assert got[("click", "view")] == (1, 1.0)
+    assert len(got) == 3
+
+
+def test_ohlc_bars_pick_first_and_last(spark):
+    """Planted bar: open is the first event by (ts, id) — including an
+    id tie-break at the same timestamp — close the last, high/low the
+    extremes, all at exact cent grain."""
+    from pdf_brain_spark.operators.temporal import ohlc_bars
+
+    ev = spark.createDataFrame(
+        [
+            # two events at the SAME open instant: lower event_id wins open
+            (2, "click", _ts("2024-01-01 10:00:00"), 5.00),
+            (1, "click", _ts("2024-01-01 10:00:00"), 3.33),
+            (3, "click", _ts("2024-01-01 10:20:00"), 9.99),
+            (4, "click", _ts("2024-01-01 10:40:00"), 1.01),
+            (5, "click", _ts("2024-01-01 10:59:59"), 7.77),
+            (6, "view", _ts("2024-01-01 10:30:00"), 2.22),  # other key
+        ],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    rows = {r["event_type"]: r for r in ohlc_bars(ev, bucket="hour").collect()}
+    c = rows["click"]
+    assert (c["open"], c["high"], c["low"], c["close"], c["n_events"]) == (
+        3.33, 9.99, 1.01, 7.77, 5
+    )
+    v = rows["view"]
+    assert (v["open"], v["close"], v["n_events"]) == (2.22, 2.22, 1)
