@@ -104,3 +104,68 @@ def descendants(seeds: DataFrame, edges: DataFrame, **kw) -> DataFrame:
     rev = edges.select(F.col("parent").alias("node"), F.col("node").alias("parent"))
     rev_seeds = seeds.select(F.col("parent").alias("node"), F.col("node").alias("parent"))
     return transitive_ancestors(rev_seeds, rev, **kw).withColumnRenamed("ancestor", "descendant")
+
+
+def pagerank_exact_int(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT INTEGER nano-units — the
+    iterative graph-centrality operator, engineered so every engine
+    computes bit-identical ranks (the float-summation-order problem is
+    fatal for PR oracles: each iteration sums thousands of neighbor
+    contributions in engine-specific order; quantizing the RECURRENCE
+    itself to integer arithmetic makes order irrelevant).
+
+    Recurrence (all integer, // = integer division):
+        r0(v)      = scale // N
+        contrib(u) = r(u) // outdeg(u)
+        r'(v)      = ((100 - d) * scale) // (100 * N)
+                     + (d * Σ_in contrib(u)) // 100
+    Dangling-node mass is DROPPED (not redistributed) — documented
+    semantics, identical on both engines; ranks therefore sum to < scale
+    and are a centrality ORDERING, not a probability distribution.
+
+    Plan shape per iteration: one groupBy shuffle on the destination key
+    with map-side combinable integer sums, then a left join back onto
+    the node set (no collect, no driver loop over nodes — the driver
+    loop is over the FIXED iteration count only). localCheckpoint per
+    iteration truncates the growing lineage exactly like the closure
+    loop above. Returns (node, rank_nano) — exact int64."""
+    nodes = (
+        edges.select("node")
+        .unionByName(edges.select(F.col("parent").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outdeg = edges.groupBy("node").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = ((100 - damping_pct) * scale) // (100 * n)
+    ranks = nodes.withColumn("rank_nano", F.lit(scale // n).cast("long"))
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(ranks, "node")
+            .join(F.broadcast(outdeg), "node")
+            .select(
+                F.col("parent").alias("node"),
+                F.expr("rank_nano div outdeg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(in_sum, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank_nano"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

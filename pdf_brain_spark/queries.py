@@ -6613,6 +6613,173 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc_bars(ev, bucket="hour")
 
 
+@query(
+    "taxonomy_pagerank",
+    oracle="""
+    WITH e AS (
+      SELECT o_orderkey AS node, o_orderkey // 2 AS parent
+      FROM orders WHERE o_orderkey > 1 AND o_orderkey <= 1024
+    ),
+    nodes AS (SELECT node FROM e UNION SELECT parent FROM e),
+    cnt AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1000000000 AS BIGINT) // any_value(c.n) AS r FROM nodes, cnt c GROUP BY node),
+    it1 AS (
+      SELECT v.node,
+             (CAST(15 AS BIGINT) * 1000000000) // (100 * any_value(c.n))
+             + (85 * COALESCE(any_value(s.in_sum), 0)) // 100 AS r
+      FROM nodes v
+      LEFT JOIN (SELECT e.parent AS pnode, sum(r0.r) AS in_sum
+                 FROM e JOIN r0 ON r0.node = e.node GROUP BY e.parent) s
+        ON s.pnode = v.node, cnt c
+      GROUP BY v.node
+    ),
+    it2 AS (
+      SELECT v.node,
+             (CAST(15 AS BIGINT) * 1000000000) // (100 * any_value(c.n))
+             + (85 * COALESCE(any_value(s.in_sum), 0)) // 100 AS r
+      FROM nodes v
+      LEFT JOIN (SELECT e.parent AS pnode, sum(it1.r) AS in_sum
+                 FROM e JOIN it1 ON it1.node = e.node GROUP BY e.parent) s
+        ON s.pnode = v.node, cnt c
+      GROUP BY v.node
+    ),
+    it3 AS (
+      SELECT v.node,
+             (CAST(15 AS BIGINT) * 1000000000) // (100 * any_value(c.n))
+             + (85 * COALESCE(any_value(s.in_sum), 0)) // 100 AS r
+      FROM nodes v
+      LEFT JOIN (SELECT e.parent AS pnode, sum(it2.r) AS in_sum
+                 FROM e JOIN it2 ON it2.node = e.node GROUP BY e.parent) s
+        ON s.pnode = v.node, cnt c
+      GROUP BY v.node
+    ),
+    it4 AS (
+      SELECT v.node,
+             (CAST(15 AS BIGINT) * 1000000000) // (100 * any_value(c.n))
+             + (85 * COALESCE(any_value(s.in_sum), 0)) // 100 AS r
+      FROM nodes v
+      LEFT JOIN (SELECT e.parent AS pnode, sum(it3.r) AS in_sum
+                 FROM e JOIN it3 ON it3.node = e.node GROUP BY e.parent) s
+        ON s.pnode = v.node, cnt c
+      GROUP BY v.node
+    ),
+    it5 AS (
+      SELECT v.node,
+             (CAST(15 AS BIGINT) * 1000000000) // (100 * any_value(c.n))
+             + (85 * COALESCE(any_value(s.in_sum), 0)) // 100 AS r
+      FROM nodes v
+      LEFT JOIN (SELECT e.parent AS pnode, sum(it4.r) AS in_sum
+                 FROM e JOIN it4 ON it4.node = e.node GROUP BY e.parent) s
+        ON s.pnode = v.node, cnt c
+      GROUP BY v.node
+    )
+    SELECT node, CAST(r AS BIGINT) AS rank_nano
+    FROM it5 ORDER BY r DESC, node ASC LIMIT 20
+    """,
+)
+def taxonomy_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-iteration PageRank over the implicit binary taxonomy tree
+    (operators/taxonomy.py::pagerank_exact_int) — the iterative graph
+    algorithm family, made fully SQL-oracle-able by quantizing the
+    recurrence to exact integer nano-units (float neighbor-sum order
+    can never flip a rank; the oracle unrolls the same five integer
+    iterations as recursive-free CTEs). Top-20 by rank with node
+    tie-break."""
+    from pdf_brain_spark.operators.taxonomy import pagerank_exact_int
+
+    orders = load_table(spark, "orders", sf_dir)
+    edges = (
+        orders.filter((F.col("o_orderkey") > 1) & (F.col("o_orderkey") <= 1024))
+        .select(
+            F.col("o_orderkey").alias("node"),
+            F.floor(F.col("o_orderkey") / 2).cast("long").alias("parent"),
+        )
+        .distinct()
+    )
+    ranks = pagerank_exact_int(edges, n_iter=5, damping_pct=85)
+    return ranks.orderBy(F.col("rank_nano").desc(), F.col("node").asc()).limit(20)
+
+
+@query(
+    "unigram_perplexity_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')) AS term
+      FROM documents
+    ),
+    tot AS (SELECT count(*) AS total FROM toks),
+    lp AS (
+      SELECT term,
+             CAST(round(ln(CAST(count(*) AS DOUBLE) / any_value(t.total)) * 1000000) AS BIGINT) AS lp_micro
+      FROM toks, tot t GROUP BY term
+    ),
+    scored AS (
+      SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(lp.lp_micro) AS BIGINT) AS sum_micro_nats
+      FROM toks k JOIN lp USING (term) GROUP BY k.doc_id
+    )
+    SELECT doc_id, n_tokens, sum_micro_nats,
+           round(exp(-CAST(sum_micro_nats AS DOUBLE) / (1000000.0 * n_tokens)), 4) AS ppl,
+           (round(exp(-CAST(sum_micro_nats AS DOUBLE) / (1000000.0 * n_tokens)), 4) <= 30.0) AS keep
+    FROM scored
+    ORDER BY doc_id LIMIT 200
+    """,
+)
+def unigram_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality filtering (Wenzek et al. 2020
+    use a KenLM; the deterministic stand-in here is the corpus's own
+    unigram LM): per-token log-probabilities quantized to EXACT integer
+    micro-nats, summed per document (integer — engine summation order
+    cannot move the score), perplexity derived once at the end and a
+    keep/drop decision at the 4-dp-rounded boundary. Plan: one term-
+    count shuffle (map-side combinable), the per-term LM broadcast back
+    onto the token stream, one doc-grain re-aggregate."""
+    from pdf_brain_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    toks = toks.localCheckpoint(eager=True)
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    lp = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.round(
+                F.log(F.col("tf").cast("double") / F.col("total").cast("double"))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(lp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").alias("sum_micro_nats"),
+        )
+    )
+    ppl = F.round(
+        F.exp(
+            -F.col("sum_micro_nats").cast("double")
+            / (F.lit(1_000_000.0) * F.col("n_tokens").cast("double"))
+        ),
+        4,
+    )
+    return (
+        scored.select(
+            "doc_id", "n_tokens", "sum_micro_nats",
+            ppl.alias("ppl"), (ppl <= 30.0).alias("keep"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate

@@ -140,3 +140,59 @@ def test_streaming_term_counts_replay_merge_compact(spark, tmp_path):
     assert compact_term_counts(spark, store, upto_batch_id=1) == 2
     assert generation_ids(spark, store) == [-2]
     assert served() == want
+
+
+def test_pagerank_exact_int_hand_computed(spark):
+    """Hand-computed integer recurrence on a 4-node graph, including an
+    out-degree-2 node whose contribution halves (integer div)."""
+    from pdf_brain_spark.operators.taxonomy import pagerank_exact_int
+
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 2), (4, 3)], "node long, parent long"
+    )
+    # N=4, scale=1e9: r0=250_000_000, base=(15e9)//400=37_500_000
+    # iter1: r(1)=37.5M+(85*(250M+250M))//100=462_500_000
+    #        r(2)=r(3)=37.5M+(85*(250M//2))//100=143_750_000
+    #        r(4)=37_500_000 (no in-edges)
+    got = {r["node"]: r["rank_nano"] for r in pagerank_exact_int(edges, n_iter=1).collect()}
+    assert got == {1: 462_500_000, 2: 143_750_000, 3: 143_750_000, 4: 37_500_000}
+
+    # two iterations on the chain 4->2->1, 3->1 (all out-degree 1)
+    edges2 = spark.createDataFrame([(2, 1), (3, 1), (4, 2)], "node long, parent long")
+    got2 = {r["node"]: r["rank_nano"] for r in pagerank_exact_int(edges2, n_iter=2).collect()}
+    # iter1: r1(1)=462.5M, r1(2)=250M, r1(3)=r1(4)=37.5M
+    # iter2: r2(1)=37.5M+(85*(250M+37.5M))//100=281_875_000
+    #        r2(2)=37.5M+(85*37.5M)//100=69_375_000; r2(3)=r2(4)=37.5M
+    assert got2 == {1: 281_875_000, 2: 69_375_000, 3: 37_500_000, 4: 37_500_000}
+
+
+def test_unigram_perplexity_planted(spark, tmp_path):
+    """Hand-mirror of the micro-nat pipeline on a 2-doc corpus: the doc
+    made of rare tokens scores higher perplexity than the doc of the
+    dominant token."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a"), (2, "b c d e f g")], "doc_id long, text string"
+    )
+    out_dir = str(tmp_path / "docs")
+    docs.write.parquet(out_dir)
+    # mirror the registered query inline (it loads documents from sf_dir)
+    from pdf_brain_spark.functions.text import tokenize
+
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    total = 12
+    lp = {"a": round(math.log(6 / total) * 1e6)}
+    for t in "bcdefg":
+        lp[t] = round(math.log(1 / total) * 1e6)
+    rows = (
+        toks.groupBy("doc_id", "term").count().collect()
+    )
+    s = {1: 0, 2: 0}
+    for r in rows:
+        s[r["doc_id"]] += lp[r["term"]] * r["count"]
+    ppl1 = math.exp(-s[1] / (1e6 * 6))
+    ppl2 = math.exp(-s[2] / (1e6 * 6))
+    assert ppl1 < ppl2  # dominant-token doc is "fluent" under the corpus LM
+    assert abs(ppl1 - 2.0) < 0.01  # p=1/2 per token -> ppl ~ 2
+    assert abs(ppl2 - 12.0) < 0.01  # p=1/12 per token -> ppl ~ 12
