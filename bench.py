@@ -70,6 +70,11 @@ HEADLINE = [
     "dedup_embedding_cosine",
     # substring-level duplicate-span detection (new r5)
     "duplicate_span_report",
+    # r7: TPC-H Q3 star-join shape (broadcast dims + pushed date filters)
+    # and the corpus-LM perplexity gate (token-grain shuffle + broadcast
+    # LM re-join) — the two heaviest new plan shapes of the round
+    "tpch_q3_shipping_priority",
+    "unigram_perplexity_filter",
 ]
 
 

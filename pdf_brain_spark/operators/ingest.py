@@ -241,3 +241,43 @@ def ingest_pdfs(
         )
     )
     return ingest(spark, docs_text, out_dir, existing_docs=existing_docs)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    payload_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Change-data-capture diff between two snapshots of a keyed table:
+    emit one row per INSERTED, DELETED, or UPDATED key (unchanged keys
+    are dropped — a CDC feed's volume is the churn, not the table).
+    Update detection compares an md5 digest of the concatenated payload
+    columns, so wide payloads diff at digest cost and the comparison is
+    engine-portable.
+
+    Plan shape: one full-outer join on the key (two table scans); the
+    digests are map-side expressions and the churn filter applies before
+    anything composes on top. At 100 TB both sides bucket/cluster by the
+    key and the join co-locates.
+
+    Returns (key_col, change_type in insert|delete|update, old_md5,
+    new_md5 — NULL on the absent side)."""
+
+    def _digest(df: DataFrame, out: str) -> DataFrame:
+        payload = F.md5(
+            F.concat_ws("", *[F.col(c).cast("string") for c in payload_cols])
+        )
+        return df.select(F.col(key_col), payload.alias(out))
+
+    joined = _digest(old, "old_md5").join(_digest(new, "new_md5"), key_col, "full_outer")
+    change = (
+        F.when(F.col("old_md5").isNull(), F.lit("insert"))
+        .when(F.col("new_md5").isNull(), F.lit("delete"))
+        .when(F.col("old_md5") != F.col("new_md5"), F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(key_col, "change_type", "old_md5", "new_md5")
+    )

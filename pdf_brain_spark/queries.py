@@ -6780,6 +6780,110 @@ def unigram_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "snapshot_diff_cdc",
+    oracle="""
+    WITH oldv AS (
+      SELECT doc_id, md5(CAST(text AS VARCHAR)) AS old_md5 FROM documents
+    ),
+    newv AS (
+      SELECT doc_id, md5(CAST(text AS VARCHAR) || ' [rev2]') AS new_md5
+      FROM documents WHERE doc_id % 7 <> 3
+      UNION ALL
+      SELECT doc_id + 1000000, md5('brand new document ' || CAST(doc_id AS VARCHAR))
+      FROM documents WHERE doc_id % 11 = 5
+    ),
+    diffed AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'insert'
+                  WHEN n.doc_id IS NULL THEN 'delete'
+                  WHEN o.old_md5 <> n.new_md5 THEN 'update' END AS change_type,
+             o.old_md5, n.new_md5
+      FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+    )
+    SELECT doc_id, change_type, old_md5, new_md5
+    FROM diffed WHERE change_type IS NOT NULL
+    ORDER BY doc_id LIMIT 300
+    """,
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture snapshot diff (operators/ingest.py::
+    snapshot_diff): version 2 of the documents table deterministically
+    deletes every doc_id ≡ 3 (mod 7), rewrites every surviving text
+    (update), and inserts a new document for doc_id ≡ 5 (mod 11); the
+    diff emits exactly the churn — one full-outer key join, md5 payload
+    digests, unchanged rows dropped. The oracle rebuilds v2 and the
+    diff independently, so a green row certifies every change_type
+    decision and both digests."""
+    from pdf_brain_spark.operators.ingest import snapshot_diff
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    v2 = (
+        docs.filter(F.col("doc_id") % 7 != 3)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 5).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("brand new document "), F.col("doc_id").cast("string")).alias("text"),
+            )
+        )
+    )
+    return snapshot_diff(docs, v2).orderBy("doc_id").limit(300)
+
+
+@query(
+    "events_cumulative_unique_users",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    flagged AS (
+      SELECT user_id, day,
+             CASE WHEN day = min(day) OVER (PARTITION BY user_id) THEN 1 ELSE 0 END AS is_first
+      FROM user_days
+    ),
+    daily AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_active_users,
+             CAST(sum(is_first) AS BIGINT) AS n_new_users
+      FROM flagged GROUP BY day
+    )
+    SELECT day, n_active_users, n_new_users,
+           CAST(sum(n_new_users) OVER (ORDER BY day) AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+)
+def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily active / new / cumulative distinct users — the
+    growth-curve metric that a naive per-day `countDistinct` + running
+    sum gets WRONG (users double-count across days). First-seen
+    semantics: distinct (user, day) pairs shrink map-side, a user_id
+    window flags each user's first active day, a day-grain aggregate
+    counts active and new, and the running total runs over the bounded
+    day spine (single-partition window over |days| rows — bounded by
+    the calendar, not the data)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    wf = Window.partitionBy("user_id")
+    flagged = user_days.withColumn(
+        "is_first", F.when(F.col("day") == F.min("day").over(wf), 1).otherwise(0)
+    )
+    daily = flagged.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_active_users"),
+        F.sum("is_first").alias("n_new_users"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "n_active_users",
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("cumulative_users"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate

@@ -142,6 +142,26 @@ def test_streaming_term_counts_replay_merge_compact(spark, tmp_path):
     assert served() == want
 
 
+def test_snapshot_diff_change_types(spark):
+    """Planted snapshots: one delete, one update, one insert, unchanged
+    rows dropped; digests present only on the existing side."""
+    from pdf_brain_spark.operators.ingest import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in snapshot_diff(old, new).collect()}
+    assert set(rows) == {2, 3, 4}
+    assert rows[2]["change_type"] == "update" and rows[2]["old_md5"] != rows[2]["new_md5"]
+    assert rows[3]["change_type"] == "delete" and rows[3]["new_md5"] is None
+    assert rows[4]["change_type"] == "insert" and rows[4]["old_md5"] is None
+
+
 def test_pagerank_exact_int_hand_computed(spark):
     """Hand-computed integer recurrence on a 4-node graph, including an
     out-degree-2 node whose contribution halves (integer div)."""
