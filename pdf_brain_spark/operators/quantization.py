@@ -780,3 +780,141 @@ def ivfpq_topk_exact_rerank_residual(
             F.round(1.0 - F.col("distance") / 2.0, 6).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary sign quantization + Hamming serving — the EXTREME end of the
+# compression ladder (float32 -> 1 bit/dim = 32x beyond even PQ's bytes):
+# pack sign bits into integer words, serve candidates by Hamming distance
+# (XOR + popcount — pure integer, SIMD-native on any hardware), exact-
+# rerank the shortlist. Public method: LSH with random hyperplanes reduces
+# to sign bits for mean-centered data (Charikar, STOC 2002 — SimHash);
+# the engine's SimHash dedup uses the same family at the document level.
+# Everything here is INTEGER arithmetic end to end, so the full two-stage
+# pipeline is exactly SQL-oracle-able — no float summation order anywhere
+# until the bounded rerank, which mirrors the engine's standard cosine.
+# ---------------------------------------------------------------------------
+
+BSQ_WORD_BITS = 32  # 2^j stays exact in doubles and ints on every engine
+
+
+def _sign_word_expr(vec_col, w: int, word_bits: int = BSQ_WORD_BITS):
+    """One packed word as a codegen'd column: bit j set iff
+    vec[w*word_bits + j] > 0 (element_at is 1-based)."""
+    term = None
+    for j in range(word_bits):
+        t = F.when(
+            F.element_at(vec_col, w * word_bits + j + 1) > 0.0,
+            F.lit(1 << j).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        term = t if term is None else term + t
+    return term
+
+
+def binary_sign_pack(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Append packed sign-bit words `bsq_w0..bsq_w{n-1}` (map-side, no
+    UDF, no shuffle): 64-dim float32 becomes 2 int64-held 32-bit words —
+    the persisted form is 32x smaller than the float column."""
+    if dim % BSQ_WORD_BITS != 0:
+        raise ValueError(f"dim {dim} must be a multiple of {BSQ_WORD_BITS}")
+    n_words = dim // BSQ_WORD_BITS
+    out = df
+    for w in range(n_words):
+        out = out.withColumn(f"bsq_w{w}", _sign_word_expr(F.col(vec_col), w))
+    return out
+
+
+def hamming_distance_expr(query_words: list[int], n_words: int):
+    """Σ_w popcount(bsq_w ^ q_w) as a single integer column expression."""
+    total = None
+    for w in range(n_words):
+        t = F.expr(f"bit_count(bsq_w{w} ^ {int(query_words[w])}L)")
+        total = t if total is None else total + t
+    return total.cast("long")
+
+
+def pack_query_words(query_vec: list[float], word_bits: int = BSQ_WORD_BITS) -> list[int]:
+    """Driver-side packing of a query vector (same rule as the column
+    expression: bit j of word w set iff v[w*word_bits + j] > 0)."""
+    if len(query_vec) % word_bits != 0:
+        raise ValueError("query dim must be a multiple of word_bits")
+    words = []
+    for w in range(len(query_vec) // word_bits):
+        acc = 0
+        for j in range(word_bits):
+            if query_vec[w * word_bits + j] > 0.0:
+                acc |= 1 << j
+        words.append(acc)
+    return words
+
+
+def hamming_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by Hamming distance over the packed sign bits — the
+    integer candidate stage. TakeOrdered on (distance, id); every
+    operation from packing to ranking is exact integer arithmetic."""
+    qw = pack_query_words([float(x) for x in query_vec])
+    packed = binary_sign_pack(vectors, vec_col=vec_col, dim=len(query_vec))
+    return (
+        packed.withColumn("hamming_dist", hamming_distance_expr(qw, len(qw)))
+        .orderBy(F.col("hamming_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "hamming_dist")
+    )
+
+
+def hamming_rerank_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_candidates: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage serving: Hamming top-n_candidates (integer scan over
+    the 32x-compressed words — at 100 TB this is the only full-corpus
+    pass, reading 1 bit/dim), then EXACT cosine re-rank of the bounded
+    shortlist (the engine's standard 1 − d/2 score). The pipeline is
+    deterministic end to end — integer candidate cut, then the same
+    sort-before-round rule as every serving path — so the oracle
+    replays both stages exactly rather than hiding the recall behind a
+    rows-only check. Returns (id_col, hamming_dist, score, rank)."""
+    from pdf_brain_spark.functions.vector import cosine_distance, distance_to_score
+    from pyspark.sql import Window
+
+    qw = pack_query_words([float(x) for x in query_vec])
+    packed = binary_sign_pack(vectors, vec_col=vec_col, dim=len(query_vec))
+    cands = (
+        packed.withColumn("hamming_dist", hamming_distance_expr(qw, len(qw)))
+        .orderBy(F.col("hamming_dist").asc(), F.col(id_col).asc())
+        .limit(n_candidates)
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    w = Window.orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        cands.withColumn("distance", cosine_distance(F.col(vec_col), qcol, len(query_vec)))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "hamming_dist",
+            F.round(distance_to_score(F.col("distance")), 6).alias("score"),
+            "rank",
+        )
+    )
+
+
+def duck_sign_word_sql(col: str, w: int, word_bits: int = BSQ_WORD_BITS) -> str:
+    """DuckDB twin of _sign_word_expr (lists are 1-based)."""
+    terms = " + ".join(
+        f"CASE WHEN {col}[{w * word_bits + j + 1}] > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(word_bits)
+    )
+    return f"({terms})"
