@@ -911,6 +911,70 @@ def hamming_rerank_topk(
     )
 
 
+def hamming_rerank_topk_batch(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_candidates: int = 64,
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Batched two-stage Hamming serving — the batch-serving twin of
+    hamming_rerank_topk, matching the engine's convention everywhere
+    (similarity_join_topk, mmr_rerank_batch): Q queries amortize ONE
+    pass over the packed corpus. The query frame packs map-side and
+    broadcasts (Q × n_words integers); the corpus scan XOR-popcounts
+    against every query in one codegen'd stage; per-query candidate
+    cut and the exact cosine re-rank both run under (query, distance,
+    id) rank windows. The corpus is never shuffled — the only exchange
+    carries Q × n_candidates candidate rows.
+
+    Returns (query_id, id_col, hamming_dist, score, rank 1..k)."""
+    from pdf_brain_spark.functions.vector import cosine_distance, distance_to_score
+    from pyspark.sql import Window
+
+    n_words = dim // BSQ_WORD_BITS
+    qp = binary_sign_pack(queries, vec_col=query_col, dim=dim).select(
+        query_id,
+        query_col,
+        *[F.col(f"bsq_w{w}").alias(f"q_w{w}") for w in range(n_words)],
+    )
+    cp = binary_sign_pack(vectors.select(id_col, vec_col), vec_col=vec_col, dim=dim)
+    dist = None
+    for w in range(n_words):
+        t = F.expr(f"bit_count(bsq_w{w} ^ q_w{w})")
+        dist = t if dist is None else dist + t
+    wc = Window.partitionBy(query_id).orderBy(
+        F.col("hamming_dist").asc(), F.col(id_col).asc()
+    )
+    cands = (
+        cp.crossJoin(F.broadcast(qp))
+        .withColumn("hamming_dist", dist.cast("long"))
+        .withColumn("_crank", F.row_number().over(wc))
+        .filter(F.col("_crank") <= n_candidates)
+    )
+    wr = Window.partitionBy(query_id).orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        cands.withColumn(
+            "distance", cosine_distance(F.col(vec_col), F.col(query_col), dim)
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            id_col,
+            "hamming_dist",
+            F.round(distance_to_score(F.col("distance")), 6).alias("score"),
+            "rank",
+        )
+    )
+
+
 def duck_sign_word_sql(col: str, w: int, word_bits: int = BSQ_WORD_BITS) -> str:
     """DuckDB twin of _sign_word_expr (lists are 1-based)."""
     terms = " + ".join(

@@ -6939,6 +6939,67 @@ def hamming_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["hamming_ann_rerank"] = _hamming_oracle()
 
 
+def _hamming_batch_oracle() -> str:
+    from pdf_brain_spark.operators.quantization import duck_sign_word_sql
+
+    qp0 = duck_sign_word_sql("q.embedding", 0)
+    qp1 = duck_sign_word_sql("q.embedding", 1)
+    ep0 = duck_sign_word_sql("e.embedding", 0)
+    ep1 = duck_sign_word_sql("e.embedding", 1)
+    cos = _duck_cosine_distance("c.embedding", "c.query_vec")
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding, {qp0} AS qw0, {qp1} AS qw1
+      FROM embeddings q WHERE vec_id < 16
+    ),
+    packed AS (
+      SELECT e.vec_id, e.embedding, {ep0} AS w0, {ep1} AS w1 FROM embeddings e
+    ),
+    cand AS (
+      SELECT query_id, vec_id, embedding, query_vec, hd FROM (
+        SELECT q.query_id, p.vec_id, p.embedding, q.embedding AS query_vec,
+               bit_count(xor(p.w0, q.qw0)) + bit_count(xor(p.w1, q.qw1)) AS hd,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY bit_count(xor(p.w0, q.qw0)) + bit_count(xor(p.w1, q.qw1)) ASC,
+                          p.vec_id ASC
+               ) AS crank
+        FROM packed p, q
+      ) WHERE crank <= 64
+    ),
+    rer AS (
+      SELECT c.query_id, c.vec_id, c.hd, {cos} AS d FROM cand c
+    )
+    SELECT query_id, vec_id, CAST(hd AS BIGINT) AS hamming_dist,
+           round(1.0 - d / 2.0, 6) AS score,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY d ASC, vec_id ASC
+           ) AS INT) AS rank
+    FROM rer
+    QUALIFY rank <= 10
+    ORDER BY query_id, rank
+    """
+
+
+@query("hamming_ann_batch16", oracle=None)  # oracle registered below
+def hamming_ann_batch16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched Hamming ANN (operators/quantization.py::
+    hamming_rerank_topk_batch): 16 queries amortize one pass over the
+    packed corpus — query words broadcast, XOR+popcount in one codegen
+    stage, per-query candidate cut and exact rerank under rank windows.
+    The oracle replays all 16 two-stage pipelines."""
+    from pdf_brain_spark.operators.quantization import hamming_rerank_topk_batch
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return hamming_rerank_topk_batch(emb, queries, k=10, n_candidates=64)
+
+
+ORACLES["hamming_ann_batch16"] = _hamming_batch_oracle()
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate

@@ -459,3 +459,33 @@ def test_binary_sign_pack_and_hamming(spark):
         tot += len(exact)
     recall = hits / tot
     assert recall >= 0.5, f"hamming rerank recall collapsed: {recall}"
+
+
+def test_hamming_batch_of_one_matches_single(spark):
+    """The batched Hamming path with one query reproduces the
+    single-query two-stage pipeline exactly (ids, distances, scores)."""
+    from pdf_brain_spark.operators.quantization import (
+        hamming_rerank_topk,
+        hamming_rerank_topk_batch,
+    )
+    from pdf_brain_spark.sources.loaders import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").select(
+        "vec_id", "embedding"
+    )
+    qrow = emb.filter(F.col("vec_id") == 7).first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    single = [
+        (r["vec_id"], r["hamming_dist"], r["score"], r["rank"])
+        for r in hamming_rerank_topk(emb, qvec, k=10, n_candidates=64).collect()
+    ]
+    queries = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batched = [
+        (r["vec_id"], r["hamming_dist"], r["score"], r["rank"])
+        for r in hamming_rerank_topk_batch(emb, queries, k=10, n_candidates=64)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert batched == single
