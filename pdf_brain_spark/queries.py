@@ -7000,6 +7000,53 @@ def hamming_ann_batch16(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["hamming_ann_batch16"] = _hamming_batch_oracle()
 
 
+@query("streaming_incremental_fts", oracle=None)  # oracle registered below
+def streaming_incremental_fts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental FTS index (streaming/events.py::
+    streaming_fts_ingest): the documents table streams in as two
+    micro-batches of postings generations; BM25 served FROM THE
+    PERSISTED INDEX (corpus stats derived from the same postings) must
+    equal the one-shot BM25 over the whole corpus — the oracle is the
+    identical DuckDB twin the fts_bm25 gate uses. A real AvailableNow
+    run per invocation; completes the incremental-index trio (band
+    index for dedup, IVF for vectors, postings for text)."""
+    import shutil
+    import tempfile
+
+    from pdf_brain_spark.streaming.events import (
+        fts_search_persisted,
+        streaming_fts_ingest,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="sgraft_fts_")
+    stage, idx, ckpt = (f"{root}/{d}" for d in ("stage", "index", "ckpt"))
+    try:
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(stage)
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        streaming_fts_ingest(spark, stream, idx, ckpt).awaitTermination()
+        res = fts_search_persisted(spark, idx, FTS_QUERY_TERMS, k=10)
+        return res.select(
+            "doc_id", F.round("bm25", 6).alias("bm25"), "terms_matched"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _register_streaming_fts_oracle() -> None:
+    from pdf_brain_spark.operators.fts import duck_bm25_sql
+
+    ORACLES["streaming_incremental_fts"] = duck_bm25_sql(FTS_QUERY_TERMS, k=10)
+
+
+_register_streaming_fts_oracle()
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate

@@ -747,3 +747,127 @@ def compact_term_counts(spark: SparkSession, store_dir: str, upto_batch_id: int)
     return compact_partials(
         spark, store_dir, upto_batch_id, ["term"], ["n_partial"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental FTS index: per-batch POSTINGS generations
+# (doc_id, term, tf, doc_len) on the row-store generation protocol — the
+# continuous-crawl answer for the TEXT-search side, completing the trio
+# (band index for dedup, IVF index for vectors, postings for FTS). New
+# documents become searchable at the next micro-batch commit; corpus
+# statistics (N, avgdl, df) derive from the SAME persisted postings at
+# serve time, so served BM25 always reflects exactly the corpus indexed
+# so far. Being a row store keyed by doc_id, the index inherits the whole
+# lifecycle for free: replay-idempotent batch overwrite, reader-safe
+# compaction, and tombstone DELETION (a taken-down document vanishes from
+# results immediately and physically at the next compaction).
+# ---------------------------------------------------------------------------
+
+
+def make_fts_postings_batch_fn(index_dir: str, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-micro-batch postings build (operators/fts.py::build_postings —
+    tokenize once, (doc, term) aggregate with map-side combine),
+    replay-idempotent via the batch_id=N overwrite."""
+    from pdf_brain_spark.operators.fts import build_postings
+
+    def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        postings = build_postings(batch_df, id_col=id_col, text_col=text_col)
+        postings.write.mode("overwrite").parquet(f"{index_dir}/batch_id={batch_id}")
+
+    return _each_batch
+
+
+def streaming_fts_ingest(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Drive incremental FTS index maintenance as a Structured Streaming
+    query (AvailableNow in tests/gate; continuous in production)."""
+    return (
+        docs_stream.writeStream.foreachBatch(
+            make_fts_postings_batch_fn(index_dir, id_col, text_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def fts_search_persisted(
+    spark: SparkSession,
+    index_dir: str,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k served from the PERSISTED postings index (live
+    generations minus tombstoned documents — safe mid-compaction and
+    after takedowns). Identical Okapi scoring to operators/fts.py::
+    bm25_scores, so serving from the index reproduces the one-shot path
+    over the same corpus exactly (pytest-pinned).
+
+    Plan shape: corpus stats (N, avgdl from the distinct doc grain;
+    per-term df) are two small aggregates over the postings; the query-
+    term filter prunes the postings scan to the queried terms — with a
+    term-partitioned compaction layout that filter becomes partition
+    pruning at 100 TB. One bounded TakeOrdered ends the plan."""
+    import math
+
+    from pdf_brain_spark.operators.fts import BM25_B, BM25_K1
+    from pdf_brain_spark.streaming.generations import kept_index_rows
+
+    rows = kept_index_rows(spark, index_dir, [id_col]).drop("batch_id")
+    terms = [t.lower() for t in query_terms]
+    docs_grain = rows.groupBy(id_col).agg(F.first("doc_len").alias("doc_len"))
+    stats = docs_grain.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
+    matched = rows.filter(F.col("term").isin(terms))
+    dfs = {
+        r["term"]: float(r["df"])
+        for r in matched.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .collect()
+    }
+    idf = {
+        t: math.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+        for t, dfv in dfs.items()
+    }
+    idf_map = F.create_map(
+        *[x for t in idf for x in (F.lit(t), F.lit(idf[t]))]
+    )
+    tf = F.col("tf").cast("double")
+    term_score = idf_map[F.col("term")] * (tf * (BM25_K1 + 1)) / (
+        tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("doc_len") / F.lit(avgdl))
+    )
+    return (
+        matched.withColumn("_ts", term_score)
+        .groupBy(id_col)
+        .agg(
+            F.sum("_ts").alias("bm25"),
+            F.count(F.lit(1)).alias("terms_matched"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def compact_fts_index(spark: SparkSession, index_dir: str, upto_batch_id: int, n_files: int = 8) -> int:
+    """Merge committed postings generations into one compacted
+    generation, materializing document deletions (reader-safe
+    generation protocol, same story as the band/ANN compactors)."""
+    from pdf_brain_spark.streaming.generations import compact_index_rows
+
+    def _write_kept(kept, tmp: str) -> None:
+        kept.coalesce(max(1, n_files)).write.mode("overwrite").parquet(tmp)
+
+    return compact_index_rows(
+        spark, index_dir, upto_batch_id, ["doc_id"], _write_kept
+    )

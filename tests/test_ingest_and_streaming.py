@@ -1151,3 +1151,75 @@ def test_coverage_zero_compaction_and_refit(spark, tmp_path):
         for r in read_rollup(spark, roll).collect()
     )
     assert got == want
+
+
+def test_streaming_fts_index_matches_oneshot_and_deletes(spark, tmp_path):
+    """Incremental FTS postings index: served BM25 equals the one-shot
+    bm25_scores over the same corpus (6-dp), replay is idempotent, a
+    tombstoned document vanishes from results and compaction
+    materializes the removal with results unchanged."""
+    from pdf_brain_spark.operators.fts import bm25_scores
+    from pdf_brain_spark.sources.loaders import load_table
+    from pdf_brain_spark.streaming.events import (
+        compact_fts_index,
+        fts_search_persisted,
+        make_fts_postings_batch_fn,
+    )
+    from pdf_brain_spark.streaming.generations import (
+        generation_ids,
+        tombstone_floors,
+        write_tombstones,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "fts")
+    fn = make_fts_postings_batch_fn(idx)
+    fn(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    fn(docs.filter(F.col("doc_id") % 2 == 1), 1)
+
+    def snapshot():
+        return sorted(
+            (r["batch_id"], r["doc_id"], r["term"], r["tf"])
+            for r in spark.read.option("basePath", idx).parquet(idx).collect()
+        )
+
+    before = snapshot()
+    fn(docs.filter(F.col("doc_id") % 2 == 1), 1)  # crash replay
+    assert snapshot() == before
+
+    terms = ["spark", "shuffle", "join"]
+
+    def served():
+        return [
+            (r["doc_id"], round(r["bm25"], 6), r["terms_matched"])
+            for r in fts_search_persisted(spark, idx, terms, k=10).collect()
+        ]
+
+    oneshot = [
+        (r["doc_id"], round(r["bm25"], 6), r["terms_matched"])
+        for r in bm25_scores(docs, terms, k=10).collect()
+    ]
+    got = served()
+    assert got == oneshot and got
+
+    # takedown: tombstone the current top doc -> it vanishes; BM25 of
+    # the others shifts because N/avgdl/df now exclude it (recomputed
+    # from the index, which is the point)
+    top_doc = got[0][0]
+    dead = spark.createDataFrame([(top_doc,)], "doc_id long")
+    write_tombstones(spark, idx, dead, floor=1)
+    after = served()
+    assert all(d != top_doc for d, _, _ in after)
+    survivors = docs.filter(F.col("doc_id") != top_doc)
+    want_after = [
+        (r["doc_id"], round(r["bm25"], 6), r["terms_matched"])
+        for r in bm25_scores(survivors, terms, k=10).collect()
+    ]
+    assert after == want_after
+
+    # compaction materializes the deletion, serving unchanged
+    assert compact_fts_index(spark, idx, upto_batch_id=1) == 3
+    assert generation_ids(spark, idx) == [-2] and tombstone_floors(spark, idx) == []
+    assert served() == want_after
