@@ -54,12 +54,30 @@ def build_postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     return toks.groupBy(id_col, "term", "doc_len").agg(F.count(F.lit(1)).alias("tf"))
 
 
+def tokenized_corpus(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Materialized (id, _tokens) frame shared by the BM25 paths — ONE
+    tokenize pass over the corpus, reusable across multiple searches in
+    a session (prf_search feeds both its passes and the expansion-term
+    mining from one). localCheckpoint, not cache(): a lazy operator
+    can't safely unpersist (the caller collects after we return), so
+    cache() entries would accumulate in the CacheManager across
+    invocations in a long-lived session; checkpoint blocks are reclaimed
+    by the ContextCleaner when the plan is GC'd (same rationale as
+    temporal.py tiered rollup)."""
+    return (
+        _parallelize(docs, id_col)
+        .select(id_col, tokenize(text_col).alias("_tokens"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 10,
+    toked: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents by BM25 against the (lowercased) query terms.
 
@@ -69,21 +87,13 @@ def bm25_scores(
     action + one TakeOrdered. At index-time scale (repeated queries over a
     static corpus) you'd persist build_postings() as a term-bucketed table
     instead and prune to the queried terms; this path is the one-shot
-    query plan."""
+    query plan. Pass `toked` (tokenized_corpus) to reuse an existing
+    tokenize pass; the tf-columns each reference the token array, so the
+    materialization it carries is what stops project-collapse from
+    inlining tokenize() into every one of them."""
     terms = [t.lower() for t in query_terms]
-    # materialize (id, tokens): the q tf-columns below each reference the
-    # token array, and without materialization project-collapse would inline
-    # (and recompute) tokenize() into every one of them. localCheckpoint,
-    # not cache(): a lazy operator can't safely unpersist (the caller
-    # collects after we return), so cache() entries would accumulate in the
-    # CacheManager across invocations in a long-lived session; checkpoint
-    # blocks are reclaimed by the ContextCleaner when the plan is GC'd
-    # (same rationale as temporal.py tiered rollup).
-    toked = (
-        _parallelize(docs, id_col)
-        .select(id_col, tokenize(text_col).alias("_tokens"))
-        .localCheckpoint(eager=True)
-    )
+    if toked is None:
+        toked = tokenized_corpus(docs, id_col, text_col)
 
     def _tf(term: str):
         return F.size(F.filter(F.col("_tokens"), lambda x: x == F.lit(term)))

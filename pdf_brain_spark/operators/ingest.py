@@ -252,9 +252,15 @@ def snapshot_diff(
     """Change-data-capture diff between two snapshots of a keyed table:
     emit one row per INSERTED, DELETED, or UPDATED key (unchanged keys
     are dropped — a CDC feed's volume is the churn, not the table).
-    Update detection compares an md5 digest of the concatenated payload
-    columns, so wide payloads diff at digest cost and the comparison is
-    engine-portable.
+    Update detection compares an md5 digest of the payload columns, so
+    wide payloads diff at digest cost and the comparison is
+    engine-portable. The digest input joins columns with a unit
+    separator (\\x1f) and maps NULL to a \\x01 sentinel — a bare
+    concat would erase column boundaries (("ab","") vs ("a","b"))
+    and silently skip NULLs (NULL vs ''), both of which would hide
+    real updates from the feed. A payload value containing the
+    sentinel bytes themselves can still collide; use a separator
+    outside the payload alphabet if that applies.
 
     Plan shape: one full-outer join on the key (two table scans); the
     digests are map-side expressions and the churn filter applies before
@@ -266,7 +272,13 @@ def snapshot_diff(
 
     def _digest(df: DataFrame, out: str) -> DataFrame:
         payload = F.md5(
-            F.concat_ws("", *[F.col(c).cast("string") for c in payload_cols])
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x01"))
+                    for c in payload_cols
+                ],
+            )
         )
         return df.select(F.col(key_col), payload.alias(out))
 

@@ -939,10 +939,15 @@ def hamming_rerank_topk_batch(
     n_words = dim // BSQ_WORD_BITS
     qp = binary_sign_pack(queries, vec_col=query_col, dim=dim).select(
         query_id,
-        query_col,
         *[F.col(f"bsq_w{w}").alias(f"q_w{w}") for w in range(n_words)],
     )
-    cp = binary_sign_pack(vectors.select(id_col, vec_col), vec_col=vec_col, dim=dim)
+    # the candidate cut shuffles SCALARS ONLY (the topk_by_queries
+    # convention): (query_id, id, distance) — the fat embedding and
+    # query arrays are re-attached to the bounded Q x n_candidates
+    # shortlist afterwards, never carried through the rank window
+    cp = binary_sign_pack(vectors.select(id_col, vec_col), vec_col=vec_col, dim=dim).drop(
+        vec_col
+    )
     dist = None
     for w in range(n_words):
         t = F.expr(f"bit_count(bsq_w{w} ^ q_w{w})")
@@ -953,14 +958,20 @@ def hamming_rerank_topk_batch(
     cands = (
         cp.crossJoin(F.broadcast(qp))
         .withColumn("hamming_dist", dist.cast("long"))
+        .select(query_id, id_col, "hamming_dist")
         .withColumn("_crank", F.row_number().over(wc))
         .filter(F.col("_crank") <= n_candidates)
+    )
+    with_vecs = (
+        vectors.select(id_col, vec_col)
+        .join(F.broadcast(cands), id_col)
+        .join(F.broadcast(queries.select(query_id, query_col)), query_id)
     )
     wr = Window.partitionBy(query_id).orderBy(
         F.col("distance").asc(), F.col(id_col).asc()
     )
     return (
-        cands.withColumn(
+        with_vecs.withColumn(
             "distance", cosine_distance(F.col(vec_col), F.col(query_col), dim)
         )
         .withColumn("rank", F.row_number().over(wr))

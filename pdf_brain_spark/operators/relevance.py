@@ -82,19 +82,23 @@ def prf_expansion_terms(
     min_term_len: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    toked: DataFrame | None = None,
 ) -> list[str]:
     """The deterministic expansion-term mining step: tf-ranked terms of
     the feedback documents, excluding the original query terms and
     terms shorter than min_term_len (the crude-but-deterministic
     stopword gate). Ties break term-ascending. Returns <= fb_terms
     terms — a bounded driver-side list (this IS the query rewrite, a
-    few strings, not data)."""
-    from pdf_brain_spark.functions.text import tokenize
+    few strings, not data). Pass `toked` (fts.tokenized_corpus) to
+    reuse an existing tokenize pass."""
+    from pdf_brain_spark.operators.fts import tokenized_corpus
 
     q = {t.lower() for t in query_terms}
-    fb = docs.join(F.broadcast(feedback_ids.select(id_col)), id_col)
+    if toked is None:
+        toked = tokenized_corpus(docs, id_col, text_col)
+    fb = toked.join(F.broadcast(feedback_ids.select(id_col)), id_col)
     counts = (
-        fb.select(F.explode(tokenize(text_col)).alias("term"))
+        fb.select(F.explode(F.col("_tokens")).alias("term"))
         .filter((F.length("term") >= min_term_len) & (~F.col("term").isin(list(q))))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -117,10 +121,17 @@ def prf_search(
 ) -> DataFrame:
     """Two-pass PRF retrieval: BM25 → top fb_docs feedback set → mine
     fb_terms expansion terms → BM25 over query ∪ expansion terms.
+    The corpus tokenizes ONCE (fts.tokenized_corpus); the feedback
+    pass, the term mining, and the expanded re-run all share that
+    materialized frame — at scale the tokenize map stage is the whole
+    cost of the operator, so it must not run per pass.
     Returns the second pass's (id_col, bm25, terms_matched) top-k."""
-    from pdf_brain_spark.operators.fts import bm25_scores
+    from pdf_brain_spark.operators.fts import bm25_scores, tokenized_corpus
 
-    first = bm25_scores(docs, query_terms, id_col=id_col, text_col=text_col, k=fb_docs)
+    toked = tokenized_corpus(docs, id_col, text_col)
+    first = bm25_scores(
+        docs, query_terms, id_col=id_col, text_col=text_col, k=fb_docs, toked=toked
+    )
     expansion = prf_expansion_terms(
         docs,
         first.select(id_col),
@@ -129,6 +140,9 @@ def prf_search(
         min_term_len=min_term_len,
         id_col=id_col,
         text_col=text_col,
+        toked=toked,
     )
     expanded = [t.lower() for t in query_terms] + expansion
-    return bm25_scores(docs, expanded, id_col=id_col, text_col=text_col, k=k)
+    return bm25_scores(
+        docs, expanded, id_col=id_col, text_col=text_col, k=k, toked=toked
+    )

@@ -134,6 +134,10 @@ def pagerank_exact_int(
     loop is over the FIXED iteration count only). localCheckpoint per
     iteration truncates the growing lineage exactly like the closure
     loop above. Returns (node, rank_nano) — exact int64."""
+    # edges and outdeg are read on EVERY iteration — materialize once so
+    # the loop does not re-scan the edge table and re-run the degree
+    # aggregate n_iter times (same lineage discipline as nodes/ranks)
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select("node")
         .unionByName(edges.select(F.col("parent").alias("node")))
@@ -141,7 +145,9 @@ def pagerank_exact_int(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    outdeg = edges.groupBy("node").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = edges.groupBy("node").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).localCheckpoint(eager=True)
     base = ((100 - damping_pct) * scale) // (100 * n)
     ranks = nodes.withColumn("rank_nano", F.lit(scale // n).cast("long"))
     for _ in range(n_iter):

@@ -6784,10 +6784,11 @@ def unigram_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "snapshot_diff_cdc",
     oracle="""
     WITH oldv AS (
-      SELECT doc_id, md5(CAST(text AS VARCHAR)) AS old_md5 FROM documents
+      SELECT doc_id, md5(COALESCE(CAST(text AS VARCHAR), chr(1))) AS old_md5
+      FROM documents
     ),
     newv AS (
-      SELECT doc_id, md5(CAST(text AS VARCHAR) || ' [rev2]') AS new_md5
+      SELECT doc_id, md5(COALESCE(CAST(text AS VARCHAR) || ' [rev2]', chr(1))) AS new_md5
       FROM documents WHERE doc_id % 7 <> 3
       UNION ALL
       SELECT doc_id + 1000000, md5('brand new document ' || CAST(doc_id AS VARCHAR))

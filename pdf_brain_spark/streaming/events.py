@@ -767,14 +767,33 @@ def compact_term_counts(spark: SparkSession, store_dir: str, upto_batch_id: int)
 def make_fts_postings_batch_fn(index_dir: str, id_col: str = "doc_id", text_col: str = "text"):
     """Per-micro-batch postings build (operators/fts.py::build_postings —
     tokenize once, (doc, term) aggregate with map-side combine),
-    replay-idempotent via the batch_id=N overwrite."""
+    replay-idempotent via the batch_id=N overwrite.
+
+    Zero-token documents (empty/whitespace/NULL text) get a doc-grain
+    MARKER row (term NULL, tf 0, doc_len 0): build_postings naturally
+    emits nothing for them, but the served corpus statistics (N, avgdl)
+    must count every ingested document or BM25 from the index would
+    drift from the one-shot path exactly when such docs exist."""
+    from pdf_brain_spark.functions.text import tokenize
     from pdf_brain_spark.operators.fts import build_postings
 
     def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         postings = build_postings(batch_df, id_col=id_col, text_col=text_col)
-        postings.write.mode("overwrite").parquet(f"{index_dir}/batch_id={batch_id}")
+        empties = (
+            batch_df.select(id_col, tokenize(text_col).alias("_t"))
+            .filter(F.coalesce(F.size("_t"), F.lit(0)) <= 0)
+            .select(
+                F.col(id_col),
+                F.lit(None).cast("string").alias("term"),
+                F.lit(0).alias("doc_len"),
+                F.lit(0).cast("long").alias("tf"),
+            )
+        )
+        postings.unionByName(empties).write.mode("overwrite").parquet(
+            f"{index_dir}/batch_id={batch_id}"
+        )
 
     return _each_batch
 
@@ -828,6 +847,15 @@ def fts_search_persisted(
     stats = docs_grain.agg(
         F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
     ).collect()[0]
+    if not stats["n"]:
+        # every document tombstoned (a takedown-heavy index reaches this
+        # state in normal operation): an empty result, not a crash
+        return (
+            rows.select(id_col)
+            .withColumn("bm25", F.lit(0.0))
+            .withColumn("terms_matched", F.lit(0).cast("long"))
+            .limit(0)
+        )
     n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
     matched = rows.filter(F.col("term").isin(terms))
     dfs = {

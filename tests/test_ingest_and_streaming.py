@@ -1223,3 +1223,40 @@ def test_streaming_fts_index_matches_oneshot_and_deletes(spark, tmp_path):
     assert compact_fts_index(spark, idx, upto_batch_id=1) == 3
     assert generation_ids(spark, idx) == [-2] and tombstone_floors(spark, idx) == []
     assert served() == want_after
+
+
+def test_streaming_fts_zero_token_docs_and_all_tombstoned(spark, tmp_path):
+    """Corpus-stat parity when zero-token documents exist (they carry no
+    postings but MUST count in N/avgdl, as the one-shot path counts
+    them), and graceful empty serving when every doc is tombstoned."""
+    from pdf_brain_spark.operators.fts import bm25_scores
+    from pdf_brain_spark.streaming.events import (
+        fts_search_persisted,
+        make_fts_postings_batch_fn,
+    )
+    from pdf_brain_spark.streaming.generations import write_tombstones
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins and spark shuffles"),
+            (2, "unrelated words entirely"),
+            (3, "   "),          # whitespace-only: zero tokens
+            (4, "spark spark spark again"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "fts")
+    make_fts_postings_batch_fn(idx)(docs, 0)
+    got = [
+        (r["doc_id"], round(r["bm25"], 6), r["terms_matched"])
+        for r in fts_search_persisted(spark, idx, ["spark"], k=10).collect()
+    ]
+    want = [
+        (r["doc_id"], round(r["bm25"], 6), r["terms_matched"])
+        for r in bm25_scores(docs, ["spark"], k=10).collect()
+    ]
+    assert got == want and got  # N=4 / avgdl includes doc 3 on both paths
+
+    # takedown of EVERY doc: empty result, not a crash
+    write_tombstones(spark, idx, docs.select("doc_id"), floor=0)
+    assert fts_search_persisted(spark, idx, ["spark"], k=10).count() == 0

@@ -216,3 +216,21 @@ def test_unigram_perplexity_planted(spark, tmp_path):
     assert ppl1 < ppl2  # dominant-token doc is "fluent" under the corpus LM
     assert abs(ppl1 - 2.0) < 0.01  # p=1/2 per token -> ppl ~ 2
     assert abs(ppl2 - 12.0) < 0.01  # p=1/12 per token -> ppl ~ 12
+
+
+def test_snapshot_diff_boundary_and_null_payloads(spark):
+    """Digest integrity: column boundaries must not erase (("ab","") vs
+    ("a","b") IS an update) and NULL-to-empty must be visible."""
+    from pdf_brain_spark.operators.ingest import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "ab", ""), (2, None, "x")], "doc_id long, a string, b string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "b"), (2, "", "x")], "doc_id long, a string, b string"
+    )
+    rows = {
+        r["doc_id"]: r["change_type"]
+        for r in snapshot_diff(old, new, payload_cols=("a", "b")).collect()
+    }
+    assert rows == {1: "update", 2: "update"}
