@@ -1,0 +1,237 @@
+"""Randomized identity checks for the round-7 operators: seeded random
+inputs, compared row-for-row against independent pure-python brute-force
+references (the test strategy the dedup/span suites use — an
+implementation-independent second opinion, not a planted example)."""
+
+import random
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+T0 = datetime(2024, 3, 1, 0, 0, 0)
+
+
+def test_scd2_matches_python_reference(spark):
+    from pdf_brain_spark.operators.temporal import scd2_compress
+
+    for seed in (7, 11, 23):
+        rng = random.Random(seed)
+        rows = []
+        for user in range(6):
+            days = sorted(rng.sample(range(40), rng.randint(1, 15)))
+            for d in days:
+                rows.append((user, T0 + timedelta(days=d), rng.choice("abc")))
+        df = spark.createDataFrame(rows, "user_id long, day timestamp, tier string")
+        got = {
+            (r["user_id"], r["version"]): (
+                r["tier"], r["valid_from"], r["valid_to"], r["n_periods"]
+            )
+            for r in scd2_compress(df, ("user_id",), "tier", "day").collect()
+        }
+        # python reference: compress consecutive-observation runs
+        want = {}
+        by_user = {}
+        for u, d, t in rows:
+            by_user.setdefault(u, []).append((d, t))
+        for u, seq in by_user.items():
+            seq.sort()
+            versions = []
+            for d, t in seq:
+                if versions and versions[-1][0] == t:
+                    versions[-1][2] += 1
+                else:
+                    versions.append([t, d, 1])
+            for i, (t, vf, n) in enumerate(versions):
+                vt = versions[i + 1][1] if i + 1 < len(versions) else None
+                want[(u, i + 1)] = (t, vf, vt, n)
+        assert got == want
+
+
+def test_event_transitions_matches_python_reference(spark):
+    from pdf_brain_spark.operators.temporal import event_transitions
+
+    for seed in (3, 19):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for user in range(8):
+            for i in range(rng.randint(0, 12)):
+                rows.append(
+                    (eid, user, rng.choice(["v", "c", "p"]), T0 + timedelta(minutes=i))
+                )
+                eid += 1
+        if not rows:
+            continue
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        got = {
+            (r["from_type"], r["to_type"]): (r["n_transitions"], r["prob"])
+            for r in event_transitions(df).collect()
+        }
+        counts = {}
+        by_user = {}
+        for e, u, t, ts in rows:
+            by_user.setdefault(u, []).append((ts, e, t))
+        for u, seq in by_user.items():
+            seq.sort()
+            for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        totals = {}
+        for (a, _), n in counts.items():
+            totals[a] = totals.get(a, 0) + n
+        want = {k: (n, round(n / totals[k[0]], 6)) for k, n in counts.items()}
+        assert got == want
+
+
+def test_ohlc_matches_python_reference(spark):
+    from pdf_brain_spark.operators.temporal import ohlc_bars
+
+    for seed in (5, 29):
+        rng = random.Random(seed)
+        rows = []
+        for eid in range(120):
+            # deliberately collide timestamps (id tie-break) and hours
+            ts = T0 + timedelta(minutes=rng.randint(0, 300))
+            rows.append(
+                (eid, rng.choice(["x", "y"]), ts, round(rng.uniform(0.01, 99.99), 2))
+            )
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp, value double"
+        )
+        got = {
+            (r["event_type"], r["bar_start"]): (
+                r["open"], r["high"], r["low"], r["close"], r["n_events"]
+            )
+            for r in ohlc_bars(df, bucket="hour").collect()
+        }
+        bars = {}
+        for e, t, ts, v in rows:
+            key = (t, ts.replace(minute=0, second=0, microsecond=0))
+            bars.setdefault(key, []).append((ts, e, round(v * 100)))
+        want = {}
+        for key, evs in bars.items():
+            evs.sort()
+            cents = [c for _, _, c in evs]
+            want[key] = (
+                round(evs[0][2] / 100.0, 2),
+                round(max(cents) / 100.0, 2),
+                round(min(cents) / 100.0, 2),
+                round(evs[-1][2] / 100.0, 2),
+                len(evs),
+            )
+        assert got == want
+
+
+def test_last_touch_matches_python_reference(spark):
+    from pdf_brain_spark.operators.temporal import last_touch_attribution
+
+    for seed in (13, 31):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for user in range(6):
+            for _ in range(rng.randint(0, 15)):
+                rows.append(
+                    (
+                        eid,
+                        user,
+                        rng.choice(["click", "purchase", "view"]),
+                        T0 + timedelta(hours=rng.randint(0, 400)),
+                    )
+                )
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        window_s = 7 * 24 * 3600
+        got = {
+            r["event_id"]: (r["attributed_touch_id"], r["touch_gap_seconds"])
+            for r in last_touch_attribution(df, window_seconds=window_s).collect()
+        }
+        want = {}
+        by_user = {}
+        for e, u, t, ts in rows:
+            if t in ("click", "purchase"):
+                by_user.setdefault(u, []).append((ts, t, e))
+        for u, seq in by_user.items():
+            # clicks sort before purchases at the same instant (role key)
+            seq.sort(key=lambda x: (x[0], 0 if x[1] == "click" else 1, x[2]))
+            last_click = None
+            for ts, t, e in seq:
+                if t == "click":
+                    last_click = (ts, e)
+                else:
+                    if last_click and (ts - last_click[0]).total_seconds() <= window_s:
+                        gap = int((ts - last_click[0]).total_seconds())
+                        want[e] = (last_click[1], gap)
+                    else:
+                        want[e] = (None, None)
+        assert got == want
+
+
+def test_pagerank_matches_python_reference(spark):
+    from pdf_brain_spark.operators.taxonomy import pagerank_exact_int
+
+    for seed in (17, 41):
+        rng = random.Random(seed)
+        n = 30
+        edges = set()
+        for node in range(1, n):
+            # 1-2 outgoing edges to earlier nodes (DAG, multi-parent)
+            for _ in range(rng.randint(1, 2)):
+                edges.add((node, rng.randint(0, node - 1)))
+        edf = spark.createDataFrame(sorted(edges), "node long, parent long")
+        got = {
+            r["node"]: r["rank_nano"]
+            for r in pagerank_exact_int(edf, n_iter=4).collect()
+        }
+        nodes = {u for u, _ in edges} | {v for _, v in edges}
+        N = len(nodes)
+        scale = 1_000_000_000
+        outdeg = {}
+        for u, _ in edges:
+            outdeg[u] = outdeg.get(u, 0) + 1
+        r = {v: scale // N for v in nodes}
+        base = (15 * scale) // (100 * N)
+        for _ in range(4):
+            in_sum = {v: 0 for v in nodes}
+            for u, v in edges:
+                in_sum[v] += r[u] // outdeg[u]
+            r = {v: base + (85 * in_sum[v]) // 100 for v in nodes}
+        assert got == r
+
+
+def test_snapshot_diff_matches_python_reference(spark):
+    import hashlib
+
+    from pdf_brain_spark.operators.ingest import snapshot_diff
+
+    rng = random.Random(97)
+    old = {k: rng.choice(["aa", "bb", "cc", None]) for k in range(40)}
+    new = {}
+    for k, v in old.items():
+        roll = rng.random()
+        if roll < 0.2:
+            continue  # delete
+        if roll < 0.5:
+            new[k] = rng.choice(["aa", "bb", "dd", None])  # maybe update
+        else:
+            new[k] = v
+    for k in range(100, 110):
+        new[k] = "fresh"
+
+    df_old = spark.createDataFrame(list(old.items()), "doc_id long, text string")
+    df_new = spark.createDataFrame(list(new.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["change_type"] for r in snapshot_diff(df_old, df_new).collect()
+    }
+    want = {}
+    for k in set(old) | set(new):
+        if k not in new:
+            want[k] = "delete"
+        elif k not in old:
+            want[k] = "insert"
+        elif old[k] != new[k]:
+            want[k] = "update"
+    assert got == want
