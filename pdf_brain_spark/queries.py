@@ -7048,6 +7048,46 @@ def _register_streaming_fts_oracle() -> None:
 _register_streaming_fts_oracle()
 
 
+@query("streaming_incremental_ohlc", oracle=None)  # oracle shared below
+def streaming_incremental_ohlc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental OHLC bars (streaming/events.py) — the first
+    NON-SUM instantiation of the mergeable-partials store: open/close
+    merge by min/max over (us, event_id, cents) ordering structs, which
+    is associative, so bars served from two micro-batch generations
+    must equal the one-shot ohlc_bars over the whole table (the shared
+    events_ohlc_bars oracle). A real AvailableNow run per invocation;
+    no watermark — a late event is one more partial row whose struct
+    wins or loses the min/max."""
+    import shutil
+    import tempfile
+
+    from pdf_brain_spark.streaming.events import (
+        read_ohlc,
+        streaming_incremental_ohlc,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "ts", "value"
+    )
+    root = tempfile.mkdtemp(prefix="sgraft_ohlc_")
+    stage, store, ckpt = (f"{root}/{d}" for d in ("stage", "store", "ckpt"))
+    try:
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(stage)
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        streaming_incremental_ohlc(spark, stream, store, ckpt).awaitTermination()
+        return read_ohlc(spark, store).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLES["streaming_incremental_ohlc"] = ORACLES["events_ohlc_bars"]
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate

@@ -887,6 +887,122 @@ def fts_search_persisted(
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming incremental OHLC bars: the first NON-SUM instantiation of the
+# mergeable-partials store — proof the generation protocol carries any
+# commutative monoid, not just integer addition. Per-batch partials hold
+# each bar's (open-ordering-struct, high, low, close-ordering-struct, n);
+# open/close merge by min/max over (us, event_id, cents) structs, which is
+# associative and exact, so partials from any number of batch generations
+# (or a compaction of them) resolve to the identical bar the one-shot
+# operator computes. Late data needs no watermark: a late event is one
+# more partial row whose struct simply wins or loses the min/max.
+# ---------------------------------------------------------------------------
+
+_OHLC_BUCKETS = ["event_type", "window_start"]
+_OHLC_VALUES = ["open_ord", "high_c", "low_c", "close_ord", "n_partial"]
+
+
+def _ohlc_merge_exprs():
+    return [
+        F.min("open_ord").alias("open_ord"),
+        F.max("high_c").alias("high_c"),
+        F.min("low_c").alias("low_c"),
+        F.max("close_ord").alias("close_ord"),
+        F.sum("n_partial").alias("n_partial"),
+    ]
+
+
+def make_ohlc_batch_fn(store_dir: str):
+    """Per-micro-batch OHLC partials at bar grain, replay-idempotent
+    (batch_id=N overwrite). Cents + exact-microsecond ordering structs —
+    the cross-engine integer discipline throughout."""
+
+    def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cents = F.round(F.col("value") * 100).cast("long")
+        ordc = F.struct(
+            F.unix_micros(F.col("ts")).alias("us"),
+            F.col("event_id").alias("eid"),
+            cents.alias("c"),
+        )
+        partial = (
+            batch_df.select(
+                "event_type",
+                F.date_trunc("hour", F.col("ts")).alias("window_start"),
+                ordc.alias("_ord"),
+                cents.alias("_c"),
+            )
+            .groupBy(*_OHLC_BUCKETS)
+            .agg(
+                F.min("_ord").alias("open_ord"),
+                F.max("_c").alias("high_c"),
+                F.min("_c").alias("low_c"),
+                F.max("_ord").alias("close_ord"),
+                F.count(F.lit(1)).alias("n_partial"),
+            )
+        )
+        partial.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+
+    return _each_batch
+
+
+def streaming_incremental_ohlc(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+):
+    """Drive incremental OHLC-bar maintenance as a Structured Streaming
+    query (AvailableNow in tests/gate; continuous in production)."""
+    return (
+        events_stream.writeStream.foreachBatch(make_ohlc_batch_fn(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_ohlc(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Serve the bars from the persisted partials (live generations,
+    mid-compaction-safe): one re-merge at bar grain, then the money
+    projection — identical output contract to operators/temporal.py::
+    ohlc_bars over the same events."""
+    from pdf_brain_spark.streaming.generations import kept_partial_rows
+
+    money = lambda c: F.round(c.cast("double") / 100.0, 2)  # noqa: E731
+    merged = (
+        kept_partial_rows(spark, store_dir, _OHLC_BUCKETS, _OHLC_VALUES)
+        .groupBy(*_OHLC_BUCKETS)
+        .agg(*_ohlc_merge_exprs())
+    )
+    return merged.select(
+        "event_type",
+        F.col("window_start").alias("bar_start"),
+        money(F.col("open_ord.c")).alias("open"),
+        money(F.col("high_c")).alias("high"),
+        money(F.col("low_c")).alias("low"),
+        money(F.col("close_ord.c")).alias("close"),
+        F.col("n_partial").alias("n_events"),
+    )
+
+
+def compact_ohlc(spark: SparkSession, store_dir: str, upto_batch_id: int) -> int:
+    """Merge committed OHLC partial generations with the store's own
+    min/max monoid (reader-safe generation protocol)."""
+    from pdf_brain_spark.streaming.generations import compact_partials
+
+    return compact_partials(
+        spark,
+        store_dir,
+        upto_batch_id,
+        _OHLC_BUCKETS,
+        _OHLC_VALUES,
+        merge_exprs=_ohlc_merge_exprs(),
+    )
+
+
 def compact_fts_index(spark: SparkSession, index_dir: str, upto_batch_id: int, n_files: int = 8) -> int:
     """Merge committed postings generations into one compacted
     generation, materializing document deletions (reader-safe

@@ -271,17 +271,26 @@ def compact_partials(
     bucket_cols: list[str],
     value_cols: list[str],
     floor_cols: list[str] | None = None,
+    merge_exprs: list | None = None,
 ) -> int:
     """Floor-aware partials compaction: merge every live additive
     generation covering ≤ upto_batch_id AND every applicable backfill
     generation (floor in (m*, upto]) into one compacted generation
-    holding the bucket-grain RESOLVED partials (value columns summed —
-    exact for the integer-mergeable columns this store requires),
-    computed by the same `kept_partial_rows` the readers use. The
-    compacted id is compacted_id(max(coverages, floors)), so it supersedes both the
+    holding the bucket-grain RESOLVED partials, computed by the same
+    `kept_partial_rows` the readers use. The compacted id is
+    compacted_id(max(coverages, floors)), so it supersedes both the
     consumed additive dirs AND the consumed backfill dirs; deletes
     happen after the atomic rename, and dead dirs from either namespace
-    are swept. Returns the number of generations merged."""
+    are swept. Returns the number of generations merged.
+
+    `merge_exprs` is the store's MERGE MONOID — a list of aliased
+    aggregate expressions (one per value column) applied per bucket.
+    Default: integer SUM per value column (the rollup/histogram/term
+    stores). Any commutative, associative aggregate whose result stays
+    at the partial schema works — the OHLC store merges with min/max
+    over ordering structs — because compaction must be a no-op under
+    the reader's own re-aggregation: merge(merge(a,b),c) =
+    merge(a,b,c)."""
     from pyspark.sql import functions as F
 
     HPath, fs = _fs(spark, store_dir)
@@ -304,13 +313,15 @@ def compact_partials(
         return 0  # lone compacted gen: nothing new arrived at this coverage
     m = max([coverage(g) for g in src_add] + src_fl)
     dest = compacted_id(m)
+    if merge_exprs is None:
+        merge_exprs = [F.sum(c).alias(c) for c in value_cols]
     merged = (
         kept_partial_rows(
             spark, store_dir, bucket_cols, value_cols,
             upto=upto_batch_id, floor_cols=floor_cols,
         )
         .groupBy(*bucket_cols)
-        .agg(*[F.sum(c).alias(c) for c in value_cols])
+        .agg(*merge_exprs)
     )
     tmp = f"{store_dir}/.compact_tmp_{m}"
     fs.delete(HPath(tmp), True)

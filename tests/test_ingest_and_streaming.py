@@ -1260,3 +1260,55 @@ def test_streaming_fts_zero_token_docs_and_all_tombstoned(spark, tmp_path):
     # takedown of EVERY doc: empty result, not a crash
     write_tombstones(spark, idx, docs.select("doc_id"), floor=0)
     assert fts_search_persisted(spark, idx, ["spark"], k=10).count() == 0
+
+
+def test_streaming_ohlc_replay_merge_compact(spark, tmp_path):
+    """Non-sum monoid on the partials store: replay leaves partials
+    identical, bars served across batch generations equal the one-shot
+    operator, and compaction with the min/max merge preserves serving
+    (merge associativity exercised through a real consolidation)."""
+    from pdf_brain_spark.operators.temporal import ohlc_bars
+    from pdf_brain_spark.sources.loaders import load_table
+    from pdf_brain_spark.streaming.events import (
+        compact_ohlc,
+        make_ohlc_batch_fn,
+        read_ohlc,
+    )
+    from pdf_brain_spark.streaming.generations import generation_ids
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    store = str(tmp_path / "ohlc")
+    fn = make_ohlc_batch_fn(store)
+    for b in range(3):
+        fn(ev.filter(F.col("event_id") % 3 == b), b)
+
+    def snapshot():
+        return sorted(
+            (r["batch_id"], r["event_type"], str(r["window_start"]), r["n_partial"])
+            for r in spark.read.option("basePath", store).parquet(store).collect()
+        )
+
+    before = snapshot()
+    fn(ev.filter(F.col("event_id") % 3 == 1), 1)  # crash replay
+    assert snapshot() == before
+
+    def served():
+        return sorted(
+            (r["event_type"], str(r["bar_start"]), r["open"], r["high"], r["low"], r["close"], r["n_events"])
+            for r in read_ohlc(spark, store).collect()
+        )
+
+    want = sorted(
+        (r["event_type"], str(r["bar_start"]), r["open"], r["high"], r["low"], r["close"], r["n_events"])
+        for r in ohlc_bars(ev, bucket="hour").collect()
+    )
+    assert served() == want
+
+    # compaction with the min/max monoid: bar-grain state, serving fixed
+    assert compact_ohlc(spark, store, upto_batch_id=2) == 3
+    assert generation_ids(spark, store) == [-3]
+    assert served() == want
+    n_bars = len(want)
+    assert spark.read.parquet(f"{store}/batch_id=-3").count() == n_bars
