@@ -7088,6 +7088,78 @@ def streaming_incremental_ohlc_gate(spark: SparkSession, sf_dir: str) -> DataFra
 ORACLES["streaming_incremental_ohlc"] = ORACLES["events_ohlc_bars"]
 
 
+@query(
+    "tpch_q7_nation_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(CAST(sum(units) AS DOUBLE) / 10000.0, 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT) AS units
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (cross-nation volume shipping) — the ROLE-PLAYING
+    dimension pattern the other TPC-H gates don't exercise: the nation
+    table joins TWICE under different roles (supplier's nation,
+    customer's nation) with a symmetric OR pair filter. Both nation
+    joins broadcast; the ship-date range pushes to the lineitem scan;
+    the two fact-fact joins shuffle on their keys; revenue is the exact
+    integer cents×discount-percent sum."""
+    supplier = load_table(spark, "supplier", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    units = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(units).cast("double") / F.lit(10000.0), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
