@@ -185,6 +185,10 @@ def main() -> None:
     timings["mmr_batch64"] = mmr["batch64_sec"]
     total += mmr["batch64_sec"]
     spark.catalog.clearCache()
+    bsq = bsq_hamming_batch(spark)
+    timings["bsq_hamming_batch256"] = bsq["total_sec"]
+    total += bsq["total_sec"]
+    spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -213,6 +217,7 @@ def main() -> None:
         "mmr_batch_amortization": mmr,
         "pq_adc_vs_exact": pq,
         "ivfpq_probed_vs_flat": ivfpq,
+        "bsq_hamming_vs_exact": bsq,
     }
     # BENCH_DETAIL.json is the LATEST run (mutable — the driver's
     # post-commit rerun overwrites it, which desynced the round notes in
@@ -454,6 +459,66 @@ def ivf_batch_clustered(
         "samples_sec": dts,
         "ms_per_query": round(1000.0 * dt / n_queries, 3),
         "recall_at_k": round(hit / max(len(exact_set), 1), 4),
+    }
+
+
+def bsq_hamming_batch(spark, n_queries: int = 256, k: int = 10, n_candidates: int = 64) -> dict:
+    """Binary-sign Hamming serving on the clustered-corpus geometry
+    (mixture of Gaussians, the realistic case): 256 queries through the
+    1-bit/dim candidate scan + bounded exact rerank, min-of-3, recall
+    measured against the exact batch path. The point of the number: the
+    full-corpus pass reads 64 BITS per vector instead of 64 float64s —
+    the scan-bytes story at 100 TB — while the rerank restores exact
+    scores on the shortlist."""
+    from pyspark.sql import functions as F
+
+    from pdf_brain_spark.operators.ann import synthetic_clustered_embeddings
+    from pdf_brain_spark.operators.quantization import hamming_rerank_topk_batch
+    from pdf_brain_spark.operators.vector_search import similarity_join_topk
+
+    emb = synthetic_clustered_embeddings(spark).localCheckpoint(eager=True)
+    queries = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        .localCheckpoint(eager=True)
+    )
+    dt = float("inf")
+    dts = []
+    approx = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        got = hamming_rerank_topk_batch(
+            emb, queries, k=k, n_candidates=n_candidates
+        ).select("query_id", "vec_id").collect()
+        dts.append(round(time.perf_counter() - t0, 3))
+        dt = min(dt, dts[-1])
+        approx = approx if approx is not None else got
+    exact = similarity_join_topk(queries, emb, k=k).select("query_id", "vec_id").collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    hit = sum((r.query_id, r.vec_id) in exact_set for r in approx)
+    # recall at an 8x-deeper candidate cut (still 6% of the corpus):
+    # 64-dim sign bits are coarse, so the cut depth is the recall knob
+    deep = hamming_rerank_topk_batch(
+        emb, queries, k=k, n_candidates=8 * n_candidates
+    ).select("query_id", "vec_id").collect()
+    hit_deep = sum((r.query_id, r.vec_id) in exact_set for r in deep)
+    return {
+        "corpus": "mixture_of_gaussians_8192x64x32centers",
+        "n_queries": n_queries,
+        "k": k,
+        "n_candidates": n_candidates,
+        "bits_per_dim": 1,
+        "scan_bytes_fraction_vs_float64": round(1 / 64.0, 4),
+        "total_sec": round(dt, 3),
+        "samples_sec": dts,
+        "ms_per_query": round(1000.0 * dt / n_queries, 3),
+        "recall_at_k": round(hit / max(len(exact_set), 1), 4),
+        "recall_at_k_candidates_x8": round(hit_deep / max(len(exact_set), 1), 4),
+        # honesty note, in the artifact itself: at 64 in-memory dims the
+        # exact BLAS matmul is CPU-cheaper than a LUT popcount in numpy;
+        # the 1-bit path's win is the 64x storage-scan reduction (and
+        # SIMD popcount in a native engine), not local CPU at this dim
+        "note": "wins on scan bytes (1/64), not local CPU at dim=64",
     }
 
 
