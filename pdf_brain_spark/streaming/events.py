@@ -421,7 +421,7 @@ def streaming_incremental_rollup(
     )
 
 
-def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
+def read_rollup(spark: SparkSession, rollup_dir: str, asof_batch_id: int | None = None) -> DataFrame:
     """Serve the incremental rollup: re-aggregate the persisted partials
     across the LIVE batch generations (generation protocol — safe to
     read mid-compaction), honoring any BACKFILL generations
@@ -429,8 +429,17 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     from the newest applicable backfill plus only the additive
     generations newer than that backfill's floor. |rows| = Σ per-batch
     distinct buckets — bucket grain × generation count, compacted by
-    compact_rollup when generations accumulate."""
-    return _rollup_kept_rows(spark, rollup_dir).groupBy(
+    compact_rollup when generations accumulate.
+
+    `asof_batch_id` is TIME TRAVEL: serve the rollup exactly as it
+    stood after stream batch N committed (generations and backfill
+    floors covering ≤ N only) — the generation namespace doubles as a
+    snapshot log, so reproducing an earlier training run's input or
+    auditing a correction needs no extra bookkeeping. A compaction
+    RETIRES the snapshots it merges (their dirs are consolidated), so
+    travel reaches back to the newest compacted coverage — the
+    documented retention trade of compacting."""
+    return _rollup_kept_rows(spark, rollup_dir, upto=asof_batch_id).groupBy(
         "event_type", "window_start"
     ).agg(
         F.sum("n_partial").alias("n_events"),

@@ -1312,3 +1312,55 @@ def test_streaming_ohlc_replay_merge_compact(spark, tmp_path):
     assert served() == want
     n_bars = len(want)
     assert spark.read.parquet(f"{store}/batch_id=-3").count() == n_bars
+
+
+def test_rollup_time_travel_snapshots(spark, tmp_path):
+    """asof_batch_id reads reproduce each committed snapshot exactly;
+    compaction retires the snapshots it merges (documented retention
+    trade) while the latest state keeps serving."""
+    from pdf_brain_spark.sources.loaders import load_table
+    from pdf_brain_spark.streaming.events import (
+        compact_rollup,
+        make_rollup_batch_fn,
+        read_rollup,
+    )
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    roll = str(tmp_path / "rollup")
+    fn = make_rollup_batch_fn(roll)
+    for b in range(3):
+        fn(ev.filter(F.col("event_id") % 3 == b), b)
+
+    def served(asof=None):
+        return sorted(
+            (r["event_type"], str(r["window_start"]), r["n_events"], r["total_value"])
+            for r in read_rollup(spark, roll, asof_batch_id=asof).collect()
+        )
+
+    def oneshot(pred):
+        return sorted(
+            (r["event_type"], str(r["w"]), r["n"], r["tv"])
+            for r in ev.filter(pred)
+            .groupBy("event_type", F.date_trunc("hour", "ts").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                    / F.lit(100.0),
+                    4,
+                ).alias("tv"),
+            )
+            .collect()
+        )
+
+    assert served(asof=0) == oneshot(F.col("event_id") % 3 == 0)
+    assert served(asof=1) == oneshot(F.col("event_id") % 3 <= 1)
+    assert served(asof=2) == served() == oneshot(F.lit(True))
+
+    # compaction up to batch 1 retires snapshots 0 and 1; snapshot 1
+    # remains reachable AT the compacted coverage, snapshot 0 is gone
+    assert compact_rollup(spark, roll, upto_batch_id=1) == 2
+    assert served(asof=1) == oneshot(F.col("event_id") % 3 <= 1)
+    assert served() == oneshot(F.lit(True))
