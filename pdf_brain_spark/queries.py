@@ -7206,6 +7206,220 @@ def streaming_rollup_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@query(
+    "split_leakage_report",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, text,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, bucket,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tokens
+      FROM assigned
+    ),
+    grams AS (
+      SELECT doc_id, bucket, unnest(list_distinct(list_transform(
+               range(1, greatest(len(tokens) - 1, 1)),
+               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))) AS g
+      FROM toks
+    ),
+    train_g AS (SELECT DISTINCT g FROM grams WHERE bucket < 80),
+    val_g AS (SELECT doc_id, g FROM grams WHERE bucket >= 80 AND bucket < 90)
+    SELECT v.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS leakage_rate,
+           (sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END)
+            / CAST(count(*) AS DOUBLE)) >= 0.5 AS leaking
+    FROM val_g v LEFT JOIN train_g t ON v.g = t.g
+    GROUP BY v.doc_id
+    ORDER BY n_shared DESC, v.doc_id
+    LIMIT 50
+    """,
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→val SPLIT-LEAKAGE detector — the QA step after splitting
+    (the split is doc-level, so near-duplicate documents land on both
+    sides and leak evaluation signal; Lee et al. 2022 measure exactly
+    this val-train overlap). Same machinery as benchmark_contamination
+    but between the engine's own portable-hash splits: each val doc's
+    distinct 3-grams left-join the train side's distinct gram set;
+    leakage_rate ≥ 0.5 flags the doc. Plan: one gram-key join — at
+    100 TB the train gram set is bloom-filtered or bucket-joined; the
+    val side (10%) streams against it."""
+    from pdf_brain_spark.functions.text import shingles, tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    grams = docs.select(
+        "doc_id",
+        bucket.alias("_b"),
+        F.explode(F.array_distinct(shingles(tokenize("text"), 3))).alias("g"),
+    )
+    train_g = grams.filter(F.col("_b") < 80).select("g").distinct()
+    val_g = grams.filter((F.col("_b") >= 80) & (F.col("_b") < 90))
+    joined = val_g.join(train_g.withColumn("_hit", F.lit(1)), "g", "left")
+    hit = F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+    rate = F.sum(hit) / F.count(F.lit(1)).cast("double")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(hit).alias("n_shared"),
+            F.round(rate, 6).alias("leakage_rate"),
+            (rate >= 0.5).alias("leaking"),
+        )
+        .orderBy(F.col("n_shared").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+@query(
+    "reciprocal_nearest_neighbors",
+    oracle=f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 512),
+    pairs AS (
+      SELECT a.vec_id AS qa, b.vec_id AS qb,
+             {_duck_cosine_distance('a.embedding', 'b.embedding')} AS d
+      FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT qa, qb, d,
+             row_number() OVER (PARTITION BY qa ORDER BY d ASC, qb ASC) AS rnk
+      FROM pairs
+    ),
+    knn AS (SELECT qa, qb, d, rnk FROM ranked WHERE rnk <= 5)
+    SELECT x.qa AS vec_id_a, x.qb AS vec_id_b,
+           CAST(x.rnk AS INT) AS rank_ab, CAST(y.rnk AS INT) AS rank_ba,
+           round(1.0 - x.d / 2.0, 6) AS score
+    FROM knn x JOIN knn y ON x.qa = y.qb AND x.qb = y.qa
+    WHERE x.qa < x.qb
+    ORDER BY vec_id_a, vec_id_b
+    """,
+)
+def reciprocal_nearest_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN (reciprocal nearest neighbor) graph over a bounded
+    vector subset — the edge set density-based clustering, dedup QA,
+    and re-ranking methods build on (a pair is an RNN edge iff each is
+    in the other's top-5). kNN comes from the BLAS-batched partial-
+    top-k scan (every subset vector is a query — one corpus pass for
+    all 512); mutuality is a self-join of the bounded k×N edge list on
+    the reversed key. Scores exact, rounded 6."""
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.operators.vector_search import similarity_join_topk
+
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 512)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    knn6 = similarity_join_topk(queries, emb, k=6).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("vec_id").asc()
+    )
+    knn = (
+        knn6.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "vec_id", "distance", "rnk")
+    )
+    rev = knn.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("vec_id").alias("query_id"),
+        F.col("rnk").alias("rank_ba"),
+    )
+    return (
+        knn.join(rev, ["query_id", "vec_id"])
+        .filter(F.col("query_id") < F.col("vec_id"))
+        .select(
+            F.col("query_id").alias("vec_id_a"),
+            F.col("vec_id").alias("vec_id_b"),
+            F.col("rnk").alias("rank_ab"),
+            "rank_ba",
+            F.round(1.0 - F.col("distance") / 2.0, 6).alias("score"),
+        )
+        .orderBy("vec_id_a", "vec_id_b")
+    )
+
+
+@query(
+    "session_path_signatures",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             array_to_string(list(event_type ORDER BY ts, event_id)[1:8], '>') AS path
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 20
+    """,
+)
+def session_path_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session PATH MINING: sessionize (the engine's 30-minute
+    gaps-and-islands), reduce each session to its ordered event-type
+    signature (first 8 steps), and rank the most common paths — the
+    behavioral-pattern summary funnels don't give (funnels test ONE
+    hypothesized path; this surfaces the paths that actually happen).
+    One user shuffle for the windows, a session-grain aggregate whose
+    per-session state is capped at 8 steps (array_sort over a
+    collect_list bounded by the slice — ties broken (ts, event_id) like
+    every temporal operator), and a tiny path-grain count."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    step = F.struct(
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("t"),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.array_sort(F.collect_list(step)).alias("_steps"))
+        .select(
+            F.array_join(
+                F.slice(F.transform(F.col("_steps"), lambda s: s["t"]), 1, 8), ">"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
