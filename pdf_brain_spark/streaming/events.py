@@ -922,39 +922,68 @@ def _ohlc_merge_exprs():
     ]
 
 
+def _ohlc_partial(events_df: DataFrame) -> DataFrame:
+    """Bar-grain OHLC partials from a raw event slice — shared by the
+    per-batch writer and the backfill path so a correction's partials
+    can never disagree in shape with the stream's. Cents +
+    exact-microsecond ordering structs (the cross-engine integer
+    discipline)."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    ordc = F.struct(
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.col("event_id").alias("eid"),
+        cents.alias("c"),
+    )
+    return (
+        events_df.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            ordc.alias("_ord"),
+            cents.alias("_c"),
+        )
+        .groupBy(*_OHLC_BUCKETS)
+        .agg(
+            F.min("_ord").alias("open_ord"),
+            F.max("_c").alias("high_c"),
+            F.min("_c").alias("low_c"),
+            F.max("_ord").alias("close_ord"),
+            F.count(F.lit(1)).alias("n_partial"),
+        )
+    )
+
+
 def make_ohlc_batch_fn(store_dir: str):
     """Per-micro-batch OHLC partials at bar grain, replay-idempotent
-    (batch_id=N overwrite). Cents + exact-microsecond ordering structs —
-    the cross-engine integer discipline throughout."""
+    (batch_id=N overwrite)."""
 
     def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        cents = F.round(F.col("value") * 100).cast("long")
-        ordc = F.struct(
-            F.unix_micros(F.col("ts")).alias("us"),
-            F.col("event_id").alias("eid"),
-            cents.alias("c"),
+        _ohlc_partial(batch_df).write.mode("overwrite").parquet(
+            f"{store_dir}/batch_id={batch_id}"
         )
-        partial = (
-            batch_df.select(
-                "event_type",
-                F.date_trunc("hour", F.col("ts")).alias("window_start"),
-                ordc.alias("_ord"),
-                cents.alias("_c"),
-            )
-            .groupBy(*_OHLC_BUCKETS)
-            .agg(
-                F.min("_ord").alias("open_ord"),
-                F.max("_c").alias("high_c"),
-                F.min("_c").alias("low_c"),
-                F.max("_ord").alias("close_ord"),
-                F.count(F.lit(1)).alias("n_partial"),
-            )
-        )
-        partial.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
 
     return _each_batch
+
+
+def backfill_ohlc(
+    spark: SparkSession,
+    store_dir: str,
+    corrected_events: DataFrame,
+    floor_batch_id: int,
+    overwrite: bool = False,
+) -> None:
+    """Replacement semantics on the OHLC store (the rollup backfill,
+    carried to the non-sum monoid): the corrected event slice recomputes
+    FULL partials for its bars, superseding every additive generation at
+    or below the floor for those bars; later additive batches still
+    merge on top via the same min/max monoid. Floor contract and
+    once-per-floor rule: generations.backfill_partials."""
+    from pdf_brain_spark.streaming.generations import backfill_partials
+
+    backfill_partials(
+        spark, store_dir, _ohlc_partial(corrected_events), floor_batch_id, overwrite
+    )
 
 
 def streaming_incremental_ohlc(

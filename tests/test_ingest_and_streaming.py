@@ -1364,3 +1364,63 @@ def test_rollup_time_travel_snapshots(spark, tmp_path):
     assert compact_rollup(spark, roll, upto_batch_id=1) == 2
     assert served(asof=1) == oneshot(F.col("event_id") % 3 <= 1)
     assert served() == oneshot(F.lit(True))
+
+
+def test_ohlc_backfill_replacement_monoid(spark, tmp_path):
+    """Backfill on the non-sum store: a corrected hour's bars supersede
+    additive history, untouched bars keep it, and monoid compaction
+    materializes the resolution."""
+    from pdf_brain_spark.operators.temporal import ohlc_bars
+    from pdf_brain_spark.sources.loaders import load_table
+    from pdf_brain_spark.streaming.events import (
+        backfill_ohlc,
+        compact_ohlc,
+        make_ohlc_batch_fn,
+        read_ohlc,
+    )
+    from pdf_brain_spark.streaming.generations import backfill_floors, generation_ids
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    store = str(tmp_path / "ohlc")
+    fn = make_ohlc_batch_fn(store)
+    fn(ev.filter(F.col("event_id") % 2 == 0), 0)
+    fn(ev.filter(F.col("event_id") % 2 == 1), 1)
+
+    h0 = ev.agg(F.date_trunc("hour", F.min("ts")).alias("h")).first()["h"]
+    in_h = F.date_trunc("hour", F.col("ts")) == F.lit(h0)
+    corrected = ev.filter(in_h).withColumn("value", F.round(F.col("value") * 3, 2))
+    backfill_ohlc(spark, store, corrected, floor_batch_id=1)
+
+    def served():
+        return {
+            (r["event_type"], str(r["bar_start"])): (
+                r["open"], r["high"], r["low"], r["close"], r["n_events"]
+            )
+            for r in read_ohlc(spark, store).collect()
+        }
+
+    # expected: corrected events replace hour h0; everything else as-is
+    want_df = ev.filter(~in_h).unionByName(corrected)
+    want = {
+        (r["event_type"], str(r["bar_start"])): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in ohlc_bars(want_df, bucket="hour").collect()
+    }
+    got = served()
+    assert got == want
+    # the corrected hour's bars actually changed
+    base = {
+        (r["event_type"], str(r["bar_start"])): r["high"]
+        for r in ohlc_bars(ev, bucket="hour").collect()
+    }
+    changed = [k for k in got if str(h0) in k[1]]
+    assert changed and any(got[k][1] != base[k] for k in changed)
+
+    # monoid compaction materializes and retires the backfill dir
+    assert compact_ohlc(spark, store, upto_batch_id=1) == 3
+    assert generation_ids(spark, store) == [-2]
+    assert backfill_floors(spark, store) == []
+    assert served() == want
