@@ -925,12 +925,20 @@ def hamming_rerank_topk_batch(
     """Batched two-stage Hamming serving — the batch-serving twin of
     hamming_rerank_topk, matching the engine's convention everywhere
     (similarity_join_topk, mmr_rerank_batch): Q queries amortize ONE
-    pass over the packed corpus. The query frame packs map-side and
-    broadcasts (Q × n_words integers); the corpus scan XOR-popcounts
-    against every query in one codegen'd stage; per-query candidate
-    cut and the exact cosine re-rank both run under (query, distance,
-    id) rank windows. The corpus is never shuffled — the only exchange
-    carries Q × n_candidates candidate rows.
+    pass over the packed corpus.
+
+    Candidate stage = the PARTIAL-TOP-K mapInPandas pattern of
+    similarity_join_topk: the bounded query batch is COLLECTED to a
+    Q × n_words word matrix and closed over an Arrow-batched scan of
+    the packed corpus words; each batch XOR-popcounts against all
+    queries vectorized (byte-LUT popcount — numpy<2 has no
+    bitwise_count) and emits only per-query partial top-n_candidates,
+    so the post-map shuffle carries partitions × Q × n_candidates
+    SCALAR rows — corpus-size-independent, never the corpus itself. (A
+    crossJoin + rank-window cut was measured 2.4x slower than even the
+    exact BLAS path at 8k×256: that window shuffled all B×Q rows.)
+    The bounded shortlist then re-attaches vectors by broadcast and
+    exact-reranks under a (query, distance, id) rank window.
 
     Returns (query_id, id_col, hamming_dist, score, rank 1..k)."""
     import numpy as np
@@ -941,21 +949,24 @@ def hamming_rerank_topk_batch(
     from pyspark.sql import Window
 
     n_words = dim // BSQ_WORD_BITS
-    # the candidate stage is the PARTIAL-TOP-K mapInPandas pattern
-    # (similarity_join_topk): each Arrow batch XOR-popcounts against the
-    # whole query word matrix vectorized (byte-LUT popcount — numpy<2
-    # has no bitwise_count) and emits only per-query partial
-    # top-n_candidates, so the post-map shuffle is partitions × Q ×
-    # n_candidates SCALAR rows — independent of corpus size. (A
-    # crossJoin + rank-window cut was measured 10x slower than the
-    # exact BLAS path at 8k×256: the window shuffled B×Q rows.)
     q_rows = queries.select(query_id, query_col).collect()
+    if not q_rows:
+        # empty serving batch: empty result, not an executor IndexError
+        qid_type = dict(queries.dtypes)[query_id]
+        id_type = dict(vectors.dtypes)[id_col]
+        return vectors.sparkSession.createDataFrame(
+            [],
+            f"{query_id} {qid_type}, {id_col} {id_type}, hamming_dist long, "
+            "score double, rank int",
+        )
     qids = np.array([r[0] for r in q_rows])
     qw = np.array(
         [pack_query_words([float(x) for x in r[1]]) for r in q_rows],
         dtype=np.int64,
     )  # Q × n_words
-    popcnt8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+    # uint8 LUT: the fancy-indexed popcount intermediate is B×Q×(8·n_words)
+    # bytes at uint8 vs 8x that at int64 — the sum accumulates in int64
+    popcnt8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
     def _partial_topk(batches):
         for pdf in batches:
@@ -967,7 +978,7 @@ def hamming_rerank_topk_batch(
             )  # B × n_words
             x = W[:, None, :] ^ qw[None, :, :]  # B × Q × n_words int64
             dist = popcnt8[x.view(np.uint8).reshape(x.shape[0], x.shape[1], -1)].sum(
-                axis=2
+                axis=2, dtype=np.int64
             )  # B × Q
             vid = pdf[id_col].to_numpy()
             take = min(n_candidates, dist.shape[0])

@@ -679,3 +679,32 @@ def ohlc_bars(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def with_session_ids(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Append a per-user `session_id` (1-based running count) via the
+    gap-threshold gaps-and-islands play — THE shared sessionization
+    kernel (events_sessionize, session path mining, and the salted
+    variant's per-bucket pass all use this exact rule, so a change to
+    the gap semantics lands once). Comparison is exact integer
+    microseconds: a seconds-floor gap disagrees with fractional epochs
+    by ±1 s at sub-second boundaries (the debounce rule)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(F.col(ts_col)).over(w))
+    new_session = F.when(
+        gap.isNull() | (gap > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )

@@ -1222,19 +1222,12 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessionization via lag + running sum — the batch twin
-    of a session-window streaming aggregation."""
-    from pyspark.sql import Window
+    of a session-window streaming aggregation (shared kernel:
+    operators/temporal.py::with_session_ids, exact-microsecond gaps)."""
+    from pdf_brain_spark.operators.temporal import with_session_ids
 
     ev = load_table(spark, "events", sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # compare in microseconds: DuckDB's `> INTERVAL 30 MINUTE` is exact, a
-    # seconds-floor comparison would diverge at sub-second boundaries
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
-    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
-    sess = ev.withColumn("new_session", new_session).withColumn(
-        "session_id",
-        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = with_session_ids(ev)
     return (
         sess.groupBy("user_id")
         .agg(F.countDistinct("session_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
@@ -7117,18 +7110,31 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (cross-nation volume shipping) — the ROLE-PLAYING
     dimension pattern the other TPC-H gates don't exercise: the nation
     table joins TWICE under different roles (supplier's nation,
-    customer's nation) with a symmetric OR pair filter. Both nation
-    joins broadcast; the ship-date range pushes to the lineitem scan;
-    the two fact-fact joins shuffle on their keys; revenue is the exact
-    integer cents×discount-percent sum."""
-    supplier = load_table(spark, "supplier", sf_dir)
+    customer's nation) with a symmetric OR pair filter. The nation
+    PAIR filter pushes into supplier and customer BEFORE they
+    broadcast (2/25 of rows — an unfiltered customer broadcast would
+    blow the threshold at scale); the ship-date range pushes to the
+    lineitem scan; the orderkey fact-fact join shuffles; revenue is
+    the exact integer cents×discount-percent sum."""
+    nation = load_table(spark, "nation", sf_dir)
+    pair_keys = nation.filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    ).select("n_nationkey")
+    supplier = load_table(spark, "supplier", sf_dir).join(
+        F.broadcast(pair_keys),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "leftsemi",
+    )
     lineitem = load_table(spark, "lineitem", sf_dir).filter(
         (F.col("l_shipdate") >= F.lit("1995-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-01-01"))
     )
     orders = load_table(spark, "orders", sf_dir)
-    customer = load_table(spark, "customer", sf_dir)
-    nation = load_table(spark, "nation", sf_dir)
+    customer = load_table(spark, "customer", sf_dir).join(
+        F.broadcast(pair_keys),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+        "leftsemi",
+    )
     n1 = nation.select(
         F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("supp_nation")
     )
@@ -7178,7 +7184,15 @@ def streaming_rollup_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch-0 slice (event_id % 2 = 0), while the live store already
     holds batch 1. The generation namespace doubling as a snapshot log
     is what makes an earlier training run's input reproducible without
-    extra bookkeeping. A real AvailableNow run per invocation."""
+    extra bookkeeping. A real AvailableNow run per invocation.
+
+    Unlike every other streaming gate here, this one DEPENDS on which
+    staged file becomes batch 0 — the file source orders by
+    ms-granularity modification time with nondeterministic tie order,
+    so the even-parity file's mtime is explicitly backdated below to
+    pin the batch order (the merged-result gates are order-independent
+    and don't need this)."""
+    import os
     import shutil
     import tempfile
 
@@ -7194,7 +7208,15 @@ def streaming_rollup_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage, roll, ckpt = (f"{root}/{d}" for d in ("stage", "rollup", "ckpt"))
     try:
         ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(stage)
+        first_files = [
+            f"{stage}/{f}" for f in os.listdir(stage) if f.endswith(".parquet")
+        ]
         ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+        now = None
+        for f in first_files:
+            st = os.stat(f)
+            now = st.st_mtime if now is None else now
+            os.utime(f, (st.st_atime, st.st_mtime - 10))
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -7384,31 +7406,33 @@ def session_path_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature (first 8 steps), and rank the most common paths — the
     behavioral-pattern summary funnels don't give (funnels test ONE
     hypothesized path; this surfaces the paths that actually happen).
-    One user shuffle for the windows, a session-grain aggregate whose
-    per-session state is capped at 8 steps (array_sort over a
-    collect_list bounded by the slice — ties broken (ts, event_id) like
-    every temporal operator), and a tiny path-grain count."""
+    One user shuffle shared by the sessionize and step-rank windows
+    (operators/temporal.py::with_session_ids — the one sessionization
+    kernel), a row_number ≤ 8 filter BEFORE the session aggregate so
+    per-session state is genuinely bounded at 8 steps however long a
+    bot session runs (an unbounded collect_list sliced afterwards
+    would materialize the whole session in one buffer first), then a
+    tiny path-grain count. Ties break (ts, event_id) like every
+    temporal operator."""
     from pyspark.sql import Window
 
+    from pdf_brain_spark.operators.temporal import with_session_ids
+
     ev = load_table(spark, "events", sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
-    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
-    sess = ev.withColumn(
-        "session_id",
-        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    sess = with_session_ids(ev)
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
     )
-    step = F.struct(
-        F.unix_micros(F.col("ts")).alias("us"),
-        F.col("event_id").alias("eid"),
-        F.col("event_type").alias("t"),
+    first8 = sess.withColumn("_step", F.row_number().over(ws)).filter(
+        F.col("_step") <= 8
     )
+    step = F.struct(F.col("_step").alias("n"), F.col("event_type").alias("t"))
     paths = (
-        sess.groupBy("user_id", "session_id")
+        first8.groupBy("user_id", "session_id")
         .agg(F.array_sort(F.collect_list(step)).alias("_steps"))
         .select(
             F.array_join(
-                F.slice(F.transform(F.col("_steps"), lambda s: s["t"]), 1, 8), ">"
+                F.transform(F.col("_steps"), lambda s: s["t"]), ">"
             ).alias("path")
         )
     )

@@ -431,12 +431,17 @@ def read_rollup(spark: SparkSession, rollup_dir: str, asof_batch_id: int | None 
     distinct buckets — bucket grain × generation count, compacted by
     compact_rollup when generations accumulate.
 
-    `asof_batch_id` is TIME TRAVEL: serve the rollup exactly as it
-    stood after stream batch N committed (generations and backfill
-    floors covering ≤ N only) — the generation namespace doubles as a
-    snapshot log, so reproducing an earlier training run's input or
-    auditing a correction needs no extra bookkeeping. A compaction
-    RETIRES the snapshots it merges (their dirs are consolidated), so
+    `asof_batch_id` is TIME TRAVEL by COVERAGE: serve from exactly the
+    generations and backfill floors covering ≤ N, in the store's
+    CURRENT state. Two consequences, stated precisely: (1) if no repair
+    has touched batches ≤ N, this reproduces byte-for-byte what a
+    reader saw right after batch N committed — the
+    reproduce-a-training-run's-input case; (2) a backfill written
+    LATER with floor ≤ N participates, so after a repair the snapshot
+    is the CORRECTED history as of batch N — the audit view — not a
+    write-time bitemporal snapshot (the store keys its namespaces by
+    coverage, not wall-clock; full bitemporality would need a second,
+    write-time key). A compaction RETIRES the snapshots it merges, so
     travel reaches back to the newest compacted coverage — the
     documented retention trade of compacting."""
     return _rollup_kept_rows(spark, rollup_dir, upto=asof_batch_id).groupBy(

@@ -236,77 +236,66 @@ def test_snapshot_diff_boundary_and_null_payloads(spark):
     assert rows == {1: "update", 2: "update"}
 
 
-def test_rnn_pairs_are_mutual_and_symmetric(spark):
-    """Planted geometry: two tight pairs and one isolated point — RNN
-    edges appear exactly for the tight pairs, ordered a < b, with both
-    rank directions recorded."""
-    # drive the operator logic inline on a planted frame
-    from pdf_brain_spark.operators.vector_search import similarity_join_topk
+def test_rnn_pairs_are_mutual_and_symmetric(spark, tmp_path):
+    """Planted geometry driven through the REGISTERED gate (staged
+    sf_dir): tight twin pairs produce mutual edges ordered a < b with
+    both rank directions; a point whose neighbor does not reciprocate
+    at rank 1 still pairs when reciprocation happens within top-5, and
+    rank_ab/rank_ba record the asymmetry."""
+    from pdf_brain_spark.queries import QUERIES
 
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),
         (2, [0.99, 0.14, 0.0, 0.0]),   # twin of 1
         (3, [0.0, 1.0, 0.0, 0.0]),
         (4, [0.14, 0.99, 0.0, 0.0]),   # twin of 3
-        (5, [0.0, 0.0, 1.0, 0.0]),     # isolated
+        (5, [0.0, 0.0, 1.0, 0.0]),     # off-axis: reciprocates weakly
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    queries = emb.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    knn = similarity_join_topk(queries, emb, k=2).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    # with k=2 and self filtered, each point keeps its 1 nearest other
-    nn = {r["query_id"]: r["vec_id"] for r in knn.filter(F.col("rank") <= 2).collect()}
-    mutual = {(a, b) for a, b in nn.items() if nn.get(b) == a and a < b}
-    assert mutual == {(1, 2), (3, 4)}  # 5's NN is not reciprocated
+    emb.write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        (r["vec_id_a"], r["vec_id_b"]): (r["rank_ab"], r["rank_ba"], r["score"])
+        for r in QUERIES["reciprocal_nearest_neighbors"](spark, str(tmp_path)).collect()
+    }
+    # with only 5 points, everyone is in everyone's top-5: all C(5,2)
+    # pairs are mutual, but the RANKS must reflect the planted geometry
+    assert (1, 2) in got and got[(1, 2)][0] == 1 and got[(1, 2)][1] == 1
+    assert (3, 4) in got and got[(3, 4)][0] == 1 and got[(3, 4)][1] == 1
+    assert all(a < b for a, b in got)  # canonical edge orientation
+    assert got[(1, 2)][2] > got[(1, 5)][2]  # twin scores beat cross-pairs
 
 
-def test_session_path_signature_planted(spark):
-    """Planted sessions: ordering inside a session, the 8-step cap, and
-    the 30-minute session break all shape the signature."""
+def test_session_path_signature_planted(spark, tmp_path):
+    """Planted sessions driven through the REGISTERED gate (staged
+    sf_dir): ordering inside a session, the 8-step cap, and the
+    30-minute session break all shape the signature — if the gate's
+    gap rule or slice bound drifts, THIS test fails, not just the
+    driver's oracle compare."""
     from datetime import datetime, timedelta
+
+    from pdf_brain_spark.queries import QUERIES
 
     t0 = datetime(2024, 5, 1, 9, 0, 0)
     rows = []
     # user 1, one session: view > click > purchase
     for i, t in enumerate(["view", "click", "purchase"]):
-        rows.append((i, 1, t, t0 + timedelta(minutes=i)))
+        rows.append((i, 1, t, t0 + timedelta(minutes=i), 0.0))
     # user 1, second session 2h later: view > view
-    rows.append((10, 1, "view", t0 + timedelta(hours=2)))
-    rows.append((11, 1, "view", t0 + timedelta(hours=2, minutes=1)))
+    rows.append((10, 1, "view", t0 + timedelta(hours=2), 0.0))
+    rows.append((11, 1, "view", t0 + timedelta(hours=2, minutes=1), 0.0))
     # user 2: ten views -> capped at 8 steps
     for i in range(10):
-        rows.append((20 + i, 2, "view", t0 + timedelta(minutes=i)))
+        rows.append((20 + i, 2, "view", t0 + timedelta(minutes=i), 0.0))
     ev = spark.createDataFrame(
-        rows, "event_id long, user_id long, event_type string, ts timestamp"
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
     )
-
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
-    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
-    sess = ev.withColumn(
-        "session_id", F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    step = F.struct(
-        F.unix_micros(F.col("ts")).alias("us"),
-        F.col("event_id").alias("eid"),
-        F.col("event_type").alias("t"),
-    )
-    paths = sorted(
-        r["path"]
-        for r in sess.groupBy("user_id", "session_id")
-        .agg(F.array_sort(F.collect_list(step)).alias("_steps"))
-        .select(
-            F.array_join(
-                F.slice(F.transform(F.col("_steps"), lambda s: s["t"]), 1, 8), ">"
-            ).alias("path")
-        )
-        .collect()
-    )
-    assert paths == sorted(
-        ["view>click>purchase", "view>view", ">".join(["view"] * 8)]
-    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["path"]: r["n_sessions"]
+        for r in QUERIES["session_path_signatures"](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "view>click>purchase": 1,
+        "view>view": 1,
+        ">".join(["view"] * 8): 1,
+    }
