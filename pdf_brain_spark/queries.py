@@ -7444,6 +7444,130 @@ def session_path_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_join_view",
+    oracle="""
+    SELECT n.n_name,
+           round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE)
+                 / 10000.0, 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE for a join-aggregate view (revenue
+    per nation over lineitem ⋈ orders ⋈ customer ⋈ nation): the view
+    materializes over the BASE lineitem slice, then a DELTA slice
+    arrives and only ITS rows are joined and folded into the stored
+    partials — work proportional to the delta, never a recompute of
+    the world (the batch analog of the rollup partials store; exact
+    because the aggregate is an integer-sum monoid and joins
+    distribute over union: V(base ∪ Δ) = merge(V(base), V(Δ))). The
+    oracle computes the full view over everything, so a green row
+    proves the delta path reaches the recompute answer exactly."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+
+    def view_partial(lfrac: DataFrame) -> DataFrame:
+        units = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+            (F.lit(1.0) - F.col("l_discount")) * 100
+        ).cast("long")
+        return (
+            lfrac.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(
+                F.sum(units).alias("_units"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+        )
+
+    base = view_partial(lineitem.filter(F.col("l_orderkey") % 13 != 0))
+    delta = view_partial(lineitem.filter(F.col("l_orderkey") % 13 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("n_name")
+        .agg(F.sum("_units").alias("_units"), F.sum("_n").alias("_n"))
+    )
+    return merged.select(
+        "n_name",
+        F.round(F.col("_units").cast("double") / F.lit(10000.0), 4).alias("revenue"),
+        F.col("_n").alias("n_lineitems"),
+    )
+
+
+@query(
+    "aqp_sum_estimate",
+    oracle="""
+    WITH sampled AS (
+      SELECT l_extendedprice,
+             (CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                          || CAST(l_linenumber AS VARCHAR)), 1, 4)) AS BIGINT)
+               % 100 < 10) AS in_sample
+      FROM lineitem
+    )
+    SELECT round(CAST(sum(CASE WHEN in_sample
+                               THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                               ELSE 0 END) * 10 AS DOUBLE) / 100.0, 2) AS estimated_sum,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS exact_sum,
+           CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(abs(CAST(sum(CASE WHEN in_sample
+                               THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                               ELSE 0 END) * 10 AS DOUBLE)
+                     / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                     - 1.0), 6) AS rel_error
+    FROM sampled
+    """,
+)
+def aqp_sum_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing by DETERMINISTIC hash sampling (the
+    portable-hash split device turned into a 10% uniform sampler): the
+    estimator scans the sample and scales by 1/rate; the report carries
+    the exact answer and the measured relative error next to it, so the
+    accuracy claim is data, not hope. At 100 TB the sample is a
+    persisted 10% table and the estimate reads 1/10 of the bytes; here
+    both run in one pass for the side-by-side. Sampling is content-free
+    (keyed on the row id, not values) — unbiased for any value column,
+    identical membership on every engine."""
+    li = load_table(spark, "lineitem", sf_dir)
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit("-"), F.col("l_linenumber").cast("string")
+    )
+    in_sample = (
+        F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("long") % 100 < 10
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    agg = li.select(in_sample.alias("_s"), cents.alias("_c")).agg(
+        F.sum(F.when(F.col("_s"), F.col("_c")).otherwise(F.lit(0))).alias("_sc"),
+        F.sum("_c").alias("_tc"),
+        F.sum(F.when(F.col("_s"), 1).otherwise(0)).alias("n_sampled"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.select(
+        F.round((F.col("_sc") * 10).cast("double") / F.lit(100.0), 2).alias("estimated_sum"),
+        F.round(F.col("_tc").cast("double") / F.lit(100.0), 2).alias("exact_sum"),
+        "n_sampled",
+        "n_rows",
+        F.round(
+            F.abs(
+                (F.col("_sc") * 10).cast("double") / F.col("_tc").cast("double")
+                - F.lit(1.0)
+            ),
+            6,
+        ).alias("rel_error"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
