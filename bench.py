@@ -666,10 +666,12 @@ def incremental_lsh_vs_batch(spark, n: int = 32768, doc_tokens: int = 384, batch
     16 hashes) and self-joins it; the incremental path bands only the 10%
     batch and probes the PRE-BUILT stored index (index build/write
     excluded — it was paid when those batches arrived; this measures the
-    recurring cost). Each path timed min-of-2 so first-execution codegen
-    JIT doesn't bias whichever runs first. Same candidate semantics for
-    new-involving pairs (oracle-gated as dedup_incremental_minhash at
-    gate scale)."""
+    recurring cost). Each path timed MIN-OF-3 with per-sample times
+    recorded (VERDICT r7 item 3: r7's frozen artifact caught a 4.6 s VM
+    outlier surviving min-of-2 without evidence; three samples + the
+    samples_sec arrays make such a window self-evident in the artifact).
+    Same candidate semantics for new-involving pairs (oracle-gated as
+    dedup_incremental_minhash at gate scale)."""
     import tempfile
     import time as _t
 
@@ -711,28 +713,40 @@ def incremental_lsh_vs_batch(spark, n: int = 32768, doc_tokens: int = 384, batch
         minhash_banded_index(existing).write.mode("overwrite").parquet(idx_dir)
         spark.catalog.clearCache()
 
-        batch_sec, inc_sec = float("inf"), float("inf")
-        for _ in range(2):
+        batch_samples, inc_samples = [], []
+        for _ in range(3):
             t0 = _t.perf_counter()
             n_full = minhash_lsh_pairs(docs).count()
-            batch_sec = min(batch_sec, _t.perf_counter() - t0)
+            batch_samples.append(_t.perf_counter() - t0)
             spark.catalog.clearCache()
             t0 = _t.perf_counter()
             n_inc = incremental_lsh_candidates(
                 spark.read.parquet(idx_dir), minhash_banded_index(batch)
             ).count()
-            inc_sec = min(inc_sec, _t.perf_counter() - t0)
+            inc_samples.append(_t.perf_counter() - t0)
             spark.catalog.clearCache()
+        batch_sec, inc_sec = min(batch_samples), min(inc_samples)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
-    return {
+    out = {
         "corpus": f"synthetic_{n}x{doc_tokens}tok_10pct_batch",
         "batch_recompute_sec": round(batch_sec, 3),
         "incremental_sec": round(inc_sec, 3),
         "speedup": round(batch_sec / max(inc_sec, 1e-9), 2),
         "n_pairs_full": int(n_full),
         "n_pairs_new_involving": int(n_inc),
+        "batch_samples_sec": [round(x, 3) for x in batch_samples],
+        "incremental_samples_sec": [round(x, 3) for x in inc_samples],
     }
+    # in-artifact honesty flag (VERDICT r7 item 3): when one sample
+    # disagrees >2x with the min, say so in the artifact itself rather
+    # than leaving the outlier to be discovered by diffing rounds
+    if max(inc_samples) > 2.0 * min(inc_samples):
+        out["sample_disagreement_note"] = (
+            "incremental samples disagree >2x — shared-VM interference "
+            "window; min is the steady-state number"
+        )
+    return out
 
 
 

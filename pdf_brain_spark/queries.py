@@ -6933,7 +6933,7 @@ def hamming_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["hamming_ann_rerank"] = _hamming_oracle()
 
 
-def _hamming_batch_oracle() -> str:
+def _hamming_batch_oracle(n_queries: int = 16) -> str:
     from pdf_brain_spark.operators.quantization import duck_sign_word_sql
 
     qp0 = duck_sign_word_sql("q.embedding", 0)
@@ -6944,7 +6944,7 @@ def _hamming_batch_oracle() -> str:
     return f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding, {qp0} AS qw0, {qp1} AS qw1
-      FROM embeddings q WHERE vec_id < 16
+      FROM embeddings q WHERE vec_id < {n_queries}
     ),
     packed AS (
       SELECT e.vec_id, e.embedding, {ep0} AS w0, {ep1} AS w1 FROM embeddings e
@@ -7212,10 +7212,8 @@ def streaming_rollup_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{stage}/{f}" for f in os.listdir(stage) if f.endswith(".parquet")
         ]
         ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
-        now = None
         for f in first_files:
             st = os.stat(f)
-            now = st.st_mtime if now is None else now
             os.utime(f, (st.st_atime, st.st_mtime - 10))
         stream = (
             spark.readStream.schema(ev.schema)
@@ -7569,76 +7567,168 @@ def aqp_sum_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-8 registrations (the round-9 rotation queue): sealed after this
+# round's GATE_WINDOW; verified via tests/oracle_harness.py at three
+# scales until a future rotation gives them driver rows.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "kmeans_assign",
+    oracle=f"""
+    WITH {_DUCK_CENTROIDS},
+    dists AS (
+      SELECT e.vec_id, c.label,
+             sqrt(list_sum(list_transform(list_zip(e.embedding, c.centroid),
+               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))) AS dist
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    ranked AS (
+      SELECT vec_id, label, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, label ASC) AS rn
+      FROM dists
+    )
+    SELECT vec_id, label AS cluster_id, round(dist, 6) AS distance
+    FROM ranked WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def kmeans_assign_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means ASSIGN step behind an exact oracle (VERDICT r7 item 5):
+    given pinned centroids (here the deterministic per-label means, the
+    same oracle-able stand-in cluster_concept_map attests), assignment is
+    argmin-of-Euclidean-distance — SQL-expressible, so the PRODUCTION
+    Arrow/BLAS scorer (operators/clustering.py::_assign_udf, the exact
+    kernel kmeans_assign and the streaming ANN ingest run) is verified
+    row-for-row against DuckDB's argmin. This shrinks the clustering
+    suite's rows-only surface to the seeded Lloyd's fit itself
+    (clustering_model_report). Map-only: the centroid matrix is a
+    closure constant; no shuffle anywhere. Tie-break: lowest label, both
+    sides (argmin picks the first index; centroids are passed in label
+    order)."""
+    from pdf_brain_spark.operators.clustering import _assign_udf, label_centroids
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = sorted(
+        (
+            (r["label"], r["centroid"])
+            for r in label_centroids(emb).collect()  # bounded: one row per label
+        ),
+        key=lambda t: t[0],
+    )
+    labels = [int(l) for l, _ in cents]
+    assign = _assign_udf([c for _, c in cents])
+    label_arr = F.array(*[F.lit(l) for l in labels])
+    return (
+        emb.withColumn("_a", assign(F.col("embedding")))
+        .select(
+            "vec_id",
+            F.element_at(label_arr, F.col("_a.cluster_id") + 1).alias("cluster_id"),
+            F.round(F.col("_a.distance"), 6).alias("distance"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query("hamming_ann_batch64", oracle=None)  # oracle registered below
+def hamming_ann_batch64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched Hamming ANN at production batch size (VERDICT r7 item 7):
+    hamming_ann_batch16 gates the two-stage replay at 16 queries while
+    the bench's amortization claim runs at 256 — this gate closes the
+    gap by exercising 64 queries through the identical partial-top-k
+    mapInPandas candidate stage + bounded-shortlist exact rerank
+    (operators/quantization.py::hamming_rerank_topk_batch), with the
+    same full two-stage DuckDB replay oracle. The candidate stage's
+    shuffle volume is Q x n_candidates scalar rows regardless of corpus
+    size — the property that makes the 100 TB claim, now attested at
+    the amortized shape."""
+    from pdf_brain_spark.operators.quantization import hamming_rerank_topk_batch
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return hamming_rerank_topk_batch(emb, queries, k=10, n_candidates=64)
+
+
+ORACLES["hamming_ann_batch64"] = _hamming_batch_oracle(n_queries=64)
+
+
+# --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
 # and every LLM-data-pipeline operator sits inside that window; redundant /
 # standalone variants keep their registration after it.
 #
-# ROUND-7 ROTATION (the r6 play, repeated): rotate in the full 14-entry
-# round-7 queue (CHANGES_r06.md) — the only oracled queries with no driver
-# row, all three-scale-attested green in r6: cut_duplicate_spans,
-# mmr_rerank_batch, ivfpq_exact_rerank, streaming_incremental_percentiles,
-# hard_negative_mining, tfidf_top_terms, doc_novelty_scores,
-# events_debounce, corpus_curation_sample, streaming_rollup_backfill,
-# streaming_ann_deletion, events_winsorized_stats, events_funnel_windowed,
-# local_supplier_volume. When CORRECTNESS_r07 lands green, every oracled
-# query registered through r6 has at least one driver attestation.
-# Rotated out (14 entries, each now holding >= 2 full-green driver rows in
-# CORRECTNESS_r05 + r06): events_session_window, events_sliding_window,
-# events_moving_avg, events_json_props, streaming_stream_join,
-# streaming_stateful_sessionize, part_type_rollup, promo_revenue,
-# supplier_rank_by_nation, lang_source_pivot, user_segments,
-# multi_format_roundtrip, sequence_packing, domain_mixture_sample. Kept
-# in-window: the r6-first-attested entries (one row each — held for a
-# consecutive attestation) and the family anchors. Queries REGISTERED this
-# round (round-8 queue, sealed after this window) are listed in
-# CHANGES_r07.md. Rationale in COVERAGE.md.
+# ROUND-8 ROTATION (the r6/r7 play, repeated; VERDICT r7 item 1): rotate
+# in `multimodal_features` (oracled since ~r4, registered r1, the ONLY
+# oracled query with no driver row ever — the hole in the attestation
+# program VERDICT r7 flagged) plus the longest-registered 13 of the
+# 27-entry round-8 queue (registration order; all judge-attested green at
+# sf0.01 in r7): rrf_fusion, prf_query_expansion, scd2_user_tiers,
+# events_last_touch_attribution, events_transition_matrix,
+# events_ohlc_bars, documents_column_profile,
+# streaming_incremental_topk_terms, tpch_q3_shipping_priority,
+# tpch_q10_returned_items, curriculum_ordering, contrastive_pairs,
+# taxonomy_pagerank. The remaining 14 of that queue (listed in
+# CHANGES_r08.md) roll to round 9 with this round's new registrations.
+# Rotated out (14 entries, each holding >= 2 consecutive full-green
+# driver rows in CORRECTNESS_r06 + r07): mmr_rerank, dedup_embedding_ann,
+# duplicate_span_report, dedup_decision_report, events_gapfill_locf,
+# events_funnel, events_retention_cohorts, events_count_anomalies,
+# events_key_skew_profile, streaming_incremental_ann,
+# streaming_incremental_rollup, token_counts, embedding_quantization,
+# boilerplate_ngram_report. Kept in-window: the r7-first-attested entries
+# (one row each — held for a consecutive attestation) and the family
+# anchors. Rationale in COVERAGE.md.
 # --------------------------------------------------------------------------
 
 GATE_WINDOW = [
-    # vector search anchors (M1/M2, J1-shape, W1)
+    # vector search anchors (M1/M2, J1-shape, W1) + held batched MMR
     "vector_topk", "vector_similarity_join",
-    # fts / hybrid / retrieval anchors (J2/W2, J8/U2/W3)
-    "fts_bm25", "hybrid_search",
-    # MMR diversity re-rank: single (held for 2nd row) + rotated-IN batch
-    "mmr_rerank", "mmr_rerank_batch",
-    # residual IVF-PQ behind the exact-rerank gate (rotated IN)
+    "mmr_rerank_batch",
+    # fts / hybrid / retrieval anchors (J2/W2, J8/U2/W3) + rotated-IN
+    # reciprocal-rank fusion and pseudo-relevance-feedback expansion
+    "fts_bm25", "hybrid_search", "rrf_fusion", "prf_query_expansion",
+    # residual IVF-PQ behind the exact-rerank gate (held for 2nd row)
     "ivfpq_exact_rerank",
-    # dedup anchor + incremental LSH + r6-first-attested dedup surface
-    # (held) + rotated-IN span-cut corpus surgery
+    # dedup anchor + incremental LSH + held span-cut corpus surgery
     "dedup_minhash_lsh", "dedup_incremental_minhash",
-    "streaming_incremental_dedup", "dedup_embedding_ann",
-    "duplicate_span_report", "dedup_decision_report",
-    "cut_duplicate_spans",
-    # events / temporal: sessionize anchors + r6-first-attested analytics
-    # (held for a 2nd row) + rotated-IN debounce/winsorized/windowed-funnel
+    "streaming_incremental_dedup", "cut_duplicate_spans",
+    # events / temporal: sessionize anchors + held r7-first-attested
+    # analytics + rotated-IN warehouse suite (SCD2, attribution,
+    # transitions, OHLC bars)
     "events_sessionize", "events_sessionize_salted",
-    "events_gapfill_locf", "events_funnel", "events_retention_cohorts",
-    "events_count_anomalies", "events_key_skew_profile",
     "events_debounce", "events_winsorized_stats", "events_funnel_windowed",
-    # streaming incremental maintenance: ANN ingest + rollup (held) +
-    # rotated-IN percentile sketch, rollup backfill, ANN tombstone delete
-    "streaming_incremental_ann", "streaming_incremental_rollup",
+    "scd2_user_tiers", "events_last_touch_attribution",
+    "events_transition_matrix", "events_ohlc_bars",
+    # streaming incremental maintenance: held percentile sketch, rollup
+    # backfill, ANN tombstone delete + rotated-IN exact top-k terms store
     "streaming_incremental_percentiles", "streaming_rollup_backfill",
-    "streaming_ann_deletion",
+    "streaming_ann_deletion", "streaming_incremental_topk_terms",
     # structured streaming anchors (§2.10/§2.11)
     "streaming_tumbling_window", "streaming_dedup",
-    # taxonomy graph anchor (J5/U4 both directions)
-    "transitive_closure",
-    # listings / rollups: TPC-H pricing anchor + rotated-IN Q5-shaped
-    # six-table star join
-    "pricing_summary", "local_supplier_volume", "concept_label_search",
+    # taxonomy graph anchor + rotated-IN integer-exact PageRank
+    "transitive_closure", "taxonomy_pagerank",
+    # listings / rollups: TPC-H pricing anchor + held Q5 + rotated-IN
+    # Q3 shipping priority and Q10 returned items
+    "pricing_summary", "local_supplier_volume",
+    "tpch_q3_shipping_priority", "tpch_q10_returned_items",
+    "concept_label_search",
     # clustering lifecycle anchors (A5-A7/M3-M5 rows-only + J10/M12/W4)
     "clustering_model_report", "cluster_concept_map",
-    # ingest / sinks: chunking anchor + sink round-trip (held)
-    "chunk_pipeline", "ingest_sink_roundtrip",
-    # training-data prep: held quality gates + rotated-IN hard negatives,
-    # TF-IDF fingerprints, novelty scores, curation sampling
+    # ingest / sinks: chunking anchor + sink round-trip (held) +
+    # rotated-IN multimodal plumbing (the oldest never-attested entry)
+    "chunk_pipeline", "ingest_sink_roundtrip", "multimodal_features",
+    # training-data prep: held quality gates + rotated-IN column profile,
+    # curriculum ordering, contrastive pairs
     "doc_repetition_filter", "benchmark_contamination",
-    "train_val_test_split", "boilerplate_ngram_report",
-    "embedding_quantization", "token_counts", "stratified_sample_per_source",
+    "train_val_test_split", "stratified_sample_per_source",
     "hard_negative_mining", "tfidf_top_terms", "doc_novelty_scores",
-    "corpus_curation_sample",
+    "corpus_curation_sample", "documents_column_profile",
+    "curriculum_ordering", "contrastive_pairs",
 ]
 
 

@@ -47,6 +47,9 @@ def make_ann_ingest_batch_fn(index_dir: str, centroids: list[list[float]], vec_c
         assigned = batch_df.withColumn("_a", assign(F.col(vec_col))).select(
             *batch_df.columns, F.col("_a.cluster_id").alias("list_id")
         )
+        from pdf_brain_spark.streaming.generations import stamp_protocol
+
+        stamp_protocol(batch_df.sparkSession, index_dir)
         assigned.write.partitionBy("list_id").mode("overwrite").parquet(
             f"{index_dir}/batch_id={batch_id}"
         )

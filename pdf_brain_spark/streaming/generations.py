@@ -49,17 +49,129 @@ def _fs(spark: SparkSession, path: str):
     return HPath, HPath(path).getFileSystem(conf)
 
 
+# Protocol-version marker: the r7 change to the compacted-generation
+# encoding (-(m+1), replacing -m) silently REINTERPRETS any store persisted
+# under the old encoding — a pre-existing batch_id=-m dir reads as covering
+# m-1, shifting backfill floors and as-of comparisons. The marker's NAME
+# carries the version (no file-content round-trip through py4j needed):
+# every writer stamps it on first write, and every read path fails fast on
+# a store that has generation dirs but no current marker — an old store
+# must be rebuilt (or its compacted dirs re-encoded), never misread.
+PROTOCOL_MARKER = "_GENERATION_PROTOCOL_V2"
+_GEN_PREFIXES = ("batch_id=", "backfill_floor=", "tombstone_floor=")
+
+
+def stamp_protocol(spark: SparkSession, index_dir: str) -> None:
+    """Idempotently write the protocol-version marker file. Called by
+    every generation writer (foreachBatch bodies, backfill, tombstones)
+    the first time a store directory comes into existence."""
+    HPath, fs = _fs(spark, index_dir)
+    p = HPath(f"{index_dir}/{PROTOCOL_MARKER}")
+    if not fs.exists(p):
+        fs.create(p, True).close()
+
+
+def _check_protocol(fs, HPath, index_dir: str, names: list[str]) -> None:
+    """Fail fast when a store holds generation dirs but not the current
+    protocol marker — it was written under an older encoding (or by
+    foreign code) and would be MISREAD, not merely rejected."""
+    if PROTOCOL_MARKER in names:
+        return
+    if any(n.startswith(_GEN_PREFIXES) for n in names):
+        raise ValueError(
+            f"store {index_dir} has generation directories but no "
+            f"{PROTOCOL_MARKER} marker: it predates the -(m+1) compacted-"
+            "generation encoding (or was written by foreign code) and its "
+            "negative batch_id dirs would be misread as covering one batch "
+            "less than intended. Rebuild the store from facts, or verify "
+            "no compacted (negative) generations exist and restamp with "
+            "stamp_protocol()."
+        )
+
+
+def _list_names(spark: SparkSession, index_dir: str) -> list[str]:
+    """Child names of index_dir with the protocol check applied —
+    the single chokepoint every generation-listing helper goes through."""
+    HPath, fs = _fs(spark, index_dir)
+    if not fs.exists(HPath(index_dir)):
+        return []
+    names = [st.getPath().getName() for st in fs.listStatus(HPath(index_dir))]
+    _check_protocol(fs, HPath, index_dir, names)
+    return names
+
+
+# ---------------------------------------------------------------------------
+# Write-time (bitemporal) key. The store's namespaces are keyed by COVERAGE
+# (stream batch ids / backfill floors), so `asof` time travel answers
+# "corrected history as of batch N" — a backfill written LATER with floor
+# <= N participates. To also answer "what batch N's READER saw" (the
+# reproduce-a-training-run's-input question) each generation dir gets a
+# monotone WRITE-SEQUENCE marker at write time: an empty `_wseq.<k>` file
+# inside the dir (underscore-prefixed, so parquet readers ignore it; it
+# travels with the dir through compaction's atomic rename). k is
+# max(existing)+1 under the store's single-writer discipline (one stream +
+# serialized repair/compaction — the same assumption the floor contracts
+# already make). A foreachBatch REPLAY overwrites its dir and re-records,
+# taking a fresh (higher) seq — the write-time key reflects the replay,
+# which is the honest answer under at-least-once delivery.
+# ---------------------------------------------------------------------------
+
+# NOTE the "." separator, not "=": Spark's file-index filter drops
+# underscore-prefixed files UNLESS the name contains "=" (which reads as a
+# partition dir) — `_wseq=3` would be scanned as a data file and fail
+_WSEQ_PREFIX = "_wseq."
+
+
+def _dir_wseq(fs, HPath, dir_path: str) -> int | None:
+    """The write-sequence of one generation dir (None if never recorded —
+    e.g. a compactor crash between rename and record; treated as newer
+    than any snapshot, the conservative reading)."""
+    p = HPath(dir_path)
+    if not fs.exists(p):
+        return None
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith(_WSEQ_PREFIX):
+            try:
+                return int(name[len(_WSEQ_PREFIX):])
+            except ValueError:
+                continue
+    return None
+
+
+def write_seqs(spark: SparkSession, store_dir: str) -> dict[str, int]:
+    """dir-name -> write-sequence for every generation dir that has one."""
+    HPath, fs = _fs(spark, store_dir)
+    out = {}
+    for name in _list_names(spark, store_dir):
+        if not name.startswith(_GEN_PREFIXES):
+            continue
+        w = _dir_wseq(fs, HPath, f"{store_dir}/{name}")
+        if w is not None:
+            out[name] = w
+    return out
+
+
+def record_wseq(spark: SparkSession, store_dir: str, dir_name: str) -> int:
+    """Stamp `store_dir/dir_name` with the next write-sequence (called by
+    writers immediately after the dir lands / renames in). Idempotent per
+    dir: re-recording an already-stamped dir is a no-op."""
+    HPath, fs = _fs(spark, store_dir)
+    existing = _dir_wseq(fs, HPath, f"{store_dir}/{dir_name}")
+    if existing is not None:
+        return existing
+    nxt = max(write_seqs(spark, store_dir).values(), default=0) + 1
+    fs.create(HPath(f"{store_dir}/{dir_name}/{_WSEQ_PREFIX}{nxt}"), True).close()
+    return nxt
+
+
 def generation_ids(spark: SparkSession, index_dir: str) -> list[int]:
     """All `batch_id=<int>` generation ids present under index_dir
     (positive stream batches and negative compacted generations),
     via the Hadoop FileSystem API so the same code serves local disk,
     HDFS, and object stores. [] if the directory doesn't exist."""
-    HPath, fs = _fs(spark, index_dir)
-    if not fs.exists(HPath(index_dir)):
-        return []
     out = []
-    for st in fs.listStatus(HPath(index_dir)):
-        name = st.getPath().getName()
+    for name in _list_names(spark, index_dir):
         if not name.startswith("batch_id="):
             continue
         try:
@@ -127,12 +239,8 @@ def backfill_floors(spark: SparkSession, index_dir: str) -> list[int]:
     the same precedence shape as the additive namespace, so the two
     compose: readers consult only floors above the newest compacted
     coverage."""
-    HPath, fs = _fs(spark, index_dir)
-    if not fs.exists(HPath(index_dir)):
-        return []
     out = []
-    for st in fs.listStatus(HPath(index_dir)):
-        name = st.getPath().getName()
+    for name in _list_names(spark, index_dir):
         if not name.startswith("backfill_floor="):
             continue
         try:
@@ -159,6 +267,7 @@ def kept_partial_rows(
     value_cols: list[str],
     upto: int | None = None,
     floor_cols: list[str] | None = None,
+    asof_wseq: int | None = None,
 ):
     """The partial rows the serve semantics keeps — ONE selection shared
     by readers and the compactor so they can never disagree:
@@ -181,14 +290,63 @@ def kept_partial_rows(
     changes its cell — the floor grain must be the stable part of the
     key (e.g. just event_type) and the backfill must carry that group's
     COMPLETE corrected partials, else stale cells the correction
-    vacated would survive."""
+    vacated would survive.
+
+    `asof_wseq` is WRITE-TIME travel (mutually exclusive with `upto`):
+    restrict the raw dir listing to dirs recorded at write-sequence
+    <= asof_wseq, then run the normal precedence/backfill selection on
+    that SUBSET — exactly the resolution a reader performed at that
+    instant. A compacted generation recorded AFTER asof_wseq means dirs
+    the historical reader saw have since been deleted, so the snapshot
+    is unreconstructable and this raises (the write-time analogue of
+    the coverage-retention error above; conservative — a crashed-
+    compactor's surviving sources count as retired too)."""
     from pyspark.sql import functions as F
 
     floor_cols = list(floor_cols) if floor_cols is not None else list(bucket_cols)
-    ids = live_generation_ids(generation_ids(spark, store_dir))
-    m_star = max([coverage(g) for g in ids if g < 0], default=-1)
-    floors = [k for k in backfill_floors(spark, store_dir) if k > m_star]
+    if asof_wseq is not None:
+        if upto is not None:
+            raise ValueError("pass either upto (coverage) or asof_wseq (write-time), not both")
+        seqs = write_seqs(spark, store_dir)
+        raw_ids = generation_ids(spark, store_dir)
+        late_compactions = [
+            g
+            for g in raw_ids
+            if g < 0 and seqs.get(f"batch_id={g}", float("inf")) > asof_wseq
+        ]
+        if late_compactions:
+            raise ValueError(
+                f"write-time snapshot at wseq {asof_wseq} was retired: a "
+                f"compaction (generation {late_compactions}) recorded after "
+                "it deleted directories that snapshot's reader saw. "
+                "Write-time travel reaches back only to the newest "
+                "compaction's write."
+            )
+        vis_ids = [
+            g for g in raw_ids if seqs.get(f"batch_id={g}", float("inf")) <= asof_wseq
+        ]
+        ids = live_generation_ids(vis_ids)
+        m_star = max([coverage(g) for g in ids if g < 0], default=-1)
+        floors = [
+            k
+            for k in backfill_floors(spark, store_dir)
+            if k > m_star
+            and seqs.get(f"backfill_floor={k}", float("inf")) <= asof_wseq
+        ]
+    else:
+        ids = live_generation_ids(generation_ids(spark, store_dir))
+        m_star = max([coverage(g) for g in ids if g < 0], default=-1)
+        floors = [k for k in backfill_floors(spark, store_dir) if k > m_star]
     if upto is not None:
+        if upto < m_star:
+            # the documented compaction-retention limit on time travel, as
+            # its own error (not the generic no-live-generations fallthrough)
+            raise ValueError(
+                f"snapshot at batch {upto} was retired by a compaction "
+                f"covering {m_star}: time travel reaches back only to the "
+                "newest compacted coverage (the retention trade of "
+                "compacting). Recompute from facts for older snapshots."
+            )
         ids = [g for g in ids if coverage(g) <= upto]
         floors = [k for k in floors if k <= upto]
     cols = list(bucket_cols) + list(value_cols)
@@ -259,9 +417,11 @@ def backfill_partials(
             "into one backfill, use a fresher committed floor, or pass "
             "overwrite=True to retry the same logical backfill."
         )
+    stamp_protocol(spark, store_dir)
     partial_df.write.mode("overwrite").parquet(
         f"{store_dir}/backfill_floor={floor}"
     )
+    record_wseq(spark, store_dir, f"backfill_floor={floor}")
 
 
 def compact_partials(
@@ -331,6 +491,7 @@ def compact_partials(
             f"compact_partials: rename {tmp} -> batch_id={dest} failed; "
             "aborting with sources intact (nothing was deleted)"
         )
+    record_wseq(spark, store_dir, f"batch_id={dest}")
     for g in src_add:
         if g != dest:
             fs.delete(HPath(f"{store_dir}/batch_id={g}"), True)
@@ -361,12 +522,8 @@ def _tombstone_dirs(spark: SparkSession, index_dir: str) -> list[tuple[int, str]
     first one's keys (they union on read), and never rewriting an
     existing dir keeps every instant reader-safe with no swap window.
     The floor parses from the part before the serial suffix."""
-    HPath, fs = _fs(spark, index_dir)
-    if not fs.exists(HPath(index_dir)):
-        return []
     out = []
-    for st in fs.listStatus(HPath(index_dir)):
-        name = st.getPath().getName()
+    for name in _list_names(spark, index_dir):
         if not name.startswith("tombstone_floor="):
             continue
         try:
@@ -407,7 +564,9 @@ def write_tombstones(spark: SparkSession, index_dir: str, keys_df, floor: int) -
     while name in existing:
         name = f"tombstone_floor={floor}_{serial}"
         serial += 1
+    stamp_protocol(spark, index_dir)
     keys_df.distinct().write.mode("overwrite").parquet(f"{index_dir}/{name}")
+    record_wseq(spark, index_dir, name)
 
 
 def kept_index_rows(
@@ -431,6 +590,13 @@ def kept_index_rows(
     m_star = max([coverage(g) for g in ids if g < 0], default=-1)
     tdirs = [(k, name) for k, name in _tombstone_dirs(spark, index_dir) if k > m_star]
     if upto is not None:
+        if upto < m_star:
+            raise ValueError(
+                f"snapshot at batch {upto} was retired by a compaction "
+                f"covering {m_star}: time travel reaches back only to the "
+                "newest compacted coverage. Recompute from facts for "
+                "older snapshots."
+            )
         ids = [g for g in ids if coverage(g) <= upto]
         tdirs = [(k, name) for k, name in tdirs if k <= upto]
     if not ids:
@@ -506,6 +672,7 @@ def compact_index_rows(
             f"compact_index_rows: rename {tmp} -> batch_id={dest} failed; "
             "aborting with sources intact (nothing was deleted)"
         )
+    record_wseq(spark, index_dir, f"batch_id={dest}")
     for g in src_add:
         if g != dest:
             fs.delete(HPath(f"{index_dir}/batch_id={g}"), True)

@@ -1424,3 +1424,223 @@ def test_ohlc_backfill_replacement_monoid(spark, tmp_path):
     assert generation_ids(spark, store) == [-2]
     assert backfill_floors(spark, store) == []
     assert served() == want
+
+
+def test_fts_term_bucket_layout_prunes_partitions(spark, tmp_path):
+    """The r8 layout change (VERDICT r7 item 4): every FTS generation is
+    term_bucket-partitioned, so a serve's query-term filter is a
+    PartitionFilter — judged three ways: (1) the executed plan carries
+    term_bucket in PartitionFilters, (2) the filesystem-level files-read
+    bound shrinks vs the unpruned store (before/after count), and
+    (3) serving stays byte-identical to the one-shot path through build,
+    compaction, and the pruned read."""
+    from pdf_brain_spark.operators.fts import bm25_scores
+    from pdf_brain_spark.streaming.events import (
+        FTS_TERM_BUCKETS,
+        compact_fts_index,
+        fts_search_persisted,
+        make_fts_postings_batch_fn,
+        portable_term_bucket,
+    )
+    from pdf_brain_spark.sources.loaders import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "fts")
+    fn = make_fts_postings_batch_fn(idx)
+    fn(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    fn(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    assert compact_fts_index(spark, idx, upto_batch_id=1) == 2
+
+    terms = ["spark", "shuffle", "join"]
+    probe = sorted({portable_term_bucket(t) for t in terms})
+    assert len(probe) < FTS_TERM_BUCKETS  # the probe actually prunes
+
+    # (1) plan evidence: the bucket filter lands in PartitionFilters
+    served = fts_search_persisted(spark, idx, terms, k=10)
+    import os
+
+    def all_parquet(root):
+        return [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    scan = (
+        spark.read.option("basePath", idx)
+        .parquet(f"{idx}/batch_id=-2")
+        .filter(F.col("term_bucket").isin(probe))
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "term_bucket" in plan.split("PartitionFilters", 1)[1][:300]
+
+    # (2) files-read bound: probed buckets hold strictly fewer files
+    total_files = all_parquet(idx)
+    probed_files = [
+        f
+        for f in total_files
+        if any(f"term_bucket={b}/" in f or f"term_bucket={b}{os.sep}" in f for b in probe)
+    ]
+    assert 0 < len(probed_files) < len(total_files)
+
+    # (3) semantics unchanged through the partitioned layout + compaction
+    got = [
+        (r["doc_id"], round(r["bm25"], 6), r["terms_matched"])
+        for r in served.collect()
+    ]
+    want = [
+        (r["doc_id"], round(r["bm25"], 6), r["terms_matched"])
+        for r in bm25_scores(docs, terms, k=10).collect()
+    ]
+    assert got == want and got
+
+
+def test_fts_reingest_without_tombstone_raises(spark, tmp_path):
+    """ADVICE r7: re-ingesting a doc_id without a tombstone leaves two
+    generations' postings live (double-counted tf); the serve path must
+    refuse to serve that state, not return silently-wrong scores."""
+    import pytest as _pytest
+
+    from pdf_brain_spark.streaming.events import (
+        fts_search_persisted,
+        make_fts_postings_batch_fn,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark joins"), (2, "other words")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "fts")
+    fn = make_fts_postings_batch_fn(idx)
+    fn(docs, 0)
+    fn(docs.filter(F.col("doc_id") == 1), 1)  # update WITHOUT tombstone
+    with _pytest.raises(ValueError, match="tombstone-then-reinsert|more than one"):
+        fts_search_persisted(spark, idx, ["spark"], k=10).collect()
+
+
+def test_generation_protocol_marker(spark, tmp_path):
+    """ADVICE r7: a store with generation dirs but no protocol marker
+    (pre-v2 encoding, or foreign writer) must be REJECTED, not misread —
+    a batch_id=-m dir under the old encoding means coverage m, under the
+    new one coverage m-1. Writers stamp new stores automatically."""
+    import os
+
+    import pytest as _pytest
+
+    from pdf_brain_spark.streaming.events import make_rollup_batch_fn
+    from pdf_brain_spark.streaming.generations import (
+        PROTOCOL_MARKER,
+        generation_ids,
+        stamp_protocol,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "a", 1.0)], "event_id long, event_type string, value double"
+    ).withColumn("ts", F.current_timestamp())
+    roll = str(tmp_path / "roll")
+    make_rollup_batch_fn(roll)(ev, 0)
+    assert os.path.exists(os.path.join(roll, PROTOCOL_MARKER))
+    assert generation_ids(spark, roll) == [0]
+
+    # simulate a pre-v2 store: generation dirs, no marker
+    os.remove(os.path.join(roll, PROTOCOL_MARKER))
+    with _pytest.raises(ValueError, match="predates|marker"):
+        generation_ids(spark, roll)
+    # verified-and-restamped path reads again
+    stamp_protocol(spark, roll)
+    assert generation_ids(spark, roll) == [0]
+    # an empty/nonexistent store is fine without a marker
+    assert generation_ids(spark, str(tmp_path / "nothing")) == []
+
+
+def test_time_travel_below_compacted_coverage_specific_error(spark, tmp_path):
+    """ADVICE r7: asking for a snapshot older than the newest compacted
+    coverage must raise the retention-limit error, not the generic
+    'no live generations' fallthrough."""
+    import pytest as _pytest
+
+    from pdf_brain_spark.streaming.events import (
+        compact_rollup,
+        make_rollup_batch_fn,
+        read_rollup,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)],
+        "event_id long, event_type string, value double",
+    ).withColumn("ts", F.current_timestamp())
+    roll = str(tmp_path / "roll")
+    fn = make_rollup_batch_fn(roll)
+    fn(ev.filter(F.col("event_id") == 1), 0)
+    fn(ev.filter(F.col("event_id") == 2), 1)
+    assert compact_rollup(spark, roll, upto_batch_id=1) == 2
+    # travel to coverage 1 still works (the compacted generation)
+    assert read_rollup(spark, roll, asof_batch_id=1).count() > 0
+    with _pytest.raises(ValueError, match="retired by a compaction"):
+        read_rollup(spark, roll, asof_batch_id=0).collect()
+
+
+def test_rollup_bitemporal_write_vs_coverage(spark, tmp_path):
+    """VERDICT r7 item 6: both temporalities served from ONE store.
+    coverage-asof answers 'corrected history as of batch N' (a later
+    repair with floor <= N participates); write-asof answers 'what batch
+    N's reader saw' (the later repair is invisible, exactly as it was).
+    Compaction retires both kinds of snapshot with specific errors."""
+    import pytest as _pytest
+
+    from pdf_brain_spark.streaming.events import (
+        backfill_rollup,
+        compact_rollup,
+        make_rollup_batch_fn,
+        read_rollup,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp, value double"
+        )
+
+    import datetime as dt
+
+    h0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    h1 = dt.datetime(2024, 1, 1, 11, 0, 0)
+    roll = str(tmp_path / "roll")
+    fn = make_rollup_batch_fn(roll)
+    fn(mk([(1, "a", h0, 10.0), (2, "a", h0, 20.0)]), 0)
+    fn(mk([(3, "a", h1, 5.0)]), 1)
+
+    def snap(**kw):
+        return sorted(
+            (r["event_type"], str(r["window_start"]), r["n_events"], r["total_value"])
+            for r in read_rollup(spark, roll, **kw).collect()
+        )
+
+    seen_at_1 = snap(asof_batch_id=1)  # pre-repair: both modes agree
+    assert snap(asof_batch_id=1, temporal="write") == seen_at_1
+    assert ("a", str(h0), 2, 30.0) in seen_at_1
+
+    # repair: hour h0 was double-counted — corrected slice has one event
+    backfill_rollup(spark, roll, mk([(1, "a", h0, 10.0)]), floor_batch_id=1)
+
+    corrected = snap(asof_batch_id=1)  # coverage mode sees the repair
+    assert ("a", str(h0), 1, 10.0) in corrected and corrected != seen_at_1
+    # write mode reproduces the pre-repair read byte-for-byte
+    assert snap(asof_batch_id=1, temporal="write") == seen_at_1
+
+    # batch 2 lands after the repair: its reader saw repair + batch 2
+    fn(mk([(4, "b", h1, 7.0)]), 2)
+    at_2_write = snap(asof_batch_id=2, temporal="write")
+    assert ("a", str(h0), 1, 10.0) in at_2_write  # repair visible
+    assert ("b", str(h1), 1, 7.0) in at_2_write
+    assert at_2_write == snap(asof_batch_id=2)  # nothing newer than batch 2
+
+    # compaction retires old snapshots in BOTH temporalities
+    assert compact_rollup(spark, roll, upto_batch_id=2) == 4
+    assert snap() == at_2_write  # current serve unchanged
+    with _pytest.raises(ValueError, match="retired by a compaction"):
+        read_rollup(spark, roll, asof_batch_id=1).collect()
+    with _pytest.raises(ValueError, match="write-time|retired"):
+        read_rollup(spark, roll, asof_batch_id=1, temporal="write").collect()
