@@ -293,3 +293,64 @@ def snapshot_diff(
         .filter(F.col("change_type").isNotNull())
         .select(key_col, "change_type", "old_md5", "new_md5")
     )
+
+
+def apply_changelog(
+    base: DataFrame,
+    changelog: DataFrame,
+    key_col: str = "doc_id",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    payload_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Apply a CDC changelog to a base snapshot — the INVERSE of
+    snapshot_diff, and the engine-side MERGE the reference performs as
+    per-row upserts (LibSQLDatabase.ts upsert paths): changelog rows are
+    (key, seq, op in I|U|D, full new payload); the result is the table
+    after replaying the log in sequence order, last writer wins per key,
+    a delete followed by a later insert/update resurrects the key.
+
+    Plan shape — the scalable MERGE, not the naive one: the changelog
+    first collapses to ONE decision row per key (max-by-seq struct
+    aggregate: map-side combinable, no window over the base), then a
+    single full-outer join applies decisions to the base. The base is
+    never shuffled beyond that one key join (bucket/cluster both sides
+    by the key at 100 TB and it co-locates); a window over
+    base-union-log would instead shuffle and sort the full table.
+    Changelog rows carry ABSOLUTE payloads, so replay needs no
+    read-modify-write chain. Within one key, `seq` must be unique (a
+    real log's offset/LSN is); ties would make last-wins undefined."""
+    decided = (
+        changelog.groupBy(key_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(seq_col).alias("s"),
+                    F.col(op_col).alias("o"),
+                    *[F.col(c).alias(f"p_{c}") for c in payload_cols],
+                )
+            ).alias("_d")
+        )
+        .select(
+            F.col(key_col),
+            F.col("_d.s").alias("_seq"),
+            F.col("_d.o").alias("_op"),
+            *[F.col(f"_d.p_{c}").alias(f"_new_{c}") for c in payload_cols],
+        )
+    )
+    joined = base.join(decided, key_col, "full_outer")
+    kept = joined.filter(
+        F.col("_op").isNull() | (F.col("_op") != F.lit("D"))
+    )
+    out_payload = [
+        F.when(F.col("_op").isNull(), F.col(c))
+        .otherwise(F.col(f"_new_{c}"))
+        .alias(c)
+        for c in payload_cols
+    ]
+    return kept.select(
+        F.col(key_col),
+        *out_payload,
+        F.coalesce(F.col("_seq"), F.lit(0)).alias("last_seq"),
+        F.coalesce(F.col("_op"), F.lit("B")).alias("last_op"),
+    )

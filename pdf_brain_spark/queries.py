@@ -7656,6 +7656,475 @@ def hamming_ann_batch64(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["hamming_ann_batch64"] = _hamming_batch_oracle(n_queries=64)
 
 
+@query(
+    "tpch_q4_priority_exists",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def tpch_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking), adapted to this schema's
+    columns (no commit/receipt dates; 'late' = shipped >60 days after
+    the order date). The EXISTS decorrelates to a LEFT SEMI join on
+    orderkey — each order counted once however many lineitems are late —
+    followed by a tiny priority aggregate. The quarter predicate is a
+    pushed scan filter on orders; the semi join is the only shuffle."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    lineitem = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        lineitem,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 50
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): the HAVING aggregate
+    runs FIRST at orderkey grain (map-side combinable, integer
+    quantities), shrinking the fact to the handful of big orders before
+    any join — orders joins that tiny set on its shuffle and customers
+    broadcast onto it, so the expensive table is aggregated exactly
+    once and never re-scanned (the classic semi-aggregate-then-join
+    rewrite of the correlated IN subquery)."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle="""
+    SELECT round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE)
+                 / 10000.0, 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 15 AND 35)
+       OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 25 AND 50
+           AND l.l_quantity BETWEEN 30 AND 50)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive predicate revenue): three OR'd
+    brand/size/quantity conjunctions spanning both join sides. Catalyst
+    extracts the common-side implications — the part side's
+    (brand,size) disjunction and the lineitem side's quantity range
+    [1,50] union — as pushed scan filters, so both scans shrink BEFORE
+    the broadcast hash join and the full disjunction evaluates only on
+    surviving pairs. One scalar aggregate ends the plan; exact integer
+    cents x discount-complement units."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    j = lineitem.join(
+        F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+    ).filter(
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(15, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(25, 50)
+            & F.col("l_quantity").between(30, 50)
+        )
+    )
+    rev_units = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    return j.agg(
+        F.round(F.sum(rev_units).cast("double") / F.lit(10000.0), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@query(
+    "grouping_sets_pricing",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS grouping_level,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY grouping_level, returnflag, linestatus
+    """,
+)
+def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with GROUPING() disambiguation
+    — the multi-granularity rollup the warehouse tier serves from one
+    pass. Spark's cube() computes all four grouping sets in ONE shuffle
+    (each map task emits one partial per set — 9 distinct keys total,
+    map-side combinable), and grouping() distinguishes a real NULL key
+    from a rolled-up one, surfaced as the same coalesced 'ALL' + level
+    encoding on both engines. Integer quantity/cent sums."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(100.0),
+                2,
+            ).alias("sum_price"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("long")
+            .alias("_lvl"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            F.col("_lvl").alias("grouping_level"),
+            "n_rows",
+            "sum_qty",
+            "sum_price",
+        )
+        .orderBy("grouping_level", "returnflag", "linestatus")
+    )
+
+
+@query(
+    "cdc_apply_changelog",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    log AS (
+      SELECT doc_id, 1 AS seq, 'U' AS op, text || ' [u1]' AS text
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, 2, 'D', NULL FROM documents WHERE doc_id % 7 = 2
+      UNION ALL
+      SELECT doc_id + 2000000, 3, 'I',
+             'inserted doc ' || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id % 13 = 1
+      UNION ALL
+      SELECT doc_id, 4, 'U', text || ' [u2]' FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id, 5, 'U', text || ' [resurrected]'
+      FROM documents WHERE doc_id % 14 = 2
+    ),
+    decided AS (
+      SELECT doc_id, seq AS _seq, op AS _op, text AS _new
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        FROM log
+      ) WHERE rn = 1
+    ),
+    merged AS (
+      SELECT COALESCE(b.doc_id, d.doc_id) AS doc_id,
+             CASE WHEN d._op IS NULL THEN b.text ELSE d._new END AS text,
+             COALESCE(d._seq, 0) AS last_seq,
+             COALESCE(d._op, 'B') AS last_op
+      FROM base b FULL OUTER JOIN decided d ON b.doc_id = d.doc_id
+      WHERE d._op IS NULL OR d._op <> 'D'
+    )
+    SELECT doc_id, md5(COALESCE(text, chr(1))) AS text_md5,
+           CAST(last_seq AS BIGINT) AS last_seq, last_op
+    FROM merged ORDER BY doc_id
+    """,
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog APPLY (operators/ingest.py::apply_changelog — the
+    inverse of snapshot_diff_cdc, together closing the CDC round-trip):
+    a five-sequence log with overlapping key sets exercises every merge
+    decision — update-then-reupdate (last wins), delete, insert,
+    delete-then-resurrect — against a full SQL replay. The changelog
+    collapses to one decision per key BEFORE touching the base (max-by-
+    seq struct aggregate), so the base sees exactly one key-grain outer
+    join — the MERGE plan that survives a 100 TB base with a 0.1% daily
+    log."""
+    from pdf_brain_spark.operators.ingest import apply_changelog
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def log_slice(pred, seq, op, text_col):
+        return docs.filter(pred).select(
+            (F.col("doc_id") + (2000000 if op == "I" else 0)).alias("doc_id"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+            text_col.alias("text"),
+        )
+
+    changelog = (
+        log_slice(F.col("doc_id") % 5 == 0, 1, "U", F.concat(F.col("text"), F.lit(" [u1]")))
+        .unionByName(log_slice(F.col("doc_id") % 7 == 2, 2, "D", F.lit(None).cast("string")))
+        .unionByName(
+            log_slice(
+                F.col("doc_id") % 13 == 1, 3, "I",
+                F.concat(F.lit("inserted doc "), F.col("doc_id").cast("string")),
+            )
+        )
+        .unionByName(log_slice(F.col("doc_id") % 10 == 0, 4, "U", F.concat(F.col("text"), F.lit(" [u2]"))))
+        .unionByName(
+            log_slice(F.col("doc_id") % 14 == 2, 5, "U", F.concat(F.col("text"), F.lit(" [resurrected]")))
+        )
+    )
+    merged = apply_changelog(docs, changelog)
+    return merged.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit("\x01"))).alias("text_md5"),
+        F.col("last_seq").cast("long").alias("last_seq"),
+        "last_op",
+    ).orderBy("doc_id")
+
+
+@query(
+    "fk_integrity_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           CAST(count(*) AS BIGINT) AS n_child_rows,
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+           CAST(count(DISTINCT CASE WHEN o.o_orderkey IS NULL THEN l.l_orderkey END) AS BIGINT) AS n_orphan_keys
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT CASE WHEN p.p_partkey IS NULL THEN l.l_partkey END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT CASE WHEN s.s_suppkey IS NULL THEN l.l_suppkey END) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT CASE WHEN c.c_custkey IS NULL THEN o.o_custkey END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT CASE WHEN n.n_nationkey IS NULL THEN c.c_nationkey END) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'events.user_id->customer',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT CASE WHEN c.c_custkey IS NULL THEN e.user_id END) AS BIGINT)
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    ORDER BY fk_edge
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's FK edges —
+    the data-quality sweep a warehouse runs before publishing a
+    snapshot (and the engine-side generalization of the reference's
+    FK-repair anti-joins, LibSQLDatabase.ts delete-orphans paths): per
+    edge, child rows / orphan rows / distinct orphan keys in ONE left
+    join + aggregate. Every parent here is dimension-sized and
+    broadcast, so no edge shuffles the child table; the events edge is
+    the deliberately-violated one (user_id draws from a wider range
+    than custkey), proving the audit actually counts orphans. At
+    100 TB, fact-fact edges (lineitem->orders) co-locate by bucketing
+    the shared key — the only edge whose parent outgrows a broadcast."""
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("events", "user_id", "customer", "c_custkey"),
+    ]
+    reports = []
+    for child_t, child_k, parent_t, parent_k in edges:
+        child = load_table(spark, child_t, sf_dir).select(F.col(child_k))
+        parent = load_table(spark, parent_t, sf_dir).select(F.col(parent_k))
+        j = child.join(F.broadcast(parent), child[child_k] == parent[parent_k], "left")
+        reports.append(
+            j.agg(
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.sum(
+                    F.when(parent[parent_k].isNull(), 1).otherwise(0)
+                ).alias("n_orphan_rows"),
+                F.countDistinct(
+                    F.when(parent[parent_k].isNull(), child[child_k])
+                ).alias("n_orphan_keys"),
+            ).select(
+                F.lit(f"{child_t}.{child_k}->{parent_t}").alias("fk_edge"),
+                "n_child_rows",
+                "n_orphan_rows",
+                "n_orphan_keys",
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("fk_edge")
+
+
+@query(
+    "streaming_rollup_write_travel",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, event_type, date_trunc('hour', ts) AS ws,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    corr_buckets AS (
+      SELECT DISTINCT event_type, ws FROM ev WHERE event_id % 4 = 0
+    ),
+    write_view AS (
+      SELECT 'write' AS mode, event_type, ws,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(CAST(sum(cents) AS DOUBLE) / 100.0, 4) AS total_value
+      FROM ev GROUP BY 2, 3
+    ),
+    coverage_kept AS (
+      SELECT e.* FROM ev e JOIN corr_buckets c
+        ON e.event_type = c.event_type AND e.ws = c.ws
+      WHERE e.event_id % 4 = 0
+      UNION ALL
+      SELECT e.* FROM ev e ANTI JOIN corr_buckets c
+        ON e.event_type = c.event_type AND e.ws = c.ws
+    ),
+    coverage_view AS (
+      SELECT 'coverage' AS mode, event_type, ws,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(CAST(sum(cents) AS DOUBLE) / 100.0, 4) AS total_value
+      FROM coverage_kept GROUP BY 2, 3
+    )
+    SELECT mode, event_type, ws AS window_start, n_events, total_value
+    FROM (SELECT * FROM write_view UNION ALL SELECT * FROM coverage_view)
+    ORDER BY mode, event_type, window_start
+    """,
+)
+def streaming_rollup_write_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL time travel on the generation store (read_rollup
+    temporal='write' vs 'coverage' — the r8 write-sequence key): stream
+    the events table in two pinned batches, then REPAIR history with a
+    backfill at floor 1 whose corrected slice is the event_id % 4 = 0
+    subset (its buckets replace their additive history). Serving asof
+    batch 1 then answers two different questions from ONE store:
+    temporal='write' reproduces what batch 1's reader saw — the FULL
+    uncorrected rollup, repair invisible because it was written later;
+    temporal='coverage' serves the corrected history — repaired buckets
+    from the corrected slice only, untouched buckets from all events.
+    Both views verified against independent one-shot SQL in one frame.
+    A real AvailableNow run + backfill per invocation; batch order
+    pinned by backdating the first file's mtime (the time-travel gate's
+    established play)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pdf_brain_spark.streaming.events import (
+        backfill_rollup,
+        read_rollup,
+        streaming_incremental_rollup,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "ts", "value"
+    )
+    root = tempfile.mkdtemp(prefix="sgraft_btt_")
+    stage, roll, ckpt = (f"{root}/{d}" for d in ("stage", "rollup", "ckpt"))
+    try:
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(stage)
+        first_files = [
+            f"{stage}/{f}" for f in os.listdir(stage) if f.endswith(".parquet")
+        ]
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+        for f in first_files:
+            st = os.stat(f)
+            os.utime(f, (st.st_atime, st.st_mtime - 10))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        streaming_incremental_rollup(spark, stream, roll, ckpt).awaitTermination()
+        backfill_rollup(
+            spark, roll, ev.filter(F.col("event_id") % 4 == 0), floor_batch_id=1
+        )
+        write_view = read_rollup(spark, roll, asof_batch_id=1, temporal="write")
+        coverage_view = read_rollup(spark, roll, asof_batch_id=1)
+        out = (
+            write_view.select(F.lit("write").alias("mode"), "*")
+            .unionByName(coverage_view.select(F.lit("coverage").alias("mode"), "*"))
+            .orderBy("mode", "event_type", "window_start")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
