@@ -8125,6 +8125,396 @@ def streaming_rollup_write_travel(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(root, ignore_errors=True)
 
 
+@query(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                    t -> t <> '')) AS w
+      FROM documents
+    ),
+    wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq FROM words
+      WHERE len(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, CAST(i AS INT), 2))) AS pair,
+             freq
+      FROM wf
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair ASC
+    LIMIT 50
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge step over the corpus (Sennrich et al. 2016:
+    the tokenizer-induction primitive a training-data pipeline runs
+    before anything else): adjacent character-pair frequencies weighted
+    by word frequency, top-50 merge candidates. Plan: the corpus
+    collapses to the word-frequency table FIRST (one map-side-combinable
+    shuffle — pair explosion then runs over |vocab| rows, not |tokens|),
+    pairs derive as a native substring transform (no Python), and one
+    more combinable aggregate ranks candidates. At 100 TB the vocab
+    table is millions of rows where the token stream is trillions —
+    the explode-after-aggregate ordering is the whole game."""
+    from pdf_brain_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    wf = (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(50)
+    )
+
+
+def _matryoshka_oracle(dims=(8, 16, 32, 64)) -> str:
+    def pnorm(col, d):
+        return (
+            f"sqrt(list_sum(list_transform(range(1, {d + 1}), "
+            f"i -> CAST({col}[i] AS DOUBLE) * CAST({col}[i] AS DOUBLE))))"
+        )
+
+    def pdot(a, b, d):
+        return (
+            f"list_sum(list_transform(range(1, {d + 1}), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+
+    blocks = []
+    for d in dims:
+        blocks.append(f"""
+    energy_{d} AS (
+      SELECT round(CAST(sum(CAST(round(1000000.0 * {pnorm('e.embedding', d)}
+                         / {pnorm('e.embedding', 64)}) AS BIGINT)) AS DOUBLE)
+                   / (count(*) * 1000000.0), 6) AS avg_energy_frac
+      FROM embeddings e
+    ),
+    top_{d} AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id,
+               {pdot('e.embedding', 'q.embedding', d)} /
+               ({pnorm('e.embedding', d)} * {pnorm('q.embedding', d)}) AS cos,
+               row_number() OVER (ORDER BY {pdot('e.embedding', 'q.embedding', d)} /
+                 ({pnorm('e.embedding', d)} * {pnorm('q.embedding', d)}) DESC,
+                 e.vec_id ASC) AS rn
+        FROM embeddings e, q WHERE e.vec_id <> 0
+      ) WHERE rn <= 10
+    )""")
+        # overlap computed against top_64 below
+    selects = [
+        f"""SELECT {d} AS dim_prefix,
+               (SELECT avg_energy_frac FROM energy_{d}) AS avg_energy_frac,
+               (SELECT CAST(count(*) AS BIGINT) FROM top_{d} t
+                  JOIN top_64 f ON t.vec_id = f.vec_id) AS top10_overlap"""
+        for d in dims
+    ]
+    return (
+        "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),"
+        + ",".join(blocks)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY dim_prefix"
+    )
+
+
+@query("matryoshka_truncation_report", oracle=None)  # oracle registered below
+def matryoshka_truncation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL, Kusupati et al. 2022) truncation quality report:
+    for each dimension prefix (8/16/32/64), (a) the average retained-
+    energy fraction ‖x[:d]‖/‖x‖ — integer-ppm per vector so engine
+    summation order cannot move the mean — and (b) the top-10 retrieval
+    overlap for a pinned query between prefix-cosine and full-cosine
+    ranking, the metric that decides whether serving can run truncated
+    vectors at 1/8 the scan bytes. Prefix math reuses the deterministic
+    left-to-right dot/norm kernels (functions/vector.py) with dim=d —
+    NO slicing or copying of the arrays, the same plan a production
+    truncated-serving path would run."""
+    from pdf_brain_spark.functions.vector import dot, norm
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    full_dim = len(qvec)
+    dims = [8, 16, 32, full_dim]
+
+    def top10(d):
+        qlit = F.array(*[F.lit(x) for x in qvec])
+        cos = dot(F.col("embedding"), qlit, dim=d) / (
+            norm(F.col("embedding"), dim=d) * norm(qlit, dim=d)
+        )
+        return (
+            emb.filter(F.col("vec_id") != 0)
+            .select("vec_id", cos.alias("cos"))
+            .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+            .limit(10)
+            .select("vec_id")
+        )
+
+    full_top = top10(full_dim).localCheckpoint(eager=True)
+    reports = []
+    for d in dims:
+        frac_ppm = F.round(
+            F.lit(1_000_000.0)
+            * norm(F.col("embedding"), dim=d)
+            / norm(F.col("embedding"), dim=full_dim)
+        ).cast("long")
+        energy = emb.agg(
+            F.round(
+                F.sum(frac_ppm).cast("double")
+                / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
+                6,
+            ).alias("avg_energy_frac")
+        )
+        overlap = top10(d).join(full_top, "vec_id").agg(
+            F.count(F.lit(1)).alias("top10_overlap")
+        )
+        reports.append(
+            energy.crossJoin(overlap).select(
+                F.lit(d).alias("dim_prefix"), "avg_energy_frac", "top10_overlap"
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("dim_prefix")
+
+
+ORACLES["matryoshka_truncation_report"] = _matryoshka_oracle()
+
+
+@query(
+    "dsir_importance_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                    t -> t <> '')) AS term
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) % 512 AS bucket
+      FROM toks
+    ),
+    raw_lm AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM hashed GROUP BY bucket
+    ),
+    tgt_lm AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM hashed
+      WHERE lang = 'en' GROUP BY bucket
+    ),
+    totals AS (
+      SELECT (SELECT count(*) FROM hashed) AS n_raw,
+             (SELECT count(*) FROM hashed WHERE lang = 'en') AS n_tgt
+    ),
+    ratios AS (
+      SELECT r.bucket,
+             CAST(round(ln(
+               (CAST(COALESCE(t.c, 0) + 1 AS DOUBLE) / (tot.n_tgt + 512)) /
+               (CAST(r.c + 1 AS DOUBLE) / (tot.n_raw + 512))
+             ) * 1000000) AS BIGINT) AS lr_micro
+      FROM raw_lm r LEFT JOIN tgt_lm t ON r.bucket = t.bucket, totals tot
+    ),
+    scored AS (
+      SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(ratios.lr_micro) AS BIGINT) AS weight_micro_nats
+      FROM hashed h JOIN ratios ON h.bucket = ratios.bucket
+      GROUP BY h.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens, weight_micro_nats,
+             row_number() OVER (ORDER BY weight_micro_nats DESC, doc_id ASC) AS rnk,
+             count(*) OVER () AS n_docs
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, weight_micro_nats,
+           (rnk <= n_docs / 4) AS selected
+    FROM ranked ORDER BY doc_id LIMIT 300
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023: importance resampling on
+    hashed n-gram features): per-document importance weight = Σ over
+    tokens of log[p_target(bucket)/p_raw(bucket)] with 512 hashed
+    unigram buckets, add-1 smoothing, target = the English slice. Log-
+    ratios quantize to integer micro-nats per bucket BEFORE the per-doc
+    sum (the unigram_perplexity_filter discipline — engine float-sum
+    order cannot move a weight), and the top quarter by weight is the
+    selected set. Plan: two bucket-count aggregates (512-row tables),
+    the ratio table broadcast back onto the hashed token stream, one
+    doc-grain integer aggregate, one rank window over doc grain. The
+    global rank is the gate-exactness choice; at 100 TB the selection
+    becomes a two-pass threshold (exact integer p75 of the weight
+    histogram, then a map-only weight >= t filter) — same selected set
+    up to boundary ties, no single-partition sort."""
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.functions.text import md5_long, tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    hashed = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokenize("text")).alias("term"),
+    ).select("doc_id", "lang", (md5_long("term") % 512).alias("bucket"))
+    hashed = hashed.localCheckpoint(eager=True)
+    raw_lm = hashed.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_lm = (
+        hashed.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    totals = hashed.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_tgt"),
+    )
+    ratios = (
+        raw_lm.join(tgt_lm, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("c_tgt"), F.lit(0)) + 1).cast("double")
+                     / (F.col("n_tgt") + 512).cast("double"))
+                    / ((F.col("c_raw") + 1).cast("double")
+                       / (F.col("n_raw") + 512).cast("double"))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    scored = (
+        hashed.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_micro").alias("weight_micro_nats"),
+        )
+    )
+    w = Window.orderBy(F.col("weight_micro_nats").desc(), F.col("doc_id").asc())
+    n_docs = scored.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        scored.crossJoin(F.broadcast(n_docs))
+        .withColumn("rnk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "weight_micro_nats",
+            (F.col("rnk") <= F.col("n_docs") / 4).alias("selected"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+@query(
+    "quality_linear_classifier",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                  t -> t <> '')) AS BIGINT) AS n_tok,
+             CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+             CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                  t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                             'that','for','on','with','as'))) AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    ppm AS (
+      SELECT doc_id, n_tok,
+             CAST(round(1000000.0 * n_stop / greatest(n_tok, 1)) AS BIGINT) AS stop_ppm,
+             CAST(round(1000000.0 * n_punct / greatest(n_tok, 1)) AS BIGINT) AS punct_ppm,
+             CAST(round(1000000.0 * n_digit / greatest(n_tok, 1)) AS BIGINT) AS digit_ppm
+      FROM feats
+    ),
+    scored AS (
+      SELECT doc_id, n_tok, stop_ppm, punct_ppm, digit_ppm,
+             3 * stop_ppm - 2 * punct_ppm - 4 * digit_ppm
+               + 1000 * least(n_tok, 256) AS score_micro
+      FROM ppm
+    )
+    SELECT doc_id, n_tok, stop_ppm, punct_ppm, digit_ppm, score_micro,
+           CASE WHEN score_micro >= 400000 THEN 'high'
+                WHEN score_micro >= 200000 THEN 'medium'
+                ELSE 'low' END AS quality_bin
+    FROM scored ORDER BY doc_id LIMIT 300
+    """,
+)
+def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering plumbing (the fastText-classifier
+    stage of GPT-3/LLaMA-style pipelines, with a PINNED linear model so
+    the gate is exactly reproducible): per-doc features — token count,
+    stopword/punctuation/digit rates in integer ppm — scored by fixed
+    integer weights, binned at fixed thresholds. Everything is integer
+    arithmetic after one round() per rate, so the score is bit-exact on
+    any engine; swapping the pinned weights for learned ones changes no
+    plan shape. Map-only: zero shuffles, every feature a native string
+    expression — at 100 TB this runs at scan speed alongside the other
+    map-stage quality gates (corpus_clean_pipeline)."""
+    from pdf_brain_spark.functions.text import tokenize
+
+    stopwords = [
+        "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+        "that", "for", "on", "with", "as",
+    ]
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokenize("text")
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(stopwords))
+    ).cast("long")
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).cast("long")
+    n_digit = F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("long")
+    denom = F.greatest(n_tok, F.lit(1))
+    feats = docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.round(F.lit(1_000_000.0) * n_stop / denom).cast("long").alias("stop_ppm"),
+        F.round(F.lit(1_000_000.0) * n_punct / denom).cast("long").alias("punct_ppm"),
+        F.round(F.lit(1_000_000.0) * n_digit / denom).cast("long").alias("digit_ppm"),
+    )
+    score = (
+        3 * F.col("stop_ppm")
+        - 2 * F.col("punct_ppm")
+        - 4 * F.col("digit_ppm")
+        + 1000 * F.least(F.col("n_tok"), F.lit(256))
+    )
+    return (
+        feats.withColumn("score_micro", score)
+        .withColumn(
+            "quality_bin",
+            F.when(F.col("score_micro") >= 400_000, "high")
+            .when(F.col("score_micro") >= 200_000, "medium")
+            .otherwise("low"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
