@@ -263,14 +263,16 @@ def duck_phrase_bm25_sql(phrase: str, k: int = 10) -> str:
     """
 
 
-def duck_bm25_sql(query_terms: list[str], k: int = 10) -> str:
-    """DuckDB oracle twin of bm25_scores over the `documents` view."""
+def duck_bm25_sql(query_terms: list[str], k: int = 10, where_clause: str = "") -> str:
+    """DuckDB oracle twin of bm25_scores over the `documents` view.
+    `where_clause` (e.g. "WHERE doc_id <> 3") restricts the corpus —
+    the oracle for post-takedown serving."""
     terms = ", ".join("'{}'".format(t.lower().replace("'", "''")) for t in query_terms)
     return f"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tokens
-      FROM documents
+      FROM documents {where_clause}
     ),
     stats AS (
       SELECT count(*) AS n_docs, avg(len(tokens)) AS avgdl FROM toks

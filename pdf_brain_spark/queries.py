@@ -8515,6 +8515,370 @@ def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    tiers AS (
+      SELECT user_id, day,
+             CASE WHEN cents >= 20000 THEN 'high'
+                  WHEN cents >= 7500 THEN 'mid'
+                  ELSE 'low' END AS tier
+      FROM daily
+    ),
+    flagged AS (
+      SELECT user_id, day, tier,
+             CASE WHEN lag(tier) OVER w IS NULL
+                       OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+      FROM tiers
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    islands AS (
+      SELECT user_id, day, tier,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY day) AS v
+      FROM flagged
+    ),
+    vers AS (
+      SELECT user_id, v AS version, min(tier) AS tier,
+             min(day) AS valid_from
+      FROM islands GROUP BY user_id, v
+    ),
+    dim AS (
+      SELECT user_id, version, tier, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to
+      FROM vers
+    )
+    SELECT e.event_id, e.user_id, date_trunc('day', e.ts) AS day,
+           d.tier, CAST(d.version AS BIGINT) AS version
+    FROM events e JOIN dim d
+      ON e.user_id = d.user_id
+     AND date_trunc('day', e.ts) >= d.valid_from
+     AND (d.valid_to IS NULL OR date_trunc('day', e.ts) < d.valid_to)
+    WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id LIMIT 300
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) lookup against the Type-2 dimension — the
+    query SCD2 exists FOR, and the one a naive current-state join gets
+    wrong: each purchase event joins the tier version whose validity
+    interval [valid_from, valid_to) covers the event's day, so a
+    training-feature build never leaks a FUTURE tier back in time. Plan:
+    the dimension build reuses scd2_compress (one user_id exchange); the
+    range join expresses as an equi-join on user_id + interval filter —
+    per-user version lists are short, so the filter scans a handful of
+    rows per event, and at 100 TB both sides bucket by user_id and the
+    whole lookup co-locates."""
+    from pdf_brain_spark.operators.temporal import scd2_compress
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    tiers = daily.select(
+        "user_id",
+        "day",
+        F.when(F.col("cents") >= 20000, "high")
+        .when(F.col("cents") >= 7500, "mid")
+        .otherwise("low")
+        .alias("tier"),
+    )
+    dim = scd2_compress(tiers, key_cols=("user_id",), attr_col="tier", period_col="day").select(
+        F.col("user_id").alias("d_user_id"), "version", "tier", "valid_from", "valid_to"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    return (
+        purchases.join(
+            dim,
+            (F.col("user_id") == F.col("d_user_id"))
+            & (F.col("day") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("day") < F.col("valid_to"))),
+        )
+        .select(
+            "event_id", "user_id", "day", "tier",
+            F.col("version").cast("long").alias("version"),
+        )
+        .orderBy("event_id")
+        .limit(300)
+    )
+
+
+@query(
+    "semdedup_report",
+    oracle="""
+    WITH pairs AS (
+      SELECT b.vec_id,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    dups AS (
+      SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dups_below,
+             round(max(cos), 6) AS max_sim
+      FROM pairs WHERE round(cos, 6) >= 0.3 GROUP BY vec_id
+    )
+    SELECT e.vec_id, CAST(e.label AS INT) AS label,
+           COALESCE(d.n_dups_below, 0) AS n_dups_below,
+           COALESCE(d.max_sim, 0.0) AS max_sim,
+           (d.vec_id IS NOT NULL) AS dropped
+    FROM embeddings e LEFT JOIN dups d ON e.vec_id = d.vec_id
+    ORDER BY e.vec_id LIMIT 500
+    """,
+)
+def semdedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication INSIDE
+    clusters — pair vectors only within their cluster (here the label
+    column; in production the kmeans_assign output), drop a vector when
+    a lower-id cluster-mate exceeds the similarity threshold. The
+    clustering is the whole scale story: candidate pairs are
+    per-cluster quadratic instead of corpus-quadratic, and the
+    threshold (0.3 = this synthetic geometry's p99 intra-cluster
+    cosine) is compared on the 6-dp-rounded value on BOTH engines so a
+    borderline pair can't flip the keep/drop decision between engines.
+    Plan: one label-key self-join (co-partitioned, never crossing
+    clusters), a drop-decision aggregate, a left join back to the full
+    set."""
+    from pdf_brain_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.select(
+        F.col("label").alias("l"), F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = emb.select(
+        F.col("label").alias("l"), F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+    )
+    pairs = (
+        a.join(b, "l")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            F.col("b_id").alias("vec_id"),
+            cosine_similarity(F.col("a_emb"), F.col("b_emb")).alias("cos"),
+        )
+    )
+    dups = (
+        pairs.filter(F.round(F.col("cos"), 6) >= 0.3)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups_below"),
+            F.round(F.max("cos"), 6).alias("max_sim"),
+        )
+    )
+    return (
+        emb.select("vec_id", F.col("label").cast("int").alias("label"))
+        .join(dups.withColumnRenamed("vec_id", "d_id"),
+              F.col("vec_id") == F.col("d_id"), "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce(F.col("n_dups_below"), F.lit(0)).alias("n_dups_below"),
+            F.coalesce(F.col("max_sim"), F.lit(0.0)).alias("max_sim"),
+            F.col("d_id").isNotNull().alias("dropped"),
+        )
+        .orderBy("vec_id")
+        .limit(500)
+    )
+
+
+@query("fts_compacted_lifecycle", oracle=None)  # oracle registered below
+def fts_compacted_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL persisted-FTS lifecycle through one gate: two-batch
+    index build (even/odd docs), takedown tombstone for doc 3, then
+    compaction into the TERM-PARTITIONED compacted generation
+    (compact_fts_index's term_bucket layout, r8), and a serve whose
+    query-term probe prunes unqueried buckets at planning time. The
+    oracle scores BM25 one-shot over the post-takedown corpus, so a
+    green row certifies build + tombstone + compaction + pruned serve
+    end-to-end (the ANN index's lifecycle-gate play, carried to text)."""
+    import shutil
+    import tempfile
+
+    from pdf_brain_spark.streaming.events import (
+        compact_fts_index,
+        delete_documents,
+        fts_search_persisted,
+        make_fts_postings_batch_fn,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    idx = tempfile.mkdtemp(prefix="sgraft_ftslc_")
+    try:
+        fn = make_fts_postings_batch_fn(idx)
+        fn(docs.filter(F.col("doc_id") % 2 == 0), 0)
+        fn(docs.filter(F.col("doc_id") % 2 == 1), 1)
+        delete_documents(
+            spark, idx, spark.createDataFrame([(3,)], "doc_id long"), 1
+        )
+        compact_fts_index(spark, idx, upto_batch_id=1)
+        return fts_search_persisted(
+            spark, idx, FTS_QUERY_TERMS, k=10
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _register_fts_lifecycle_oracle():
+    from pdf_brain_spark.operators.fts import duck_bm25_sql
+
+    ORACLES["fts_compacted_lifecycle"] = duck_bm25_sql(
+        FTS_QUERY_TERMS, k=10, where_clause="WHERE doc_id <> 3"
+    )
+
+
+_register_fts_lifecycle_oracle()
+
+
+@query(
+    "bigram_surprisal_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS tokens
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(2, len(tokens) + 1),
+               i -> tokens[i-1] || chr(31) || tokens[i])) AS bg
+      FROM toks WHERE len(tokens) >= 2
+    ),
+    bg_counts AS (
+      SELECT bg, CAST(count(*) AS BIGINT) AS c_bg FROM bigrams GROUP BY bg
+    ),
+    prev_counts AS (
+      SELECT split_part(bg, chr(31), 1) AS prev,
+             CAST(sum(c_bg) AS BIGINT) AS c_prev
+      FROM bg_counts GROUP BY 1
+    ),
+    uni AS (
+      SELECT t.term, CAST(count(*) AS BIGINT) AS c_uni FROM (
+        SELECT unnest(tokens) AS term FROM toks
+      ) t GROUP BY t.term
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT unnest(tokens) FROM toks
+    )),
+    lm AS (
+      SELECT b.bg,
+             CAST(round(-ln(
+               0.7 * (CAST(b.c_bg AS DOUBLE) / p.c_prev)
+               + 0.3 * (CAST(u.c_uni AS DOUBLE) / t.n)
+             ) * 1000000) AS BIGINT) AS s_micro
+      FROM bg_counts b
+      JOIN prev_counts p ON split_part(b.bg, chr(31), 1) = p.prev
+      JOIN uni u ON split_part(b.bg, chr(31), 2) = u.term, tot t
+    ),
+    scored AS (
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(lm.s_micro) AS BIGINT) AS sum_micro_nats
+      FROM bigrams g JOIN lm ON g.bg = lm.bg GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_bigrams, sum_micro_nats,
+           round(CAST(sum_micro_nats AS DOUBLE) / (1000000.0 * n_bigrams), 4)
+             AS avg_surprisal_nats
+    FROM scored ORDER BY doc_id LIMIT 300
+    """,
+)
+def bigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model surprisal per document — the
+    next rung above unigram_perplexity_filter on the CCNet-style
+    quality ladder: p(cur|prev) = 0.7·ML-bigram + 0.3·unigram, each
+    bigram TYPE's surprisal quantized once to integer micro-nats, then
+    summed per document in exact integer arithmetic. Documents with
+    fewer than two tokens carry no bigrams and drop from scoring (both
+    engines). Plan: bigram keys derive natively (no Python), the LM is
+    three map-side-combinable aggregates over type grain, and the type
+    table broadcasts back onto the bigram stream for one doc-grain
+    integer aggregate."""
+    from pdf_brain_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    toked = docs.select("doc_id", tokenize("text").alias("tokens")).filter(
+        F.size("tokens") >= 2
+    )
+    bigrams = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size("tokens")),
+                lambda i: F.concat_ws(
+                    "\x1f",
+                    F.element_at(F.col("tokens"), i - 1),
+                    F.element_at(F.col("tokens"), i),
+                ),
+            )
+        ).alias("bg"),
+    )
+    bigrams = bigrams.localCheckpoint(eager=True)
+    bg_counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    prev_of = F.split(F.col("bg"), "\x1f").getItem(0)
+    cur_of = F.split(F.col("bg"), "\x1f").getItem(1)
+    prev_counts = bg_counts.groupBy(prev_of.alias("prev")).agg(
+        F.sum("c_bg").alias("c_prev")
+    )
+    uni = (
+        docs.select(F.explode(tokenize("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    tot = docs.select(F.explode(tokenize("text")).alias("t")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    lm = (
+        bg_counts.join(prev_counts, prev_of == F.col("prev"))
+        .join(uni, cur_of == F.col("term"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bg",
+            F.round(
+                -F.log(
+                    0.7 * (F.col("c_bg").cast("double") / F.col("c_prev").cast("double"))
+                    + 0.3 * (F.col("c_uni").cast("double") / F.col("n").cast("double"))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("s_micro"),
+        )
+    )
+    scored = (
+        bigrams.join(F.broadcast(lm), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("s_micro").alias("sum_micro_nats"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_bigrams",
+            "sum_micro_nats",
+            F.round(
+                F.col("sum_micro_nats").cast("double")
+                / (F.lit(1_000_000.0) * F.col("n_bigrams").cast("double")),
+                4,
+            ).alias("avg_surprisal_nats"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
