@@ -8879,6 +8879,222 @@ def bigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "taxonomy_subtree_rollup",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT o_orderkey AS node,
+             CAST(floor(o_orderkey / 2) AS BIGINT) AS parent
+      FROM orders WHERE o_orderkey > 1 AND o_orderkey <= 4096
+    ),
+    roots AS (SELECT DISTINCT parent AS root FROM edges WHERE parent <= 8),
+    sub AS (
+      SELECT root, root AS member FROM roots
+      UNION ALL
+      SELECT s.root, e.node FROM sub s JOIN edges e ON e.parent = s.member
+    )
+    SELECT s.root, CAST(count(*) AS BIGINT) AS n_members,
+           round(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS subtree_total
+    FROM sub s JOIN orders o ON o.o_orderkey = s.member
+    GROUP BY s.root ORDER BY s.root
+    """,
+)
+def taxonomy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree aggregation — the OLAP rollup along a
+    taxonomy (the reference's TaxonomyService closure feeding its
+    library stats): for each root concept, aggregate a measure over its
+    ENTIRE descendant subtree, computed as the iterative frontier
+    closure (operators/taxonomy.py::descendants, the recursive-CTE
+    stand-in) joined to the fact measure and aggregated at root grain.
+    The closure runs over the key-bounded dimension slice (pushed scan
+    filter), the (root, member) pair set is tree-bounded, and the fact
+    join is one key equi-join — the shape that survives a fact table
+    1000x larger. Exact integer cents."""
+    from pdf_brain_spark.operators.taxonomy import descendants
+
+    orders = load_table(spark, "orders", sf_dir)
+    edges = (
+        orders.filter((F.col("o_orderkey") > 1) & (F.col("o_orderkey") <= 4096))
+        .select(
+            F.col("o_orderkey").alias("node"),
+            F.floor(F.col("o_orderkey") / 2).cast("long").alias("parent"),
+        )
+        .distinct()
+        .coalesce(1)
+    )
+    seed_edges = edges.filter(F.col("parent") <= 8)
+    desc = descendants(seed_edges, edges, acyclic=True).select(
+        F.col("node").alias("root"), F.col("descendant").alias("member")
+    )
+    selves = seed_edges.select(F.col("parent").alias("root")).distinct().select(
+        "root", F.col("root").alias("member")
+    )
+    members = desc.unionByName(selves)
+    measure = orders.select(
+        F.col("o_orderkey").alias("member"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        members.join(measure, "member")
+        .groupBy("root")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.sum("cents").cast("double") / F.lit(100.0), 2).alias(
+                "subtree_total"
+            ),
+        )
+        .orderBy("root")
+    )
+
+
+@query(
+    "kmv_distinct_estimate",
+    oracle="""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+      FROM hashed
+    ),
+    sketch AS (
+      SELECT event_type, CAST(max(h) AS BIGINT) AS h_k,
+             CAST(count(*) AS BIGINT) AS n_in_sketch
+      FROM ranked WHERE rn <= 64 GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM hashed
+      GROUP BY event_type
+    )
+    SELECT e.event_type, e.n_exact,
+           CASE WHEN s.n_in_sketch < 64 THEN s.n_in_sketch
+                ELSE CAST(round(63.0 * (1152921504606846976.0 / s.h_k)) AS BIGINT)
+           END AS kmv_estimate,
+           round(abs(CAST(CASE WHEN s.n_in_sketch < 64 THEN s.n_in_sketch
+                ELSE CAST(round(63.0 * (1152921504606846976.0 / s.h_k)) AS BIGINT)
+           END AS DOUBLE) / e.n_exact - 1.0), 6) AS rel_error
+    FROM exact e JOIN sketch s USING (event_type)
+    ORDER BY e.event_type
+    """,
+)
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch (Bar-Yossef et al. 2002 —
+    the mergeable cardinality sketch, here with the repo's PORTABLE
+    60-bit md5 hash instead of engine-private HLL so the estimate is
+    bit-identical on every engine and therefore oracle-able, which
+    approx_count_distinct never is): per event_type keep the 64
+    smallest distinct hash values; estimate = (k-1) / (h_k / 2^60).
+    The report carries exact count and measured relative error next to
+    the estimate (the aqp_sum_estimate honesty pattern). Mergeability
+    is the 100 TB story: per-partition bottom-64 lists merge by
+    min-union — the same partials shape the generation store serves —
+    so the sketch maintains incrementally while exact countDistinct
+    re-shuffles the world."""
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.functions.text import md5_long
+
+    ev = load_table(spark, "events", sf_dir)
+    hashed = ev.select(
+        "event_type", md5_long(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    sketch = (
+        ranked.filter(F.col("rn") <= 64)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("n_in_sketch"))
+    )
+    exact = hashed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.when(F.col("n_in_sketch") < 64, F.col("n_in_sketch")).otherwise(
+        F.round(F.lit(63.0) * (F.lit(1152921504606846976.0) / F.col("h_k"))).cast(
+            "long"
+        )
+    )
+    return (
+        exact.join(sketch, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            est.alias("kmv_estimate"),
+            F.round(
+                F.abs(
+                    est.cast("double") / F.col("n_exact").cast("double") - F.lit(1.0)
+                ),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "prefiltered_ann_topk",
+    oracle="""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    filtered AS (
+      SELECT vec_id, CAST(label AS INT) AS label, embedding
+      FROM embeddings WHERE label IN (1, 3, 5) AND vec_id <> 0
+    ),
+    scored AS (
+      SELECT f.vec_id, f.label,
+             list_sum(list_transform(list_zip(f.embedding, q.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(f.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(q.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM filtered f, q
+    )
+    SELECT vec_id, label, round(cos, 6) AS cos,
+           CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+    FROM scored QUALIFY rank <= 20 ORDER BY rank
+    """,
+)
+def prefiltered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-filtered vector search — the complement of the reference's
+    over-fetch-then-post-filter (P4, OVERFETCH_TAG_FILTER): when the
+    attribute predicate is selective, filtering BEFORE the scan beats
+    over-fetching after it (no recall cliff when the filter keeps few
+    matches — post-filter with x3 over-fetch returns short lists
+    exactly when the filter is most selective). The predicate lands in
+    the parquet scan as a PushedFilter, the exhaustive cosine runs only
+    over survivors, and TakeOrdered bounds the result — at 100 TB the
+    same query runs against the IVF layout with the filter applied
+    inside the probed lists."""
+    from pdf_brain_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    filtered = emb.filter(F.col("label").isin([1, 3, 5]) & (F.col("vec_id") != 0))
+    from pyspark.sql import Window
+
+    # TakeOrdered bounds the scan's output to 20 rows; the rank window
+    # then runs over that 20-row frame, not the corpus
+    top = (
+        filtered.select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            cosine_similarity(F.col("embedding"), qlit).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("vec_id", "label", F.round("cos", 6).alias("cos"), "rank")
+        .orderBy("rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
