@@ -8835,9 +8835,10 @@ def bigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c_uni"))
     )
-    tot = docs.select(F.explode(tokenize("text")).alias("t")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    uni = uni.localCheckpoint(eager=True)
+    # total token count folds off the vocab aggregate — no third
+    # tokenize pass over the corpus (self-review r8 finding)
+    tot = uni.agg(F.sum("c_uni").alias("n"))
     lm = (
         bg_counts.join(prev_counts, prev_of == F.col("prev"))
         .join(uni, cur_of == F.col("term"))

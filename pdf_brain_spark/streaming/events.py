@@ -397,12 +397,13 @@ def make_rollup_batch_fn(rollup_dir: str):
             F.count(F.lit(1)).alias("n_partial"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents_partial"),
         )
-        from pdf_brain_spark.streaming.generations import stamp_protocol
+        from pdf_brain_spark.streaming.generations import (
+            record_wseq,
+            stamp_protocol,
+        )
 
         stamp_protocol(batch_df.sparkSession, rollup_dir)
         partial.write.mode("overwrite").parquet(f"{rollup_dir}/batch_id={batch_id}")
-        from pdf_brain_spark.streaming.generations import record_wseq
-
         record_wseq(batch_df.sparkSession, rollup_dir, f"batch_id={batch_id}")
 
     return _each_batch
@@ -615,12 +616,13 @@ def make_value_histogram_batch_fn(hist_dir: str):
             "event_type",
             F.round(F.col("value") * 100).cast("long").alias("bucket"),
         ).agg(F.count(F.lit(1)).alias("n"))
-        from pdf_brain_spark.streaming.generations import stamp_protocol
+        from pdf_brain_spark.streaming.generations import (
+            record_wseq,
+            stamp_protocol,
+        )
 
         stamp_protocol(batch_df.sparkSession, hist_dir)
         partial.write.mode("overwrite").parquet(f"{hist_dir}/batch_id={batch_id}")
-        from pdf_brain_spark.streaming.generations import record_wseq
-
         record_wseq(batch_df.sparkSession, hist_dir, f"batch_id={batch_id}")
 
     return _each_batch
@@ -757,12 +759,13 @@ def make_term_counts_batch_fn(store_dir: str, text_col: str = "text", min_len: i
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("n_partial"))
         )
-        from pdf_brain_spark.streaming.generations import stamp_protocol
+        from pdf_brain_spark.streaming.generations import (
+            record_wseq,
+            stamp_protocol,
+        )
 
         stamp_protocol(batch_df.sparkSession, store_dir)
         partial.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
-        from pdf_brain_spark.streaming.generations import record_wseq
-
         record_wseq(batch_df.sparkSession, store_dir, f"batch_id={batch_id}")
 
     return _each_batch
@@ -869,8 +872,11 @@ def make_fts_postings_batch_fn(index_dir: str, id_col: str = "doc_id", text_col:
         from pdf_brain_spark.streaming.generations import stamp_protocol
 
         stamp_protocol(batch_df.sparkSession, index_dir)
+        n_buckets = _stamp_fts_buckets(
+            batch_df.sparkSession, index_dir, FTS_TERM_BUCKETS
+        )
         postings.unionByName(empties).withColumn(
-            "term_bucket", _term_bucket_col(F.col("term"))
+            "term_bucket", _term_bucket_col(F.col("term"), n_buckets)
         ).write.partitionBy("term_bucket").mode("overwrite").parquet(
             f"{index_dir}/batch_id={batch_id}"
         )
@@ -878,12 +884,58 @@ def make_fts_postings_batch_fn(index_dir: str, id_col: str = "doc_id", text_col:
     return _each_batch
 
 
-# Number of term-hash partitions per FTS generation. At this test scale 8
-# keeps directory counts sane; at 100 TB the same layout runs at 256-1024
-# buckets so one bucket's live postings stay executor-sized. The constant
-# is part of the STORE layout, not the query: all generations of one store
-# must agree (the serve's probe set is computed with the same constant).
+# Number of term-hash partitions per FTS generation for NEW stores. At
+# this test scale 8 keeps directory counts sane; at 100 TB the same layout
+# runs at 256-1024 buckets so one bucket's live postings stay
+# executor-sized. The count is part of the STORE layout, not the query, so
+# it is PERSISTED per store as a `_TERM_BUCKETS.<B>` marker (the protocol-
+# marker play): the writer stamps it on first write and honors an existing
+# store's value thereafter; the serve computes its probe set from the
+# store's marker, never the constant — changing the constant can therefore
+# never silently mis-probe an existing store's hive dirs.
 FTS_TERM_BUCKETS = 8
+
+_TERM_BUCKETS_PREFIX = "_TERM_BUCKETS."
+
+
+def fts_store_buckets(spark: SparkSession, index_dir: str) -> int | None:
+    """The persisted term-bucket count of an FTS store (None if the
+    store doesn't exist yet / has no layout marker)."""
+    from pdf_brain_spark.streaming.generations import _fs
+
+    HPath, fs = _fs(spark, index_dir)
+    if not fs.exists(HPath(index_dir)):
+        return None
+    for st in fs.listStatus(HPath(index_dir)):
+        name = st.getPath().getName()
+        if name.startswith(_TERM_BUCKETS_PREFIX):
+            try:
+                return int(name[len(_TERM_BUCKETS_PREFIX):])
+            except ValueError:
+                continue
+    return None
+
+
+def _stamp_fts_buckets(spark: SparkSession, index_dir: str, n_buckets: int) -> int:
+    """Record (or read back) the store's bucket count. First writer
+    stamps; later writers use the stamped value — a caller demanding a
+    DIFFERENT count than the store's is an error, not a re-layout."""
+    from pdf_brain_spark.streaming.generations import _fs
+
+    existing = fts_store_buckets(spark, index_dir)
+    if existing is not None:
+        if existing != n_buckets:
+            raise ValueError(
+                f"FTS store {index_dir} is laid out at {existing} term "
+                f"buckets; cannot write batches at {n_buckets}. Rebuild "
+                "the store to change its bucket count."
+            )
+        return existing
+    HPath, fs = _fs(spark, index_dir)
+    fs.create(
+        HPath(f"{index_dir}/{_TERM_BUCKETS_PREFIX}{n_buckets}"), True
+    ).close()
+    return n_buckets
 
 
 def portable_term_bucket(term: str, n_buckets: int = FTS_TERM_BUCKETS) -> int:
@@ -992,7 +1044,8 @@ def fts_search_persisted(
     # — unqueried buckets are pruned at planning time (pytest-pinned in
     # tests/test_ingest_and_streaming.py); the residual term filter
     # selects within the probed buckets
-    probe_buckets = sorted({portable_term_bucket(t) for t in terms})
+    store_b = fts_store_buckets(spark, index_dir) or FTS_TERM_BUCKETS
+    probe_buckets = sorted({portable_term_bucket(t, store_b) for t in terms})
     matched = rows.filter(
         F.col("term_bucket").isin(probe_buckets) & F.col("term").isin(terms)
     )
@@ -1088,14 +1141,15 @@ def make_ohlc_batch_fn(store_dir: str):
     def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        from pdf_brain_spark.streaming.generations import stamp_protocol
+        from pdf_brain_spark.streaming.generations import (
+            record_wseq,
+            stamp_protocol,
+        )
 
         stamp_protocol(batch_df.sparkSession, store_dir)
         _ohlc_partial(batch_df).write.mode("overwrite").parquet(
             f"{store_dir}/batch_id={batch_id}"
         )
-        from pdf_brain_spark.streaming.generations import record_wseq
-
         record_wseq(batch_df.sparkSession, store_dir, f"batch_id={batch_id}")
 
     return _each_batch
@@ -1187,8 +1241,32 @@ def compact_fts_index(spark: SparkSession, index_dir: str, upto_batch_id: int, n
     a serve's probe prune at 100 TB — the exact play compact_ann_index
     runs for list_id. The pre-write repartition on term_bucket puts each
     bucket's rows in few tasks, so the dir gets ~one file per bucket
-    instead of n_files x buckets fragments."""
-    from pdf_brain_spark.streaming.generations import compact_index_rows
+    instead of n_files x buckets fragments.
+
+    The serve-path invariant (one live generation per doc — updates are
+    tombstone-then-reinsert) is ALSO asserted here, before merging:
+    compaction would otherwise fold a double-ingested doc's two
+    generations into one, after which the serve's own check can no
+    longer see the violation and BM25 silently double-counts tf."""
+    from pdf_brain_spark.streaming.generations import (
+        compact_index_rows,
+        kept_index_rows,
+    )
+
+    dup = (
+        kept_index_rows(spark, index_dir, ["doc_id"], upto=upto_batch_id)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("batch_id").alias("_ngen"))
+        .filter(F.col("_ngen") > 1)
+        .limit(1)
+    )
+    if dup.count() > 0:
+        raise ValueError(
+            "FTS index has documents with live postings in more than one "
+            "generation — a doc_id was re-ingested without a tombstone. "
+            "Compacting would merge the duplicates and make the double-"
+            "counted tf undetectable; tombstone the stale copy first."
+        )
 
     def _write_kept(kept, tmp: str) -> None:
         kept.repartition(max(1, n_files), "term_bucket").write.partitionBy(

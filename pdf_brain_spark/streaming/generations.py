@@ -61,17 +61,30 @@ PROTOCOL_MARKER = "_GENERATION_PROTOCOL_V2"
 _GEN_PREFIXES = ("batch_id=", "backfill_floor=", "tombstone_floor=")
 
 
-def stamp_protocol(spark: SparkSession, index_dir: str) -> None:
+def stamp_protocol(spark: SparkSession, index_dir: str, force: bool = False) -> None:
     """Idempotently write the protocol-version marker file. Called by
     every generation writer (foreachBatch bodies, backfill, tombstones)
-    the first time a store directory comes into existence."""
+    the first time a store directory comes into existence.
+
+    A store that already holds generation dirs WITHOUT the marker is a
+    pre-v2 (or foreign) store: stamping it would launder its
+    old-encoding compacted dirs past the read check — the exact
+    upgrade-path hole where a checkpointed stream resumes writing into
+    an old store and the first batch's stamp makes later reads silently
+    misinterpret batch_id=-m. So that case RAISES unless force=True,
+    the operator's explicit I-verified-no-negative-generations
+    override."""
     HPath, fs = _fs(spark, index_dir)
     p = HPath(f"{index_dir}/{PROTOCOL_MARKER}")
-    if not fs.exists(p):
-        fs.create(p, True).close()
+    if fs.exists(p):
+        return
+    if not force and fs.exists(HPath(index_dir)):
+        names = [st.getPath().getName() for st in fs.listStatus(HPath(index_dir))]
+        _check_protocol(index_dir, names)
+    fs.create(p, True).close()
 
 
-def _check_protocol(fs, HPath, index_dir: str, names: list[str]) -> None:
+def _check_protocol(index_dir: str, names: list[str]) -> None:
     """Fail fast when a store holds generation dirs but not the current
     protocol marker — it was written under an older encoding (or by
     foreign code) and would be MISREAD, not merely rejected."""
@@ -85,7 +98,7 @@ def _check_protocol(fs, HPath, index_dir: str, names: list[str]) -> None:
             "negative batch_id dirs would be misread as covering one batch "
             "less than intended. Rebuild the store from facts, or verify "
             "no compacted (negative) generations exist and restamp with "
-            "stamp_protocol()."
+            "stamp_protocol(force=True)."
         )
 
 
@@ -96,7 +109,7 @@ def _list_names(spark: SparkSession, index_dir: str) -> list[str]:
     if not fs.exists(HPath(index_dir)):
         return []
     names = [st.getPath().getName() for st in fs.listStatus(HPath(index_dir))]
-    _check_protocol(fs, HPath, index_dir, names)
+    _check_protocol(index_dir, names)
     return names
 
 

@@ -1457,7 +1457,9 @@ def test_fts_term_bucket_layout_prunes_partitions(spark, tmp_path):
     probe = sorted({portable_term_bucket(t) for t in terms})
     assert len(probe) < FTS_TERM_BUCKETS  # the probe actually prunes
 
-    # (1) plan evidence: the bucket filter lands in PartitionFilters
+    # (1) plan evidence on the SERVE'S OWN plan (not a hand-built scan —
+    # self-review r8 finding): the term_bucket probe must land in a
+    # PartitionFilters clause of fts_search_persisted's executed plan
     served = fts_search_persisted(spark, idx, terms, k=10)
     import os
 
@@ -1469,14 +1471,12 @@ def test_fts_term_bucket_layout_prunes_partitions(spark, tmp_path):
             if f.endswith(".parquet")
         ]
 
-    scan = (
-        spark.read.option("basePath", idx)
-        .parquet(f"{idx}/batch_id=-2")
-        .filter(F.col("term_bucket").isin(probe))
-    )
-    plan = scan._jdf.queryExecution().executedPlan().toString()
+    plan = served._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
-    assert "term_bucket" in plan.split("PartitionFilters", 1)[1][:300]
+    bucket_scans = [
+        seg for seg in plan.split("PartitionFilters")[1:] if "term_bucket" in seg[:300]
+    ]
+    assert bucket_scans, f"no term_bucket PartitionFilter in serve plan:\n{plan[:2000]}"
 
     # (2) files-read bound: probed buckets hold strictly fewer files
     total_files = all_parquet(idx)
@@ -1519,6 +1519,13 @@ def test_fts_reingest_without_tombstone_raises(spark, tmp_path):
     fn(docs.filter(F.col("doc_id") == 1), 1)  # update WITHOUT tombstone
     with _pytest.raises(ValueError, match="tombstone-then-reinsert|more than one"):
         fts_search_persisted(spark, idx, ["spark"], k=10).collect()
+    # the COMPACTOR must also refuse: merging the duplicate generations
+    # would make the double-count undetectable by the serve-path check
+    # (self-review r8 finding)
+    from pdf_brain_spark.streaming.events import compact_fts_index
+
+    with _pytest.raises(ValueError, match="more than one"):
+        compact_fts_index(spark, idx, upto_batch_id=1)
 
 
 def test_generation_protocol_marker(spark, tmp_path):
@@ -1549,8 +1556,13 @@ def test_generation_protocol_marker(spark, tmp_path):
     os.remove(os.path.join(roll, PROTOCOL_MARKER))
     with _pytest.raises(ValueError, match="predates|marker"):
         generation_ids(spark, roll)
-    # verified-and-restamped path reads again
-    stamp_protocol(spark, roll)
+    # a WRITER hitting the same store must not launder it either: the
+    # resumed-stream upgrade path raises instead of stamping
+    # (self-review r8 finding)
+    with _pytest.raises(ValueError, match="predates|marker"):
+        stamp_protocol(spark, roll)
+    # explicit operator override after verifying no negative generations
+    stamp_protocol(spark, roll, force=True)
     assert generation_ids(spark, roll) == [0]
     # an empty/nonexistent store is fine without a marker
     assert generation_ids(spark, str(tmp_path / "nothing")) == []
