@@ -9096,6 +9096,201 @@ def prefiltered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_incremental_kmv",
+    oracle="""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+      FROM hashed
+    ),
+    sketch AS (
+      SELECT event_type, CAST(max(h) AS BIGINT) AS h_k,
+             CAST(count(*) AS BIGINT) AS n_in_sketch
+      FROM ranked WHERE rn <= 64 GROUP BY event_type
+    )
+    SELECT event_type, n_in_sketch,
+           CASE WHEN n_in_sketch < 64 THEN n_in_sketch
+                ELSE CAST(round(63.0 * (1152921504606846976.0 / h_k)) AS BIGINT)
+           END AS kmv_estimate
+    FROM sketch ORDER BY event_type
+    """,
+)
+def streaming_incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental DISTINCT-COUNT maintenance — the KMV
+    sketch as the mergeable-partials store's first SET-VALUED monoid
+    (streaming/events.py::make_kmv_batch_fn): per-batch bottom-64
+    distinct-hash partials merge by union-distinct-truncate, which is
+    associative, commutative, AND idempotent, so however the stream
+    batches (or a compaction) carved the data, the served estimate is
+    bit-identical to the one-shot sketch over all events — which is
+    exactly what the oracle computes. A real AvailableNow run per
+    invocation. Incremental distinct counting is the canonical thing
+    exact countDistinct cannot do without re-shuffling history; the
+    sketch's persisted state is 64 longs per (group, live generation)."""
+    import shutil
+    import tempfile
+
+    from pdf_brain_spark.streaming.events import (
+        read_kmv,
+        streaming_incremental_kmv as drive_kmv,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "user_id"
+    )
+    root = tempfile.mkdtemp(prefix="sgraft_kmv_")
+    stage, store, ckpt = (f"{root}/{d}" for d in ("stage", "kmv", "ckpt"))
+    try:
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(stage)
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        drive_kmv(spark, stream, store, ckpt).awaitTermination()
+        return read_kmv(spark, store).orderBy("event_type").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+    ),
+    hist AS (
+      SELECT event_type, c, count(*) AS n FROM cents GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, c, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY c) AS k
+      FROM hist
+    ),
+    tot AS (SELECT event_type, sum(n) AS total FROM hist GROUP BY 1),
+    med AS (
+      SELECT c.event_type,
+             min(CASE WHEN c.k >= (t.total + 1) // 2 THEN c.c END) AS median_c
+      FROM cum c JOIN tot t USING (event_type) GROUP BY 1
+    ),
+    dev_hist AS (
+      SELECT h.event_type, abs(h.c - m.median_c) AS d, sum(h.n) AS n
+      FROM hist h JOIN med m USING (event_type) GROUP BY 1, 2
+    ),
+    dev_cum AS (
+      SELECT event_type, d, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY d) AS k
+      FROM dev_hist
+    ),
+    mad AS (
+      SELECT dc.event_type,
+             min(CASE WHEN dc.k >= (t.total + 1) // 2 THEN dc.d END) AS mad_c
+      FROM dev_cum dc JOIN tot t USING (event_type) GROUP BY 1
+    )
+    SELECT h.event_type,
+           CAST(t.total AS BIGINT) AS n_events,
+           round(CAST(m.median_c AS DOUBLE) / 100.0, 2) AS median_value,
+           round(CAST(d.mad_c AS DOUBLE) / 100.0, 2) AS mad_value,
+           CAST(sum(CASE WHEN abs(h.c - m.median_c) > 5 * d.mad_c
+                         THEN h.n ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM hist h
+    JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    JOIN tot t USING (event_type)
+    GROUP BY h.event_type, t.total, m.median_c, d.mad_c
+    ORDER BY h.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection by MEDIAN ABSOLUTE DEVIATION — the
+    heavy-tail-safe complement to events_count_anomalies' z-scores (one
+    outlier day corrupts a mean/stddev threshold; it cannot move a
+    median). Exact integer discipline throughout: type-1 medians derive
+    from cent-grain histograms by integer cumulative ranks (the
+    winsorized-stats play), the deviation histogram reuses the value
+    histogram joined to its own median, and the 5×MAD anomaly rule
+    compares integers — no engine can disagree at any boundary. Plan:
+    two histogram aggregates (map-side combinable, value-grain output),
+    two bounded rank windows over histogram grain (never event grain),
+    one final report aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    cents = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    hist = cents.groupBy("event_type", "c").agg(F.count(F.lit(1)).alias("n"))
+    hist = hist.localCheckpoint(eager=True)
+    tot = hist.groupBy("event_type").agg(F.sum("n").alias("total"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    med = (
+        hist.withColumn("k", F.sum("n").over(wc))
+        .join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("k") >= F.floor((F.col("total") + 1) / 2), F.col("c")
+                )
+            ).alias("median_c")
+        )
+    )
+    dev_hist = (
+        hist.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", F.abs(F.col("c") - F.col("median_c")).alias("d"))
+        .agg(F.sum("n").alias("n"))
+    )
+    wd = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mad = (
+        dev_hist.withColumn("k", F.sum("n").over(wd))
+        .join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("k") >= F.floor((F.col("total") + 1) / 2), F.col("d")
+                )
+            ).alias("mad_c")
+        )
+    )
+    return (
+        hist.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "total", "median_c", "mad_c")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("c") - F.col("median_c")) > 5 * F.col("mad_c"),
+                    F.col("n"),
+                ).otherwise(F.lit(0))
+            ).alias("n_anomalies")
+        )
+        .select(
+            "event_type",
+            F.col("total").alias("n_events"),
+            F.round(F.col("median_c").cast("double") / 100.0, 2).alias("median_value"),
+            F.round(F.col("mad_c").cast("double") / 100.0, 2).alias("mad_value"),
+            "n_anomalies",
+        )
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate

@@ -1230,6 +1230,123 @@ def compact_ohlc(spark: SparkSession, store_dir: str, upto_batch_id: int) -> int
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming incremental KMV distinct sketch: the third NON-SUM monoid on the
+# mergeable-partials store (after OHLC's min/max structs) — and the first
+# SET-VALUED one. Each batch's partial is, per event_type, the bottom-K
+# sorted distinct portable hashes of the key; partials merge by
+# union-distinct-sort-truncate, which is associative, commutative, and
+# idempotent (bottomK(bottomK(A)∪bottomK(B)) = bottomK(A∪B) because any
+# hash evicted from a partial bottom-K is ≥ K survivors and can never
+# re-enter the merged bottom-K). Distinct counts therefore maintain
+# incrementally — the thing exact countDistinct fundamentally cannot do —
+# with a deterministic, engine-portable estimate (see
+# queries.kmv_distinct_estimate for the estimator's oracle-ability
+# argument vs engine-private HLL).
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_M = 1152921504606846976.0  # 2^60: md5_long's hash-space size
+
+
+def _kmv_merge_exprs():
+    return [
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("hashes")))),
+            1,
+            KMV_K,
+        ).alias("hashes")
+    ]
+
+
+def make_kmv_batch_fn(store_dir: str, key_col: str = "user_id", type_col: str = "event_type"):
+    """Per-micro-batch KMV partial: bottom-K sorted distinct hashes of
+    the key per group, replay-idempotent (batch_id=N overwrite)."""
+    from pdf_brain_spark.functions.text import md5_long
+
+    def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = (
+            batch_df.select(
+                F.col(type_col).alias("event_type"),
+                md5_long(F.col(key_col).cast("string")).alias("h"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.slice(F.array_sort(F.collect_set("h")), 1, KMV_K).alias("hashes")
+            )
+        )
+        from pdf_brain_spark.streaming.generations import (
+            record_wseq,
+            stamp_protocol,
+        )
+
+        stamp_protocol(batch_df.sparkSession, store_dir)
+        partial.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+        record_wseq(batch_df.sparkSession, store_dir, f"batch_id={batch_id}")
+
+    return _each_batch
+
+
+def streaming_incremental_kmv(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+):
+    """Drive incremental distinct-sketch maintenance as a Structured
+    Streaming query (AvailableNow in tests/gate; continuous in
+    production). Per-batch work is one aggregate over the BATCH; the
+    persisted state is K longs per (group, live generation)."""
+    return (
+        events_stream.writeStream.foreachBatch(make_kmv_batch_fn(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_kmv(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Serve distinct-count estimates from the persisted sketch (live
+    generations, mid-compaction-safe): one set-union re-merge per group,
+    then the KMV estimator (k-1)/(h_k / 2^60) — identical formula and
+    IEEE operations to the one-shot kmv_distinct_estimate, so a real
+    streamed store reproduces the batch gate's numbers exactly."""
+    from pdf_brain_spark.streaming.generations import kept_partial_rows
+
+    merged = (
+        kept_partial_rows(spark, store_dir, ["event_type"], ["hashes"])
+        .groupBy("event_type")
+        .agg(*_kmv_merge_exprs())
+    )
+    n_in = F.size("hashes")
+    h_k = F.element_at("hashes", n_in)
+    est = F.when(n_in < KMV_K, n_in.cast("long")).otherwise(
+        F.round(F.lit(float(KMV_K - 1)) * (F.lit(_KMV_M) / h_k)).cast("long")
+    )
+    return merged.select(
+        "event_type",
+        n_in.cast("long").alias("n_in_sketch"),
+        est.alias("kmv_estimate"),
+    )
+
+
+def compact_kmv(spark: SparkSession, store_dir: str, upto_batch_id: int) -> int:
+    """Merge committed KMV partial generations with the store's own
+    set-union monoid (reader-safe generation protocol)."""
+    from pdf_brain_spark.streaming.generations import compact_partials
+
+    return compact_partials(
+        spark,
+        store_dir,
+        upto_batch_id,
+        ["event_type"],
+        ["hashes"],
+        merge_exprs=_kmv_merge_exprs(),
+    )
+
+
 def compact_fts_index(spark: SparkSession, index_dir: str, upto_batch_id: int, n_files: int = 8) -> int:
     """Merge committed postings generations into one compacted
     generation, materializing document deletions (reader-safe

@@ -1275,6 +1275,7 @@ def test_streaming_ohlc_replay_merge_compact(spark, tmp_path):
         read_ohlc,
     )
     from pdf_brain_spark.streaming.generations import generation_ids
+    from pdf_brain_spark.sources.loaders import load_table
 
     ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
         "event_id", "event_type", "ts", "value"
@@ -1656,3 +1657,68 @@ def test_rollup_bitemporal_write_vs_coverage(spark, tmp_path):
         read_rollup(spark, roll, asof_batch_id=1).collect()
     with _pytest.raises(ValueError, match="write-time|retired"):
         read_rollup(spark, roll, asof_batch_id=1, temporal="write").collect()
+
+
+def test_streaming_kmv_replay_merge_compact(spark, tmp_path):
+    """Set-valued monoid on the partials store: KMV partials are
+    replay-idempotent, the served estimate across batch generations
+    equals the one-shot sketch over all rows (bottom-K union-truncate
+    associativity exercised through real splits), and compaction with
+    the set-union monoid preserves serving exactly."""
+    from pdf_brain_spark.functions.text import md5_long
+    from pdf_brain_spark.streaming.events import (
+        KMV_K,
+        compact_kmv,
+        make_kmv_batch_fn,
+        read_kmv,
+    )
+    from pdf_brain_spark.streaming.generations import generation_ids
+    from pdf_brain_spark.sources.loaders import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "event_type", "user_id"
+    )
+    store = str(tmp_path / "kmv")
+    fn = make_kmv_batch_fn(store)
+    fn(ev.filter(F.col("event_id") % 3 == 0), 0)
+    fn(ev.filter(F.col("event_id") % 3 == 1), 1)
+    fn(ev.filter(F.col("event_id") % 3 == 2), 2)
+
+    def snapshot():
+        return sorted(
+            (r["event_type"], tuple(r["hashes"]))
+            for r in spark.read.option("basePath", store).parquet(store).collect()
+        )
+
+    before = snapshot()
+    fn(ev.filter(F.col("event_id") % 3 == 1), 1)  # crash replay
+    assert snapshot() == before
+
+    def served():
+        return sorted(
+            (r["event_type"], r["n_in_sketch"], r["kmv_estimate"])
+            for r in read_kmv(spark, store).collect()
+        )
+
+    # one-shot reference: bottom-K distinct hashes over ALL rows
+    import pandas as pd  # noqa: F401
+
+    one_shot = (
+        ev.select("event_type", md5_long(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, KMV_K).alias("hashes"))
+    )
+    want = []
+    for r in one_shot.collect():
+        n = len(r["hashes"])
+        est = n if n < KMV_K else round((KMV_K - 1) * (2**60 / r["hashes"][-1]))
+        want.append((r["event_type"], n, est))
+    want = sorted(want)
+    got = served()
+    assert got == want and got
+
+    # compaction with the set-union monoid preserves serving
+    assert compact_kmv(spark, store, upto_batch_id=2) == 3
+    assert generation_ids(spark, store) == [-3]
+    assert served() == want
