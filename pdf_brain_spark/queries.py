@@ -9291,6 +9291,243 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cheapest_supplier_per_part",
+    oracle="""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(min(round(l_extendedprice * 100 / l_quantity)) AS BIGINT)
+               AS unit_cents
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey,
+             min(struct_pack(u := unit_cents, s := l_suppkey)) AS b
+      FROM unit GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name,
+           round(CAST(b.b.u AS DOUBLE) / 100.0, 2) AS best_unit_price
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.b.s
+    WHERE p.p_partkey <= 200
+    ORDER BY p.p_partkey
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated-minimum shape on this schema (cheapest
+    supplier per part, unit price derived from lineitem): the
+    correlated subquery rewrites to an ARGMIN-BY-STRUCT aggregate —
+    min(struct(price, suppkey)) per part — which is map-side
+    combinable, needs NO window over the fact table, and carries the
+    winning supplier out of the same aggregate that found the minimum
+    (ties break to the lowest suppkey by the struct's second field,
+    identically on both engines). Integer unit cents; part/supplier
+    dims broadcast onto the tiny result."""
+    lineitem = load_table(spark, "lineitem", sf_dir).filter(F.col("l_quantity") > 0)
+    unit = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.round(F.col("l_extendedprice") * 100 / F.col("l_quantity")).cast("long")
+        ).alias("unit_cents")
+    )
+    best = unit.groupBy("l_partkey").agg(
+        F.min(F.struct(F.col("unit_cents").alias("u"), F.col("l_suppkey").alias("s"))).alias("b")
+    )
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_partkey") <= 200)
+    supplier = load_table(spark, "supplier", sf_dir)
+    return (
+        best.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("b.s"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round(F.col("b.u").cast("double") / F.lit(100.0), 2).alias(
+                "best_unit_price"
+            ),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "tpch_q22_idle_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    ),
+    rich AS (
+      SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+      FROM customer c, avg_bal
+      WHERE c.c_acctbal > avg_bal.a
+    ),
+    idle AS (
+      SELECT r.* FROM rich r
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey)
+    )
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS total_balance
+    FROM idle GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): above-average-balance
+    customers with NO orders, reported per market segment. Three
+    classic plan moves in one query: the scalar AVG subquery computes
+    once and broadcasts as a 1-row cross join (never re-evaluated per
+    row), the NOT EXISTS decorrelates to a LEFT ANTI join on custkey,
+    and the report is a tiny segment aggregate over exact integer
+    cents. At 100 TB the anti join is the one custkey exchange; the
+    scalar stays a broadcast whatever the scale."""
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    rich = customer.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("a")
+    )
+    idle = rich.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double")
+                / F.lit(100.0),
+                2,
+            ).alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "lang_rebalance_plan",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ),
+    mx AS (SELECT max(n_docs) AS m FROM counts)
+    SELECT c.lang, c.n_docs,
+           CAST(least(4, m.m // c.n_docs) AS BIGINT) AS repeat_factor,
+           CAST(c.n_docs * least(4, m.m // c.n_docs) AS BIGINT) AS effective_docs,
+           round(CAST(c.n_docs * least(4, m.m // c.n_docs) AS DOUBLE) /
+                 (SELECT sum(n_docs * least(4, (SELECT m FROM mx) // n_docs))
+                  FROM counts), 6) AS effective_share
+    FROM counts c, mx m
+    ORDER BY c.lang
+    """,
+)
+def lang_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture REBALANCING plan (the LLaMA-style epochs-per-subset
+    recipe, complement of domain_mixture_sample's downsampling): per
+    language, an integer repeat factor min(4, max_count // count)
+    upweights scarce languages toward parity under an epoch cap, and
+    the report carries the achieved effective share so the recipe is
+    auditable before any data moves. All integer arithmetic until the
+    final share division. Plan: one lang-grain aggregate; everything
+    after runs on a |langs|-row frame."""
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    mx = counts.agg(F.max("n_docs").alias("m"))
+    planned = counts.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        "n_docs",
+        F.least(F.lit(4), F.floor(F.col("m") / F.col("n_docs"))).cast("long").alias(
+            "repeat_factor"
+        ),
+    ).withColumn("effective_docs", F.col("n_docs") * F.col("repeat_factor"))
+    tot = planned.agg(F.sum("effective_docs").alias("t"))
+    return (
+        planned.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "repeat_factor",
+            "effective_docs",
+            F.round(
+                F.col("effective_docs").cast("double") / F.col("t").cast("double"), 6
+            ).alias("effective_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "oov_rate_report",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                    t -> t <> '')) AS term
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rn
+        FROM toks GROUP BY term
+      ) WHERE rn <= 1000
+    ),
+    flagged AS (
+      SELECT t.doc_id, t.source,
+             CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks t LEFT JOIN vocab v ON t.term = v.term
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           CAST(round(1000000.0 * sum(oov) / count(*)) AS BIGINT) AS oov_ppm
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+)
+def oov_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage / out-of-vocabulary audit: against a pinned
+    vocabulary (the corpus's top-1000 terms by frequency, ties broken
+    lexicographically — deterministic on both engines), report each
+    source's OOV token rate in integer ppm. The per-source OOV spike is
+    the standard signal for encoding corruption, language mislabeling,
+    or domain shift before training. Plan: one vocabulary aggregate
+    (map-side combinable) broadcast back onto the token stream as a
+    LEFT join, one source-grain integer aggregate — the token stream is
+    never shuffled."""
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", "source", F.explode(tokenize("text")).alias("term")
+    )
+    toks = toks.localCheckpoint(eager=True)
+    w = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 1000)
+        .select(F.col("term").alias("v_term"))
+    )
+    flagged = toks.join(
+        F.broadcast(vocab), F.col("term") == F.col("v_term"), "left"
+    ).select(
+        "source", F.when(F.col("v_term").isNull(), 1).otherwise(0).alias("oov")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("oov").alias("n_oov"),
+            F.round(F.lit(1_000_000.0) * F.sum("oov") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("oov_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
