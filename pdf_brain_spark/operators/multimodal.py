@@ -127,3 +127,54 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+def audio_window_map_in_pandas(win_chars: int = 200, hop_chars: int = 100):
+    """(asset_id, content) → one row per overlapping analysis window:
+    (asset_id, window_idx, start_c, n_chars, window_md5). The audio
+    STFT-framing shape — overlapping fixed-length windows with hop —
+    with the decode stubbed: the binary payload's UTF-8 text stands in
+    for PCM samples (chars ≙ samples), and each window's md5 digest
+    byte-certifies that the batched-UDF windowing cut EXACTLY the right
+    slice (an off-by-one in the hop arithmetic, a dropped tail window,
+    or a batch-boundary bug flips the digest). Real mode would swap the
+    digest for an FFT via librosa — same rows out, same plumbing.
+
+    Explode-then-process: like frame_sample_plan, a long asset becomes
+    many window rows BEFORE any heavy kernel runs, so downstream
+    parallelism is per-window, not per-asset. Map-only; the Arrow batch
+    iterator never materializes more than one batch of windows."""
+
+    def _window(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "window_idx": [], "start_c": [], "n_chars": [], "window_md5": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["content"]):
+                text = bytes(payload).decode("utf-8", errors="strict")
+                n = len(text)
+                idx = 0
+                start = 0
+                # every window whose START is inside the asset, tail
+                # windows truncated (the librosa center=False convention)
+                while start < n:
+                    sl = text[start : start + win_chars]
+                    out["asset_id"].append(aid)
+                    out["window_idx"].append(idx)
+                    out["start_c"].append(start)
+                    out["n_chars"].append(len(sl))
+                    out["window_md5"].append(
+                        hashlib.md5(sl.encode("utf-8")).hexdigest()
+                    )
+                    idx += 1
+                    start += hop_chars
+            yield pd.DataFrame(out)
+
+    return _window
+
+
+def extract_audio_windows(media: DataFrame, win_chars: int = 200, hop_chars: int = 100) -> DataFrame:
+    """Map-only overlapping-window framing over audio rows."""
+    auds = media.filter(F.col("kind") == "audio").select("asset_id", "content")
+    return auds.mapInPandas(
+        audio_window_map_in_pandas(win_chars, hop_chars),
+        schema="asset_id string, window_idx int, start_c int, n_chars int, window_md5 string",
+    )

@@ -9528,6 +9528,51 @@ def oov_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_audio_windows",
+    oracle="""
+    WITH auds AS (
+      SELECT CAST(doc_id AS VARCHAR) AS asset_id, COALESCE(text, '') AS t
+      FROM documents WHERE doc_id < 40
+    ),
+    wins AS (
+      SELECT asset_id, t,
+             unnest(range(0, greatest(len(t), 0), 100)) AS start_c
+      FROM auds
+    )
+    SELECT asset_id,
+           CAST(start_c / 100 AS INT) AS window_idx,
+           CAST(start_c AS INT) AS start_c,
+           CAST(len(substr(t, CAST(start_c + 1 AS INT), 200)) AS INT) AS n_chars,
+           md5(substr(t, CAST(start_c + 1 AS INT), 200)) AS window_md5
+    FROM wins ORDER BY asset_id, window_idx
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analysis-window framing plumbing (the third multimodal
+    gate, completing image features + video frame plan): overlapping
+    fixed-length windows with hop over an opaque binary payload via
+    Arrow-batched mapInPandas (operators/multimodal.py::
+    extract_audio_windows — chars stand in for PCM samples, the STFT
+    decode is the stubbed seam). Each window's md5 digest
+    byte-certifies the batched-UDF slicing — an off-by-one in the hop
+    arithmetic, a dropped truncated tail window, or a batch-boundary
+    bug flips the hash against the oracle's substr replay. Map-only;
+    explode-by-window BEFORE any kernel, so decode parallelism at
+    100 TB is per-window, not per-asset."""
+    from pdf_brain_spark.operators.multimodal import extract_audio_windows
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 40)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("audio").alias("kind"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("content"),
+    )
+    return extract_audio_windows(media, win_chars=200, hop_chars=100).orderBy(
+        "asset_id", "window_idx"
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
