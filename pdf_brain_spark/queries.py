@@ -9573,6 +9573,245 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+                 / 10000.0, 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the canonical
+    scan-heavy query — zero joins, a scalar aggregate over a
+    triple-predicate slice of the fact. The entire WHERE (ship-year
+    range, discount band, quantity cap) must reach the parquet scan as
+    PushedFilters, and the single sum is map-side combinable, so the
+    100 TB plan is one embarrassingly-parallel scan + a 32-partition
+    reduce of one row each. Revenue is summed as exact integer
+    cents x discount-percent units and divided once at the end."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return li.agg(
+        F.round(F.sum(cents * disc_pct).cast("double") / 10000.0, 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@query(
+    "tpch_q12_ship_priority_class",
+    oracle="""
+    SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                THEN 'SLOW' ELSE 'FAST' END AS delay_class,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY delay_class
+    ORDER BY delay_class
+    """,
+)
+def tpch_q12_ship_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority), adapted to
+    this schema (no l_shipmode/commitdate/receiptdate: the mode column
+    becomes a ship-DELAY class, slow = shipped >60 days after order).
+    The signature survives intact — conditional priority counts
+    pivoted inside one aggregate. The ship-year predicate prunes the
+    fact scan; one orderkey shuffle joins orders, then a two-group
+    map-side-combinable aggregate — no window, no second shuffle."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "delay_class",
+            F.when(
+                F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60), "SLOW"
+            ).otherwise("FAST"),
+        )
+        .groupBy("delay_class")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("delay_class")
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution), adapted to
+    this schema (the o_comment NOT LIKE filter becomes a priority
+    exclusion — same plan role: a non-key predicate INSIDE the outer
+    join condition, so excluded-order customers still appear with
+    count 0). Two stacked aggregates: orders pre-aggregates to custkey
+    grain (map-side combinable) BEFORE the outer join against the much
+    smaller customer keyset, then the histogram aggregate runs over
+    one row per customer — the fact is never carried through the
+    join row-for-row."""
+    customer = load_table(spark, "customer", sf_dir).select("c_custkey")
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    counts = (
+        customer.join(per_cust, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS total_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           round(CAST(r.total_e4 AS DOUBLE) / 10000.0, 4) AS total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_e4 = (SELECT max(total_e4) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier, the view + scalar-max query):
+    quarterly revenue per supplier, then the supplier(s) achieving the
+    GLOBAL max — ties kept, which is why this is an exact-integer
+    equality against a broadcast scalar and not a LIMIT 1. The fact
+    aggregates once (map-side combinable, pushed date filter); the max
+    is a 1-row aggregate of that supplier-grain frame cross-joined
+    back (broadcast by size), and the supplier dim broadcasts onto the
+    surviving row(s). The revenue view is computed exactly once —
+    Spark reuses the cached logical subtree for both the max and the
+    filter, mirroring the SQL view."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round((F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents * disc).alias("total_e4"))
+    rev = rev.localCheckpoint(eager=False)  # one physical compute of the view
+    mx = rev.agg(F.max("total_e4").alias("max_e4"))
+    supplier = load_table(spark, "supplier", sf_dir)
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_e4") == F.col("max_e4"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_e4").cast("double") / 10000.0, 4).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH pagg AS (
+      SELECT l_partkey AS pk,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / 7.0, 4) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small_lines
+    FROM lineitem l
+    JOIN pagg a ON a.pk = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND CAST(round(l.l_quantity) AS BIGINT) * 5 * a.n_lines < a.sum_qty
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    `l_quantity < 0.2 * avg(l_quantity) per part` subquery decorrelated
+    into a per-part aggregate joined back onto the fact. The fractional
+    threshold is made EXACT integer arithmetic: qty < sum/(5n) <=>
+    qty*5*n < sum for positive counts — no float division on either
+    side. The per-part aggregate is map-side combinable on the same
+    partkey shuffle the join then reuses; the brand filter prunes via
+    the broadcast part dim; one scalar aggregate ends the plan."""
+    li = load_table(spark, "lineitem", sf_dir)
+    qty = F.round(F.col("l_quantity")).cast("long")
+    pagg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(qty).alias("sum_qty"),
+    )
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pagg, F.col("pk") == F.col("l_partkey"))
+        .filter(qty * 5 * F.col("n_lines") < F.col("sum_qty"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100.0
+                / 7.0,
+                4,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
