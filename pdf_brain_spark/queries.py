@@ -9812,6 +9812,482 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT) AS vol_e4,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      WHERE p.p_type = 'ECONOMY'
+        AND r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol_e4
+                               ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(vol_e4) AS DOUBLE), 6) AS mkt_share,
+           round(CAST(sum(vol_e4) AS DOUBLE) / 10000.0, 4) AS total_volume
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's share of a
+    region's ECONOMY-part import volume by order year. Seven-table
+    join: nation/region broadcast (tiny dims); part is filtered but
+    NOT broadcast — at 100 TB a 1/6-of-part type slice is far above
+    the broadcast threshold, so it rides the l_partkey shuffle and AQE
+    may still elect broadcast at small SF. The share is computed as a
+    conditional-sum / sum pair inside ONE aggregate over exact integer
+    e-4 volume units (no numerator re-scan), divided once at the end."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    supplier = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    customer = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey"
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                  F.col("n_name").alias("supp_nation"))),
+        F.col("sn_key") == F.col("s_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    asia_cust = customer.join(
+        F.broadcast(
+            nation.join(region, F.col("r_regionkey") == F.col("n_regionkey"))
+            .filter(F.col("r_name") == "ASIA")
+            .select(F.col("n_nationkey").alias("cn_key"))
+        ),
+        F.col("cn_key") == F.col("c_nationkey"),
+        "left_semi",
+    ).select("c_custkey")
+    vol_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
+    )
+    vol = (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp_nation, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(asia_cust, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol_e4.alias("vol_e4"),
+            "supp_nation",
+        )
+    )
+    nat_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", F.col("vol_e4")).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                nat_vol.cast("double") / F.sum("vol_e4").cast("double"), 6
+            ).alias("mkt_share"),
+            F.round(F.sum("vol_e4").cast("double") / 10000.0, 4).alias(
+                "total_volume"
+            ),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT sn.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(sum(
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT)
+             - CAST(round(p.p_retailprice * 60) AS BIGINT)
+               * CAST(round(l.l_quantity) AS BIGINT) * 100
+           ) AS DOUBLE) / 10000.0, 4) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit), adapted to this schema (no
+    partsupp: supply cost is a deterministic 60%-of-retail-price proxy,
+    stated here so the oracle's exactness is honest, not hidden).
+    Profit = revenue - cost in exact integer e-4 units: cents x
+    discount-complement minus supplycost-cents x qty x 100, summed as
+    BIGINT and divided once. The p_name LIKE prunes part early; the
+    filtered part and the supplier->nation map join the fact, orders
+    joins on the orderkey shuffle, and one (nation, year) aggregate
+    ends the plan — at 100 TB the fact is touched exactly once."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey", "p_retailprice")
+    supplier = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation), F.col("sn_key") == F.col("s_nationkey")
+    ).select("s_suppkey", "nation")
+    profit_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
+        - F.round(F.col("p_retailprice") * 60).cast("long")
+        * F.round(F.col("l_quantity")).cast("long")
+        * 100
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp_nation, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit_e4.alias("profit_e4"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            F.round(F.sum("profit_e4").cast("double") / 10000.0, 4).alias(
+                "profit"
+            )
+        )
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH euro_supp AS (
+      SELECT s.s_suppkey FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    val AS (
+      SELECT l.l_partkey AS partkey,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT)) AS value_e4
+      FROM lineitem l
+      WHERE l.l_suppkey IN (SELECT s_suppkey FROM euro_supp)
+      GROUP BY l.l_partkey
+    )
+    SELECT partkey, round(CAST(value_e4 AS DOUBLE) / 10000.0, 4) AS value
+    FROM val
+    WHERE value_e4 * (SELECT count(*) FROM val) * 2
+          > 3 * (SELECT sum(value_e4) FROM val)
+    ORDER BY value_e4 DESC, partkey ASC
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification), adapted to
+    this schema (no partsupp: 'value' is the revenue carried by
+    EUROPE-region suppliers per part instead of availqty x supplycost —
+    same plan skeleton). The signature is the scalar subquery in
+    HAVING: the part-grain aggregate computes once (localCheckpoint
+    pins the view), its 1-row global sum broadcasts back, and the
+    threshold comparison is pure integer arithmetic (2 x value x
+    n_parts > 3 x total, i.e. parts above 1.5x the MEAN part value —
+    scale-free,
+    so the gate returns a real top-tail at every SF) — no float
+    division can flip a boundary row on either side. The region
+    membership is a broadcast semi-join on the fact's suppkey before
+    the partkey shuffle."""
+    supplier = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    euro = supplier.join(
+        F.broadcast(
+            nation.join(region, F.col("r_regionkey") == F.col("n_regionkey"))
+            .filter(F.col("r_name") == "EUROPE")
+            .select("n_nationkey")
+        ),
+        F.col("n_nationkey") == F.col("s_nationkey"),
+        "left_semi",
+    ).select("s_suppkey")
+    li = load_table(spark, "lineitem", sf_dir)
+    vol_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
+    )
+    val = (
+        li.join(F.broadcast(euro), F.col("s_suppkey") == F.col("l_suppkey"),
+                "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(vol_e4).alias("value_e4"))
+    )
+    val = val.localCheckpoint(eager=False)
+    total = val.agg(
+        F.sum("value_e4").alias("total_e4"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_e4") * F.col("n_parts") * 2 > 3 * F.col("total_e4")
+        )
+        .select(
+            "partkey",
+            F.round(F.col("value_e4").cast("double") / 10000.0, 4).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), F.col("partkey").asc())
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT pr.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM pairs pr
+    JOIN part p ON p.p_partkey = pr.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND pr.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship), adapted to this
+    schema (no partsupp: the supplier-part relation is the DISTINCT
+    (partkey, suppkey) projection of lineitem; the 'customer
+    complaints' comment filter becomes a negative-balance exclusion).
+    The plan keeps Q16's two signatures: a NOT IN decorrelated to a
+    broadcast LEFT ANTI join (the excluded-supplier set is tiny), and
+    a count(DISTINCT suppkey) whose partial-distinct runs on the same
+    (brand,type,size) shuffle as the final aggregate. The pair
+    projection itself deduplicates map-side on the partkey shuffle the
+    part join then reuses."""
+    li = load_table(spark, "lineitem", sf_dir)
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    complained = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        pairs.join(
+            F.broadcast(complained),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@query(
+    "tpch_q20_dominant_suppliers",
+    oracle="""
+    WITH red96 AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(round(l.l_quantity) AS BIGINT) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'red%'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    ),
+    pair AS (
+      SELECT l_partkey, l_suppkey, sum(qty) AS pair_qty
+      FROM red96 GROUP BY l_partkey, l_suppkey
+    ),
+    ptotal AS (
+      SELECT l_partkey, sum(pair_qty) AS part_qty,
+             CAST(count(*) AS BIGINT) AS n_supp
+      FROM pair GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT pr.l_suppkey FROM pair pr
+      JOIN ptotal pt ON pt.l_partkey = pr.l_partkey
+      WHERE pt.n_supp >= 4 AND pr.pair_qty * pt.n_supp > 2 * pt.part_qty
+    )
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion), adapted to this
+    schema (no partsupp availqty: the doubly nested subquery becomes
+    'suppliers shipping >2x the mean per-supplier share of a red
+    part's 1996 volume, among parts with >=4 suppliers' — the same
+    two-level decorrelation: an inner per-(supp,part) aggregate
+    compared against a per-part aggregate OF that aggregate, collapsed
+    to a supplier semi-join). Integer-exact, scale-free threshold
+    (qty x n_supp > 2 x total) so the gate is selective at every SF.
+    The part filter prunes the fact before the first shuffle; the
+    second aggregate reuses the partkey grain; the final supplier
+    semi-join carries only qualifying suppkeys."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    pair = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("pair_qty"))
+    )
+    ptotal = pair.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("pair_qty").alias("part_qty"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    dominant = (
+        pair.join(ptotal, F.col("pk") == F.col("l_partkey"))
+        .filter(
+            (F.col("n_supp") >= 4)
+            & (F.col("pair_qty") * F.col("n_supp") > 2 * F.col("part_qty"))
+        )
+        .select("l_suppkey")
+    )
+    supplier = load_table(spark, "supplier", sf_dir)
+    return (
+        supplier.join(
+            dominant, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    WITH base AS (
+      SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    late AS (
+      SELECT * FROM base
+      WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+      SELECT 1 FROM base l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM late l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    this schema (no commit/receipt dates: 'late' = shipped >90 days
+    after the order date; finalized orders only). The signature is the
+    EXISTS + NOT EXISTS pair over the SAME fact: the sole late
+    supplier on a multi-supplier order. Both decorrelate to orderkey
+    joins — a LEFT SEMI against other-supplier lines and a LEFT ANTI
+    against other-supplier LATE lines — sharing the one orderkey
+    shuffle the orders join already paid. The supplier dim broadcasts
+    onto the surviving (small) set before a name-grain count and
+    TakeOrdered(20)."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    base = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate"
+    )
+    base = base.localCheckpoint(eager=False)
+    late = base.filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    )
+    others = base.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    sole_late = (
+        late.join(
+            others,
+            (F.col("ok2") == F.col("l_orderkey"))
+            & (F.col("sk2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("ok3") == F.col("l_orderkey"))
+            & (F.col("sk3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    supplier = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
