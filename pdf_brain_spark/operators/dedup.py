@@ -1002,3 +1002,89 @@ def novelty_scores(
             F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Robust winnowing (Schleimer, Wilkerson & Aiken 2003, SIGMOD — the MOSS
+# fingerprinting algorithm). Public-paper implementation; no reference
+# counterpart.
+# --------------------------------------------------------------------------
+
+# Positions are packed into the low bits of the winnowing sort key so ONE
+# integer window-min implements "minimum hash, ties -> rightmost": key =
+# h * POS_MOD + (POS_MOD - pos). Documents are truncated to POS_MOD - 1
+# tokens (4M) so the packing cannot collide; h is a 32-bit portable hash,
+# so keys stay < 2^54 — exact in BIGINT and in float64-free integer SQL.
+WINNOW_POS_MOD = 4_194_304  # 2^22
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprint selection: k-gram portable hashes, one
+    window-min per w-gram window, ties to the RIGHTMOST minimum — the
+    guarantee (Schleimer et al. §4) is that every w consecutive grams
+    contribute >=1 selected fingerprint (so any match of length >= w+k-1
+    tokens is detected) at expected density 2/(w+1).
+
+    Plan shape: tokenize + gram explode are map-only; the ONLY exchange
+    is the per-document sort the window-min needs — at 100 TB that is
+    one doc-grain shuffle, and because the tie-break is packed into the
+    sort key there is no second pass, no argmin self-join, and no UDF.
+    Short documents (fewer than w grams) degrade to their global
+    rightmost-min via the pos=1 truncated window, matching the oracle.
+
+    Returns (doc_id, pos, fp_hash): the 1-based gram position and 32-bit
+    gram hash of each selected fingerprint.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.slice(tokenize(text_col), 1, WINNOW_POS_MOD - 1).alias("tokens"),
+    ).filter(F.size("tokens") >= k)
+    grams = toks.select(
+        "doc_id",
+        (F.size("tokens") - (k - 1)).alias("n_grams"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tokens) - {k - 1}), "
+                f"i -> struct(i AS pos, "
+                f"concat_ws(' ', slice(tokens, i, {k})) AS gram))"
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        F.col("g.pos").alias("pos"),
+        F.conv(F.substring(F.md5("g.gram"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    keyed = grams.withColumn(
+        "key",
+        F.col("h") * WINNOW_POS_MOD + (F.lit(WINNOW_POS_MOD) - F.col("pos")),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    wins = keyed.withColumn("wkey", F.min("key").over(win)).filter(
+        (F.col("pos") == 1) | (F.col("pos") <= F.col("n_grams") - (w - 1))
+    )
+    return (
+        wins.select("doc_id", "wkey")
+        .distinct()
+        .select(
+            "doc_id",
+            (F.lit(WINNOW_POS_MOD) - F.col("wkey") % WINNOW_POS_MOD)
+            .cast("long")
+            .alias("pos"),
+            # exact unpack: POS_MOD is 2^22, and float64 division here
+            # would round h + (POS_MOD-1)/POS_MOD up past 53 mantissa
+            # bits for 32-bit hashes — shift, never divide
+            F.shiftright(F.col("wkey"), 22).cast("long").alias("fp_hash"),
+        )
+        .orderBy("doc_id", "pos")
+    )

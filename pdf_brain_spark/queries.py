@@ -10288,6 +10288,253 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "winnowing_fingerprints",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             (list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                          t -> t <> ''))[1:4194303] AS tokens
+      FROM documents WHERE doc_id < 150
+    ),
+    eligible AS (
+      SELECT doc_id, tokens, CAST(len(tokens) - 3 AS BIGINT) AS n_grams
+      FROM toks WHERE len(tokens) >= 4
+    ),
+    grams AS (
+      SELECT doc_id, n_grams,
+             unnest(range(1, n_grams + 1)) AS pos,
+             unnest(list_transform(range(1, n_grams + 1),
+               i -> CAST(concat('0x', substr(md5(tokens[i] || ' ' || tokens[i+1]
+                 || ' ' || tokens[i+2] || ' ' || tokens[i+3]), 1, 8)) AS BIGINT)
+             )) AS h
+      FROM eligible
+    ),
+    keyed AS (
+      SELECT doc_id, n_grams, pos, h * 4194304 + (4194304 - pos) AS key
+      FROM grams
+    ),
+    wins AS (
+      SELECT doc_id, n_grams, pos,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey
+      FROM keyed
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, wkey FROM wins
+      WHERE pos = 1 OR pos <= n_grams - 3
+    )
+    SELECT doc_id,
+           CAST(4194304 - (wkey % 4194304) AS BIGINT) AS pos,
+           CAST(wkey // 4194304 AS BIGINT) AS fp_hash
+    FROM sel ORDER BY doc_id, pos
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing fingerprint selection (Schleimer, Wilkerson &
+    Aiken 2003 — the MOSS algorithm; k=4-gram hashes, w=4 windows,
+    min-hash per window with ties to the RIGHTMOST): guarantees every
+    w consecutive grams contribute a fingerprint, so any shared run of
+    >= w+k-1 tokens between two documents is detected at expected
+    density 2/(w+1) — the local-guarantee upgrade over the 0-mod-p
+    sampling the doc_fingerprints gate uses. The tie-break is PACKED
+    into the sort key (h * 2^22 + (2^22 - pos)), so one integer
+    window-min implements min-then-rightmost with no argmin self-join
+    and no UDF; the only exchange at 100 TB is the doc-grain sort the
+    window needs (operators/dedup.py::winnowing_fingerprints)."""
+    from pdf_brain_spark.operators.dedup import winnowing_fingerprints as winnow
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
+    return winnow(docs, k=4, w=4)
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         t -> t <> '') AS tokens,
+             regexp_split_to_array(COALESCE(text, ''), '\n') AS lines
+      FROM documents WHERE doc_id < 500
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(tokens) AS BIGINT) AS word_count,
+             CAST(round(1000.0 * COALESCE(list_sum(
+                    list_transform(tokens, t -> len(t))), 0)
+                  / greatest(len(tokens), 1)) AS BIGINT) AS mean_word_len_milli,
+             CAST(round(1000000.0 * len(list_filter(tokens,
+                    t -> NOT regexp_matches(t, '[a-z]')))
+                  / greatest(len(tokens), 1)) AS BIGINT) AS symbol_ppm,
+             CAST(round(1000000.0 * len(list_filter(lines,
+                    l -> regexp_matches(trim(l), '^[-*]')))
+                  / greatest(len(lines), 1)) AS BIGINT) AS bullet_ppm,
+             CAST(CASE WHEN list_contains(tokens, 'the') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(tokens, 'a') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(tokens, 'of') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(tokens, 'and') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(tokens, 'to') THEN 1 ELSE 0 END
+               AS BIGINT) AS n_stopwords
+      FROM d
+    )
+    SELECT doc_id, word_count, mean_word_len_milli, symbol_ppm, bullet_ppm,
+           n_stopwords,
+           (word_count BETWEEN 30 AND 100000
+            AND mean_word_len_milli BETWEEN 3000 AND 10000
+            AND symbol_ppm <= 100000
+            AND bullet_ppm <= 900000
+            AND n_stopwords >= 2) AS keep
+    FROM m ORDER BY doc_id
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", App. A — the standard pre-training
+    heuristic filter battery): word-count bounds, mean word length
+    band, symbol-token ratio cap, bullet-line ratio cap, and a pinned
+    stopword-presence floor, each computed in integer milli/ppm units
+    so the keep decision is boundary-exact against the oracle.
+    Map-only: every rule is an array expression over the tokenized
+    document — no shuffle, no UDF, embarrassingly parallel at 100 TB;
+    the keep column composes with the C4/repetition/perplexity gates
+    already registered."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 500)
+    from pdf_brain_spark.functions.text import tokenize
+
+    toks = tokenize("text")
+    lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    sum_len = F.coalesce(
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ),
+        F.lit(0),
+    )
+    n_sym = F.size(F.filter(toks, lambda t: ~t.rlike("[a-z]")))
+    n_bullet = F.size(F.filter(lines, lambda l: F.trim(l).rlike("^[-*]")))
+    n_stop = sum(
+        F.when(F.array_contains(toks, s), 1).otherwise(0)
+        for s in ["the", "a", "of", "and", "to"]
+    ).cast("long")
+    m = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("word_count"),
+        F.round(F.lit(1000.0) * sum_len / n_tok).cast("long").alias(
+            "mean_word_len_milli"
+        ),
+        F.round(F.lit(1000000.0) * n_sym / n_tok).cast("long").alias(
+            "symbol_ppm"
+        ),
+        F.round(
+            F.lit(1000000.0) * n_bullet / F.greatest(F.size(lines), F.lit(1))
+        )
+        .cast("long")
+        .alias("bullet_ppm"),
+        n_stop.alias("n_stopwords"),
+    )
+    return m.select(
+        "*",
+        (
+            F.col("word_count").between(30, 100000)
+            & F.col("mean_word_len_milli").between(3000, 10000)
+            & (F.col("symbol_ppm") <= 100000)
+            & (F.col("bullet_ppm") <= 900000)
+            & (F.col("n_stopwords") >= 2)
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "market_basket_lift",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS orderkey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT CAST(count(DISTINCT orderkey) AS BIGINT) AS n_orders FROM ob),
+    bc AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS n_brand
+      FROM ob GROUP BY brand
+    ),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ob a JOIN ob b
+        ON a.orderkey = b.orderkey AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT brand_a, brand_b, n_both,
+           CAST(round(1000000.0 * n_both * n.n_orders
+                / (ca.n_brand * cb.n_brand)) AS BIGINT) AS lift_micro
+    FROM pairs
+    JOIN bc ca ON ca.brand = brand_a
+    JOIN bc cb ON cb.brand = brand_b
+    CROSS JOIN n
+    WHERE n_both >= 5
+    ORDER BY lift_micro DESC, brand_a, brand_b
+    LIMIT 100
+    """,
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order contents: brand-pair
+    co-occurrence support and lift (P(a,b)/(P(a)P(b)), quantized to
+    integer micro-units after one float division identical on both
+    sides). The scale discipline is the within-group pair expansion:
+    the self-join runs AFTER projecting to DISTINCT (orderkey, brand),
+    so per-order fan-out is bounded by the brand-universe size (25),
+    never by lineitem count — the same bounded-quadratic argument as
+    semdedup_report's within-cluster pairs. Brand marginals and the
+    order total are tiny broadcast frames; one orderkey shuffle feeds
+    both the dedup and the pair join."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .select(F.col("l_orderkey").alias("orderkey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    ob = ob.localCheckpoint(eager=False)
+    n = ob.agg(F.countDistinct("orderkey").alias("n_orders"))
+    bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n_brand"))
+    a = ob.select(F.col("orderkey").alias("ok_a"), F.col("brand").alias("brand_a"))
+    b = ob.select(F.col("orderkey").alias("ok_b"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("ok_a") == F.col("ok_b"))
+            & (F.col("brand_a") < F.col("brand_b")),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    ca = bc.select(F.col("brand").alias("ba"), F.col("n_brand").alias("na"))
+    cb = bc.select(F.col("brand").alias("bb"), F.col("n_brand").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ca), F.col("ba") == F.col("brand_a"))
+        .join(F.broadcast(cb), F.col("bb") == F.col("brand_b"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            F.round(
+                F.lit(1000000.0)
+                * F.col("n_both")
+                * F.col("n_orders")
+                / (F.col("na") * F.col("nb"))
+            )
+            .cast("long")
+            .alias("lift_micro"),
+        )
+        .orderBy(F.col("lift_micro").desc(), "brand_a", "brand_b")
+        .limit(100)
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate

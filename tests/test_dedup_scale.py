@@ -521,3 +521,60 @@ def test_novelty_scores_planted(spark):
     assert out[1]["n_grams"] == 14
     assert out[1]["n_novel"] == 9
     assert out[1]["novelty"] == round(9 / 14, 6)
+
+
+def test_winnowing_local_guarantee_and_short_docs(spark):
+    """Schleimer et al. 2003 §4: every window of w consecutive grams must
+    contain at least one selected fingerprint (the local guarantee that
+    makes winnowing usable for plagiarism/dedup detection), ties go to
+    the rightmost minimum, and sub-w documents degrade to their single
+    truncated window's min. Verified against a direct python model."""
+    import hashlib
+
+    from pdf_brain_spark.operators.dedup import winnowing_fingerprints
+
+    k, w = 4, 4
+    docs = [
+        (0, "a b c d e f g h i j k l m n o p"),          # long doc
+        (1, "x x x x x x x x"),                            # all-tie doc
+        (2, "one two three four five"),                    # n_grams = 2 < w
+        (3, "t1 t2 t3 t4"),                                # exactly one gram
+        (4, "too short"),                                  # filtered out
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["pos"], r["fp_hash"])
+        for r in winnowing_fingerprints(df, k=k, w=w).collect()
+    }
+
+    def model(doc_id, text):
+        toks = text.lower().split()
+        if len(toks) < k:
+            return set()
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        n = len(hs)
+        sel = set()
+        starts = range(max(n - w + 1, 1))
+        for i in starts:
+            window = hs[i : i + w]
+            m = min(window)
+            p = max(j for j, h in enumerate(window) if h == m)  # rightmost
+            sel.add((doc_id, i + p + 1, m))
+        return sel
+
+    want = set()
+    for doc_id, text in docs:
+        want |= model(doc_id, text)
+    assert got == want
+    # local guarantee on the long doc: every full window has a selection
+    long_positions = sorted(p for d, p, _ in got if d == 0)
+    n_grams = 16 - k + 1
+    for i in range(1, n_grams - w + 2):
+        assert any(i <= p <= i + w - 1 for p in long_positions), i
+    # all-tie doc: rightmost-min walks forward, one selection per window
+    tie_rows = sorted(p for d, p, _ in got if d == 1)
+    # 5 identical grams -> 2 full windows (starts 1-2), each selecting
+    # its RIGHTMOST position: 4 and 5. A leftmost tie-break would give
+    # [1, 2] instead, so this pins the direction.
+    assert tie_rows == [4, 5]
