@@ -1039,7 +1039,10 @@ def winnowing_fingerprints(
     rightmost-min via the pos=1 truncated window, matching the oracle.
 
     Returns (doc_id, pos, fp_hash): the 1-based gram position and 32-bit
-    gram hash of each selected fingerprint.
+    gram hash of each selected fingerprint. Output order is
+    unspecified — downstream dedup joins don't need one, and a global
+    sort here would add a second all-data exchange; callers that need
+    deterministic presentation (the oracle gate) sort themselves.
     """
     from pyspark.sql import Window
 
@@ -1086,5 +1089,4 @@ def winnowing_fingerprints(
             # bits for 32-bit hashes — shift, never divide
             F.shiftright(F.col("wkey"), 22).cast("long").alias("fp_hash"),
         )
-        .orderBy("doc_id", "pos")
     )

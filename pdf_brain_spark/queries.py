@@ -8284,9 +8284,16 @@ def matryoshka_truncation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_energy_frac")
         )
-        overlap = top10(d).join(full_top, "vec_id").agg(
-            F.count(F.lit(1)).alias("top10_overlap")
-        )
+        if d == full_dim:
+            # full prefix == the checkpointed reference list by
+            # construction; joining a recomputed copy against it would
+            # pay one redundant corpus scan per invocation for a
+            # guaranteed overlap of k
+            overlap = full_top.agg(F.count(F.lit(1)).alias("top10_overlap"))
+        else:
+            overlap = top10(d).join(full_top, "vec_id").agg(
+                F.count(F.lit(1)).alias("top10_overlap")
+            )
         reports.append(
             energy.crossJoin(overlap).select(
                 F.lit(d).alias("dim_prefix"), "avg_energy_frac", "top10_overlap"
@@ -8949,9 +8956,17 @@ def taxonomy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# KMV constants come from the streaming store (single source of truth):
+# read_kmv promises the served estimate bit-equals this one-shot sketch,
+# so both gates and both oracles must derive k / (k-1) / 2^60 from the
+# SAME definitions — retuning KMV_K cannot silently desync them.
+from pdf_brain_spark.streaming.events import KMV_K as _KMV_K  # noqa: E402
+from pdf_brain_spark.streaming.events import _KMV_M as _KMV_M_F  # noqa: E402
+
+
 @query(
     "kmv_distinct_estimate",
-    oracle="""
+    oracle=f"""
     WITH hashed AS (
       SELECT DISTINCT event_type,
              CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
@@ -8965,18 +8980,18 @@ def taxonomy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch AS (
       SELECT event_type, CAST(max(h) AS BIGINT) AS h_k,
              CAST(count(*) AS BIGINT) AS n_in_sketch
-      FROM ranked WHERE rn <= 64 GROUP BY event_type
+      FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
     ),
     exact AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM hashed
       GROUP BY event_type
     )
     SELECT e.event_type, e.n_exact,
-           CASE WHEN s.n_in_sketch < 64 THEN s.n_in_sketch
-                ELSE CAST(round(63.0 * (1152921504606846976.0 / s.h_k)) AS BIGINT)
+           CASE WHEN s.n_in_sketch < {_KMV_K} THEN s.n_in_sketch
+                ELSE CAST(round({float(_KMV_K - 1)} * ({_KMV_M_F:.1f} / s.h_k)) AS BIGINT)
            END AS kmv_estimate,
-           round(abs(CAST(CASE WHEN s.n_in_sketch < 64 THEN s.n_in_sketch
-                ELSE CAST(round(63.0 * (1152921504606846976.0 / s.h_k)) AS BIGINT)
+           round(abs(CAST(CASE WHEN s.n_in_sketch < {_KMV_K} THEN s.n_in_sketch
+                ELSE CAST(round({float(_KMV_K - 1)} * ({_KMV_M_F:.1f} / s.h_k)) AS BIGINT)
            END AS DOUBLE) / e.n_exact - 1.0), 6) AS rel_error
     FROM exact e JOIN sketch s USING (event_type)
     ORDER BY e.event_type
@@ -9006,13 +9021,13 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
     ranked = hashed.withColumn("rn", F.row_number().over(w))
     sketch = (
-        ranked.filter(F.col("rn") <= 64)
+        ranked.filter(F.col("rn") <= _KMV_K)
         .groupBy("event_type")
         .agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("n_in_sketch"))
     )
     exact = hashed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
-    est = F.when(F.col("n_in_sketch") < 64, F.col("n_in_sketch")).otherwise(
-        F.round(F.lit(63.0) * (F.lit(1152921504606846976.0) / F.col("h_k"))).cast(
+    est = F.when(F.col("n_in_sketch") < _KMV_K, F.col("n_in_sketch")).otherwise(
+        F.round(F.lit(float(_KMV_K - 1)) * (F.lit(_KMV_M_F) / F.col("h_k"))).cast(
             "long"
         )
     )
@@ -9098,7 +9113,7 @@ def prefiltered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_incremental_kmv",
-    oracle="""
+    oracle=f"""
     WITH hashed AS (
       SELECT DISTINCT event_type,
              CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
@@ -9112,11 +9127,11 @@ def prefiltered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch AS (
       SELECT event_type, CAST(max(h) AS BIGINT) AS h_k,
              CAST(count(*) AS BIGINT) AS n_in_sketch
-      FROM ranked WHERE rn <= 64 GROUP BY event_type
+      FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
     )
     SELECT event_type, n_in_sketch,
-           CASE WHEN n_in_sketch < 64 THEN n_in_sketch
-                ELSE CAST(round(63.0 * (1152921504606846976.0 / h_k)) AS BIGINT)
+           CASE WHEN n_in_sketch < {_KMV_K} THEN n_in_sketch
+                ELSE CAST(round({float(_KMV_K - 1)} * ({_KMV_M_F:.1f} / h_k)) AS BIGINT)
            END AS kmv_estimate
     FROM sketch ORDER BY event_type
     """,
@@ -9364,7 +9379,11 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     idle AS (
       SELECT r.* FROM rich r
-      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = r.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+      )
     )
     SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
            round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
@@ -9374,15 +9393,25 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (global sales opportunity): above-average-balance
-    customers with NO orders, reported per market segment. Three
-    classic plan moves in one query: the scalar AVG subquery computes
-    once and broadcasts as a 1-row cross join (never re-evaluated per
-    row), the NOT EXISTS decorrelates to a LEFT ANTI join on custkey,
-    and the report is a tiny segment aggregate over exact integer
-    cents. At 100 TB the anti join is the one custkey exchange; the
-    scalar stays a broadcast whatever the scale."""
+    customers with no RECENT orders (none since 2001-01-01 — these
+    fixtures give every customer some order, so the literal
+    no-orders-ever predicate matches zero rows at the harness scales
+    and the gate would verify empty-vs-empty; the date filter keeps
+    the anti-join shape while the population stays a stable ~25% at
+    every SF), reported per market segment. Three classic plan moves
+    in one query: the scalar AVG subquery computes once and broadcasts
+    as a 1-row cross join (never re-evaluated per row), the NOT EXISTS
+    decorrelates to a LEFT ANTI join on custkey with the date
+    predicate pushed to the orders scan, and the report is a tiny
+    segment aggregate over exact integer cents. At 100 TB the anti
+    join is the one custkey exchange; the scalar stays a broadcast
+    whatever the scale."""
     customer = load_table(spark, "customer", sf_dir)
-    orders = load_table(spark, "orders", sf_dir).select("o_custkey")
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+        .select("o_custkey")
+    )
     avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("a")
     )
@@ -10345,7 +10374,9 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_brain_spark.operators.dedup import winnowing_fingerprints as winnow
 
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
-    return winnow(docs, k=4, w=4)
+    # presentation sort lives HERE, not in the operator (which would
+    # pay a second all-data exchange every production call)
+    return winnow(docs, k=4, w=4).orderBy("doc_id", "pos")
 
 
 @query(
