@@ -708,3 +708,67 @@ def with_session_ids(
         "session_id",
         F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+
+
+def cusum_stats(
+    events: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    cents_col: str = "c",
+) -> DataFrame:
+    """Per-series CUSUM mean-shift statistics (Page 1954). The textbook
+    one-sided recursion C_i = max(0, C_{i-1} + d_i) is not a window
+    function, but it has an exact prefix form:
+
+        C_i = S_i - min(0, min_{j<=i} S_j)     (upward shifts)
+        D_i = max(0, max_{j<=i} S_j) - S_i     (downward shifts)
+
+    with S the running sum of deviations. The min/max must include the
+    EMPTY prefix S_0 = 0 (hence the outer clamp): a row-frame min over
+    rows 1..i alone loses any shift that starts at the first row —
+    caught by the randomized recursion test. So the whole detector is
+    three frames over ONE (series, time) sort: no recursion, no UDF,
+    no second exchange (verified by the randomized identity test in
+    tests/test_randomized_references.py). Deviations stay
+    integer-exact by scaling: d_i = n * c_i - total sums to zero over
+    each series, so statistics are in cents x n units and no float
+    mean exists anywhere.
+
+    Returns per series: n_events, max_up, max_down (scaled units) and
+    peak_up_ts, the timestamp of the upward peak (rank-1 with
+    deterministic (up DESC, ts, id) tie-break)."""
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy(series_col)
+    typed = events.select(
+        series_col, ts_col, id_col, cents_col,
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum(cents_col).over(wt).alias("tot"),
+    )
+    wo = (
+        Window.partitionBy(series_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = typed.select(
+        series_col, ts_col, id_col, "n",
+        F.sum(F.col("n") * F.col(cents_col) - F.col("tot")).over(wo).alias("s"),
+    )
+    cusum = pref.select(
+        series_col, ts_col, id_col, "n",
+        (F.col("s") - F.least(F.lit(0), F.min("s").over(wo))).alias("up"),
+        (F.greatest(F.lit(0), F.max("s").over(wo)) - F.col("s")).alias("down"),
+    )
+    wr = Window.partitionBy(series_col).orderBy(
+        F.col("up").desc(), F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    ranked = cusum.withColumn("rn_up", F.row_number().over(wr))
+    return (
+        ranked.groupBy(series_col, F.col("n").alias("n_events"))
+        .agg(
+            F.max("up").alias("max_up"),
+            F.max("down").alias("max_down"),
+            F.min(F.when(F.col("rn_up") == 1, F.col(ts_col))).alias("peak_up_ts"),
+        )
+    )

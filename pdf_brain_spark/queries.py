@@ -10566,6 +10566,157 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_cusum_drift",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    typed AS (
+      SELECT event_type, ts, event_id, c,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+      FROM cents
+    ),
+    pref AS (
+      SELECT event_type, ts, event_id, n,
+             sum(n * c - tot) OVER (PARTITION BY event_type
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM typed
+    ),
+    cusum AS (
+      SELECT event_type, ts, event_id, n, s,
+             s - least(0, min(s) OVER (PARTITION BY event_type
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS up,
+             greatest(0, max(s) OVER (PARTITION BY event_type
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - s AS down
+      FROM pref
+    ),
+    ranked AS (
+      SELECT event_type, ts, event_id, n, up, down,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY up DESC, ts ASC, event_id ASC) AS rn_up
+      FROM cusum
+    )
+    SELECT event_type, n AS n_events,
+           CAST(max(up) AS BIGINT) AS max_up,
+           CAST(max(down) AS BIGINT) AS max_down,
+           min(CASE WHEN rn_up = 1 THEN ts END) AS peak_up_ts
+    FROM ranked
+    GROUP BY event_type, n ORDER BY event_type
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift statistics (Page 1954 — the classic sequential
+    change-point detector) per event series. The textbook recursion
+    C_i = max(0, C_{i-1} + d_i) is not a window function, but it has
+    an exact prefix form: C_i = S_i - min(0, min_{j<=i} S_j), downward
+    D_i = max(0, max_{j<=i} S_j) - S_i — the clamp supplies the empty
+    prefix S_0 = 0, without which a shift starting at the first row is
+    lost. The whole detector is three windows on ONE (event_type,
+    time) sort — no recursion, no UDF, no second exchange. Deviations are kept integer-exact by scaling:
+    d_i = n*c_i - total_cents sums to zero over each series, so the
+    statistics are in cents x n units and hash-comparable with no
+    float mean anywhere. Report: per series, the peak upward/downward
+    statistic and the timestamp of the upward peak (deterministic
+    rank-1 tie-break). The prefix-form identity is proved against the
+    textbook recursion on random series in
+    tests/test_randomized_references.py."""
+    from pdf_brain_spark.operators.temporal import cusum_stats
+
+    ev = load_table(spark, "events", sf_dir)
+    cents = ev.select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    return cusum_stats(cents).orderBy("event_type")
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o.o_custkey AS c_custkey,
+             CAST(date_diff('day', max(o.o_orderdate),
+                            TIMESTAMP '2001-09-01') AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders o GROUP BY o.o_custkey
+    ),
+    scored AS (
+      SELECT c_custkey, recency_days, frequency, monetary_cents,
+             CAST(ntile(4) OVER (ORDER BY recency_days ASC, c_custkey ASC)
+               AS BIGINT) AS r_quartile,
+             CAST(ntile(4) OVER (ORDER BY frequency DESC, c_custkey ASC)
+               AS BIGINT) AS f_quartile,
+             CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, c_custkey ASC)
+               AS BIGINT) AS m_quartile
+      FROM rfm
+    )
+    SELECT c_custkey, recency_days, frequency, monetary_cents,
+           r_quartile, f_quartile, m_quartile,
+           r_quartile * 100 + f_quartile * 10 + m_quartile AS rfm_cell
+    FROM scored WHERE c_custkey < 400 ORDER BY c_custkey
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring (recency / frequency / monetary — the
+    classic marketing segmentation): one custkey-grain aggregate over
+    orders, then three ntile(4) windows assigning quartiles. Every
+    window ORDER BY ends in the unique custkey, making ntile's bucket
+    boundaries a total order — without that, equal frequencies would
+    hash-mismatch nondeterministically (the same total-ordering
+    discipline as supplier_rank_by_nation). ntile is global here
+    (single-partition window over customer-grain rows, already
+    reduced ~10x from orders); at 100 TB quartiles would come from
+    approx or exact histogram ranks instead — the cent-histogram
+    pattern events_winsorized_stats already demonstrates. Monetary is
+    exact integer cents; recency is whole days against a pinned as-of
+    date; the output filter keeps the gate bounded while the windows
+    rank the FULL population (filter-after-rank, not before)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    rfm = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"), F.max(F.col("o_orderdate"))
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("c_custkey").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("c_custkey").asc())
+    wm = Window.orderBy(F.col("monetary_cents").desc(), F.col("c_custkey").asc())
+    scored = rfm.select(
+        "c_custkey", "recency_days", "frequency", "monetary_cents",
+        F.ntile(4).over(wr).cast("long").alias("r_quartile"),
+        F.ntile(4).over(wf).cast("long").alias("f_quartile"),
+        F.ntile(4).over(wm).cast("long").alias("m_quartile"),
+    )
+    return (
+        scored.filter(F.col("c_custkey") < 400)
+        .select(
+            "*",
+            (
+                F.col("r_quartile") * 100
+                + F.col("f_quartile") * 10
+                + F.col("m_quartile")
+            ).alias("rfm_cell"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate

@@ -235,3 +235,53 @@ def test_snapshot_diff_matches_python_reference(spark):
         elif old[k] != new[k]:
             want[k] = "update"
     assert got == want
+
+
+def test_cusum_prefix_form_matches_textbook_recursion(spark):
+    """The cusum_stats operator computes Page's statistic via the
+    window-expressible prefix form C_i = S_i - min(S_j, j<=i). This
+    proves it against the literal textbook recursion
+    C_i = max(0, C_{i-1} + d_i) on random integer series — including
+    the downward arm and the peak-timestamp tie-break."""
+    from pdf_brain_spark.operators.temporal import cusum_stats
+
+    for seed in (5, 29, 101):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for series in ("a", "b", "c"):
+            n = rng.randint(1, 60)
+            for i in range(n):
+                # duplicate timestamps on purpose: the id tie-break must hold
+                t = T0 + timedelta(minutes=rng.randint(0, 20))
+                rows.append((eid, series, t, rng.randint(-500, 500)))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp, c long"
+        )
+        got = {
+            r["event_type"]: (
+                r["n_events"], r["max_up"], r["max_down"], r["peak_up_ts"]
+            )
+            for r in cusum_stats(df).collect()
+        }
+        want = {}
+        by_series = {}
+        for e, srs, t, c in rows:
+            by_series.setdefault(srs, []).append((t, e, c))
+        for srs, seq in by_series.items():
+            seq.sort()  # (ts, id) order — the operator's window ordering
+            n = len(seq)
+            tot = sum(c for _, _, c in seq)
+            up = down = best_up = best_down = 0
+            peak_ts = None
+            for t, e, c in seq:
+                d = n * c - tot
+                up = max(0, up + d)
+                down = max(0, down - d)
+                if down > best_down:
+                    best_down = down
+                if peak_ts is None or up > best_up:
+                    best_up, peak_ts = up, t
+            want[srs] = (n, best_up, best_down, peak_ts)
+        assert got == want
