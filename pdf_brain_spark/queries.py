@@ -10717,6 +10717,211 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_hourly_seasonality",
+    oracle="""
+    SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY dow, hod
+    ORDER BY dow, hod
+    """,
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x day-of-week seasonality matrix — the standard
+    traffic-shape diagnostic behind anomaly baselines and capacity
+    planning. One map-side-combinable aggregate over calendar
+    projections of the timestamp. Output convention is Spark's
+    1=Sunday..7; DuckDB's dayofweek is 0=Sunday..6, so the oracle
+    adds 1 — the conventions differ PER ENGINE and an unbridged twin
+    mismatches every row (caught at registration). At
+    100 TB this is the canonical pre-aggregation served from the
+    rollup store; the 168-cell result broadcasts anywhere."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+@query(
+    "customer_pareto_share",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, rev_cents,
+             CAST(row_number() OVER (ORDER BY rev_cents DESC, o_custkey ASC)
+               AS BIGINT) AS rnk,
+             CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_cents,
+             CAST(sum(rev_cents) OVER () AS BIGINT) AS total_cents,
+             CAST(count(*) OVER () AS BIGINT) AS n_cust
+      FROM per_cust
+    )
+    SELECT CAST(pct AS BIGINT) AS top_pct,
+           min(rnk) AS n_customers,
+           round(CAST(min(cum_cents) AS DOUBLE)
+                 / CAST(min(total_cents) AS DOUBLE), 6) AS revenue_share
+    FROM ranked, unnest([10, 20, 50]) AS t(pct)
+    WHERE rnk * 100 >= pct * n_cust
+      AND (rnk - 1) * 100 < pct * n_cust
+    GROUP BY pct ORDER BY top_pct
+    """,
+)
+def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / revenue-concentration curve: what share of revenue the
+    top 10/20/50% of customers carry (the 80/20 diagnostic). One
+    custkey aggregate, then a single descending cumulative-sum window
+    with a total order (rev DESC, custkey) so cumulative cents are
+    bit-stable; the percentile boundary row is selected by pure
+    integer arithmetic (rnk*100 straddles pct*n_cust — no float rank
+    fraction to disagree at boundaries). The three probe percentiles
+    explode AFTER ranking, so the window runs once. The one float
+    division (share) happens at the very end, identically on both
+    sides."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    wo = Window.orderBy(F.col("rev_cents").desc(), F.col("o_custkey").asc())
+    wall = Window.partitionBy()
+    ranked = per_cust.select(
+        "o_custkey",
+        "rev_cents",
+        F.row_number().over(wo).cast("long").alias("rnk"),
+        F.sum("rev_cents")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_cents"),
+        F.sum("rev_cents").over(wall).alias("total_cents"),
+        F.count(F.lit(1)).over(wall).alias("n_cust"),
+    )
+    probes = ranked.crossJoin(
+        F.broadcast(
+            spark.range(1).select(
+                F.explode(F.array(F.lit(10), F.lit(20), F.lit(50))).alias("pct")
+            )
+        )
+    )
+    return (
+        probes.filter(
+            (F.col("rnk") * 100 >= F.col("pct") * F.col("n_cust"))
+            & ((F.col("rnk") - 1) * 100 < F.col("pct") * F.col("n_cust"))
+        )
+        .groupBy(F.col("pct").cast("long").alias("top_pct"))
+        .agg(
+            F.min("rnk").alias("n_customers"),
+            F.round(
+                F.min("cum_cents").cast("double")
+                / F.min("total_cents").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("top_pct")
+    )
+
+
+@query(
+    "nation_supplier_hhi",
+    oracle="""
+    WITH per_supp AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    shares AS (
+      SELECT n.n_name AS nation, p.l_suppkey,
+             CAST(round(1000000.0 * p.rev_cents /
+               CAST(sum(p.rev_cents) OVER (PARTITION BY p.s_nationkey)
+                 AS DOUBLE)) AS BIGINT) AS share_ppm
+      FROM per_supp p JOIN nation n ON n.n_nationkey = p.s_nationkey
+    )
+    SELECT nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+    FROM shares GROUP BY nation ORDER BY nation
+    """,
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index per nation: the
+    sum of squared supplier revenue shares (10000-point scale, here
+    ppm: a 1-supplier monopoly scores 1,000,000; N equal suppliers
+    score 1,000,000/N). Shares are quantized to integer ppm FIRST —
+    one float division per supplier, identical on both sides — then
+    the index is pure integer (sum of squares, floor-divided back to
+    ppm), so no squared-double summation order can flip the hash. One
+    (nation, supplier) aggregate, one nation-partition window for the
+    denominators, one tiny nation aggregate. Supplier dim broadcasts
+    onto the fact; the sum-of-squares floor-divides with DuckDB's `//`
+    (its `/` is float division), mirrored with F.floor on Spark."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    per_supp = (
+        li.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    wn = Window.partitionBy("s_nationkey")
+    shares = per_supp.join(
+        F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey")
+    ).select(
+        "nation",
+        F.round(
+            F.lit(1000000.0)
+            * F.col("rev_cents")
+            / F.sum("rev_cents").over(wn).cast("double")
+        )
+        .cast("long")
+        .alias("share_ppm"),
+    )
+    return (
+        shares.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.floor(
+                F.sum(F.col("share_ppm") * F.col("share_ppm")) / 1000000
+            )
+            .cast("long")
+            .alias("hhi_ppm"),
+        )
+        .orderBy("nation")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
