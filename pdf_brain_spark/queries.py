@@ -9393,12 +9393,13 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (global sales opportunity): above-average-balance
-    customers with no RECENT orders (none since 2001-01-01 — these
-    fixtures give every customer some order, so the literal
-    no-orders-ever predicate matches zero rows at the harness scales
-    and the gate would verify empty-vs-empty; the date filter keeps
-    the anti-join shape while the population stays a stable ~25% at
-    every SF), reported per market segment. Three classic plan moves
+    customers with no RECENT orders (none since 2001-01-01). The
+    literal no-orders-ever predicate is near-vacuous in these
+    fixtures — 0 matching rows at sf0.001/sf0.01 and exactly 1 at
+    sf0.1 — so that gate verified (almost) empty-vs-empty; the date
+    filter keeps the anti-join shape while the idle population is a
+    stable ~19% of customers at every SF (19.3/19.0/19.0% measured),
+    reported per market segment. Three classic plan moves
     in one query: the scalar AVG subquery computes once and broadcasts
     as a 1-row cross join (never re-evaluated per row), the NOT EXISTS
     decorrelates to a LEFT ANTI join on custkey with the date
