@@ -285,3 +285,121 @@ def test_cusum_prefix_form_matches_textbook_recursion(spark):
                     best_up, peak_ts = up, t
             want[srs] = (n, best_up, best_down, peak_ts)
         assert got == want
+
+
+def test_market_basket_lift_matches_python_reference(spark):
+    """Drives the REAL gate against synthetic lineitem/part parquet and
+    checks support/lift against a direct python model — pair direction
+    (brand_a < brand_b), the distinct-per-order projection, the
+    n_both >= 5 support floor, the micro-unit lift rounding, and the
+    (lift DESC, brands) LIMIT ordering."""
+    import os
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from pdf_brain_spark.queries import QUERIES
+
+    for seed in (13, 37):
+        rng = random.Random(seed)
+        parts = [(pk, f"B{pk % 6}") for pk in range(30)]
+        lines = []
+        for ok in range(60):
+            for pk in rng.sample(range(30), rng.randint(1, 6)):
+                for _ in range(rng.randint(1, 2)):  # duplicate lines
+                    lines.append((ok, pk))
+        d = tempfile.mkdtemp(prefix="basket_t_")
+        try:
+            spark.createDataFrame(
+                lines, "l_orderkey long, l_partkey long"
+            ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+            spark.createDataFrame(
+                parts, "p_partkey long, p_brand string"
+            ).write.mode("overwrite").parquet(os.path.join(d, "part.parquet"))
+            got = [
+                (r["brand_a"], r["brand_b"], r["n_both"], r["lift_micro"])
+                for r in QUERIES["market_basket_lift"](spark, d).collect()
+            ]
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        brand_of = dict(parts)
+        baskets = {}
+        for ok, pk in lines:
+            baskets.setdefault(ok, set()).add(brand_of[pk])
+        marg, both = Counter(), Counter()
+        for items in baskets.values():
+            for x in items:
+                marg[x] += 1
+            for x in items:
+                for y in items:
+                    if x < y:
+                        both[(x, y)] += 1
+        want = sorted(
+            (
+                (a, b, n, round(1e6 * n * len(baskets) / (marg[a] * marg[b])))
+                for (a, b), n in both.items()
+                if n >= 5
+            ),
+            key=lambda t: (-t[3], t[0], t[1]),
+        )[:100]
+        assert got == want
+
+
+def test_gopher_rules_match_python_reference(spark):
+    """The quality-rule battery vs a plain-python model on synthetic
+    docs that exercise what the fixtures cannot: newline bullet lines,
+    all-symbol tokens, and empty text. Catches common-mode regex
+    mistakes the DuckDB twin (same regexes) would reproduce."""
+    docs = [
+        (0, "the cat and a dog of to great length indeed " * 5),
+        (1, "- bullet one\n- bullet two\n* bullet three\nplain line"),
+        (2, "!!! ??? 123 ### $$$ %%% the a of and to more words here now ok"),
+        (3, ""),
+        (4, "a a a a a a a a a a the the the the of of of and and to to " * 3),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    import re
+
+    from pdf_brain_spark.queries import QUERIES
+
+    # run the gate's metric pipeline on this frame by monkey-loading:
+    # easier to replicate the expressions via a temp view + the gate's
+    # own SQL would drag sf_dir; instead compute through the same
+    # column builders by calling the gate against a parquet tmp table
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="gopher_t_")
+    try:
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        # the other tables aren't read by this gate
+        got = {
+            r["doc_id"]: (
+                r["word_count"], r["mean_word_len_milli"], r["symbol_ppm"],
+                r["bullet_ppm"], r["n_stopwords"], r["keep"],
+            )
+            for r in QUERIES["gopher_quality_rules"](spark, d).collect()
+        }
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+    want = {}
+    for doc_id, text in docs:
+        toks = [t for t in re.split(r"\s+", text.lower().strip()) if t]
+        lines = (text or "").split("\n")
+        n = max(len(toks), 1)
+        wc = len(toks)
+        mwl = round(1000.0 * sum(len(t) for t in toks) / n)
+        sym = round(1e6 * sum(1 for t in toks if not re.search("[a-z]", t)) / n)
+        bul = round(
+            1e6 * sum(1 for l in lines if re.match(r"^[-*]", l.strip()))
+            / max(len(lines), 1)
+        )
+        stop = sum(1 for s in ("the", "a", "of", "and", "to") if s in toks)
+        keep = (
+            30 <= wc <= 100000 and 3000 <= mwl <= 10000 and sym <= 100000
+            and bul <= 900000 and stop >= 2
+        )
+        want[doc_id] = (wc, mwl, sym, bul, stop, keep)
+    assert got == want

@@ -339,3 +339,35 @@ def test_dynamic_partition_pruning_on_fact_join(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 2
+
+
+def test_q6_predicates_all_pushed_to_scan(spark):
+    """TPC-H Q6 is the canonical scan query: its value at 100 TB depends
+    entirely on the ship-date range, discount band, and quantity cap
+    all reaching the parquet reader as PushedFilters (a residual
+    post-scan filter would read every row group). Pin that, plus the
+    absence of any join/exchange before the final aggregate pair."""
+    from pdf_brain_spark.queries import QUERIES
+
+    df = QUERIES["tpch_q6_forecast_revenue"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    scan = plan[plan.index("PushedFilters") :].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan, f"{col} not pushed: {scan}"
+    assert "Join" not in plan
+    # one partial+final aggregate, one single-partition exchange only
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_winnowing_operator_single_exchange(spark):
+    """The winnowing operator's 100 TB claim is ONE doc-grain exchange
+    (the window sort) — the distinct must reuse that partitioning and
+    the operator must not sort globally (that lives in the gate). Pin
+    the exchange count on the operator's own plan."""
+    from pdf_brain_spark.operators.dedup import winnowing_fingerprints
+    from pdf_brain_spark.sources.loaders import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    plan = _plan(winnowing_fingerprints(docs, k=4, w=4))
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan
