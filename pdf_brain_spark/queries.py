@@ -10923,6 +10923,355 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tfidf_cosine_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         t -> t <> '') AS tokens
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(tokens) - 1, 1)),
+               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+               AS term
+      FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM grams GROUP BY doc_id, term
+    ),
+    stats AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM toks),
+    weights AS (
+      SELECT t.doc_id, t.term,
+             t.tf * CAST(round(1000000.0 *
+               (ln((1.0 + n.n_docs) / (1.0 + s.df)) + 1.0)) AS BIGINT) AS w
+      FROM tf t JOIN stats s ON s.term = t.term CROSS JOIN n
+      WHERE s.df <= 512
+    ),
+    norms AS (
+      SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+      FROM weights GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(sum(a.w * b.w) AS BIGINT) AS dot
+      FROM weights a JOIN weights b
+        ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+                 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE CAST(dot AS DOUBLE)
+          / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.25
+    ORDER BY doc_a, doc_b
+    """,
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE cosine similarity join — the classic IR pairing that
+    completes the similarity-join family (dense-embedding cosine:
+    vector_similarity_join; set Jaccard: dedup_ngram_jaccard; this is
+    the weighted-bag middle ground): tf-idf over 3-gram shingles with
+    the smoothed sklearn idf, paired through the shingle INVERTED
+    INDEX so only documents sharing a surviving shingle ever meet — no
+    all-pairs path, and the same SHINGLE_DF_CAP=512 stop-shingle cut
+    as the Jaccard operator bounds the hottest posting list (the
+    cap applies before weights AND norms, consistently on both
+    engines). Exactness: idf is quantized to integer micro-units at
+    TERM grain (one ln per term, identical doubles both sides), so
+    weights, dots, and squared norms are all EXACT INTEGERS
+    (bounded < 2^58 for these corpora) and the only float math is the
+    final one-expression cosine — no accumulation-order noise can
+    flip the 6-dp hash. At 100 TB: two shuffles (term, then pair),
+    DF-capped fan-out, map-side-combinable aggregates throughout."""
+    from pdf_brain_spark.functions.text import shingles, tokenize
+    from pdf_brain_spark.operators.dedup import SHINGLE_DF_CAP
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", tokenize("text").alias("tokens"))
+    grams = toks.select(
+        "doc_id", F.explode(shingles(F.col("tokens"), 3)).alias("term")
+    )
+    tf = grams.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = toks.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf_micro = F.round(
+        F.lit(1000000.0)
+        * (
+            F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df")))
+            + F.lit(1.0)
+        )
+    ).cast("long")
+    weights = (
+        tf.join(stats.filter(F.col("df") <= SHINGLE_DF_CAP), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", (F.col("tf") * idf_micro).alias("w"))
+    )
+    weights = weights.localCheckpoint(eager=False)
+    norms = weights.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = weights.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    b = weights.select(
+        F.col("doc_id").alias("doc_b"), F.col("term").alias("term_b"),
+        F.col("w").alias("wb"),
+    )
+    dots = (
+        a.join(b, (F.col("term") == F.col("term_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("da"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("db"), F.col("n2").alias("nb2"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return (
+        dots.join(na, F.col("da") == F.col("doc_a"))
+        .join(nb, F.col("db") == F.col("doc_b"))
+        .filter(cos >= 0.25)
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "taxonomy_shortest_paths",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT o_orderkey AS src, o_orderkey // 2 AS dst
+      FROM orders WHERE o_orderkey BETWEEN 2 AND 2048
+      UNION ALL
+      SELECT o_orderkey // 2 AS src, o_orderkey AS dst
+      FROM orders WHERE o_orderkey BETWEEN 2 AND 2048
+    ),
+    walk AS (
+      SELECT CAST(40 AS BIGINT) AS node, 0 AS hops
+      UNION ALL
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN e ON e.src = w.node
+      WHERE w.hops < 6
+    )
+    SELECT node, CAST(min(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def taxonomy_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop UNDIRECTED shortest paths (BFS min-hops from a
+    mid-tree seed over the same parent-halving hierarchy
+    transitive_closure walks): the min-plus complement of the
+    reachability closure — the frontier carries and MERGES a hop
+    count instead of a bare visited set, so already-settled nodes
+    never re-expand (dist is min-folded each round, the Bellman-Ford
+    early-settle property). Same scale shape as the closure: per
+    iteration one frontier equi-join against the edge list +
+    localCheckpoint to cut the growing lineage; 6 iterations pinned to
+    match the oracle's hop bound. The oracle is a recursive CTE whose
+    per-level expansion mirrors the frontier exactly."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderkey").between(2, 2048)
+    )
+    child = orders.select(
+        F.col("o_orderkey").alias("src"),
+        F.floor(F.col("o_orderkey") / 2).cast("long").alias("dst"),
+    )
+    edges = child.unionByName(
+        child.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    dist = spark.createDataFrame([(40, 0)], "node long, hops long")
+    for h in range(1, 7):
+        frontier = dist.filter(F.col("hops") == h - 1)
+        nxt = (
+            frontier.join(edges, F.col("src") == F.col("node"))
+            .select(F.col("dst").alias("node"), F.lit(h).cast("long").alias("hops"))
+            .distinct()
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.orderBy("node")
+
+
+@query(
+    "events_ushape_attribution",
+    oracle="""
+    WITH touches AS (
+      SELECT user_id, event_type, event_id, value, epoch_us(ts) AS us
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    ordered AS (
+      SELECT *,
+             COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id
+                     ORDER BY us, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+                              event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS jid
+      FROM touches
+    ),
+    clicks AS (
+      SELECT user_id, jid, event_id, us,
+             row_number() OVER (PARTITION BY user_id, jid
+               ORDER BY us ASC, event_id ASC) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, jid
+               ORDER BY us DESC, event_id DESC) AS rn_d
+      FROM ordered WHERE event_type = 'click'
+    ),
+    cagg AS (
+      SELECT user_id, jid,
+             CAST(count(*) AS BIGINT) AS n_touches,
+             CAST(min(CASE WHEN rn_a = 1 THEN event_id END) AS BIGINT)
+               AS first_click_id,
+             CAST(min(CASE WHEN rn_d = 1 THEN event_id END) AS BIGINT)
+               AS last_click_id
+      FROM clicks GROUP BY user_id, jid
+    ),
+    purch AS (
+      SELECT user_id, jid,
+             CAST(min(event_id) AS BIGINT) AS purchase_id,
+             CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM ordered WHERE event_type = 'purchase' GROUP BY user_id, jid
+    ),
+    j AS (
+      SELECT c.*, p.purchase_id, p.cents,
+             CASE WHEN c.n_touches = 1 THEN 1000000
+                  WHEN c.n_touches = 2 THEN 500000
+                  ELSE 400000 END AS first_ppm,
+             CASE WHEN c.n_touches = 1 THEN 0
+                  WHEN c.n_touches = 2 THEN 500000
+                  ELSE 400000 END AS last_ppm,
+             CASE WHEN c.n_touches >= 3 THEN 200000 // (c.n_touches - 2)
+                  ELSE 0 END AS middle_ppm_each
+      FROM cagg c JOIN purch p ON p.user_id = c.user_id AND p.jid = c.jid
+    )
+    SELECT user_id, CAST(jid AS BIGINT) AS jid, purchase_id, cents,
+           n_touches, first_click_id, last_click_id,
+           CAST(first_ppm AS BIGINT) AS first_ppm,
+           CAST(last_ppm AS BIGINT) AS last_ppm,
+           CAST(middle_ppm_each AS BIGINT) AS middle_ppm_each,
+           CAST(1000000 - first_ppm - last_ppm
+                - middle_ppm_each * greatest(n_touches - 2, 0) AS BIGINT)
+             AS leftover_ppm
+    FROM j ORDER BY user_id, jid
+    """,
+)
+def events_ushape_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based 40/20/40) multi-touch attribution — the
+    standard mid-funnel complement to events_last_touch_attribution:
+    each purchase's journey is the clicks since the previous purchase
+    (journey id = running count of STRICTLY-PRIOR purchases, computed
+    with the same click-before-purchase tie order the last-touch gate
+    pins), first and last touch get 40% each, middles split 20%
+    evenly. All credit is integer ppm with floor division; the
+    indivisible remainder is reported as leftover_ppm rather than
+    silently smeared (single-touch journeys: 100/0; two-touch:
+    50/50). Plan: one user-grain sort feeds the journey-id window and
+    both first/last rank windows; journey aggregates are map-side
+    combinable; purchases join clicks at (user, journey) grain."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    touches = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "event_type", "event_id", "value",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    wj = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            "us",
+            F.when(F.col("event_type") == "click", 0).otherwise(1),
+            "event_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = touches.withColumn(
+        "jid",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(wj),
+            F.lit(0),
+        ),
+    )
+    clicks = ordered.filter(F.col("event_type") == "click")
+    wa = Window.partitionBy("user_id", "jid").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("user_id", "jid").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    cagg = (
+        clicks.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("user_id", "jid")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.min(F.when(F.col("rn_a") == 1, F.col("event_id"))).alias(
+                "first_click_id"
+            ),
+            F.min(F.when(F.col("rn_d") == 1, F.col("event_id"))).alias(
+                "last_click_id"
+            ),
+        )
+    )
+    purch = (
+        ordered.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("pu"), F.col("jid").alias("pj"))
+        .agg(
+            F.min("event_id").alias("purchase_id"),
+            F.min(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    n = F.col("n_touches")
+    first_ppm = (
+        F.when(n == 1, 1000000).when(n == 2, 500000).otherwise(400000)
+    ).cast("long")
+    last_ppm = (F.when(n == 1, 0).when(n == 2, 500000).otherwise(400000)).cast(
+        "long"
+    )
+    middle = F.when(n >= 3, F.floor(200000 / (n - 2))).otherwise(0).cast("long")
+    return (
+        cagg.join(
+            purch,
+            (F.col("pu") == F.col("user_id")) & (F.col("pj") == F.col("jid")),
+        )
+        .select(
+            "user_id",
+            F.col("jid").cast("long").alias("jid"),
+            "purchase_id",
+            "cents",
+            "n_touches",
+            "first_click_id",
+            "last_click_id",
+            first_ppm.alias("first_ppm"),
+            last_ppm.alias("last_ppm"),
+            middle.alias("middle_ppm_each"),
+            (
+                F.lit(1000000)
+                - first_ppm
+                - last_ppm
+                - middle * F.greatest(n - 2, F.lit(0))
+            )
+            .cast("long")
+            .alias("leftover_ppm"),
+        )
+        .orderBy("user_id", "jid")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
