@@ -4501,11 +4501,16 @@ for _qname in ("dedup_minhash_verified", "dedup_components", "dedup_decision_rep
     ORACLES[_qname] = ORACLES[_qname].replace("{MINHASH_BANDED}", _DUCK_MINHASH_BANDED)
 
 def _sub_shingle_cap() -> None:
+    """Substitute the SHARED stop-shingle cap into every oracle that uses
+    it (registered or not yet registered at call time — tfidf_cosine_pairs
+    registers later, so it re-invokes this)."""
     from pdf_brain_spark.operators.dedup import SHINGLE_DF_CAP
 
-    ORACLES["dedup_ngram_jaccard"] = ORACLES["dedup_ngram_jaccard"].replace(
-        "{SHINGLE_DF_CAP}", str(SHINGLE_DF_CAP)
-    )
+    for _name in ("dedup_ngram_jaccard", "tfidf_cosine_pairs"):
+        if _name in ORACLES:
+            ORACLES[_name] = ORACLES[_name].replace(
+                "{SHINGLE_DF_CAP}", str(SHINGLE_DF_CAP)
+            )
 
 _sub_shingle_cap()
 
@@ -10952,15 +10957,15 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
              t.tf * CAST(round(1000000.0 *
                (ln((1.0 + n.n_docs) / (1.0 + s.df)) + 1.0)) AS BIGINT) AS w
       FROM tf t JOIN stats s ON s.term = t.term CROSS JOIN n
-      WHERE s.df <= 512
+      WHERE s.df <= {SHINGLE_DF_CAP}
     ),
     norms AS (
-      SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+      SELECT doc_id, sum(w * w) AS n2
       FROM weights GROUP BY doc_id
     ),
     dots AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(sum(a.w * b.w) AS BIGINT) AS dot
+             sum(a.w * b.w) AS dot
       FROM weights a JOIN weights b
         ON a.term = b.term AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
@@ -10989,9 +10994,10 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap applies before weights AND norms, consistently on both
     engines). Exactness: idf is quantized to integer micro-units at
     TERM grain (one ln per term, identical doubles both sides), so
-    weights, dots, and squared norms are all EXACT INTEGERS
-    (bounded < 2^58 for these corpora) and the only float math is the
-    final one-expression cosine — no accumulation-order noise can
+    weights, dots, and squared norms are all EXACT INTEGERS —
+    summed as decimal(38,0) on Spark and HUGEINT on DuckDB, so even a
+    pathological document cannot silently wrap an int64 — and the only
+    float math is the final one-expression cosine — no accumulation-order noise can
     flip the 6-dp hash. At 100 TB: two shuffles (term, then pair),
     DF-capped fan-out, map-side-combinable aggregates throughout."""
     from pdf_brain_spark.functions.text import shingles, tokenize
@@ -11018,13 +11024,18 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", (F.col("tf") * idf_micro).alias("w"))
     )
     weights = weights.localCheckpoint(eager=False)
-    norms = weights.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    # sums run in decimal(38,0) — exact like DuckDB's HUGEINT; a plain
+    # long sum would WRAP silently past 2^63 on a pathological document
+    # while the oracle hard-errors, a latent cross-engine divergence
+    wd = F.col("w").cast("decimal(38,0)")
+    norms = weights.groupBy("doc_id").agg(F.sum(wd * wd).alias("n2"))
     a = weights.select(
-        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+        F.col("doc_id").alias("doc_a"), "term",
+        F.col("w").cast("decimal(38,0)").alias("wa"),
     )
     b = weights.select(
         F.col("doc_id").alias("doc_b"), F.col("term").alias("term_b"),
-        F.col("w").alias("wb"),
+        F.col("w").cast("decimal(38,0)").alias("wb"),
     )
     dots = (
         a.join(b, (F.col("term") == F.col("term_b")) & (F.col("doc_a") < F.col("doc_b")))
@@ -11043,6 +11054,9 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+_sub_shingle_cap()  # this oracle registered after the first substitution pass
 
 
 @query(
@@ -11094,7 +11108,6 @@ def taxonomy_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt = (
             frontier.join(edges, F.col("src") == F.col("node"))
             .select(F.col("dst").alias("node"), F.lit(h).cast("long").alias("hops"))
-            .distinct()
         )
         dist = (
             dist.unionByName(nxt)
