@@ -93,6 +93,75 @@ def _shingle_set_df(docs: DataFrame, id_col: str, text_col: str, k: int) -> Data
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int = SHINGLE_DF_CAP,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by k-gram set containment: for each pair
+    sharing a shingle, C(A|B) = |A∩B|/|A| and |A∩B|/|B|. Containment is
+    what Jaccard misses on length-skewed corpora — a short doc fully
+    embedded in a long one (quote, excerpt, boilerplate wrapper) has
+    containment ≈ 1 on the short side while Jaccard stays near
+    |short|/|long|. Pairs emit when the LARGER containment (intersection
+    over the smaller set) clears the threshold.
+
+    Same inverted-index shape as ngram_jaccard_pairs — pairs meet only on
+    shared shingles, per-shingle groups bounded by the df cap, one
+    postings shuffle then one pair-count shuffle — so the subquadratic
+    100 TB argument carries over unchanged. Counts and set sizes are
+    exact integers; the two containments are single divisions (identical
+    IEEE results on any engine)."""
+    sets = _shingle_set_df(docs, id_col, text_col, k).localCheckpoint(eager=True)
+    sh = sets.select(
+        F.col(id_col),
+        F.explode(F.transform("sh_set", lambda s: F.xxhash64(s))).alias("shingle"),
+    )
+    sizes = sets.select(F.col(id_col), F.size("sh_set").alias("set_size"))
+    ids = F.array_sort(F.collect_list(F.col(id_col)))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    inter = (
+        sh.groupBy("shingle")
+        .agg(ids.alias("_ids"))
+        .filter(F.size("_ids") <= F.lit(df_cap))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common_shingles"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            (F.col("common_shingles") / F.least("size_a", "size_b")) >= threshold
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "common_shingles",
+            F.round(F.col("common_shingles") / F.col("size_a"), 6).alias(
+                "containment_a"
+            ),
+            F.round(F.col("common_shingles") / F.col("size_b"), 6).alias(
+                "containment_b"
+            ),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.2,

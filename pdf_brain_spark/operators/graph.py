@@ -1,0 +1,176 @@
+"""General-graph analytics beyond the taxonomy hierarchy walkers
+(operators/taxonomy.py): triangle counting / local clustering over a
+co-occurrence graph, Pareto-dominance skylines, and rank-statistic AUC.
+
+These are the reference's analysis-script family (scripts/analyze-tags.ts
+pair counts are the 1-hop version; triangles are the 2-hop closure) plus
+training-data-pipeline staples (classifier AUC without sklearn, dominance
+frontiers for corpus selection), each expressed as shuffle-conscious
+DataFrame plans with exact-integer cores so DuckDB oracles hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cooccurrence_edges(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """Undirected co-occurrence edge list (u < v): items sharing at least
+    one group. Pair emission is per-group and bounded by the per-group
+    item fan-out (C(k,2) for a k-item group), NOT by graph size — the
+    property that keeps projection of a bipartite membership table
+    subquadratic at 100 TB. Groups with pathological fan-out should be
+    capped upstream (same argument as dedup.SHINGLE_DF_CAP)."""
+    m = df.select(F.col(group_col).alias("_g"), F.col(item_col).alias("_i")).distinct()
+    a = m.select(F.col("_g"), F.col("_i").alias("u"))
+    b = m.select(F.col("_g").alias("_g2"), F.col("_i").alias("v"))
+    return (
+        a.join(b, (F.col("_g") == F.col("_g2")) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle count, degree, and local clustering coefficient
+    over an undirected edge list (u < v, distinct).
+
+    Node-id orientation: every triangle {x < y < z} is enumerated exactly
+    once as wedge (x,y)+(y,z) closed by edge (x,z). Wedge generation is
+    one equi-join on the middle node; closure is one equi-join on the
+    (low, high) pair. At this scale the edge list broadcasts; at true
+    100 TB swap node-id order for degree order (orient low-degree →
+    high-degree), which bounds per-node wedge fan-out by O(sqrt(|E|))
+    and keeps the wedge join skew-free — the classic MapReduce triangle
+    algorithm. The lcc is the one float (2t / d(d-1), single division on
+    exact integers → deterministic across engines).
+    """
+    e = edges.select("u", "v").localCheckpoint(eager=True)
+    w = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        w.join(F.broadcast(e2), F.col("b") == F.col("b2"))
+        .join(
+            F.broadcast(e3),
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    roles = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    tcnt = roles.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    t = F.coalesce(F.col("triangles"), F.lit(0))
+    return (
+        deg.join(tcnt, "node", "left")
+        .select(
+            "node",
+            "degree",
+            t.cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.lit(2.0) * t / (F.col("degree") * (F.col("degree") - 1)), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    maximize_col: str,
+    minimize_col: str,
+) -> DataFrame:
+    """Rows not Pareto-dominated: no other row has maximize_col >= AND
+    minimize_col <= with at least one strict. Returns the input rows that
+    sit on the frontier (ties on both dims all kept — neither strictly
+    dominates).
+
+    Distributed shape: one groupBy reduces the base table to a per-level
+    minimum (|distinct maximize values| rows), the running frontier
+    minimum is a window over THAT small aggregate (single-partition
+    window over ≤ domain-cardinality rows, never over the base table),
+    and the verdict joins back as a broadcast. Total: one shuffle over
+    the base + one broadcast join — no O(n²) dominance pairing, which is
+    what makes a 100 TB skyline feasible when the maximize dimension has
+    bounded cardinality (sizes, buckets, quantized scores)."""
+    lvl = df.groupBy(maximize_col).agg(F.min(minimize_col).alias("_mmin"))
+    win = (
+        Window.orderBy(F.col(maximize_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = lvl.select(
+        F.col(maximize_col).alias("_lvl"),
+        "_mmin",
+        F.min("_mmin").over(win).alias("_best_larger"),
+    )
+    return (
+        df.join(F.broadcast(frontier), F.col(maximize_col) == F.col("_lvl"))
+        .filter(
+            (F.col(minimize_col) == F.col("_mmin"))
+            & (
+                F.col("_best_larger").isNull()
+                | (F.col("_best_larger") > F.col(minimize_col))
+            )
+        )
+        .drop("_lvl", "_mmin", "_best_larger")
+    )
+
+
+def grouped_auc(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group ROC AUC of an integer score against a 0/1 label via the
+    Mann-Whitney rank-sum — no sampling, no sklearn, exact.
+
+    Tie handling in pure integers: with rank() = r and c tied rows at a
+    score, the tie-averaged rank is r + (c-1)/2, so DOUBLED ranks
+    2r + c - 1 stay integral; summing those over positives gives
+    AUC = (S2 - n_pos(n_pos+1)) / (2 n_pos n_neg) with one float
+    division at the end (exact integer operands < 2^53 → identical
+    doubles on any engine). The rank window shuffles once on the group
+    key; groups are independent, so skew is bounded by the largest
+    group — salt or pre-aggregate per-score counts if one group
+    dominates at 100 TB."""
+    w_rank = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
+    w_tie = Window.partitionBy(group_col, score_col)
+    ranked = df.select(
+        F.col(group_col),
+        F.col(label_col).alias("_pos"),
+        (
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - F.lit(1)
+        ).alias("_r2"),
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.sum(F.when(F.col("_pos") == 1, F.col("_r2")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_s2"),
+        F.sum("_pos").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("_pos")).cast("long").alias("n_neg"),
+    )
+    num = (F.col("_s2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+    den = F.lit(2.0) * F.col("n_pos") * F.col("n_neg")
+    return (
+        agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(group_col, "n_pos", "n_neg", F.round(num / den, 6).alias("auc"))
+    )

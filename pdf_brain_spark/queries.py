@@ -4506,7 +4506,7 @@ def _sub_shingle_cap() -> None:
     registers later, so it re-invokes this)."""
     from pdf_brain_spark.operators.dedup import SHINGLE_DF_CAP
 
-    for _name in ("dedup_ngram_jaccard", "tfidf_cosine_pairs"):
+    for _name in ("dedup_ngram_jaccard", "tfidf_cosine_pairs", "dedup_containment"):
         if _name in ORACLES:
             ORACLES[_name] = ORACLES[_name].replace(
                 "{SHINGLE_DF_CAP}", str(SHINGLE_DF_CAP)
@@ -11283,6 +11283,182 @@ def events_ushape_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "jid")
     )
+
+
+@query(
+    "part_cooccurrence_triangles",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem WHERE l_orderkey % 8 = 1
+    ),
+    e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    tri AS (
+      SELECT w.u AS a, w.v AS b, e2.v AS c
+      FROM e w JOIN e e2 ON e2.u = w.v
+      JOIN e e3 ON e3.u = w.u AND e3.v = e2.v
+    ),
+    troles AS (
+      SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+    ),
+    tcnt AS (SELECT node, count(*) AS triangles FROM troles GROUP BY node),
+    deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    )
+    SELECT d.node, d.degree, COALESCE(t.triangles, 0) AS triangles,
+           CASE WHEN d.degree >= 2
+                THEN round(2.0 * COALESCE(t.triangles, 0) / (d.degree * (d.degree - 1)), 6)
+                ELSE 0.0 END AS lcc
+    FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+    ORDER BY d.node
+    """,
+)
+def part_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient over the part
+    co-purchase graph (parts sharing an order, 1-in-8 order sample —
+    proportional thinning, so the subgraph stays representative at any
+    SF). The 2-hop closure of analyze-tags.ts's pair counts: wedges from
+    one equi-join on the middle node, closed by a broadcast edge join,
+    node-id oriented so each triangle enumerates exactly once. Pair
+    emission is bounded per order (≤ C(13,2) here), the 100 TB-safe
+    projection shape; degree-ordered orientation is the swap-in for
+    graphs with hubs. Exact integer counts; lcc is one float division."""
+    from pdf_brain_spark.operators.graph import cooccurrence_edges, triangle_counts
+
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") % 8 == 1)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return triangle_counts(edges).orderBy("node")
+
+
+@query(
+    "quality_signal_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT source, CAST(n_chars // 32 AS BIGINT) AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, score, pos,
+             2 * rank() OVER (PARTITION BY source ORDER BY score ASC)
+               + count(*) OVER (PARTITION BY source, score) - 1 AS r2
+      FROM scored
+    ),
+    agg AS (
+      SELECT source,
+             CAST(sum(CASE WHEN pos = 1 THEN r2 ELSE 0 END) AS BIGINT) AS s2,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(1 - pos) AS BIGINT) AS n_neg
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n_pos, n_neg,
+           round(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
+    FROM agg
+    WHERE n_pos > 0 AND n_neg > 0
+    ORDER BY source
+    """,
+)
+def quality_signal_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROC AUC of a quality signal (bucketed doc length)
+    against a binary slice (lang = 'en') — classifier evaluation without
+    sampling or sklearn, via the Mann-Whitney rank-sum. Tie-averaged
+    ranks stay integral by doubling (2r + c - 1), so the whole statistic
+    is exact integers until one final division; the oracle's recursive
+    window mirrors rank-for-rank. One shuffle on the group key."""
+    from pdf_brain_spark.operators.graph import grouped_auc
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source",
+        F.floor(F.col("n_chars") / 32).cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    return grouped_auc(docs, "source", "score", "pos").orderBy("source")
+
+
+@query(
+    "part_skyline",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_size, CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    ),
+    bysize AS (SELECT p_size, min(cents) AS mcents FROM p GROUP BY p_size),
+    frontier AS (
+      SELECT p_size, mcents,
+             min(mcents) OVER (ORDER BY p_size DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_larger
+      FROM bysize
+    )
+    SELECT p.p_partkey, CAST(p.p_size AS BIGINT) AS p_size, p.cents
+    FROM p JOIN frontier f ON f.p_size = p.p_size
+    WHERE p.cents = f.mcents AND (f.best_larger IS NULL OR f.best_larger > p.cents)
+    ORDER BY p.p_size DESC, p.p_partkey
+    """,
+)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline of parts (maximize size, minimize price): the rows
+    no other part beats on both dims. NOT the O(n²) dominance self-join:
+    one groupBy reduces the table to per-size minima, the frontier
+    running-min is a window over that ≤|sizes|-row aggregate, and the
+    verdict joins back as a broadcast — a 100 TB skyline in one shuffle
+    when the maximize dim has bounded cardinality. Prices compare in
+    exact integer cents."""
+    from pdf_brain_spark.operators.graph import skyline_2d
+
+    p = load_table(spark, "part", sf_dir).select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("p_size"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    return skyline_2d(p, "p_size", "cents").orderBy(
+        F.col("p_size").desc(), "p_partkey"
+    )
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+    kept AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(DISTINCT doc_id) <= {{SHINGLE_DF_CAP}}
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN kept k ON k.shingle = a.shingle
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(intersection AS BIGINT) AS common_shingles,
+           round(CAST(intersection AS DOUBLE) / sa.set_size, 6) AS containment_a,
+           round(CAST(intersection AS DOUBLE) / sb.set_size, 6) AS containment_b
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(intersection AS DOUBLE) / least(sa.set_size, sb.set_size) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC set-containment near-dup pairs (|A∩B|/|A| per side) —
+    what Jaccard misses on length-skewed corpora: a short doc embedded
+    in a long one scores ≈1 on its side while Jaccard stays near the
+    length ratio. Same DF-capped inverted-index shape as
+    dedup_ngram_jaccard (pairs meet only on shared shingles), threshold
+    on the larger side. Exact integer counts; two single-division
+    floats."""
+    from pdf_brain_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, "documents", sf_dir), threshold=0.2
+    ).orderBy("doc_a", "doc_b")
+
+
+_sub_shingle_cap()  # dedup_containment registered after earlier passes
 
 
 # --------------------------------------------------------------------------
