@@ -511,3 +511,86 @@ def column_profile(df: DataFrame, columns: list[str]) -> DataFrame:
         F.sum(F.when(F.col("value_str").isNull(), 1).otherwise(0)).alias("n_nulls"),
         F.countDistinct("value_str").alias("n_distinct"),
     )
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_pair: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information of ADJACENT token bigrams —
+    collocation/phrase mining (Church & Hanks 1990): which words follow
+    each other more often than their marginals predict?
+    pmi(a→b) = ln( (n_ab/B) / ((n_a/T)·(n_b/T)) ) with n_ab the bigram
+    occurrence count, B total bigram slots (Σ len−1), n the unigram
+    occurrence counts, T total tokens — all exact integers, one ln of
+    their rational at the end, landed as integer micro-nats (the repo's
+    engine-portable log encoding).
+
+    Shape is linear in corpus size: bigram emission is len−1 per doc
+    (consecutive-position zip, no pairing join), one map-side-combinable
+    groupBy each for bigrams and unigrams, broadcast marginal joins, a
+    2-scalar broadcast for (B, T). The output space is vocab² at most
+    and the min_pair floor cuts the noise tail. Directional by design —
+    pmi(a→b) ≠ pmi(b→a)."""
+    toks = docs.select(tokenize(text_col).alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    totals = toks.agg(
+        F.sum(F.size("_t")).alias("t_tokens"),
+        F.sum(F.size("_t") - 1).alias("b_slots"),
+    )
+    uni = (
+        toks.select(F.explode("_t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.slice(F.col("_t"), 1, F.size("_t") - 1),
+                    lambda x, i: F.struct(
+                        x.alias("term_a"),
+                        F.element_at(F.col("_t"), i + 2).alias("term_b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.term_a", "p.term_b")
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair)
+    )
+    na = uni.select(F.col("term").alias("term_a"), F.col("n").alias("n_a"))
+    nb = uni.select(F.col("term").alias("term_b"), F.col("n").alias("n_b"))
+    return (
+        bi.join(F.broadcast(na), "term_a")
+        .join(F.broadcast(nb), "term_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.log(
+                    (
+                        F.col("n_ab").cast("double")
+                        * F.col("t_tokens")
+                        * F.col("t_tokens")
+                    )
+                    / (
+                        F.col("b_slots").cast("double")
+                        * F.col("n_a")
+                        * F.col("n_b")
+                    )
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("pmi_micro_nats"),
+        )
+        .filter(F.col("pmi_micro_nats") > 0)
+    )

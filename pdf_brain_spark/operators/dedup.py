@@ -1159,3 +1159,49 @@ def winnowing_fingerprints(
             F.shiftright(F.col("wkey"), 22).cast("long").alias("fp_hash"),
         )
     )
+
+
+def fuzzy_domain_pairs(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 3,
+    domain_cap: int = 100_000,
+) -> DataFrame:
+    """Edit-distance (Levenshtein) fuzzy pairs over the DISTINCT value
+    domain of a column — record linkage for categorical-ish string
+    fields (names, labels, codes). The base table reduces to one row
+    per distinct value first (one map-side-combinable groupBy), so the
+    pairing cost is |domain|², independent of row count: a 100 TB fact
+    table with a bounded label space pairs in milliseconds, and each
+    pair carries the row counts it would merge. The kernel REFUSES
+    unbounded domains (count > domain_cap) rather than silently going
+    quadratic — free-text columns belong in the q-gram/shingle family
+    (ngram_jaccard_pairs, containment_pairs), not here.
+
+    The pair join is a broadcast non-equi self-join on name_a < name_b
+    with the JVM Levenshtein (threshold form, so the DP early-exits at
+    max_dist); no Python in the loop. Distances are exact integers."""
+    names = df.groupBy(F.col(col).alias("name")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    n = names.count()
+    if n > domain_cap:
+        raise ValueError(
+            f"fuzzy_domain_pairs: {col} has {n} distinct values "
+            f"(cap {domain_cap}); use the q-gram family for free text"
+        )
+    a = names.select(
+        F.col("name").alias("name_a"), F.col("n_rows").alias("rows_a")
+    )
+    b = names.select(
+        F.col("name").alias("name_b"), F.col("n_rows").alias("rows_b")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "dist",
+            F.levenshtein("name_a", "name_b", max_dist).cast("long"),
+        )
+        .filter(F.col("dist") >= 0)
+        .select("name_a", "name_b", "dist", "rows_a", "rows_b")
+    )

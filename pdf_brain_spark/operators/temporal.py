@@ -772,3 +772,67 @@ def cusum_stats(
             F.min(F.when(F.col("rn_up") == 1, F.col(ts_col))).alias("peak_up_ts"),
         )
     )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key peak number of simultaneously-open intervals and the
+    earliest instant that peak is first reached — the classic sweep-line
+    reduced to relational form. Each interval contributes +1 at its start
+    and -1 at its end; deltas are PRE-AGGREGATED per (key, instant)
+    before the running sum, which both bounds the window input at the
+    distinct-timestamp grain and pins the half-open [start, end)
+    semantics: an interval ending exactly when another starts nets to
+    zero at that instant and the two never count as concurrent, on any
+    engine, regardless of within-instant row order.
+
+    Shape: one union (no shuffle), one map-side-combinable groupBy on
+    (key, ts), then ONE exchange on the key shared by both windows (the
+    ordered running sum and the unordered per-key max reuse the same
+    hash partitioning) and a final groupBy that also reuses it. Works
+    for any orderable timestamp type (tz or ntz) — no epoch conversion.
+    Per-key state in the window is the distinct instants of that key;
+    salt upstream if one key owns a pathological share of the
+    timeline."""
+    from pyspark.sql import Window
+
+    deltas = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.col(start_col).alias("_ts"),
+            F.lit(1).alias("_d"),
+        )
+        .unionByName(
+            df.select(
+                F.col(key_col).alias("_k"),
+                F.col(end_col).alias("_ts"),
+                F.lit(-1).alias("_d"),
+            )
+        )
+        .groupBy("_k", "_ts")
+        .agg(F.sum("_d").alias("_delta"))
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = deltas.select(
+        "_k", "_ts", F.sum("_delta").over(w).alias("_run")
+    )
+    peaked = runs.withColumn(
+        "_peak", F.max("_run").over(Window.partitionBy("_k"))
+    )
+    return (
+        peaked.filter(F.col("_run") == F.col("_peak"))
+        .groupBy("_k")
+        .agg(
+            F.max("_peak").cast("long").alias("peak"),
+            F.min("_ts").alias("peak_ts"),
+        )
+        .select(F.col("_k").alias(key_col), "peak", "peak_ts")
+    )

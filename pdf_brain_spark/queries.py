@@ -11461,6 +11461,291 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _sub_shingle_cap()  # dedup_containment registered after earlier passes
 
 
+@query(
+    "supplier_peak_inflight",
+    oracle="""
+    WITH iv AS (
+      SELECT l_suppkey AS k, l_shipdate AS s,
+             l_shipdate + (1 + CAST(l_quantity AS INT) % 7) * INTERVAL 1 DAY AS e
+      FROM lineitem
+    ),
+    deltas AS (
+      SELECT k, ts, SUM(d) AS delta FROM (
+        SELECT k, s AS ts, 1 AS d FROM iv
+        UNION ALL
+        SELECT k, e AS ts, -1 AS d FROM iv
+      ) GROUP BY k, ts
+    ),
+    runs AS (
+      SELECT k, ts, sum(delta) OVER (PARTITION BY k ORDER BY ts) AS run
+      FROM deltas
+    ),
+    mx AS (
+      SELECT k, ts, run, max(run) OVER (PARTITION BY k) AS peak FROM runs
+    )
+    SELECT k AS l_suppkey, CAST(peak AS BIGINT) AS peak, min(ts) AS peak_ts
+    FROM mx WHERE run = peak GROUP BY k, peak ORDER BY k
+    """,
+)
+def supplier_peak_inflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak in-flight shipments per supplier — sweep-line interval
+    concurrency (operators/temporal.py::peak_concurrency) over transit
+    windows [shipdate, shipdate + 1..7 days) derived deterministically
+    from quantity. Deltas pre-aggregate per (supplier, instant) before
+    the running sum, so half-open end==start handoffs never overlap and
+    the result is row-order independent on both engines; the peak and
+    its first instant reuse one key exchange, no self-join. Exact
+    integer day offsets via a day-time interval (tz-type agnostic)."""
+    from pdf_brain_spark.operators.temporal import peak_concurrency
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_suppkey",
+        F.col("l_shipdate").alias("start_ts"),
+        (
+            F.col("l_shipdate")
+            + F.make_dt_interval(
+                days=F.lit(1) + F.col("l_quantity").cast("int") % 7
+            )
+        ).alias("end_ts"),
+    )
+    return peak_concurrency(li, "l_suppkey", "start_ts", "end_ts").orderBy(
+        "l_suppkey"
+    )
+
+
+@query(
+    "part_name_fuzzy_pairs",
+    oracle="""
+    WITH names AS (
+      SELECT p_name AS name, count(*) AS n_rows FROM part GROUP BY 1
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+           CAST(a.n_rows AS BIGINT) AS rows_a,
+           CAST(b.n_rows AS BIGINT) AS rows_b
+    FROM names a JOIN names b ON a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
+    ORDER BY name_a, name_b
+    """,
+)
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy match over part names: Levenshtein ≤ 3 pairs
+    of the DISTINCT name domain, each carrying the row counts a merge
+    would touch. The domain-grain reduction is the scale story — the
+    pair join is |distinct names|² behind a hard cap, independent of
+    fact-table row count, with the JVM threshold-Levenshtein
+    early-exiting the DP (operators/dedup.py::fuzzy_domain_pairs).
+    Free-text columns are refused and belong to the q-gram family."""
+    from pdf_brain_spark.operators.dedup import fuzzy_domain_pairs
+
+    return fuzzy_domain_pairs(
+        load_table(spark, "part", sf_dir), "p_name", max_dist=3
+    ).orderBy("name_a", "name_b")
+
+
+@query(
+    "events_ab_test",
+    oracle="""
+    WITH u AS (
+      SELECT user_id % 2 AS v, user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (SELECT v, count(*) AS users, sum(conv) AS converted FROM u GROUP BY v),
+    w AS (
+      SELECT
+        CAST(sum(CASE WHEN v = 0 THEN users END) AS BIGINT) AS users_a,
+        CAST(sum(CASE WHEN v = 0 THEN converted END) AS BIGINT) AS conv_a,
+        CAST(sum(CASE WHEN v = 1 THEN users END) AS BIGINT) AS users_b,
+        CAST(sum(CASE WHEN v = 1 THEN converted END) AS BIGINT) AS conv_b
+      FROM s
+    ),
+    se AS (
+      SELECT *,
+             sqrt(
+               (CAST(conv_a + conv_b AS DOUBLE) / (users_a + users_b))
+               * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (users_a + users_b))
+               * (1.0 / users_a + 1.0 / users_b)
+             ) AS stderr
+      FROM w
+    )
+    SELECT users_a, conv_a, users_b, conv_b,
+           round(CAST(conv_a AS DOUBLE) / users_a, 6) AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / users_b, 6) AS rate_b,
+           CASE WHEN stderr > 0 THEN round(
+             (CAST(conv_a AS DOUBLE) / users_a - CAST(conv_b AS DOUBLE) / users_b)
+             / stderr, 6) END AS z_score
+    FROM se
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between user cohorts (user_id parity as the
+    assignment hash): did variant A's purchase conversion differ from
+    B's? User-grain converted flags reduce map-side first (one shuffle
+    at user grain, one at the 2-row variant grain), then the pooled
+    z-statistic is a single arithmetic expression over four exact
+    integers — bit-identical on any IEEE engine, no sampling, no scipy.
+    The same shape serves any experiment readout at 100 TB: the heavy
+    work is the user-grain dedup, everything after is constant-size."""
+    ev = load_table(spark, "events", sf_dir)
+    users = ev.groupBy(
+        (F.col("user_id") % 2).alias("v"), "user_id"
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    s = users.groupBy("v").agg(
+        F.count(F.lit(1)).alias("users"), F.sum("conv").alias("converted")
+    )
+    w = s.groupBy().agg(
+        F.sum(F.when(F.col("v") == 0, F.col("users"))).cast("long").alias("users_a"),
+        F.sum(F.when(F.col("v") == 0, F.col("converted"))).cast("long").alias("conv_a"),
+        F.sum(F.when(F.col("v") == 1, F.col("users"))).cast("long").alias("users_b"),
+        F.sum(F.when(F.col("v") == 1, F.col("converted"))).cast("long").alias("conv_b"),
+    )
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("users_a") + F.col("users_b")
+    )
+    se = w.withColumn(
+        "stderr",
+        F.sqrt(
+            pooled
+            * (F.lit(1.0) - pooled)
+            * (F.lit(1.0) / F.col("users_a") + F.lit(1.0) / F.col("users_b"))
+        ),
+    )
+    z = (
+        F.col("conv_a").cast("double") / F.col("users_a")
+        - F.col("conv_b").cast("double") / F.col("users_b")
+    ) / F.col("stderr")
+    return se.select(
+        "users_a",
+        "conv_a",
+        "users_b",
+        "conv_b",
+        F.round(F.col("conv_a").cast("double") / F.col("users_a"), 6).alias("rate_a"),
+        F.round(F.col("conv_b").cast("double") / F.col("users_b"), 6).alias("rate_b"),
+        F.when(F.col("stderr") > 0, F.round(z, 6)).alias("z_score"),
+    )
+
+
+@query(
+    "term_pmi_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS arr
+      FROM documents
+    ),
+    kept AS (SELECT arr FROM toks WHERE len(arr) >= 2),
+    totals AS (
+      SELECT CAST(sum(len(arr)) AS BIGINT) AS t_tokens,
+             CAST(sum(len(arr) - 1) AS BIGINT) AS b_slots
+      FROM kept
+    ),
+    uni AS (
+      SELECT term, count(*) AS n
+      FROM (SELECT unnest(arr) AS term FROM kept) GROUP BY 1
+    ),
+    bi AS (
+      SELECT term_a, term_b, count(*) AS n_ab
+      FROM (
+        SELECT unnest(arr[1:len(arr) - 1]) AS term_a,
+               unnest(arr[2:len(arr)]) AS term_b
+        FROM kept
+      )
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+           CAST(round(ln(
+             (CAST(n_ab AS DOUBLE) * t.t_tokens * t.t_tokens)
+             / (CAST(t.b_slots AS DOUBLE) * na.n * nb.n)
+           ) * 1000000) AS BIGINT) AS pmi_micro_nats
+    FROM bi
+    JOIN uni na ON na.term = term_a
+    JOIN uni nb ON nb.term = term_b, totals t
+    WHERE CAST(round(ln(
+            (CAST(n_ab AS DOUBLE) * t.t_tokens * t.t_tokens)
+            / (CAST(t.b_slots AS DOUBLE) * na.n * nb.n)
+          ) * 1000000) AS BIGINT) > 0
+    ORDER BY term_a, term_b
+    """,
+)
+def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: positive-PMI adjacent bigrams (Church &
+    Hanks 1990) — the statistic behind phrase detection and
+    compound-token induction in corpus prep. Bigram emission is a
+    consecutive-position zip (len−1 per doc, linear — no pairing join);
+    marginals and totals are exact integer occurrence counts; PMI lands
+    as integer micro-nats of one exact-integer rational, the
+    established engine-portable log encoding
+    (operators/analytics.py::pmi_pairs). Directional: pmi(a→b) ≠
+    pmi(b→a)."""
+    from pdf_brain_spark.operators.analytics import pmi_pairs
+
+    return pmi_pairs(load_table(spark, "documents", sf_dir)).orderBy(
+        "term_a", "term_b"
+    )
+
+
+@query(
+    "benford_digit_audit",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit FROM c),
+    counts AS (SELECT digit, count(*) AS observed FROM d GROUP BY 1),
+    t AS (SELECT sum(observed) AS total FROM counts)
+    SELECT CAST(digit AS BIGINT) AS digit,
+           CAST(observed AS BIGINT) AS observed,
+           CAST((observed * 1000000) // total AS BIGINT) AS observed_ppm,
+           CAST(round(log10(1 + 1.0 / digit) * 1000000) AS BIGINT) AS expected_ppm,
+           CAST((observed * 1000000) // total
+                - round(log10(1 + 1.0 / digit) * 1000000) AS BIGINT) AS deviation_ppm
+    FROM counts, t ORDER BY digit
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit (Benford) audit of order totals — the forensic
+    screen for fabricated or truncated numeric columns. Per-digit
+    observed counts against round(log10(1+1/d)·1e6) expected ppm; the
+    observed share uses exact integer floor division (DIV, overflow-safe
+    past 2^53 where float floor would round) so both engines agree to
+    the ppm. One map-side-combinable groupBy over the scan + a 9-row
+    broadcast of the total; output is always ≤ 9 rows at any scale."""
+    o = load_table(spark, "orders", sf_dir).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    counts = (
+        o.select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    total = counts.select(F.sum("observed").alias("total"))
+    expected = F.round(
+        F.log10(F.lit(1) + F.lit(1.0) / F.col("digit")) * 1000000
+    ).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            F.col("observed").cast("long").alias("observed"),
+            F.expr("(observed * 1000000) DIV total").alias("observed_ppm"),
+            expected.alias("expected_ppm"),
+            (F.expr("(observed * 1000000) DIV total") - expected).alias(
+                "deviation_ppm"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
