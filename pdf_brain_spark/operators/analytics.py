@@ -594,3 +594,89 @@ def pmi_pairs(
         )
         .filter(F.col("pmi_micro_nats") > 0)
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend line from the five moment
+    sums — slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept =
+    (Σy − slope·Σx)/n — with the sums accumulated in decimal(38,0)
+    (Spark) so they mirror DuckDB's HUGEINT exactly: integer inputs stay
+    EXACT through every sum and the only floats are the two final
+    divisions of identical integer operands. Degenerate keys (all x
+    equal → zero denominator) return NULL slope/intercept rather than
+    dividing by zero.
+
+    One map-side-combinable groupBy — regression at 100 TB is an
+    aggregate, not an iterative fit. Callers should pre-aggregate y to
+    the x grain first (e.g. daily revenue) so the sums stay small and
+    the per-key row count is the bounded time axis."""
+    xd = F.col(x_col).cast("decimal(19,0)")
+    yd = F.col(y_col).cast("decimal(19,0)")
+    agg = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("_n"),
+        F.sum(xd).alias("_sx"),
+        F.sum(yd).alias("_sy"),
+        F.sum(xd * xd).alias("_sxx"),
+        F.sum(xd * yd).alias("_sxy"),
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    )
+    den = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    )
+    slope = num / den
+    intercept = (
+        F.col("_sy").cast("double") - slope * F.col("_sx").cast("double")
+    ) / F.col("_n").cast("double")
+    return agg.select(
+        key_col,
+        F.col("_n").cast("long").alias("n_points"),
+        F.when(den > 0, F.round(slope, 6)).alias("slope"),
+        F.when(den > 0, F.round(intercept, 6)).alias("intercept"),
+    )
+
+
+def token_entropy(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Shannon entropy of the token distribution per group, in integer
+    micro-nats: H = ln T − (1/T)·Σ n·ln n becomes
+    round(ln(T)·1e6) − (Σ n·round(ln(n)·1e6)) DIV T — each ln is a
+    single per-row evaluation rounded to an integer BEFORE the sum, so
+    the cross-engine float-summation-order hazard never arises (the
+    perplexity/surprisal gates' encoding). Low entropy flags template
+    spam and mode-collapsed sources; the ln(vocab) ceiling gives the
+    evenness ratio.
+
+    Shape: one (group, term) groupBy then one group groupBy, both
+    map-side-combinable; output is one row per group."""
+    counts = (
+        docs.select(F.col(group_col), F.explode(tokenize(text_col)).alias("term"))
+        .groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ln_micro = F.round(F.log(F.col("n").cast("double")) * 1000000).cast("long")
+    agg = counts.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum(F.col("n") * ln_micro).cast("long").alias("_s"),
+    )
+    return agg.select(
+        group_col,
+        "n_terms",
+        "total_tokens",
+        (
+            F.round(F.log(F.col("total_tokens").cast("double")) * 1000000).cast(
+                "long"
+            )
+            - F.expr("_s DIV total_tokens")
+        ).alias("entropy_micro_nats"),
+    )

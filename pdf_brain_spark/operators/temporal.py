@@ -836,3 +836,73 @@ def peak_concurrency(
         )
         .select(F.col("_k").alias(key_col), "peak", "peak_ts")
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Exponentially-weighted moving average with dyadic smoothing
+    alpha = 1/2^k, kept EXACT by running the recursion in scaled
+    integers: s_t = s_{t-1} + ((x_t·2^k − s_{t-1}) >> k), s_0 = x_0·2^k,
+    where s = ewma·2^k and >> is the ARITHMETIC shift (floor division by
+    2^k for negative differences too — Spark shiftright and DuckDB >>
+    agree on this; integer `/`-family operators do NOT, they truncate).
+    No float accumulates across steps, so the full history is
+    bit-reproducible on any engine — the same trick as the CUSUM gate.
+
+    Input must be one row per (key, instant). Shape: one groupBy
+    collects each series (series grain is bounded — key × bucket, never
+    raw events), one fold emits the running state, one posexplode
+    restores rows. The control-chart complement of cusum_stats: CUSUM
+    detects level shifts, EWMA tracks the level itself."""
+    pts = df.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(ts_col).alias("ts"), F.col(value_col).alias("x"))
+            )
+        ).alias("_pts")
+    )
+    init = F.array(
+        F.struct(
+            F.element_at("_pts", 1)["ts"].alias("ts"),
+            F.element_at("_pts", 1)["x"].alias("x"),
+            F.shiftleft(F.element_at("_pts", 1)["x"], k).cast("long").alias("s"),
+        )
+    )
+    folded = pts.select(
+        key_col,
+        F.aggregate(
+            F.slice("_pts", 2, F.greatest(F.size("_pts") - 1, F.lit(0))),
+            init,
+            lambda acc, p: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        p["ts"].alias("ts"),
+                        p["x"].alias("x"),
+                        (
+                            F.element_at(acc, -1)["s"]
+                            + F.shiftright(
+                                F.shiftleft(p["x"], k).cast("long")
+                                - F.element_at(acc, -1)["s"],
+                                k,
+                            )
+                        ).alias("s"),
+                    )
+                ),
+            ),
+        ).alias("_run"),
+    )
+    return folded.select(
+        key_col, F.explode("_run").alias("p")
+    ).select(
+        key_col,
+        F.col("p.ts").alias(ts_col),
+        F.col("p.x").cast("long").alias(value_col),
+        F.col("p.s").cast("long").alias("ewma_scaled"),
+        F.round(F.col("p.s") / F.lit(float(2**k)), 6).alias("ewma"),
+    )

@@ -11746,6 +11746,244 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_ewma_hourly",
+    oracle="""
+    WITH RECURSIVE series AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             count(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    pts AS (
+      SELECT event_type, bucket, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS i
+      FROM series
+    ),
+    r AS (
+      SELECT event_type, i, bucket, x, x * 8 AS s FROM pts WHERE i = 1
+      UNION ALL
+      SELECT p.event_type, p.i, p.bucket, p.x, r.s + ((p.x * 8 - r.s) >> 3)
+      FROM r JOIN pts p ON p.event_type = r.event_type AND p.i = r.i + 1
+    )
+    SELECT event_type, bucket, CAST(x AS BIGINT) AS x,
+           CAST(s AS BIGINT) AS ewma_scaled,
+           round(s / 8.0, 6) AS ewma
+    FROM r ORDER BY event_type, bucket
+    """,
+)
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed hourly event counts per type (alpha = 1/8), the
+    control-chart level tracker complementing the CUSUM shift detector.
+    The recursion runs entirely in scaled integers with ARITHMETIC-shift
+    floor division (operators/temporal.py::ewma_smooth), so every step
+    of the history is bit-reproducible against the recursive-CTE twin —
+    no float ever accumulates. Series grain is (type × hour), bounded;
+    the fold happens after the one map-side-combinable count groupBy."""
+    from pdf_brain_spark.operators.temporal import ewma_smooth
+
+    series = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return ewma_smooth(series, "event_type", "bucket", "x", k=3).orderBy(
+        "event_type", "bucket"
+    )
+
+
+@query(
+    "nation_revenue_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT n.n_name,
+             datediff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE)) AS day_idx,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT n_name, count(*) AS n,
+             sum(CAST(day_idx AS HUGEINT)) AS sx,
+             sum(CAST(day_cents AS HUGEINT)) AS sy,
+             sum(CAST(day_idx AS HUGEINT) * day_idx) AS sxx,
+             sum(CAST(day_idx AS HUGEINT) * day_cents) AS sxy
+      FROM daily GROUP BY 1
+    )
+    SELECT n_name, CAST(n AS BIGINT) AS n_points,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             round((CAST(sy AS DOUBLE)
+                    - (CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE), 6) END AS intercept
+    FROM m ORDER BY n_name
+    """,
+)
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS trend of daily order revenue (cents/day slope +
+    intercept): is each market growing? Revenue pre-aggregates to the
+    (nation, day) grain FIRST — regression over the bounded time axis,
+    not raw orders — then the fit is one moment-sum aggregate with
+    decimal-38 accumulators mirroring DuckDB's HUGEINT exactly
+    (operators/analytics.py::grouped_ols); the only floats are the two
+    final divisions of identical exact integers. Dims broadcast; the
+    one real shuffle is the day-grain groupBy."""
+    from pdf_brain_spark.operators.analytics import grouped_ols
+
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    daily = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias(
+                "day_idx"
+            ),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("day_cents")
+        )
+    )
+    return grouped_ols(daily, "n_name", "day_idx", "day_cents").orderBy(
+        "n_name"
+    )
+
+
+@query(
+    "source_token_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    counts AS (SELECT source, term, count(*) AS n FROM toks GROUP BY 1, 2),
+    agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(n) AS BIGINT) AS total_tokens,
+             CAST(sum(n * CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM counts GROUP BY 1
+    )
+    SELECT source, n_terms, total_tokens,
+           CAST(round(ln(CAST(total_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+             - s // total_tokens AS entropy_micro_nats
+    FROM agg ORDER BY source
+    """,
+)
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution in integer
+    micro-nats — the evenness/quality signal that flags template spam
+    (entropy far below ln(vocab)) and mode-collapsed generators. Every
+    ln rounds to an integer BEFORE summation
+    (operators/analytics.py::token_entropy), so engine float-summation
+    order never matters; both divisions are integer DIV of positive
+    operands (floor == truncate). Two map-side-combinable groupBys."""
+    from pdf_brain_spark.operators.analytics import token_entropy
+
+    return token_entropy(
+        load_table(spark, "documents", sf_dir), "source"
+    ).orderBy("source")
+
+
+@query(
+    "stratified_neyman_sample",
+    oracle="""
+    WITH s AS (
+      SELECT source, count(*) AS n_h,
+             CAST(count(*) AS HUGEINT) * sum(n_chars * n_chars)
+               - CAST(sum(n_chars) AS HUGEINT) * sum(n_chars) AS v
+      FROM documents GROUP BY 1
+    ),
+    sc AS (
+      SELECT source, n_h,
+             CAST(round(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS score
+      FROM s
+    ),
+    t AS (
+      SELECT sum(score) AS tot, sum(n_h) AS n_docs FROM sc
+    ),
+    alloc AS (
+      SELECT source, n_h, score,
+             CAST(((n_docs // 10) * score) // tot AS BIGINT) AS n_alloc
+      FROM sc, t
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk, a.n_alloc
+    FROM ranked r JOIN alloc a USING (source)
+    WHERE r.rk <= a.n_alloc
+    ORDER BY r.source, r.rk
+    """,
+)
+def stratified_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocated stratified sample (10% of the corpus): each
+    source stratum gets budget ∝ N_h·sd_h, the variance-optimal
+    allocation for estimating corpus means from the sample. The
+    allocation arithmetic is exact to the end — the Neyman weight
+    N_h·sd_h equals sqrt(N_h·Σx² − (Σx)²) so ONE per-stratum sqrt
+    rounds to an integer score, and budgets are integer floor products
+    of integer sums (never a float share that could flip a floor
+    boundary cross-engine). Membership is the portable md5 rank within
+    each stratum — content-addressed, reproducible, no RNG. Shape: two
+    stratum-grain aggregates + one rank window; the sample join
+    broadcasts the 1-row-per-stratum allocation."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    xd = F.col("n_chars").cast("decimal(19,0)")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        (
+            F.count(F.lit(1)).cast("decimal(19,0)") * F.sum(xd * xd)
+            - F.sum(xd) * F.sum(xd)
+        ).alias("v"),
+    )
+    sc = s.select(
+        "source",
+        "n_h",
+        F.round(F.sqrt(F.col("v").cast("double"))).cast("long").alias("score"),
+    )
+    t = sc.agg(
+        F.sum("score").alias("tot"), F.sum("n_h").alias("n_docs")
+    )
+    alloc = sc.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.expr("((n_docs DIV 10) * score) DIV tot").alias("n_alloc"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w).cast("long").alias("rk")
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "source")
+        .filter(F.col("rk") <= F.col("n_alloc"))
+        .select("doc_id", "source", "rk", "n_alloc")
+        .orderBy("source", "rk")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
