@@ -680,3 +680,46 @@ def token_entropy(
             - F.expr("_s DIV total_tokens")
         ).alias("entropy_micro_nats"),
     )
+
+
+def grouped_gini(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gini coefficient of an integer value distribution per key —
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over the ascending-sorted
+    values — the inequality measure completing the concentration family
+    (HHI says "how few own it", Pareto says "what the top k% own", Gini
+    says "how unequal the whole curve is").
+
+    The rank-weighted sum uses row_number over (value, tiebreak) — a
+    total order, so Σ i·x_i is well-defined under ties (any tie order
+    yields the same sum since tied values are equal) — and accumulates
+    in decimal(38,0) mirroring DuckDB's HUGEINT. One window exchange on
+    the key + one map-side-combinable groupBy; the only float is the
+    final division of exact integers. G ∈ [0, 1−1/n]; NULL when Σx = 0."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("_x").asc(), F.col("_tb").asc()
+    )
+    ranked = df.select(
+        F.col(key_col),
+        F.col(value_col).cast("decimal(19,0)").alias("_x"),
+        F.monotonically_increasing_id().alias("_tb"),
+    ).withColumn("_i", F.row_number().over(w).cast("decimal(19,0)"))
+    agg = ranked.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_i") * F.col("_x")).alias("_six"),
+    )
+    num = (
+        F.lit(2).cast("decimal(19,0)") * F.col("_six")
+        - (F.col("_n") + F.lit(1)) * F.col("_sx")
+    ).cast("double")
+    den = (F.col("_n") * F.col("_sx")).cast("double")
+    return agg.select(
+        key_col,
+        F.col("_n").cast("long").alias("n"),
+        F.col("_sx").cast("long").alias("total"),
+        F.when(den > 0, F.round(num / den, 6)).alias("gini"),
+    )

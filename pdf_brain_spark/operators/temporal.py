@@ -906,3 +906,65 @@ def ewma_smooth(
         F.col("p.s").cast("long").alias("ewma_scaled"),
         F.round(F.col("p.s") / F.lit(float(2**k)), 6).alias("ewma"),
     )
+
+
+def kaplan_meier(
+    spans: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator over integer durations:
+    S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) at each observed event time, with
+    right-censored spans leaving the risk set without contributing a
+    death. Input: one row per subject with an integer duration and a
+    0/1 event flag (1 = observed event, 0 = censored).
+
+    The float-product hazard is converted to an EXACT integer pipeline:
+    per event time the factor ln((n_i − d_i)/n_i) rounds once to integer
+    micro-nats, the cumulative product becomes a cumulative SUM of
+    integers (window over the ordered duration axis — bounded grain, not
+    subjects), and survival is one final exp rounded to 6dp. Risk sets
+    come from reversed cumulative counts, never a per-subject scan per
+    time point. Shape: one duration-grain groupBy + one single-partition
+    window over the duration axis (bounded domain — days, not rows).
+    Event times where n_i == d_i (everyone left) yield ln(0) = −∞; they
+    are emitted with survival 0.0 via a guard rather than a NaN."""
+    from pyspark.sql import Window
+
+    per_t = spans.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(event_col)).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    )
+    w_ord = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    total = spans.select(F.count(F.lit(1)).alias("_total"))
+    risky = per_t.crossJoin(F.broadcast(total)).withColumn(
+        "at_risk",
+        (F.col("_total") - F.coalesce(F.sum("leaving").over(w_ord), F.lit(0)))
+        .cast("long"),
+    )
+    deaths = risky.filter(F.col("d") > 0)
+    ln_micro = F.when(
+        F.col("at_risk") > F.col("d"),
+        F.round(
+            F.log(
+                (F.col("at_risk") - F.col("d")).cast("double")
+                / F.col("at_risk")
+            )
+            * 1000000
+        ).cast("long"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = deaths.withColumn("_lm", ln_micro).withColumn(
+        "_zero_seen",
+        F.max(F.when(F.col("_lm").isNull(), 1).otherwise(0)).over(w_cum),
+    ).withColumn("_cum", F.sum(F.coalesce("_lm", F.lit(0))).over(w_cum))
+    return cum.select(
+        F.col("t").alias(duration_col),
+        "at_risk",
+        F.col("d").alias("deaths"),
+        F.when(F.col("_zero_seen") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("_cum") / F.lit(1000000.0)), 6))
+        .alias("survival"),
+    )

@@ -11984,6 +11984,338 @@ def stratified_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_m4_downsample",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             ts, event_id, value,
+             row_number() OVER (
+               PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+               ORDER BY ts, event_id
+             ) AS rn_f,
+             row_number() OVER (
+               PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn_l
+      FROM events
+    )
+    SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+           round(sum(CASE WHEN rn_f = 1 THEN value END), 6) AS v_first,
+           round(sum(CASE WHEN rn_l = 1 THEN value END), 6) AS v_last,
+           round(min(value), 6) AS v_min,
+           round(max(value), 6) AS v_max
+    FROM pts GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visual downsampling (Jugel et al. 2014): per (series, time
+    bucket) keep exactly first/last/min/max — the four points that make
+    a line chart of the bucket pixel-identical to the raw series, the
+    standard dashboard fan-in that turns a 100 TB scan into a
+    bucket-grain frame. ONE map-side-combinable groupBy: first/last ride
+    a (ts, event_id, value) struct min/max (total order — no window, no
+    second pass; the oracle's twin windows select the same rows because
+    (ts, event_id) is unique). Values round to 6dp on both engines."""
+    ev = load_table(spark, "events", sf_dir)
+    g = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct("ts", "event_id", "value")).alias("_f"),
+        F.max(F.struct("ts", "event_id", "value")).alias("_l"),
+        F.min("value").alias("_mn"),
+        F.max("value").alias("_mx"),
+    )
+    return g.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.round(F.col("_f.value"), 6).alias("v_first"),
+        F.round(F.col("_l.value"), 6).alias("v_last"),
+        F.round("_mn", 6).alias("v_min"),
+        F.round("_mx", 6).alias("v_max"),
+    ).orderBy("event_type", "bucket")
+
+
+@query(
+    "events_lead_lag_correlation",
+    oracle="""
+    WITH cnt AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             count(*) AS c
+      FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM cnt),
+    axis AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    ),
+    x AS (
+      SELECT a.bucket, COALESCE(c.c, 0) AS x FROM axis a
+      LEFT JOIN cnt c ON c.bucket = a.bucket AND c.event_type = 'click'
+    ),
+    y AS (
+      SELECT a.bucket, COALESCE(c.c, 0) AS y FROM axis a
+      LEFT JOIN cnt c ON c.bucket = a.bucket AND c.event_type = 'purchase'
+    ),
+    lags AS (SELECT unnest(range(-3, 4)) AS lag),
+    m AS (
+      SELECT l.lag, count(*) AS n,
+             sum(CAST(x.x AS HUGEINT)) AS sx, sum(CAST(y.y AS HUGEINT)) AS sy,
+             sum(CAST(x.x AS HUGEINT) * x.x) AS sxx,
+             sum(CAST(y.y AS HUGEINT) * y.y) AS syy,
+             sum(CAST(x.x AS HUGEINT) * y.y) AS sxy
+      FROM lags l
+      JOIN x ON TRUE
+      JOIN y ON y.bucket = x.bucket + l.lag * INTERVAL 1 HOUR
+      GROUP BY l.lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag_hours, CAST(n AS BIGINT) AS n,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r
+    FROM m ORDER BY lag_hours
+    """,
+)
+def events_lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag Pearson cross-correlation between the click and purchase
+    hourly series at lags −3..+3 — "do clicks lead purchases, and by how
+    much?". Both series densify over the complete hour axis (missing
+    hours are real zeros, not absent rows — correlation over a sparse
+    join would silently condition on activity), the lag shift is exact
+    timestamp arithmetic, and each lag's Pearson r comes from HUGEINT/
+    decimal-38 moment sums with one final float expression. The axis is
+    the bounded time grain, so the 7-lag fan-out is over hours, never
+    events; NULL r when either series is constant on the overlap."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cnt = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = cnt.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    axis = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    x = axis.join(
+        cnt.filter(F.col("event_type") == "click").select(
+            "bucket", F.col("c").alias("x")
+        ),
+        "bucket",
+        "left",
+    ).select("bucket", F.coalesce("x", F.lit(0)).alias("x"))
+    y = axis.join(
+        cnt.filter(F.col("event_type") == "purchase").select(
+            "bucket", F.col("c").alias("y")
+        ),
+        "bucket",
+        "left",
+    ).select(
+        F.col("bucket").alias("y_bucket"), F.coalesce("y", F.lit(0)).alias("y")
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    m = (
+        F.broadcast(lags)
+        .join(x, F.lit(True))
+        .join(
+            y,
+            F.col("y_bucket")
+            == F.col("bucket") + F.make_dt_interval(hours=F.col("lag")),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+            F.sum(xd).alias("sx"),
+            F.sum(yd).alias("sy"),
+            F.sum(xd * xd).alias("sxx"),
+            F.sum(yd * yd).alias("syy"),
+            F.sum(xd * yd).alias("sxy"),
+        )
+    )
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("lag").cast("long").alias("lag_hours"),
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            (denx > 0) & (deny > 0),
+            F.round(
+                num
+                / F.sqrt(denx.cast("double") * deny.cast("double")),
+                6,
+            ),
+        ).alias("r"),
+    ).orderBy("lag_hours")
+
+
+@query(
+    "nation_customer_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name, o.o_custkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT n_name, cents,
+             row_number() OVER (PARTITION BY n_name ORDER BY cents) AS i
+      FROM rev
+    ),
+    agg AS (
+      SELECT n_name, count(*) AS n, sum(CAST(cents AS HUGEINT)) AS sx,
+             sum(CAST(i AS HUGEINT) * cents) AS six
+      FROM ranked GROUP BY 1
+    )
+    SELECT n_name, CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS total,
+           CASE WHEN n * sx > 0 THEN
+             round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                   / CAST(n * sx AS DOUBLE), 6) END AS gini
+    FROM agg ORDER BY n_name
+    """,
+)
+def nation_customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue within each nation — the
+    inequality curve completing the concentration family (HHI: how few
+    own it; Pareto: what the top slice owns; Gini: how unequal the whole
+    distribution is). Revenue reduces to customer grain first; the
+    rank-weighted sum is well-defined under ties (tied values contribute
+    the same sum for any tie order) and accumulates in decimal-38/
+    HUGEINT (operators/analytics.py::grouped_gini); the only float is
+    one final division of exact integers."""
+    from pdf_brain_spark.operators.analytics import grouped_gini
+
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    rev = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return grouped_gini(rev, "n_name", "cents").orderBy("n_name")
+
+
+@query(
+    "session_survival_curve",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    ),
+    u AS (
+      SELECT user_id, session_id, min(ts) AS f, max(ts) AS l
+      FROM sessions GROUP BY 1, 2
+    ),
+    g AS (SELECT max(ts) AS mx FROM events),
+    spans AS (
+      SELECT (epoch_us(l) - epoch_us(f)) // 60000000 AS t,
+             CASE WHEN l >= mx - INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS ev
+      FROM u, g
+    ),
+    per_t AS (SELECT t, sum(ev) AS d, count(*) AS leaving FROM spans GROUP BY 1),
+    tot AS (SELECT count(*) AS total FROM spans),
+    risky AS (
+      SELECT t, d, leaving,
+             total - COALESCE(sum(leaving) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS at_risk
+      FROM per_t, tot
+    ),
+    deaths AS (SELECT * FROM risky WHERE d > 0),
+    lm AS (
+      SELECT t, at_risk, d,
+             CASE WHEN at_risk > d THEN
+               CAST(round(ln(CAST(at_risk - d AS DOUBLE) / at_risk) * 1000000)
+                    AS BIGINT) END AS lmv
+      FROM deaths
+    ),
+    cum AS (
+      SELECT t, at_risk, d,
+             max(CASE WHEN lmv IS NULL THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zs,
+             sum(COALESCE(lmv, 0))
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM lm
+    )
+    SELECT CAST(t AS BIGINT) AS duration_min, CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(d AS BIGINT) AS deaths,
+           CASE WHEN zs = 1 THEN 0.0
+                ELSE round(exp(CAST(c AS DOUBLE) / 1000000.0), 6) END AS survival
+    FROM cum ORDER BY duration_min
+    """,
+)
+def session_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of session duration (minutes),
+    right-censoring sessions that may still be open at the corpus edge
+    (last event within one gap of max ts) — "what fraction of sessions
+    survive past t minutes?", the duration analysis a plain average gets
+    wrong under censoring. Sessions come from the shared 30-minute-gap
+    kernel (operators/temporal.py::with_session_ids); the float product
+    Π(1 − d/n) becomes an exact integer pipeline — each factor's ln
+    rounds once to micro-nats, the product is a cumulative integer SUM
+    over the bounded minute axis, one exp at the end
+    (operators/temporal.py::kaplan_meier). Risk sets derive from
+    reversed cumulative counts — never a per-subject rescan."""
+    from pdf_brain_spark.operators.temporal import kaplan_meier, with_session_ids
+
+    ev = load_table(spark, "events", sf_dir)
+    sess = with_session_ids(ev)
+    u = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("f"), F.max("ts").alias("l")
+    )
+    g = ev.agg(F.max("ts").alias("mx"))
+    spans = (
+        u.crossJoin(F.broadcast(g))
+        .select(
+            F.unix_micros(F.col("f").cast("timestamp")).alias("fm"),
+            F.unix_micros(F.col("l").cast("timestamp")).alias("lm"),
+            F.when(
+                F.col("l") >= F.col("mx") - F.expr("INTERVAL 30 MINUTE"), 0
+            )
+            .otherwise(1)
+            .alias("ev"),
+        )
+        .select(F.expr("(lm - fm) DIV 60000000").alias("t"), "ev")
+    )
+    return (
+        kaplan_meier(spans, "t", "ev")
+        .select(
+            F.col("t").cast("long").alias("duration_min"),
+            "at_risk",
+            "deaths",
+            "survival",
+        )
+        .orderBy("duration_min")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
