@@ -12316,6 +12316,315 @@ def session_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cohort_ltv_curves",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    firsts AS (SELECT o_custkey, min(midx) AS cohort_idx FROM o GROUP BY 1),
+    sizes AS (SELECT cohort_idx, count(*) AS customers FROM firsts GROUP BY 1),
+    aged AS (
+      SELECT f.cohort_idx, o.midx - f.cohort_idx AS age_month,
+             sum(o.cents) AS month_cents
+      FROM o JOIN firsts f USING (o_custkey)
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_idx, age_month, month_cents,
+             sum(month_cents) OVER (
+               PARTITION BY cohort_idx ORDER BY age_month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_cents
+      FROM aged
+    )
+    SELECT CAST(c.cohort_idx AS BIGINT) AS cohort_idx,
+           CAST(c.age_month AS BIGINT) AS age_month,
+           CAST(s.customers AS BIGINT) AS customers,
+           CAST(c.cum_cents AS BIGINT) AS cum_cents,
+           CAST(c.cum_cents // s.customers AS BIGINT) AS ltv_cents_per_customer
+    FROM cum c JOIN sizes s USING (cohort_idx)
+    ORDER BY cohort_idx, age_month
+    """,
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curves by acquisition cohort: customers
+    grouped by first-order month, cumulative revenue tracked at each
+    month of age — the LTV complement of the retention matrix (which
+    counts users; this follows the money). Month indices are exact
+    integers (y·12+m — no float month arithmetic), revenue is integer
+    cents, per-customer LTV is integer floor division. Shape: customer-
+    grain first-order aggregate, (cohort, age) aggregate, one window
+    over the bounded age axis, broadcast cohort sizes."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("midx").alias("cohort_idx"))
+    sizes = firsts.groupBy("cohort_idx").agg(
+        F.count(F.lit(1)).alias("customers")
+    )
+    aged = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_idx", (F.col("midx") - F.col("cohort_idx")).alias("age_month")
+        )
+        .agg(F.sum("cents").alias("month_cents"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("cohort_idx")
+        .orderBy("age_month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = aged.withColumn("cum_cents", F.sum("month_cents").over(w))
+    return (
+        cum.join(F.broadcast(sizes), "cohort_idx")
+        .select(
+            F.col("cohort_idx").cast("long").alias("cohort_idx"),
+            F.col("age_month").cast("long").alias("age_month"),
+            F.col("customers").cast("long").alias("customers"),
+            F.col("cum_cents").cast("long").alias("cum_cents"),
+            F.expr("cum_cents DIV customers").alias("ltv_cents_per_customer"),
+        )
+        .orderBy("cohort_idx", "age_month")
+    )
+
+
+@query(
+    "psi_drift_report",
+    oracle="""
+    WITH binned AS (
+      SELECT doc_id % 2 AS side, n_chars // 64 AS bin FROM documents
+    ),
+    a AS (SELECT bin, count(*) AS na FROM binned WHERE side = 0 GROUP BY 1),
+    b AS (SELECT bin, count(*) AS nb FROM binned WHERE side = 1 GROUP BY 1),
+    t AS (
+      SELECT (SELECT sum(na) FROM a) AS ta, (SELECT sum(nb) FROM b) AS tb
+    ),
+    joined AS (
+      SELECT COALESCE(a.bin, b.bin) AS bin,
+             COALESCE(a.na, 0) AS na, COALESCE(b.nb, 0) AS nb
+      FROM a FULL OUTER JOIN b ON a.bin = b.bin
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(na AS BIGINT) AS na,
+           CAST(nb AS BIGINT) AS nb,
+           CASE WHEN na > 0 AND nb > 0 THEN
+             CAST(round((CAST(na AS DOUBLE) / ta - CAST(nb AS DOUBLE) / tb)
+                        * ln((CAST(na AS DOUBLE) * tb) / (CAST(nb AS DOUBLE) * ta))
+                        * 1000000) AS BIGINT) END AS psi_term_micro,
+           (na = 0 OR nb = 0) AS disjoint_bin
+    FROM joined, t ORDER BY bin
+    """,
+)
+def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report between two corpus
+    snapshots (portable doc_id-parity split as the before/after
+    stand-in) over fixed-width doc-length bins — the standard
+    distribution-drift monitor for features and corpus refreshes. Each
+    bin's PSI term (pa − pb)·ln(pa/pb) is ONE float expression over
+    four exact integers, rounded once to micro-nats; bins present on
+    only one side are flagged (PSI is infinite there — flagging beats
+    silently smoothing). One groupBy per side + a full outer join on
+    the bounded bin axis."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.expr("n_chars DIV 64").alias("bin"),
+    )
+    a = docs.filter(F.col("side") == 0).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    b = docs.filter(F.col("side") == 1).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    t = a.agg(F.sum("na").alias("ta")).crossJoin(
+        b.agg(F.sum("nb").alias("tb"))
+    )
+    joined = (
+        a.join(b, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+        .crossJoin(F.broadcast(t))
+    )
+    term = (
+        (
+            F.col("na").cast("double") / F.col("ta")
+            - F.col("nb").cast("double") / F.col("tb")
+        )
+        * F.log(
+            (F.col("na").cast("double") * F.col("tb"))
+            / (F.col("nb").cast("double") * F.col("ta"))
+        )
+        * 1000000
+    )
+    return joined.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0), F.round(term).cast("long")
+        ).alias("psi_term_micro"),
+        ((F.col("na") == 0) | (F.col("nb") == 0)).alias("disjoint_bin"),
+    ).orderBy("bin")
+
+
+@query(
+    "source_term_jsd",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    np AS (SELECT source, term, count(*) AS np FROM toks GROUP BY 1, 2),
+    ts AS (SELECT source, sum(np) AS t_s FROM np GROUP BY 1),
+    nq AS (SELECT term, count(*) AS nq FROM toks GROUP BY 1),
+    tq AS (SELECT sum(nq) AS t FROM nq),
+    grid AS (
+      SELECT s.source, v.term, s.t_s, v.nq, q.t, COALESCE(p.np, 0) AS np
+      FROM ts s
+      CROSS JOIN nq v
+      CROSS JOIN tq q
+      LEFT JOIN np p ON p.source = s.source AND p.term = v.term
+    ),
+    terms AS (
+      SELECT source,
+             CASE WHEN np > 0 THEN
+               CAST(round((CAST(np AS DOUBLE) / t_s)
+                          * ln((CAST(np AS DOUBLE) / t_s)
+                               / ((CAST(np AS DOUBLE) / t_s + CAST(nq AS DOUBLE) / t) / 2.0))
+                          * 1000000) AS BIGINT) ELSE 0 END AS kp_micro,
+             CAST(round((CAST(nq AS DOUBLE) / t)
+                        * ln((CAST(nq AS DOUBLE) / t)
+                             / ((CAST(np AS DOUBLE) / t_s + CAST(nq AS DOUBLE) / t) / 2.0))
+                        * 1000000) AS BIGINT) AS kq_micro
+      FROM grid
+    )
+    SELECT source,
+           CAST(sum(kp_micro) AS BIGINT) AS klp_micro,
+           CAST(sum(kq_micro) AS BIGINT) AS klq_micro,
+           CAST((sum(kp_micro) + sum(kq_micro)) // 2 AS BIGINT) AS jsd_micro_nats
+    FROM terms GROUP BY 1 ORDER BY source
+    """,
+)
+def source_term_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's term distribution
+    from the corpus distribution — the bounded, symmetric "how unusual
+    is this source" divergence (0 = identical, ln 2 max), the
+    categorical complement of the numeric PSI report. Each term's two
+    KL contributions are single float expressions over exact counts,
+    rounded once to micro-nats, then summed as integers — the
+    established order-free log encoding. The grid is sources × corpus
+    vocab (bounded), never corpus-sized; kq at np = 0 is finite and
+    kept, kp at np = 0 is zero by definition."""
+    docs = load_table(spark, "documents", sf_dir)
+    from pdf_brain_spark.functions.text import tokenize
+
+    toks = docs.select(
+        "source", F.explode(tokenize("text")).alias("term")
+    )
+    np_ = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("np"))
+    ts = np_.groupBy("source").agg(F.sum("np").alias("t_s"))
+    nq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("nq"))
+    tq = nq.agg(F.sum("nq").alias("t"))
+    grid = (
+        ts.crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(tq))
+        .join(F.broadcast(np_), ["source", "term"], "left")
+        .select(
+            "source", "term", "t_s", "nq", "t",
+            F.coalesce("np", F.lit(0)).alias("np"),
+        )
+    )
+    p = F.col("np").cast("double") / F.col("t_s")
+    q = F.col("nq").cast("double") / F.col("t")
+    m = (p + q) / F.lit(2.0)
+    kp = F.when(
+        F.col("np") > 0,
+        F.round(p * F.log(p / m) * 1000000).cast("long"),
+    ).otherwise(F.lit(0))
+    kq = F.round(q * F.log(q / m) * 1000000).cast("long")
+    return (
+        grid.select("source", kp.alias("kp_micro"), kq.alias("kq_micro"))
+        .groupBy("source")
+        .agg(
+            F.sum("kp_micro").cast("long").alias("klp_micro"),
+            F.sum("kq_micro").cast("long").alias("klq_micro"),
+        )
+        .select(
+            "source",
+            "klp_micro",
+            "klq_micro",
+            F.expr("(klp_micro + klq_micro) DIV 2").alias("jsd_micro_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "part_name_merge_groups",
+    oracle="""
+    WITH RECURSIVE names AS (
+      SELECT p_name AS name, count(*) AS n_rows FROM part GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.name AS name_a, b.name AS name_b
+      FROM names a JOIN names b ON a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 3
+    ),
+    edges AS (
+      SELECT name_a AS src, name_b AS dst FROM pairs
+      UNION
+      SELECT name_b, name_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
+    ),
+    comp AS (SELECT node, min(r) AS merge_group FROM reach GROUP BY node)
+    SELECT c.node AS name, c.merge_group, CAST(n.n_rows AS BIGINT) AS n_rows
+    FROM comp c JOIN names n ON n.name = c.node
+    ORDER BY merge_group, name
+    """,
+)
+def part_name_merge_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution merge groups: the fuzzy Levenshtein pairs
+    (part_name_fuzzy_pairs) closed into connected components, each
+    labeled by its lexicographically smallest member — the step that
+    turns pairwise matches into mergeable entities. Reuses the dedup
+    connected-components kernel (bounded union-find fast path /
+    distributed min-label fallback, operators/dedup.py); the oracle
+    re-derives components by recursive reachability closure over the
+    bounded name domain. Each name carries the row count a merge would
+    absorb."""
+    from pdf_brain_spark.operators.dedup import (
+        connected_components,
+        fuzzy_domain_pairs,
+    )
+
+    part = load_table(spark, "part", sf_dir)
+    pairs = fuzzy_domain_pairs(part, "p_name", max_dist=3)
+    comp = connected_components(pairs, "name_a", "name_b")
+    counts = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    return (
+        comp.select(F.col("node").alias("name"), F.col("component").alias("merge_group"))
+        .join(F.broadcast(counts), "name")
+        .orderBy("merge_group", "name")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
