@@ -174,3 +174,87 @@ def grouped_auc(
         agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
         .select(group_col, "n_pos", "n_neg", F.round(num / den, 6).alias("auc"))
     )
+
+
+def hits_exact_int(
+    edges: DataFrame,
+    n_iter: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) in EXACT INTEGER micro-units
+    — the hub/authority complement of taxonomy.pagerank_exact_int, with
+    the same oracle-ability trick: quantizing the RECURRENCE itself to
+    integer arithmetic makes engine summation order irrelevant, so a SQL
+    twin can unroll the identical iterations and hash-match bit for bit.
+
+    Recurrence (all integer, // = integer division):
+        hub0(v)      = scale
+        auth_raw(v)  = Σ_{(u,v)∈E} hub(u);  A = max_v auth_raw
+        auth(v)      = (auth_raw(v) * scale) // A
+        hub_raw(u)   = Σ_{(u,v)∈E} auth(v); H = max_u hub_raw
+        hub(u)       = (hub_raw(u) * scale) // H
+    Max-normalization (not L2) keeps every step in int64: raw sums are
+    bounded by N·scale, and raw·scale stays < 2^63 for N < ~9e6 nodes at
+    scale 1e6; larger graphs should drop scale or move to decimal(38).
+
+    Plan shape per half-iteration: one groupBy shuffle on the gathered
+    key with a map-side-combinable integer sum, a 1-row max aggregate
+    broadcast back, and a left join onto the node set (nodes with no
+    in/out edges hold score 0). The driver loop is over the FIXED
+    iteration count only; localCheckpoint per iteration truncates
+    lineage exactly like the PageRank loop.
+
+    Returns (node, auth_micro, hub_micro) — exact int64."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.withColumn("h", F.lit(scale).cast("long"))
+    auth = None
+    for _ in range(n_iter):
+        araw = (
+            edges.join(hub, edges.src == hub.node)
+            .groupBy(edges.dst.alias("node"))
+            .agg(F.sum("h").alias("raw"))
+        )
+        amax = araw.agg(F.max("raw").alias("mx"))
+        auth = (
+            nodes.join(araw, "node", "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "node",
+                F.expr(f"(coalesce(raw, 0L) * {scale}) div mx")
+                .cast("long")
+                .alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hraw = (
+            edges.join(auth, edges.dst == auth.node)
+            .groupBy(edges.src.alias("node"))
+            .agg(F.sum("a").alias("raw"))
+        )
+        hmax = hraw.agg(F.max("raw").alias("mx"))
+        hub = (
+            nodes.join(hraw, "node", "left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "node",
+                F.expr(f"(coalesce(raw, 0L) * {scale}) div mx")
+                .cast("long")
+                .alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.join(auth, "node")
+        .join(hub, "node")
+        .select(
+            "node",
+            F.col("a").alias("auth_micro"),
+            F.col("h").alias("hub_micro"),
+        )
+    )

@@ -178,3 +178,56 @@ def extract_audio_windows(media: DataFrame, win_chars: int = 200, hop_chars: int
         audio_window_map_in_pandas(win_chars, hop_chars),
         schema="asset_id string, window_idx int, start_c int, n_chars int, window_md5 string",
     )
+
+
+def frame_decode_map_in_pandas(frame_chars: int = 10, chars_per_sec: int = 100):
+    """(asset_id, frame_ts_ms, content) → one row per sampled frame:
+    (asset_id, frame_ts_ms, start_c, n_chars, frame_md5). The video
+    frame-DECODE step that consumes frame_sample_plan's timeline rows —
+    the payload's UTF-8 chars stand in for the byte stream (char rate =
+    chars_per_sec), the frame slice starts at ts·rate//1000 and each
+    slice's md5 digest byte-certifies the cut exactly like the audio
+    windows (a rate-conversion off-by-one or a truncated-tail bug flips
+    the digest against the oracle's substr replay). Real mode would
+    swap the digest for an av/ffmpeg keyframe grab — same rows out.
+
+    Runs AFTER the explode: one input row per frame, so decode
+    parallelism at 100 TB is per-frame, not per-video; Arrow batches
+    carry (timestamp, payload) pairs and the kernel is pure slicing."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "frame_ts_ms": [], "start_c": [], "n_chars": [], "frame_md5": []}
+            for aid, ts_ms, payload in zip(
+                pdf["asset_id"], pdf["frame_ts_ms"], pdf["content"]
+            ):
+                text = bytes(payload).decode("utf-8", errors="strict")
+                start = (int(ts_ms) * chars_per_sec) // 1000
+                sl = text[start : start + frame_chars]
+                out["asset_id"].append(aid)
+                out["frame_ts_ms"].append(int(ts_ms))
+                out["start_c"].append(start)
+                out["n_chars"].append(len(sl))
+                out["frame_md5"].append(hashlib.md5(sl.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(out)
+
+    return _decode
+
+
+def decode_sampled_frames(
+    media: DataFrame,
+    every_ms: int = 250,
+    frame_chars: int = 10,
+    chars_per_sec: int = 100,
+) -> DataFrame:
+    """Plan + decode: explode each video's timeline into sampled frame
+    timestamps (frame_sample_plan), join the payload back on, then run
+    the per-frame decode kernel. Map-only end to end — the join is the
+    asset-grain payload lookup, never a shuffle of frames."""
+    plan = frame_sample_plan(media, every_ms=every_ms)
+    vids = media.filter(F.col("kind") == "video").select("asset_id", "content")
+    framed = plan.join(vids, "asset_id")
+    return framed.mapInPandas(
+        frame_decode_map_in_pandas(frame_chars, chars_per_sec),
+        schema="asset_id string, frame_ts_ms long, start_c int, n_chars int, frame_md5 string",
+    )

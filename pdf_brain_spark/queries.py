@@ -12625,6 +12625,754 @@ def part_name_merge_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hits_hub_authority",
+    oracle="""
+    WITH e AS (
+      SELECT o_orderkey AS src, o_orderkey // 2 AS dst
+      FROM orders WHERE o_orderkey > 1 AND o_orderkey <= 1024
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+    a1r AS (SELECT e.dst AS node, sum(h0.h) AS raw FROM e JOIN h0 ON h0.node = e.src GROUP BY 1),
+    a1m AS (SELECT max(raw) AS mx FROM a1r),
+    a1 AS (SELECT n.node, CAST((COALESCE(r.raw, 0) * 1000000) // m.mx AS BIGINT) AS a
+           FROM nodes n LEFT JOIN a1r r ON r.node = n.node, a1m m),
+    h1r AS (SELECT e.src AS node, sum(a1.a) AS raw FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+    h1m AS (SELECT max(raw) AS mx FROM h1r),
+    h1 AS (SELECT n.node, CAST((COALESCE(r.raw, 0) * 1000000) // m.mx AS BIGINT) AS h
+           FROM nodes n LEFT JOIN h1r r ON r.node = n.node, h1m m),
+    a2r AS (SELECT e.dst AS node, sum(h1.h) AS raw FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
+    a2m AS (SELECT max(raw) AS mx FROM a2r),
+    a2 AS (SELECT n.node, CAST((COALESCE(r.raw, 0) * 1000000) // m.mx AS BIGINT) AS a
+           FROM nodes n LEFT JOIN a2r r ON r.node = n.node, a2m m),
+    h2r AS (SELECT e.src AS node, sum(a2.a) AS raw FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+    h2m AS (SELECT max(raw) AS mx FROM h2r),
+    h2 AS (SELECT n.node, CAST((COALESCE(r.raw, 0) * 1000000) // m.mx AS BIGINT) AS h
+           FROM nodes n LEFT JOIN h2r r ON r.node = n.node, h2m m)
+    SELECT a2.node, a2.a AS auth_micro, h2.h AS hub_micro
+    FROM a2 JOIN h2 ON h2.node = a2.node
+    ORDER BY auth_micro DESC, a2.node ASC LIMIT 20
+    """,
+)
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-iteration HITS hub/authority scores (Kleinberg 1999) over the
+    implicit binary taxonomy tree — the link-analysis sibling of
+    taxonomy_pagerank, sharing its oracle-ability trick: the recurrence
+    is quantized to exact integer micro-units with max-normalization per
+    half-step (operators/graph.py::hits_exact_int), so the oracle can
+    unroll the identical integer iterations as CTEs and hash-match.
+    Top-20 authorities with node tie-break."""
+    from pdf_brain_spark.operators.graph import hits_exact_int
+
+    orders = load_table(spark, "orders", sf_dir)
+    edges = (
+        orders.filter((F.col("o_orderkey") > 1) & (F.col("o_orderkey") <= 1024))
+        .select(
+            F.col("o_orderkey").alias("src"),
+            F.floor(F.col("o_orderkey") / 2).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    scores = hits_exact_int(edges, n_iter=2)
+    return scores.orderBy(
+        F.col("auth_micro").desc(), F.col("node").asc()
+    ).limit(20)
+
+
+@query(
+    "ks_two_sample",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+      FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM s),
+    cum AS (
+      SELECT cents,
+             sum(ca) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+             sum(cb) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb
+      FROM s
+    )
+    SELECT CAST(t.na AS BIGINT) AS n_click, CAST(t.nb AS BIGINT) AS n_purchase,
+           CAST(c.cents AS BIGINT) AS cents_at_max,
+           CAST(abs(c.cca * t.nb - c.ccb * t.na) * 1000000 // (t.na * t.nb) AS BIGINT) AS d_ppm
+    FROM cum c, tot t
+    ORDER BY abs(c.cca * t.nb - c.ccb * t.na) DESC, c.cents ASC
+    LIMIT 1
+    """,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the click
+    and purchase value distributions — the distribution-drift test that
+    complements psi_drift_report's binned PSI. D is computed WITHOUT
+    floats: at each distinct cent value, |cdf_a − cdf_b| is the integer
+    |cumA·nB − cumB·nA| over the common denominator nA·nB, so the argmax
+    and the ppm-quantized D are engine-exact. Plan: one value-grain
+    count shuffle, then a single-partition cumulative window over the
+    DISTINCT-VALUE axis (bounded by the cent domain, never the event
+    stream — at 100 TB, pre-bucket the axis if the domain is unbounded),
+    and a 1-row TakeOrdered."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.groupBy(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("cb"),
+    )
+    tot = s.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = s.select(
+        "cents",
+        F.sum("ca").over(w).alias("cca"),
+        F.sum("cb").over(w).alias("ccb"),
+    )
+    gap = F.abs(F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("na").cast("long").alias("n_click"),
+            F.col("nb").cast("long").alias("n_purchase"),
+            F.col("cents").alias("cents_at_max"),
+            F.expr(
+                "(abs(cca * nb - ccb * na) * 1000000) div (na * nb)"
+            ).alias("d_ppm"),
+            gap.alias("_gap"),
+        )
+        .orderBy(F.col("_gap").desc(), F.col("cents_at_max").asc())
+        .limit(1)
+        .drop("_gap")
+    )
+
+
+@query(
+    "mann_whitney_u",
+    oracle="""
+    WITH s AS (
+      SELECT n_chars AS v,
+             sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+      FROM documents GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, ca, cb,
+             COALESCE(sum(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev
+      FROM s
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM s),
+    rs AS (SELECT sum(ca * (2 * cprev + ca + cb + 1)) AS r2a FROM cum)
+    SELECT CAST(t.na AS BIGINT) AS n_even, CAST(t.nb AS BIGINT) AS n_odd,
+           CAST(r.r2a AS BIGINT) AS ranksum2_even,
+           CAST(r.r2a - t.na * (t.na + 1) AS BIGINT) AS u2_even,
+           CAST(2 * t.na * t.nb - (r.r2a - t.na * (t.na + 1)) AS BIGINT) AS u2_odd,
+           round((CAST(r.r2a - t.na * (t.na + 1) AS DOUBLE) / 2 - CAST(t.na * t.nb AS DOUBLE) / 2)
+                 / sqrt(CAST(t.na AS DOUBLE) * t.nb * (t.na + t.nb + 1) / 12.0), 6) AS z
+    FROM tot t, rs r
+    """,
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum U test between document-length samples (the
+    even/odd doc_id halves — a balanced null split, so U should hover
+    near nA·nB/2). All rank arithmetic is EXACT INTEGER at the doubled
+    scale: tied values take midranks, and 2·midrank for a tie group
+    spanning positions [p+1, p+c] is 2p+c+1 — computed from cumulative
+    counts over the distinct-value axis, never per-row ranks. U doubles
+    (u2_*) stay integers; the normal-approximation z (no tie
+    correction, documented) is the one float, rounded to 6dp from exact
+    integer moments. Identity u2_even + u2_odd = 2·nA·nB holds by
+    construction. Plan: one value-grain count shuffle + a bounded
+    distinct-value window + two 1-row aggregates."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    s = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = s.select(
+        "ca",
+        "cb",
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0)).alias(
+            "cprev"
+        ),
+    )
+    tot = s.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    rs = cum.agg(
+        F.sum(
+            F.col("ca") * (2 * F.col("cprev") + F.col("ca") + F.col("cb") + 1)
+        ).alias("r2a")
+    )
+    return (
+        F.broadcast(tot)
+        .crossJoin(rs)
+        .select(
+            F.col("na").cast("long").alias("n_even"),
+            F.col("nb").cast("long").alias("n_odd"),
+            F.col("r2a").cast("long").alias("ranksum2_even"),
+            F.expr("r2a - na * (na + 1)").cast("long").alias("u2_even"),
+            F.expr("2 * na * nb - (r2a - na * (na + 1))")
+            .cast("long")
+            .alias("u2_odd"),
+            F.round(
+                (
+                    (F.col("r2a") - F.col("na") * (F.col("na") + 1)).cast(
+                        "double"
+                    )
+                    / 2
+                    - (F.col("na") * F.col("nb")).cast("double") / 2
+                )
+                / F.sqrt(
+                    F.col("na").cast("double")
+                    * F.col("nb")
+                    * (F.col("na") + F.col("nb") + 1)
+                    / 12.0
+                ),
+                6,
+            ).alias("z"),
+        )
+    )
+
+
+@query(
+    "flesch_reading_ease",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS words,
+             CAST(greatest(1, length(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS sentences,
+             CAST(length(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables
+      FROM documents
+    )
+    SELECT doc_id, words, sentences, syllables,
+           CAST(206835 - (1015 * words) // sentences - (84600 * syllables) // words AS BIGINT) AS fre_milli
+    FROM m WHERE words > 0
+    ORDER BY doc_id LIMIT 200
+    """,
+)
+def flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scores in exact integer milli-units — the
+    readability member of the text-quality battery (gopher_quality_rules
+    gates on surface stats; this scores prose difficulty). Deterministic
+    proxies, identical regexes on both engines: words = nonempty
+    whitespace tokens, sentences = [.!?]+ runs (floored at 1),
+    syllables = [aeiouy]+ vowel-group runs (a standard dictionary-free
+    heuristic; vowel runs cannot span whitespace so the doc-level count
+    equals the per-word sum). FRE = 206.835 − 1.015·(W/S) −
+    84.6·(Syl/W), scaled ×1000 with the two ratios floor-divided —
+    no float anywhere. Map-only over documents."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+        )
+    ).cast("long")
+    sentences = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))
+        ).cast("long"),
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    m = docs.select(
+        "doc_id",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    )
+    return (
+        m.filter(F.col("words") > 0)
+        .select(
+            "doc_id",
+            "words",
+            "sentences",
+            "syllables",
+            (
+                F.lit(206835)
+                - F.expr("(1015 * words) div sentences")
+                - F.expr("(84600 * syllables) div words")
+            )
+            .cast("long")
+            .alias("fre_milli"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "time_decay_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_type, ts FROM events WHERE event_type <> 'purchase'
+    ),
+    pairs AS (
+      SELECT c.conv_id, t.event_type,
+             CAST(1000000 >> CAST((epoch_us(c.conv_ts) - epoch_us(t.ts)) // 86400000000 AS INT) AS BIGINT) AS w
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.ts <= c.conv_ts
+       AND t.ts > c.conv_ts - INTERVAL 7 DAY
+    ),
+    persum AS (SELECT conv_id, sum(w) AS wsum FROM pairs GROUP BY 1)
+    SELECT p.event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(p.w * 1000000 // s.wsum) AS BIGINT) AS credit_ppm
+    FROM pairs p JOIN persum s USING (conv_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution — the exponential-decay member
+    of the attribution family (last-touch and U-shaped exist; this one
+    weights every touch in the 7-day lookback by 2^(−age_days)). The
+    decay is DYADIC on purpose: weight = 1000000 >> age_days is an exact
+    integer bit-shift both engines compute identically, so per-
+    conversion credit shares (w·1e6 // Σw, floor ppm) hash-match with no
+    float half-life anywhere. Plan: one user-keyed range join (fan-out
+    bounded by per-user 7-day activity), a conversion-grain sum, one
+    channel-grain aggregate."""
+    ev = load_table(spark, "events", sf_dir)
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "ts"
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("ts") <= F.col("conv_ts"))
+        & (F.col("ts") > F.col("conv_ts") - F.expr("INTERVAL 7 DAY")),
+    ).select(
+        "conv_id",
+        "event_type",
+        F.expr(
+            "shiftright(1000000, cast((unix_micros(conv_ts) - unix_micros(ts))"
+            " div 86400000000 as int))"
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    persum = pairs.groupBy("conv_id").agg(F.sum("w").alias("wsum"))
+    return (
+        pairs.join(persum, "conv_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum(F.expr("(w * 1000000) div wsum")).cast("long").alias("credit_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "streaming_incremental_regression",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM (SELECT event_type,
+                   (epoch_us(ts) - 1704067200000000) // 3600000000 AS x,
+                   CAST(round(value * 100) AS BIGINT) AS y
+            FROM events)
+      GROUP BY 1
+    )
+    SELECT event_type, n, sx, sy, sxy, sxx,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_hour,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept_cents
+    FROM m ORDER BY event_type
+    """,
+)
+def streaming_incremental_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental MODEL FITTING — per-group OLS trend lines
+    maintained as the partials store's first MOMENT-VECTOR monoid
+    (streaming/events.py::make_regression_batch_fn): the five raw
+    moments (n, Σx, Σy, Σxy, Σx²) are exact integer sums (x = hour
+    offset from a fixed 2024-01-01 anchor, y = cents), so per-batch
+    partials merge by elementwise addition and the served
+    slope/intercept — one shared final-float closed form,
+    regression_fit_exprs — is bit-identical to the one-shot fit the
+    oracle computes over all events. Fitting without re-shuffling
+    history: persisted state is 5 longs per (group, live generation).
+    A real AvailableNow run per invocation."""
+    import shutil
+    import tempfile
+
+    from pdf_brain_spark.streaming.events import (
+        read_regression,
+        streaming_incremental_regression as drive_reg,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "ts", "value"
+    )
+    root = tempfile.mkdtemp(prefix="sgraft_reg_")
+    stage, store, ckpt = (f"{root}/{d}" for d in ("stage", "reg", "ckpt"))
+    try:
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(stage)
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        drive_reg(spark, stream, store, ckpt).awaitTermination()
+        return read_regression(spark, store).orderBy("event_type").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_incremental_bitmap",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+           CAST(count(DISTINCT user_id // 64) AS BIGINT) AS n_words
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def streaming_incremental_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT incremental distinct counting — the bitmap
+    complement of the KMV sketch (streaming/events.py::
+    make_bitmap_batch_fn): dense integer keys pack into 64-bit words
+    under bitwise OR (associative, commutative, idempotent), so however
+    the stream or a compaction carved the data, Σ bit_count over the
+    re-merged words IS the distinct count. The oracle is GROUND TRUTH
+    (count(DISTINCT)), not a replay — the strongest oracle form: the
+    monoid's exactness claim is verified against the thing it claims to
+    equal. A real AvailableNow run per invocation; persisted state
+    scales with occupied id-range/64 per group (roaring-style
+    containers are the sparse-domain growth path)."""
+    import shutil
+    import tempfile
+
+    from pdf_brain_spark.streaming.events import (
+        read_bitmap_distinct,
+        streaming_incremental_bitmap as drive_bm,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "user_id"
+    )
+    root = tempfile.mkdtemp(prefix="sgraft_bm_")
+    stage, store, ckpt = (f"{root}/{d}" for d in ("stage", "bm", "ckpt"))
+    try:
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(stage)
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        drive_bm(spark, stream, store, ckpt).awaitTermination()
+        return read_bitmap_distinct(spark, store).orderBy("event_type").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "bloom_semijoin_audit",
+    oracle="""
+    WITH buyers AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    ),
+    i3 AS (SELECT unnest(range(0, 3)) AS i),
+    pos AS (
+      SELECT k,
+             CAST(concat('0x', substr(md5(CAST(k AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 4096 AS p
+      FROM buyers, i3
+    ),
+    words AS (
+      SELECT p // 32 AS word_idx,
+             bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+      FROM pos GROUP BY 1
+    ),
+    probe AS (
+      SELECT c.c_custkey AS k,
+             CAST(concat('0x', substr(md5(CAST(c.c_custkey AS VARCHAR) || '#' || CAST(i3.i AS VARCHAR)), 1, 15)) AS BIGINT) % 4096 AS p
+      FROM customer c, i3
+    ),
+    hits AS (
+      SELECT pr.k,
+             bool_and(w.bits IS NOT NULL
+                      AND (w.bits & (1::BIGINT << CAST(pr.p % 32 AS INT))) <> 0) AS pass
+      FROM probe pr LEFT JOIN words w ON w.word_idx = pr.p // 32
+      GROUP BY pr.k
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(CASE WHEN h.pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN h.pass AND b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN NOT h.pass AND b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+    FROM hits h LEFT JOIN buyers b ON b.k = h.k
+    """,
+)
+def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter semi-join with an exactness audit — the
+    runtime-filter pattern Spark's optimizer injects implicitly
+    (spark.sql.optimizer.runtime.bloomFilter.*), made first-class and
+    oracle-able: a 4096-bit / 3-hash Bloom built over the build side's
+    distinct keys (recent buyers), probed by every customer, then
+    audited against the true semi-join. The filter is DETERMINISTIC —
+    positions come from the portable md5 hash, words are 32-bit lanes
+    in BIGINTs (bit 63 is engine-UB territory: DuckDB raises on 1<<63;
+    32-bit lanes keep every shift safe on both engines) — so both
+    engines build bit-identical filters and the false-positive count
+    matches exactly, not statistically. The 4096-bit size is chosen so
+    the FP path is genuinely exercised at the harness scales (measured
+    0 / 78 / 6129 false positives at sf0.001/0.01/0.1 — the filter
+    degrades honestly as the build side outgrows it, which is the
+    behavior worth gating; a production build sizes m from the build-
+    side count). n_missed is structurally 0 (Bloom filters have no
+    false negatives); the gate proves it. Plan:
+    build = one tiny shuffle to 2048 words, broadcast everywhere; probe
+    = map-only + broadcast join — the shape that turns a 100 TB
+    shuffled semi-join into a scan-side filter."""
+    from pdf_brain_spark.functions.text import md5_long
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    buyers = (
+        orders.filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    i3 = spark.range(3).select(F.col("id").cast("int").alias("i"))
+
+    def positions(df):
+        return df.crossJoin(F.broadcast(i3)).select(
+            "k",
+            (
+                md5_long(
+                    F.concat(
+                        F.col("k").cast("string"), F.lit("#"), F.col("i").cast("string")
+                    )
+                )
+                % 4096
+            ).alias("p"),
+        )
+
+    words = (
+        positions(buyers)
+        .groupBy(F.expr("p div 32").alias("word_idx"))
+        .agg(F.expr("bit_or(shiftleft(1L, cast(p % 32 as int)))").alias("bits"))
+    )
+    probe = positions(cust.select(F.col("c_custkey").alias("k")))
+    hits = (
+        probe.withColumn("word_idx", F.expr("p div 32"))
+        .join(F.broadcast(words), "word_idx", "left")
+        .groupBy("k")
+        .agg(
+            F.expr(
+                "bool_and(bits IS NOT NULL AND (bits & shiftleft(1L, cast(p % 32 as int))) <> 0)"
+            ).alias("pass")
+        )
+    )
+    truth = buyers.withColumn("is_true", F.lit(1))
+    return (
+        hits.join(F.broadcast(truth), "k", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probed"),
+            F.sum(F.when(F.col("pass"), 1).otherwise(0)).cast("long").alias("n_pass"),
+            F.sum(F.when(F.col("is_true").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true"),
+            F.sum(
+                F.when(F.col("pass") & F.col("is_true").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_pos"),
+            F.sum(
+                F.when(~F.col("pass") & F.col("is_true").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_missed"),
+        )
+    )
+
+
+@query(
+    "seasonal_decompose_ma",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    axis AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    dense AS (
+      SELECT a.day, COALESCE(d.cents, 0) AS cents
+      FROM axis a LEFT JOIN daily d ON d.day = a.day
+    ),
+    win AS (
+      SELECT day, cents,
+             sum(cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w7,
+             count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+      FROM dense
+    ),
+    trend AS (
+      SELECT day, cents,
+             CAST((w7 * 1000) // 7 AS BIGINT) AS trend_milli,
+             CAST(cents * 1000 - (w7 * 1000) // 7 AS BIGINT) AS dev_milli
+      FROM win WHERE c7 = 7
+    ),
+    season AS (
+      SELECT day, cents, trend_milli, dev_milli,
+             CAST(sum(dev_milli) OVER (PARTITION BY dayofweek(day))
+                  // count(*) OVER (PARTITION BY dayofweek(day)) AS BIGINT) AS seasonal_milli
+      FROM trend
+    )
+    SELECT day, CAST(cents AS BIGINT) AS cents, trend_milli, seasonal_milli,
+           CAST(dev_milli - seasonal_milli AS BIGINT) AS resid_milli
+    FROM season ORDER BY day LIMIT 400
+    """,
+)
+def seasonal_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily revenue
+    series: trend = centered 7-day moving average (full windows only),
+    weekly seasonal = per-day-of-week mean of the detrended series,
+    residual = the rest. Every component is exact integer milli-cents —
+    the MA and the seasonal mean are integer divisions (both engines
+    truncate toward zero, verified: DuckDB's // on integers matches
+    Spark's div even for the negative detrended values), so the
+    decomposition hash-matches with no float policy at all. The axis
+    densifies first (missing days are real zero-revenue days, as in
+    events_lead_lag_correlation). Plan: one day-grain aggregate, one
+    window over the bounded calendar axis, one dow-partition window —
+    no per-order work after the first shuffle. The dow partition uses
+    the day value itself, so no engine dow-convention bridge is
+    needed."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    daily = orders.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    axis = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    dense = axis.join(daily, "day", "left").select(
+        "day", F.coalesce("cents", F.lit(0)).alias("cents")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    win = dense.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w7).alias("w7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    )
+    trend = win.filter(F.col("c7") == 7).select(
+        "day",
+        "cents",
+        F.expr("(w7 * 1000) div 7").cast("long").alias("trend_milli"),
+        F.expr("cents * 1000 - (w7 * 1000) div 7").cast("long").alias("dev_milli"),
+    )
+    wd = Window.partitionBy(F.dayofweek("day"))
+    season = trend.select(
+        "day",
+        "cents",
+        "trend_milli",
+        "dev_milli",
+        (F.sum("dev_milli").over(wd))
+        .cast("long")
+        .alias("_dev_sum"),
+        F.count(F.lit(1)).over(wd).alias("_dow_n"),
+    ).select(
+        "day",
+        "cents",
+        "trend_milli",
+        "dev_milli",
+        F.expr("_dev_sum div _dow_n").cast("long").alias("seasonal_milli"),
+    )
+    return season.select(
+        "day",
+        F.col("cents").cast("long").alias("cents"),
+        "trend_milli",
+        "seasonal_milli",
+        (F.col("dev_milli") - F.col("seasonal_milli")).cast("long").alias("resid_milli"),
+    ).orderBy("day").limit(400)
+
+
+@query(
+    "multimodal_frame_decode",
+    oracle="""
+    WITH vids AS (
+      SELECT CAST(doc_id AS VARCHAR) AS asset_id, COALESCE(text, '') AS t,
+             len(COALESCE(text, '')) * 10 AS duration_ms
+      FROM documents WHERE doc_id < 40
+    ),
+    frames AS (
+      SELECT asset_id, t,
+             unnest(range(0, greatest(duration_ms - 1, 0) + 1, 250)) AS ts_ms
+      FROM vids
+    )
+    SELECT asset_id, CAST(ts_ms AS BIGINT) AS frame_ts_ms,
+           CAST((ts_ms * 100) // 1000 AS INT) AS start_c,
+           CAST(len(substr(t, CAST((ts_ms * 100) // 1000 + 1 AS INT), 10)) AS INT) AS n_chars,
+           md5(substr(t, CAST((ts_ms * 100) // 1000 + 1 AS INT), 10)) AS frame_md5
+    FROM frames ORDER BY asset_id, frame_ts_ms
+    """,
+)
+def multimodal_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling DECODE (the fourth multimodal gate,
+    completing the video path: multimodal_frame_plan built the
+    timeline; this consumes it): explode each asset into sampled frame
+    timestamps, join the payload back at asset grain, then an
+    Arrow-batched per-frame slice kernel
+    (operators/multimodal.py::decode_sampled_frames) whose md5 digests
+    byte-certify every cut against the oracle's substr replay — a
+    ms→char rate-conversion off-by-one or a dropped tail frame flips
+    the hash. Chars stand in for the byte stream at 100 chars/sec (the
+    av/ffmpeg decode is the stubbed seam). Explode-before-decode keeps
+    100 TB parallelism per-frame, not per-video."""
+    from pdf_brain_spark.operators.multimodal import decode_sampled_frames
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 40)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("video").alias("kind"),
+        F.encode(txt, "utf-8").alias("content"),
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            (F.length(txt) * 10).cast("long").alias("duration_ms"),
+            F.lit(0).alias("sample_rate"),
+        ).alias("meta"),
+    )
+    return decode_sampled_frames(
+        media, every_ms=250, frame_chars=10, chars_per_sec=100
+    ).orderBy("asset_id", "frame_ts_ms")
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate

@@ -1393,3 +1393,228 @@ def compact_fts_index(spark: SparkSession, index_dir: str, upto_batch_id: int, n
     return compact_index_rows(
         spark, index_dir, upto_batch_id, ["doc_id"], _write_kept
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental OLS regression — the partials store's first MOMENT-VECTOR
+# monoid. The five raw moments (n, Σx, Σy, Σxy, Σx²) are plain integer
+# sums, so per-batch partials merge by elementwise addition — associative
+# and commutative, and EXACT: x is the integer hour offset from a fixed
+# anchor and y is integer cents, so however the stream (or a compaction)
+# carved the data, the merged moments — and the slope/intercept derived
+# from them by one final float expression — are bit-identical to a
+# one-shot scan. Streaming model fitting without ever re-shuffling
+# history: persisted state is 5 longs per (group, live generation).
+# x anchors at 2024-01-01 UTC to keep n·Σx² far inside int64 (move to
+# decimal(38) sums past ~1e9 rows/group at this grain).
+# ---------------------------------------------------------------------------
+
+REG_ANCHOR_US = 1_704_067_200_000_000  # epoch micros of 2024-01-01 UTC
+_REG_SUMS = ["n", "sx", "sy", "sxy", "sxx"]
+
+
+def _reg_merge_exprs():
+    return [F.sum(c).cast("long").alias(c) for c in _REG_SUMS]
+
+
+def _reg_partial(df: DataFrame, type_col: str, ts_col: str, val_col: str) -> DataFrame:
+    x = F.expr(
+        f"(unix_micros(cast({ts_col} as timestamp)) - {REG_ANCHOR_US}) div 3600000000"
+    ).cast("long")
+    y = F.round(F.col(val_col) * 100).cast("long")
+    return (
+        df.select(F.col(type_col).alias("event_type"), x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+    )
+
+
+def make_regression_batch_fn(
+    store_dir: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+):
+    """Per-micro-batch OLS moment partial, replay-idempotent
+    (batch_id=N overwrite, same protocol as every store here)."""
+
+    def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pdf_brain_spark.streaming.generations import (
+            record_wseq,
+            stamp_protocol,
+        )
+
+        partial = _reg_partial(batch_df, type_col, ts_col, val_col)
+        stamp_protocol(batch_df.sparkSession, store_dir)
+        partial.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+        record_wseq(batch_df.sparkSession, store_dir, f"batch_id={batch_id}")
+
+    return _each_batch
+
+
+def streaming_incremental_regression(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+):
+    """Drive incremental regression-moment maintenance as a Structured
+    Streaming query (AvailableNow in tests/gate; continuous in
+    production). Per-batch work is one aggregate over the BATCH."""
+    return (
+        events_stream.writeStream.foreachBatch(make_regression_batch_fn(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def regression_fit_exprs():
+    """slope/intercept column expressions from exact integer moment
+    columns — ONE shared definition so the streaming serve and the
+    batch oracle gate cannot drift (the KMV-constant lesson, pass 2
+    finding 2 of round 8's self-review). Final float math is two
+    divisions and one multiply in a fixed order, rounded to 6dp."""
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return F.round(slope, 6).alias("slope_cents_per_hour"), F.round(
+        intercept, 6
+    ).alias("intercept_cents")
+
+
+def read_regression(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Serve per-group OLS fits from the persisted moments (live
+    generations, mid-compaction-safe): one integer re-merge per group,
+    then the shared closed form."""
+    from pdf_brain_spark.streaming.generations import kept_partial_rows
+
+    merged = (
+        kept_partial_rows(spark, store_dir, ["event_type"], _REG_SUMS)
+        .groupBy("event_type")
+        .agg(*_reg_merge_exprs())
+    )
+    slope, intercept = regression_fit_exprs()
+    return merged.select("event_type", *_REG_SUMS, slope, intercept)
+
+
+def compact_regression(spark: SparkSession, store_dir: str, upto_batch_id: int) -> int:
+    """Merge committed regression-moment generations by elementwise
+    integer addition (reader-safe generation protocol)."""
+    from pdf_brain_spark.streaming.generations import compact_partials
+
+    return compact_partials(
+        spark,
+        store_dir,
+        upto_batch_id,
+        ["event_type"],
+        _REG_SUMS,
+        merge_exprs=_reg_merge_exprs(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental EXACT distinct counting — the bitmap complement of the KMV
+# sketch (approximate, bounded state) above: when the key domain is dense
+# integers (user ids), a 64-bit word bitmap IS a mergeable monoid under
+# bitwise OR — associative, commutative, idempotent — and serves the
+# EXACT distinct count as Σ bit_count(word). Persisted state scales with
+# occupied id-range/64 per group (roaring-style containerization is the
+# 100 TB growth path; the word grain here is its dense container).
+# ---------------------------------------------------------------------------
+
+_BITMAP_KEYS = ["event_type", "word_idx"]
+
+
+def _bitmap_merge_exprs():
+    return [F.expr("bit_or(bits)").cast("long").alias("bits")]
+
+
+def make_bitmap_batch_fn(store_dir: str, key_col: str = "user_id", type_col: str = "event_type"):
+    """Per-micro-batch bitmap partial: OR of 1<<(id%64) per
+    (group, id//64) word, replay-idempotent (batch_id=N overwrite)."""
+
+    def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pdf_brain_spark.streaming.generations import (
+            record_wseq,
+            stamp_protocol,
+        )
+
+        partial = (
+            batch_df.select(
+                F.col(type_col).alias("event_type"),
+                F.expr(f"{key_col} div 64").cast("long").alias("word_idx"),
+                F.expr(f"shiftleft(1L, cast({key_col} % 64 as int))").alias("b"),
+            )
+            .groupBy(*_BITMAP_KEYS)
+            .agg(F.expr("bit_or(b)").cast("long").alias("bits"))
+        )
+        stamp_protocol(batch_df.sparkSession, store_dir)
+        partial.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+        record_wseq(batch_df.sparkSession, store_dir, f"batch_id={batch_id}")
+
+    return _each_batch
+
+
+def streaming_incremental_bitmap(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+):
+    """Drive exact incremental distinct-count maintenance as a
+    Structured Streaming query."""
+    return (
+        events_stream.writeStream.foreachBatch(make_bitmap_batch_fn(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_bitmap_distinct(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Serve EXACT per-group distinct counts from the persisted bitmap
+    (live generations, mid-compaction-safe): one word-grain OR re-merge,
+    then Σ bit_count."""
+    from pdf_brain_spark.streaming.generations import kept_partial_rows
+
+    merged = (
+        kept_partial_rows(spark, store_dir, _BITMAP_KEYS, ["bits"])
+        .groupBy(*_BITMAP_KEYS)
+        .agg(*_bitmap_merge_exprs())
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.sum(F.bit_count("bits")).cast("long").alias("n_distinct"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+    )
+
+
+def compact_bitmap(spark: SparkSession, store_dir: str, upto_batch_id: int) -> int:
+    """Merge committed bitmap generations with bitwise OR (reader-safe
+    generation protocol)."""
+    from pdf_brain_spark.streaming.generations import compact_partials
+
+    return compact_partials(
+        spark,
+        store_dir,
+        upto_batch_id,
+        _BITMAP_KEYS,
+        ["bits"],
+        merge_exprs=_bitmap_merge_exprs(),
+    )

@@ -157,3 +157,63 @@ def test_containment_df_cap_drops_stop_shingles(spark):
     )
     assert containment_pairs(docs, threshold=0.1, df_cap=2).count() == 0
     assert containment_pairs(docs, threshold=0.1, df_cap=3).count() == 3
+
+
+def _hits_model(edges, n_iter=2, scale=1_000_000):
+    # Pure-python replay of hits_exact_int's integer recurrence.
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    hub = {n: scale for n in nodes}
+    auth = {}
+    for _ in range(n_iter):
+        raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            raw[v] += hub[u]
+        mx = max(raw.values())
+        auth = {n: (raw[n] * scale) // mx for n in nodes}
+        raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            raw[u] += auth[v]
+        mx = max(raw.values())
+        hub = {n: (raw[n] * scale) // mx for n in nodes}
+    return auth, hub
+
+
+def test_hits_star_graph_center_is_authority(spark):
+    # Star: leaves 2..6 all point at 1 — node 1 is the unique authority
+    # (max-normalized to exactly scale), leaves are the equal hubs.
+    from pdf_brain_spark.operators.graph import hits_exact_int
+
+    edges = [(i, 1) for i in range(2, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r for r in hits_exact_int(df, n_iter=2).collect()}
+    assert out[1]["auth_micro"] == 1_000_000 and out[1]["hub_micro"] == 0
+    for leaf in range(2, 7):
+        assert out[leaf]["auth_micro"] == 0
+        assert out[leaf]["hub_micro"] == 1_000_000
+
+
+def test_hits_randomized_vs_python_model(spark):
+    from pdf_brain_spark.operators.graph import hits_exact_int
+
+    rng = random.Random(417)
+    for _ in range(3):
+        nodes = list(range(1, 15))
+        edges = sorted(
+            {
+                (u, v)
+                for u in nodes
+                for v in nodes
+                if u != v and rng.random() < 0.2
+            }
+        )
+        if not edges:
+            continue
+        want_auth, want_hub = _hits_model(edges, n_iter=2)
+        df = spark.createDataFrame(
+            [(int(u), int(v)) for u, v in edges], "src long, dst long"
+        )
+        got = {r["node"]: r for r in hits_exact_int(df, n_iter=2).collect()}
+        assert set(got) == set(want_auth)
+        for n in want_auth:
+            assert got[n]["auth_micro"] == want_auth[n], (n, edges)
+            assert got[n]["hub_micro"] == want_hub[n], (n, edges)

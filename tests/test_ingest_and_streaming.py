@@ -1722,3 +1722,104 @@ def test_streaming_kmv_replay_merge_compact(spark, tmp_path):
     assert compact_kmv(spark, store, upto_batch_id=2) == 3
     assert generation_ids(spark, store) == [-3]
     assert served() == want
+
+
+def test_streaming_regression_replay_merge_compact(spark, tmp_path):
+    """Moment-vector monoid on the partials store: OLS moment partials
+    are replay-idempotent, the served slope/intercept across batch
+    generations is BIT-IDENTICAL to the one-shot fit over all rows
+    (elementwise integer addition is trivially associative — the test
+    exercises it through real three-way splits), and compaction with
+    the additive monoid preserves serving exactly."""
+    from pdf_brain_spark.streaming.events import (
+        _REG_SUMS,
+        _reg_partial,
+        compact_regression,
+        make_regression_batch_fn,
+        read_regression,
+        regression_fit_exprs,
+    )
+    from pdf_brain_spark.streaming.generations import generation_ids
+    from pdf_brain_spark.sources.loaders import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    store = str(tmp_path / "reg")
+    fn = make_regression_batch_fn(store)
+    fn(ev.filter(F.col("event_id") % 3 == 0), 0)
+    fn(ev.filter(F.col("event_id") % 3 == 1), 1)
+    fn(ev.filter(F.col("event_id") % 3 == 2), 2)
+
+    def raw_rows():
+        return sorted(
+            tuple(r) for r in spark.read.option("basePath", store).parquet(store).collect()
+        )
+
+    before = raw_rows()
+    fn(ev.filter(F.col("event_id") % 3 == 1), 1)  # crash replay
+    assert raw_rows() == before
+
+    def served():
+        return sorted(
+            tuple(r)
+            for r in read_regression(spark, store).collect()
+        )
+
+    slope, intercept = regression_fit_exprs()
+    one_shot = _reg_partial(ev, "event_type", "ts", "value").select(
+        "event_type", *_REG_SUMS, slope, intercept
+    )
+    want = sorted(tuple(r) for r in one_shot.collect())
+    got = served()
+    assert got == want and got
+
+    assert compact_regression(spark, store, upto_batch_id=2) == 3
+    assert generation_ids(spark, store) == [-3]
+    assert served() == want
+
+
+def test_streaming_bitmap_exact_distinct_and_compact(spark, tmp_path):
+    """Bitmap monoid: the served count equals EXACT countDistinct
+    (ground truth, not a replay), idempotent under crash replay AND
+    under overlapping batches (OR is idempotent — re-sending the same
+    rows in a different batch cannot inflate the count), and compaction
+    with the OR monoid preserves serving."""
+    from pdf_brain_spark.streaming.events import (
+        compact_bitmap,
+        make_bitmap_batch_fn,
+        read_bitmap_distinct,
+    )
+    from pdf_brain_spark.streaming.generations import generation_ids
+    from pdf_brain_spark.sources.loaders import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "event_type", "user_id"
+    )
+    store = str(tmp_path / "bm")
+    fn = make_bitmap_batch_fn(store)
+    fn(ev.filter(F.col("event_id") % 2 == 0), 0)
+    # OVERLAPPING batch: odd rows plus a resend of every 4th even row
+    fn(ev.filter((F.col("event_id") % 2 == 1) | (F.col("event_id") % 4 == 0)), 1)
+
+    def served():
+        return sorted(
+            (r["event_type"], r["n_distinct"])
+            for r in read_bitmap_distinct(spark, store).collect()
+        )
+
+    want = sorted(
+        (r["event_type"], r["nd"])
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    )
+    got = served()
+    assert got == want and got
+
+    fn(ev.filter((F.col("event_id") % 2 == 1) | (F.col("event_id") % 4 == 0)), 1)
+    assert served() == want  # crash replay
+
+    assert compact_bitmap(spark, store, upto_batch_id=1) == 2
+    assert generation_ids(spark, store) == [-2]
+    assert served() == want
