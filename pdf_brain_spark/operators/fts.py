@@ -302,3 +302,157 @@ def duck_bm25_sql(query_terms: list[str], k: int = 10, where_clause: str = "") -
     ORDER BY sum(term_score) DESC, doc_id ASC
     LIMIT {k}
     """
+
+
+TITLE_TOKENS = 5  # synthetic field split: first 5 tokens are the "title"
+BM25F_W_TITLE = 2.0
+BM25F_W_BODY = 1.0
+
+
+def bm25f_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents by BM25F (Zaragoza et al., CIKM 2004) — the
+    multi-FIELD generalization of bm25_scores: each field's tf is
+    length-normalized inside its own field (soft-normalized tf̃ =
+    tf / (1 − b + b·dl_f/avgdl_f)), the fields combine into one weighted
+    pseudo-frequency wtf = Σ_f w_f·tf̃_f, and saturation applies ONCE to
+    the combined wtf (idf · wtf/(k1 + wtf)) — the property that makes
+    BM25F rank a title hit above the same hit buried in a long body,
+    which independent per-field BM25 sums get wrong. Fields here are
+    synthetic (first TITLE_TOKENS tokens = title, rest = body) since the
+    corpus is single-column; the algebra is the real thing.
+
+    Same query-time plan as bm25_scores: per-field tf map-side over
+    token-array slices (no explode, no postings shuffle), ONE scalar
+    stats action (corpus size, per-field avg length, per-term df), one
+    TakeOrdered."""
+    terms = [t.lower() for t in query_terms]
+    toked = tokenized_corpus(docs, id_col, text_col)
+    title = F.slice(F.col("_tokens"), 1, TITLE_TOKENS)
+    body = F.slice(
+        F.col("_tokens"),
+        TITLE_TOKENS + 1,
+        F.greatest(F.size("_tokens") - TITLE_TOKENS, F.lit(0)),
+    )
+
+    def _tf(field, term: str):
+        return F.size(F.filter(field, lambda x: x == F.lit(term)))
+
+    per_doc = toked.select(
+        id_col,
+        F.least(F.size("_tokens"), F.lit(TITLE_TOKENS)).alias("_dlt"),
+        F.greatest(F.size("_tokens") - TITLE_TOKENS, F.lit(0)).alias("_dlb"),
+        *[_tf(title, t).alias(f"_tft{i}") for i, t in enumerate(terms)],
+        *[_tf(body, t).alias(f"_tfb{i}") for i, t in enumerate(terms)],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_dlt").alias("avgdlt"),
+        F.avg("_dlb").alias("avgdlb"),
+        *[
+            F.sum(
+                F.when(F.col(f"_tft{i}") + F.col(f"_tfb{i}") > 0, 1).otherwise(0)
+            ).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    n_docs = float(stats["n"])
+    avgdlt, avgdlb = float(stats["avgdlt"]), float(stats["avgdlb"])
+
+    def _wtf(i: int):
+        ntft = F.col(f"_tft{i}") / (
+            1 - BM25_B + BM25_B * F.col("_dlt") / F.lit(avgdlt)
+        )
+        ntfb = F.col(f"_tfb{i}") / (
+            1 - BM25_B + BM25_B * F.col("_dlb") / F.lit(avgdlb)
+        )
+        return F.lit(BM25F_W_TITLE) * ntft + F.lit(BM25F_W_BODY) * ntfb
+
+    def _term_score(i: int):
+        df = float(stats[f"_df{i}"])
+        idf = F.lit(0.0) if df == 0 else F.log(
+            F.lit((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        )
+        wtf = _wtf(i)
+        return F.when(
+            F.col(f"_tft{i}") + F.col(f"_tfb{i}") > 0,
+            idf * wtf / (F.lit(BM25_K1) + wtf),
+        ).otherwise(F.lit(0.0))
+
+    matched = sum(
+        (
+            F.when(F.col(f"_tft{i}") + F.col(f"_tfb{i}") > 0, 1).otherwise(0)
+            for i in range(len(terms))
+        ),
+        F.lit(0),
+    )
+    return (
+        per_doc.withColumn(
+            "bm25f", sum((_term_score(i) for i in range(len(terms))), F.lit(0.0))
+        )
+        .withColumn("terms_matched", matched)
+        .select(id_col, "bm25f", "terms_matched")
+        .orderBy(F.col("bm25f").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def duck_bm25f_sql(query_terms: list[str], k: int = 10) -> str:
+    """DuckDB twin of bm25f_scores — identical field split, soft
+    normalization, weighted-wtf saturation, and float op order."""
+    terms = [t.lower() for t in query_terms]
+    tft = ", ".join(
+        f"len(list_filter(tokens[1:{TITLE_TOKENS}], t -> t = '{t}')) AS tft{i}"
+        for i, t in enumerate(terms)
+    )
+    tfb = ", ".join(
+        f"len(list_filter(tokens[{TITLE_TOKENS} + 1:len(tokens)], t -> t = '{t}')) AS tfb{i}"
+        for i, t in enumerate(terms)
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN tft{i} + tfb{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    score_terms = " + ".join(
+        f"""CASE WHEN p.tft{i} + p.tfb{i} > 0 THEN
+             ln((s.n_docs - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1.0)
+             * ({BM25F_W_TITLE} * (p.tft{i} / (1 - {BM25_B} + {BM25_B} * p.dlt / s.avgdlt))
+                + {BM25F_W_BODY} * (p.tfb{i} / (1 - {BM25_B} + {BM25_B} * p.dlb / s.avgdlb)))
+             / ({BM25_K1} + ({BM25F_W_TITLE} * (p.tft{i} / (1 - {BM25_B} + {BM25_B} * p.dlt / s.avgdlt))
+                + {BM25F_W_BODY} * (p.tfb{i} / (1 - {BM25_B} + {BM25_B} * p.dlb / s.avgdlb))))
+           ELSE 0.0 END"""
+        for i in range(len(terms))
+    )
+    matched = " + ".join(
+        f"CASE WHEN p.tft{i} + p.tfb{i} > 0 THEN 1 ELSE 0 END"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tokens
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             least(len(tokens), {TITLE_TOKENS}) AS dlt,
+             greatest(len(tokens) - {TITLE_TOKENS}, 0) AS dlb,
+             {tft}, {tfb}
+      FROM toks
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(dlt) AS avgdlt, avg(dlb) AS avgdlb, {dfs}
+      FROM per_doc
+    )
+    SELECT p.doc_id,
+           round({score_terms}, 6) AS bm25f,
+           CAST({matched} AS INT) AS terms_matched
+    FROM per_doc p, stats s
+    ORDER BY ({score_terms}) DESC, p.doc_id ASC
+    LIMIT {k}
+    """

@@ -13373,6 +13373,280 @@ def multimodal_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id", "frame_ts_ms")
 
 
+@query("bm25f_search", oracle=None)  # oracle registered below via duck_bm25f_sql
+def bm25f_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field BM25F top-10 (Zaragoza et al., CIKM 2004) — field-
+    weighted retrieval where a title hit outranks the same hit buried in
+    a long body: per-field soft length normalization, fields combined
+    into ONE weighted pseudo-frequency, saturation applied once to the
+    combination (operators/fts.py::bm25f_scores — the docstring explains
+    why per-field BM25 sums get this wrong). Fields are synthetic
+    (first 5 tokens = title) since the corpus is single-column; the
+    algebra, float op order, and oracle twin are the real thing."""
+    from pdf_brain_spark.operators.fts import bm25f_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    res = bm25f_scores(docs, FTS_QUERY_TERMS, k=10)
+    return res.select("doc_id", F.round("bm25f", 6).alias("bm25f"), "terms_matched")
+
+
+def _register_bm25f_oracle() -> None:
+    from pdf_brain_spark.operators.fts import duck_bm25f_sql
+
+    ORACLES["bm25f_search"] = duck_bm25f_sql(FTS_QUERY_TERMS, k=10)
+
+
+_register_bm25f_oracle()
+
+
+@query(
+    "theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             ((b.cents - a.cents) * 1000000) // (b.d - a.d) AS slope_micro
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.d > a.d
+    ),
+    ranked AS (
+      SELECT event_type, slope_micro,
+             row_number() OVER (PARTITION BY event_type ORDER BY slope_micro) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM pairs
+    ),
+    days AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1)
+    SELECT r.event_type, CAST(d.n_days AS BIGINT) AS n_days,
+           CAST(r.n_pairs AS BIGINT) AS n_pairs,
+           CAST(r.slope_micro AS BIGINT) AS ts_slope_micro
+    FROM ranked r JOIN days d ON d.event_type = r.event_type
+    WHERE r.rn = (r.n_pairs + 1) // 2
+    ORDER BY r.event_type
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type — the median of all
+    pairwise day-to-day slopes of the daily revenue series, the
+    outlier-resistant alternative to the OLS slope
+    (streaming_incremental_regression fits; this one survives a 30%
+    contamination). The pair fan-out is over the bounded DAY axis
+    (30 days → 435 pairs/group), never the event stream — the property
+    that keeps the classic O(n²) estimator viable at 100 TB: aggregate
+    to the calendar grain first, go quadratic only on the axis. Slopes
+    quantize to exact integer micro-cents/day (both engines truncate
+    integer division identically, negative slopes included); the median
+    is the lower-median rank selection, exact by construction."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    a = daily.select("event_type", F.col("d").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(
+        F.col("event_type").alias("et_b"), F.col("d").alias("db"), F.col("cents").alias("cb")
+    )
+    pairs = a.join(
+        b, (F.col("et_b") == F.col("event_type")) & (F.col("db") > F.col("da"))
+    ).select(
+        "event_type",
+        F.expr("((cb - ca) * 1000000) div (db - da)").alias("slope_micro"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_micro")
+    wc = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope_micro",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_pairs"),
+    )
+    days = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        ranked.filter(F.expr("rn = (n_pairs + 1) div 2"))
+        .join(F.broadcast(days), "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope_micro").cast("long").alias("ts_slope_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "zipf_fit_report",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')) AS term
+      FROM documents
+    ),
+    freq AS (SELECT term, count(*) AS f FROM toks GROUP BY 1),
+    ranked AS (
+      SELECT term, f, row_number() OVER (ORDER BY f DESC, term ASC) AS r
+      FROM freq
+    ),
+    pts AS (
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM ranked WHERE r <= 200
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_terms,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS zipf_intercept
+    FROM m
+    """,
+)
+def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus rank-frequency curve: log-log OLS
+    slope across the top-200 terms (natural text sits near −1; a
+    synthetic or templated corpus shows up immediately as a flat
+    slope — a cheap corpus-authenticity diagnostic for training-data
+    QA). Log coordinates quantize ONCE to integer micro-nats per
+    (rank, freq) point, the OLS moments are exact integer sums, and
+    the closed form is one final float expression — the same
+    determinism playbook as the streaming regression monoid. One
+    term-count shuffle + a 200-row tail; rank ties break by term."""
+    from pdf_brain_spark.functions.text import tokenize
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    freq = (
+        docs.select(F.explode(tokenize("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.col("f").desc(), F.col("term").asc())
+    pts = (
+        freq.select("term", "f", F.row_number().over(w).alias("r"))
+        .filter(F.col("r") <= 200)
+        .select(
+            F.round(F.log(F.col("r").cast("double")) * 1_000_000)
+            .cast("long")
+            .alias("x"),
+            F.round(F.log(F.col("f").cast("double")) * 1_000_000)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.select(
+        F.col("n").alias("n_terms"),
+        F.round(num / den, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy").cast("double") - (num / den) * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("zipf_intercept"),
+    )
+
+
+@query(
+    "chi_square_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, hour(ts) // 6 AS pod, count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY 1),
+    cols_ AS (SELECT pod, sum(o) AS c FROM cells GROUP BY 1),
+    tot AS (SELECT sum(o) AS n FROM cells),
+    contrib AS (
+      SELECT CAST(round(
+               (CAST(t.n * ce.o - r.r * c.c AS DOUBLE)
+                * CAST(t.n * ce.o - r.r * c.c AS DOUBLE))
+               / CAST(t.n * r.r * c.c AS DOUBLE) * 1000000.0
+             ) AS BIGINT) AS contrib_micro
+      FROM cells ce
+      JOIN rows_ r ON r.event_type = ce.event_type
+      JOIN cols_ c ON c.pod = ce.pod, tot t
+    ),
+    dims AS (
+      SELECT (SELECT count(*) FROM rows_) AS nr, (SELECT count(*) FROM cols_) AS nc
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_events,
+           CAST(d.nr * d.nc AS BIGINT) AS n_cells,
+           CAST((d.nr - 1) * (d.nc - 1) AS BIGINT) AS dof,
+           CAST((SELECT sum(contrib_micro) FROM contrib) AS BIGINT) AS chi2_micro
+    FROM tot t, dims d
+    """,
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    part-of-day (four 6-hour buckets) — "does traffic mix shift across
+    the day?", the categorical complement of ks_two_sample. Each cell's
+    statistic uses the all-integer identity (O − rc/n)²/(rc/n) =
+    (nO − rc)²/(n·rc): the cross terms stay exact int64 (square taken
+    in double AFTER the exact subtraction — |nO − rc| < 2^32 here, so
+    the square is correctly rounded), each cell quantizes ONCE to
+    integer micro-units, and the 20-cell sum is integer — engine
+    summation order cannot move the statistic. Two tiny aggregates +
+    broadcast margins; the contingency table is bounded by the
+    category grid, never the event count."""
+    ev = load_table(spark, "events", sf_dir)
+    cells = ev.groupBy(
+        "event_type", F.expr("hour(ts) div 6").alias("pod")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_ = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols_ = cells.groupBy("pod").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    contrib = (
+        cells.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "pod")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (
+                    (F.col("n") * F.col("o") - F.col("r") * F.col("c")).cast("double")
+                    * (F.col("n") * F.col("o") - F.col("r") * F.col("c")).cast("double")
+                )
+                / (F.col("n") * F.col("r") * F.col("c")).cast("double")
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("contrib_micro")
+        )
+    )
+    chi2 = contrib.agg(F.sum("contrib_micro").cast("long").alias("chi2_micro"))
+    dims = rows_.agg(F.count(F.lit(1)).alias("nr")).crossJoin(
+        cols_.agg(F.count(F.lit(1)).alias("nc"))
+    )
+    return (
+        tot.crossJoin(dims)
+        .crossJoin(chi2)
+        .select(
+            F.col("n").cast("long").alias("n_events"),
+            (F.col("nr") * F.col("nc")).cast("long").alias("n_cells"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+            "chi2_micro",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
