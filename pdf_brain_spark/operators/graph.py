@@ -258,3 +258,39 @@ def hits_exact_int(
             F.col("h").alias("hub_micro"),
         )
     )
+
+
+def label_propagation_exact(edges: DataFrame, n_iter: int = 2) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (Raghavan et al.
+    2007) with a DETERMINISTIC tie rule: each node adopts the label
+    most frequent among its neighbors, ties broken by the smallest
+    label. LPA's usual nondeterminism comes from random tie-breaks and
+    asynchronous sweeps; pinning both (synchronous, explicit tie order,
+    fixed iteration count) makes the algorithm SQL-oracle-able — the
+    twin unrolls the same iterations with the same row_number tie rule.
+
+    `edges` must be DIRECTED-complete (both (u,v) and (v,u) present for
+    an undirected graph). Initial label = the node's own id/name.
+
+    Plan per iteration: one gather shuffle (edges ⋈ labels on the
+    neighbor key, map-side-combinable counts) + one per-node argmax
+    window whose frame is the node's distinct neighbor-label set —
+    bounded by degree, never graph size. localCheckpoint per iteration
+    truncates lineage like the PageRank/HITS loops."""
+    edges = edges.select("u", "v").localCheckpoint(eager=True)
+    nodes = edges.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+    labels = nodes.withColumn("lbl", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
+    for _ in range(n_iter):
+        votes = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy(edges.u.alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -231,3 +231,43 @@ def decode_sampled_frames(
         frame_decode_map_in_pandas(frame_chars, chars_per_sec),
         schema="asset_id string, frame_ts_ms long, start_c int, n_chars int, frame_md5 string",
     )
+
+
+def resample_map_in_pandas(n_out: int = 16):
+    """(asset_id, content) → (asset_id, n_in, resampled, resampled_md5):
+    nearest-neighbor RESAMPLE of the payload's char stream to a fixed
+    n_out samples (sample k reads position k·n_in // n_out) — the 1-D
+    resize/downsample member of the multimodal plumbing family (decode,
+    features, windows, frames, and now resample). The sampled string and
+    its md5 both return, so the oracle's substr replay certifies every
+    index computation; a rounding-direction bug in the index map (ceil
+    vs floor, 0- vs 1-based) flips the digest. Real mode would swap the
+    char read for a pixel/PCM gather — identical index arithmetic."""
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "n_in": [], "resampled": [], "resampled_md5": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["content"]):
+                text = bytes(payload).decode("utf-8", errors="strict")
+                n = len(text)
+                sampled = "".join(
+                    text[(k * n) // n_out] for k in range(n_out)
+                ) if n > 0 else ""
+                out["asset_id"].append(aid)
+                out["n_in"].append(n)
+                out["resampled"].append(sampled)
+                out["resampled_md5"].append(
+                    hashlib.md5(sampled.encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return _resample
+
+
+def resample_assets(media: DataFrame, n_out: int = 16) -> DataFrame:
+    """Map-only nearest-neighbor resampling over audio rows."""
+    auds = media.filter(F.col("kind") == "audio").select("asset_id", "content")
+    return auds.mapInPandas(
+        resample_map_in_pandas(n_out),
+        schema="asset_id string, n_in int, resampled string, resampled_md5 string",
+    )

@@ -13647,6 +13647,350 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_late_data_drop",
+    oracle="""
+    WITH v AS (SELECT event_id FROM events ORDER BY ts, event_id LIMIT 1),
+    ev AS (SELECT * FROM events WHERE event_id <> (SELECT event_id FROM v)),
+    m AS (SELECT max(ts) AS max_ts FROM ev)
+    SELECT event_type,
+           time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM ev, m
+    GROUP BY event_type, time_bucket(INTERVAL 1 HOUR, ts), max_ts
+    HAVING time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR
+           <= max_ts - INTERVAL 2 HOUR
+    """,
+)
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP, actually exercised (§2.10):
+    streaming_tumbling_window proves the window-closure rule on a
+    single batch, where no row is ever late; this gate stages THREE
+    micro-batches — batch 1 is every event except two chosen rows,
+    batch 2 is the corpus's LATEST row (fresh, absorbed), batch 3 is
+    the corpus's EARLIEST row (late by a month, beyond the 2h
+    watermark) — and the engine MUST drop batch 3's victim from state
+    (verified: numRowsDroppedByWatermark=1 in the state-operator
+    metrics when this gate was built). The oracle computes the closed
+    windows over all events MINUS the victim: parity holds only if the
+    drop really happened — an engine that absorbed the late row counts
+    one extra in the victim's window and the hash flips.
+
+    Empirical Spark semantics this gate encodes (measured on 4.x, the
+    reason it stages THREE batches, not two): the watermark visible to
+    the stateful operator lags the offset log by ONE batch — a late row
+    arriving in the very next micro-batch after the watermark-advancing
+    data is still absorbed; arriving two batches later, it is dropped.
+    The fresh batch-2 row exists purely to advance the operator past
+    that lag without changing max event time. Batch order is pinned by
+    backdating file mtimes (the file source orders by modification
+    time; same play as the time-travel gate)."""
+    import os as _os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pdf_brain_spark.streaming.events import windowed_event_counts
+
+    ev = load_table(spark, "events", sf_dir)
+    victim = (
+        ev.orderBy("ts", "event_id").select("event_id").limit(1).collect()[0][0]
+    )
+    fresh = (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .select("event_id")
+        .limit(1)
+        .collect()[0][0]
+    )
+    root = tempfile.mkdtemp(prefix="sgraft_late_")
+    b1, b2, b3 = f"{root}/b1", f"{root}/b2", f"{root}/b3"
+    qname = "stream_late_" + uuid.uuid4().hex[:8]
+    ckpt = f"{root}/ckpt"
+    try:
+        ev.filter(~F.col("event_id").isin(victim, fresh)).coalesce(1).write.parquet(b1)
+        ev.filter(F.col("event_id") == fresh).coalesce(1).write.parquet(b2)
+        ev.filter(F.col("event_id") == victim).coalesce(1).write.parquet(b3)
+        # pin processing order: the file source sorts by mtime
+        for d, back in ((b1, 240), (b2, 120), (b3, 0)):
+            for f_ in _os.listdir(d):
+                p = _os.path.join(d, f_)
+                st = _os.stat(p)
+                _os.utime(p, (st.st_atime, st.st_mtime - back))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(root + "/b*")
+        )
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = sum(
+            (p["stateOperators"][0].get("numRowsDroppedByWatermark") or 0)
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+        if dropped != 1:
+            raise AssertionError(
+                f"late-data gate expected exactly 1 watermark-dropped row, saw {dropped}"
+            )
+        return (
+            spark.table(qname)
+            .select(
+                "event_type",
+                "window_start",
+                "n_events",
+                F.round("total_value", 4).alias("total_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "source_contamination_matrix",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tokens
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(tokens) - 1, 1)),
+               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))) AS shingle
+      FROM toks
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+      FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.src_a, p.src_b, CAST(p.shared AS BIGINT) AS shared,
+           CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b,
+           CAST(p.shared * 1000000 // least(sa.n, sb.n) AS BIGINT) AS overlap_ppm
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.src_a
+    JOIN sizes sb ON sb.source = p.src_b
+    ORDER BY overlap_ppm DESC, src_a, src_b LIMIT 50
+    """,
+)
+def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-SOURCE contamination matrix — which corpus slices
+    share verbatim 3-gram shingles, and how much (overlap ppm over the
+    smaller side's shingle set). benchmark_contamination answers "does
+    train touch THIS eval set"; the matrix answers the curation-time
+    question "which of my N sources are copying each other", the input
+    to mixture dedup decisions. Plan: shingle membership collapses to
+    SOURCE grain first (distinct per source), so the inverted-index
+    join's fan-out per shingle is bounded by the SOURCE universe (≤
+    C(N,2) pair emissions per shingle, never doc²) — at 100 TB with
+    thousands of sources, cap the per-shingle source list exactly like
+    dedup.SHINGLE_DF_CAP caps docs. One shingle-grain shuffle, one
+    pair-grain aggregate."""
+    from pdf_brain_spark.functions.text import shingles, tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = (
+        docs.select(
+            "source", F.explode(shingles(tokenize("text"), 3)).alias("shingle")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "shingle")
+    b = sh.select(F.col("source").alias("src_b"), F.col("shingle").alias("sh_b"))
+    pairs = (
+        a.join(b, (F.col("sh_b") == F.col("shingle")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("size_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("size_b"))
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            F.expr("(shared * 1000000) div least(size_a, size_b)").alias("overlap_ppm"),
+        )
+        .orderBy(F.col("overlap_ppm").desc(), "src_a", "src_b")
+        .limit(50)
+    )
+
+
+@query(
+    "multimodal_audio_resample",
+    oracle="""
+    WITH auds AS (
+      SELECT CAST(doc_id AS VARCHAR) AS asset_id, text AS t, len(text) AS n
+      FROM documents WHERE doc_id < 40 AND len(COALESCE(text, '')) > 0
+    )
+    SELECT asset_id, CAST(n AS INT) AS n_in,
+           array_to_string(list_transform(range(0, 16), k -> t[(k * n) // 16 + 1]), '') AS resampled,
+           md5(array_to_string(list_transform(range(0, 16), k -> t[(k * n) // 16 + 1]), '')) AS resampled_md5
+    FROM auds ORDER BY asset_id
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor RESAMPLE plumbing (the fifth multimodal gate,
+    completing decode / features / windows / frames with the
+    resize/downsample member): each asset's char stream resamples to a
+    fixed 16 samples via the index map k·n // 16, run as an
+    Arrow-batched mapInPandas kernel (operators/multimodal.py::
+    resample_assets) whose output string AND md5 the oracle re-derives
+    by substr replay — certifying the exact index arithmetic (the
+    ceil-vs-floor and 0-vs-1-based bugs real resamplers have). Map-only;
+    real mode swaps the char gather for pixel/PCM reads."""
+    from pdf_brain_spark.operators.multimodal import resample_assets
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        (F.col("doc_id") < 40) & (F.length(F.coalesce(F.col("text"), F.lit(""))) > 0)
+    )
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("audio").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    return resample_assets(media, n_out=16).orderBy("asset_id")
+
+
+@query(
+    "label_propagation_communities",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    e0 AS (
+      SELECT a.brand AS u, b.brand AS v FROM li a JOIN li b
+      ON b.ok = a.ok AND a.brand < b.brand GROUP BY 1, 2
+    ),
+    edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    l0 AS (SELECT node, node AS lbl FROM nodes),
+    v1 AS (
+      SELECT e.u AS node, l0.lbl, count(*) AS cnt
+      FROM edges e JOIN l0 ON l0.node = e.v GROUP BY 1, 2
+    ),
+    l1 AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+        FROM v1
+      ) WHERE rn = 1
+    ),
+    v2 AS (
+      SELECT e.u AS node, l1.lbl, count(*) AS cnt
+      FROM edges e JOIN l1 ON l1.node = e.v GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+        FROM v2
+      ) WHERE rn = 1
+    )
+    SELECT node, lbl AS community FROM l2 ORDER BY node
+    """,
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-iteration synchronous label propagation (Raghavan et al.
+    2007) over the brand co-purchase graph — community detection as the
+    fourth graph-algorithm family member (components, PageRank, HITS,
+    now LPA). Made deterministic — the famous LPA pathology is tie
+    randomness — by the fixed iteration count and an explicit tie rule
+    (max neighbor-label count, then lexicographically smallest label),
+    so the oracle can unroll the identical iterations. Plan per
+    iteration: one gather shuffle (edge ⋈ labels, map-side-combinable
+    count) + one per-node argmax window over the bounded per-node label
+    set; the co-purchase projection is DISTINCT-before-join, bounded by
+    the brand universe (operators/graph.py::cooccurrence_edges
+    argument)."""
+    from pdf_brain_spark.operators.graph import label_propagation_exact
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    m = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = m.select("ok", F.col("brand").alias("u"))
+    b = m.select(F.col("ok").alias("ok_b"), F.col("brand").alias("v"))
+    e0 = (
+        a.join(b, (F.col("ok_b") == F.col("ok")) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+    )
+    edges = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    labels = label_propagation_exact(edges, n_iter=2)
+    return labels.select("node", F.col("lbl").alias("community")).orderBy("node")
+
+
+@query(
+    "stratified_kfold_report",
+    oracle="""
+    WITH folds AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS fold,
+             source
+      FROM documents
+    ),
+    cells AS (SELECT fold, source, count(*) AS n FROM folds GROUP BY 1, 2),
+    tots AS (SELECT fold, sum(n) AS fold_total FROM cells GROUP BY 1)
+    SELECT c.fold, c.source, CAST(c.n AS BIGINT) AS n,
+           CAST(t.fold_total AS BIGINT) AS fold_total,
+           CAST(c.n * 1000000 // t.fold_total AS BIGINT) AS share_ppm
+    FROM cells c JOIN tots t ON t.fold = c.fold
+    ORDER BY c.fold, c.source
+    """,
+)
+def stratified_kfold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment + balance audit: folds come
+    from the portable content-free hash (the train_val_test_split
+    mechanism, k=5), and the report shows each source's share of every
+    fold in exact ppm — the balance check that tells you whether
+    hash-stratification actually balanced the strata (it converges by
+    the law of large numbers, not construction, so the report is the
+    evidence). Fold assignment is a map-only projection any engine
+    reproduces; one cell-grain aggregate + broadcast fold totals."""
+    from pdf_brain_spark.functions.text import md5_long
+
+    docs = load_table(spark, "documents", sf_dir)
+    folds = docs.select(
+        (md5_long(F.col("doc_id").cast("string")) % 5).alias("fold"), "source"
+    )
+    cells = folds.groupBy("fold", "source").agg(F.count(F.lit(1)).alias("n"))
+    tots = cells.groupBy("fold").agg(F.sum("n").alias("fold_total"))
+    return (
+        cells.join(F.broadcast(tots), "fold")
+        .select(
+            "fold",
+            "source",
+            F.col("n").cast("long").alias("n"),
+            F.col("fold_total").cast("long").alias("fold_total"),
+            F.expr("(n * 1000000) div fold_total").alias("share_ppm"),
+        )
+        .orderBy("fold", "source")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
