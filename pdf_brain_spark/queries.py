@@ -13991,6 +13991,259 @@ def stratified_kfold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "g2_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tokens
+      FROM documents
+    ),
+    bi AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(tokens), 1)),
+               i -> tokens[i] || ' ' || tokens[i+1])) AS bigram
+      FROM toks
+    ),
+    o AS (SELECT bigram, count(*) AS o11 FROM bi GROUP BY 1),
+    firsts AS (
+      SELECT split_part(bigram, ' ', 1) AS w, sum(o11) AS ra FROM o GROUP BY 1
+    ),
+    seconds AS (
+      SELECT split_part(bigram, ' ', 2) AS w, sum(o11) AS cb FROM o GROUP BY 1
+    ),
+    tot AS (SELECT sum(o11) AS n FROM o),
+    cells AS (
+      SELECT o.bigram, o.o11,
+             CAST(o.o11 AS BIGINT) AS c11,
+             CAST(f.ra - o.o11 AS BIGINT) AS c12,
+             CAST(s.cb - o.o11 AS BIGINT) AS c21,
+             CAST(t.n - f.ra - s.cb + o.o11 AS BIGINT) AS c22,
+             CAST(f.ra AS BIGINT) AS r1, CAST(t.n - f.ra AS BIGINT) AS r2,
+             CAST(s.cb AS BIGINT) AS c1, CAST(t.n - s.cb AS BIGINT) AS c2,
+             CAST(t.n AS BIGINT) AS n
+      FROM o
+      JOIN firsts f ON f.w = split_part(o.bigram, ' ', 1)
+      JOIN seconds s ON s.w = split_part(o.bigram, ' ', 2), tot t
+      WHERE o.o11 >= 5
+    ),
+    scored AS (
+      SELECT bigram, o11,
+             CAST(
+               2 * (
+                 (CASE WHEN c11 > 0 THEN CAST(round(c11 * ln(CAST(c11 * n AS DOUBLE) / CAST(r1 * c1 AS DOUBLE)) * 1000000) AS BIGINT) ELSE 0 END)
+               + (CASE WHEN c12 > 0 THEN CAST(round(c12 * ln(CAST(c12 * n AS DOUBLE) / CAST(r1 * c2 AS DOUBLE)) * 1000000) AS BIGINT) ELSE 0 END)
+               + (CASE WHEN c21 > 0 THEN CAST(round(c21 * ln(CAST(c21 * n AS DOUBLE) / CAST(r2 * c1 AS DOUBLE)) * 1000000) AS BIGINT) ELSE 0 END)
+               + (CASE WHEN c22 > 0 THEN CAST(round(c22 * ln(CAST(c22 * n AS DOUBLE) / CAST(r2 * c2 AS DOUBLE)) * 1000000) AS BIGINT) ELSE 0 END)
+               ) AS BIGINT) AS g2_micro
+      FROM cells
+    )
+    SELECT bigram, CAST(o11 AS BIGINT) AS o11, g2_micro
+    FROM scored ORDER BY g2_micro DESC, bigram ASC LIMIT 20
+    """,
+)
+def g2_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood (G², Dunning 1993) collocation extraction
+    — the statistically sound replacement for raw PMI on sparse bigrams
+    (PMI over-rewards rare pairs; G² weighs ALL four contingency cells,
+    so a bigram must beat its marginals everywhere). Each cell's
+    O·ln(O/E) term quantizes ONCE to integer micro-nats — ln's argument
+    is a ratio of exact int64 products — and G² is an integer sum of
+    the four cells, so engine float-summation order never moves the
+    score. Plan: one bigram-count shuffle (occurrences, not distinct),
+    two marginal re-aggregates broadcast back, a 20-row TakeOrdered;
+    the O11 ≥ 5 support floor bounds the scored set."""
+    from pdf_brain_spark.functions.text import shingles, tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    bi = docs.select(
+        F.explode(shingles(tokenize("text"), 2)).alias("bigram")
+    )
+    o = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("o11"))
+    o = o.withColumn("w1", F.substring_index("bigram", " ", 1)).withColumn(
+        "w2", F.substring_index("bigram", " ", -1)
+    )
+    firsts = o.groupBy("w1").agg(F.sum("o11").alias("ra"))
+    seconds = o.groupBy("w2").agg(F.sum("o11").alias("cb"))
+    tot = o.agg(F.sum("o11").alias("n"))
+    cells = (
+        o.filter(F.col("o11") >= 5)
+        .join(F.broadcast(firsts), "w1")
+        .join(F.broadcast(seconds), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            "o11",
+            F.col("o11").cast("long").alias("c11"),
+            (F.col("ra") - F.col("o11")).cast("long").alias("c12"),
+            (F.col("cb") - F.col("o11")).cast("long").alias("c21"),
+            (F.col("n") - F.col("ra") - F.col("cb") + F.col("o11"))
+            .cast("long")
+            .alias("c22"),
+            F.col("ra").cast("long").alias("r1"),
+            (F.col("n") - F.col("ra")).cast("long").alias("r2"),
+            F.col("cb").cast("long").alias("c1"),
+            (F.col("n") - F.col("cb")).cast("long").alias("c2"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+    def _term(o_c: str, r_c: str, c_c: str):
+        return F.when(
+            F.col(o_c) > 0,
+            F.round(
+                F.col(o_c)
+                * F.log(
+                    (F.col(o_c) * F.col("n")).cast("double")
+                    / (F.col(r_c) * F.col(c_c)).cast("double")
+                )
+                * 1_000_000
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    scored = cells.select(
+        "bigram",
+        F.col("o11").cast("long").alias("o11"),
+        (
+            2
+            * (
+                _term("c11", "r1", "c1")
+                + _term("c12", "r1", "c2")
+                + _term("c21", "r2", "c1")
+                + _term("c22", "r2", "c2")
+            )
+        )
+        .cast("long")
+        .alias("g2_micro"),
+    )
+    return scored.orderBy(F.col("g2_micro").desc(), F.col("bigram").asc()).limit(20)
+
+
+@query(
+    "quantile_normalization",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS ns
+      FROM documents
+    ),
+    g AS (
+      SELECT n_chars AS gv,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS gpos
+      FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM documents),
+    mapped AS (
+      SELECT s.doc_id, s.source, s.n_chars,
+             CAST((s.rk - 1) * 1000000 // (s.ns - 1) AS BIGINT) AS src_pct_ppm,
+             CAST(1 + ((s.rk - 1) * (t.n - 1)) // (s.ns - 1) AS BIGINT) AS gpos
+      FROM src s, tot t WHERE s.ns > 1
+    )
+    SELECT m.doc_id, m.source, CAST(m.n_chars AS BIGINT) AS n_chars,
+           m.src_pct_ppm, CAST(g.gv AS BIGINT) AS normalized_n_chars
+    FROM mapped m JOIN g ON g.gpos = m.gpos
+    ORDER BY m.doc_id LIMIT 200
+    """,
+)
+def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources — each document's length
+    maps to its WITHIN-source rank percentile, then to the GLOBAL
+    distribution's value at that percentile, making length comparable
+    across sources with wildly different length profiles (the
+    genomics-standard transform, here as the training-data curation
+    version: per-source quality thresholds become corpus-calibrated).
+    All index arithmetic is exact integers — rank ppm is floor
+    (rk−1)·1e6/(ns−1), the global lookup position is the integer lerp
+    1 + (rk−1)(N−1)/(ns−1) — and ties order by doc_id on both engines.
+    Plan: one window per source partition, one global rank (single
+    ordered exchange over the doc-grain — at 100 TB swap for the
+    histogram-CDF lookup the percentile store already serves), one
+    position join."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wsc = Window.partitionBy("source")
+    src = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("rk"),
+        F.count(F.lit(1)).over(wsc).alias("ns"),
+    )
+    wg = Window.orderBy("n_chars", "doc_id")
+    g = docs.select(
+        F.col("n_chars").alias("gv"), F.row_number().over(wg).alias("gpos")
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    mapped = (
+        src.filter(F.col("ns") > 1)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.expr("((rk - 1) * 1000000) div (ns - 1)").alias("src_pct_ppm"),
+            F.expr("1 + ((rk - 1) * (n - 1)) div (ns - 1)").alias("gpos"),
+        )
+    )
+    return (
+        mapped.join(g, "gpos")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "src_pct_ppm",
+            F.col("gv").cast("long").alias("normalized_n_chars"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "tokenizer_fertility_report",
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             sum(length(text)) AS chars,
+             sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> ''))) AS words,
+             sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS subwords
+      FROM documents GROUP BY 1
+    )
+    SELECT source, CAST(chars AS BIGINT) AS chars, CAST(words AS BIGINT) AS words,
+           CAST(subwords AS BIGINT) AS subwords,
+           CAST(chars * 1000 // subwords AS BIGINT) AS chars_per_subword_milli,
+           CAST(subwords * 1000 // words AS BIGINT) AS fertility_milli
+    FROM m ORDER BY source
+    """,
+)
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source — subword tokens per word and
+    chars per subword token (the budgeting metrics behind "how many
+    training tokens is this corpus worth", and the per-language
+    fairness diagnostic: a high-fertility source burns budget faster).
+    Uses the same BPE-ish `\\w+|[^\\w\\s]` counter the token_counts
+    gate established cross-engine; ratios are exact integer
+    milli-units. One map-side-combinable aggregate."""
+    from pdf_brain_spark.functions.text import subword_token_count, token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    m = docs.groupBy("source").agg(
+        F.sum(F.length("text")).alias("chars"),
+        F.sum(token_count("text")).alias("words"),
+        F.sum(subword_token_count("text")).alias("subwords"),
+    )
+    return m.select(
+        "source",
+        F.col("chars").cast("long").alias("chars"),
+        F.col("words").cast("long").alias("words"),
+        F.col("subwords").cast("long").alias("subwords"),
+        F.expr("(chars * 1000) div subwords").alias("chars_per_subword_milli"),
+        F.expr("(subwords * 1000) div words").alias("fertility_milli"),
+    ).orderBy("source")
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
