@@ -12726,7 +12726,7 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("cb"),
-    )
+    ).localCheckpoint(eager=True)  # totals + cumulative window reuse it
     tot = s.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
     cum = s.select(
@@ -12795,7 +12795,7 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.groupBy(F.col("n_chars").alias("v")).agg(
         F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("cb"),
-    )
+    ).localCheckpoint(eager=True)  # totals + rank window reuse it
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     cum = s.select(
         "ca",
@@ -12969,9 +12969,14 @@ def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("w"),
     )
-    persum = pairs.groupBy("conv_id").agg(F.sum("w").alias("wsum"))
+    from pyspark.sql import Window
+
+    # per-conversion normalizer as a window over the SAME conv_id
+    # partitioning, not a groupBy + self-join — one exchange of the pair
+    # stream instead of two plus a join
+    wc = Window.partitionBy("conv_id")
     return (
-        pairs.join(persum, "conv_id")
+        pairs.withColumn("wsum", F.sum("w").over(wc))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_touches"),
@@ -13448,6 +13453,9 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    # both self-join arms and the day count reuse this bounded calendar
+    # frame — materialize so the event scan runs once
+    daily = daily.localCheckpoint(eager=True)
     a = daily.select("event_type", F.col("d").alias("da"), F.col("cents").alias("ca"))
     b = daily.select(
         F.col("event_type").alias("et_b"), F.col("d").alias("db"), F.col("cents").alias("cb")
@@ -13611,6 +13619,9 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ev.groupBy(
         "event_type", F.expr("hour(ts) div 6").alias("pod")
     ).agg(F.count(F.lit(1)).alias("o"))
+    # the margins, total, and dims all derive from this bounded grid —
+    # materialize it once so the event scan runs ONCE, not four times
+    cells = cells.localCheckpoint(eager=True)
     rows_ = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
     cols_ = cells.groupBy("pod").agg(F.sum("o").alias("c"))
     tot = cells.agg(F.sum("o").alias("n"))
@@ -13807,6 +13818,10 @@ def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", F.explode(shingles(tokenize("text"), 3)).alias("shingle")
         )
         .distinct()
+        # sizes and BOTH join arms reuse the shingle membership —
+        # materialize once so the corpus tokenizes once, not three times
+        # (the unigram_perplexity_filter precedent)
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("source").alias("src_a"), "shingle")
@@ -13976,7 +13991,9 @@ def stratified_kfold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds = docs.select(
         (md5_long(F.col("doc_id").cast("string")) % 5).alias("fold"), "source"
     )
-    cells = folds.groupBy("fold", "source").agg(F.count(F.lit(1)).alias("n"))
+    cells = folds.groupBy("fold", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)  # fold totals + report reuse the grid
     tots = cells.groupBy("fold").agg(F.sum("n").alias("fold_total"))
     return (
         cells.join(F.broadcast(tots), "fold")
@@ -14062,6 +14079,9 @@ def g2_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = o.withColumn("w1", F.substring_index("bigram", " ", 1)).withColumn(
         "w2", F.substring_index("bigram", " ", -1)
     )
+    # marginals, total, and the scored cells all derive from the bigram
+    # vocabulary — materialize once so the corpus tokenizes once
+    o = o.localCheckpoint(eager=True)
     firsts = o.groupBy("w1").agg(F.sum("o11").alias("ra"))
     seconds = o.groupBy("w2").agg(F.sum("o11").alias("cb"))
     tot = o.agg(F.sum("o11").alias("n"))
