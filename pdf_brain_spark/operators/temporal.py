@@ -968,3 +968,76 @@ def kaplan_meier(
         .otherwise(F.round(F.exp(F.col("_cum") / F.lit(1000000.0)), 6))
         .alias("survival"),
     )
+
+
+def asof_forward_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload_cols: tuple[str, ...] = ("value",),
+    prefix: str = "next_",
+) -> DataFrame:
+    """For each left row, the EARLIEST right row with right_ts >=
+    left_ts and the same key — the forward complement of
+    asof_backward_join ("what happened next": next purchase after
+    signup, next deploy after alert). Same union-window plan (one key
+    exchange, no join): left and right interleave on one sorted
+    timeline per key and first(ignorenulls) over the forward frame
+    carries the next right payload back. Ties: a right row AT the left
+    timestamp counts ("at or after" — right sorts after left at equal
+    ts so it stays inside the current-row-anchored frame); among right
+    rows at the same timestamp the winner is the MIN payload struct —
+    deterministic, the mirror of the backward join's max tie-break.
+    NULL payload when no right row follows."""
+    from pyspark.sql import Window
+
+    l_struct = F.struct(*[F.col(c) for c in left.columns])
+    l2 = left.select(
+        F.col(key_col).alias("_key"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        l_struct.alias("_lrow"),
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("_rts"),
+        *[
+            F.lit(None).cast(dict(right.dtypes)[p]).alias(f"_p_{p}")
+            for p in payload_cols
+        ],
+    )
+    r2 = right.select(
+        F.col(key_col).alias("_key"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(l2.schema["_lrow"].dataType).alias("_lrow"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(p).alias(f"_p_{p}") for p in payload_cols],
+    )
+    r_tie = F.when(
+        F.col("_side") == 1,
+        F.struct(*[F.col(f"_p_{p}").alias(p) for p in payload_cols]),
+    )
+    w = (
+        Window.partitionBy("_key")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), r_tie.asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = (
+        l2.unionByName(r2)
+        .withColumn(f"{prefix}ts", F.first("_rts", ignorenulls=True).over(w))
+        .withColumn(
+            "_payload_struct",
+            F.first(
+                F.when(
+                    F.col("_side") == 1,
+                    F.struct(*[F.col(f"_p_{p}").alias(p) for p in payload_cols]),
+                ),
+                ignorenulls=True,
+            ).over(w),
+        )
+    )
+    return carried.filter(F.col("_side") == 0).select(
+        "_lrow.*",
+        f"{prefix}ts",
+        *[F.col(f"_payload_struct.{p}").alias(f"{prefix}{p}") for p in payload_cols],
+    )

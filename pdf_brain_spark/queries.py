@@ -14264,6 +14264,95 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+@query(
+    "events_asof_forward",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+    ),
+    r AS (
+      SELECT user_id, ts AS rts, value FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT l.event_id, l.user_id, l.ts, r.rts, r.value,
+             row_number() OVER (
+               PARTITION BY l.event_id ORDER BY r.rts ASC, r.value ASC
+             ) AS rn
+      FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.rts >= l.ts
+    )
+    SELECT event_id, user_id, ts, rts AS next_ts, value AS next_value
+    FROM j WHERE rn = 1 ORDER BY event_id LIMIT 200
+    """,
+)
+def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join — for each signup, the user's NEXT purchase at
+    or after it ("what happened next", the conversion-latency primitive;
+    the backward as-of family's mirror). The Spark plan is the union-
+    window shape (operators/temporal.py::asof_forward_join): both sides
+    interleave on ONE sorted per-user timeline — one key exchange, no
+    join, no per-left probe — while the oracle replays it as the
+    correlated rank-1 selection with the same (next_ts, payload)
+    tie-break. NULL next_* when no purchase follows."""
+    from pdf_brain_spark.operators.temporal import asof_forward_join
+
+    ev = load_table(spark, "events", sf_dir)
+    left = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return (
+        asof_forward_join(left, right, "user_id", payload_cols=("value",))
+        .select("event_id", "user_id", "ts", "next_ts", "next_value")
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+@query(
+    "embedding_power_iteration",
+    oracle="""
+    WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+    x AS (
+      SELECT e.vec_id, d.i,
+             CAST(round(CAST(e.embedding[d.i] AS DOUBLE) * 1000) AS BIGINT) AS v
+      FROM embeddings e, dims d
+    ),
+    c AS (
+      SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS c
+      FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2
+    ),
+    v0 AS (SELECT i AS j, CAST(1000000 AS BIGINT) AS v FROM dims),
+    r1 AS (SELECT c.i, sum(c.c * v0.v) AS raw FROM c JOIN v0 ON v0.j = c.j GROUP BY 1),
+    m1 AS (SELECT max(abs(raw)) AS mx FROM r1),
+    v1 AS (SELECT i AS j, CAST(raw * 1000000 // m.mx AS BIGINT) AS v FROM r1, m1 m),
+    r2 AS (SELECT c.i, sum(c.c * v1.v) AS raw FROM c JOIN v1 ON v1.j = c.j GROUP BY 1),
+    m2 AS (SELECT max(abs(raw)) AS mx FROM r2),
+    v2 AS (SELECT i AS j, CAST(raw * 1000000 // m.mx AS BIGINT) AS v FROM r2, m2 m)
+    SELECT CAST(j - 1 AS INT) AS dim_idx, v AS loading_micro
+    FROM v2 ORDER BY dim_idx
+    """,
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by
+    EXACT-INTEGER power iteration (operators/pca.py) — distributed PCA
+    whose result hash-matches a SQL twin: components quantize once to
+    milli-units, the Gram matrix is an exact int64 one-pass aggregate
+    (Arrow-batched BLAS partials, the batched-similarity-join shape),
+    and each of the two power steps is integer matvec +
+    max-normalization with truncating division (the HITS/PageRank
+    quantization playbook applied to linear algebra). The only
+    collected object is the 64×64 Gram summary — bounded by dim², never
+    data. The oracle rebuilds the same Gram relationally and unrolls
+    the same two iterations."""
+    from pdf_brain_spark.operators.pca import gram_matrix_int, power_iteration_exact
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    gram = gram_matrix_int(emb, dim=64)
+    return power_iteration_exact(spark, gram, dim=64, n_iter=2).orderBy("dim_idx")
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate

@@ -248,3 +248,50 @@ def test_clustering_report_query_fails_on_poisoned_wssse(spark, monkeypatch):
     monkeypatch.setattr(cl, "bic_select_k", poisoned)
     with pytest.raises(AssertionError, match="non-increasing"):
         get_queries()["clustering_model_report"](spark, SF_DIR).collect()
+
+
+def test_power_iteration_tracks_numpy_eigenvector(spark):
+    """Second opinion for the exact-integer PCA: the integer power
+    iteration's direction must align with numpy's dominant eigenvector
+    of the SAME quantized Gram matrix (|cosine| > 0.99 after two
+    iterations on a spectrally-separated synthetic corpus), and the
+    distributed Gram must equal the single-machine Gram exactly."""
+    import numpy as np
+
+    from pdf_brain_spark.operators.pca import (
+        PCA_COMPONENT_SCALE,
+        _round_half_away,
+        gram_matrix_int,
+        power_iteration_exact,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    # strong rank-1 signal + small noise → well-separated top eigenpair
+    direction = rng.standard_normal(dim)
+    direction /= np.linalg.norm(direction)
+    coeffs = rng.standard_normal((200, 1)) * 5.0
+    x = coeffs * direction + rng.standard_normal((200, dim)) * 0.3
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    gram = gram_matrix_int(df, dim=dim)
+    got = {(r["i"], r["j"]): r["c"] for r in gram.collect()}
+    q = _round_half_away(
+        np.vstack(df.toPandas()["embedding"].to_list()).astype(np.float64)
+        * PCA_COMPONENT_SCALE
+    )
+    want = q.T @ q
+    for i in range(dim):
+        for j in range(dim):
+            assert got[(i, j)] == want[i, j], (i, j)
+
+    v = power_iteration_exact(spark, gram, dim=dim, n_iter=2)
+    vec = np.array(
+        [r["loading_micro"] for r in v.orderBy("dim_idx").collect()], dtype=np.float64
+    )
+    evals, evecs = np.linalg.eigh(want.astype(np.float64))
+    top = evecs[:, int(np.argmax(evals))]
+    cos = abs(vec @ top) / (np.linalg.norm(vec) * np.linalg.norm(top))
+    assert cos > 0.99, cos
