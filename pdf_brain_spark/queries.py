@@ -14353,6 +14353,294 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_iteration_exact(spark, gram, dim=64, n_iter=2).orderBy("dim_idx")
 
 
+@query(
+    "streaming_incremental_cms",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')) AS term
+      FROM documents
+    ),
+    exact AS (SELECT term, count(*) AS true_count FROM toks GROUP BY 1),
+    top10 AS (
+      SELECT term, true_count FROM exact
+      ORDER BY true_count DESC, term ASC LIMIT 10
+    ),
+    cells AS (
+      SELECT r.r AS row_idx,
+             CAST(concat('0x', substr(md5(t.term || '#' || CAST(r.r AS VARCHAR)), 1, 15)) AS BIGINT) % 512 AS col_idx,
+             count(*) AS cnt
+      FROM toks t, (SELECT unnest(range(0, 4)) AS r) r
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT p.term, p.true_count, r.r AS row_idx,
+             CAST(concat('0x', substr(md5(p.term || '#' || CAST(r.r AS VARCHAR)), 1, 15)) AS BIGINT) % 512 AS col_idx
+      FROM top10 p, (SELECT unnest(range(0, 4)) AS r) r
+    )
+    SELECT p.term, CAST(any_value(p.true_count) AS BIGINT) AS true_count,
+           CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_estimate,
+           CAST(min(COALESCE(c.cnt, 0)) - any_value(p.true_count) AS BIGINT) AS overestimate
+    FROM probes p LEFT JOIN cells c
+      ON c.row_idx = p.row_idx AND c.col_idx = p.col_idx
+    GROUP BY p.term ORDER BY p.term
+    """,
+)
+def streaming_incremental_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min-Sketch heavy-hitter maintenance (Cormode &
+    Muthukrishnan 2005) — the bounded-state frequency monoid
+    (streaming/events.py::make_cms_batch_fn): per-batch cell partials
+    merge by integer addition, so however the stream carved the corpus
+    the merged sketch is bit-identical to the one-shot build the oracle
+    replays. The gate probes the true top-10 terms and reports each
+    estimate's overestimate (structurally ≥ 0 — CMS never
+    underestimates; the ≥ relation is IN the hash-compared output).
+    Sketch state is 4×512 longs per live generation regardless of
+    corpus size — the regime where even the term dictionary outgrows
+    memory and exact top-k stops being maintainable. A real
+    AvailableNow run per invocation."""
+    import shutil
+    import tempfile
+
+    from pdf_brain_spark.functions.text import tokenize
+    from pdf_brain_spark.streaming.events import (
+        read_cms_estimates,
+        streaming_incremental_cms as drive_cms,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="sgraft_cms_")
+    stage, store, ckpt = (f"{root}/{d}" for d in ("stage", "cms", "ckpt"))
+    try:
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(stage)
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        drive_cms(spark, stream, store, ckpt).awaitTermination()
+        exact = (
+            docs.select(F.explode(tokenize("text")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("true_count"))
+        )
+        top10 = exact.orderBy(
+            F.col("true_count").desc(), F.col("term").asc()
+        ).limit(10).localCheckpoint(eager=True)
+        est = read_cms_estimates(spark, store, top10.select("term"))
+        return (
+            top10.join(est, "term")
+            .select(
+                "term",
+                F.col("true_count").cast("long").alias("true_count"),
+                "cms_estimate",
+                (F.col("cms_estimate") - F.col("true_count"))
+                .cast("long")
+                .alias("overestimate"),
+            )
+            .orderBy("term")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "did_estimate",
+    oracle="""
+    WITH p AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 2 END AS period,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (
+      SELECT treated, period, count(*) AS n, sum(cents) AS s,
+             CAST(sum(cents) * 1000000 // count(*) AS BIGINT) AS mean_micro
+      FROM p GROUP BY 1, 2
+    )
+    SELECT
+      CAST(max(CASE WHEN treated = 1 AND period = 1 THEN n END) AS BIGINT) AS n_t1,
+      CAST(max(CASE WHEN treated = 1 AND period = 2 THEN n END) AS BIGINT) AS n_t2,
+      CAST(max(CASE WHEN treated = 0 AND period = 1 THEN n END) AS BIGINT) AS n_c1,
+      CAST(max(CASE WHEN treated = 0 AND period = 2 THEN n END) AS BIGINT) AS n_c2,
+      CAST(max(CASE WHEN treated = 1 AND period = 1 THEN mean_micro END) AS BIGINT) AS mean_t1_micro,
+      CAST(max(CASE WHEN treated = 1 AND period = 2 THEN mean_micro END) AS BIGINT) AS mean_t2_micro,
+      CAST(max(CASE WHEN treated = 0 AND period = 1 THEN mean_micro END) AS BIGINT) AS mean_c1_micro,
+      CAST(max(CASE WHEN treated = 0 AND period = 2 THEN mean_micro END) AS BIGINT) AS mean_c2_micro,
+      CAST((max(CASE WHEN treated = 1 AND period = 2 THEN mean_micro END)
+            - max(CASE WHEN treated = 1 AND period = 1 THEN mean_micro END))
+           - (max(CASE WHEN treated = 0 AND period = 2 THEN mean_micro END)
+              - max(CASE WHEN treated = 0 AND period = 1 THEN mean_micro END)) AS BIGINT) AS did_micro
+    FROM cells
+    """,
+)
+def did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator — the workhorse causal
+    design: (treated after − treated before) − (control after − control
+    before) on purchase value, with even user_ids standing in for the
+    treatment arm and the mid-month cut as the intervention date. All
+    four cell means are exact integer micro-cents (floor of exact sums
+    — both engines truncate identically), so the DiD contrast is pure
+    integer arithmetic. One conditional-pivot aggregate over one
+    filtered scan; the 2×2 grid is bounded by design."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    p = ev.select(
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("treated"),
+        F.when(F.col("ts") < F.lit("2024-01-16"), 1).otherwise(2).alias("period"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cells = p.groupBy("treated", "period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+    ).withColumn("mean_micro", F.expr("(s * 1000000) div n"))
+
+    def cell(t, pd_, col):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("period") == pd_), F.col(col))
+        )
+
+    return cells.agg(
+        cell(1, 1, "n").cast("long").alias("n_t1"),
+        cell(1, 2, "n").cast("long").alias("n_t2"),
+        cell(0, 1, "n").cast("long").alias("n_c1"),
+        cell(0, 2, "n").cast("long").alias("n_c2"),
+        cell(1, 1, "mean_micro").cast("long").alias("mean_t1_micro"),
+        cell(1, 2, "mean_micro").cast("long").alias("mean_t2_micro"),
+        cell(0, 1, "mean_micro").cast("long").alias("mean_c1_micro"),
+        cell(0, 2, "mean_micro").cast("long").alias("mean_c2_micro"),
+        (
+            (cell(1, 2, "mean_micro") - cell(1, 1, "mean_micro"))
+            - (cell(0, 2, "mean_micro") - cell(0, 1, "mean_micro"))
+        )
+        .cast("long")
+        .alias("did_micro"),
+    )
+
+
+@query(
+    "random_projection_jl",
+    oracle="""
+    WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+    ks AS (SELECT unnest(range(0, 16)) AS k),
+    x AS (
+      SELECT e.vec_id, d.i,
+             CAST(round(CAST(e.embedding[d.i] AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM embeddings e, dims d WHERE e.vec_id < 40
+    ),
+    signs AS (
+      SELECT d.i, ks.k,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(d.i - 1 AS VARCHAR) || '#' || CAST(ks.k AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM dims d, ks
+    ),
+    proj AS (
+      SELECT x.vec_id, s.k, sum(s.s * x.q) AS p
+      FROM x JOIN signs s ON s.i = x.i GROUP BY 1, 2
+    ),
+    pairs AS (SELECT unnest(range(0, 20)) AS j),
+    od AS (
+      SELECT pr.j, sum(a.q * b.q) AS orig_dot
+      FROM pairs pr
+      JOIN x a ON a.vec_id = 2 * pr.j
+      JOIN x b ON b.vec_id = 2 * pr.j + 1 AND b.i = a.i
+      GROUP BY 1
+    ),
+    pd_ AS (
+      SELECT pr.j, sum(a.p * b.p) AS proj_dot
+      FROM pairs pr
+      JOIN proj a ON a.vec_id = 2 * pr.j
+      JOIN proj b ON b.vec_id = 2 * pr.j + 1 AND b.k = a.k
+      GROUP BY 1
+    )
+    SELECT CAST(o.j AS BIGINT) AS pair_idx,
+           CAST(o.orig_dot AS BIGINT) AS orig_dot,
+           CAST(p.proj_dot AS BIGINT) AS proj_dot,
+           CAST(p.proj_dot * 1000000 // (16 * o.orig_dot) AS BIGINT) AS ratio_ppm
+    FROM od o JOIN pd_ p ON p.j = o.j
+    WHERE o.orig_dot <> 0
+    ORDER BY pair_idx
+    """,
+)
+def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas 2003
+    ±1-sign variant) with a dot-product-preservation audit: embeddings
+    project 64→16 dims through a DETERMINISTIC sign matrix derived from
+    the portable hash, components quantize once to integer milli-units,
+    so projections, original dot products, and the preservation ratio
+    E[proj·proj']=k·(q·q') are ALL exact integers both engines replay
+    bit-for-bit — the dimensionality-reduction member of the sketch
+    family (PQ compresses codes, BSQ compresses bits, JL compresses
+    dimensions). Plan: the sign matrix (64×16) broadcasts; projection
+    is one (vec, k) aggregate over exploded components; the audit runs
+    on a bounded 20-pair sample."""
+    from pdf_brain_spark.functions.text import md5_long
+
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 40)
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "v")
+    ).select(
+        "vec_id",
+        F.col("i0").alias("i"),
+        F.round(F.col("v").cast("double") * 1000).cast("long").alias("q"),
+    )
+    x = x.localCheckpoint(eager=True)  # projection + both dot-product arms reuse it
+    dims = spark.range(64).select(F.col("id").cast("int").alias("i"))
+    ks = spark.range(16).select(F.col("id").cast("int").alias("k"))
+    signs = dims.crossJoin(ks).select(
+        "i",
+        "k",
+        F.when(
+            md5_long(
+                F.concat(F.col("i").cast("string"), F.lit("#"), F.col("k").cast("string"))
+            )
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("s"),
+    )
+    proj = (
+        x.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("s") * F.col("q")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = spark.range(20).select(F.col("id").cast("long").alias("j"))
+    xa = x.select(F.col("vec_id").alias("va"), "i", F.col("q").alias("qa"))
+    xb = x.select(F.col("vec_id").alias("vb"), F.col("i").alias("ib"), F.col("q").alias("qb"))
+    od = (
+        F.broadcast(pairs)
+        .join(xa, xa.va == 2 * F.col("j"))
+        .join(xb, (xb.vb == 2 * F.col("j") + 1) & (F.col("ib") == F.col("i")))
+        .groupBy("j")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("orig_dot"))
+    )
+    pa = proj.select(F.col("vec_id").alias("va"), "k", F.col("p").alias("p_a"))
+    pb = proj.select(F.col("vec_id").alias("vb"), F.col("k").alias("kb"), F.col("p").alias("p_b"))
+    pd_ = (
+        F.broadcast(pairs)
+        .join(pa, pa.va == 2 * F.col("j"))
+        .join(pb, (pb.vb == 2 * F.col("j") + 1) & (F.col("kb") == F.col("k")))
+        .groupBy("j")
+        .agg(F.sum(F.col("p_a") * F.col("p_b")).alias("proj_dot"))
+    )
+    return (
+        od.join(pd_, "j")
+        .filter(F.col("orig_dot") != 0)
+        .select(
+            F.col("j").alias("pair_idx"),
+            F.col("orig_dot").cast("long").alias("orig_dot"),
+            F.col("proj_dot").cast("long").alias("proj_dot"),
+            F.expr("(proj_dot * 1000000) div (16 * orig_dot)").alias("ratio_ppm"),
+        )
+        .orderBy("pair_idx")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate

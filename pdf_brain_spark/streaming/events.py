@@ -1618,3 +1618,121 @@ def compact_bitmap(spark: SparkSession, store_dir: str, upto_batch_id: int) -> i
         ["bits"],
         merge_exprs=_bitmap_merge_exprs(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental Count-Min Sketch — the bounded-state HEAVY-HITTER monoid
+# (Cormode & Muthukrishnan 2005): per-batch (row, col, cnt) cell partials
+# merge by plain integer addition (associative, commutative), the classic
+# streaming frequency sketch whose estimate min_r cms[r][h_r(x)] is an
+# upper bound on the true count with bounded overestimate. Because the
+# cells are EXACT integer sums of a DETERMINISTIC hash placement, the
+# merged sketch — unlike engine-private approx_count structs — is
+# bit-identical to a one-shot build, so a SQL twin can replay it.
+# Persisted state: ≤ CMS_ROWS × CMS_COLS longs per live generation,
+# independent of corpus size — the property that matters at 100 TB.
+# exact top-k (make_term_counts_batch_fn) keeps the true counts; CMS is
+# the answer when even the term dictionary doesn't fit.
+# ---------------------------------------------------------------------------
+
+CMS_ROWS = 4
+CMS_COLS = 512
+
+
+def cms_col_expr(term_col: str, row_idx: int):
+    """Portable CMS column index: md5_long(term '#' row) % CMS_COLS —
+    the twin SQL is the same concat/substr/CAST chain every other
+    portable-hash gate uses."""
+    from pdf_brain_spark.functions.text import md5_long
+
+    return (
+        md5_long(F.concat(F.col(term_col), F.lit(f"#{row_idx}"))) % CMS_COLS
+    )
+
+
+def make_cms_batch_fn(store_dir: str, text_col: str = "text"):
+    """Per-micro-batch CMS partial over the batch's token stream,
+    replay-idempotent (batch_id=N overwrite)."""
+    from pdf_brain_spark.functions.text import tokenize
+
+    def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pdf_brain_spark.streaming.generations import (
+            record_wseq,
+            stamp_protocol,
+        )
+
+        toks = batch_df.select(F.explode(tokenize(text_col)).alias("term"))
+        partial = None
+        for r in range(CMS_ROWS):
+            p = toks.select(
+                F.lit(r).alias("row_idx"),
+                cms_col_expr("term", r).alias("col_idx"),
+            ).groupBy("row_idx", "col_idx").agg(
+                F.count(F.lit(1)).cast("long").alias("cnt")
+            )
+            partial = p if partial is None else partial.unionByName(p)
+        stamp_protocol(batch_df.sparkSession, store_dir)
+        partial.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+        record_wseq(batch_df.sparkSession, store_dir, f"batch_id={batch_id}")
+
+    return _each_batch
+
+
+def streaming_incremental_cms(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+):
+    """Drive incremental CMS maintenance as a Structured Streaming
+    query. Per-batch work: CMS_ROWS aggregates over the batch's tokens."""
+    return (
+        docs_stream.writeStream.foreachBatch(make_cms_batch_fn(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_estimates(spark: SparkSession, store_dir: str, terms_df: DataFrame) -> DataFrame:
+    """Serve CMS frequency estimates for the given (term) frame: re-merge
+    live cell generations by integer sum, look up each term's CMS_ROWS
+    cells, take the min. Work ∝ sketch size × live generations + the
+    probe list — never the token stream."""
+    from pdf_brain_spark.streaming.generations import kept_partial_rows
+
+    cells = (
+        kept_partial_rows(spark, store_dir, ["row_idx", "col_idx"], ["cnt"])
+        .groupBy("row_idx", "col_idx")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    probes = None
+    for r in range(CMS_ROWS):
+        p = terms_df.select(
+            "term",
+            F.lit(r).alias("row_idx"),
+            cms_col_expr("term", r).alias("col_idx"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    return (
+        probes.join(F.broadcast(cells), ["row_idx", "col_idx"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cms_estimate"))
+    )
+
+
+def compact_cms(spark: SparkSession, store_dir: str, upto_batch_id: int) -> int:
+    """Merge committed CMS generations by cell-wise integer addition
+    (reader-safe generation protocol)."""
+    from pdf_brain_spark.streaming.generations import compact_partials
+
+    return compact_partials(
+        spark,
+        store_dir,
+        upto_batch_id,
+        ["row_idx", "col_idx"],
+        ["cnt"],
+        merge_exprs=[F.sum("cnt").cast("long").alias("cnt")],
+    )
