@@ -14641,6 +14641,190 @@ def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "abc_xyz_classification",
+    oracle="""
+    WITH li AS (
+      SELECT p.p_brand AS brand,
+             date_trunc('month', l.l_shipdate) AS m,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(round(l.l_quantity) AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    months AS (SELECT count(DISTINCT m) AS nm FROM li),
+    monthly AS (
+      SELECT brand, m, sum(qty) AS q FROM li GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT brand, sum(q) AS s, sum(q * q) AS s2 FROM monthly GROUP BY 1
+    ),
+    rev AS (SELECT brand, sum(cents) AS revenue_cents FROM li GROUP BY 1),
+    tot AS (SELECT sum(revenue_cents) AS t FROM rev),
+    ranked AS (
+      SELECT r.brand, r.revenue_cents,
+             sum(r.revenue_cents) OVER (
+               ORDER BY r.revenue_cents DESC, r.brand ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_cents
+      FROM rev r
+    )
+    SELECT rk.brand, CAST(rk.revenue_cents AS BIGINT) AS revenue_cents,
+           CAST(rk.cum_cents AS BIGINT) AS cum_cents,
+           CASE WHEN 5 * rk.cum_cents <= 4 * t.t THEN 'A'
+                WHEN 20 * rk.cum_cents <= 19 * t.t THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CASE WHEN 4 * (m.nm * st.s2 - st.s * st.s) <= st.s * st.s THEN 'X'
+                WHEN (m.nm * st.s2 - st.s * st.s) <= st.s * st.s THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM ranked rk
+    JOIN stats st ON st.brand = rk.brand, tot t, months m
+    ORDER BY rk.revenue_cents DESC, rk.brand ASC
+    """,
+)
+def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory classification — the supply-chain segmentation
+    matrix: ABC by cumulative revenue share (A ≤ 80%, B ≤ 95%, else C)
+    and XYZ by demand variability (X: CV² ≤ 0.25, Y: CV² ≤ 1, else Z)
+    over the monthly demand series. Every boundary is an EXACT INTEGER
+    cross-multiplication — 5·cum ≤ 4·total for the 80% cut,
+    4·(n·Σq² − S²) ≤ S² for CV² ≤ 1/4 — so no float share or variance
+    can straddle a class boundary differently per engine. Months with
+    no demand contribute zero through the shared month count n (the
+    variance denominator is the CALENDAR, not the brand's active
+    months — the difference between X and Z for intermittent demand).
+    Plan: one brand×month aggregate, two brand-grain re-aggregates,
+    one cumulative window over the bounded brand universe."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey",
+        F.date_trunc("month", F.col("l_shipdate")).alias("m"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    part = load_table(spark, "part", sf_dir).select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    base = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "brand", "m", "cents", "qty"
+    )
+    monthly = base.groupBy("brand", "m").agg(F.sum("qty").alias("q"))
+    monthly = monthly.localCheckpoint(eager=True)  # stats + month count reuse
+    nm = monthly.select("m").distinct().count()
+    stats = monthly.groupBy("brand").agg(
+        F.sum("q").alias("s"), F.sum(F.col("q") * F.col("q")).alias("s2")
+    )
+    rev = base.groupBy("brand").agg(F.sum("cents").alias("revenue_cents"))
+    rev = rev.localCheckpoint(eager=True)  # total + ranking reuse
+    tot = rev.agg(F.sum("revenue_cents").alias("t"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("revenue_cents").desc(), F.col("brand").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = rev.select(
+        "brand", "revenue_cents", F.sum("revenue_cents").over(w).alias("cum_cents")
+    )
+    var_n2 = F.lit(nm) * F.col("s2") - F.col("s") * F.col("s")
+    return (
+        ranked.join(stats, "brand")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand",
+            F.col("revenue_cents").cast("long").alias("revenue_cents"),
+            F.col("cum_cents").cast("long").alias("cum_cents"),
+            F.when(5 * F.col("cum_cents") <= 4 * F.col("t"), "A")
+            .when(20 * F.col("cum_cents") <= 19 * F.col("t"), "B")
+            .otherwise("C")
+            .alias("abc_class"),
+            F.when(4 * var_n2 <= F.col("s") * F.col("s"), "X")
+            .when(var_n2 <= F.col("s") * F.col("s"), "Y")
+            .otherwise("Z")
+            .alias("xyz_class"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("brand").asc())
+    )
+
+
+@query(
+    "revenue_bridge_decomposition",
+    oracle="""
+    WITH yr AS (
+      SELECT p.p_brand AS brand, year(l.l_shipdate) AS y,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents,
+             sum(CAST(round(l.l_quantity) AS BIGINT)) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT brand,
+             max(CASE WHEN y = 1996 THEN cents END) AS c1,
+             max(CASE WHEN y = 1996 THEN qty END) AS q1,
+             max(CASE WHEN y = 1997 THEN cents END) AS c2,
+             max(CASE WHEN y = 1997 THEN qty END) AS q2
+      FROM yr GROUP BY 1
+    )
+    SELECT brand, CAST(c1 AS BIGINT) AS c1_cents, CAST(c2 AS BIGINT) AS c2_cents,
+           CAST(q1 AS BIGINT) AS q1, CAST(q2 AS BIGINT) AS q2,
+           CAST(c2 - c1 AS BIGINT) AS delta_cents,
+           CAST(((q2 - q1) * c1) // q1 AS BIGINT) AS volume_effect_cents,
+           CAST((c2 - c1) - ((q2 - q1) * c1) // q1 AS BIGINT) AS price_mix_effect_cents
+    FROM wide
+    WHERE c1 IS NOT NULL AND c2 IS NOT NULL AND q1 > 0
+    ORDER BY brand
+    """,
+)
+def revenue_bridge_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue bridge per brand — the price/volume
+    decomposition every revenue review runs: volume effect =
+    Δqty·(prior revenue per unit), price/mix effect = the exact
+    remainder, so the two effects sum to the revenue delta BY
+    CONSTRUCTION (the float version never quite does, and the floor
+    lands in price/mix where analysts expect the plug). All inputs are
+    integer cents and whole quantities; both engines truncate the one
+    division identically. One (brand, year) aggregate + a two-column
+    pivot; the ship-year predicate reaches the fact scan."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    part = load_table(spark, "part", sf_dir).select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    yr = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("brand", F.year("l_shipdate").alias("y"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"),
+        )
+    )
+    wide = yr.groupBy("brand").agg(
+        F.max(F.when(F.col("y") == 1996, F.col("cents"))).alias("c1"),
+        F.max(F.when(F.col("y") == 1996, F.col("qty"))).alias("q1"),
+        F.max(F.when(F.col("y") == 1997, F.col("cents"))).alias("c2"),
+        F.max(F.when(F.col("y") == 1997, F.col("qty"))).alias("q2"),
+    )
+    return (
+        wide.filter(
+            F.col("c1").isNotNull() & F.col("c2").isNotNull() & (F.col("q1") > 0)
+        )
+        .select(
+            "brand",
+            F.col("c1").cast("long").alias("c1_cents"),
+            F.col("c2").cast("long").alias("c2_cents"),
+            F.col("q1").cast("long").alias("q1"),
+            F.col("q2").cast("long").alias("q2"),
+            (F.col("c2") - F.col("c1")).cast("long").alias("delta_cents"),
+            F.expr("((q2 - q1) * c1) div q1").cast("long").alias("volume_effect_cents"),
+            F.expr("(c2 - c1) - ((q2 - q1) * c1) div q1")
+            .cast("long")
+            .alias("price_mix_effect_cents"),
+        )
+        .orderBy("brand")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate

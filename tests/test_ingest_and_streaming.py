@@ -1823,3 +1823,68 @@ def test_streaming_bitmap_exact_distinct_and_compact(spark, tmp_path):
     assert compact_bitmap(spark, store, upto_batch_id=1) == 2
     assert generation_ids(spark, store) == [-2]
     assert served() == want
+
+
+def test_streaming_cms_replay_merge_compact(spark, tmp_path):
+    """CMS monoid: replay-idempotent, batch-split-invariant (estimates
+    from a three-way split equal the one-shot sketch bit for bit), the
+    estimate upper-bounds the true count for EVERY term, and compaction
+    with the additive monoid preserves serving."""
+    from pdf_brain_spark.functions.text import tokenize
+    from pdf_brain_spark.streaming.events import (
+        compact_cms,
+        make_cms_batch_fn,
+        read_cms_estimates,
+    )
+    from pdf_brain_spark.streaming.generations import generation_ids
+    from pdf_brain_spark.sources.loaders import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    store = str(tmp_path / "cms")
+    fn = make_cms_batch_fn(store)
+    fn(docs.filter(F.col("doc_id") % 3 == 0), 0)
+    fn(docs.filter(F.col("doc_id") % 3 == 1), 1)
+    fn(docs.filter(F.col("doc_id") % 3 == 2), 2)
+
+    def raw_rows():
+        return sorted(
+            tuple(r)
+            for r in spark.read.option("basePath", store).parquet(store).collect()
+        )
+
+    before = raw_rows()
+    fn(docs.filter(F.col("doc_id") % 3 == 1), 1)  # crash replay
+    assert raw_rows() == before
+
+    exact = (
+        docs.select(F.explode(tokenize("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    ).localCheckpoint(eager=True)
+
+    def served():
+        return sorted(
+            (r["term"], r["cms_estimate"])
+            for r in read_cms_estimates(spark, store, exact.select("term")).collect()
+        )
+
+    got = dict(served())
+    truth = {r["term"]: r["true_count"] for r in exact.collect()}
+    assert set(got) == set(truth) and got
+    for t, est in got.items():
+        assert est >= truth[t], (t, est, truth[t])  # CMS never underestimates
+
+    # one-shot sketch over ALL docs must equal the streamed-and-merged one
+    one_shot_store = str(tmp_path / "cms_one")
+    make_cms_batch_fn(one_shot_store)(docs, 0)
+    want = sorted(
+        (r["term"], r["cms_estimate"])
+        for r in read_cms_estimates(spark, one_shot_store, exact.select("term")).collect()
+    )
+    assert served() == want
+
+    assert compact_cms(spark, store, upto_batch_id=2) == 3
+    assert generation_ids(spark, store) == [-3]
+    assert served() == want
