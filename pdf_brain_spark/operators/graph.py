@@ -205,6 +205,8 @@ def hits_exact_int(
     lineage exactly like the PageRank loop.
 
     Returns (node, auth_micro, hub_micro) — exact int64."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))

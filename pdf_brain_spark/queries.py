@@ -13153,7 +13153,7 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior worth gating; a production build sizes m from the build-
     side count). n_missed is structurally 0 (Bloom filters have no
     false negatives); the gate proves it. Plan:
-    build = one tiny shuffle to 2048 words, broadcast everywhere; probe
+    build = one tiny shuffle to 128 words, broadcast everywhere; probe
     = map-only + broadcast join — the shape that turns a 100 TB
     shuffled semi-join into a scan-side filter."""
     from pdf_brain_spark.functions.text import md5_long
@@ -13164,6 +13164,8 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
         .select(F.col("o_custkey").alias("k"))
         .distinct()
+        # the word build and the truth join both read it — one scan
+        .localCheckpoint(eager=True)
     )
     i3 = spark.range(3).select(F.col("id").cast("int").alias("i"))
 
@@ -13278,7 +13280,7 @@ def seasonal_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     daily = orders.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
-    )
+    ).localCheckpoint(eager=True)  # bounds + the dense join reuse it
     bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     axis = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
@@ -13560,17 +13562,10 @@ def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    return m.select(
-        F.col("n").alias("n_terms"),
-        F.round(num / den, 6).alias("zipf_slope"),
-        F.round(
-            (F.col("sy").cast("double") - (num / den) * F.col("sx").cast("double"))
-            / F.col("n").cast("double"),
-            6,
-        ).alias("zipf_intercept"),
-    )
+    from pdf_brain_spark.streaming.events import regression_fit_exprs
+
+    slope, intercept = regression_fit_exprs("zipf_slope", "zipf_intercept")
+    return m.select(F.col("n").alias("n_terms"), slope, intercept)
 
 
 @query(
@@ -13946,6 +13941,9 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
         .distinct()
+        # both self-join arms reuse the membership — materialize so the
+        # fact scans ONCE (self-review: the unchecked build scanned it 4x)
+        .localCheckpoint(eager=True)
     )
     a = m.select("ok", F.col("brand").alias("u"))
     b = m.select(F.col("ok").alias("ok_b"), F.col("brand").alias("v"))
@@ -13953,6 +13951,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         a.join(b, (F.col("ok_b") == F.col("ok")) & (F.col("u") < F.col("v")))
         .select("u", "v")
         .distinct()
+        .localCheckpoint(eager=True)  # the symmetric union reads it twice
     )
     edges = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     labels = label_propagation_exact(edges, n_iter=2)

@@ -1477,21 +1477,25 @@ def streaming_incremental_regression(
     )
 
 
-def regression_fit_exprs():
+def regression_fit_exprs(
+    slope_alias: str = "slope_cents_per_hour",
+    intercept_alias: str = "intercept_cents",
+):
     """slope/intercept column expressions from exact integer moment
-    columns — ONE shared definition so the streaming serve and the
-    batch oracle gate cannot drift (the KMV-constant lesson, pass 2
-    finding 2 of round 8's self-review). Final float math is two
-    divisions and one multiply in a fixed order, rounded to 6dp."""
+    columns — ONE shared definition so the streaming serve, the batch
+    oracle gate, and every other OLS consumer (zipf_fit_report) cannot
+    drift (the KMV-constant lesson, pass 2 finding 2 of round 8's
+    self-review). Final float math is two divisions and one multiply in
+    a fixed order, rounded to 6dp."""
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     slope = num / den
     intercept = (
         F.col("sy").cast("double") - slope * F.col("sx").cast("double")
     ) / F.col("n").cast("double")
-    return F.round(slope, 6).alias("slope_cents_per_hour"), F.round(
-        intercept, 6
-    ).alias("intercept_cents")
+    return F.round(slope, 6).alias(slope_alias), F.round(intercept, 6).alias(
+        intercept_alias
+    )
 
 
 def read_regression(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -1664,15 +1668,28 @@ def make_cms_batch_fn(store_dir: str, text_col: str = "text"):
         )
 
         toks = batch_df.select(F.explode(tokenize(text_col)).alias("term"))
-        partial = None
-        for r in range(CMS_ROWS):
-            p = toks.select(
-                F.lit(r).alias("row_idx"),
-                cms_col_expr("term", r).alias("col_idx"),
-            ).groupBy("row_idx", "col_idx").agg(
-                F.count(F.lit(1)).cast("long").alias("cnt")
+        # ONE tokenize/explode pass: each term fans out to its CMS_ROWS
+        # cells through a single array-of-structs explode, then one
+        # combinable aggregate — not CMS_ROWS unioned re-scans of the
+        # batch (self-review finding: the loop shape re-tokenized the
+        # hot path 4x)
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row_idx"),
+                    cms_col_expr("term", r).alias("col_idx"),
+                )
+                for r in range(CMS_ROWS)
+            ]
+        )
+        partial = (
+            toks.select(F.explode(cells).alias("cell"))
+            .groupBy(
+                F.col("cell.row_idx").alias("row_idx"),
+                F.col("cell.col_idx").alias("col_idx"),
             )
-            partial = p if partial is None else partial.unionByName(p)
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
         stamp_protocol(batch_df.sparkSession, store_dir)
         partial.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
         record_wseq(batch_df.sparkSession, store_dir, f"batch_id={batch_id}")
