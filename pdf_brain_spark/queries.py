@@ -14824,6 +14824,349 @@ def revenue_bridge_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# nDCG position discounts in integer micro-units (round(1e6/log2(r+1)),
+# r = 1..10) and their prefix sums — computed ONCE here and inlined as
+# LITERALS into both engines, so no cross-engine log2 call can differ.
+_NDCG_DISC = [1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065]
+_NDCG_PREFIX = [1000000, 1630930, 2130930, 2561607, 2948460, 3304667, 3638000, 3953465, 4254495, 4543560]
+
+# Poisson(1) CDF thresholds on md5_long's 2^60 hash space (floor(cdf(k)·2^60),
+# k = 0..7; h >= last threshold draws weight 8) — the deterministic Poisson
+# bootstrap's resample weights, identical literals on both engines.
+_POISSON_T = [
+    424136118829305344, 848272237658610688, 1060340297073263360,
+    1131029650211480960, 1148701988496035328, 1152236456152946176,
+    1152825534095764608, 1152909688087595776,
+]
+
+
+@query(
+    "retrieval_eval_ndcg",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS ql
+      FROM embeddings WHERE vec_id < 16
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id, CASE WHEN e.label = q.ql THEN 1 ELSE 0 END AS rel,
+             (1.0 - list_sum(list_transform(list_zip(e.embedding, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS d
+      FROM embeddings e, q WHERE e.vec_id <> q.qid
+    ),
+    nrel AS (SELECT qid, sum(rel) AS n_rel_total FROM scored GROUP BY 1),
+    ranked AS (
+      SELECT qid, rel,
+             row_number() OVER (PARTITION BY qid ORDER BY d ASC, vec_id ASC) AS r
+      FROM scored
+    ),
+    disc AS (SELECT * FROM (VALUES (1, 1000000), (2, 630930), (3, 500000), (4, 430677), (5, 386853), (6, 356207), (7, 333333), (8, 315465), (9, 301030), (10, 289065)) AS t(r, d_micro)),
+    pre AS (SELECT * FROM (VALUES (1, 1000000), (2, 1630930), (3, 2130930), (4, 2561607), (5, 2948460), (6, 3304667), (7, 3638000), (8, 3953465), (9, 4254495), (10, 4543560)) AS t(n, idcg_micro)),
+    top AS (
+      SELECT rk.qid,
+             sum(rk.rel * dc.d_micro) AS dcg_micro,
+             sum(rk.rel) AS rel_in_top10,
+             min(CASE WHEN rk.rel = 1 THEN rk.r END) AS first_rel_rank
+      FROM ranked rk JOIN disc dc ON dc.r = rk.r
+      WHERE rk.r <= 10 GROUP BY 1
+    )
+    SELECT t.qid, CAST(n.n_rel_total AS BIGINT) AS n_rel_total,
+           CAST(t.rel_in_top10 AS BIGINT) AS rel_in_top10,
+           CAST(t.dcg_micro AS BIGINT) AS dcg_micro,
+           CAST(t.dcg_micro * 1000000 // p.idcg_micro AS BIGINT) AS ndcg_ppm,
+           CAST(COALESCE(1000000 // t.first_rel_rank, 0) AS BIGINT) AS rr_micro,
+           CAST(t.rel_in_top10 * 1000000 // n.n_rel_total AS BIGINT) AS recall_ppm
+    FROM top t
+    JOIN nrel n ON n.qid = t.qid
+    JOIN pre p ON p.n = least(n.n_rel_total, 10)
+    WHERE n.n_rel_total > 0
+    ORDER BY t.qid
+    """,
+)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation harness — nDCG@10, reciprocal rank,
+    and recall@10 per query, with same-label membership as the
+    relevance judgment (the standard eval loop for any of this engine's
+    ANN/FTS/hybrid retrievers, as an operator). The log2 position
+    discounts and ideal-DCG prefix sums are INTEGER LITERALS computed
+    once and inlined into both engines — no cross-engine transcendental
+    call — so DCG, nDCG, RR, and recall are all exact integer
+    arithmetic over a ranking whose determinism (cosine distance,
+    vec_id tie-break) every vector gate already relies on. Plan: one
+    corpus×16 broadcast score pass, one per-query rank window, bounded
+    literal-table joins."""
+    from pdf_brain_spark.functions.vector import cosine_distance
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("ql"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.when(F.col("label") == F.col("ql"), 1).otherwise(0).alias("rel"),
+            cosine_distance(F.col("embedding"), F.col("qv")).alias("d"),
+        )
+        .localCheckpoint(eager=True)  # nrel + the rank window reuse it
+    )
+    nrel = scored.groupBy("qid").agg(F.sum("rel").alias("n_rel_total"))
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("vec_id").asc())
+    ranked = scored.select("qid", "rel", F.row_number().over(w).alias("r"))
+    disc = spark.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(_NDCG_DISC)], "r int, d_micro long"
+    )
+    pre = spark.createDataFrame(
+        [(i + 1, p) for i, p in enumerate(_NDCG_PREFIX)], "n int, idcg_micro long"
+    )
+    top = (
+        ranked.filter(F.col("r") <= 10)
+        .join(F.broadcast(disc), "r")
+        .groupBy("qid")
+        .agg(
+            F.sum(F.col("rel") * F.col("d_micro")).alias("dcg_micro"),
+            F.sum("rel").alias("rel_in_top10"),
+            F.min(F.when(F.col("rel") == 1, F.col("r"))).alias("first_rel_rank"),
+        )
+    )
+    return (
+        top.join(nrel, "qid")
+        .filter(F.col("n_rel_total") > 0)
+        .join(
+            F.broadcast(pre),
+            F.col("n") == F.least(F.col("n_rel_total"), F.lit(10)),
+        )
+        .select(
+            "qid",
+            F.col("n_rel_total").cast("long").alias("n_rel_total"),
+            F.col("rel_in_top10").cast("long").alias("rel_in_top10"),
+            F.col("dcg_micro").cast("long").alias("dcg_micro"),
+            F.expr("(dcg_micro * 1000000) div idcg_micro").alias("ndcg_ppm"),
+            F.coalesce(
+                F.expr("1000000 div first_rel_rank"), F.lit(0)
+            ).cast("long").alias("rr_micro"),
+            F.expr("(rel_in_top10 * 1000000) div n_rel_total").alias("recall_ppm"),
+        )
+        .orderBy("qid")
+    )
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    reps AS (SELECT unnest(range(0, 40)) AS rep),
+    weighted AS (
+      SELECT r.rep, b.cents,
+             (CASE
+                WHEN h < {_POISSON_T[0]} THEN 0
+                WHEN h < {_POISSON_T[1]} THEN 1
+                WHEN h < {_POISSON_T[2]} THEN 2
+                WHEN h < {_POISSON_T[3]} THEN 3
+                WHEN h < {_POISSON_T[4]} THEN 4
+                WHEN h < {_POISSON_T[5]} THEN 5
+                WHEN h < {_POISSON_T[6]} THEN 6
+                WHEN h < {_POISSON_T[7]} THEN 7
+                ELSE 8 END) AS w
+      FROM base b, reps r,
+           LATERAL (SELECT CAST(concat('0x', substr(md5(CAST(b.event_id AS VARCHAR) || '#' || CAST(r.rep AS VARCHAR)), 1, 15)) AS BIGINT) AS h)
+    ),
+    means AS (
+      SELECT rep, CAST(sum(w * cents) * 1000000 // sum(w) AS BIGINT) AS mean_micro
+      FROM weighted GROUP BY rep HAVING sum(w) > 0
+    ),
+    ordered AS (
+      SELECT mean_micro, row_number() OVER (ORDER BY mean_micro ASC) AS rk,
+             count(*) OVER () AS b
+      FROM means
+    ),
+    full_ AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(cents) * 1000000 // count(*) AS BIGINT) AS mean_micro
+      FROM base
+    )
+    SELECT f.n_events, CAST(o1.b AS BIGINT) AS boot_b, f.mean_micro,
+           o1.mean_micro AS ci_lo_micro, o2.mean_micro AS ci_hi_micro
+    FROM full_ f,
+         (SELECT mean_micro, b FROM ordered WHERE rk = 2) o1,
+         (SELECT mean_micro FROM ordered WHERE rk = 39) o2
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap confidence interval for the mean
+    purchase value — the distributed bootstrap (per-row Poisson(1)
+    resample weights instead of multinomial resampling, the standard
+    trick for data too big to index) made ENGINE-EXACT: each (row,
+    replicate) draws its weight by comparing the portable hash against
+    Poisson CDF thresholds precomputed as integer literals, so all 40
+    replicate means are exact integer micro-cents and the 2.5/97.5%
+    order statistics (ranks 2 and 39 of 40) hash-match. One scan
+    fans out ×40 map-side into a combinable per-replicate aggregate —
+    shuffle volume is 40 groups, never the event stream."""
+    from pdf_brain_spark.functions.text import md5_long
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    base = ev.select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).localCheckpoint(eager=True)  # the full-sample mean + the fan-out reuse it
+    reps = spark.range(40).select(F.col("id").cast("int").alias("rep"))
+    h = md5_long(
+        F.concat(
+            F.col("event_id").cast("string"), F.lit("#"), F.col("rep").cast("string")
+        )
+    )
+    wcol = (
+        F.when(h < _POISSON_T[0], 0)
+        .when(h < _POISSON_T[1], 1)
+        .when(h < _POISSON_T[2], 2)
+        .when(h < _POISSON_T[3], 3)
+        .when(h < _POISSON_T[4], 4)
+        .when(h < _POISSON_T[5], 5)
+        .when(h < _POISSON_T[6], 6)
+        .when(h < _POISSON_T[7], 7)
+        .otherwise(8)
+    )
+    means = (
+        base.crossJoin(F.broadcast(reps))
+        .select("rep", "cents", wcol.alias("w"))
+        .groupBy("rep")
+        .agg(F.sum(F.col("w") * F.col("cents")).alias("swc"), F.sum("w").alias("sw"))
+        .filter(F.col("sw") > 0)
+        .select("rep", F.expr("(swc * 1000000) div sw").alias("mean_micro"))
+    )
+    wr = Window.orderBy(F.col("mean_micro").asc())
+    ordered = means.select(
+        "mean_micro",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("b"),
+    ).localCheckpoint(eager=True)  # both order-stat probes reuse it
+    full_ = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr("(sum(cents) * 1000000) div count(1)").cast("long").alias("mean_micro"),
+    )
+    lo = ordered.filter(F.col("rk") == 2).select(
+        F.col("mean_micro").alias("ci_lo_micro"), F.col("b").cast("long").alias("boot_b")
+    )
+    hi = ordered.filter(F.col("rk") == 39).select(
+        F.col("mean_micro").alias("ci_hi_micro")
+    )
+    return (
+        full_.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select("n_events", "boot_b", "mean_micro", "ci_lo_micro", "ci_hi_micro")
+    )
+
+
+@query(
+    "interval_overlap_join",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id FROM events WHERE user_id < 20
+    ),
+    ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id,
+             ts
+      FROM ordered
+    ),
+    iv AS (
+      SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+      FROM sess GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b
+      FROM iv a JOIN iv b
+        ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+    )
+    SELECT user_a, user_b, CAST(count(*) AS BIGINT) AS n_overlaps
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n_overlaps DESC, user_a, user_b LIMIT 50
+    """,
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join — which users' sessions were concurrent,
+    and how often (co-presence analysis; the INTERVAL JOIN Spark has no
+    native operator for). The Spark plan demonstrates the SLAB-BUCKETED
+    range-join technique that survives 100 TB: each session interval
+    explodes to the hour slabs it covers, candidate pairs form by slab
+    EQUI-join (so the shuffle key is time, never a cross product), the
+    exact overlap predicate filters candidates, and a distinct
+    de-duplicates multi-slab pairs. Cost ∝ overlaps + slab spans, not
+    sessions². The oracle replays the direct quadratic join over the
+    bounded 20-user subset — parity proves the slab plan loses no pair
+    (a slab-width bug drops pairs that touch only across an hour
+    boundary). Sessionization reuses the shared 30-minute kernel."""
+    from pdf_brain_spark.operators.temporal import with_session_ids
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 20)
+    sess = with_session_ids(ev)
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    ).localCheckpoint(eager=True)  # both slab arms reuse the interval set
+    slabs = iv.select(
+        "user_id",
+        "session_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("s")),
+                F.date_trunc("hour", F.col("e")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("slab"),
+    )
+    a = slabs.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_id").alias("sid_a"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+        "slab",
+    )
+    b = slabs.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_id").alias("sid_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+        F.col("slab").alias("slab_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("slab_b") == F.col("slab"))
+            & (F.col("user_a") < F.col("user_b"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea")),
+        )
+        .select("user_a", "sid_a", "user_b", "sid_b")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlaps"))
+        .orderBy(F.col("n_overlaps").desc(), "user_a", "user_b")
+        .limit(50)
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
