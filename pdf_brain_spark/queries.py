@@ -15167,6 +15167,139 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cosine_label_calibration",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 100
+    ),
+    pairs AS (
+      SELECT CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS same,
+             (list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS cos
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    ),
+    binned AS (
+      SELECT least(greatest(CAST(floor((cos + 1.0) * 10.0) AS INT), 0), 19) AS bin,
+             same
+      FROM pairs
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(same) AS BIGINT) AS n_same_label,
+           CAST(sum(same) * 1000000 // count(*) AS BIGINT) AS same_rate_ppm
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def cosine_label_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-score calibration table — P(same label | cosine bin)
+    over all pairs of a bounded 100-vector sample: the curve that turns
+    a raw ANN score into a meaningful match probability (the evidence
+    behind every "cosine ≥ 0.8 means duplicate" threshold this engine's
+    dedup and retrieval operators take as input). Binning happens on
+    the SAME double cosine both engines already compute identically
+    (every vector gate's precedent); counts and the rate ppm are exact
+    integers. The pair fan-out is over the bounded calibration sample
+    (C(100,2) = 4950), never the corpus — at 100 TB you calibrate on a
+    sample by construction, not by accident."""
+    from pdf_brain_spark.functions.vector import cosine_similarity
+
+    sub = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 100)
+    sub = sub.localCheckpoint(eager=True)  # both self-join arms reuse it
+    a = sub.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("label").alias("la")
+    )
+    b = sub.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), F.col("label").alias("lb")
+    )
+    pairs = a.join(b, F.col("va") < F.col("vb")).select(
+        F.when(F.col("la") == F.col("lb"), 1).otherwise(0).alias("same"),
+        cosine_similarity(F.col("ea"), F.col("eb")).alias("cos"),
+    )
+    binned = pairs.select(
+        F.least(
+            F.greatest(
+                F.floor((F.col("cos") + 1.0) * 10.0).cast("int"), F.lit(0)
+            ),
+            F.lit(19),
+        ).alias("bin"),
+        "same",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("same").cast("long").alias("n_same_label"),
+        )
+        .withColumn("same_rate_ppm", F.expr("(n_same_label * 1000000) div n_pairs"))
+        .orderBy("bin")
+    )
+
+
+@query(
+    "basket_triples",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    triples AS (
+      SELECT a.brand AS b1, b.brand AS b2, c.brand AS b3, count(*) AS support
+      FROM m a
+      JOIN m b ON b.ok = a.ok AND b.brand > a.brand
+      JOIN m c ON c.ok = a.ok AND c.brand > b.brand
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT count(DISTINCT ok) AS n_orders FROM m)
+    SELECT t.b1, t.b2, t.b3, CAST(t.support AS BIGINT) AS support,
+           CAST(t.support * 1000000 // x.n_orders AS BIGINT) AS support_ppm
+    FROM triples t, tot x
+    WHERE t.support >= 5
+    ORDER BY t.support DESC, t.b1, t.b2, t.b3 LIMIT 25
+    """,
+)
+def basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent brand TRIPLES within orders (the 3-itemset level of the
+    Apriori lattice; market_basket_lift covers pairs) with a support
+    floor. The triple fan-out is bounded by the BRAND universe —
+    membership deduplicates to DISTINCT (order, brand) FIRST, so a
+    k-brand order emits C(k,3) with k ≤ 25, never per-lineitem — the
+    same projection-before-join argument as cooccurrence_edges, one
+    level up the lattice. Support is exact integer counts; the ppm is
+    floor over the distinct-order total."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    m = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .localCheckpoint(eager=True)  # three join arms + the total reuse it
+    )
+    a = m.select("ok", F.col("brand").alias("b1"))
+    b = m.select(F.col("ok").alias("ok_b"), F.col("brand").alias("b2"))
+    c = m.select(F.col("ok").alias("ok_c"), F.col("brand").alias("b3"))
+    triples = (
+        a.join(b, (F.col("ok_b") == F.col("ok")) & (F.col("b2") > F.col("b1")))
+        .join(c, (F.col("ok_c") == F.col("ok")) & (F.col("b3") > F.col("b2")))
+        .groupBy("b1", "b2", "b3")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    tot = m.select("ok").distinct().count()
+    return (
+        triples.filter(F.col("support") >= 5)
+        .select(
+            "b1",
+            "b2",
+            "b3",
+            F.col("support").cast("long").alias("support"),
+            F.expr(f"(support * 1000000) div {tot}").alias("support_ppm"),
+        )
+        .orderBy(F.col("support").desc(), "b1", "b2", "b3")
+        .limit(25)
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
