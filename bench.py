@@ -75,6 +75,12 @@ HEADLINE = [
     # LM re-join) — the two heaviest new plan shapes of the round
     "tpch_q3_shipping_priority",
     "unigram_perplexity_filter",
+    # r8 continuation: the three heaviest new plan shapes — the
+    # source-grain shingle inverted index, the one-pass integer Gram +
+    # power iteration, and the broadcast Bloom runtime-filter audit
+    "source_contamination_matrix",
+    "embedding_power_iteration",
+    "bloom_semijoin_audit",
 ]
 
 
