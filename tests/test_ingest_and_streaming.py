@@ -1888,3 +1888,82 @@ def test_streaming_cms_replay_merge_compact(spark, tmp_path):
     assert compact_cms(spark, store, upto_batch_id=2) == 3
     assert generation_ids(spark, store) == [-3]
     assert served() == want
+
+
+def test_streaming_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Checkpoint RESUME, not just replay: a second AvailableNow run
+    over the same checkpoint must process ONLY files that arrived after
+    the first run — existing generations keep their bytes (mtime-stable)
+    and their write sequence, and the served result equals the one-shot
+    over all data (monoid invariance through a real restart)."""
+    import os
+
+    from pdf_brain_spark.streaming.events import (
+        read_kmv,
+        streaming_incremental_kmv as drive_kmv,
+    )
+    from pdf_brain_spark.streaming.generations import write_seqs
+    from pdf_brain_spark.sources.loaders import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "event_type", "user_id"
+    )
+    stage = str(tmp_path / "stage")
+    store = str(tmp_path / "kmv")
+    ckpt = str(tmp_path / "ckpt")
+    ev.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode("append").parquet(stage)
+    ev.filter(F.col("event_id") % 3 == 1).coalesce(1).write.mode("append").parquet(stage)
+
+    def run():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        drive_kmv(spark, stream, store, ckpt).awaitTermination()
+
+    run()
+    seqs_before = write_seqs(spark, store)
+    assert set(seqs_before) == {"batch_id=0", "batch_id=1"}
+    gen_mtimes = {
+        d: max(
+            os.path.getmtime(os.path.join(store, d, f))
+            for f in os.listdir(os.path.join(store, d))
+        )
+        for d in seqs_before
+    }
+
+    # new data arrives; SAME checkpoint — the resume must pick up only it
+    ev.filter(F.col("event_id") % 3 == 2).coalesce(1).write.mode("append").parquet(stage)
+    run()
+    seqs_after = write_seqs(spark, store)
+    assert set(seqs_after) == {"batch_id=0", "batch_id=1", "batch_id=2"}
+    # prior generations untouched: same wseq, same file mtimes
+    for d in seqs_before:
+        assert seqs_after[d] == seqs_before[d]
+        mt = max(
+            os.path.getmtime(os.path.join(store, d, f))
+            for f in os.listdir(os.path.join(store, d))
+        )
+        assert mt == gen_mtimes[d], d
+
+    # served result == one-shot over ALL events
+    from pdf_brain_spark.functions.text import md5_long
+    from pdf_brain_spark.streaming.events import KMV_K
+
+    one_shot = (
+        ev.select("event_type", md5_long(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, KMV_K).alias("hashes"))
+    )
+    want = []
+    for r in one_shot.collect():
+        n = len(r["hashes"])
+        est = n if n < KMV_K else round((KMV_K - 1) * (2**60 / r["hashes"][-1]))
+        want.append((r["event_type"], n, est))
+    got = sorted(
+        (r["event_type"], r["n_in_sketch"], r["kmv_estimate"])
+        for r in read_kmv(spark, store).collect()
+    )
+    assert got == sorted(want)
