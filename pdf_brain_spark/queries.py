@@ -15344,6 +15344,164 @@ def sql_interface_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_INTERFACE_TEXT)
 
 
+@query(
+    "revenue_cagr_by_segment",
+    oracle="""
+    WITH yr AS (
+      SELECT c.c_mktsegment AS segment, year(o.o_orderdate) AS y,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE year(o.o_orderdate) IN (1995, 2000)
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT segment,
+             max(CASE WHEN y = 1995 THEN cents END) AS c1,
+             max(CASE WHEN y = 2000 THEN cents END) AS c2
+      FROM yr GROUP BY 1
+    ),
+    lns AS (
+      SELECT segment, c1, c2,
+             CAST(round(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1000000) AS BIGINT) AS ln_micro
+      FROM wide WHERE c1 > 0 AND c2 > 0
+    )
+    SELECT segment, CAST(c1 AS BIGINT) AS rev_1995_cents,
+           CAST(c2 AS BIGINT) AS rev_2000_cents, ln_micro,
+           round(exp(CAST(ln_micro // 5 AS DOUBLE) / 1000000.0) - 1.0, 6) AS cagr
+    FROM lns ORDER BY segment
+    """,
+)
+def revenue_cagr_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound annual growth rate per market segment between 1995 and
+    2000 — geometric growth via the micro-nat playbook: the one ln of
+    the exact integer revenue ratio rounds ONCE to integer micro-nats,
+    the per-year division is integer, and a single exp at the end
+    produces the rate (the Kaplan-Meier/perplexity float discipline
+    applied to finance). One two-year aggregate + a two-column pivot;
+    the year predicate prunes the scan."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    yr = (
+        orders.filter(F.year("o_orderdate").isin(1995, 2000))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("segment", F.year("o_orderdate").alias("y"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    wide = yr.groupBy("segment").agg(
+        F.max(F.when(F.col("y") == 1995, F.col("cents"))).alias("c1"),
+        F.max(F.when(F.col("y") == 2000, F.col("cents"))).alias("c2"),
+    )
+    lns = wide.filter((F.col("c1") > 0) & (F.col("c2") > 0)).select(
+        "segment",
+        "c1",
+        "c2",
+        F.round(
+            F.log(F.col("c2").cast("double") / F.col("c1").cast("double")) * 1_000_000
+        )
+        .cast("long")
+        .alias("ln_micro"),
+    )
+    return lns.select(
+        "segment",
+        F.col("c1").cast("long").alias("rev_1995_cents"),
+        F.col("c2").cast("long").alias("rev_2000_cents"),
+        "ln_micro",
+        F.round(
+            F.exp(F.expr("ln_micro div 5").cast("double") / 1_000_000.0) - 1.0, 6
+        ).alias("cagr"),
+    ).orderBy("segment")
+
+
+@query(
+    "adamic_adar_pairs",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    e0 AS (
+      SELECT a.brand AS u, b.brand AS v FROM m a JOIN m b
+      ON b.ok = a.ok AND a.brand < b.brand GROUP BY 1, 2
+    ),
+    edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+    deg AS (SELECT u AS node, count(*) AS d FROM edges GROUP BY 1),
+    wgt AS (
+      SELECT node, CAST(round(1000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT) AS w
+      FROM deg WHERE d >= 2
+    ),
+    aa AS (
+      SELECT a.u AS u, b.u AS w_node, sum(wg.w) AS aa_micro, count(*) AS n_common
+      FROM edges a JOIN edges b ON b.v = a.v AND a.u < b.u
+      JOIN wgt wg ON wg.node = a.v
+      GROUP BY 1, 2
+    )
+    SELECT u AS brand_a, w_node AS brand_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(aa_micro AS BIGINT) AS aa_micro
+    FROM aa ORDER BY aa_micro DESC, brand_a, brand_b LIMIT 20
+    """,
+)
+def adamic_adar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the brand co-purchase graph —
+    common neighbors weighted by 1/ln(degree), the standard "will these
+    two connect" score that discounts promiscuous hubs (the
+    link-prediction member of the graph family, next to triangles,
+    components, PageRank, HITS, LPA, BFS). Each neighbor's 1/ln(deg)
+    rounds ONCE to integer micro at the NODE grain, so per-pair sums
+    are exact integers. The wedge join's emission is Σ_c deg(c)² —
+    bounded by the projected brand universe, never orders (the
+    triangle-counting argument). Degree-1 nodes are excluded from
+    weighting (ln 1 = 0 would divide by zero; they contribute no
+    common-neighbor evidence anyway)."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    m = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a0 = m.select("ok", F.col("brand").alias("u"))
+    b0 = m.select(F.col("ok").alias("ok_b"), F.col("brand").alias("v"))
+    e0 = (
+        a0.join(b0, (F.col("ok_b") == F.col("ok")) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)  # degree + both wedge arms reuse it
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    wgt = deg.filter(F.col("d") >= 2).select(
+        "node",
+        F.round(F.lit(1_000_000.0) / F.log(F.col("d").cast("double")))
+        .cast("long")
+        .alias("w"),
+    )
+    ea = edges.select(F.col("u").alias("ua"), F.col("v").alias("c"))
+    eb = edges.select(F.col("u").alias("ub"), F.col("v").alias("cb"))
+    aa = (
+        ea.join(eb, (F.col("cb") == F.col("c")) & (F.col("ua") < F.col("ub")))
+        .join(F.broadcast(wgt), F.col("node") == F.col("c"))
+        .groupBy("ua", "ub")
+        .agg(F.sum("w").alias("aa_micro"), F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        aa.select(
+            F.col("ua").alias("brand_a"),
+            F.col("ub").alias("brand_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("aa_micro").cast("long").alias("aa_micro"),
+        )
+        .orderBy(F.col("aa_micro").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
