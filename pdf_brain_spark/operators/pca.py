@@ -104,3 +104,52 @@ def power_iteration_exact(
         [(int(i), int(v[i])) for i in range(dim)],
         "dim_idx int, loading_micro long",
     )
+
+
+def _iterate(c: dict, dim: int, v: list[int], n_iter: int) -> list[int]:
+    for _ in range(n_iter):
+        raw = [
+            sum(c.get((i, j), 0) * v[j] for j in range(dim)) for i in range(dim)
+        ]
+        mx = max(abs(x) for x in raw)
+        v = [_trunc_div(x * PCA_VECTOR_SCALE, mx) for x in raw]
+    return v
+
+
+def power_iteration_deflated(
+    spark: SparkSession,
+    gram: DataFrame,
+    dim: int = 64,
+    n_iter: int = 2,
+) -> DataFrame:
+    """TOP-2 principal directions by exact-integer power iteration with
+    Hotelling deflation: after the dominant direction v₁ converges, the
+    Gram matrix deflates as C' = C − (v₁v₁ᵀ)·λ_num // λ_den², where
+    λ_num = v₁ᵀCv₁ and λ_den = v₁ᵀv₁ are exact integers — one
+    truncating division per cell, matching DuckDB's HUGEINT `//`
+    exactly (python's floor `//` is sign-corrected by _trunc_div) — and
+    the second direction iterates on the deflated integer matrix.
+    Magnitude budget: |v₁ᵢv₁ⱼ·λ_num| ≤ ~3e35 at sf0.1 — exact in
+    python bigints and inside DuckDB's 128-bit HUGEINT; past that,
+    rescale the vector normalization (documented, not silent).
+
+    Same bounded-collect justification as power_iteration_exact: only
+    the d×d Gram summary leaves the cluster. Returns
+    (dim_idx, pc1_micro, pc2_micro)."""
+    rows = gram.collect()
+    c = {(r["i"], r["j"]): r["c"] for r in rows}
+    v1 = _iterate(c, dim, [PCA_VECTOR_SCALE] * dim, n_iter)
+    cv = [sum(c.get((i, j), 0) * v1[j] for j in range(dim)) for i in range(dim)]
+    lam_num = sum(v1[i] * cv[i] for i in range(dim))
+    lam_den = sum(x * x for x in v1)
+    c2 = {
+        (i, j): c.get((i, j), 0)
+        - _trunc_div(v1[i] * v1[j] * lam_num, lam_den * lam_den)
+        for i in range(dim)
+        for j in range(dim)
+    }
+    v2 = _iterate(c2, dim, [PCA_VECTOR_SCALE] * dim, n_iter)
+    return spark.createDataFrame(
+        [(int(i), int(v1[i]), int(v2[i])) for i in range(dim)],
+        "dim_idx int, pc1_micro long, pc2_micro long",
+    )

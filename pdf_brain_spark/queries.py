@@ -15502,6 +15502,114 @@ def adamic_adar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_pca_top2",
+    oracle="""
+    WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+    x AS (
+      SELECT e.vec_id, d.i,
+             CAST(round(CAST(e.embedding[d.i] AS DOUBLE) * 1000) AS BIGINT) AS v
+      FROM embeddings e, dims d
+    ),
+    c AS (
+      SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS c
+      FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2
+    ),
+    v0 AS (SELECT i AS j, CAST(1000000 AS BIGINT) AS v FROM dims),
+    r1 AS (SELECT c.i, sum(c.c * v0.v) AS raw FROM c JOIN v0 ON v0.j = c.j GROUP BY 1),
+    m1 AS (SELECT max(abs(raw)) AS mx FROM r1),
+    v1a AS (SELECT i AS j, CAST(raw * 1000000 // m.mx AS BIGINT) AS v FROM r1, m1 m),
+    r2 AS (SELECT c.i, sum(c.c * v1a.v) AS raw FROM c JOIN v1a ON v1a.j = c.j GROUP BY 1),
+    m2 AS (SELECT max(abs(raw)) AS mx FROM r2),
+    v1 AS (SELECT i AS j, CAST(raw * 1000000 // m.mx AS BIGINT) AS v FROM r2, m2 m),
+    cv AS (SELECT c.i, sum(c.c * v1.v) AS s FROM c JOIN v1 ON v1.j = c.j GROUP BY 1),
+    lam AS (
+      SELECT CAST(sum(CAST(cv.s AS HUGEINT) * va.v) AS HUGEINT) AS num,
+             (SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) FROM v1) AS den
+      FROM cv JOIN v1 va ON va.j = cv.i
+    ),
+    c2 AS (
+      SELECT c.i, c.j,
+             CAST(c.c AS HUGEINT)
+             - (CAST(a.v AS HUGEINT) * CAST(b.v AS HUGEINT) * l.num) // (l.den * l.den) AS c
+      FROM c JOIN v1 a ON a.j = c.i JOIN v1 b ON b.j = c.j, lam l
+    ),
+    r3 AS (SELECT c2.i, sum(c2.c * w0.v) AS raw FROM c2 JOIN v0 w0 ON w0.j = c2.j GROUP BY 1),
+    m3 AS (SELECT max(abs(raw)) AS mx FROM r3),
+    v2a AS (SELECT i AS j, CAST(raw * 1000000 // m.mx AS BIGINT) AS v FROM r3, m3 m),
+    r4 AS (SELECT c2.i, sum(c2.c * v2a.v) AS raw FROM c2 JOIN v2a ON v2a.j = c2.j GROUP BY 1),
+    m4 AS (SELECT max(abs(raw)) AS mx FROM r4),
+    v2 AS (SELECT i AS j, CAST(raw * 1000000 // m.mx AS BIGINT) AS v FROM r4, m4 m)
+    SELECT CAST(v1.j - 1 AS INT) AS dim_idx, v1.v AS pc1_micro, v2.v AS pc2_micro
+    FROM v1 JOIN v2 ON v2.j = v1.j
+    ORDER BY dim_idx
+    """,
+)
+def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-2 principal directions via exact-integer power iteration
+    with Hotelling deflation (operators/pca.py::
+    power_iteration_deflated) — the depth extension of
+    embedding_power_iteration: the dominant direction's Rayleigh
+    numbers (λ_num = v₁ᵀCv₁, λ_den = v₁ᵀv₁, exact integers) deflate
+    the Gram matrix with ONE truncating division per cell, and the
+    second direction iterates on the deflated integer matrix. The
+    oracle unrolls the whole thing — Gram, two iterations, Rayleigh,
+    deflation (128-bit HUGEINT middle terms, verified truncating //),
+    two more iterations — and hash-matches both loading vectors. The
+    corpus-scale work is still the one-pass Gram; everything after is
+    d×d."""
+    from pdf_brain_spark.operators.pca import gram_matrix_int, power_iteration_deflated
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    gram = gram_matrix_int(emb, dim=64)
+    return power_iteration_deflated(spark, gram, dim=64, n_iter=2).orderBy("dim_idx")
+
+
+@query(
+    "events_unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, metric, value FROM (
+      SELECT event_type, 'n_events' AS metric, n_events AS value FROM wide
+      UNION ALL
+      SELECT event_type, 'total_cents', total_cents FROM wide
+      UNION ALL
+      SELECT event_type, 'n_users', n_users FROM wide
+    )
+    ORDER BY event_type, metric
+    """,
+)
+def events_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT surface (the melt half of the pivot/CUBE
+    family; grouping_sets_pricing covers the other direction): per-type
+    metrics computed once, then stacked to (event_type, metric, value)
+    rows via Spark's stack() table-valued generator — the idiomatic
+    zero-shuffle unpivot (one projection, no union-of-scans; the
+    oracle's UNION ALL over a CTE is the relational spelling of the
+    same thing). Long form is what metric stores and drift monitors
+    ingest."""
+    ev = load_table(spark, "events", sf_dir)
+    wide = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("total_cents"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    return (
+        wide.selectExpr(
+            "event_type",
+            "stack(3, 'n_events', n_events, 'total_cents', total_cents,"
+            " 'n_users', n_users) as (metric, value)",
+        )
+        .orderBy("event_type", "metric")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate

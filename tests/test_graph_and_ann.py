@@ -295,3 +295,47 @@ def test_power_iteration_tracks_numpy_eigenvector(spark):
     top = evecs[:, int(np.argmax(evals))]
     cos = abs(vec @ top) / (np.linalg.norm(vec) * np.linalg.norm(top))
     assert cos > 0.99, cos
+
+
+def test_deflated_power_iteration_tracks_second_eigenvector(spark):
+    """Second opinion for the deflated top-2 PCA: on a synthetic corpus
+    with TWO well-separated planted directions, pc1 aligns with numpy's
+    top eigenvector and pc2 with the second (|cos| > 0.98 each), and
+    the two integer loadings are near-orthogonal."""
+    import numpy as np
+
+    from pdf_brain_spark.operators.pca import (
+        gram_matrix_int,
+        power_iteration_deflated,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    d1 = rng.standard_normal(dim); d1 /= np.linalg.norm(d1)
+    d2 = rng.standard_normal(dim); d2 -= (d2 @ d1) * d1; d2 /= np.linalg.norm(d2)
+    x = (
+        rng.standard_normal((300, 1)) * 8.0 * d1
+        + rng.standard_normal((300, 1)) * 3.0 * d2
+        + rng.standard_normal((300, dim)) * 0.2
+    )
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    out = (
+        power_iteration_deflated(spark, gram_matrix_int(df, dim=dim), dim=dim, n_iter=3)
+        .orderBy("dim_idx")
+        .collect()
+    )
+    v1 = np.array([r["pc1_micro"] for r in out], dtype=np.float64)
+    v2 = np.array([r["pc2_micro"] for r in out], dtype=np.float64)
+    cov = x.T @ x
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    t1, t2 = evecs[:, order[0]], evecs[:, order[1]]
+    c1 = abs(v1 @ t1) / (np.linalg.norm(v1) * np.linalg.norm(t1))
+    c2 = abs(v2 @ t2) / (np.linalg.norm(v2) * np.linalg.norm(t2))
+    ortho = abs(v1 @ v2) / (np.linalg.norm(v1) * np.linalg.norm(v2))
+    assert c1 > 0.98, c1
+    assert c2 > 0.98, c2
+    assert ortho < 0.1, ortho
