@@ -15610,6 +15610,94 @@ def events_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "data_quality_expectations",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_dup,
+             CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+             CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                            OR o_orderdate >= TIMESTAMP '2003-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS v_date,
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS v_enum
+      FROM orders
+    ),
+    l AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty
+      FROM lineitem
+    )
+    SELECT rule, n_checked, n_violations, (n_violations = 0) AS pass FROM (
+      SELECT 'orders.o_orderkey not_null' AS rule, o.n AS n_checked, o.v_null AS n_violations FROM o
+      UNION ALL SELECT 'orders.o_orderkey unique', o.n, o.v_dup FROM o
+      UNION ALL SELECT 'orders.o_totalprice positive', o.n, o.v_price FROM o
+      UNION ALL SELECT 'orders.o_orderdate in_range_1992_2003', o.n, o.v_date FROM o
+      UNION ALL SELECT 'orders.o_orderstatus enum_FOP', o.n, o.v_enum FROM o
+      UNION ALL SELECT 'lineitem.l_quantity between_1_50', l.n, l.v_qty FROM l
+    )
+    ORDER BY rule
+    """,
+)
+def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations report (the
+    great-expectations/dbt-test pattern as an engine operator):
+    not-null, uniqueness, range, enum-membership, and bounds rules
+    evaluated in ONE conditional-sum aggregate pass per table — never
+    one scan per rule, the difference between a contract check you run
+    every load and one you run weekly at 100 TB. Uniqueness is
+    count − countDistinct inside the same pass. Output is the standard
+    (rule, n_checked, n_violations, pass) contract table; referential
+    rules live in fk_integrity_audit."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    o = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("v_null"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("v_dup"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v_price"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01"))
+                | (F.col("o_orderdate") >= F.lit("2003-01-01")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_date"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_enum"),
+    )
+    l = li.agg(
+        F.count(F.lit(1)).cast("long").alias("ln"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_qty"),
+    )
+    rules = o.crossJoin(l).selectExpr(
+        "stack(6,"
+        " 'orders.o_orderkey not_null', n, v_null,"
+        " 'orders.o_orderkey unique', n, v_dup,"
+        " 'orders.o_totalprice positive', n, v_price,"
+        " 'orders.o_orderdate in_range_1992_2003', n, v_date,"
+        " 'orders.o_orderstatus enum_FOP', n, v_enum,"
+        " 'lineitem.l_quantity between_1_50', ln, v_qty"
+        ") as (rule, n_checked, n_violations)"
+    )
+    return rules.withColumn("pass", F.col("n_violations") == 0).orderBy("rule")
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
