@@ -15698,6 +15698,143 @@ def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules.withColumn("pass", F.col("n_violations") == 0).orderBy("rule")
 
 
+@query(
+    "streaming_incremental_minhash",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tokens
+      FROM documents
+    ),
+    sh AS (
+      SELECT source,
+             unnest(list_transform(
+               range(1, greatest(len(tokens) - 1, 1)),
+               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
+      FROM toks
+    ),
+    ks AS (SELECT unnest(range(0, 16)) AS k),
+    sig AS (
+      SELECT s.source AS grp, ks.k,
+             min(CAST(concat('0x', substr(md5(CAST(ks.k AS VARCHAR) || '#' || s.shingle), 1, 15)) AS BIGINT)) AS sig
+      FROM sh s, ks GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.grp AS src_a, b.grp AS src_b,
+             sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS matches
+      FROM sig a JOIN sig b ON b.k = a.k AND a.grp < b.grp
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, CAST(matches AS BIGINT) AS matches,
+           CAST(matches * 1000000 // 16 AS BIGINT) AS jaccard_est_ppm
+    FROM pairs
+    ORDER BY jaccard_est_ppm DESC, src_a, src_b LIMIT 50
+    """,
+)
+def streaming_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus MinHash signatures — the partials store's first
+    MIN-monoid (streaming/events.py::make_minhash_batch_fn): per-batch
+    per-(source, hash-index) minimum hashes merge by elementwise MIN
+    (associative, commutative, AND idempotent — the lattice meet), so
+    the streamed signature, and the pairwise source-Jaccard estimates
+    served from it (Broder 1997 matching-coordinate fraction), are
+    bit-identical to the one-shot build the oracle replays. The
+    sketch-grade answer to source_contamination_matrix's exact overlap:
+    16 longs per source instead of a shingle inverted index. A real
+    AvailableNow run per invocation."""
+    import shutil
+    import tempfile
+
+    from pdf_brain_spark.streaming.events import (
+        read_minhash_similarity,
+        streaming_incremental_minhash as drive_mh,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    root = tempfile.mkdtemp(prefix="sgraft_mh_")
+    stage, store, ckpt = (f"{root}/{d}" for d in ("stage", "mh", "ckpt"))
+    try:
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(stage)
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        drive_mh(spark, stream, store, ckpt).awaitTermination()
+        return (
+            read_minhash_similarity(spark, store)
+            .orderBy(F.col("jaccard_est_ppm").desc(), "src_a", "src_b")
+            .limit(50)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "conversion_wilson_ci",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signed,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT CAST(sum(signed) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN signed = 1 AND bought = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM u
+    )
+    SELECT n AS n_signups, x AS n_converted,
+           round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+           round(((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) + 1.9208 / CAST(n AS DOUBLE)
+                  - 1.96 * sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                                + 0.9604 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                 / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_lo,
+           round(((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) + 1.9208 / CAST(n AS DOUBLE)
+                  + 1.96 * sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                                + 0.9604 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                 / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_hi
+    FROM c
+    """,
+)
+def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion rate with a Wilson 95% score interval
+    — the CI that behaves at small n and extreme rates where the normal
+    approximation fails (the honest way to report the funnel numbers
+    events_ab_test compares). Conversion dedupes to USER grain first
+    (one user = one trial). The interval is one fixed float expression
+    over two exact integers with z² constants inlined (1.96² = 3.8416,
+    z²/2 = 1.9208, z⁴/4 = 0.9604) in the identical op order on both
+    engines, rounded once to 6dp — the established float policy."""
+    ev = load_table(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("signed"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("bought"),
+    )
+    c = u.agg(
+        F.sum("signed").cast("long").alias("n"),
+        F.sum(
+            F.when((F.col("signed") == 1) & (F.col("bought") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    nd = F.col("n").cast("double")
+    xd = F.col("x").cast("double")
+    p = xd / nd
+    rad = F.sqrt(p * (1.0 - p) / nd + 0.9604 / (nd * nd))
+    denom = 1.0 + 3.8416 / nd
+    return c.select(
+        F.col("n").alias("n_signups"),
+        F.col("x").alias("n_converted"),
+        F.round(p, 6).alias("p_hat"),
+        F.round((p + 1.9208 / nd - 1.96 * rad) / denom, 6).alias("wilson_lo"),
+        F.round((p + 1.9208 / nd + 1.96 * rad) / denom, 6).alias("wilson_hi"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate

@@ -1753,3 +1753,122 @@ def compact_cms(spark: SparkSession, store_dir: str, upto_batch_id: int) -> int:
         ["cnt"],
         merge_exprs=[F.sum("cnt").cast("long").alias("cnt")],
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus MinHash signatures — the MIN-monoid (associative,
+# commutative, idempotent: the lattice meet) on the partials store: each
+# (group, hash-index) cell keeps the minimum portable hash over all
+# shingles seen, so per-batch partials merge by elementwise MIN and the
+# streamed signature is bit-identical to a one-shot build regardless of
+# batching — the corpus-level complement of the per-doc MinHash the dedup
+# family uses, served as pairwise group-similarity estimates
+# (matching-coordinate fraction estimates Jaccard; Broder 1997).
+# Persisted state: MINHASH_SIG_K longs per (group, live generation).
+# ---------------------------------------------------------------------------
+
+MINHASH_SIG_K = 16
+
+
+def _minhash_partial(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    from pdf_brain_spark.functions.text import md5_long, shingles, tokenize
+
+    sh = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(shingles(tokenize(text_col), 3)).alias("shingle"),
+    )
+    ks = F.array(*[F.lit(k) for k in range(MINHASH_SIG_K)])
+    return (
+        sh.select("grp", "shingle", F.explode(ks).alias("k"))
+        .select(
+            "grp",
+            "k",
+            md5_long(
+                F.concat(F.col("k").cast("string"), F.lit("#"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy("grp", "k")
+        .agg(F.min("h").cast("long").alias("sig"))
+    )
+
+
+def make_minhash_batch_fn(store_dir: str, group_col: str = "source", text_col: str = "text"):
+    """Per-micro-batch MinHash signature partial, replay-idempotent
+    (batch_id=N overwrite)."""
+
+    def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pdf_brain_spark.streaming.generations import (
+            record_wseq,
+            stamp_protocol,
+        )
+
+        partial = _minhash_partial(batch_df, group_col, text_col)
+        stamp_protocol(batch_df.sparkSession, store_dir)
+        partial.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+        record_wseq(batch_df.sparkSession, store_dir, f"batch_id={batch_id}")
+
+    return _each_batch
+
+
+def streaming_incremental_minhash(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+):
+    """Drive incremental corpus-signature maintenance as a Structured
+    Streaming query."""
+    return (
+        docs_stream.writeStream.foreachBatch(make_minhash_batch_fn(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_minhash_similarity(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Serve pairwise group-Jaccard estimates from the persisted
+    signatures: re-merge live generations by MIN, then count matching
+    coordinates per pair. Work ∝ groups² × K — never the corpus."""
+    from pdf_brain_spark.streaming.generations import kept_partial_rows
+
+    merged = (
+        kept_partial_rows(spark, store_dir, ["grp", "k"], ["sig"])
+        .groupBy("grp", "k")
+        .agg(F.min("sig").cast("long").alias("sig"))
+        .localCheckpoint(eager=True)  # both pair arms reuse it
+    )
+    a = merged.select(F.col("grp").alias("src_a"), "k", F.col("sig").alias("sig_a"))
+    b = merged.select(
+        F.col("grp").alias("src_b"), F.col("k").alias("kb"), F.col("sig").alias("sig_b")
+    )
+    return (
+        a.join(b, (F.col("kb") == F.col("k")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.when(F.col("sig_a") == F.col("sig_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("matches")
+        )
+        .withColumn(
+            "jaccard_est_ppm",
+            F.expr(f"(matches * 1000000) div {MINHASH_SIG_K}"),
+        )
+    )
+
+
+def compact_minhash(spark: SparkSession, store_dir: str, upto_batch_id: int) -> int:
+    """Merge committed signature generations with the MIN monoid
+    (reader-safe generation protocol)."""
+    from pdf_brain_spark.streaming.generations import compact_partials
+
+    return compact_partials(
+        spark,
+        store_dir,
+        upto_batch_id,
+        ["grp", "k"],
+        ["sig"],
+        merge_exprs=[F.min("sig").cast("long").alias("sig")],
+    )
