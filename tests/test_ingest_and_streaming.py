@@ -1967,3 +1967,66 @@ def test_streaming_checkpoint_resume_processes_only_new_files(spark, tmp_path):
         for r in read_kmv(spark, store).collect()
     )
     assert got == sorted(want)
+
+
+def test_streaming_minhash_replay_merge_compact(spark, tmp_path):
+    """MIN-monoid: replay-idempotent, batch-split invariant (streamed
+    signatures equal the one-shot build bit for bit — MIN is idempotent
+    so even OVERLAPPING batches cannot skew it), and compaction with
+    the MIN monoid preserves serving."""
+    from pdf_brain_spark.streaming.events import (
+        _minhash_partial,
+        compact_minhash,
+        make_minhash_batch_fn,
+        read_minhash_similarity,
+    )
+    from pdf_brain_spark.streaming.generations import generation_ids
+    from pdf_brain_spark.sources.loaders import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "source", "text"
+    )
+    store = str(tmp_path / "mh")
+    fn = make_minhash_batch_fn(store)
+    fn(docs.filter(F.col("doc_id") % 3 == 0), 0)
+    # overlapping batch: thirds 1 and 2 plus a resend of every 6th doc
+    fn(docs.filter((F.col("doc_id") % 3 != 0) | (F.col("doc_id") % 6 == 0)), 1)
+
+    def raw_rows():
+        return sorted(
+            tuple(r)
+            for r in spark.read.option("basePath", store).parquet(store).collect()
+        )
+
+    before = raw_rows()
+    fn(docs.filter(F.col("doc_id") % 3 == 0), 0)  # crash replay
+    assert raw_rows() == before
+
+    def served():
+        return sorted(
+            tuple(r) for r in read_minhash_similarity(spark, store).collect()
+        )
+
+    one_shot_sig = _minhash_partial(docs, "source", "text")
+    a = one_shot_sig.selectExpr("grp as src_a", "k", "sig as sig_a")
+    b = one_shot_sig.selectExpr("grp as src_b", "k as kb", "sig as sig_b")
+    want = sorted(
+        tuple(r)
+        for r in a.join(
+            b, (F.col("kb") == F.col("k")) & (F.col("src_a") < F.col("src_b"))
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.when(F.col("sig_a") == F.col("sig_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("matches")
+        )
+        .withColumn("jaccard_est_ppm", F.expr("(matches * 1000000) div 16"))
+        .collect()
+    )
+    got = served()
+    assert got == want and got
+
+    assert compact_minhash(spark, store, upto_batch_id=1) == 2
+    assert generation_ids(spark, store) == [-2]
+    assert served() == want
