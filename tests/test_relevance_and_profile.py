@@ -299,3 +299,36 @@ def test_session_path_signature_planted(spark, tmp_path):
         "view>view": 1,
         ">".join(["view"] * 8): 1,
     }
+
+
+def test_bm25f_plan_is_shuffle_free(spark):
+    """The BM25F query plan must stay map-side: per-field tf via token-
+    array slices, one TakeOrdered — zero exchanges (the bm25_scores
+    zero-shuffle property, preserved through the two-field extension)."""
+    import re
+
+    from pdf_brain_spark.queries import get_queries
+
+    df = get_queries()["bm25f_search"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(
+        re.findall(
+            r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan
+        )
+    )
+    assert n_ex == 0, f"bm25f plan gained {n_ex} exchanges:\n{plan[:2000]}"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_audit_probe_side_is_broadcast(spark):
+    """The Bloom audit's probe joins (words lookup and truth join) must
+    be broadcast — the runtime-filter shape that replaces a shuffled
+    semi-join with a scan-side filter — and the orders date predicate
+    must reach the scan."""
+    from pdf_brain_spark.queries import get_queries
+
+    df = get_queries()["bloom_semijoin_audit"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    # (the orders date pushdown is invisible here — buyers checkpoints
+    # before this plan; PLANS_r08.md pins it from the pre-checkpoint scan)
