@@ -15913,6 +15913,141 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_seasonal_anomalies",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+      SELECT dow, hod,
+             CAST(sum(cents) // count(*) AS BIGINT) AS baseline_cents,
+             count(*) AS n_weeks
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT h.hr AS hour_start, CAST(h.dow AS BIGINT) AS dow,
+           CAST(h.hod AS BIGINT) AS hod,
+           CAST(h.cents AS BIGINT) AS cents,
+           b.baseline_cents,
+           CAST(abs(h.cents - b.baseline_cents) AS BIGINT) AS abs_residual_cents
+    FROM hourly h JOIN base b ON b.dow = h.dow AND b.hod = h.hod
+    ORDER BY abs(h.cents - b.baseline_cents) DESC, h.hr ASC LIMIT 10
+    """,
+)
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection — the composition the raw
+    anomaly gates (count z-scores, MAD outliers) cannot do alone: each
+    hour's revenue compares against ITS OWN calendar cell's mean
+    (dow × hour-of-day baseline, the events_hourly_seasonality matrix
+    put to work), so a busy Monday 9am is only anomalous relative to
+    other Monday 9ams. Baselines are integer floor means, residuals
+    exact integer cents; top-10 by absolute residual with a time
+    tie-break. One hour-grain aggregate + a broadcast 168-cell baseline
+    join. The dow convention bridges per engine as in the seasonality
+    gate."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    ).localCheckpoint(eager=True)  # baseline + the residual join reuse it
+    base = hourly.groupBy("dow", "hod").agg(
+        F.expr("sum(cents) div count(1)").cast("long").alias("baseline_cents")
+    )
+    return (
+        hourly.join(F.broadcast(base), ["dow", "hod"])
+        .select(
+            F.col("hr").alias("hour_start"),
+            "dow",
+            "hod",
+            F.col("cents").cast("long").alias("cents"),
+            "baseline_cents",
+            F.abs(F.col("cents") - F.col("baseline_cents"))
+            .cast("long")
+            .alias("abs_residual_cents"),
+        )
+        .orderBy(F.col("abs_residual_cents").desc(), F.col("hour_start").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "heaps_law_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')) AS term
+      FROM documents
+    ),
+    m0 AS (
+      SELECT source, count(*) AS n_tokens, count(DISTINCT term) AS vocab
+      FROM toks GROUP BY 1
+    ),
+    pts AS (
+      SELECT CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM m0
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_sources,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS heaps_intercept
+    FROM m
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit — log(vocab) vs log(tokens)
+    across sources (natural text grows vocabulary at β ≈ 0.4–0.6;
+    templated or deduplicated-to-death corpora fall out of that band —
+    the companion corpus-authenticity diagnostic to zipf_fit_report,
+    and the pair is what training-data QA actually plots). One
+    (source, term) aggregate, 20 integer micro-nat points, the shared
+    OLS closed form (regression_fit_exprs)."""
+    from pdf_brain_spark.functions.text import tokenize
+    from pdf_brain_spark.streaming.events import regression_fit_exprs
+
+    docs = load_table(spark, "documents", sf_dir)
+    m0 = (
+        docs.select("source", F.explode(tokenize("text")).alias("term"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("term").alias("vocab"),
+        )
+    )
+    pts = m0.select(
+        F.round(F.log(F.col("n_tokens").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("vocab").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope, intercept = regression_fit_exprs("heaps_beta", "heaps_intercept")
+    return m.select(F.col("n").alias("n_sources"), slope, intercept)
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
