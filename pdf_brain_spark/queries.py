@@ -16048,6 +16048,169 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(F.col("n").alias("n_sources"), slope, intercept)
 
 
+@query(
+    "decision_stump_fit",
+    oracle="""
+    WITH d AS (
+      SELECT n_chars AS x, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p FROM d),
+    vals AS (SELECT x, count(*) AS cnt, sum(y) AS pos FROM d GROUP BY 1),
+    cum AS (
+      SELECT x,
+             sum(cnt) OVER (ORDER BY x) AS n_t,
+             sum(pos) OVER (ORDER BY x) AS p_t
+      FROM vals
+    ),
+    scored AS (
+      SELECT c.x AS threshold,
+             c.p_t + ((t.n - c.n_t) - (t.p - c.p_t)) AS correct_le_en,
+             (c.n_t - c.p_t) + (t.p - c.p_t) AS correct_le_other,
+             t.n, t.p
+      FROM cum c, tot t
+    ),
+    best AS (
+      SELECT threshold,
+             CASE WHEN correct_le_en >= correct_le_other THEN 'le_en' ELSE 'le_other' END AS direction,
+             greatest(correct_le_en, correct_le_other) AS n_correct,
+             n, p
+      FROM scored
+      ORDER BY greatest(correct_le_en, correct_le_other) DESC, threshold ASC
+      LIMIT 1
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold, direction,
+           CAST(n_correct AS BIGINT) AS n_correct, CAST(n AS BIGINT) AS n_total,
+           CAST(n_correct * 1000000 // n AS BIGINT) AS accuracy_ppm,
+           CAST(greatest(p, n - p) * 1000000 // n AS BIGINT) AS baseline_ppm
+    FROM best
+    """,
+)
+def decision_stump_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decision-stump TRAINING as a relational plan — the
+    simplest real model fit made fully SQL-oracle-able: the best
+    single-threshold classifier (predicting lang='en' from document
+    length) by exhaustive threshold search with an INTEGER
+    misclassification objective (correct-count maximization; both
+    split directions scored from one cumulative pass), deterministic
+    smallest-threshold tie-break, and the majority baseline reported
+    alongside. The candidate set is the DISTINCT-VALUE axis — one
+    value-grain aggregate + one cumulative window + a 1-row
+    TakeOrdered, never a per-row × per-threshold cross product (the
+    same axis-quadratic-not-data argument as Theil-Sen). Length is a
+    deliberately weak predictor of language here; the gate certifies
+    the TRAINER's arithmetic, and the planted pytest certifies it
+    finds a real split when one exists."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        F.col("n_chars").alias("x"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    vals = d.groupBy("x").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    ).localCheckpoint(eager=True)  # totals + the cumulative window reuse it
+    tot = vals.agg(
+        F.sum("cnt").cast("long").alias("n"), F.sum("pos").cast("long").alias("p")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        "x",
+        F.sum("cnt").over(w).alias("n_t"),
+        F.sum("pos").over(w).alias("p_t"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        F.col("x").alias("threshold"),
+        (F.col("p_t") + ((F.col("n") - F.col("n_t")) - (F.col("p") - F.col("p_t"))))
+        .alias("correct_le_en"),
+        ((F.col("n_t") - F.col("p_t")) + (F.col("p") - F.col("p_t")))
+        .alias("correct_le_other"),
+        "n",
+        "p",
+    )
+    best = (
+        scored.withColumn(
+            "n_correct", F.greatest("correct_le_en", "correct_le_other")
+        )
+        .orderBy(F.col("n_correct").desc(), F.col("threshold").asc())
+        .limit(1)
+    )
+    return best.select(
+        F.col("threshold").cast("long").alias("threshold"),
+        F.when(
+            F.col("correct_le_en") >= F.col("correct_le_other"), "le_en"
+        )
+        .otherwise("le_other")
+        .alias("direction"),
+        F.col("n_correct").cast("long").alias("n_correct"),
+        F.col("n").cast("long").alias("n_total"),
+        F.expr("(n_correct * 1000000) div n").alias("accuracy_ppm"),
+        F.expr("(greatest(p, n - p) * 1000000) div n").alias("baseline_ppm"),
+    )
+
+
+@query(
+    "basket_rules_confidence",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    item AS (SELECT brand, count(*) AS sup FROM m GROUP BY 1),
+    pair AS (
+      SELECT a.brand AS ba, b.brand AS bb, count(*) AS sup_ab
+      FROM m a JOIN m b ON b.ok = a.ok AND a.brand <> b.brand
+      GROUP BY 1, 2
+    )
+    SELECT p.ba AS antecedent, p.bb AS consequent,
+           CAST(p.sup_ab AS BIGINT) AS support_ab,
+           CAST(i.sup AS BIGINT) AS support_a,
+           CAST(p.sup_ab * 1000000 // i.sup AS BIGINT) AS confidence_ppm
+    FROM pair p JOIN item i ON i.brand = p.ba
+    WHERE p.sup_ab >= 5
+    ORDER BY confidence_ppm DESC, antecedent, consequent LIMIT 20
+    """,
+)
+def basket_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules a→b with exact ppm confidence
+    (support(ab)/support(a)) — the asymmetric complement of
+    market_basket_lift's symmetric score: lift says the pair
+    co-occurs; confidence says which direction a recommendation should
+    fire. DISTINCT-membership projection before the self-join bounds
+    fan-out at the brand universe; a support floor gates the ranked
+    rules."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    m = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .localCheckpoint(eager=True)  # item supports + both pair arms reuse it
+    )
+    item = m.groupBy("brand").agg(F.count(F.lit(1)).alias("sup"))
+    a = m.select("ok", F.col("brand").alias("ba"))
+    b = m.select(F.col("ok").alias("ok_b"), F.col("brand").alias("bb"))
+    pair = (
+        a.join(b, (F.col("ok_b") == F.col("ok")) & (F.col("ba") != F.col("bb")))
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).alias("sup_ab"))
+    )
+    return (
+        pair.filter(F.col("sup_ab") >= 5)
+        .join(F.broadcast(item.select(F.col("brand").alias("ba"), "sup")), "ba")
+        .select(
+            F.col("ba").alias("antecedent"),
+            F.col("bb").alias("consequent"),
+            F.col("sup_ab").cast("long").alias("support_ab"),
+            F.col("sup").cast("long").alias("support_a"),
+            F.expr("(sup_ab * 1000000) div sup").alias("confidence_ppm"),
+        )
+        .orderBy(F.col("confidence_ppm").desc(), "antecedent", "consequent")
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate

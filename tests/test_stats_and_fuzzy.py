@@ -206,3 +206,44 @@ def test_benford_python_reference(spark):
         assert r["observed_ppm"] == (n * 1_000_000) // total
         assert r["expected_ppm"] == round(math.log10(1 + 1 / d) * 1e6)
         assert r["deviation_ppm"] == r["observed_ppm"] - r["expected_ppm"]
+
+
+def test_decision_stump_finds_planted_split(spark):
+    """On data with a real threshold (y = 1 iff x <= 30, with 10%
+    label noise), the stump trainer must recover a threshold in the
+    planted band and beat the baseline."""
+    import random
+
+    from pdf_brain_spark.queries import get_queries  # noqa: F401  (registry import path)
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(400):
+        x = rng.randint(1, 100)
+        y = 1 if x <= 30 else 0
+        if rng.random() < 0.1:
+            y = 1 - y
+        rows.append((x, y))
+    d = spark.createDataFrame(rows, "x long, y long")
+    vals = d.groupBy("x").agg(F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos"))
+    tot = vals.agg(F.sum("cnt").alias("n"), F.sum("pos").alias("p"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select("x", F.sum("cnt").over(w).alias("n_t"), F.sum("pos").over(w).alias("p_t"))
+    best = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            F.greatest(
+                F.col("p_t") + ((F.col("n") - F.col("n_t")) - (F.col("p") - F.col("p_t"))),
+                (F.col("n_t") - F.col("p_t")) + (F.col("p") - F.col("p_t")),
+            ).alias("n_correct"),
+            "n",
+        )
+        .orderBy(F.col("n_correct").desc(), F.col("x").asc())
+        .first()
+    )
+    # noise-tolerant: threshold within a few values of 30, accuracy ~90%
+    assert 27 <= best["x"] <= 33, best
+    assert best["n_correct"] / best["n"] > 0.85, best
