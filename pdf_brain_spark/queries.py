@@ -16211,6 +16211,150 @@ def basket_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "naive_bayes_lang_id",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')) AS term
+      FROM documents
+    ),
+    train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+    test AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+    vocab AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM train),
+    langs AS (SELECT DISTINCT lang FROM (SELECT lang FROM documents WHERE doc_id % 2 = 0)),
+    ndocs AS (
+      SELECT lang, count(*) AS d FROM (
+        SELECT DISTINCT doc_id, lang FROM documents WHERE doc_id % 2 = 0
+      ) GROUP BY 1
+    ),
+    dtot AS (SELECT sum(d) AS dt FROM ndocs),
+    prior AS (
+      SELECT n.lang,
+             CAST(round(ln(CAST(n.d AS DOUBLE) / t.dt) * 1000000) AS BIGINT) AS prior_micro
+      FROM ndocs n, dtot t
+    ),
+    ntok AS (SELECT lang, count(*) AS nl FROM train GROUP BY 1),
+    ll AS (
+      SELECT tr.lang, tr.term,
+             CAST(round(ln(CAST(count(*) + 1 AS DOUBLE) / (any_value(nt.nl) + any_value(vb.v))) * 1000000) AS BIGINT) AS ll_micro
+      FROM train tr JOIN ntok nt ON nt.lang = tr.lang, vocab vb
+      GROUP BY tr.lang, tr.term
+    ),
+    dflt AS (
+      SELECT nt.lang,
+             CAST(round(ln(1.0 / (nt.nl + vb.v)) * 1000000) AS BIGINT) AS dflt_micro
+      FROM ntok nt, vocab vb
+    ),
+    scored AS (
+      SELECT te.doc_id, te.lang AS true_lang, lg.lang AS cand,
+             any_value(p.prior_micro) + sum(COALESCE(l.ll_micro, d.dflt_micro)) AS score
+      FROM test te
+      JOIN langs lg ON TRUE
+      LEFT JOIN ll l ON l.lang = lg.lang AND l.term = te.term
+      JOIN dflt d ON d.lang = lg.lang
+      JOIN prior p ON p.lang = lg.lang
+      GROUP BY te.doc_id, te.lang, lg.lang
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, cand AS pred_lang,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+      FROM scored
+    )
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM pred WHERE rn = 1
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def naive_bayes_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language identification — a REAL
+    classifier trained AND applied as relational plans, end to end
+    exact: add-one-smoothed per-(term, lang) log-likelihoods and
+    log-priors quantize ONCE to integer micro-nats (the perplexity/JSD
+    discipline), per-document class scores are integer sums, and the
+    argmax breaks ties by language — so the confusion matrix over the
+    held-out half hash-matches the SQL twin, including every document
+    the model gets wrong. Train plan: one (term, lang) count shuffle +
+    tiny broadcast stats; apply plan: the LM broadcast onto the test
+    token stream (vocabulary-bounded, the unigram_perplexity caveat),
+    one doc×lang aggregate, one per-doc argmax window. The train/test
+    split is the portable even/odd key split."""
+    from pdf_brain_spark.functions.text import tokenize
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokenize("text")).alias("term")
+    ).localCheckpoint(eager=True)  # train stats + the test stream reuse it
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    test = toks.filter(F.col("doc_id") % 2 == 1)
+    v = train.select("term").distinct().count()
+    ndocs = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("d"))
+    )
+    dtot = ndocs.agg(F.sum("d").alias("dt"))
+    prior = ndocs.crossJoin(F.broadcast(dtot)).select(
+        "lang",
+        F.round(F.log(F.col("d").cast("double") / F.col("dt").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("prior_micro"),
+    )
+    ntok = train.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
+    ll = (
+        train.groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(F.broadcast(ntok), "lang")
+        .select(
+            "lang",
+            "term",
+            F.round(
+                F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("nl") + F.lit(v)).cast("double")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("ll_micro"),
+        )
+    )
+    dflt = ntok.select(
+        "lang",
+        F.round(
+            F.log(F.lit(1.0) / (F.col("nl") + F.lit(v)).cast("double")) * 1_000_000
+        )
+        .cast("long")
+        .alias("dflt_micro"),
+    )
+    langs = ndocs.select(F.col("lang").alias("cand"))
+    cand = (
+        test.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(ll.select(F.col("lang").alias("cand"), "term", "ll_micro")),
+            ["cand", "term"],
+            "left",
+        )
+        .join(F.broadcast(dflt.select(F.col("lang").alias("cand"), "dflt_micro")), "cand")
+        .join(F.broadcast(prior.select(F.col("lang").alias("cand"), "prior_micro")), "cand")
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "cand")
+        .agg(
+            (
+                F.first("prior_micro")
+                + F.sum(F.coalesce("ll_micro", "dflt_micro"))
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand").asc())
+    pred = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy("true_lang", F.col("cand").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
