@@ -16355,6 +16355,211 @@ def naive_bayes_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_label_eval",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS true_label
+      FROM embeddings WHERE vec_id < 64
+    ),
+    train AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 64),
+    scored AS (
+      SELECT q.qid, q.true_label, t.vec_id, t.label,
+             (1.0 - list_sum(list_transform(list_zip(t.embedding, q.qv),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS d
+      FROM train t, q
+    ),
+    top5 AS (
+      SELECT qid, true_label, label FROM (
+        SELECT qid, true_label, label,
+               row_number() OVER (PARTITION BY qid ORDER BY d ASC, vec_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT qid, true_label, label AS cand, count(*) AS c
+      FROM top5 GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT qid, true_label, cand AS pred_label FROM (
+        SELECT qid, true_label, cand,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, cand ASC) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT CAST(true_label AS INT) AS true_label,
+           CAST(pred_label AS INT) AS pred_label,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification evaluation — majority label of the 5 nearest
+    training vectors per held-out query, with deterministic tie rules
+    at BOTH stages (distance then vec_id for the neighbor cut; vote
+    count then smallest label for the majority), so the confusion
+    matrix hash-matches the SQL twin. The lazy-learning complement of
+    naive_bayes_lang_id's parametric fit, and the evaluation loop every
+    embedding-quality claim in this engine ultimately answers to. Plan:
+    one train×64 broadcast score pass (checkpointed), two bounded
+    windows."""
+    from pdf_brain_spark.functions.vector import cosine_distance
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    train = emb.filter(F.col("vec_id") >= 64)
+    scored = (
+        train.crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "true_label",
+            "vec_id",
+            "label",
+            cosine_distance(F.col("embedding"), F.col("qv")).alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("vec_id").asc())
+    top5 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    votes = top5.groupBy("qid", "true_label", F.col("label").alias("cand")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cand").asc())
+    pred = votes.withColumn("rn", F.row_number().over(wv)).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy(
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("cand").cast("int").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+@query(
+    "shipping_sla_report",
+    oracle="""
+    WITH first_ship AS (
+      SELECT l_orderkey, min(l_shipdate) AS fs FROM lineitem GROUP BY 1
+    )
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN f.fs <= o.o_orderdate + INTERVAL 30 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_met,
+           CAST(sum(CASE WHEN f.fs <= o.o_orderdate + INTERVAL 30 DAY THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS sla_ppm
+    FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def shipping_sla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping SLA attainment per order priority — the fraction of
+    orders whose FIRST lineitem shipped within 30 days, in exact ppm
+    (the service-level complement of the latency percentiles W5
+    serves). One orderkey-grain min over the fact, one orderkey
+    shuffle to orders, one bounded-group aggregate with exact date
+    interval comparisons."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("fs"))
+    met = F.when(
+        F.col("fs") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"), 1
+    ).otherwise(0)
+    return (
+        orders.join(first_ship, orders.o_orderkey == first_ship.l_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(met).cast("long").alias("n_met"),
+        )
+        .withColumn("sla_ppm", F.expr("(n_met * 1000000) div n_orders"))
+        .orderBy("priority")
+    )
+
+
+@query(
+    "dedup_threshold_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tokens
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(tokens) - 1, 1)),
+               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))) AS shingle
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+    kept AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(DISTINCT doc_id) <= 512
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN kept k ON k.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    banded AS (
+      SELECT (i.i * 10) // (sa.set_size + sb.set_size - i.i) AS band
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+    )
+    SELECT CAST(band AS BIGINT) AS jaccard_band, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM banded GROUP BY 1 ORDER BY 1
+    """,
+)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold operating curve — how many candidate pairs each
+    Jaccard band contains (band = ⌊10·J⌋, computed as the EXACT integer
+    (10·∩) // ∪ so no float similarity can straddle a band boundary) —
+    the evidence behind choosing the dedup family's 0.08/0.2/0.8
+    thresholds: the curve shows where the pair volume cliff sits before
+    you commit a corpus-wide cut. Same DF-capped inverted-index shape
+    as dedup_ngram_jaccard (one shingle shuffle, zero all-pairs), one
+    extra band aggregate."""
+    from pdf_brain_spark.functions.text import shingles, tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokenize("text"), 3))).alias("shingle"),
+    ).localCheckpoint(eager=True)  # sizes, the DF cap, and both join arms reuse it
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    kept = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= 512)
+        .select("shingle")
+    )
+    a = sh.join(kept, "shingle").select("shingle", F.col("doc_id").alias("doc_a"))
+    b = sh.select(F.col("shingle").alias("sh_b"), F.col("doc_id").alias("doc_b"))
+    inter = (
+        a.join(b, (F.col("sh_b") == F.col("shingle")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("szb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(F.expr("(i * 10) div (sza + szb - i)").alias("jaccard_band"))
+        .groupBy("jaccard_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("jaccard_band")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
