@@ -1041,3 +1041,61 @@ def asof_forward_join(
         f"{prefix}ts",
         *[F.col(f"_payload_struct.{p}").alias(f"{prefix}{p}") for p in payload_cols],
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    scale: int = 1000,
+) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) with DYADIC
+    smoothing constants kept EXACT in scaled integers — the forecasting
+    member of the EWMA/CUSUM recursion family, one order up (EWMA
+    tracks level; Holt also tracks slope and can extrapolate):
+
+        l_t = (x_t·scale + l_{t-1} + b_{t-1}) >> 1          (alpha = 1/2)
+        b_t = b_{t-1} + ((l_t − l_{t-1} − b_{t-1}) >> 2)    (beta  = 1/4)
+        l_0 = x_0·scale, b_0 = 0
+
+    where >> is the ARITHMETIC shift (floor for negatives too — Spark
+    shiftright and DuckDB >> agree; `/`-family operators do NOT, the
+    EWMA lesson). No float ever enters the recursion, so a recursive-
+    CTE twin replays the whole history bit for bit.
+
+    Shape: one groupBy collects each bounded series (key × calendar
+    grain, never raw events), one JVM-side aggregate fold carries
+    (l, b) — whole-stage-codegen, no Python. Returns one row per key:
+    (key, n_points, level_milli, trend_milli) at the series end."""
+    pts = df.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(ts_col).alias("ts"), F.col(value_col).alias("x"))
+            )
+        ).alias("_pts")
+    )
+    init = F.struct(
+        (F.element_at("_pts", 1)["x"] * scale).cast("long").alias("l"),
+        F.lit(0).cast("long").alias("b"),
+    )
+    rest = F.slice("_pts", 2, F.greatest(F.size("_pts") - 1, F.lit(0)))
+
+    def _step(acc, p):
+        new_l = F.shiftright(
+            (p["x"] * scale).cast("long") + acc["l"] + acc["b"], 1
+        )
+        new_b = acc["b"] + F.shiftright(new_l - acc["l"] - acc["b"], 2)
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    out = pts.select(
+        F.col(key_col),
+        F.size("_pts").cast("long").alias("n_points"),
+        F.aggregate(rest, init, _step).alias("_st"),
+    )
+    return out.select(
+        key_col,
+        "n_points",
+        F.col("_st.l").alias("level_milli"),
+        F.col("_st.b").alias("trend_milli"),
+    )

@@ -606,3 +606,32 @@ def test_ohlc_bars_pick_first_and_last(spark):
     )
     v = rows["view"]
     assert (v["open"], v["close"], v["n_events"]) == (2.22, 2.22, 1)
+
+
+def test_holt_linear_matches_python_recursion(spark):
+    """Randomized second opinion: the JVM-fold Holt recursion must
+    bit-match a pure-python replay of the same dyadic-integer
+    recursion, including negative trend excursions."""
+    import random
+
+    from pdf_brain_spark.operators.temporal import holt_linear
+
+    rng = random.Random(23)
+    rows = []
+    series = {}
+    for key in ("a", "b"):
+        xs = [rng.randint(-50, 200) for _ in range(40)]
+        series[key] = xs
+        rows += [(key, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    got = {
+        r["k"]: (r["n_points"], r["level_milli"], r["trend_milli"])
+        for r in holt_linear(df, "k", "t", "x", scale=1000).collect()
+    }
+    for key, xs in series.items():
+        l, b = xs[0] * 1000, 0
+        for x in xs[1:]:
+            nl = (x * 1000 + l + b) >> 1
+            b = b + ((nl - l - b) >> 2)
+            l = nl
+        assert got[key] == (len(xs), l, b), key
