@@ -16621,6 +16621,143 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@query(
+    "churn_feature_matrix",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS mxts FROM events),
+    u AS (
+      SELECT e.user_id,
+             CAST((epoch_us(m.mxts) - epoch_us(max(e.ts))) // 86400000000 AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CASE WHEN e.event_type = 'purchase'
+                           THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS monetary_cents,
+             CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_event_types,
+             CAST(sum(CASE WHEN dayofweek(e.ts) IN (0, 6) THEN 1 ELSE 0 END) * 1000000
+                  // count(*) AS BIGINT) AS weekend_ppm
+      FROM events e, mx m
+      GROUP BY e.user_id, m.mxts
+    )
+    SELECT user_id, recency_days, frequency, monetary_cents, n_event_types,
+           weekend_ppm,
+           (recency_days >= 7) AS churned
+    FROM u ORDER BY user_id LIMIT 100
+    """,
+)
+def churn_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set ASSEMBLY for churn prediction — the feature-
+    engineering operator every model pipeline starts with: per-user
+    recency (exact day floor from the corpus horizon), frequency,
+    monetary (integer cents), behavioral diversity, and weekend-share
+    ppm, plus the 7-day-inactivity churn label — every feature exact
+    integer, so the matrix a trainer consumes is bit-identical on any
+    engine (label/feature skew between engines is a real MLOps bug
+    class; this gate makes it structurally impossible here). One
+    user-grain aggregate + a broadcast horizon. DuckDB's 0-based
+    dayofweek makes weekend {0,6} vs Spark's {1,7} — bridged per
+    engine, the seasonality-gate lesson."""
+    ev = load_table(spark, "events", sf_dir)
+    mx = ev.agg(F.max("ts").alias("mxts"))
+    u = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "(unix_micros(first(mxts)) - unix_micros(max(ts))) div 86400000000"
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("monetary_cents"),
+            F.countDistinct("event_type").cast("long").alias("n_event_types"),
+            F.expr(
+                "(sum(CASE WHEN dayofweek(ts) IN (1, 7) THEN 1 ELSE 0 END)"
+                " * 1000000) div count(1)"
+            )
+            .cast("long")
+            .alias("weekend_ppm"),
+        )
+    )
+    return (
+        u.select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            "n_event_types",
+            "weekend_ppm",
+            (F.col("recency_days") >= 7).alias("churned"),
+        )
+        .orderBy("user_id")
+        .limit(100)
+    )
+
+
+@query(
+    "temperature_sampling_weights",
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> ''))) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_tokens) AS total FROM m),
+    w AS (
+      SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(n_tokens * 1000000 // t.total AS BIGINT) AS share_ppm,
+             CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / t.total) * 1000000) AS BIGINT) AS raw_micro
+      FROM m, tot t
+    ),
+    s AS (SELECT sum(raw_micro) AS sw FROM w)
+    SELECT w.source, w.n_tokens, w.share_ppm,
+           CAST(w.raw_micro * 1000000 // s.sw AS BIGINT) AS weight_ppm
+    FROM w, s ORDER BY w.source
+    """,
+)
+def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling weights at T = 2 (Conneau &
+    Lample 2019: sample sources ∝ share^(1/T), the standard fix for
+    low-resource starvation in multilingual/multi-source training —
+    the continuous complement of lang_rebalance_plan's integer epoch
+    factors). Each source's sqrt-share rounds ONCE to integer micro,
+    normalization is floor ppm over the integer weights, so the
+    sampling table is engine-exact. One token-count aggregate over the
+    bounded source grid."""
+    from pdf_brain_spark.functions.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    m = docs.groupBy("source").agg(F.sum(token_count("text")).alias("n_tokens"))
+    tot = m.agg(F.sum("n_tokens").alias("total"))
+    w = m.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr("(n_tokens * 1000000) div total").alias("share_ppm"),
+        F.round(
+            F.sqrt(F.col("n_tokens").cast("double") / F.col("total").cast("double"))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("raw_micro"),
+    ).localCheckpoint(eager=True)  # the normalizer reuses it
+    s = w.agg(F.sum("raw_micro").alias("sw"))
+    return (
+        w.crossJoin(F.broadcast(s))
+        .select(
+            "source",
+            "n_tokens",
+            "share_ppm",
+            F.expr("(raw_micro * 1000000) div sw").alias("weight_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
