@@ -16758,6 +16758,183 @@ def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_drift_report",
+    oracle="""
+    WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+    x AS (
+      SELECT e.vec_id % 2 AS half, d.i,
+             CAST(round(CAST(e.embedding[d.i] AS DOUBLE) * 1000) AS BIGINT) AS v
+      FROM embeddings e, dims d
+    ),
+    cent AS (
+      SELECT half, i, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+      FROM x GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT a.i, a.s AS sa, b.s AS sb
+      FROM cent a JOIN cent b ON b.i = a.i AND a.half = 0 AND b.half = 1
+    ),
+    dots AS (
+      SELECT CAST(sum(sa * sb) AS BIGINT) AS ab,
+             CAST(sum(sa * sa) AS BIGINT) AS aa,
+             CAST(sum(sb * sb) AS BIGINT) AS bb
+      FROM wide
+    ),
+    counts AS (
+      SELECT CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM (SELECT DISTINCT vec_id, vec_id % 2 AS half FROM embeddings)
+    )
+    SELECT c.n_a, c.n_b,
+           round(CAST(d.ab AS DOUBLE) / (sqrt(CAST(d.aa AS DOUBLE)) * sqrt(CAST(d.bb AS DOUBLE))), 6) AS centroid_cos,
+           round(sqrt(CAST(d.aa AS DOUBLE)) * c.n_b / (sqrt(CAST(d.bb AS DOUBLE)) * c.n_a), 6) AS norm_ratio
+    FROM dots d, counts c
+    """,
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding distribution drift between two corpus halves — the
+    centroid-level canary for "did the embedding model or the data
+    change under me" (ML-ops complement of psi_drift_report's scalar
+    PSI): components quantize once to integer milli, per-half per-dim
+    SUMS are exact integers, and the centroid cosine / norm ratio are
+    single float expressions over those exact sums (mean factors
+    cancel in the cosine; the norm ratio reintroduces the counts).
+    One (half, dim) aggregate — the Gram-pass shape at vector grain."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    x = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("i", "raw"),
+    ).select(
+        "half",
+        "i",
+        F.round(F.col("raw").cast("double") * 1000).cast("long").alias("v"),
+    )
+    cent = x.groupBy("half", "i").agg(F.sum("v").alias("s"))
+    a = cent.filter(F.col("half") == 0).select("i", F.col("s").alias("sa"))
+    b = cent.filter(F.col("half") == 1).select(
+        F.col("i").alias("ib"), F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, F.col("ib") == F.col("i"))
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).cast("long").alias("ab"),
+            F.sum(F.col("sa") * F.col("sa")).cast("long").alias("aa"),
+            F.sum(F.col("sb") * F.col("sb")).cast("long").alias("bb"),
+        )
+    )
+    counts = emb.select(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    ).groupBy().agg(F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"))
+    return dots.crossJoin(F.broadcast(counts)).select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("ab").cast("double")
+            / (F.sqrt(F.col("aa").cast("double")) * F.sqrt(F.col("bb").cast("double"))),
+            6,
+        ).alias("centroid_cos"),
+        F.round(
+            F.sqrt(F.col("aa").cast("double"))
+            * F.col("n_b")
+            / (F.sqrt(F.col("bb").cast("double")) * F.col("n_a")),
+            6,
+        ).alias("norm_ratio"),
+    )
+
+
+@query(
+    "distinctive_terms_logodds",
+    oracle="""
+    WITH toks AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS grp,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')) AS term
+      FROM documents
+    ),
+    cnt AS (SELECT grp, term, count(*) AS c FROM toks GROUP BY 1, 2),
+    tot AS (SELECT grp, sum(c) AS n FROM cnt GROUP BY 1),
+    vocab AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM cnt),
+    wide AS (
+      SELECT t.term,
+             COALESCE(max(CASE WHEN c.grp = 0 THEN c.c END), 0) AS ca,
+             COALESCE(max(CASE WHEN c.grp = 1 THEN c.c END), 0) AS cb
+      FROM (SELECT DISTINCT term FROM cnt) t
+      LEFT JOIN cnt c ON c.term = t.term
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT w.term, CAST(w.ca AS BIGINT) AS count_a, CAST(w.cb AS BIGINT) AS count_b,
+             CAST(round((ln((w.ca + 1.0) / (ta.n + vb.v - w.ca - 1.0))
+                         - ln((w.cb + 1.0) / (tb.n + vb.v - w.cb - 1.0))) * 1000000) AS BIGINT) AS delta_micro
+      FROM wide w, vocab vb,
+           (SELECT n FROM tot WHERE grp = 0) ta,
+           (SELECT n FROM tot WHERE grp = 1) tb
+    )
+    SELECT term, count_a, count_b, delta_micro
+    FROM scored ORDER BY abs(delta_micro) DESC, term ASC LIMIT 20
+    """,
+)
+def distinctive_terms_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary by log-odds ratio with a symmetric
+    Dirichlet prior (the Monroe, Colaresi & Quinn 2008 "Fightin'
+    Words" estimator, alpha = 1) between two corpus halves — which
+    terms BELONG to one slice, the lexical diagnostic raw frequency
+    diffs get wrong for common words. Each term's delta quantizes ONCE
+    to integer micro (one fixed float expression over exact counts),
+    ranked by magnitude with a term tie-break. One term-count shuffle
+    over the bounded (group × vocab) grid; the variance/z step of the
+    full estimator is omitted (documented) — the point estimate is the
+    ranking key."""
+    from pdf_brain_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("grp"), F.explode(tokenize("text")).alias("term")
+    )
+    cnt = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("c"))
+    cnt = cnt.localCheckpoint(eager=True)  # totals, vocab, and the pivot reuse it
+    tot = cnt.groupBy("grp").agg(F.sum("c").alias("n"))
+    v = cnt.select("term").distinct().count()
+    na = tot.filter(F.col("grp") == 0).select(F.col("n").alias("na"))
+    nb = tot.filter(F.col("grp") == 1).select(F.col("n").alias("nb"))
+    wide = cnt.groupBy("term").agg(
+        F.coalesce(F.max(F.when(F.col("grp") == 0, F.col("c"))), F.lit(0)).alias("ca"),
+        F.coalesce(F.max(F.when(F.col("grp") == 1, F.col("c"))), F.lit(0)).alias("cb"),
+    )
+    scored = (
+        wide.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "term",
+            F.col("ca").cast("long").alias("count_a"),
+            F.col("cb").cast("long").alias("count_b"),
+            F.round(
+                (
+                    F.log(
+                        (F.col("ca") + 1.0)
+                        / (F.col("na") + F.lit(v) - F.col("ca") - 1.0)
+                    )
+                    - F.log(
+                        (F.col("cb") + 1.0)
+                        / (F.col("nb") + F.lit(v) - F.col("cb") - 1.0)
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("delta_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.abs(F.col("delta_micro")).desc(), F.col("term").asc()
+    ).limit(20)
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
