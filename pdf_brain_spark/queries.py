@@ -16935,6 +16935,107 @@ def distinctive_terms_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+@query(
+    "retention_decay_fit",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id,
+             datediff('day', f.d0, CAST(e.ts AS DATE)) // 7 AS week_off
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+    ),
+    base AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM firsts),
+    weekly AS (
+      SELECT week_off, count(*) AS active FROM act
+      WHERE week_off >= 1 GROUP BY 1
+    ),
+    pts AS (
+      SELECT CAST(w.week_off * 1000000 AS BIGINT) AS x,
+             CAST(round(ln(CAST(w.active AS DOUBLE) / b.n0) * 1000000) AS BIGINT) AS y
+      FROM weekly w, base b
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_weeks,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS weekly_decay,
+           round(-0.6931471805599453
+                 / (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS half_life_weeks
+    FROM m
+    WHERE n >= 2 AND (n * sxx - sx * sx) <> 0 AND (n * sxy - sx * sy) <> 0
+    """,
+)
+def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life — fit ln(retention) against week-of-life by
+    the shared exact-moment OLS (regression over integer micro-nat
+    points: x = week·1e6, y = ln(active/cohort) rounded once) and
+    derive the half-life as ln2/|slope| — the single number product
+    teams quote from the retention matrix events_retention_cohorts
+    serves. Week 0 is excluded (retention(0) = 1 by construction and
+    would flatten the fit). One user-grain first-seen aggregate, one
+    distinct (user, week) projection, a 4-week point set, the shared
+    closed form."""
+    from pdf_brain_spark.functions.text import md5_long  # noqa: F401
+
+    ev = load_table(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    act = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.expr("datediff(to_date(ts), d0) div 7").alias("week_off"),
+        )
+        .distinct()
+    )
+    n0 = firsts.count()
+    weekly = (
+        act.filter(F.col("week_off") >= 1)
+        .groupBy("week_off")
+        .agg(F.count(F.lit(1)).alias("active"))
+    )
+    pts = weekly.select(
+        (F.col("week_off") * 1_000_000).cast("long").alias("x"),
+        F.round(
+            F.log(F.col("active").cast("double") / F.lit(float(n0))) * 1_000_000
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # a degenerate series (one week point, or zero variance/slope) has no
+    # fit — emit zero rows, matching the oracle's guard, instead of an
+    # ANSI divide-by-zero (caught at sf0.001 on registration)
+    return (
+        m.filter(
+            (F.col("n") >= 2)
+            & ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) != 0)
+            & ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) != 0)
+        )
+        .select(
+            F.col("n").alias("n_weeks"),
+            F.round(num / den, 6).alias("weekly_decay"),
+            F.round(F.lit(-0.6931471805599453) / (num / den), 6).alias(
+                "half_life_weeks"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries. Reorder the registry so every SURVEY §2-mapped gate
