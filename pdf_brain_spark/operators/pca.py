@@ -93,13 +93,7 @@ def power_iteration_exact(
     c = {}
     for r in rows:
         c[(r["i"], r["j"])] = r["c"]
-    v = [PCA_VECTOR_SCALE] * dim
-    for _ in range(n_iter):
-        raw = [
-            sum(c.get((i, j), 0) * v[j] for j in range(dim)) for i in range(dim)
-        ]
-        mx = max(abs(x) for x in raw)
-        v = [_trunc_div(x * PCA_VECTOR_SCALE, mx) for x in raw]
+    v = _iterate(c, dim, [PCA_VECTOR_SCALE] * dim, n_iter)
     return spark.createDataFrame(
         [(int(i), int(v[i])) for i in range(dim)],
         "dim_idx int, loading_micro long",

@@ -15806,7 +15806,7 @@ def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_ab_test compares). Conversion dedupes to USER grain first
     (one user = one trial). The interval is one fixed float expression
     over two exact integers with z² constants inlined (1.96² = 3.8416,
-    z²/2 = 1.9208, z⁴/4 = 0.9604) in the identical op order on both
+    z²/2 = 1.9208, z²/4 = 0.9604) in the identical op order on both
     engines, rounded once to 6dp — the established float policy."""
     ev = load_table(spark, "events", sf_dir)
     u = ev.groupBy("user_id").agg(
@@ -15910,6 +15910,10 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("p99_mins"),
         )
+        # zero converters: the oracle's GROUP BY emits no row; Spark's
+        # ungrouped agg emits one all-null row — drop it for parity
+        # (the retention_decay_fit degenerate-input lesson)
+        .filter(F.col("n_converters").isNotNull())
     )
 
 
@@ -16830,7 +16834,7 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
         .cast("long")
         .alias("n_b"),
-    ).groupBy().agg(F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"))
+    )
     return dots.crossJoin(F.broadcast(counts)).select(
         "n_a",
         "n_b",
@@ -16982,8 +16986,6 @@ def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     would flatten the fit). One user-grain first-seen aggregate, one
     distinct (user, week) projection, a 4-week point set, the shared
     closed form."""
-    from pdf_brain_spark.functions.text import md5_long  # noqa: F401
-
     ev = load_table(spark, "events", sf_dir)
     firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
     act = (
@@ -17015,8 +17017,9 @@ def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    from pdf_brain_spark.streaming.events import ols_num_den_exprs
+
+    num, den = ols_num_den_exprs()
     # a degenerate series (one week point, or zero variance/slope) has no
     # fit — emit zero rows, matching the oracle's guard, instead of an
     # ANSI divide-by-zero (caught at sf0.001 on registration)

@@ -1477,18 +1477,29 @@ def streaming_incremental_regression(
     )
 
 
+def ols_num_den_exprs():
+    """The OLS slope's raw numerator/denominator expressions over the
+    exact integer moment columns (n, sx, sy, sxy, sxx) — shared by
+    regression_fit_exprs AND consumers needing the UNROUNDED slope
+    (retention_decay_fit's half-life), so the float op order lives in
+    exactly one place."""
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return num, den
+
+
 def regression_fit_exprs(
     slope_alias: str = "slope_cents_per_hour",
     intercept_alias: str = "intercept_cents",
 ):
     """slope/intercept column expressions from exact integer moment
     columns — ONE shared definition so the streaming serve, the batch
-    oracle gate, and every other OLS consumer (zipf_fit_report) cannot
-    drift (the KMV-constant lesson, pass 2 finding 2 of round 8's
-    self-review). Final float math is two divisions and one multiply in
-    a fixed order, rounded to 6dp."""
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    oracle gate, and every other OLS consumer (zipf_fit_report,
+    heaps_law_fit, retention_decay_fit) cannot drift (the KMV-constant
+    lesson, pass 2 finding 2 of round 8's self-review). Final float
+    math is two divisions and one multiply in a fixed order, rounded
+    to 6dp."""
+    num, den = ols_num_den_exprs()
     slope = num / den
     intercept = (
         F.col("sy").cast("double") - slope * F.col("sx").cast("double")
