@@ -362,15 +362,34 @@ def bm25f_scores(
         ],
     ).collect()[0]
     n_docs = float(stats["n"])
+    if n_docs == 0:
+        # Degenerate corpus: avg lengths are NULL — return an empty frame
+        # with the served schema (the retention_decay_fit degenerate-
+        # series play; ADVICE r8).
+        return per_doc.select(
+            id_col,
+            F.lit(0.0).alias("bm25f"),
+            F.lit(0).alias("terms_matched"),
+        ).limit(0)
     avgdlt, avgdlb = float(stats["avgdlt"]), float(stats["avgdlb"])
 
     def _wtf(i: int):
-        ntft = F.col(f"_tft{i}") / (
-            1 - BM25_B + BM25_B * F.col("_dlt") / F.lit(avgdlt)
-        )
-        ntfb = F.col(f"_tfb{i}") / (
-            1 - BM25_B + BM25_B * F.col("_dlb") / F.lit(avgdlb)
-        )
+        # A zero-average-length field means every doc's field is empty
+        # (tf = 0 there too): treat its normalized tf as 0 rather than
+        # emitting 0.0/0.0 = NaN, which DuckDB would render as NULL —
+        # a cross-engine divergence (ADVICE r8).
+        if avgdlt == 0.0:
+            ntft = F.lit(0.0)
+        else:
+            ntft = F.col(f"_tft{i}") / (
+                1 - BM25_B + BM25_B * F.col("_dlt") / F.lit(avgdlt)
+            )
+        if avgdlb == 0.0:
+            ntfb = F.lit(0.0)
+        else:
+            ntfb = F.col(f"_tfb{i}") / (
+                1 - BM25_B + BM25_B * F.col("_dlb") / F.lit(avgdlb)
+            )
         return F.lit(BM25F_W_TITLE) * ntft + F.lit(BM25F_W_BODY) * ntfb
 
     def _term_score(i: int):

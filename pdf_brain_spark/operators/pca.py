@@ -12,9 +12,14 @@ the identical iterations and hash-match the principal direction.
 
 Scale notes (dim d, n rows, milli quantization ≤ ~2000/component):
 Gram entries ≤ n·4e6 — int64-safe to n ≈ 2e12 rows; the matvec raw
-values ≤ d·|C|·1e6 — safe while n·d ≤ ~2e9 at this quantization, after
-which drop the vector scale or move the (d² ≤ a few thousand rows)
-iteration to decimal. The Gram build is the only corpus-scale work: an
+values ≤ d·|C|·1e6 — int64-safe while n·d ≤ ~2e9 at this quantization —
+and the max-normalization step multiplies raw by ANOTHER 1e6 before the
+truncating division, so that intermediate is ≤ d·|C|·1e12 (int64-safe
+only to n·d ≈ 2e3). The driver-side iteration runs in arbitrary-
+precision Python ints, so neither bound binds there; the SQL twins keep
+the normalization multiply in HUGEINT (both the first-PC and deflated
+oracles), so DuckDB stays exact to the GRAM bound, not the tighter
+normalization one (ADVICE r8). The Gram build is the only corpus-scale work: an
 Arrow-batched mapInPandas partial (BLAS int64 V^T V per batch, d² rows
 emitted per partition) + one (i,j) sum — the same partial-aggregate
 shape as the batched similarity join. The iteration itself runs on the

@@ -14325,10 +14325,10 @@ def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 AS (SELECT i AS j, CAST(1000000 AS BIGINT) AS v FROM dims),
     r1 AS (SELECT c.i, sum(c.c * v0.v) AS raw FROM c JOIN v0 ON v0.j = c.j GROUP BY 1),
     m1 AS (SELECT max(abs(raw)) AS mx FROM r1),
-    v1 AS (SELECT i AS j, CAST(raw * 1000000 // m.mx AS BIGINT) AS v FROM r1, m1 m),
+    v1 AS (SELECT i AS j, CAST(CAST(raw AS HUGEINT) * 1000000 // m.mx AS BIGINT) AS v FROM r1, m1 m),
     r2 AS (SELECT c.i, sum(c.c * v1.v) AS raw FROM c JOIN v1 ON v1.j = c.j GROUP BY 1),
     m2 AS (SELECT max(abs(raw)) AS mx FROM r2),
-    v2 AS (SELECT i AS j, CAST(raw * 1000000 // m.mx AS BIGINT) AS v FROM r2, m2 m)
+    v2 AS (SELECT i AS j, CAST(CAST(raw AS HUGEINT) * 1000000 // m.mx AS BIGINT) AS v FROM r2, m2 m)
     SELECT CAST(j - 1 AS INT) AS dim_idx, v AS loading_micro
     FROM v2 ORDER BY dim_idx
     """,

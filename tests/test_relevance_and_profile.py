@@ -332,3 +332,29 @@ def test_bloom_audit_probe_side_is_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
     # (the orders date pushdown is invisible here — buyers checkpoints
     # before this plan; PLANS_r08.md pins it from the pre-checkpoint scan)
+
+
+def test_bm25f_degenerate_inputs(spark):
+    """ADVICE r8: an empty corpus must early-return an empty frame (not
+    TypeError on NULL avg lengths), and a corpus where every doc fits
+    inside the title slice (body field empty everywhere → avgdlb = 0)
+    must yield finite scores, never 0.0/0.0 = NaN."""
+    import math
+
+    from pdf_brain_spark.operators.fts import bm25f_scores
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = bm25f_scores(empty, ["needle"])
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "bm25f", "terms_matched"}
+
+    short = spark.createDataFrame(
+        [(1, "needle in title"), (2, "no match here"), (3, "needle")],
+        "doc_id long, text string",
+    )
+    rows = bm25f_scores(short, ["needle"]).collect()
+    assert rows, "short-doc corpus returned no rows"
+    for r in rows:
+        assert not math.isnan(r["bm25f"]), f"NaN score for doc {r['doc_id']}"
+    top = rows[0]
+    assert top["terms_matched"] == 1 and top["bm25f"] > 0.0
