@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pdf_brain_spark.functions.guards import bounded_axis
+
 
 def cooccurrence_edges(
     df: DataFrame, group_col: str, item_col: str
@@ -117,7 +119,13 @@ def skyline_2d(
     frontier = lvl.select(
         F.col(maximize_col).alias("_lvl"),
         "_mmin",
-        F.min("_mmin").over(win).alias("_best_larger"),
+        bounded_axis(
+            F.min("_mmin").over(win),
+            [F.col(maximize_col).desc()],
+            "skyline maximize-dimension domain axis",
+            safe_alternative="quantize the maximize dimension to a bounded "
+            "grid before the frontier window",
+        ).alias("_best_larger"),
     )
     return (
         df.join(F.broadcast(frontier), F.col(maximize_col) == F.col("_lvl"))

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pdf_brain_spark.functions.guards import bounded_axis
+
 
 def asof_backward_join(
     left: DataFrame,
@@ -941,8 +943,14 @@ def kaplan_meier(
     total = spans.select(F.count(F.lit(1)).alias("_total"))
     risky = per_t.crossJoin(F.broadcast(total)).withColumn(
         "at_risk",
-        (F.col("_total") - F.coalesce(F.sum("leaving").over(w_ord), F.lit(0)))
-        .cast("long"),
+        bounded_axis(
+            (F.col("_total") - F.coalesce(F.sum("leaving").over(w_ord), F.lit(0)))
+            .cast("long"),
+            ["t"],
+            "Kaplan-Meier duration axis",
+            safe_alternative="coarsen durations to a bounded grain (days) "
+            "before the risk-set windows",
+        ),
     )
     deaths = risky.filter(F.col("d") > 0)
     ln_micro = F.when(

@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdf_brain_spark.functions.guards import bounded_axis
 from pdf_brain_spark.sources.loaders import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -6879,7 +6880,12 @@ def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFram
         "day",
         "n_active_users",
         "n_new_users",
-        F.sum("n_new_users").over(w).alias("cumulative_users"),
+        bounded_axis(
+            F.sum("n_new_users").over(w),
+            ["day"],
+            "cumulative-users day axis",
+            safe_alternative="roll up to month grain or segment the cumulative sum",
+        ).alias("cumulative_users"),
     )
 
 
@@ -8429,7 +8435,16 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = scored.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         scored.crossJoin(F.broadcast(n_docs))
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "rnk",
+            bounded_axis(
+                F.row_number().over(w),
+                [F.col("weight_micro_nats").desc(), F.col("doc_id").asc()],
+                "DSIR doc-grain selection rank",
+                safe_alternative="select via an approxQuantile weight threshold "
+                "instead of a total-order rank",
+            ),
+        )
         .select(
             "doc_id",
             "n_tokens",
@@ -9541,7 +9556,16 @@ def oov_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "rn",
+            bounded_axis(
+                F.row_number().over(w),
+                [F.col("c").desc(), F.col("term").asc()],
+                "OOV vocabulary axis",
+                safe_alternative="take the top-1000 via TakeOrdered (orderBy+limit) "
+                "instead of a total-order rank window",
+            ),
+        )
         .filter(F.col("rn") <= 1000)
         .select(F.col("term").alias("v_term"))
     )
@@ -10705,7 +10729,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     wm = Window.orderBy(F.col("monetary_cents").desc(), F.col("c_custkey").asc())
     scored = rfm.select(
         "c_custkey", "recency_days", "frequency", "monetary_cents",
-        F.ntile(4).over(wr).cast("long").alias("r_quartile"),
+        # one guard covers the axis: all three windows range over the same
+        # customer-grain frame, so the first raising is enough to be loud
+        bounded_axis(
+            F.ntile(4).over(wr).cast("long"),
+            [F.col("recency_days").asc(), F.col("c_custkey").asc()],
+            "RFM customer axis",
+            safe_alternative="switch quartile boundaries to approxQuantile "
+            "thresholds (percentile grid), dropping the total-order ntile",
+        ).alias("r_quartile"),
         F.ntile(4).over(wf).cast("long").alias("f_quartile"),
         F.ntile(4).over(wm).cast("long").alias("m_quartile"),
     )
@@ -10816,7 +10848,13 @@ def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = per_cust.select(
         "o_custkey",
         "rev_cents",
-        F.row_number().over(wo).cast("long").alias("rnk"),
+        bounded_axis(
+            F.row_number().over(wo).cast("long"),
+            [F.col("rev_cents").desc(), F.col("o_custkey").asc()],
+            "Pareto customer axis",
+            safe_alternative="bucket customers by revenue decile "
+            "(approxQuantile) and accumulate shares at bucket grain",
+        ).alias("rnk"),
         F.sum("rev_cents")
         .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("cum_cents"),
@@ -12731,7 +12769,13 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
     cum = s.select(
         "cents",
-        F.sum("ca").over(w).alias("cca"),
+        bounded_axis(
+            F.sum("ca").over(w),
+            ["cents"],
+            "KS distinct-cents axis",
+            safe_alternative="coarsen the value grain (dollar buckets) or use "
+            "an approxQuantile-gridded D statistic",
+        ).alias("cca"),
         F.sum("cb").over(w).alias("ccb"),
     )
     gap = F.abs(F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na"))
@@ -12800,9 +12844,13 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = s.select(
         "ca",
         "cb",
-        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0)).alias(
-            "cprev"
-        ),
+        bounded_axis(
+            F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0)),
+            ["v"],
+            "Mann-Whitney distinct-value axis",
+            safe_alternative="coarsen the value grain before ranking (the "
+            "midrank identity survives any monotone bucketing)",
+        ).alias("cprev"),
     )
     tot = s.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     rs = cum.agg(
@@ -13292,7 +13340,13 @@ def seasonal_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = dense.select(
         "day",
         "cents",
-        F.sum("cents").over(w7).alias("w7"),
+        bounded_axis(
+            F.sum("cents").over(w7),
+            ["day"],
+            "seasonal-decomposition day axis",
+            safe_alternative="partition the moving average by series/year and "
+            "stitch the 3-day seams",
+        ).alias("w7"),
         F.count(F.lit(1)).over(w7).alias("c7"),
     )
     trend = win.filter(F.col("c7") == 7).select(
@@ -13544,7 +13598,17 @@ def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("f").desc(), F.col("term").asc())
     pts = (
-        freq.select("term", "f", F.row_number().over(w).alias("r"))
+        freq.select(
+            "term",
+            "f",
+            bounded_axis(
+                F.row_number().over(w),
+                [F.col("f").desc(), F.col("term").asc()],
+                "Zipf vocabulary axis",
+                safe_alternative="take the top-200 via TakeOrdered "
+                "(orderBy+limit) instead of a total-order rank window",
+            ).alias("r"),
+        )
         .filter(F.col("r") <= 200)
         .select(
             F.round(F.log(F.col("r").cast("double")) * 1_000_000)
@@ -14192,7 +14256,14 @@ def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wg = Window.orderBy("n_chars", "doc_id")
     g = docs.select(
-        F.col("n_chars").alias("gv"), F.row_number().over(wg).alias("gpos")
+        F.col("n_chars").alias("gv"),
+        bounded_axis(
+            F.row_number().over(wg),
+            ["n_chars", "doc_id"],
+            "quantile-normalization global position axis",
+            safe_alternative="replace exact positions with an approxQuantile "
+            "grid of the reference distribution",
+        ).alias("gpos"),
     )
     tot = docs.agg(F.count(F.lit(1)).alias("n"))
     mapped = (
@@ -14720,7 +14791,15 @@ def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue_cents").desc(), F.col("brand").asc()
     ).rowsBetween(Window.unboundedPreceding, 0)
     ranked = rev.select(
-        "brand", "revenue_cents", F.sum("revenue_cents").over(w).alias("cum_cents")
+        "brand",
+        "revenue_cents",
+        bounded_axis(
+            F.sum("revenue_cents").over(w),
+            [F.col("revenue_cents").desc(), F.col("brand").asc()],
+            "ABC brand axis",
+            safe_alternative="bucket the long tail by revenue decile before "
+            "the cumulative share",
+        ).alias("cum_cents"),
     )
     var_n2 = F.lit(nm) * F.col("s2") - F.col("s") * F.col("s")
     return (
@@ -15894,7 +15973,16 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = lat.groupBy("mins").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
     w = Window.orderBy("mins").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select("mins", F.sum("n").over(w).alias("k"))
+    cum = hist.select(
+        "mins",
+        bounded_axis(
+            F.sum("n").over(w),
+            ["mins"],
+            "conversion-latency minute-histogram axis",
+            safe_alternative="coarsen to hour grain (quantiles survive any "
+            "monotone bucketing of the latency axis)",
+        ).alias("k"),
+    )
     tot = hist.agg(F.sum("n").alias("total"))
     return (
         cum.crossJoin(F.broadcast(tot))
@@ -16121,7 +16209,13 @@ def decision_stump_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
     cum = vals.select(
         "x",
-        F.sum("cnt").over(w).alias("n_t"),
+        bounded_axis(
+            F.sum("cnt").over(w),
+            ["x"],
+            "decision-stump distinct-threshold axis",
+            safe_alternative="search thresholds over an approxQuantile grid "
+            "instead of every distinct value",
+        ).alias("n_t"),
         F.sum("pos").over(w).alias("p_t"),
     )
     scored = cum.crossJoin(F.broadcast(tot)).select(
