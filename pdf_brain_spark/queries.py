@@ -14,6 +14,8 @@ does not flip the value hash.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +26,27 @@ from pdf_brain_spark.sources.loaders import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+# Suite-consolidated members (VERDICT r8 item 1): name -> (fn, oracle,
+# suite). Not in the driver-facing registry; their oracles are verified
+# INSIDE their suite's driver row every round. Run standalone via
+# lookup_query()/lookup_oracle() or tests/oracle_harness.py.
+CONSOLIDATED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None, str]] = {}
+
+
+def lookup_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    """Resolve a query by name across the driver registry AND the
+    suite-consolidated members (bench/tests keep stable keys)."""
+    if name in QUERIES:
+        return QUERIES[name]
+    return CONSOLIDATED[name][0]
+
+
+def lookup_oracle(name: str) -> str | None:
+    if name in ORACLES:
+        return ORACLES[name]
+    if name in CONSOLIDATED:
+        return CONSOLIDATED[name][1]
+    return None
 
 
 def query(name: str, oracle: str | None = None):
@@ -17135,77 +17158,66 @@ def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
-# registered queries. Reorder the registry so every SURVEY §2-mapped gate
-# and every LLM-data-pipeline operator sits inside that window; redundant /
-# standalone variants keep their registration after it.
+# registered queries.
 #
-# ROUND-8 ROTATION (the r6/r7 play, repeated; VERDICT r7 item 1): rotate
-# in `multimodal_features` (oracled since ~r4, registered r1, the ONLY
-# oracled query with no driver row ever — the hole in the attestation
-# program VERDICT r7 flagged) plus the longest-registered 13 of the
-# 27-entry round-8 queue (registration order; all judge-attested green at
-# sf0.01 in r7): rrf_fusion, prf_query_expansion, scd2_user_tiers,
-# events_last_touch_attribution, events_transition_matrix,
-# events_ohlc_bars, documents_column_profile,
-# streaming_incremental_topk_terms, tpch_q3_shipping_priority,
-# tpch_q10_returned_items, curriculum_ordering, contrastive_pairs,
-# taxonomy_pagerank. The remaining 14 of that queue (listed in
-# CHANGES_r08.md) roll to round 9 with this round's new registrations.
-# Rotated out (14 entries, each holding >= 2 consecutive full-green
-# driver rows in CORRECTNESS_r06 + r07): mmr_rerank, dedup_embedding_ann,
-# duplicate_span_report, dedup_decision_report, events_gapfill_locf,
-# events_funnel, events_retention_cohorts, events_count_anomalies,
-# events_key_skew_profile, streaming_incremental_ann,
-# streaming_incremental_rollup, token_counts, embedding_quantization,
-# boilerplate_ngram_report. Kept in-window: the r7-first-attested entries
-# (one row each — held for a consecutive attestation) and the family
-# anchors. Rationale in COVERAGE.md.
+# ROUND-9 ROTATION — the consolidation round (VERDICT r8 item 1). The r8
+# backlog was 141 never-driver-attested oracled queries; a 14-swap/round
+# rotation cannot amortize that. This window attacks it structurally:
+#
+#   * 14 HELD entries (first attested r8, kept for a consecutive row):
+#     rrf_fusion, prf_query_expansion, scd2_user_tiers,
+#     events_last_touch_attribution, events_transition_matrix,
+#     events_ohlc_bars, streaming_incremental_topk_terms,
+#     taxonomy_pagerank, tpch_q3_shipping_priority,
+#     tpch_q10_returned_items, multimodal_features,
+#     documents_column_profile, curriculum_ordering, contrastive_pairs.
+#   * 14 QUEUE singles rotated IN (the oldest registrations — the r8
+#     queue leftover VERDICT r8 item 1a names; all judge-attested green
+#     at sf0.01 in r8).
+#   * 22 SUITE gates rotated IN: the remaining 127 backlog entries,
+#     consolidated by family (pdf_brain_spark/suites.py SUITE_PLAN).
+#     Each suite runs every member's FULL Spark plan and FULL DuckDB
+#     oracle, canonicalized to a shared string schema and union-alled
+#     tagged by member — one driver row hash-verifies every member's
+#     oracle parity EVERY round (vs. never, parked in a queue).
+#
+# Rotated OUT (36): the 35 entries holding >= 2 consecutive full-green
+# rows (r7+r8; list in CHANGES_r09.md) plus clustering_model_report
+# (eight consecutive rows-only attestations; its FIT step is now oracled
+# by the kmeans_fit_2iter gate and the assign step by kmeans_assign, so
+# the remaining rows-only surface is BIC/soft stats, pytest-covered).
+# All rotated-out entries remain registered, oracled, and harness-
+# runnable; nothing was weakened — only which 50 the driver re-verifies
+# changed.
 # --------------------------------------------------------------------------
 
 GATE_WINDOW = [
-    # vector search anchors (M1/M2, J1-shape, W1) + held batched MMR
-    "vector_topk", "vector_similarity_join",
-    "mmr_rerank_batch",
-    # fts / hybrid / retrieval anchors (J2/W2, J8/U2/W3) + rotated-IN
-    # reciprocal-rank fusion and pseudo-relevance-feedback expansion
-    "fts_bm25", "hybrid_search", "rrf_fusion", "prf_query_expansion",
-    # residual IVF-PQ behind the exact-rerank gate (held for 2nd row)
-    "ivfpq_exact_rerank",
-    # dedup anchor + incremental LSH + held span-cut corpus surgery
-    "dedup_minhash_lsh", "dedup_incremental_minhash",
-    "streaming_incremental_dedup", "cut_duplicate_spans",
-    # events / temporal: sessionize anchors + held r7-first-attested
-    # analytics + rotated-IN warehouse suite (SCD2, attribution,
-    # transitions, OHLC bars)
-    "events_sessionize", "events_sessionize_salted",
-    "events_debounce", "events_winsorized_stats", "events_funnel_windowed",
-    "scd2_user_tiers", "events_last_touch_attribution",
-    "events_transition_matrix", "events_ohlc_bars",
-    # streaming incremental maintenance: held percentile sketch, rollup
-    # backfill, ANN tombstone delete + rotated-IN exact top-k terms store
-    "streaming_incremental_percentiles", "streaming_rollup_backfill",
-    "streaming_ann_deletion", "streaming_incremental_topk_terms",
-    # structured streaming anchors (§2.10/§2.11)
-    "streaming_tumbling_window", "streaming_dedup",
-    # taxonomy graph anchor + rotated-IN integer-exact PageRank
-    "transitive_closure", "taxonomy_pagerank",
-    # listings / rollups: TPC-H pricing anchor + held Q5 + rotated-IN
-    # Q3 shipping priority and Q10 returned items
-    "pricing_summary", "local_supplier_volume",
-    "tpch_q3_shipping_priority", "tpch_q10_returned_items",
-    "concept_label_search",
-    # clustering lifecycle anchors (A5-A7/M3-M5 rows-only + J10/M12/W4)
-    "clustering_model_report", "cluster_concept_map",
-    # ingest / sinks: chunking anchor + sink round-trip (held) +
-    # rotated-IN multimodal plumbing (the oldest never-attested entry)
-    "chunk_pipeline", "ingest_sink_roundtrip", "multimodal_features",
-    # training-data prep: held quality gates + rotated-IN column profile,
-    # curriculum ordering, contrastive pairs
-    "doc_repetition_filter", "benchmark_contamination",
-    "train_val_test_split", "stratified_sample_per_source",
-    "hard_negative_mining", "tfidf_top_terms", "doc_novelty_scores",
-    "corpus_curation_sample", "documents_column_profile",
-    "curriculum_ordering", "contrastive_pairs",
+    # held r8-first-attested entries (one green row each)
+    "rrf_fusion", "prf_query_expansion", "scd2_user_tiers",
+    "events_last_touch_attribution", "events_transition_matrix",
+    "events_ohlc_bars", "streaming_incremental_topk_terms",
+    "taxonomy_pagerank", "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items", "multimodal_features",
+    "documents_column_profile", "curriculum_ordering",
+    "contrastive_pairs",
+    # r9 queue singles (oldest never-attested registrations, r7 vintage)
+    "unigram_perplexity_filter", "snapshot_diff_cdc",
+    "events_cumulative_unique_users", "hamming_ann_rerank",
+    "hamming_ann_batch16", "streaming_incremental_fts",
+    "streaming_incremental_ohlc", "tpch_q7_nation_volume",
+    "streaming_rollup_time_travel", "split_leakage_report",
+    "reciprocal_nearest_neighbors", "session_path_signatures",
+    "incremental_join_view", "aqp_sum_estimate",
+    # the 22 consolidation suites (127 members; suites.py SUITE_PLAN)
+    "suite_tpch_a", "suite_tpch_b", "suite_tpch_c",
+    "suite_relational_core", "suite_rank_stats", "suite_robust_stats",
+    "suite_timeseries_recursions", "suite_timeseries_alignment",
+    "suite_bi_concentration", "suite_customer_lifecycle",
+    "suite_attribution_sampling", "suite_basket", "suite_graph",
+    "suite_text_quality", "suite_lang_tokenizer", "suite_term_stats",
+    "suite_fingerprint_dedup", "suite_embedding_analytics",
+    "suite_ann_serving", "suite_streaming_monoids",
+    "suite_streaming_lifecycle", "suite_corpus_ops",
 ]
 
 
@@ -17223,7 +17235,17 @@ def _reorder_registry() -> None:
     ORACLES = {n: ORACLES[n] for n in ordered if n in ORACLES}
 
 
-_reorder_registry()
+# Suite consolidation (VERDICT r8 item 1) runs BEFORE the window reorder:
+# SUITE_PLAN members move into CONSOLIDATED and one suite gate per family
+# registers in their place. SPARK_GRAFT_NO_SUITES=1 exposes the raw
+# registry (tools/gen_suite_specs.py needs the members before suites
+# exist; the GATE_WINDOW check is skipped with it, since the window names
+# suite gates).
+if not os.environ.get("SPARK_GRAFT_NO_SUITES"):
+    from pdf_brain_spark.suites import install_suites
+
+    install_suites(QUERIES, ORACLES, CONSOLIDATED)
+    _reorder_registry()
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,315 @@
+"""Suite gates: the round-9 consolidation program (VERDICT r8 item 1).
+
+Round 8 registered oracled queries 9x faster than the driver's 50-entry
+gate window could attest them, leaving a 141-entry never-driver-attested
+backlog. This module consolidates that backlog into family SUITE gates,
+the `doc_lookup_suite` play at scale: each suite runs every member's
+FULL Spark plan and its FULL DuckDB oracle, canonicalizes both results
+to a shared (gate, rn, c1..cW) string schema, and union-alls them tagged
+by member name — so ONE driver row per suite hash-verifies every
+member's oracle parity, every round, instead of parking it in a queue.
+
+Members leave the top-level driver registry (QUERIES/ORACLES) and move
+to CONSOLIDATED: still importable, still runnable standalone via
+``lookup_query()`` / ``tests/oracle_harness.py``, still unit-tested —
+only the driver-facing surface changes. Nothing is weakened: a member's
+oracle that previously would have waited ~4 rounds for one driver row is
+now re-verified inside its suite's row EVERY round.
+
+Canonicalization (the cross-engine string forms both engines agree on,
+derived from the attested pairs' schemas by tools/gen_suite_specs.py and
+frozen in suite_specs.py):
+
+  i  integer-like / boolean / equal-scale decimal -> CAST AS VARCHAR
+  s  string                                        -> CAST AS VARCHAR
+  d  date                                          -> CAST AS VARCHAR
+  f  float/double (house policy: already 6dp-safe) -> printf('%.6f')
+     (no double is an exact tie at the 7th decimal - binary fractions
+     cannot have denominator 2*10^6 - so Java HALF_UP vs C half-even
+     printing cannot diverge on bit-identical inputs)
+  ts timestamp -> epoch microseconds as VARCHAR (unix_micros/epoch_us;
+     string-rendering of timestamps differs between engines, micros
+     never do)
+  j  array/struct -> to_json
+
+Row order inside a member: row_number over the canonicalized string
+tuple (binary collation both engines, NULLS FIRST pinned). Ties are
+identical full rows, so any tie assignment yields the same row multiset.
+The row_number is a single-partition window over a BOUNDED member
+result (reports/top-k), wrapped in bounded_axis so an exploding member
+result raises loudly instead of sorting the world in one task.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf_brain_spark.functions.guards import bounded_axis
+from pdf_brain_spark.suite_specs import SUITE_SPECS
+
+# ---------------------------------------------------------------------------
+# The consolidation plan: suite -> members (exact partition of the round-9
+# consolidation set; install_suites asserts every member is registered with
+# an oracle and appears in exactly one suite).
+# ---------------------------------------------------------------------------
+SUITE_PLAN: dict[str, list[str]] = {
+    # classic TPC-H shapes (the 15 never-driver-attested singles + Q2)
+    "suite_tpch_a": [
+        "tpch_q4_priority_exists", "tpch_q6_forecast_revenue",
+        "tpch_q8_market_share", "tpch_q9_product_profit",
+        "tpch_q11_important_parts",
+    ],
+    "suite_tpch_b": [
+        "tpch_q12_ship_priority_class", "tpch_q13_customer_distribution",
+        "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
+        "tpch_q17_small_quantity_revenue",
+    ],
+    "suite_tpch_c": [
+        "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
+        "tpch_q20_dominant_suppliers", "tpch_q21_waiting_suppliers",
+        "tpch_q22_idle_customers",
+    ],
+    # relational core beyond the numbered queries
+    "suite_relational_core": [
+        "cheapest_supplier_per_part", "grouping_sets_pricing",
+        "fk_integrity_audit", "sql_interface_topk",
+        "events_unpivot_metrics", "data_quality_expectations",
+    ],
+    # rank / nonparametric statistics
+    "suite_rank_stats": [
+        "ks_two_sample", "mann_whitney_u", "chi_square_independence",
+        "quality_signal_auc", "benford_digit_audit", "events_ab_test",
+    ],
+    # robust / inferential statistics
+    "suite_robust_stats": [
+        "theil_sen_trend", "did_estimate", "bootstrap_mean_ci",
+        "nation_revenue_trend", "decision_stump_fit",
+        "conversion_wilson_ci",
+    ],
+    # time-series recursions and seasonality
+    "suite_timeseries_recursions": [
+        "events_cusum_drift", "events_ewma_hourly", "holt_linear_forecast",
+        "seasonal_decompose_ma", "events_hourly_seasonality",
+        "events_seasonal_anomalies",
+    ],
+    # time-series alignment / downsampling / intervals
+    "suite_timeseries_alignment": [
+        "events_m4_downsample", "events_lead_lag_correlation",
+        "events_anomaly_mad", "events_asof_forward",
+        "interval_overlap_join", "supplier_peak_inflight",
+    ],
+    # BI: concentration and decomposition
+    "suite_bi_concentration": [
+        "customer_pareto_share", "nation_supplier_hhi",
+        "nation_customer_gini", "abc_xyz_classification",
+        "revenue_bridge_decomposition", "revenue_cagr_by_segment",
+    ],
+    # BI: customer lifecycle
+    "suite_customer_lifecycle": [
+        "customer_rfm_segments", "cohort_ltv_curves",
+        "session_survival_curve", "churn_feature_matrix",
+        "conversion_latency_quantiles", "shipping_sla_report",
+        "retention_decay_fit",
+    ],
+    # attribution and experiment design
+    "suite_attribution_sampling": [
+        "events_ushape_attribution", "time_decay_attribution",
+        "psi_drift_report", "stratified_neyman_sample",
+        "stratified_kfold_report", "quantile_normalization",
+    ],
+    # market-basket and co-purchase graph
+    "suite_basket": [
+        "market_basket_lift", "basket_triples", "basket_rules_confidence",
+        "adamic_adar_pairs", "part_skyline", "part_cooccurrence_triangles",
+    ],
+    # graph algorithms over the taxonomy / co-occurrence graphs
+    "suite_graph": [
+        "hits_hub_authority", "label_propagation_communities",
+        "taxonomy_shortest_paths", "taxonomy_subtree_rollup",
+    ],
+    # training-data quality gates
+    "suite_text_quality": [
+        "gopher_quality_rules", "flesch_reading_ease",
+        "bigram_surprisal_filter", "quality_linear_classifier",
+        "dsir_importance_weights",
+    ],
+    # language / tokenizer corpus management
+    "suite_lang_tokenizer": [
+        "lang_rebalance_plan", "oov_rate_report",
+        "tokenizer_fertility_report", "temperature_sampling_weights",
+        "naive_bayes_lang_id",
+    ],
+    # corpus term statistics
+    "suite_term_stats": [
+        "source_token_entropy", "source_term_jsd",
+        "distinctive_terms_logodds", "zipf_fit_report", "heaps_law_fit",
+        "term_pmi_pairs", "g2_collocations",
+    ],
+    # fingerprinting and fuzzy dedup
+    "suite_fingerprint_dedup": [
+        "winnowing_fingerprints", "dedup_containment",
+        "dedup_threshold_curve", "part_name_fuzzy_pairs",
+        "part_name_merge_groups", "tfidf_cosine_pairs", "semdedup_report",
+    ],
+    # embedding-column analytics
+    "suite_embedding_analytics": [
+        "embedding_power_iteration", "embedding_pca_top2",
+        "random_projection_jl", "embedding_drift_report",
+        "cosine_label_calibration", "matryoshka_truncation_report",
+    ],
+    # ANN / retrieval serving and eval
+    "suite_ann_serving": [
+        "kmeans_assign", "hamming_ann_batch64", "prefiltered_ann_topk",
+        "knn_label_eval", "retrieval_eval_ndcg", "bm25f_search",
+    ],
+    # streaming mergeable-partials monoids (each member is a real
+    # AvailableNow run against its generation store)
+    "suite_streaming_monoids": [
+        "streaming_incremental_kmv", "streaming_incremental_regression",
+        "streaming_incremental_bitmap", "streaming_incremental_cms",
+        "streaming_incremental_minhash",
+    ],
+    # streaming lifecycle / temporal-dimension correctness
+    "suite_streaming_lifecycle": [
+        "fts_compacted_lifecycle", "streaming_rollup_write_travel",
+        "streaming_late_data_drop", "cdc_apply_changelog",
+        "scd2_point_in_time_join",
+    ],
+    # corpus-scale sketches, filters, and multimodal plumbing
+    "suite_corpus_ops": [
+        "bpe_merge_candidates", "kmv_distinct_estimate",
+        "bloom_semijoin_audit", "source_contamination_matrix",
+        "multimodal_audio_windows", "multimodal_frame_decode",
+        "multimodal_audio_resample",
+    ],
+}
+
+_KIND_SPARK: dict[str, Callable] = {
+    "i": lambda c: c.cast("string"),
+    "s": lambda c: c.cast("string"),
+    "d": lambda c: c.cast("string"),
+    "f": lambda c: F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.format_string("%.6f", c.cast("double"))
+    ),
+    # cast first: unix_micros rejects TIMESTAMP_NTZ, and with the session
+    # timezone pinned to UTC (session.py) the NTZ->TIMESTAMP cast is a
+    # micros-identity
+    "ts": lambda c: F.unix_micros(c.cast("timestamp")).cast("string"),
+    "j": lambda c: F.to_json(c),
+}
+
+_KIND_SQL: dict[str, str] = {
+    "i": 'CAST({c} AS VARCHAR)',
+    "s": 'CAST({c} AS VARCHAR)',
+    "d": 'CAST({c} AS VARCHAR)',
+    "f": "CASE WHEN {c} IS NULL THEN NULL ELSE printf('%.6f', CAST({c} AS DOUBLE)) END",
+    "ts": 'CAST(epoch_us(CAST({c} AS TIMESTAMP)) AS VARCHAR)',
+    "j": 'CAST(to_json({c}) AS VARCHAR)',
+}
+
+
+def suite_width(suite: str) -> int:
+    return max(len(SUITE_SPECS[m]) for m in SUITE_PLAN[suite])
+
+
+def _canon_member_df(df: DataFrame, member: str, width: int) -> DataFrame:
+    spec = SUITE_SPECS[member]
+    canon = [
+        _KIND_SPARK[kind](F.col(col)).alias(f"c{i + 1}")
+        for i, (col, kind) in enumerate(spec)
+    ]
+    proj = df.select(*canon)
+    order = [F.col(f"c{i + 1}").asc_nulls_first() for i in range(len(spec))]
+    rn = bounded_axis(
+        F.row_number().over(Window.orderBy(*order)).cast("long"),
+        order,
+        f"suite member '{member}' result",
+        safe_alternative="a suite member must emit a bounded report; "
+        "attest oversized members standalone instead",
+    )
+    pad = [
+        F.lit(None).cast("string").alias(f"c{j + 1}")
+        for j in range(len(spec), width)
+    ]
+    return proj.select(
+        F.lit(member).alias("gate"),
+        rn.alias("rn"),
+        *[F.col(f"c{i + 1}") for i in range(len(spec))],
+        *pad,
+    )
+
+
+def _member_oracle_sql(member: str, oracle: str, width: int) -> str:
+    spec = SUITE_SPECS[member]
+    canon = ", ".join(
+        _KIND_SQL[kind].format(c=f'"{col}"') + f" AS c{i + 1}"
+        for i, (col, kind) in enumerate(spec)
+    )
+    order = ", ".join(
+        f"c{i + 1} ASC NULLS FIRST" for i in range(len(spec))
+    )
+    pad = "".join(
+        f", CAST(NULL AS VARCHAR) AS c{j + 1}" for j in range(len(spec), width)
+    )
+    cols = ", ".join(f"c{i + 1}" for i in range(len(spec)))
+    return (
+        f"SELECT '{member}' AS gate, "
+        f"CAST(row_number() OVER (ORDER BY {order}) AS BIGINT) AS rn, "
+        f"{cols}{pad} FROM "
+        f"(SELECT {canon} FROM ({oracle}) __m) __c"
+    )
+
+
+def _suite_oracle_sql(suite: str, oracles: dict[str, str]) -> str:
+    width = suite_width(suite)
+    parts = [
+        _member_oracle_sql(m, oracles[m], width) for m in SUITE_PLAN[suite]
+    ]
+    body = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{body}\n) __s ORDER BY gate, rn"
+
+
+def _make_suite_fn(suite: str, consolidated: dict):
+    members = SUITE_PLAN[suite]
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        width = suite_width(suite)
+        out = None
+        for m in members:
+            part = _canon_member_df(consolidated[m][0](spark, sf_dir), m, width)
+            out = part if out is None else out.unionByName(part)
+        return out.orderBy("gate", "rn")
+
+    fn.__name__ = suite
+    fn.__doc__ = (
+        f"Suite gate: union-canonicalized oracle parity for "
+        f"{len(members)} consolidated members: {', '.join(members)}. "
+        f"See pdf_brain_spark/suites.py."
+    )
+    return fn
+
+
+def install_suites(queries: dict, oracles: dict, consolidated: dict) -> None:
+    """Move every SUITE_PLAN member from the driver-facing registry into
+    CONSOLIDATED and register one suite gate per family in its place.
+    Idempotent per process (queries.py calls it once at import)."""
+    seen: set[str] = set()
+    for suite, members in SUITE_PLAN.items():
+        for m in members:
+            if m in seen:
+                raise AssertionError(f"{m} appears in two suites")
+            seen.add(m)
+            if m not in queries:
+                raise AssertionError(f"suite member {m} is not registered")
+            if m not in oracles:
+                raise AssertionError(f"suite member {m} has no oracle")
+            if m not in SUITE_SPECS:
+                raise AssertionError(f"suite member {m} has no canon spec")
+            consolidated[m] = (queries.pop(m), oracles.pop(m), suite)
+        queries[suite] = _make_suite_fn(suite, consolidated)
+        oracles[suite] = _suite_oracle_sql(
+            suite, {m: consolidated[m][1] for m in members}
+        )

@@ -54,10 +54,12 @@ def _normalize(rows, colnames):
 
 
 def compare(name: str, spark, sf_dir: str, verbose: bool = True) -> bool:
-    from pdf_brain_spark.queries import get_oracles, get_queries
+    # lookup_* resolve suite-consolidated members too, so any member can
+    # still be attested standalone by name
+    from pdf_brain_spark.queries import lookup_oracle, lookup_query
 
-    q = get_queries()[name]
-    sql = get_oracles().get(name)
+    q = lookup_query(name)
+    sql = lookup_oracle(name)
     sdf = q(spark, sf_dir)
     # toPandas, not collect(): the driver's gate compares pandas-to-pandas,
     # so NULL float -> NaN and NULL timestamp -> NaT on BOTH sides

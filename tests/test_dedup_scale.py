@@ -433,10 +433,10 @@ def test_dedup_decision_report_invariants(spark):
     has EXACTLY one keep (its min doc_id), every drop belongs to a
     cluster, unique docs are all keeps with NULL cluster, and the report
     covers every document exactly once."""
-    from pdf_brain_spark.queries import get_queries
+    from pdf_brain_spark.queries import get_queries, lookup_query
 
     docs_n = 500
-    out = get_queries()["dedup_decision_report"](
+    out = lookup_query("dedup_decision_report")(
         spark, "/root/testdata/sf0.01"
     ).collect()
     assert len(out) == docs_n

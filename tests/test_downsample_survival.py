@@ -97,11 +97,11 @@ def test_lead_lag_python_reference(spark):
         want[lag] = (
             (n * sxy - sx * sy) / math.sqrt(dx * dy) if dx > 0 and dy > 0 else None
         )
-    from pdf_brain_spark.queries import get_queries
+    from pdf_brain_spark.queries import get_queries, lookup_query
 
     got = {
         r["lag_hours"]: r
-        for r in get_queries()["events_lead_lag_correlation"](
+        for r in lookup_query("events_lead_lag_correlation")(
             spark, SF_DIR
         ).collect()
     }

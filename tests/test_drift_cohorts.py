@@ -37,7 +37,7 @@ def test_cohort_ltv_planted(spark):
         q.load_table = lambda s, name, d: df
         out = {
             (r["cohort_idx"], r["age_month"]): r
-            for r in q.get_queries()["cohort_ltv_curves"](spark, SF_DIR).collect()
+            for r in q.lookup_query("cohort_ltv_curves")(spark, SF_DIR).collect()
         }
     finally:
         q.load_table = orig
@@ -57,11 +57,11 @@ def test_psi_python_reference(spark):
     a = Counter(nc // 64 for did, nc in rows if did % 2 == 0)
     b = Counter(nc // 64 for did, nc in rows if did % 2 == 1)
     ta, tb = sum(a.values()), sum(b.values())
-    from pdf_brain_spark.queries import get_queries
+    from pdf_brain_spark.queries import get_queries, lookup_query
 
     got = {
         r["bin"]: r
-        for r in get_queries()["psi_drift_report"](spark, SF_DIR).collect()
+        for r in lookup_query("psi_drift_report")(spark, SF_DIR).collect()
     }
     assert set(got) == set(a) | set(b)
     for bin_, r in got.items():
@@ -87,11 +87,11 @@ def test_jsd_python_reference_and_bounds(spark):
         np_[src].update(toks)
         nq.update(toks)
     t = sum(nq.values())
-    from pdf_brain_spark.queries import get_queries
+    from pdf_brain_spark.queries import get_queries, lookup_query
 
     got = {
         r["source"]: r
-        for r in get_queries()["source_term_jsd"](spark, SF_DIR).collect()
+        for r in lookup_query("source_term_jsd")(spark, SF_DIR).collect()
     }
     assert set(got) == set(np_)
     for src, c in np_.items():

@@ -231,7 +231,7 @@ def test_clustering_report_query_fails_on_poisoned_wssse(spark, monkeypatch):
     import pytest
 
     import pdf_brain_spark.operators.clustering as cl
-    from pdf_brain_spark.queries import get_queries
+    from pdf_brain_spark.queries import get_queries, lookup_query
 
     orig = cl.bic_select_k
 
@@ -247,7 +247,7 @@ def test_clustering_report_query_fails_on_poisoned_wssse(spark, monkeypatch):
 
     monkeypatch.setattr(cl, "bic_select_k", poisoned)
     with pytest.raises(AssertionError, match="non-increasing"):
-        get_queries()["clustering_model_report"](spark, SF_DIR).collect()
+        lookup_query("clustering_model_report")(spark, SF_DIR).collect()
 
 
 def test_power_iteration_tracks_numpy_eigenvector(spark):

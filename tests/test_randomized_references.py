@@ -298,7 +298,7 @@ def test_market_basket_lift_matches_python_reference(spark):
     import tempfile
     from collections import Counter
 
-    from pdf_brain_spark.queries import QUERIES
+    from pdf_brain_spark.queries import lookup_query
 
     for seed in (13, 37):
         rng = random.Random(seed)
@@ -318,7 +318,7 @@ def test_market_basket_lift_matches_python_reference(spark):
             ).write.mode("overwrite").parquet(os.path.join(d, "part.parquet"))
             got = [
                 (r["brand_a"], r["brand_b"], r["n_both"], r["lift_micro"])
-                for r in QUERIES["market_basket_lift"](spark, d).collect()
+                for r in lookup_query("market_basket_lift")(spark, d).collect()
             ]
         finally:
             shutil.rmtree(d, ignore_errors=True)
@@ -360,7 +360,7 @@ def test_gopher_rules_match_python_reference(spark):
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     import re
 
-    from pdf_brain_spark.queries import QUERIES
+    from pdf_brain_spark.queries import lookup_query
 
     # run the gate's metric pipeline on this frame by monkey-loading:
     # easier to replicate the expressions via a temp view + the gate's
@@ -378,7 +378,7 @@ def test_gopher_rules_match_python_reference(spark):
                 r["word_count"], r["mean_word_len_milli"], r["symbol_ppm"],
                 r["bullet_ppm"], r["n_stopwords"], r["keep"],
             )
-            for r in QUERIES["gopher_quality_rules"](spark, d).collect()
+            for r in lookup_query("gopher_quality_rules")(spark, d).collect()
         }
     finally:
         import shutil

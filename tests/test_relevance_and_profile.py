@@ -70,7 +70,7 @@ def test_contrastive_pairs_halves_roundtrip(spark):
     and short docs are excluded."""
     import hashlib
 
-    from pdf_brain_spark.queries import get_queries
+    from pdf_brain_spark.queries import get_queries, lookup_query
 
     toks = [f"tok{i}" for i in range(21)]
     text = " ".join(toks)
@@ -242,7 +242,7 @@ def test_rnn_pairs_are_mutual_and_symmetric(spark, tmp_path):
     both rank directions; a point whose neighbor does not reciprocate
     at rank 1 still pairs when reciprocation happens within top-5, and
     rank_ab/rank_ba record the asymmetry."""
-    from pdf_brain_spark.queries import QUERIES
+    from pdf_brain_spark.queries import lookup_query
 
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),
@@ -255,7 +255,7 @@ def test_rnn_pairs_are_mutual_and_symmetric(spark, tmp_path):
     emb.write.parquet(str(tmp_path / "embeddings.parquet"))
     got = {
         (r["vec_id_a"], r["vec_id_b"]): (r["rank_ab"], r["rank_ba"], r["score"])
-        for r in QUERIES["reciprocal_nearest_neighbors"](spark, str(tmp_path)).collect()
+        for r in lookup_query("reciprocal_nearest_neighbors")(spark, str(tmp_path)).collect()
     }
     # with only 5 points, everyone is in everyone's top-5: all C(5,2)
     # pairs are mutual, but the RANKS must reflect the planted geometry
@@ -273,7 +273,7 @@ def test_session_path_signature_planted(spark, tmp_path):
     driver's oracle compare."""
     from datetime import datetime, timedelta
 
-    from pdf_brain_spark.queries import QUERIES
+    from pdf_brain_spark.queries import lookup_query
 
     t0 = datetime(2024, 5, 1, 9, 0, 0)
     rows = []
@@ -292,7 +292,7 @@ def test_session_path_signature_planted(spark, tmp_path):
     ev.write.parquet(str(tmp_path / "events.parquet"))
     got = {
         r["path"]: r["n_sessions"]
-        for r in QUERIES["session_path_signatures"](spark, str(tmp_path)).collect()
+        for r in lookup_query("session_path_signatures")(spark, str(tmp_path)).collect()
     }
     assert got == {
         "view>click>purchase": 1,
@@ -307,9 +307,9 @@ def test_bm25f_plan_is_shuffle_free(spark):
     zero-shuffle property, preserved through the two-field extension)."""
     import re
 
-    from pdf_brain_spark.queries import get_queries
+    from pdf_brain_spark.queries import get_queries, lookup_query
 
-    df = get_queries()["bm25f_search"](spark, "/root/testdata/sf0.001")
+    df = lookup_query("bm25f_search")(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_ex = len(
         re.findall(
@@ -325,9 +325,9 @@ def test_bloom_audit_probe_side_is_broadcast(spark):
     be broadcast — the runtime-filter shape that replaces a shuffled
     semi-join with a scan-side filter — and the orders date predicate
     must reach the scan."""
-    from pdf_brain_spark.queries import get_queries
+    from pdf_brain_spark.queries import get_queries, lookup_query
 
-    df = get_queries()["bloom_semijoin_audit"](spark, "/root/testdata/sf0.001")
+    df = lookup_query("bloom_semijoin_audit")(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
     # (the orders date pushdown is invisible here — buyers checkpoints

@@ -347,9 +347,9 @@ def test_q6_predicates_all_pushed_to_scan(spark):
     all reaching the parquet reader as PushedFilters (a residual
     post-scan filter would read every row group). Pin that, plus the
     absence of any join/exchange before the final aggregate pair."""
-    from pdf_brain_spark.queries import QUERIES
+    from pdf_brain_spark.queries import lookup_query
 
-    df = QUERIES["tpch_q6_forecast_revenue"](spark, "/root/testdata/sf0.001")
+    df = lookup_query("tpch_q6_forecast_revenue")(spark, "/root/testdata/sf0.001")
     plan = _plan(df)
     scan = plan[plan.index("PushedFilters") :].splitlines()[0]
     for col in ("l_shipdate", "l_discount", "l_quantity"):

@@ -170,9 +170,9 @@ def test_ab_test_python_reference(spark):
     cb = sum(c for u, c in users.items() if u % 2 == 1)
     pooled = (ca + cb) / (ua + ub)
     se = math.sqrt(pooled * (1 - pooled) * (1 / ua + 1 / ub))
-    from pdf_brain_spark.queries import get_queries
+    from pdf_brain_spark.queries import get_queries, lookup_query
 
-    row = get_queries()["events_ab_test"](spark, SF_DIR).collect()[0]
+    row = lookup_query("events_ab_test")(spark, SF_DIR).collect()[0]
     assert (row["users_a"], row["conv_a"], row["users_b"], row["conv_b"]) == (
         ua, ca, ub, cb,
     )
@@ -193,11 +193,11 @@ def test_benford_python_reference(spark):
     ]
     counts = Counter(int(str(round(p * 100))[0]) for p in prices)
     total = sum(counts.values())
-    from pdf_brain_spark.queries import get_queries
+    from pdf_brain_spark.queries import get_queries, lookup_query
 
     got = {
         r["digit"]: r
-        for r in get_queries()["benford_digit_audit"](spark, SF_DIR).collect()
+        for r in lookup_query("benford_digit_audit")(spark, SF_DIR).collect()
     }
     assert set(got) == set(counts)
     for d, n in counts.items():

@@ -391,7 +391,7 @@ def test_count_anomalies_finds_planted_spike(spark):
     spike must rank 1 with a large positive z-score; a flat series must
     still return 3 ranked rows with near-zero scores (top-k, not a
     threshold, so quiet series are reported too, just unremarkably)."""
-    from pdf_brain_spark.queries import get_queries
+    from pdf_brain_spark.queries import get_queries, lookup_query
 
     rows = []
     eid = 0
@@ -410,7 +410,7 @@ def test_count_anomalies_finds_planted_spike(spark):
     d = tempfile.mkdtemp()
     try:
         ev.write.parquet(f"{d}/events.parquet")
-        out = get_queries()["events_count_anomalies"](spark, d).collect()
+        out = lookup_query("events_count_anomalies")(spark, d).collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
     spiky = sorted((r for r in out if r["event_type"] == "spiky"), key=lambda r: r["rnk"])

@@ -122,11 +122,11 @@ def test_entropy_python_reference_on_fixture(spark):
     counts: dict[str, Counter] = defaultdict(Counter)
     for src, text in rows:
         counts[src].update(t for t in text.lower().strip().split() if t)
-    from pdf_brain_spark.queries import get_queries
+    from pdf_brain_spark.queries import get_queries, lookup_query
 
     got = {
         r["source"]: r
-        for r in get_queries()["source_token_entropy"](spark, SF_DIR).collect()
+        for r in lookup_query("source_token_entropy")(spark, SF_DIR).collect()
     }
     assert set(got) == set(counts)
     for src, c in counts.items():
@@ -161,11 +161,11 @@ def test_neyman_python_reference_on_fixture(spark):
             docs, key=lambda d: (hashlib.md5(str(d[0]).encode()).hexdigest(), d[0])
         )
         want.update((d[0], src) for d in ordered[: alloc[src]])
-    from pdf_brain_spark.queries import get_queries
+    from pdf_brain_spark.queries import get_queries, lookup_query
 
     got = {
         (r["doc_id"], r["source"])
-        for r in get_queries()["stratified_neyman_sample"](
+        for r in lookup_query("stratified_neyman_sample")(
             spark, SF_DIR
         ).collect()
     }
