@@ -8758,7 +8758,7 @@ def fts_compacted_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pdf_brain_spark.streaming.events import (
         compact_fts_index,
-        delete_documents,
+        delete_fts_documents,
         fts_search_persisted,
         make_fts_postings_batch_fn,
     )
@@ -8769,7 +8769,7 @@ def fts_compacted_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         fn = make_fts_postings_batch_fn(idx)
         fn(docs.filter(F.col("doc_id") % 2 == 0), 0)
         fn(docs.filter(F.col("doc_id") % 2 == 1), 1)
-        delete_documents(
+        delete_fts_documents(
             spark, idx, spark.createDataFrame([(3,)], "doc_id long"), 1
         )
         compact_fts_index(spark, idx, upto_batch_id=1)

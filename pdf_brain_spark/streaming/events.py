@@ -875,13 +875,58 @@ def make_fts_postings_batch_fn(index_dir: str, id_col: str = "doc_id", text_col:
         n_buckets = _stamp_fts_buckets(
             batch_df.sparkSession, index_dir, FTS_TERM_BUCKETS
         )
-        postings.unionByName(empties).withColumn(
+        rows = postings.unionByName(empties).localCheckpoint(eager=True)
+        rows.withColumn(
             "term_bucket", _term_bucket_col(F.col("term"), n_buckets)
         ).write.partitionBy("term_bucket").mode("overwrite").parquet(
             f"{index_dir}/batch_id={batch_id}"
         )
+        # DOC-GRAIN stats generation (VERDICT r8 item 5): one
+        # (doc_id, doc_len) row per ingested document, on the same
+        # row-store protocol in a sibling store. The serve's corpus
+        # statistics (N, avgdl) and the one-live-generation-per-doc
+        # assert read THIS store — one row per doc — instead of scanning
+        # the term-grain postings of every live generation. Written
+        # AFTER the postings dir so a crash between the two writes
+        # leaves stats missing, never stale; the foreachBatch replay of
+        # the same batch_id rewrites both (idempotent overwrite), so the
+        # window self-heals.
+        docs_store = fts_docs_dir(index_dir)
+        stamp_protocol(batch_df.sparkSession, docs_store)
+        rows.groupBy(id_col).agg(
+            F.first("doc_len").alias("doc_len")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{docs_store}/batch_id={batch_id}"
+        )
 
     return _each_batch
+
+
+def fts_docs_dir(index_dir: str) -> str:
+    """The FTS index's doc-grain stats store (sibling of the postings
+    store, same generation protocol): one (doc_id, doc_len) row per doc
+    per generation. Serves N/avgdl and the uniqueness assert at doc
+    grain — ~avgdl-times fewer bytes than the postings' term grain, and
+    independent of how many terms a serve probes."""
+    return index_dir.rstrip("/") + "_docs"
+
+
+def delete_fts_documents(
+    spark: SparkSession,
+    index_dir: str,
+    doc_ids: DataFrame,
+    floor_batch_id: int,
+) -> None:
+    """Takedown on the FTS index: tombstone the doc ids in BOTH the
+    postings store (so probes stop matching their rows) and the
+    doc-grain stats store (so N/avgdl immediately reflect the removal —
+    BM25 idf/length normalization must not keep counting deleted
+    documents). Compaction of each store materializes its removal."""
+    from pdf_brain_spark.streaming.generations import write_tombstones
+
+    ids = doc_ids.select("doc_id").localCheckpoint(eager=True)
+    write_tombstones(spark, index_dir, ids, floor_batch_id)
+    write_tombstones(spark, fts_docs_dir(index_dir), ids, floor_batch_id)
 
 
 # Number of term-hash partitions per FTS generation for NEW stores. At
@@ -976,6 +1021,45 @@ def streaming_fts_ingest(
     )
 
 
+def fts_corpus_stats(
+    spark: SparkSession,
+    index_dir: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus statistics (N, avgdl) for BM25 serving, computed from the
+    doc-grain stats store ONLY — one row per live doc per generation,
+    never the postings' term grain (pytest pins that this frame's scans
+    touch no postings path). Also carries the
+    one-live-generation-per-doc invariant (max_gen) so the serve's
+    double-ingest assert costs a doc-grain aggregate, not a postings
+    scan. Raises with a re-ingest instruction on a pre-stats-store
+    layout (the protocol-marker fail-fast play)."""
+    from pdf_brain_spark.streaming.generations import kept_index_rows
+
+    docs_store = fts_docs_dir(index_dir)
+    try:
+        dg = kept_index_rows(spark, docs_store, [id_col])
+    except ValueError as e:
+        raise ValueError(
+            f"FTS index {index_dir} has no doc-grain stats store "
+            f"({docs_store}): it was built by a pre-r9 writer. Rebuild "
+            "the index (re-ingest) so corpus statistics serve from doc "
+            f"grain. Underlying: {e}"
+        ) from e
+    return (
+        dg.groupBy(id_col)
+        .agg(
+            F.first("doc_len").alias("doc_len"),
+            F.countDistinct("batch_id").alias("_ngen"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("doc_len").alias("avgdl"),
+            F.max("_ngen").alias("max_gen"),
+        )
+    )
+
+
 def fts_search_persisted(
     spark: SparkSession,
     index_dir: str,
@@ -998,29 +1082,22 @@ def fts_search_persisted(
     appears in exactly one live generation and raises rather than serve
     silently-wrong scores.
 
-    Plan shape: corpus stats (N, avgdl from the distinct doc grain;
-    per-term df) are two small aggregates over the postings; the query-
-    term filter prunes the postings scan to the queried terms — under
-    the term_bucket compaction layout (compact_fts_index) it is a
-    PartitionFilter, so unqueried buckets prune at planning time.
-    One bounded TakeOrdered ends the plan."""
+    Plan shape: corpus stats (N, avgdl, the uniqueness assert) are ONE
+    small aggregate over the DOC-GRAIN stats store (fts_docs_dir — one
+    row per doc per generation; VERDICT r8 item 5: the serve no longer
+    scans any postings generation's term grain for stats); per-term df
+    comes from the probed postings only. The query-term filter prunes
+    the postings scan to the queried terms — under the term_bucket
+    layout it is a PartitionFilter, so unqueried buckets prune at
+    planning time. One bounded TakeOrdered ends the plan."""
     import math
 
     from pdf_brain_spark.operators.fts import BM25_B, BM25_K1
     from pdf_brain_spark.streaming.generations import kept_index_rows
 
-    rows_g = kept_index_rows(spark, index_dir, [id_col])
-    rows = rows_g.drop("batch_id")
+    rows = kept_index_rows(spark, index_dir, [id_col]).drop("batch_id")
     terms = [t.lower() for t in query_terms]
-    docs_grain = rows_g.groupBy(id_col).agg(
-        F.first("doc_len").alias("doc_len"),
-        F.countDistinct("batch_id").alias("_ngen"),
-    )
-    stats = docs_grain.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("doc_len").alias("avgdl"),
-        F.max("_ngen").alias("max_gen"),
-    ).collect()[0]
+    stats = fts_corpus_stats(spark, index_dir, id_col=id_col).collect()[0]
     if stats["n"] and stats["max_gen"] > 1:
         raise ValueError(
             "FTS index has documents with live postings in more than one "
@@ -1370,8 +1447,11 @@ def compact_fts_index(spark: SparkSession, index_dir: str, upto_batch_id: int, n
         kept_index_rows,
     )
 
+    # the uniqueness assert runs on the DOC-GRAIN stats store (one row
+    # per doc per generation) — same invariant as before r9, a fraction
+    # of the bytes
     dup = (
-        kept_index_rows(spark, index_dir, ["doc_id"], upto=upto_batch_id)
+        kept_index_rows(spark, fts_docs_dir(index_dir), ["doc_id"], upto=upto_batch_id)
         .groupBy("doc_id")
         .agg(F.countDistinct("batch_id").alias("_ngen"))
         .filter(F.col("_ngen") > 1)
@@ -1390,6 +1470,17 @@ def compact_fts_index(spark: SparkSession, index_dir: str, upto_batch_id: int, n
             "term_bucket"
         ).mode("overwrite").parquet(tmp)
 
+    def _write_docs_kept(kept, tmp: str) -> None:
+        kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+
+    # compact the doc-grain stats store FIRST (mirrors the writer's
+    # postings-then-stats order inverted: a crash between the two
+    # compactions leaves the stats store compacted and the postings
+    # store not — both remain correct to serve, since each store's
+    # protocol is independently reader-safe)
+    compact_index_rows(
+        spark, fts_docs_dir(index_dir), upto_batch_id, ["doc_id"], _write_docs_kept
+    )
     return compact_index_rows(
         spark, index_dir, upto_batch_id, ["doc_id"], _write_kept
     )

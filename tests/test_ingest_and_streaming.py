@@ -1162,13 +1162,13 @@ def test_streaming_fts_index_matches_oneshot_and_deletes(spark, tmp_path):
     from pdf_brain_spark.sources.loaders import load_table
     from pdf_brain_spark.streaming.events import (
         compact_fts_index,
+        delete_fts_documents,
         fts_search_persisted,
         make_fts_postings_batch_fn,
     )
     from pdf_brain_spark.streaming.generations import (
         generation_ids,
         tombstone_floors,
-        write_tombstones,
     )
 
     docs = load_table(spark, "documents", "/root/testdata/sf0.001").select(
@@ -1209,7 +1209,7 @@ def test_streaming_fts_index_matches_oneshot_and_deletes(spark, tmp_path):
     # from the index, which is the point)
     top_doc = got[0][0]
     dead = spark.createDataFrame([(top_doc,)], "doc_id long")
-    write_tombstones(spark, idx, dead, floor=1)
+    delete_fts_documents(spark, idx, dead, 1)
     after = served()
     assert all(d != top_doc for d, _, _ in after)
     survivors = docs.filter(F.col("doc_id") != top_doc)
@@ -1231,10 +1231,10 @@ def test_streaming_fts_zero_token_docs_and_all_tombstoned(spark, tmp_path):
     them), and graceful empty serving when every doc is tombstoned."""
     from pdf_brain_spark.operators.fts import bm25_scores
     from pdf_brain_spark.streaming.events import (
+        delete_fts_documents,
         fts_search_persisted,
         make_fts_postings_batch_fn,
     )
-    from pdf_brain_spark.streaming.generations import write_tombstones
 
     docs = spark.createDataFrame(
         [
@@ -1258,7 +1258,7 @@ def test_streaming_fts_zero_token_docs_and_all_tombstoned(spark, tmp_path):
     assert got == want and got  # N=4 / avgdl includes doc 3 on both paths
 
     # takedown of EVERY doc: empty result, not a crash
-    write_tombstones(spark, idx, docs.select("doc_id"), floor=0)
+    delete_fts_documents(spark, idx, docs.select("doc_id"), 0)
     assert fts_search_persisted(spark, idx, ["spark"], k=10).count() == 0
 
 
@@ -2030,3 +2030,48 @@ def test_streaming_minhash_replay_merge_compact(spark, tmp_path):
     assert compact_minhash(spark, store, upto_batch_id=1) == 2
     assert generation_ids(spark, store) == [-2]
     assert served() == want
+
+
+def test_fts_corpus_stats_reads_only_doc_grain_store(spark, tmp_path):
+    """VERDICT r8 item 5: the serve's N/avgdl arm must read the doc-grain
+    stats store, never any postings generation's term grain. Pin it in
+    the plan: every FileScan in the stats frame's executed plan points
+    under <idx>_docs, none under the postings store itself. Also checks
+    deletion flows through to the stats (N excludes tombstoned docs)."""
+    import re
+
+    from pdf_brain_spark.sources.loaders import load_table
+    from pdf_brain_spark.streaming.events import (
+        delete_fts_documents,
+        fts_corpus_stats,
+        fts_docs_dir,
+        make_fts_postings_batch_fn,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "fts")
+    fn = make_fts_postings_batch_fn(idx)
+    fn(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    fn(docs.filter(F.col("doc_id") % 2 == 1), 1)
+
+    stats_df = fts_corpus_stats(spark, idx)
+    plan = stats_df._jdf.queryExecution().executedPlan().toString()
+    scanned = set(re.findall(r"Location:\s+\S+\[([^\]]+)\]", plan))
+    docs_store = fts_docs_dir(idx)
+    for loc in scanned:
+        assert docs_store in loc, f"stats arm scans a non-doc-grain path: {loc}"
+        # the postings store path also matches '<idx>' as a prefix of
+        # '<idx>_docs'; assert no scanned dir is the postings store itself
+        assert f"{idx}/batch_id=" not in loc, f"stats arm scans postings: {loc}"
+
+    n_docs = docs.count()
+    row = stats_df.collect()[0]
+    assert row["n"] == n_docs and row["max_gen"] == 1
+
+    delete_fts_documents(
+        spark, idx, docs.limit(3).select("doc_id"), 1
+    )
+    row2 = fts_corpus_stats(spark, idx).collect()[0]
+    assert row2["n"] == n_docs - 3
