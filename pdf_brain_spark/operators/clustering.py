@@ -26,7 +26,7 @@ vectors is a single map-only stage with zero shuffles.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SOFTMAX_TEMPERATURE = 0.5  # Clustering.ts:217-224
@@ -428,4 +428,100 @@ def nearest_concept(
         crossed.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("sim") >= threshold))
         .drop("rn", cent_col, concept_vec_col)
+    )
+
+
+def kmeans_fit_exact_int(
+    spark: SparkSession,
+    vectors: DataFrame,
+    k: int = 4,
+    dim: int = 64,
+    n_iter: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means in EXACT INTEGERS — the FIT step
+    behind a SQL oracle (VERDICT r8 item 6, completing the kmeans_assign
+    play one level up). Un-oracle-able float k-means becomes exact by
+    the PCA/HITS quantization discipline: components round ONCE to
+    milli-units, every distance is an integer sum of squares, every
+    centroid update is an integer sum with truncating division (DuckDB
+    `//` and Spark `div` both truncate toward zero), and ties break on
+    the lowest cluster id — so a DuckDB twin can unroll the identical
+    argmin+avg rounds and hash-match the final centroids.
+
+    Init: the quantized vectors of ids 0..k-1 (a deterministic pinned
+    rule both engines replay — works at every scale, unlike literal
+    centroid constants). Empty clusters keep their previous centroid.
+
+    Distributed shape per iteration: ONE Arrow mapInPandas pass assigns
+    (int64 BLAS-style distance matrix per batch, corpus never shuffled
+    for assignment — the production _assign_udf shape) and ONE
+    map-side-combinable groupBy((cid, dim)) sums the update; the only
+    collected object is the k x dim centroid table (bounded by model
+    size, never data — the power_iteration_exact justification).
+    int64 bounds: |v| <= ~scale x max|x| (~2e3 at unit-norm-ish inputs);
+    per-pair squared distance <= dim*(2*2e3)^2 ~ 1e9; update sums
+    <= n*2e3 — all far inside int64 at any realistic corpus.
+
+    Returns (cluster_id, dim_idx, coord_milli, n_members): the final
+    centroids in milli-units plus each cluster's size under the final
+    assignment."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf_brain_spark.operators.pca import _trunc_div
+
+    q = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            vec_col, lambda x: F.round(x.cast("double") * scale).cast("long")
+        ).alias("q"),
+    ).localCheckpoint(eager=True)  # scanned once per iteration
+
+    seed_rows = q.filter(F.col("_id") < k).collect()  # bounded: k rows
+    if len(seed_rows) != k:
+        raise ValueError(f"need ids 0..{k - 1} as seeds, found {len(seed_rows)}")
+    cents = {int(r["_id"]): [int(v) for v in r["q"]] for r in seed_rows}
+    c_cur = [cents[i] for i in range(k)]
+    sizes = [0] * k
+
+    def _assign_fn(c_mat):
+        c_np = np.array(c_mat, dtype=np.int64)
+
+        def fn(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                v = np.array([np.asarray(x) for x in pdf["q"]], dtype=np.int64)
+                d2 = ((v[:, None, :] - c_np[None, :, :]) ** 2).sum(axis=2)
+                yield pd.DataFrame(
+                    {"cid": d2.argmin(axis=1).astype("int32"), "q": pdf["q"]}
+                )
+
+        return fn
+
+    for _ in range(n_iter):
+        assigned = q.mapInPandas(_assign_fn(c_cur), "cid int, q array<long>")
+        sums = (
+            assigned.select("cid", F.posexplode("q").alias("d", "v"))
+            .groupBy("cid", "d")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: k x dim rows (model grain, never data)
+        )
+        c_next = [list(row) for row in c_cur]
+        counts = [0] * k
+        for r in sums:
+            c_next[r["cid"]][r["d"]] = _trunc_div(int(r["s"]), int(r["n"]))
+            counts[r["cid"]] = int(r["n"])
+        c_cur, sizes = c_next, counts
+
+    return spark.createDataFrame(
+        [
+            (c, d, int(c_cur[c][d]), int(sizes[c]))
+            for c in range(k)
+            for d in range(dim)
+        ],
+        "cluster_id int, dim_idx int, coord_milli long, n_members long",
     )

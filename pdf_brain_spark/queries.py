@@ -17157,6 +17157,86 @@ def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-9 registrations (the round-10 rotation queue): registered after
+# this round's GATE_WINDOW sealed; three-scale harness-attested at
+# registration.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "kmeans_fit_2iter",
+    oracle="""
+    WITH dims AS (SELECT unnest(range(1, 65)) AS d),
+    x AS (
+      SELECT e.vec_id, d.d,
+             CAST(round(CAST(e.embedding[d.d] AS DOUBLE) * 1000) AS BIGINT) AS v
+      FROM embeddings e, dims d
+    ),
+    c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, d, v AS c FROM x WHERE vec_id < 4),
+    a1 AS (
+      SELECT x.vec_id, c0.cid, sum((x.v - c0.c) * (x.v - c0.c)) AS d2
+      FROM x JOIN c0 USING (d) GROUP BY 1, 2
+    ),
+    m1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+        FROM a1) WHERE rn = 1
+    ),
+    u1 AS (
+      SELECT m1.cid, x.d, CAST(sum(x.v) // count(*) AS BIGINT) AS c
+      FROM m1 JOIN x USING (vec_id) GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT c0.cid, c0.d, COALESCE(u1.c, c0.c) AS c
+      FROM c0 LEFT JOIN u1 ON u1.cid = c0.cid AND u1.d = c0.d
+    ),
+    a2 AS (
+      SELECT x.vec_id, c1.cid, sum((x.v - c1.c) * (x.v - c1.c)) AS d2
+      FROM x JOIN c1 USING (d) GROUP BY 1, 2
+    ),
+    m2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+        FROM a2) WHERE rn = 1
+    ),
+    u2 AS (
+      SELECT m2.cid, x.d, CAST(sum(x.v) // count(*) AS BIGINT) AS c
+      FROM m2 JOIN x USING (vec_id) GROUP BY 1, 2
+    ),
+    c2 AS (
+      SELECT c1.cid, c1.d, COALESCE(u2.c, c1.c) AS c
+      FROM c1 LEFT JOIN u2 ON u2.cid = c1.cid AND u2.d = c1.d
+    ),
+    sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM m2 GROUP BY 1)
+    SELECT c2.cid AS cluster_id, CAST(c2.d - 1 AS INTEGER) AS dim_idx,
+           c2.c AS coord_milli, COALESCE(sz.n, 0) AS n_members
+    FROM c2 LEFT JOIN sz ON sz.cid = c2.cid
+    ORDER BY cluster_id, dim_idx
+    """,
+)
+def kmeans_fit_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means FIT step behind an exact oracle (VERDICT r8 item 6 —
+    the kmeans_assign play applied one level up): two Lloyd's iterations
+    from pinned seeds (quantized vectors of ids 0..3) entirely in exact
+    integers (operators/clustering.py::kmeans_fit_exact_int), so the
+    DuckDB twin unrolls the identical argmin+avg rounds and hash-matches
+    the final centroids AND cluster sizes. With this, the production
+    clustering suite's rows-only surface shrinks to BIC/soft statistics:
+    assign is oracled (kmeans_assign), fit is oracled (here). Per
+    iteration: one Arrow mapInPandas assign pass + one map-side-
+    combinable (cid, dim) aggregate; only the k x dim centroid table is
+    ever collected."""
+    from pdf_brain_spark.operators.clustering import kmeans_fit_exact_int
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return kmeans_fit_exact_int(spark, emb, k=4, dim=64, n_iter=2).orderBy(
+        "cluster_id", "dim_idx"
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.
 #

@@ -403,3 +403,65 @@ def test_gopher_rules_match_python_reference(spark):
         )
         want[doc_id] = (wc, mwl, sym, bul, stop, keep)
     assert got == want
+
+
+def test_kmeans_fit_exact_int_matches_python_lloyd(spark):
+    """kmeans_fit_2iter second opinion (the CUSUM lesson, VERDICT r8
+    item 8): an independent TEXTBOOK Lloyd's in pure python — explicit
+    loops, argmin with first-minimum ties, truncating integer division,
+    empty-cluster keeps previous centroid — on seeded random vectors,
+    compared cell-for-cell against the distributed operator. Catches
+    common-mode formula bugs a SQL twin derived from the same paper
+    derivation cannot."""
+    from pdf_brain_spark.operators.clustering import kmeans_fit_exact_int
+
+    def trunc_div(a, b):
+        t = abs(a) // abs(b)
+        return t if (a >= 0) == (b >= 0) else -t
+
+    for seed in (3, 17, 41):
+        rng = random.Random(seed)
+        k, dim, n, n_iter = 3, 5, 40, 2
+        vecs = [
+            [rng.uniform(-2.0, 2.0) for _ in range(dim)] for _ in range(n)
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            (r["cluster_id"], r["dim_idx"]): (r["coord_milli"], r["n_members"])
+            for r in kmeans_fit_exact_int(
+                spark, df, k=k, dim=dim, n_iter=n_iter
+            ).collect()
+        }
+        # textbook reference: quantize half-away-from-zero once, iterate
+        q = [
+            [
+                int((abs(x) * 1000 + 0.5) // 1) * (1 if x >= 0 else -1)
+                for x in v
+            ]
+            for v in vecs
+        ]
+        cents = [list(q[i]) for i in range(k)]
+        sizes = [0] * k
+        for _ in range(n_iter):
+            members = [[] for _ in range(k)]
+            for i, v in enumerate(q):
+                best, best_d = 0, None
+                for c in range(k):
+                    d2 = sum((v[j] - cents[c][j]) ** 2 for j in range(dim))
+                    if best_d is None or d2 < best_d:
+                        best, best_d = c, d2
+                members[best].append(i)
+            for c in range(k):
+                if members[c]:
+                    cents[c] = [
+                        trunc_div(sum(q[i][j] for i in members[c]), len(members[c]))
+                        for j in range(dim)
+                    ]
+                sizes[c] = len(members[c])
+        want = {
+            (c, j): (cents[c][j], sizes[c]) for c in range(k) for j in range(dim)
+        }
+        assert got == want, f"seed {seed}: mismatch"
