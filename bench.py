@@ -111,7 +111,63 @@ def _calibration(spark) -> dict:
         .orderBy("k")
         .collect()
     )
-    return {"scan_sum_200m_sec": scan, "shuffle_groupby_4m_sec": shuffle}
+
+    # HEAVY-SHAPE probes (VERDICT r8 item 3): the tiny scan/shuffle probes
+    # got FASTER in r8 while unchanged heavy keys drifted 1.2-1.4x, so
+    # drift attribution had no teeth. These two exercise the machinery
+    # the heavy keys actually live on — an Arrow mapInPandas BLAS pass
+    # (Python worker spin-up + Arrow batch transfer + numpy matmul) and a
+    # two-stage shuffle feeding a partitioned window — at ~1 s each,
+    # constant work, independent of SF_DIR and repo code.
+    import numpy as _np
+    import pandas as _pd
+
+    def _blas_fn(it):
+        q = (_np.arange(64 * 64, dtype=_np.float64).reshape(64, 64) % 31.0) + 1.0
+        for pdf in it:
+            v = _np.stack(pdf["v"].to_numpy())
+            yield _pd.DataFrame({"s": (v @ q.T).sum(axis=1)})
+
+    def _blas_probe():
+        from pyspark.sql import functions as F
+
+        df = spark.range(262_144).select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda d: ((F.col("id") * 31 + d * 17) % 997).cast("double"),
+            ).alias("v")
+        )
+        df.mapInPandas(_blas_fn, "s double").agg({"s": "sum"}).collect()
+
+    def _shuffle_window_probe():
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        (
+            spark.range(4_000_000)
+            .selectExpr("id % 65536 AS k", "id AS x")
+            .groupBy("k")
+            .agg(F.sum("x").alias("s"))
+            .withColumn(
+                "r",
+                F.row_number().over(
+                    Window.partitionBy(F.col("k") % 64).orderBy(
+                        F.col("s").desc(), F.col("k").asc()
+                    )
+                ),
+            )
+            .agg({"r": "max"})
+            .collect()
+        )
+
+    blas = _min2(_blas_probe)
+    shuffle_window = _min2(_shuffle_window_probe)
+    return {
+        "scan_sum_200m_sec": scan,
+        "shuffle_groupby_4m_sec": shuffle,
+        "blas_mapinpandas_256kx64_sec": blas,
+        "shuffle_window_2stage_sec": shuffle_window,
+    }
 
 
 def main() -> None:
