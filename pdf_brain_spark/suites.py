@@ -23,10 +23,12 @@ frozen in suite_specs.py):
   i  integer-like / boolean / equal-scale decimal -> CAST AS VARCHAR
   s  string                                        -> CAST AS VARCHAR
   d  date                                          -> CAST AS VARCHAR
-  f  float/double (house policy: already 6dp-safe) -> printf('%.6f')
-     (no double is an exact tie at the 7th decimal - binary fractions
-     cannot have denominator 2*10^6 - so Java HALF_UP vs C half-even
-     printing cannot diverge on bit-identical inputs)
+  f  float/double (house policy: 6dp-pre-rounded or low-precision) ->
+     exact micro-unit integer string, round(x*1e6) AS BIGINT. NOT
+     printf: Java %f formats the SHORTEST decimal repr zero-padded
+     while C/DuckDB expand the exact binary value, so printed 6th
+     decimals diverge on wide-magnitude sums; the integer form is
+     engine-identical on bit-identical doubles and collapses -0.0
   ts timestamp -> epoch microseconds as VARCHAR (unix_micros/epoch_us;
      string-rendering of timestamps differs between engines, micros
      never do)
@@ -191,8 +193,19 @@ _KIND_SPARK: dict[str, Callable] = {
     "i": lambda c: c.cast("string"),
     "s": lambda c: c.cast("string"),
     "d": lambda c: c.cast("string"),
+    # micro-unit integers, NOT printf: Java's %f formats a double's
+    # SHORTEST decimal repr padded with zeros while C/DuckDB expand the
+    # exact binary value, so the two diverge in the 6th decimal whenever
+    # the shortest repr is shorter than the exact expansion (bit at sf0.1
+    # on grouping_sets_pricing's 13-significant-digit sums). Both engines
+    # compute round(x*1e6) identically on bit-identical doubles (members
+    # emit 6dp-pre-rounded or low-precision values, so x*1e6 is never
+    # near a .5 boundary), and the integer form also collapses -0.0.
+    # Bound: |x| < 2^63/1e6 ~ 9.2e12 (attested members top out ~3e10).
     "f": lambda c: F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
-        F.format_string("%.6f", c.cast("double"))
+        F.round(c.cast("double") * F.lit(1000000.0))
+        .cast("long")
+        .cast("string")
     ),
     # cast first: unix_micros rejects TIMESTAMP_NTZ, and with the session
     # timezone pinned to UTC (session.py) the NTZ->TIMESTAMP cast is a
@@ -205,7 +218,10 @@ _KIND_SQL: dict[str, str] = {
     "i": 'CAST({c} AS VARCHAR)',
     "s": 'CAST({c} AS VARCHAR)',
     "d": 'CAST({c} AS VARCHAR)',
-    "f": "CASE WHEN {c} IS NULL THEN NULL ELSE printf('%.6f', CAST({c} AS DOUBLE)) END",
+    "f": (
+        "CASE WHEN {c} IS NULL THEN NULL ELSE "
+        "CAST(CAST(round(CAST({c} AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR) END"
+    ),
     "ts": 'CAST(epoch_us(CAST({c} AS TIMESTAMP)) AS VARCHAR)',
     "j": 'CAST(to_json({c}) AS VARCHAR)',
 }
