@@ -15342,7 +15342,10 @@ def cosine_label_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "basket_triples",
     oracle="""
-    WITH m AS (
+    WITH m AS MATERIALIZED (
+      -- MATERIALIZED: inlined, DuckDB re-plans the three-way self-join
+      -- with the brand inequalities as an IEJoin-class plan (~174 s at
+      -- sf0.1); materialized, it hash-joins on ok (~1 s). Same rows.
       SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     ),
