@@ -723,3 +723,53 @@ def grouped_gini(
         F.col("_sx").cast("long").alias("total"),
         F.when(den > 0, F.round(num / den, 6)).alias("gini"),
     )
+
+
+def greedy_set_cover(
+    membership: DataFrame,
+    k: int = 5,
+    set_col: str = "doc_id",
+    elem_col: str = "term",
+) -> list[tuple[int, int, int, int]]:
+    """Greedy maximum-coverage selection (Nemhauser/Wolsey/Fisher 1978:
+    the (1 - 1/e)-approximate greedy for submodular coverage) — the
+    corpus-selection primitive "pick k documents that together cover the
+    most vocabulary". Each of the (at most) k rounds is ONE aggregate
+    over the membership table restricted to uncovered elements plus ONE
+    TakeOrdered(1); the only driver-side state is the covered ELEMENT
+    set (vocabulary grain — bounded like the OOV top-1000 broadcast,
+    never document grain). Ties break on the lowest set id; rounds stop
+    early when nothing remains uncovered (sets with zero marginal gain
+    contribute no rows, so an empty aggregate IS the stop signal).
+
+    Returns [(step, set_id, gain, covered_after), ...] — bounded (k
+    rows), suitable for createDataFrame by the caller. At 100 TB the
+    membership table is the term-grain projection (|docs| x doc-vocab
+    rows); each round shuffles it once on the set id."""
+    m = membership.select(
+        F.col(set_col).alias("_s"), F.col(elem_col).alias("_e")
+    ).distinct().localCheckpoint(eager=True)  # scanned once per round
+    covered: set = set()
+    out: list[tuple[int, int, int, int]] = []
+    for step in range(1, k + 1):
+        rem = m
+        if covered:
+            rem = m.filter(~F.col("_e").isin(*covered))
+        best = (
+            rem.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_g"))
+            .orderBy(F.col("_g").desc(), F.col("_s").asc())
+            .limit(1)
+            .collect()  # bounded: one row
+        )
+        if not best:
+            break
+        sid, gain = best[0]["_s"], int(best[0]["_g"])
+        new_elems = {
+            r["_e"]
+            for r in rem.filter(F.col("_s") == sid).select("_e").collect()
+            # bounded: one set's uncovered elements (vocabulary grain)
+        }
+        covered |= new_elems
+        out.append((step, int(sid), gain, len(covered)))
+    return out

@@ -17239,6 +17239,160 @@ def kmeans_fit_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "weighted_reservoir_sample",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source, n_chars AS weight,
+             (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000) + 1 AS u_ppm
+      FROM documents WHERE n_chars > 0
+    ),
+    keyed AS (
+      SELECT doc_id, source, weight, u_ppm,
+             round(CAST(CAST(round(ln(u_ppm / 1000000.0) * 1000000) AS BIGINT)
+                        AS DOUBLE) / weight, 6) AS es_key
+      FROM s
+    )
+    SELECT doc_id, source, CAST(weight AS BIGINT) AS weight,
+           CAST(u_ppm AS BIGINT) AS u_ppm, es_key + 0.0 AS es_key
+    FROM keyed ORDER BY es_key DESC, doc_id ASC LIMIT 50
+    """,
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass distributed weighted sampling without replacement
+    (Efraimidis & Spirakis 2006, A-ES): each item draws u ~ U(0,1] and
+    the k largest keys u^(1/w) ARE a weighted sample — the device that
+    turns 'sample 50 docs proportionally to length' into a map-only
+    expression + ONE TakeOrderedAndProject, no full sort, no sequential
+    reservoir. Determinism discipline: u is the portable content-free
+    md5 hash in ppm (identical on both engines, like the split/AQP
+    samplers), the key orders by ln(u)/w (a monotone transform of
+    u^(1/w)), ln quantizes ONCE to exact micro-nats, and the only float
+    is the final division of two exact integers, 6dp-rounded on both
+    sides. At 100 TB this is the weighted subsampling primitive the
+    curation pipeline runs per shard: map + top-k, shuffle-free until
+    the k-row merge. The A-ES proportionality property itself (not just
+    engine parity) is tested against true uniforms in
+    tests/test_randomized_references.py."""
+    docs = load_table(spark, "documents", sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    ) + 1
+    ln_micro = F.round(F.log(u.cast("double") / F.lit(1000000.0)) * 1000000).cast(
+        "long"
+    )
+    key = F.round(ln_micro.cast("double") / F.col("n_chars"), 6)
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("weight"),
+            u.cast("long").alias("u_ppm"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
+@query(
+    "coverage_maximizing_sample",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS arr
+      FROM documents
+    ),
+    raw AS (
+      SELECT doc_id, term_a || ' ' || term_b AS term
+      FROM (
+        SELECT doc_id, unnest(arr[1:len(arr) - 1]) AS term_a,
+               unnest(arr[2:len(arr)]) AS term_b
+        FROM toks WHERE len(arr) >= 2
+      )
+    ),
+    t AS MATERIALIZED (SELECT DISTINCT doc_id, term FROM raw),
+    s1 AS (SELECT doc_id, count(*) AS g FROM t GROUP BY 1),
+    p1 AS (SELECT doc_id, g FROM s1 ORDER BY g DESC, doc_id ASC LIMIT 1),
+    c1 AS (SELECT DISTINCT t.term FROM t JOIN p1 USING (doc_id)),
+    s2 AS (SELECT t.doc_id, count(*) AS g FROM t LEFT JOIN c1 USING (term)
+           WHERE c1.term IS NULL GROUP BY 1),
+    p2 AS (SELECT doc_id, g FROM s2 ORDER BY g DESC, doc_id ASC LIMIT 1),
+    c2 AS (SELECT term FROM c1 UNION
+           SELECT t.term FROM t JOIN p2 USING (doc_id)),
+    s3 AS (SELECT t.doc_id, count(*) AS g FROM t LEFT JOIN c2 USING (term)
+           WHERE c2.term IS NULL GROUP BY 1),
+    p3 AS (SELECT doc_id, g FROM s3 ORDER BY g DESC, doc_id ASC LIMIT 1),
+    c3 AS (SELECT term FROM c2 UNION
+           SELECT t.term FROM t JOIN p3 USING (doc_id)),
+    s4 AS (SELECT t.doc_id, count(*) AS g FROM t LEFT JOIN c3 USING (term)
+           WHERE c3.term IS NULL GROUP BY 1),
+    p4 AS (SELECT doc_id, g FROM s4 ORDER BY g DESC, doc_id ASC LIMIT 1),
+    c4 AS (SELECT term FROM c3 UNION
+           SELECT t.term FROM t JOIN p4 USING (doc_id)),
+    s5 AS (SELECT t.doc_id, count(*) AS g FROM t LEFT JOIN c4 USING (term)
+           WHERE c4.term IS NULL GROUP BY 1),
+    p5 AS (SELECT doc_id, g FROM s5 ORDER BY g DESC, doc_id ASC LIMIT 1),
+    c5 AS (SELECT term FROM c4 UNION
+           SELECT t.term FROM t JOIN p5 USING (doc_id))
+    SELECT CAST(step AS INTEGER) AS step, doc_id, CAST(gain AS BIGINT) AS gain,
+           CAST(covered_after AS BIGINT) AS covered_after
+    FROM (
+      SELECT 1 AS step, doc_id, g AS gain,
+             (SELECT count(*) FROM c1) AS covered_after FROM p1
+      UNION ALL
+      SELECT 2, doc_id, g, (SELECT count(*) FROM c2) FROM p2
+      UNION ALL
+      SELECT 3, doc_id, g, (SELECT count(*) FROM c3) FROM p3
+      UNION ALL
+      SELECT 4, doc_id, g, (SELECT count(*) FROM c4) FROM p4
+      UNION ALL
+      SELECT 5, doc_id, g, (SELECT count(*) FROM c5) FROM p5
+    ) ORDER BY step
+    """,
+)
+def coverage_maximizing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage corpus selection (the (1-1/e) greedy for
+    submodular coverage, Nemhauser/Wolsey/Fisher 1978): pick up to 5
+    documents that together cover the most BIGRAM vocabulary — the
+    coverage-sampling primitive for building small-but-diverse eval/seed
+    sets (the unigram universe saturates in one pick on this corpus;
+    the ~vocab² bigram universe exercises a real greedy trajectory).
+    operators/analytics.py::greedy_set_cover runs one uncovered-elements
+    aggregate + one TakeOrdered(1) per round with only the covered
+    element set (bigram-vocabulary grain, bounded) on the driver; rounds
+    stop when coverage saturates, and the oracle unrolls the same five
+    argmax-marginal-gain rounds with identical lowest-doc-id ties. The
+    gate emits (step, doc_id, gain, covered_after)."""
+    from pdf_brain_spark.functions.text import tokenize
+    from pdf_brain_spark.operators.analytics import greedy_set_cover
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", tokenize("text").alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    membership = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("_t"), 1, F.size("_t") - 1),
+                lambda x, i: F.concat_ws(
+                    " ", x, F.element_at(F.col("_t"), i + 2)
+                ),
+            )
+        ).alias("term"),
+    )
+    rows = greedy_set_cover(membership, k=5)
+    return spark.createDataFrame(
+        rows, "step int, doc_id long, gain long, covered_after long"
+    ).orderBy("step")
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.

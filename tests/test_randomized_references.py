@@ -465,3 +465,59 @@ def test_kmeans_fit_exact_int_matches_python_lloyd(spark):
             (c, j): (cents[c][j], sizes[c]) for c in range(k) for j in range(dim)
         }
         assert got == want, f"seed {seed}: mismatch"
+
+
+def test_aes_weighted_sampling_proportionality():
+    """weighted_reservoir_sample second opinion on the FORMULA, not
+    engine parity: with true uniforms, A-ES (Efraimidis & Spirakis 2006)
+    selects item i as the k=1 winner with probability exactly
+    w_i / sum(w) — the property that dies under the classic sign/inverse
+    mistakes (u^w, min-key, 1-u). Pure python, seeded, 20k trials."""
+    import math
+
+    rng = random.Random(99)
+    weights = [1.0, 2.0, 3.0, 4.0]
+    wins = [0] * 4
+    trials = 20000
+    for _ in range(trials):
+        keys = [math.log(rng.random() or 1e-12) / w for w in weights]
+        wins[max(range(4), key=lambda i: keys[i])] += 1
+    total_w = sum(weights)
+    for i, w in enumerate(weights):
+        got = wins[i] / trials
+        want = w / total_w
+        assert abs(got - want) < 0.02, f"item {i}: {got} vs {want}"
+
+
+def test_greedy_set_cover_matches_python_reference(spark):
+    """coverage_maximizing_sample second opinion: an independent
+    pure-python greedy (dict-of-sets, max marginal gain, lowest-id
+    ties, stop at saturation) on seeded random memberships, compared
+    step-for-step against the distributed operator."""
+    from pdf_brain_spark.operators.analytics import greedy_set_cover
+
+    for seed in (5, 29):
+        rng = random.Random(seed)
+        universe = list(range(40))
+        sets = {
+            sid: set(rng.sample(universe, rng.randint(1, 12)))
+            for sid in range(12)
+        }
+        rows = [(sid, e) for sid, es in sets.items() for e in es]
+        df = spark.createDataFrame(rows, "doc_id long, term long")
+        got = greedy_set_cover(df, k=5)
+        covered: set = set()
+        want = []
+        for step in range(1, 6):
+            gains = {
+                sid: len(es - covered) for sid, es in sets.items()
+                if len(es - covered) > 0
+            }
+            if not gains:
+                break
+            best = min(
+                gains, key=lambda s: (-gains[s], s)
+            )  # max gain, lowest id
+            covered |= sets[best]
+            want.append((step, best, gains[best], len(covered)))
+        assert got == want, f"seed {seed}: {got} vs {want}"
