@@ -17393,6 +17393,534 @@ def coverage_maximizing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
+def _lsh_p_chain_sql(r: int, b: int) -> str:
+    """SQL text for the LSH s-curve p = 1 - (1 - t^r)^b over the band
+    midpoint, with BOTH powers expanded as explicit left-associative
+    multiplication chains — the identical sequence of IEEE multiplies on
+    both engines (generic pow() implementations may differ in the last
+    ulp; a fixed multiplication chain cannot). Shared verbatim by the
+    Spark plan (F.expr) and the DuckDB twin."""
+    t = (
+        "least((CAST(jaccard_band AS DOUBLE) * 100000 + 50000)"
+        " / 1000000.0, 1.0)"
+    )
+    s = "(" + " * ".join([t] * r) + ")"
+    q = f"(1.0 - {s})"
+    qb = "(" + " * ".join([q] * b) + ")"
+    return f"(1.0 - {qb})"
+
+
+_LSH_PLAN_CONFIGS = [(64, 2), (32, 4), (16, 8), (8, 16)]  # bands x rows = 128
+
+
+def _lsh_planner_oracle() -> str:
+    curve_sql = ORACLES["dedup_threshold_curve"]
+    branches = "\nUNION ALL\n".join(
+        f"SELECT {b} AS bands, {r} AS rows_per_band, jaccard_band, n_pairs, "
+        f"CAST(round({_lsh_p_chain_sql(r, b)} * 1000000) AS BIGINT) AS p_micro "
+        f"FROM curve"
+        for b, r in _LSH_PLAN_CONFIGS
+    )
+    return f"""
+    WITH curve AS MATERIALIZED ({curve_sql}),
+    scored AS (
+      {branches}
+    )
+    SELECT CAST(bands AS INTEGER) AS bands,
+           CAST(rows_per_band AS INTEGER) AS rows_per_band,
+           CAST(sum(n_pairs) AS BIGINT) AS total_pairs,
+           CAST(sum(n_pairs * p_micro) AS BIGINT) AS exp_candidates_micro,
+           CAST(sum(CASE WHEN jaccard_band >= 5 THEN n_pairs ELSE 0 END) AS BIGINT)
+             AS high_pairs,
+           CAST(CASE WHEN sum(CASE WHEN jaccard_band >= 5 THEN n_pairs ELSE 0 END) = 0
+                THEN NULL
+                ELSE sum(CASE WHEN jaccard_band >= 5 THEN n_pairs * p_micro ELSE 0 END)
+                     // sum(CASE WHEN jaccard_band >= 5 THEN n_pairs ELSE 0 END)
+                END AS BIGINT) AS exp_recall_high_micro
+    FROM scored GROUP BY 1, 2 ORDER BY bands DESC
+    """
+
+
+@query("lsh_config_planner", oracle=None)  # oracle attached below
+def lsh_config_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding CONFIG PLANNER: predict, from THIS corpus's measured
+    Jaccard pair distribution (the dedup_threshold_curve output), what
+    each (bands, rows-per-band) MinHash configuration at 128 signatures
+    would do — expected candidate-pair volume and expected recall on
+    high-similarity (J >= 0.5) pairs — before committing a corpus-wide
+    index build. The s-curve p(t) = 1-(1-t^r)^b evaluates at each
+    band's midpoint via explicit multiplication chains (identical IEEE
+    op sequence on both engines; see _lsh_p_chain_sql), quantizes ONCE
+    to micro-units, and everything downstream is exact integer
+    arithmetic — so the planner is fully oracle-able. Plan shape: the
+    curve computes once (the audited DF-capped inverted index),
+    localCheckpoints, and 4 literal config branches aggregate its 11
+    rows — planner cost is the curve's cost. The s-curve formula itself
+    (not just parity) is second-opinioned against math.pow in
+    tests/test_randomized_references.py."""
+    curve = dedup_threshold_curve(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # bounded: 11 band rows, consumed by 4 config branches
+    parts = []
+    for b, r in _LSH_PLAN_CONFIGS:
+        parts.append(
+            curve.select(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                "jaccard_band",
+                "n_pairs",
+                F.round(F.expr(_lsh_p_chain_sql(r, b)) * 1000000)
+                .cast("long")
+                .alias("p_micro"),
+            )
+        )
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionByName(p)
+    agg = scored.groupBy("bands", "rows_per_band").agg(
+        F.sum("n_pairs").cast("long").alias("total_pairs"),
+        F.sum(F.col("n_pairs") * F.col("p_micro"))
+        .cast("long")
+        .alias("exp_candidates_micro"),
+        F.sum(F.when(F.col("jaccard_band") >= 5, F.col("n_pairs")).otherwise(0))
+        .cast("long")
+        .alias("high_pairs"),
+        F.sum(
+            F.when(
+                F.col("jaccard_band") >= 5, F.col("n_pairs") * F.col("p_micro")
+            ).otherwise(0)
+        ).alias("_eh"),
+    )
+    return agg.select(
+        F.col("bands").cast("int").alias("bands"),
+        F.col("rows_per_band").cast("int").alias("rows_per_band"),
+        "total_pairs",
+        "exp_candidates_micro",
+        "high_pairs",
+        F.when(
+            F.col("high_pairs") > 0,
+            F.expr("_eh div high_pairs"),
+        )
+        .cast("long")
+        .alias("exp_recall_high_micro"),
+    ).orderBy(F.col("bands").desc())
+
+
+ORACLES["lsh_config_planner"] = _lsh_planner_oracle()
+
+
+@query(
+    "token_coverage_curve",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             t -> t <> '')) AS term
+      FROM documents
+    ),
+    freq AS (SELECT term, count(*) AS f FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(sum(f) AS BIGINT) AS total_tokens FROM freq),
+    ranked AS (
+      SELECT f,
+             row_number() OVER (ORDER BY f DESC, term ASC) AS rn,
+             sum(f) OVER (ORDER BY f DESC, term ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM freq
+    )
+    SELECT CAST(rn AS BIGINT) AS top_k, CAST(cum AS BIGINT) AS cum_tokens,
+           CAST(cum * 1000000 // t.total_tokens AS BIGINT) AS share_ppm,
+           t.total_tokens
+    FROM ranked, tot t
+    WHERE rn IN (1, 2, 5, 10, 20, 50, 100, 200)
+    ORDER BY top_k
+    """,
+)
+def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary CONCENTRATION curve: the fraction of total corpus token
+    mass covered by the top-k most frequent terms at a cutoff grid — the
+    measurement behind tokenizer vocabulary sizing and stop-list choices
+    (the cumulative companion of zipf_fit_report's log-log slope: the
+    slope says how fast the tail decays, this says what a k-entry
+    vocabulary actually buys). Exact integers end to end: term counts,
+    one cumulative window over the VOCABULARY axis (bounded_axis-guarded
+    single partition — the OOV/Zipf justification), shares as
+    (cum·1e6)//total floor division."""
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    freq = (
+        docs.select(F.explode(tokenize("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .localCheckpoint(eager=True)  # total + the rank window reuse it
+    )
+    tot = freq.agg(F.sum("f").cast("long").alias("total_tokens"))
+    order = [F.col("f").desc(), F.col("term").asc()]
+    w = Window.orderBy(*order)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = freq.select(
+        bounded_axis(
+            F.row_number().over(w).cast("long"),
+            order,
+            "token-coverage vocabulary axis",
+            safe_alternative="take the cutoff grid via TakeOrdered slices "
+            "instead of a total-order rank window",
+        ).alias("top_k"),
+        F.sum("f").over(wcum).cast("long").alias("cum_tokens"),
+    )
+    return (
+        ranked.filter(F.col("top_k").isin(1, 2, 5, 10, 20, 50, 100, 200))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "top_k",
+            "cum_tokens",
+            F.expr("(cum_tokens * 1000000) div total_tokens").alias("share_ppm"),
+            "total_tokens",
+        )
+        .orderBy("top_k")
+    )
+
+
+@query(
+    "events_autocorrelation",
+    oracle="""
+    WITH hourly0 AS (
+      SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS ih,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    bounds AS (SELECT min(ih) AS lo, max(ih) AS hi FROM hourly0),
+    axis AS (SELECT unnest(range(lo, hi + 1)) AS ih FROM bounds),
+    hourly AS (
+      SELECT a.ih, COALESCE(h.cents, 0) AS x
+      FROM axis a LEFT JOIN hourly0 h ON h.ih = a.ih
+    ),
+    sn AS (
+      SELECT CAST(sum(x) AS HUGEINT) AS s, CAST(count(*) AS HUGEINT) AS n
+      FROM hourly
+    ),
+    stats AS (
+      SELECT sn.s, sn.n,
+             sum((sn.n * h.x - sn.s) * (sn.n * h.x - sn.s)) AS den
+      FROM hourly h CROSS JOIN sn
+      GROUP BY sn.s, sn.n
+    ),
+    lags AS (SELECT unnest(range(1, 13)) AS lag),
+    pairs AS (
+      SELECT l.lag,
+             count(*) AS n_pairs,
+             sum((st.n * h1.x - st.s) * (st.n * h2.x - st.s)) AS num
+      FROM lags l
+      JOIN hourly h1 ON TRUE
+      JOIN hourly h2 ON h2.ih = h1.ih + l.lag
+      CROSS JOIN stats st
+      GROUP BY l.lag, st.den
+    )
+    SELECT CAST(p.lag AS INTEGER) AS lag, CAST(p.n_pairs AS BIGINT) AS n_pairs,
+           CASE WHEN st.den = 0 THEN NULL
+                ELSE round(CAST(p.num AS DOUBLE) / CAST(st.den AS DOUBLE), 6)
+           END + 0.0 AS acf
+    FROM pairs p CROSS JOIN stats st
+    ORDER BY lag
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly purchase-revenue series at
+    lags 1..12 — the canonical seasonality/persistence diagnostic (the
+    SELF-correlation companion of events_lead_lag_correlation's
+    cross-correlation; a daily cycle shows as a local maximum near the
+    24-lag family, white noise decays immediately). Standard estimator:
+    shared full-series mean, denominator over the full series. Exactness
+    discipline: the series densifies over the hour axis (missing hours
+    are real zeros), every moment is an exact integer via the
+    cross-multiplied (n·x − S) form in decimal-38/HUGEINT accumulators,
+    and each lag's acf is ONE float division of two exact integers,
+    6dp-rounded (NULL on a constant series). The 12-lag fan-out is over
+    the bounded hour axis, never events."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    hourly0 = ev.groupBy(
+        (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(3600000000))
+        .cast("long")
+        .alias("ih")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    bounds = hourly0.agg(F.min("ih").alias("lo"), F.max("ih").alias("hi"))
+    axis = bounds.select(F.explode(F.sequence("lo", "hi")).alias("ih"))
+    hourly = (
+        axis.join(hourly0, "ih", "left")
+        .select("ih", F.coalesce("cents", F.lit(0)).alias("x"))
+        .localCheckpoint(eager=True)  # stats + both join arms reuse it
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    stats = hourly.crossJoin(
+        F.broadcast(
+            hourly.agg(
+                F.sum("x").cast("decimal(38,0)").alias("s"),
+                F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            )
+        )
+    ).agg(
+        F.first("s").alias("s"),
+        F.first("n").alias("n"),
+        F.sum(
+            (F.col("n") * xd - F.col("s")) * (F.col("n") * xd - F.col("s"))
+        ).alias("den"),
+    )
+    lags = spark.range(1, 13).select(F.col("id").cast("int").alias("lag"))
+    h1 = hourly.select(F.col("ih").alias("ih1"), F.col("x").alias("x1"))
+    h2 = hourly.select(F.col("ih").alias("ih2"), F.col("x").alias("x2"))
+    x1d = F.col("x1").cast("decimal(38,0)")
+    x2d = F.col("x2").cast("decimal(38,0)")
+    pairs = (
+        F.broadcast(lags)
+        .join(h1, F.lit(True))
+        .join(h2, F.col("ih2") == F.col("ih1") + F.col("lag"))
+        .crossJoin(F.broadcast(stats))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum((F.col("n") * x1d - F.col("s")) * (F.col("n") * x2d - F.col("s"))).alias("num"),
+            F.first("den").alias("den"),
+        )
+    )
+    return pairs.select(
+        "lag",
+        "n_pairs",
+        F.when(
+            F.col("den") != 0,
+            F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6),
+        ).alias("acf"),
+    ).orderBy("lag")
+
+
+@query("dedup_keep_best_quality", oracle=None)  # oracle attached below
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate-cluster representative selection: within
+    each MinHash-LSH duplicate cluster keep the RICHEST copy (argmax
+    distinct-token count, tie lowest doc_id) instead of
+    dedup_decision_report's lowest-id canonical — the keep rule real
+    curation pipelines use, since near-duplicate groups typically mix a
+    full document with truncated/boilerplate-injected variants and
+    min-id keeps an arbitrary one. Reuses the audited pair + min-label
+    component stages unchanged; adds one doc-grain quality aggregate and
+    a PARTITIONED rank-1 window per cluster (cluster grain, shuffle on
+    the cluster id — no global window). Emits multi-doc clusters only:
+    (cluster_id, kept_doc_id, quality, cluster_size)."""
+    from pdf_brain_spark.functions.text import tokenize
+    from pdf_brain_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    comps = connected_components(minhash_lsh_pairs(docs)).withColumnRenamed(
+        "node", "doc_id"
+    )
+    quality = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").cast("long").alias("quality"))
+    )
+    labeled = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+        .join(quality, "doc_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    ranked = labeled.select(
+        "cluster_id",
+        "doc_id",
+        "quality",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("cluster_size"),
+    )
+    return (
+        ranked.filter((F.col("_rn") == 1) & (F.col("cluster_size") > 1))
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            "quality",
+            "cluster_size",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _keep_best_quality_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_DUCK_SHINGLES.strip()},
+    sig AS ({_DUCK_MINHASH_SIG}),
+    banded AS (
+      {_DUCK_MINHASH_BANDED}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cands
+      UNION
+      SELECT doc_b, doc_a FROM cands
+    ),
+    reach AS (
+      SELECT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    q AS (
+      SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS quality
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                      t -> t <> '')) AS term
+        FROM documents
+      ) GROUP BY 1
+    ),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    ),
+    ranked AS (
+      SELECT l.cluster_id, l.doc_id, q.quality,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY q.quality DESC, l.doc_id ASC) AS rn,
+             CAST(count(*) OVER (PARTITION BY l.cluster_id) AS BIGINT) AS cluster_size
+      FROM labeled l JOIN q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id, quality, cluster_size
+    FROM ranked WHERE rn = 1 AND cluster_size > 1
+    ORDER BY cluster_id
+    """
+
+
+ORACLES["dedup_keep_best_quality"] = _keep_best_quality_oracle()
+
+
+@query(
+    "held_out_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+              % 100) AS b,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                    t -> t <> '')) AS term
+      FROM documents
+    ),
+    v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS vocab FROM toks),
+    trt AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks WHERE b < 80),
+    tr AS (SELECT term, count(*) AS tf FROM toks WHERE b < 80 GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id, t.source,
+             COALESCE(
+               CAST(round(ln((tr.tf + 1.0) / (trt.total + v.vocab)) * 1000000) AS BIGINT),
+               CAST(round(ln(1.0 / (trt.total + v.vocab)) * 1000000) AS BIGINT)
+             ) AS lp,
+             CASE WHEN tr.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks t LEFT JOIN tr USING (term)
+      CROSS JOIN trt CROSS JOIN v
+      WHERE t.b >= 80 AND t.b < 90
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_val_docs,
+           CAST(count(*) AS BIGINT) AS n_val_tokens,
+           CAST(sum(oov) * 1000000 // count(*) AS BIGINT) AS oov_ppm,
+           CAST(sum(lp) AS BIGINT) AS sum_micro_nats,
+           round(exp(-CAST(sum(lp) AS DOUBLE) / (1000000.0 * count(*))), 4) + 0.0 AS ppl
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def held_out_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT perplexity evaluation with proper train/val separation —
+    the eval-harness complement of unigram_perplexity_filter (which
+    scores docs against the corpus's OWN LM, fine for filtering but
+    leaky as an eval): the Laplace-smoothed unigram LM fits on the
+    80% portable-hash train split ONLY and scores the 10% val split,
+    reported per source with the OOV rate (the quantity a train-fitted
+    LM must confront and a self-fitted one never sees). Exactness: the
+    smoothed per-type log-prob — ln((tf+1)/(train_total+|V|)) — and the
+    OOV constant quantize ONCE to integer micro-nats; per-source sums
+    are exact integers; perplexity is one exp at the end, 4dp. Plan:
+    one term shuffle for the LM, the LM broadcast back onto the val
+    token stream, one source-grain aggregate."""
+    from pdf_brain_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    toks = docs.select(
+        "doc_id", "source", bucket.alias("_b"),
+        F.explode(tokenize("text")).alias("term"),
+    ).localCheckpoint(eager=True)  # vocab, train totals, LM, val all reuse it
+    stats = (
+        toks.agg(F.countDistinct("term").cast("long").alias("vocab"))
+        .crossJoin(
+            F.broadcast(
+                toks.filter(F.col("_b") < 80).agg(
+                    F.count(F.lit(1)).cast("long").alias("total")
+                )
+            )
+        )
+    )
+    lm = (
+        toks.filter(F.col("_b") < 80)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    denom = (F.col("total") + F.col("vocab")).cast("double")
+    scored = (
+        toks.filter((F.col("_b") >= 80) & (F.col("_b") < 90))
+        .join(F.broadcast(lm), "term", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(
+                F.round(F.log((F.col("tf") + F.lit(1.0)) / denom) * 1000000)
+                .cast("long"),
+                F.round(F.log(F.lit(1.0) / denom) * 1000000).cast("long"),
+            ).alias("lp"),
+            F.when(F.col("tf").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_val_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_val_tokens"),
+            F.expr("(sum(oov) * 1000000) div count(1)").alias("oov_ppm"),
+            F.sum("lp").cast("long").alias("sum_micro_nats"),
+        )
+        .withColumn(
+            "ppl",
+            F.round(
+                F.exp(
+                    -F.col("sum_micro_nats").cast("double")
+                    / (F.lit(1000000.0) * F.col("n_val_tokens"))
+                ),
+                4,
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.

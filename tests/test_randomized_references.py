@@ -521,3 +521,84 @@ def test_greedy_set_cover_matches_python_reference(spark):
             covered |= sets[best]
             want.append((step, best, gains[best], len(covered)))
         assert got == want, f"seed {seed}: {got} vs {want}"
+
+
+def test_lsh_planner_scurve_matches_math_pow():
+    """lsh_config_planner second opinion on the s-curve FORMULA: the
+    multiplication-chain p(t) = 1-(1-t^r)^b must agree with an
+    independent math.pow evaluation to well past the micro quantization,
+    for every config and band midpoint — and recall must be monotone
+    DECREASING in rows-per-band at fixed r*b (the property a transposed
+    (b, r) would break)."""
+    import math
+
+    from pdf_brain_spark.queries import _LSH_PLAN_CONFIGS, _lsh_p_chain_sql
+
+    def chain_eval(r, b, t):
+        s = 1.0
+        for _ in range(r):
+            s = s * t
+        q = 1.0 - s
+        qb = 1.0
+        for _ in range(b):
+            qb = qb * q
+        return 1.0 - qb
+
+    for b, r in _LSH_PLAN_CONFIGS:
+        assert b * r == 128
+        for band in range(11):
+            t = min((band * 100000 + 50000) / 1000000.0, 1.0)
+            got = chain_eval(r, b, t)
+            want = 1.0 - math.pow(1.0 - math.pow(t, r), b)
+            assert abs(got - want) < 1e-9, (b, r, band)
+    # monotonicity: more rows per band -> stricter AND -> lower p at any t<1
+    for band in range(10):
+        t = (band * 100000 + 50000) / 1000000.0
+        ps = [chain_eval(r, b, t) for b, r in sorted(_LSH_PLAN_CONFIGS, key=lambda x: x[1])]
+        assert all(ps[i] >= ps[i + 1] - 1e-12 for i in range(len(ps) - 1)), band
+    # the SQL text really is a chain (no pow()), so both engines run
+    # the same IEEE sequence
+    assert "pow" not in _lsh_p_chain_sql(4, 32).lower()
+
+
+def test_autocorrelation_matches_python_reference(spark):
+    """events_autocorrelation second opinion: the standard ACF estimator
+    (shared full-series mean, full-series denominator) computed by an
+    independent pure-python loop on a seeded random series, compared to
+    the gate's integer-moment form run through the same Spark operator
+    path on a synthetic events table."""
+    from pdf_brain_spark.queries import events_autocorrelation
+    import tempfile, shutil, os
+
+    rng = random.Random(13)
+    hours = 48
+    cents = [rng.randint(0, 50000) for _ in range(hours)]
+    rows = []
+    eid = 0
+    for h, c in enumerate(cents):
+        # one purchase event carrying the hour's whole revenue
+        rows.append((eid, 1, "purchase", T0 + timedelta(hours=h), c / 100.0))
+        eid += 1
+    d = tempfile.mkdtemp(prefix="sgraft_acf_")
+    try:
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+        ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r["lag"]: (r["n_pairs"], r["acf"])
+            for r in events_autocorrelation(spark, d).collect()
+        }
+        n = hours
+        mean = sum(cents) / n
+        den = sum((x - mean) ** 2 for x in cents)
+        for lag in range(1, 13):
+            num = sum(
+                (cents[t] - mean) * (cents[t + lag] - mean)
+                for t in range(n - lag)
+            )
+            want = round(num / den, 6)
+            np_, acf = got[lag]
+            assert np_ == n - lag
+            assert abs(acf - want) < 2e-6, (lag, acf, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
