@@ -17921,6 +17921,238 @@ def held_out_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_EUCLID = (
+    "sqrt(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+    "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))))"
+)
+
+
+@query(
+    "ivf_recall_curve",
+    oracle=f"""
+    WITH {_DUCK_CENTROIDS.strip()},
+    assign AS (
+      SELECT vec_id, label AS lst FROM (
+        SELECT e.vec_id, c.label,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_DUCK_EUCLID.format(a='e.embedding', b='c.centroid')} ASC,
+                          c.label ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 16),
+    pr AS (
+      SELECT query_id, label AS lst,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY {_DUCK_EUCLID.format(a='qv', b='c.centroid')} ASC,
+                        c.label ASC) AS prank
+      FROM q CROSS JOIN cent c
+    ),
+    exact10 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_duck_cosine_distance('e.embedding', 'q.qv')} ASC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN q
+      ) WHERE rn <= 10
+    ),
+    j AS (
+      SELECT e.query_id, p.prank
+      FROM exact10 e
+      JOIN assign a USING (vec_id)
+      JOIN pr p ON p.query_id = e.query_id AND p.lst = a.lst
+    ),
+    depths AS (SELECT unnest([1, 2, 4, 8]) AS n_probes)
+    SELECT CAST(d.n_probes AS INTEGER) AS n_probes,
+           CAST(16 AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN j.prank <= d.n_probes THEN 1 ELSE 0 END) AS BIGINT)
+             AS sum_hits,
+           CAST(sum(CASE WHEN j.prank <= d.n_probes THEN 1 ELSE 0 END)
+                * 1000000 // 160 AS BIGINT) AS recall_ppm
+    FROM depths d CROSS JOIN j
+    GROUP BY d.n_probes ORDER BY n_probes
+    """,
+)
+def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF OPERATING CURVE behind an exact oracle: recall@10 at probe
+    depths 1/2/4/8 over 16 queries, with the deterministic per-label-mean
+    coarse quantizer (the kmeans_assign play) standing in for the MLlib
+    fit — which turns the previously rows-only approximation-quality
+    claim (ann_recall_report quantifies the PRODUCTION KMeans index; the
+    bench quantifies its latency) into a hash-compared table: list
+    assignment is argmin Euclidean (lowest-label ties), probe order per
+    query is the same argmin over query-centroid distances, exact truth
+    is the brute-force cosine top-10, and a hit at depth d is
+    'the true neighbor's list has probe rank ≤ d' — all joins and counts
+    exact integers after the two attested argmin constructions. With
+    ann_ivf_topk (losslessness at full depth) and this curve (quality at
+    partial depth), every IVF serving claim has an oracle. Plan: one
+    corpus×centroids argmin (broadcast, 10 rows), one corpus×16-query
+    exact rank (bounded fan-out), integer joins."""
+    from pdf_brain_spark.functions.vector import cosine_distance, euclidean_distance
+    from pdf_brain_spark.operators.clustering import label_centroids
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir).localCheckpoint(eager=True)
+    cent = (
+        label_centroids(emb)
+        .select(F.col("label").alias("clabel"), "centroid")
+        .localCheckpoint(eager=True)  # bounded: one row per label
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        euclidean_distance(F.col("embedding"), F.col("centroid")).asc(),
+        F.col("clabel").asc(),
+    )
+    assign = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", F.col("clabel").alias("lst"))
+    )
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        euclidean_distance(F.col("qv"), F.col("centroid")).asc(),
+        F.col("clabel").asc(),
+    )
+    pr = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            F.col("clabel").alias("lst"),
+            F.row_number().over(w_probe).alias("prank"),
+        )
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        cosine_distance(F.col("embedding"), F.col("qv")).asc(),
+        F.col("vec_id").asc(),
+    )
+    exact10 = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(q))
+        .withColumn("_rn", F.row_number().over(w_exact))
+        .filter(F.col("_rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    j = exact10.join(assign, "vec_id").join(
+        F.broadcast(pr), ["query_id", "lst"]
+    )
+    depths = spark.createDataFrame(
+        [(1,), (2,), (4,), (8,)], "n_probes int"
+    )
+    return (
+        F.broadcast(depths)
+        .join(j, F.lit(True))
+        .groupBy("n_probes")
+        .agg(
+            F.lit(16).cast("long").alias("n_queries"),
+            F.sum(
+                F.when(F.col("prank") <= F.col("n_probes"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("sum_hits"),
+        )
+        .withColumn("recall_ppm", F.expr("(sum_hits * 1000000) div 160"))
+        .orderBy("n_probes")
+    )
+
+
+@query(
+    "session_gap_sensitivity",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - epoch_us(CAST(lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS TIMESTAMP))
+               AS gap_us
+      FROM events
+    ),
+    agg AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u,
+             CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS s5,
+             CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 900000000 THEN 1 ELSE 0 END) AS BIGINT) AS s15,
+             CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS s30,
+             CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS s60
+      FROM g
+    )
+    SELECT CAST(gap_minutes AS INTEGER) AS gap_minutes, n_sessions,
+           CAST(n_sessions * 1000 // u AS BIGINT) AS sessions_per_user_milli
+    FROM (
+      SELECT 5 AS gap_minutes, s5 AS n_sessions, u FROM agg
+      UNION ALL SELECT 15, s15, u FROM agg
+      UNION ALL SELECT 30, s30, u FROM agg
+      UNION ALL SELECT 60, s60, u FROM agg
+    ) ORDER BY gap_minutes
+    """,
+)
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization GAP-PARAMETER sensitivity: how many sessions the
+    corpus yields at inactivity gaps of 5/15/30/60 minutes — the
+    measurement behind choosing the 30-minute constant every sessionize
+    operator in this repo inherits (a session count that halves between
+    two adjacent gaps says the choice matters; a flat curve says it
+    does not). A session starts where the exact-microsecond gap to the
+    user's previous event exceeds the threshold (first events start one
+    by definition), so ALL four counts come from ONE per-user sorted
+    window pass + ONE aggregate — the fan-out is over the gap grid of a
+    single scalar row, never over events. Integer microseconds end to
+    end (the events_debounce discipline); per-user rate in exact
+    milli-sessions via floor division."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    )
+
+    def _ns(minutes: int):
+        us = minutes * 60_000_000
+        return (
+            F.sum(
+                F.when(
+                    F.col("gap_us").isNull() | (F.col("gap_us") > us), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"s{minutes}")
+        )
+
+    agg = gaps.agg(
+        F.countDistinct("user_id").cast("long").alias("u"),
+        _ns(5), _ns(15), _ns(30), _ns(60),
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("gap_minutes"),
+                        F.col(f"s{m}").alias("n_sessions"),
+                        F.col("u").alias("u"),
+                    )
+                    for m in (5, 15, 30, 60)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select(
+        F.col("r.gap_minutes").cast("int").alias("gap_minutes"),
+        F.col("r.n_sessions").alias("n_sessions"),
+        F.expr("(r.n_sessions * 1000) div r.u").alias("sessions_per_user_milli"),
+    ).orderBy("gap_minutes")
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.

@@ -602,3 +602,67 @@ def test_autocorrelation_matches_python_reference(spark):
             assert abs(acf - want) < 2e-6, (lag, acf, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivf_recall_curve_matches_python_reference(spark):
+    """ivf_recall_curve second opinion: an independent pure-python
+    replay — per-label mean centroids, argmin-Euclidean assignment
+    (lowest-label ties), per-query probe ranking, brute-force cosine
+    top-10 truth, hit = probe_rank(list of true neighbor) <= depth — on
+    a seeded random corpus written as a real embeddings table, compared
+    hit-for-hit. Also pins monotonicity in depth."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from pdf_brain_spark.queries import ivf_recall_curve
+
+    rng = random.Random(7)
+    n, dim, n_labels = 60, 4, 3
+    vecs = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n)]
+    labels = [i % n_labels for i in range(n)]
+    d = tempfile.mkdtemp(prefix="sgraft_ivfcurve_")
+    try:
+        spark.createDataFrame(
+            [(i, labels[i], vecs[i]) for i in range(n)],
+            "vec_id long, label int, embedding array<double>",
+        ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+        got = {
+            r["n_probes"]: (r["sum_hits"], r["recall_ppm"])
+            for r in ivf_recall_curve(spark, d).collect()
+        }
+        # python reference
+        cents = {}
+        for lb in range(n_labels):
+            members = [vecs[i] for i in range(n) if labels[i] == lb]
+            cents[lb] = [sum(v[j] for v in members) / len(members) for j in range(dim)]
+
+        def euclid(a, b):
+            return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+        def cosd(a, b):
+            dot = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(y * y for y in b))
+            return 1.0 - dot / (na * nb)
+
+        assign = {
+            i: min(range(n_labels), key=lambda lb: (euclid(vecs[i], cents[lb]), lb))
+            for i in range(n)
+        }
+        hits = {dpt: 0 for dpt in (1, 2, 4, 8)}
+        for qid in range(16):
+            pranks = sorted(range(n_labels), key=lambda lb: (euclid(vecs[qid], cents[lb]), lb))
+            prank_of = {lb: k + 1 for k, lb in enumerate(pranks)}
+            top10 = sorted(range(n), key=lambda i: (cosd(vecs[i], vecs[qid]), i))[:10]
+            for i in top10:
+                for dpt in hits:
+                    if prank_of[assign[i]] <= min(dpt, n_labels):
+                        hits[dpt] += 1
+        for dpt in (1, 2, 4, 8):
+            assert got[dpt][0] == hits[dpt], (dpt, got[dpt][0], hits[dpt])
+            assert got[dpt][1] == hits[dpt] * 1000000 // 160
+        assert got[1][0] <= got[2][0] <= got[4][0] <= got[8][0]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
