@@ -453,7 +453,11 @@ def kmeans_fit_exact_int(
 
     Init: the quantized vectors of ids 0..k-1 (a deterministic pinned
     rule both engines replay — works at every scale, unlike literal
-    centroid constants). Empty clusters keep their previous centroid.
+    centroid constants). PORTABILITY: this couples the fit to a corpus
+    with dense 0-based ids (the testdata layout); a corpus without ids
+    0..k-1 fails loudly at the seed check below — re-key via row_number
+    over a stable order first. Empty clusters keep their previous
+    centroid.
 
     Distributed shape per iteration: ONE Arrow mapInPandas pass assigns
     (int64 BLAS-style distance matrix per batch, corpus never shuffled
@@ -481,8 +485,17 @@ def kmeans_fit_exact_int(
     ).localCheckpoint(eager=True)  # scanned once per iteration
 
     seed_rows = q.filter(F.col("_id") < k).collect()  # bounded: k rows
-    if len(seed_rows) != k:
-        raise ValueError(f"need ids 0..{k - 1} as seeds, found {len(seed_rows)}")
+    seed_ids = {int(r["_id"]) for r in seed_rows}
+    if seed_ids != set(range(k)):
+        # exact-set check (ADVICE r9): duplicate or non-dense ids below k
+        # must fail HERE by name, not as a KeyError in cents[i] below
+        raise ValueError(
+            f"kmeans_fit_exact_int seeds on the quantized vectors of ids "
+            f"0..{k - 1} (a deterministic rule both engines replay); this "
+            f"corpus has ids {sorted(seed_ids)} below {k}. Re-key the "
+            "vectors to dense 0-based ids (row_number over a stable order) "
+            "before fitting."
+        )
     cents = {int(r["_id"]): [int(v) for v in r["q"]] for r in seed_rows}
     c_cur = [cents[i] for i in range(k)]
     sizes = [0] * k

@@ -189,6 +189,41 @@ SUITE_PLAN: dict[str, list[str]] = {
     ],
 }
 
+# The micro-unit bound: round(x*1e6) must fit BIGINT, i.e. |x| <
+# 2^63/1e6 ~ 9.223e12. Outside it Spark's non-ANSI long cast would NULL
+# while DuckDB CAST raises — an asymmetric, confusing hash mismatch.
+# The Spark side therefore asserts the bound BY NAME (welded into the
+# consumed expression, the bounded_axis play); the DuckDB side's own
+# CAST error is already loud. 9.2e12 is the conservative round number
+# (attested members top out ~3e10).
+F_CANON_BOUND = 9.2e12
+
+_F_BOUND_MSG = (
+    f"suite float canonicalizer: |value| >= {F_CANON_BOUND:.1e} overflows "
+    "the micro-unit BIGINT form (round(x*1e6)); pre-scale the member "
+    "column (emit kilo/mega units) or canonicalize it as a string"
+)
+
+
+def _f_canon_spark(c):
+    # NaN/Inf first: Spark round(NaN*1e6).cast('long') yields NULL while
+    # DuckDB CAST(round(NaN) AS BIGINT) raises — an asymmetric failure.
+    # Both engines map the non-finite values to the same sentinel strings
+    # instead (ADVICE r9).
+    d = c.cast("double")
+    finite = F.when(
+        F.assert_true(F.abs(d) < F.lit(F_CANON_BOUND), F.lit(_F_BOUND_MSG)).isNull(),
+        F.round(d * F.lit(1000000.0)).cast("long").cast("string"),
+    )
+    return (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(F.isnan(d), F.lit("NaN"))
+        .when(d == F.lit(float("inf")), F.lit("Inf"))
+        .when(d == F.lit(float("-inf")), F.lit("-Inf"))
+        .otherwise(finite)
+    )
+
+
 _KIND_SPARK: dict[str, Callable] = {
     "i": lambda c: c.cast("string"),
     "s": lambda c: c.cast("string"),
@@ -201,12 +236,9 @@ _KIND_SPARK: dict[str, Callable] = {
     # compute round(x*1e6) identically on bit-identical doubles (members
     # emit 6dp-pre-rounded or low-precision values, so x*1e6 is never
     # near a .5 boundary), and the integer form also collapses -0.0.
-    # Bound: |x| < 2^63/1e6 ~ 9.2e12 (attested members top out ~3e10).
-    "f": lambda c: F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
-        F.round(c.cast("double") * F.lit(1000000.0))
-        .cast("long")
-        .cast("string")
-    ),
+    # NaN/±Inf map to sentinel strings on BOTH engines; |x| beyond
+    # F_CANON_BOUND raises by name on the Spark side (see _f_canon_spark).
+    "f": _f_canon_spark,
     # cast first: unix_micros rejects TIMESTAMP_NTZ, and with the session
     # timezone pinned to UTC (session.py) the NTZ->TIMESTAMP cast is a
     # micros-identity
@@ -219,8 +251,11 @@ _KIND_SQL: dict[str, str] = {
     "s": 'CAST({c} AS VARCHAR)',
     "d": 'CAST({c} AS VARCHAR)',
     "f": (
-        "CASE WHEN {c} IS NULL THEN NULL ELSE "
-        "CAST(CAST(round(CAST({c} AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR) END"
+        "CASE WHEN {c} IS NULL THEN NULL "
+        "WHEN isnan(CAST({c} AS DOUBLE)) THEN 'NaN' "
+        "WHEN isinf(CAST({c} AS DOUBLE)) THEN "
+        "(CASE WHEN CAST({c} AS DOUBLE) > 0 THEN 'Inf' ELSE '-Inf' END) "
+        "ELSE CAST(CAST(round(CAST({c} AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR) END"
     ),
     "ts": 'CAST(epoch_us(CAST({c} AS TIMESTAMP)) AS VARCHAR)',
     "j": 'CAST(to_json({c}) AS VARCHAR)',
@@ -311,7 +346,16 @@ def _make_suite_fn(suite: str, consolidated: dict):
 def install_suites(queries: dict, oracles: dict, consolidated: dict) -> None:
     """Move every SUITE_PLAN member from the driver-facing registry into
     CONSOLIDATED and register one suite gate per family in its place.
-    Idempotent per process (queries.py calls it once at import)."""
+    Idempotent per process: a second call over an already-consolidated
+    registry is a no-op (ADVICE r9 — members were popped from
+    queries/oracles by the first call, so re-running the move would
+    otherwise fail its own is-registered assert)."""
+    if all(
+        m in consolidated
+        for members in SUITE_PLAN.values()
+        for m in members
+    ) and all(s in queries for s in SUITE_PLAN):
+        return
     seen: set[str] = set()
     for suite, members in SUITE_PLAN.items():
         for m in members:

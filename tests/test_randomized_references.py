@@ -666,3 +666,18 @@ def test_ivf_recall_curve_matches_python_reference(spark):
         assert got[1][0] <= got[2][0] <= got[4][0] <= got[8][0]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+def test_kmeans_fit_seed_validation_names_the_rule(spark):
+    """Non-dense / duplicate ids below k fail the seed check by NAME
+    (ValueError citing the 0..k-1 rule), never a KeyError (ADVICE r9)."""
+    import pytest
+
+    from pdf_brain_spark.operators.clustering import kmeans_fit_exact_int
+
+    # ids {0, 2, 5}: three rows pass a pure len() check but are not 0..2
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in (0, 2, 5)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dense 0-based ids"):
+        kmeans_fit_exact_int(spark, df, k=3, dim=2, n_iter=1)

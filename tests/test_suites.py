@@ -81,3 +81,58 @@ def test_bench_headline_keys_all_resolve():
 
     for n in bench.HEADLINE:
         assert callable(lookup_query(n)), n
+
+
+def test_install_suites_is_idempotent():
+    """A second install_suites over the already-consolidated registry is
+    a no-op, not an AssertionError (ADVICE r9)."""
+    from pdf_brain_spark import queries as q
+    from pdf_brain_spark.suites import install_suites
+
+    before = list(q.QUERIES)
+    install_suites(q.QUERIES, q.ORACLES, q.CONSOLIDATED)
+    assert list(q.QUERIES) == before
+
+
+def test_float_canon_nan_inf_sentinels_match_both_engines(spark):
+    """NaN/±Inf canonicalize to the SAME sentinel strings on Spark and
+    DuckDB (ADVICE r9: previously Spark NULLed while DuckDB raised —
+    an asymmetric failure); finite values keep the micro-unit form."""
+    import duckdb
+
+    from pdf_brain_spark.suites import _KIND_SPARK, _KIND_SQL
+
+    vals = [
+        float("nan"), float("inf"), float("-inf"),
+        1.25, -0.0, None, 3e10,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [
+        r["c"] for r in df.select(_KIND_SPARK["f"](F.col("x")).alias("c")).collect()
+    ]
+    con = duckdb.connect()
+    lits = [
+        "NULL" if v is None else f"CAST('{v}' AS DOUBLE)" for v in vals
+    ]
+    rows = "), (".join(f"{i}, {lit}" for i, lit in enumerate(lits))
+    expr = _KIND_SQL["f"].format(c='"x"')
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {expr} FROM (VALUES ({rows})) AS t(i, x) ORDER BY i"
+        ).fetchall()
+    ]
+    assert got_spark == got_duck
+    assert got_spark[:3] == ["NaN", "Inf", "-Inf"]
+    assert got_spark[3:] == ["1250000", "0", None, "30000000000000000"]
+
+
+def test_float_canon_overflow_raises_by_name(spark):
+    """A member value beyond the micro-unit BIGINT bound raises a named
+    error on the Spark side instead of NULLing into a hash mismatch
+    (VERDICT r9 'what's wrong' #2)."""
+    from pdf_brain_spark.suites import _KIND_SPARK
+
+    df = spark.createDataFrame([(9.3e12,)], "x double")
+    with pytest.raises(Exception, match="micro-unit BIGINT"):
+        df.select(_KIND_SPARK["f"](F.col("x")).alias("c")).collect()
