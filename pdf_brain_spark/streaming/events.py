@@ -876,20 +876,20 @@ def make_fts_postings_batch_fn(index_dir: str, id_col: str = "doc_id", text_col:
             batch_df.sparkSession, index_dir, FTS_TERM_BUCKETS
         )
         rows = postings.unionByName(empties).localCheckpoint(eager=True)
-        rows.withColumn(
-            "term_bucket", _term_bucket_col(F.col("term"), n_buckets)
-        ).write.partitionBy("term_bucket").mode("overwrite").parquet(
-            f"{index_dir}/batch_id={batch_id}"
-        )
         # DOC-GRAIN stats generation (VERDICT r8 item 5): one
         # (doc_id, doc_len) row per ingested document, on the same
         # row-store protocol in a sibling store. The serve's corpus
         # statistics (N, avgdl) and the one-live-generation-per-doc
         # assert read THIS store — one row per doc — instead of scanning
         # the term-grain postings of every live generation. Written
-        # AFTER the postings dir so a crash between the two writes
-        # leaves stats missing, never stale; the foreachBatch replay of
-        # the same batch_id rewrites both (idempotent overwrite), so the
+        # BEFORE the postings dir (ADVICE r9): a crash between the two
+        # writes then leaves docs-without-postings — the batch's docs
+        # are invisible to term probes and merely counted in N — instead
+        # of live postings scored with stats that exclude them (silently
+        # wrong BM25) and a uniqueness assert blind to a double-ingest.
+        # Either partial state is also caught LOUDLY at serve time by
+        # fts_assert_stores_consistent; the foreachBatch replay of the
+        # same batch_id rewrites both (idempotent overwrite), so the
         # window self-heals.
         docs_store = fts_docs_dir(index_dir)
         stamp_protocol(batch_df.sparkSession, docs_store)
@@ -897,6 +897,11 @@ def make_fts_postings_batch_fn(index_dir: str, id_col: str = "doc_id", text_col:
             F.first("doc_len").alias("doc_len")
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{docs_store}/batch_id={batch_id}"
+        )
+        rows.withColumn(
+            "term_bucket", _term_bucket_col(F.col("term"), n_buckets)
+        ).write.partitionBy("term_bucket").mode("overwrite").parquet(
+            f"{index_dir}/batch_id={batch_id}"
         )
 
     return _each_batch
@@ -918,15 +923,21 @@ def delete_fts_documents(
     floor_batch_id: int,
 ) -> None:
     """Takedown on the FTS index: tombstone the doc ids in BOTH the
-    postings store (so probes stop matching their rows) and the
     doc-grain stats store (so N/avgdl immediately reflect the removal —
     BM25 idf/length normalization must not keep counting deleted
-    documents). Compaction of each store materializes its removal."""
+    documents) and the postings store (so probes stop matching their
+    rows). DOCS STORE FIRST (ADVICE r9): a crash between the two writes
+    then leaves the deleted docs still visible in results but already
+    excluded from the corpus stats — a visible, re-runnable partial
+    delete — instead of invisible docs silently inflating N/avgdl; the
+    serve's fts_assert_stores_consistent also flags the mismatched
+    tombstone state loudly. Compaction of each store materializes its
+    removal."""
     from pdf_brain_spark.streaming.generations import write_tombstones
 
     ids = doc_ids.select("doc_id").localCheckpoint(eager=True)
-    write_tombstones(spark, index_dir, ids, floor_batch_id)
     write_tombstones(spark, fts_docs_dir(index_dir), ids, floor_batch_id)
+    write_tombstones(spark, index_dir, ids, floor_batch_id)
 
 
 # Number of term-hash partitions per FTS generation for NEW stores. At
@@ -1021,6 +1032,73 @@ def streaming_fts_ingest(
     )
 
 
+def fts_assert_stores_consistent(spark: SparkSession, index_dir: str) -> None:
+    """Fail LOUDLY when the postings store and its doc-grain stats store
+    disagree about which batches / takedowns they account for (ADVICE
+    r9: a crash between the two per-batch writes, or between a delete's
+    two tombstone writes, would otherwise serve BM25 with N/avgdl that
+    silently exclude or include the torn batch's documents).
+
+    Two driver-side LISTING checks (no data scan, so the stats arm stays
+    doc-grain-only):
+
+      * covered-batch sets equal — the set of stream batches each
+        store's live generations account for ({0..m*} ∪ positives > m*;
+        compaction never changes coverage, so independently-timed
+        compactions cannot false-positive);
+      * applicable-tombstone multisets equal above the SHARED compaction
+        frontier — delete_fts_documents writes one tombstone dir per
+        store at the same floor, and floors at or below either store's
+        compacted coverage were materialized there (excluded on both
+        sides), so a surviving one-sided dir is exactly a torn delete.
+
+    Self-heal: a torn batch heals when the streaming checkpoint replays
+    it (idempotent batch_id overwrite); a torn delete heals by re-running
+    delete_fts_documents with the same ids."""
+    from pdf_brain_spark.streaming.generations import (
+        _tombstone_dirs,
+        coverage,
+        generation_ids,
+        live_generation_ids,
+    )
+
+    docs_store = fts_docs_dir(index_dir)
+
+    def _state(store: str) -> tuple[set[int], int]:
+        ids = live_generation_ids(generation_ids(spark, store))
+        m_star = max([coverage(g) for g in ids if g < 0], default=-1)
+        covered = set(range(m_star + 1)) | {g for g in ids if g >= 0}
+        return covered, m_star
+
+    cov_p, m_p = _state(index_dir)
+    cov_d, m_d = _state(docs_store)
+    if cov_p != cov_d:
+        raise ValueError(
+            f"FTS index {index_dir} and its doc-grain stats store disagree "
+            f"about which batches they cover (postings: {sorted(cov_p)}, "
+            f"stats: {sorted(cov_d)}) — a crash tore a batch's two writes "
+            "apart. Replay the torn batch (the streaming checkpoint "
+            "re-runs it idempotently) before serving."
+        )
+    frontier = max(m_p, m_d)
+
+    def _floors(store: str) -> dict[int, int]:
+        out: dict[int, int] = {}
+        for k, _ in _tombstone_dirs(spark, store):
+            if k > frontier:
+                out[k] = out.get(k, 0) + 1
+        return out
+
+    t_p, t_d = _floors(index_dir), _floors(docs_store)
+    if t_p != t_d:
+        raise ValueError(
+            f"FTS index {index_dir} and its doc-grain stats store disagree "
+            f"about takedowns (postings tombstone floors: {t_p}, stats: "
+            f"{t_d}) — a crash tore a delete's two tombstone writes apart. "
+            "Re-run delete_fts_documents with the same ids before serving."
+        )
+
+
 def fts_corpus_stats(
     spark: SparkSession,
     index_dir: str,
@@ -1033,7 +1111,10 @@ def fts_corpus_stats(
     one-live-generation-per-doc invariant (max_gen) so the serve's
     double-ingest assert costs a doc-grain aggregate, not a postings
     scan. Raises with a re-ingest instruction on a pre-stats-store
-    layout (the protocol-marker fail-fast play)."""
+    layout (the protocol-marker fail-fast play), and raises by name when
+    the two stores' covered batches or tombstones disagree — a torn
+    batch/delete must not serve silently-wrong N/avgdl
+    (fts_assert_stores_consistent; ADVICE r9)."""
     from pdf_brain_spark.streaming.generations import kept_index_rows
 
     docs_store = fts_docs_dir(index_dir)
@@ -1046,6 +1127,7 @@ def fts_corpus_stats(
             "the index (re-ingest) so corpus statistics serve from doc "
             f"grain. Underlying: {e}"
         ) from e
+    fts_assert_stores_consistent(spark, index_dir)
     return (
         dg.groupBy(id_col)
         .agg(

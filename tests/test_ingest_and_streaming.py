@@ -2075,3 +2075,57 @@ def test_fts_corpus_stats_reads_only_doc_grain_store(spark, tmp_path):
     )
     row2 = fts_corpus_stats(spark, idx).collect()[0]
     assert row2["n"] == n_docs - 3
+
+def test_fts_torn_batch_and_torn_delete_fail_loudly(spark, tmp_path):
+    """A crash that tears a batch's two store writes (or a delete's two
+    tombstone writes) apart must raise BY NAME at serve time, never
+    serve BM25 with N/avgdl that silently exclude/include the torn
+    documents (ADVICE r9). Also pins that healthy two-store states —
+    including independently-timed compactions — pass the assert."""
+    import shutil
+
+    import pytest
+
+    from pdf_brain_spark.streaming.events import (
+        compact_fts_index,
+        fts_assert_stores_consistent,
+        fts_docs_dir,
+        fts_search_persisted,
+        make_fts_postings_batch_fn,
+    )
+    from pdf_brain_spark.streaming.generations import write_tombstones
+
+    docs0 = spark.createDataFrame(
+        [(1, "spark joins"), (2, "duckdb oracles")], "doc_id long, text string"
+    )
+    docs1 = spark.createDataFrame(
+        [(3, "spark shuffles again")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "fts")
+    fn = make_fts_postings_batch_fn(idx)
+    fn(docs0, 0)
+    fn(docs1, 1)
+    fts_assert_stores_consistent(spark, idx)  # healthy
+
+    # one store compacted, the other not: covered sets still equal
+    assert compact_fts_index(spark, idx, upto_batch_id=1) > 0
+    fts_assert_stores_consistent(spark, idx)
+
+    # TORN BATCH: postings generation lands, docs-store write never did
+    fn(docs1.withColumn("doc_id", F.col("doc_id") + 10), 2)
+    shutil.rmtree(f"{fts_docs_dir(idx)}/batch_id=2")
+    with pytest.raises(ValueError, match="disagree about which batches"):
+        fts_search_persisted(spark, idx, ["spark"], k=10).collect()
+    # replaying the torn batch heals it (idempotent batch_id overwrite)
+    fn(docs1.withColumn("doc_id", F.col("doc_id") + 10), 2)
+    assert fts_search_persisted(spark, idx, ["spark"], k=10).count() > 0
+
+    # TORN DELETE: tombstone lands in the docs store only
+    write_tombstones(
+        spark, fts_docs_dir(idx), docs0.select("doc_id").limit(1), 2
+    )
+    with pytest.raises(ValueError, match="disagree about takedowns"):
+        fts_search_persisted(spark, idx, ["spark"], k=10).collect()
+    # completing the delete on the postings store heals it
+    write_tombstones(spark, idx, docs0.select("doc_id").limit(1), 2)
+    assert fts_search_persisted(spark, idx, ["spark"], k=10).count() > 0
