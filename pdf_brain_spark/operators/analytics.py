@@ -745,16 +745,30 @@ def greedy_set_cover(
     Returns [(step, set_id, gain, covered_after), ...] — bounded (k
     rows), suitable for createDataFrame by the caller. At 100 TB the
     membership table is the term-grain projection (|docs| x doc-vocab
-    rows); each round shuffles it once on the set id."""
+    rows); each round shuffles it once on the set id.
+
+    The covered-element state stays a DATAFRAME consumed via a broadcast
+    left-anti join (ADVICE r9: the former isin() literal list rebuilt
+    the expression tree with up to one document's whole vocabulary every
+    round — 10^4..10^6 literals risked driver OOM/analysis blowup), and
+    its size is ENFORCED at covered_bound (the bounded_axis discipline:
+    broadcastability is an assumption, so outgrowing it must fail by
+    name). Because `m` is distinct, a round's gain IS its count of newly
+    covered elements, so covered_after accumulates arithmetically — no
+    extra count() action per round."""
+    from pdf_brain_spark.functions.guards import AXIS_BOUND
+
+    covered_bound = AXIS_BOUND
     m = membership.select(
         F.col(set_col).alias("_s"), F.col(elem_col).alias("_e")
     ).distinct().localCheckpoint(eager=True)  # scanned once per round
-    covered: set = set()
+    covered_df: DataFrame | None = None
+    covered_n = 0
     out: list[tuple[int, int, int, int]] = []
     for step in range(1, k + 1):
         rem = m
-        if covered:
-            rem = m.filter(~F.col("_e").isin(*covered))
+        if covered_df is not None:
+            rem = m.join(F.broadcast(covered_df), "_e", "left_anti")
         best = (
             rem.groupBy("_s")
             .agg(F.count(F.lit(1)).alias("_g"))
@@ -765,11 +779,17 @@ def greedy_set_cover(
         if not best:
             break
         sid, gain = best[0]["_s"], int(best[0]["_g"])
-        new_elems = {
-            r["_e"]
-            for r in rem.filter(F.col("_s") == sid).select("_e").collect()
-            # bounded: one set's uncovered elements (vocabulary grain)
-        }
-        covered |= new_elems
-        out.append((step, int(sid), gain, len(covered)))
+        covered_n += gain
+        if covered_n > covered_bound:
+            raise ValueError(
+                f"greedy_set_cover: covered-element set reached {covered_n} "
+                f"> {covered_bound} — the broadcast-anti-join state "
+                "assumption is broken at this scale; cover a coarser "
+                "element grain (e.g. hashed element buckets) instead"
+            )
+        new = rem.filter(F.col("_s") == sid).select("_e")
+        covered_df = (
+            new if covered_df is None else covered_df.unionByName(new)
+        ).localCheckpoint(eager=True)  # bounded: covered elements so far
+        out.append((step, int(sid), gain, covered_n))
     return out
