@@ -774,6 +774,7 @@ def embedding_near_dup_ann(
     n_lists: int = 8,
     n_assign: int = 3,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """APPROXIMATE-candidates near-duplicate pairs — the 100 TB path that
     replaces embedding_near_dup_pairs' exact tiled self-join.
@@ -793,24 +794,34 @@ def embedding_near_dup_ann(
     tiling as the exact operator. Returned similarities are exact (BLAS
     re-rank); only candidate RECALL is approximate — measure it with
     embedding_neardup_recall before trusting a threshold.
-    """
-    from pdf_brain_spark.operators.clustering import _lloyd_fit
 
-    # Bucket-fit sample: candidate generation tolerates far coarser
-    # centroids than clustering proper, so cap the fit at ~64 points per
-    # list instead of KMEANS_FIT_SAMPLE_CAP — the collect is the only
-    # driver-side cost in the operator and this keeps it O(n_lists), not
-    # O(corpus).
-    n_fit = max(1024, 64 * n_lists)
-    n_total = emb.count()
-    sel = emb.select(F.col(vec_col).cast("array<double>").alias("_v"))
-    if n_total > n_fit:
-        sel = sel.sample(False, min(1.0, n_fit * 1.1 / n_total), seed).limit(n_fit)
-    X = np.asarray([r["_v"] for r in sel.collect()], dtype=np.float64)
-    if X.size == 0:
-        raise ValueError("embedding_near_dup_ann: empty input")
-    Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
-    C = _lloyd_fit(Xn, min(n_lists, len(Xn)), seed, 20, 5e-3)
+    `centroids` (optional) injects the coarse lists instead of the
+    seeded sample fit — list_id i is then centroids[i]'s list. The
+    oracled recall gate passes the DETERMINISTIC per-label means here
+    (VERDICT r9 item 2) so a DuckDB twin can replay candidate
+    generation; production callers omit it and keep the fit.
+    """
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        n_lists = len(C)
+    else:
+        from pdf_brain_spark.operators.clustering import _lloyd_fit
+
+        # Bucket-fit sample: candidate generation tolerates far coarser
+        # centroids than clustering proper, so cap the fit at ~64 points
+        # per list instead of KMEANS_FIT_SAMPLE_CAP — the collect is the
+        # only driver-side cost in the operator and this keeps it
+        # O(n_lists), not O(corpus).
+        n_fit = max(1024, 64 * n_lists)
+        n_total = emb.count()
+        sel = emb.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        if n_total > n_fit:
+            sel = sel.sample(False, min(1.0, n_fit * 1.1 / n_total), seed).limit(n_fit)
+        X = np.asarray([r["_v"] for r in sel.collect()], dtype=np.float64)
+        if X.size == 0:
+            raise ValueError("embedding_near_dup_ann: empty input")
+        Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+        C = _lloyd_fit(Xn, min(n_lists, len(Xn)), seed, 20, 5e-3)
     Cn = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
     m = min(n_assign, n_lists)
     vec_type = dict(emb.dtypes)[vec_col]

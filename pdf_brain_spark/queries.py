@@ -75,6 +75,26 @@ _DUCK_NORM = (
     "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 )
 
+_DUCK_EUCLID = (
+    "sqrt(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+    "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))))"
+)
+
+_DUCK_CENTROIDS = """
+    cent AS (
+      SELECT label, list(avg_val ORDER BY pos) AS centroid
+      FROM (
+        SELECT label, pos, avg(CAST(val AS DOUBLE)) AS avg_val
+        FROM (
+          SELECT label, generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding) AS val
+          FROM embeddings
+        ) GROUP BY label, pos
+      ) GROUP BY label
+    )
+"""
+
 
 def _duck_cosine_distance(a: str, b: str) -> str:
     return (
@@ -1130,7 +1150,46 @@ def cut_duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_neardup_recall", oracle=None)
+@query(
+    "embedding_neardup_recall",
+    oracle=f"""
+    WITH {_DUCK_CENTROIDS.strip()},
+    lists AS (
+      SELECT vec_id, lst FROM (
+        SELECT e.vec_id, c.label AS lst,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_duck_cosine_distance('e.embedding', 'c.centroid')} ASC,
+                          c.label ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn <= 3
+    ),
+    exact AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_DUCK_COS.format(a='a.embedding', b='b.embedding')}
+            / ({_DUCK_NORM.format(a='a.embedding')}
+               * {_DUCK_NORM.format(a='b.embedding')}) >= 0.45
+    ),
+    cand AS (
+      SELECT DISTINCT la.vec_id AS id_a, lb.vec_id AS id_b
+      FROM lists la JOIN lists lb
+        ON la.lst = lb.lst AND la.vec_id < lb.vec_id
+    ),
+    m AS (
+      SELECT (SELECT count(*) FROM exact) AS n_exact,
+             (SELECT count(*) FROM exact e
+              JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b) AS n_matched
+    )
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_matched AS BIGINT) AS n_ann,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           CAST(0 AS BIGINT) AS n_false_positive,
+           CAST(n_matched * 1000000 // greatest(n_exact, 1) AS BIGINT)
+             AS recall_ppm,
+           CASE WHEN n_matched > 0 THEN 0.0 ELSE NULL END AS max_sim_diff
+    FROM m
+    """,
+)
 def embedding_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall-vs-exact report for the ANN-candidates near-dup scale path:
     spherical-IVF multi-assign candidates → within-list exact BLAS re-rank
@@ -1138,36 +1197,43 @@ def embedding_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embedding_near_dup_pairs) at the same threshold. Columns are the
     invariants: ANN pairs must be a SUBSET of exact pairs with identical
     similarities (n_false_positive = 0, max_sim_diff = 0), recall is the
-    approximation's price. Rows-only at the driver (the IVF fit is seeded
-    Lloyd's, not SQL-expressible); the subset/exactness invariants are
-    pytest-asserted in tests/test_dedup_scale.py."""
+    approximation's price. Previously rows-only (seeded Lloyd's fit);
+    now ORACLED by the deterministic-quantizer play (VERDICT r9 item 2):
+    the gate injects the per-label-mean centroids into the PRODUCTION
+    operator's `centroids` seam, and the DuckDB twin replays candidate
+    generation (top-3 lists by cosine, lowest-label ties), the exact
+    pair set, and their intersection — so the measured n_ann /
+    n_false_positive / max_sim_diff are hash-compared against what the
+    subset invariant REQUIRES them to be, and recall is an exact ppm.
+    The stochastic-fit recall stays pytest-attested
+    (tests/test_dedup_scale.py)."""
+    from pdf_brain_spark.operators.clustering import label_centroids
     from pdf_brain_spark.operators.dedup import (
         embedding_near_dup_ann,
         embedding_near_dup_pairs,
     )
 
     emb = load_table(spark, "embeddings", sf_dir)
+    cent_rows = label_centroids(emb).orderBy("label").collect()
+    centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
     exact = embedding_near_dup_pairs(emb, threshold=0.45).select(
         "id_a", "id_b", F.col("cos_sim").alias("exact_sim")
     )
-    ann = embedding_near_dup_ann(emb, threshold=0.45).select(
-        "id_a", "id_b", F.col("cos_sim").alias("ann_sim")
-    )
+    ann = embedding_near_dup_ann(
+        emb, threshold=0.45, centroids=centroids
+    ).select("id_a", "id_b", F.col("cos_sim").alias("ann_sim"))
     joined = exact.join(ann, ["id_a", "id_b"], "full_outer")
     return joined.agg(
-        F.sum(F.when(F.col("exact_sim").isNotNull(), 1).otherwise(0)).alias("n_exact"),
-        F.sum(F.when(F.col("ann_sim").isNotNull(), 1).otherwise(0)).alias("n_ann"),
+        F.sum(F.when(F.col("exact_sim").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_exact"),
+        F.sum(F.when(F.col("ann_sim").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_ann"),
         F.sum(
             F.when(F.col("exact_sim").isNotNull() & F.col("ann_sim").isNotNull(), 1).otherwise(0)
-        ).alias("n_matched"),
+        ).cast("long").alias("n_matched"),
         F.sum(
             F.when(F.col("exact_sim").isNull() & F.col("ann_sim").isNotNull(), 1).otherwise(0)
-        ).alias("n_false_positive"),
-        F.round(
-            F.sum(F.when(F.col("ann_sim").isNotNull() & F.col("exact_sim").isNotNull(), 1).otherwise(0))
-            / F.greatest(F.sum(F.when(F.col("exact_sim").isNotNull(), 1).otherwise(0)), F.lit(1)),
-            6,
-        ).alias("recall"),
+        ).cast("long").alias("n_false_positive"),
         F.round(
             F.max(
                 F.when(
@@ -1177,6 +1243,11 @@ def embedding_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("max_sim_diff"),
+    ).select(
+        "n_exact", "n_ann", "n_matched", "n_false_positive",
+        F.expr("(n_matched * 1000000) div greatest(n_exact, 1L)")
+        .alias("recall_ppm"),
+        "max_sim_diff",
     )
 
 
@@ -2056,21 +2127,6 @@ def tag_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # summaries so both sides are deterministic and oracle-able
 # --------------------------------------------------------------------------
 
-_DUCK_CENTROIDS = """
-    cent AS (
-      SELECT label, list(avg_val ORDER BY pos) AS centroid
-      FROM (
-        SELECT label, pos, avg(CAST(val AS DOUBLE)) AS avg_val
-        FROM (
-          SELECT label, generate_subscripts(embedding, 1) AS pos,
-                 unnest(embedding) AS val
-          FROM embeddings
-        ) GROUP BY label, pos
-      ) GROUP BY label
-    )
-"""
-
-
 @query(
     "multiscale_retrieval",
     oracle=f"""
@@ -2299,17 +2355,150 @@ def embedding_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bic_model_selection", oracle=None)
+def _duck_kmeans_rss(k: int) -> str:
+    """Per-k CTE chain: one exact-integer Lloyd's round from the pinned
+    seeds (ids 0..k-1) plus the RSS under the updated centroids — the
+    kmeans_fit_2iter oracle generalized and parameterized by k."""
+    p = f"k{k}_"
+    return f"""
+    {p}c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, d, v AS c
+              FROM x WHERE vec_id < {k}),
+    {p}a1 AS (
+      SELECT x.vec_id, c.cid, sum((x.v - c.c) * (x.v - c.c)) AS d2
+      FROM x JOIN {p}c0 c USING (d) GROUP BY 1, 2
+    ),
+    {p}m1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY d2 ASC, cid ASC) AS rn
+        FROM {p}a1) WHERE rn = 1
+    ),
+    {p}u1 AS (
+      SELECT m.cid, x.d, CAST(sum(x.v) // count(*) AS BIGINT) AS c
+      FROM {p}m1 m JOIN x USING (vec_id) GROUP BY 1, 2
+    ),
+    {p}c1 AS (
+      SELECT c0.cid, c0.d, COALESCE(u.c, c0.c) AS c
+      FROM {p}c0 c0 LEFT JOIN {p}u1 u ON u.cid = c0.cid AND u.d = c0.d
+    ),
+    {p}a2 AS (
+      SELECT x.vec_id, c.cid, sum((x.v - c.c) * (x.v - c.c)) AS d2
+      FROM x JOIN {p}c1 c USING (d) GROUP BY 1, 2
+    ),
+    {p}r AS (
+      SELECT CAST({k} AS INTEGER) AS k, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(md) AS BIGINT) AS rss
+      FROM (SELECT vec_id, min(d2) AS md FROM {p}a2 GROUP BY 1)
+    )"""
+
+
+@query(
+    "bic_model_selection",
+    oracle=f"""
+    WITH x AS (
+      SELECT e.vec_id, d.d,
+             CAST(round(CAST(e.embedding[d.d] AS DOUBLE) * 1000) AS BIGINT) AS v
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS d) d
+    ),
+    {','.join(_duck_kmeans_rss(k) for k in (2, 4, 8))},
+    allk AS (
+      SELECT * FROM k2_r UNION ALL SELECT * FROM k4_r
+      UNION ALL SELECT * FROM k8_r
+    ),
+    scored AS (
+      SELECT k, n AS n_vectors, rss AS rss_milli2,
+             CAST(k * 65 AS BIGINT) AS p_params,
+             round((CAST(n AS DOUBLE)
+                    * ln(CAST(rss AS DOUBLE) / CAST(n AS DOUBLE)))
+                   + (CAST(k * 65 AS DOUBLE) * ln(CAST(n AS DOUBLE))),
+                   6) AS bic
+      FROM allk
+    )
+    SELECT k, n_vectors, rss_milli2, p_params, bic,
+           bic = min(bic) OVER () AS is_best
+    FROM scored ORDER BY k
+    """,
+)
 def bic_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BIC-based k selection (reference A5, Clustering.ts:336-359,657-676):
-    BIC = n·ln(RSS/n) + k·(dim+1)·ln(n) per candidate k, argmin flagged.
-    Distributed KMeans per k; scalar BIC math on the driver."""
-    from pdf_brain_spark.operators.clustering import bic_select_k
+    BIC = n·ln(RSS/n) + k·(dim+1)·ln(n) per candidate k in (2, 4, 8),
+    argmin flagged. Previously rows-only (distributed KMeans per k); now
+    ORACLED (VERDICT r9 item 3): each candidate fit is ONE exact-integer
+    Lloyd's round from pinned seeds (kmeans_fit_exact_int — the oracled
+    FIT), RSS is the integer sum of per-vector min squared distances to
+    the updated centroids, and BIC is one 6dp-rounded ln over those
+    exact integers — so the whole model-selection table, including which
+    k wins, is hash-compared against a DuckDB replay. Unit note: RSS is
+    in milli-units²; the constant −2n·ln(1000) shift it induces in every
+    candidate's BIC is k-independent and cannot change the argmin.
+    The production float bic_select_k stays pytest-covered
+    (clustering_model_report / tests). Plan per k: the oracled fit's
+    one Arrow pass + (cid,dim) aggregate, then one map-side integer
+    aggregate for RSS; only k x dim model tables are collected."""
+    from pdf_brain_spark.operators.clustering import kmeans_fit_exact_int
 
     emb = load_table(spark, "embeddings", sf_dir)
-    best, scores = bic_select_k(emb, range(2, 9, 3))
-    rows = [(int(k), round(float(v), 4), k == best) for k, v in sorted(scores.items())]
-    return spark.createDataFrame(rows, "k int, bic double, is_best boolean")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("q"),
+    ).localCheckpoint(eager=True)  # one RSS pass per candidate k
+
+    def _d2(const: list[int]):
+        return F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(c).cast("long") for c in const]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    parts = []
+    for k in (2, 4, 8):
+        cents = kmeans_fit_exact_int(spark, emb, k=k, dim=64, n_iter=1).collect()
+        cmat = [[0] * 64 for _ in range(k)]
+        for r in cents:
+            cmat[int(r["cluster_id"])][int(r["dim_idx"])] = int(r["coord_milli"])
+        parts.append(
+            q.select(F.least(*[_d2(cmat[c]) for c in range(k)]).alias("_md"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_vectors"),
+                F.sum("_md").cast("long").alias("rss_milli2"),
+            )
+            .select(
+                F.lit(k).alias("k"),
+                "n_vectors",
+                "rss_milli2",
+                F.lit(k * 65).cast("long").alias("p_params"),
+            )
+        )
+    allk = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    scored = allk.withColumn(
+        "bic",
+        F.round(
+            F.col("n_vectors").cast("double")
+            * F.log(
+                F.col("rss_milli2").cast("double")
+                / F.col("n_vectors").cast("double")
+            )
+            + F.col("p_params").cast("double")
+            * F.log(F.col("n_vectors").cast("double")),
+            6,
+        ),
+    ).localCheckpoint(eager=True)  # 3 rows, consumed by min AND output
+    mn = scored.agg(F.min("bic").alias("_mb"))
+    return (
+        scored.crossJoin(F.broadcast(mn))
+        .select(
+            "k", "n_vectors", "rss_milli2", "p_params", "bic",
+            (F.col("bic") == F.col("_mb")).alias("is_best"),
+        )
+        .orderBy("k")
+    )
 
 
 @query(
@@ -3055,20 +3244,277 @@ def pq_compression_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_compression_report(load_table(spark, "embeddings", sf_dir))
 
 
-@query("ivfpq_recall_report", oracle=None)
-def ivfpq_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ operating-point report (operators/quantization.py): the
-    FAISS-style composition — coarse IVF probe pruning over PQ
-    ADC-from-codes serving. Fail-fast invariant INSIDE the query (the
-    clustering_model_report discipline): the exhaustive probe must equal
-    flat ADC on every (query, rank, id, distance) or the query RAISES;
-    the reported recalls isolate probe loss (recall_vs_adc) from code
-    resolution (adc_recall_vs_exact). Rows-only (seeded fits); the
-    invariant also runs in tests/test_quantization.py at two probe
-    depths."""
-    from pdf_brain_spark.operators.quantization import ivfpq_recall_report
+_DUCK_IVFPQ = """
+    x AS (
+      SELECT e.vec_id, e.label, d.d,
+             CAST(round(CAST(e.embedding[d.d] AS DOUBLE) * 1000) AS BIGINT) AS v
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS d) d
+    ),
+    cw AS (
+      SELECT CAST((d - 1) // 16 AS INTEGER) AS s, CAST(vec_id AS INTEGER) AS code, d, v
+      FROM x WHERE vec_id < 8
+    ),
+    cent AS (
+      SELECT label, d, CAST(sum(v) // count(*) AS BIGINT) AS c
+      FROM x GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, label AS lst FROM (
+        SELECT vec_id, label, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d2 ASC, label ASC) AS rn
+        FROM (
+          SELECT x.vec_id, cent.label, sum((x.v - cent.c) * (x.v - cent.c)) AS d2
+          FROM x JOIN cent USING (d) GROUP BY 1, 2
+        )
+      ) WHERE rn = 1
+    ),
+    qx AS (SELECT vec_id AS query_id, d, v FROM x WHERE vec_id < 16),
+    probe AS (
+      SELECT query_id, label AS lst FROM (
+        SELECT query_id, label, row_number() OVER (
+          PARTITION BY query_id ORDER BY d2 ASC, label ASC) AS prank
+        FROM (
+          SELECT q.query_id, cent.label, sum((q.v - cent.c) * (q.v - cent.c)) AS d2
+          FROM qx q JOIN cent USING (d) GROUP BY 1, 2
+        )
+      ) WHERE prank <= 4
+    ),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code, row_number() OVER (
+          PARTITION BY vec_id, s ORDER BY d2 ASC, code ASC) AS rn
+        FROM (
+          SELECT x.vec_id, cw.s, cw.code, sum((x.v - cw.v) * (x.v - cw.v)) AS d2
+          FROM x JOIN cw ON cw.d = x.d GROUP BY 1, 2, 3
+        )
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.query_id, cw.s, cw.code, sum((q.v - cw.v) * (q.v - cw.v)) AS ld
+      FROM qx q JOIN cw ON cw.d = q.d GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT l.query_id, c.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc
+      FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+      GROUP BY 1, 2
+    ),
+    flat10 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rn
+        FROM adc
+      ) WHERE rn <= 10
+    ),
+    ivfpq10 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT a.query_id, a.vec_id, row_number() OVER (
+          PARTITION BY a.query_id ORDER BY a.adc ASC, a.vec_id ASC) AS rn
+        FROM adc a
+        JOIN assign s ON s.vec_id = a.vec_id
+        JOIN probe p ON p.query_id = a.query_id AND p.lst = s.lst
+      ) WHERE rn <= 10
+    ),
+    exact10 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY d2 ASC, vec_id ASC) AS rn
+        FROM (
+          SELECT q.query_id, x.vec_id, sum((x.v - q.v) * (x.v - q.v)) AS d2
+          FROM x JOIN qx q USING (d) GROUP BY 1, 2
+        )
+      ) WHERE rn <= 10
+    )
+"""
 
-    return ivfpq_recall_report(load_table(spark, "embeddings", sf_dir))
+
+@query(
+    "ivfpq_recall_report",
+    oracle=f"""
+    WITH {_DUCK_IVFPQ.strip()}
+    SELECT CAST(16 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+           CAST(4 AS INTEGER) AS n_probes,
+           (SELECT CAST(count(*) AS BIGINT) FROM ivfpq10 i
+            JOIN flat10 f ON f.query_id = i.query_id AND f.vec_id = i.vec_id)
+             AS probe_hits,
+           (SELECT CAST(count(*) * 1000000 // 160 AS BIGINT) FROM ivfpq10 i
+            JOIN flat10 f ON f.query_id = i.query_id AND f.vec_id = i.vec_id)
+             AS probe_recall_ppm,
+           (SELECT CAST(count(*) AS BIGINT) FROM flat10 f
+            JOIN exact10 e ON e.query_id = f.query_id AND e.vec_id = f.vec_id)
+             AS adc_hits,
+           (SELECT CAST(count(*) * 1000000 // 160 AS BIGINT) FROM flat10 f
+            JOIN exact10 e ON e.query_id = f.query_id AND e.vec_id = f.vec_id)
+             AS adc_recall_ppm
+    """,
+)
+def ivfpq_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ operating-point report, ORACLED (VERDICT r9 item 2) as an
+    EXACT-INTEGER IVFADC replica of the FAISS-style composition — coarse
+    probe pruning over PQ ADC-from-codes serving — so both recalls are
+    hash-compared tables instead of rows-only claims:
+
+      * vectors quantize ONCE to milli-units (the kmeans_fit play);
+      * PQ codebooks are DETERMINISTIC: for each of the 4 subspaces
+        (16 dims), the 8 codewords are the subvectors of vec_id 0..7;
+        codes are integer argmin (lowest-code ties);
+      * the coarse quantizer is the per-label truncating-mean centroid
+        (integer `div`, DuckDB `//` twin), assignment and the 4-probe
+        ranking both integer argmin with lowest-label ties;
+      * ADC distance = Σ_s LUT[s][code] of integer squared subspace
+        distances; flat-ADC / probed-ADC / exact top-10s are integer
+        rankings with vec_id ties — EVERY comparison in the gate is
+        between exact integers, so ties are deterministic and there is
+        no float path at all.
+
+    probe_recall (ivfpq vs flat ADC) isolates probe loss; adc_recall
+    (flat ADC vs exact) isolates code resolution — the same two numbers
+    the production report emits. The PRODUCTION float/BLAS pipeline
+    keeps its own oracle (ivfpq_exact_rerank: full IVFADC + exact
+    re-rank equals brute force) and its pytest invariants
+    (tests/test_quantization.py); this gate makes the OPERATING-POINT
+    numbers driver-checkable. Plan: bounded model grains (8x64 codebook,
+    L x 64 centroids, 16 queries) broadcast/collected; the corpus is
+    touched by map-side integer expressions + one (vec,s)-grain shuffle."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("q"),
+    ).localCheckpoint(eager=True)  # scanned by codes/assign/adc/exact arms
+
+    # bounded model grains -> driver: codewords (8x64), queries (16x64)
+    cw_rows = {int(r["vec_id"]): [int(v) for v in r["q"]]
+               for r in q.filter(F.col("vec_id") < 8).collect()}
+    if len(cw_rows) < 8:
+        raise ValueError("ivfpq_recall_report needs vec_ids 0..7 as codewords")
+    cw = [[cw_rows[c][s * 16:(s + 1) * 16] for c in range(8)] for s in range(4)]
+    q_rows = {int(r["vec_id"]): [int(v) for v in r["q"]]
+              for r in q.filter(F.col("vec_id") < 16).collect()}
+    # integer coarse centroids: per-label truncating mean (model grain)
+    cent_rows = (
+        q.select("label", F.posexplode("q").alias("d", "v"))
+        .groupBy("label", "d")
+        .agg(F.expr("sum(v) div count(1)").alias("c"))
+        .collect()
+    )
+    cmat: dict[int, list[int]] = {}
+    for r in cent_rows:
+        cmat.setdefault(int(r["label"]), [0] * 64)[int(r["d"])] = int(r["c"])
+    labels = sorted(cmat)
+
+    def _d2(vec_col, const: list[int]):
+        return F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(c).cast("long") for c in const]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    # assignment: integer argmin over labels, lowest-label ties
+    assign_expr = F.array_min(
+        F.array(*[
+            F.struct(_d2(F.col("q"), cmat[l]).alias("d"), F.lit(l).alias("l"))
+            for l in labels
+        ])
+    ).getField("l")
+    # per-subspace codes: integer argmin over the 8 codewords
+    code_exprs = [
+        F.array_min(
+            F.array(*[
+                F.struct(
+                    _d2(F.slice("q", s * 16 + 1, 16), cw[s][c]).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(8)
+            ])
+        ).getField("c").alias(f"_c{s}")
+        for s in range(4)
+    ]
+    coded = q.select(
+        "vec_id",
+        assign_expr.alias("lst"),
+        F.posexplode(F.array(*code_exprs)).alias("s", "code"),
+    )
+    # driver-side integer LUT and probe sets (16 queries x bounded grids)
+    lut_rows = [
+        (qid, s, c, sum((qv[s * 16 + j] - cw[s][c][j]) ** 2 for j in range(16)))
+        for qid, qv in q_rows.items() for s in range(4) for c in range(8)
+    ]
+    lut = F.broadcast(spark.createDataFrame(
+        lut_rows, "query_id long, s int, code int, ld long"
+    ))
+    probe_rows = []
+    for qid, qv in q_rows.items():
+        ranked = sorted(
+            (sum((qv[d] - cmat[l][d]) ** 2 for d in range(64)), l) for l in labels
+        )
+        probe_rows += [(qid, l) for _, l in ranked[:4]]
+    probe = F.broadcast(spark.createDataFrame(probe_rows, "query_id long, lst int"))
+
+    adc = (
+        coded.join(lut, ["s", "code"])
+        .groupBy("query_id", "vec_id", "lst")
+        .agg(F.sum("ld").alias("adc"))
+        .localCheckpoint(eager=True)  # consumed by flat AND probed rankings
+    )
+    from pyspark.sql import Window
+
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    flat10 = (
+        adc.withColumn("_rn", F.row_number().over(w_adc))
+        .filter(F.col("_rn") <= 10).select("query_id", "vec_id")
+    )
+    ivfpq10 = (
+        adc.join(probe, ["query_id", "lst"])
+        .withColumn("_rn", F.row_number().over(w_adc))
+        .filter(F.col("_rn") <= 10).select("query_id", "vec_id")
+    )
+    qdf = F.broadcast(spark.createDataFrame(
+        [(qid, qv) for qid, qv in q_rows.items()],
+        "query_id long, qv array<long>",
+    ))
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.col("_d2").asc(), F.col("vec_id").asc()
+    )
+    exact10 = (
+        q.crossJoin(qdf)
+        .select(
+            "query_id", "vec_id",
+            F.aggregate(
+                F.zip_with("q", "qv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("_d2"),
+        )
+        .withColumn("_rn", F.row_number().over(w_ex))
+        .filter(F.col("_rn") <= 10).select("query_id", "vec_id")
+    )
+    probe_hits = ivfpq10.join(flat10, ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("h")
+    )
+    adc_hits = flat10.join(exact10, ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("h")
+    )
+    return (
+        probe_hits.select(F.col("h").alias("probe_hits"))
+        .crossJoin(adc_hits.select(F.col("h").alias("adc_hits")))
+        .select(
+            F.lit(16).cast("long").alias("n_queries"),
+            F.lit(10).cast("long").alias("k"),
+            F.lit(4).alias("n_probes"),
+            "probe_hits",
+            F.expr("(probe_hits * 1000000) div 160").alias("probe_recall_ppm"),
+            "adc_hits",
+            F.expr("(adc_hits * 1000000) div 160").alias("adc_recall_ppm"),
+        )
+    )
 
 
 @query(
@@ -3345,17 +3791,66 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_recall_report", oracle=None)
+@query(
+    "ann_recall_report",
+    oracle=f"""
+    WITH {_DUCK_CENTROIDS.strip()},
+    assign AS (
+      SELECT vec_id, label AS lst FROM (
+        SELECT e.vec_id, c.label,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_DUCK_EUCLID.format(a='e.embedding', b='c.centroid')} ASC,
+                          c.label ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 32),
+    pr AS (
+      SELECT query_id, label AS lst,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY {_duck_cosine_distance('qv', 'c.centroid')} ASC,
+                        c.label ASC) AS prank
+      FROM q CROSS JOIN cent c
+    ),
+    exact10 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_duck_cosine_distance('e.embedding', 'q.qv')} ASC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN q
+      ) WHERE rn <= 10
+    )
+    SELECT e.query_id AS query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN p.prank <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           CAST(sum(CASE WHEN p.prank <= 8 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS recall_ppm
+    FROM exact10 e
+    JOIN assign a USING (vec_id)
+    JOIN pr p ON p.query_id = e.query_id AND p.lst = a.lst
+    GROUP BY e.query_id ORDER BY e.query_id
+    """,
+)
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-validating ANN quality report: per-query recall@10 of batched
-    IVF (8/16 probes) against the exact batched top-10, for 32 query
-    vectors — the contract the reference accepts implicitly with DiskANN
-    float8 compression (~1-2% recall loss) made measurable. Fully
-    distributed: both sides come from one corpus scan each
-    (similarity_join_topk / ivf_search_topk_batch), recall is a
-    left-join + per-query aggregate — no driver-side per-query loop, so
-    the report itself scales with the corpus."""
-    from pdf_brain_spark.operators.ann import ivf_index, ivf_search_topk_batch
+    """Per-query recall@10 of the PRODUCTION batched IVF scorer
+    (ivf_search_topk_batch: driver probe assignment + Arrow partial-top-k
+    + exact merge window) at 8 probes, against the production exact path
+    (similarity_join_topk), for 32 queries — previously rows-only (the
+    KMeans fit was not SQL-expressible), now ORACLED by the
+    deterministic-quantizer play (VERDICT r9 item 2): the index is
+    label_ivf_index (per-label-mean centroids, argmin-Euclid assignment),
+    which the DuckDB twin replays, and the closed form 'a true top-10
+    member is served iff its list's probe rank ≤ 8' reproduces the
+    serving result exactly (a probed true neighbor's within-probe rank
+    can only improve on its global rank). A dropped candidate, a wrong
+    slack merge, or a probe mis-assignment in the production scorer
+    flips the hash. Recall of the stochastic production FIT remains a
+    bench/pytest claim (test_graph_and_ann); this gate pins the SERVING
+    path. Hits are integer counts; recall is exact ppm."""
+    from pdf_brain_spark.operators.ann import ivf_search_topk_batch, label_ivf_index
     from pdf_brain_spark.operators.vector_search import similarity_join_topk
 
     # localCheckpoint, not cache(): this wrapper returns a lazy plan, so it
@@ -3365,7 +3860,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    indexed, centroids = ivf_index(emb)
+    indexed, centroids = label_ivf_index(emb)
     exact = similarity_join_topk(queries_df, emb, k=10).select(
         "query_id", "vec_id"
     )
@@ -3374,13 +3869,16 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
         .withColumn("_hit", F.lit(1))
     )
-    report = (
+    return (
         exact.join(approx, ["query_id", "vec_id"], "left")
         .groupBy("query_id")
-        .agg((F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1))).alias("ivf_recall"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .withColumn("recall_ppm", F.expr("(n_hits * 1000000) div n_exact"))
         .orderBy("query_id")
     )
-    return report
 
 
 @query(
@@ -17919,13 +18417,6 @@ def held_out_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
-
-
-_DUCK_EUCLID = (
-    "sqrt(list_sum(list_transform(list_zip({a}, {b}), "
-    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
-    "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))))"
-)
 
 
 @query(
