@@ -18648,47 +18648,43 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.
 #
-# ROUND-9 ROTATION — the consolidation round (VERDICT r8 item 1). The r8
-# backlog was 141 never-driver-attested oracled queries; a 14-swap/round
-# rotation cannot amortize that. This window attacks it structurally:
+# ROUND-10 ROTATION — backlog-zero (VERDICT r9 item 1). Steady state of
+# the suite era: the 22 suites hold their slots PERMANENTLY (each suite
+# row re-verifies 5-7 members' full oracles every round — the
+# amortization engine); the single slots rotate.
 #
-#   * 14 HELD entries (first attested r8, kept for a consecutive row):
-#     rrf_fusion, prf_query_expansion, scd2_user_tiers,
-#     events_last_touch_attribution, events_transition_matrix,
-#     events_ohlc_bars, streaming_incremental_topk_terms,
-#     taxonomy_pagerank, tpch_q3_shipping_priority,
-#     tpch_q10_returned_items, multimodal_features,
-#     documents_column_profile, curriculum_ordering, contrastive_pairs.
-#   * 14 QUEUE singles rotated IN (the oldest registrations — the r8
-#     queue leftover VERDICT r8 item 1a names; all judge-attested green
-#     at sf0.01 in r8).
-#   * 22 SUITE gates rotated IN: the remaining 127 backlog entries,
-#     consolidated by family (pdf_brain_spark/suites.py SUITE_PLAN).
-#     Each suite runs every member's FULL Spark plan and FULL DuckDB
-#     oracle, canonicalized to a shared string schema and union-alled
-#     tagged by member — one driver row hash-verifies every member's
-#     oracle parity EVERY round (vs. never, parked in a queue).
+#   * 22 SUITE gates: held (every round).
+#   * 14 r9-queue singles: held for their second consecutive row
+#     (first attested r9).
+#   * 10 r10-QUEUE gates rotated IN (registered r9 after that window
+#     sealed; judge-attested green at sf0.01 in r9, three also sf0.1):
+#     kmeans_fit_2iter, weighted_reservoir_sample,
+#     coverage_maximizing_sample, lsh_config_planner,
+#     token_coverage_curve, events_autocorrelation,
+#     dedup_keep_best_quality, held_out_perplexity, ivf_recall_curve,
+#     session_gap_sensitivity. With these in, the never-driver-attested
+#     oracled backlog is EMPTY (computed the way VERDICT r9 computed
+#     10): every oracled registration predating this round has held at
+#     least one full-green driver row or sits inside a suite gate.
+#   * 4 NEWLY-ORACLED gates rotated IN (VERDICT r9 items 2-3, converted
+#     this round from rows-only): ann_recall_report,
+#     ivfpq_recall_report, embedding_neardup_recall,
+#     bic_model_selection — three-scale harness-attested at conversion.
 #
-# Rotated OUT (36): the 35 entries holding >= 2 consecutive full-green
-# rows (r7+r8; list in CHANGES_r09.md) plus clustering_model_report
-# (eight consecutive rows-only attestations; its FIT step is now oracled
-# by the kmeans_fit_2iter gate and the assign step by kmeans_assign, so
-# the remaining rows-only surface is BIC/soft stats, pytest-covered).
-# All rotated-out entries remain registered, oracled, and harness-
+# Rotated OUT (14): the r8-held singles, now at two consecutive
+# full-green rows (r8+r9): rrf_fusion, prf_query_expansion,
+# scd2_user_tiers, events_last_touch_attribution,
+# events_transition_matrix, events_ohlc_bars,
+# streaming_incremental_topk_terms, taxonomy_pagerank,
+# tpch_q3_shipping_priority, tpch_q10_returned_items,
+# multimodal_features, documents_column_profile, curriculum_ordering,
+# contrastive_pairs. All remain registered, oracled, and harness-
 # runnable; nothing was weakened — only which 50 the driver re-verifies
 # changed.
 # --------------------------------------------------------------------------
 
 GATE_WINDOW = [
-    # held r8-first-attested entries (one green row each)
-    "rrf_fusion", "prf_query_expansion", "scd2_user_tiers",
-    "events_last_touch_attribution", "events_transition_matrix",
-    "events_ohlc_bars", "streaming_incremental_topk_terms",
-    "taxonomy_pagerank", "tpch_q3_shipping_priority",
-    "tpch_q10_returned_items", "multimodal_features",
-    "documents_column_profile", "curriculum_ordering",
-    "contrastive_pairs",
-    # r9 queue singles (oldest never-attested registrations, r7 vintage)
+    # r9 queue singles, held for the second consecutive row
     "unigram_perplexity_filter", "snapshot_diff_cdc",
     "events_cumulative_unique_users", "hamming_ann_rerank",
     "hamming_ann_batch16", "streaming_incremental_fts",
@@ -18696,6 +18692,15 @@ GATE_WINDOW = [
     "streaming_rollup_time_travel", "split_leakage_report",
     "reciprocal_nearest_neighbors", "session_path_signatures",
     "incremental_join_view", "aqp_sum_estimate",
+    # the r10 queue (r9 registrations) — backlog-zero rotation
+    "kmeans_fit_2iter", "weighted_reservoir_sample",
+    "coverage_maximizing_sample", "lsh_config_planner",
+    "token_coverage_curve", "events_autocorrelation",
+    "dedup_keep_best_quality", "held_out_perplexity",
+    "ivf_recall_curve", "session_gap_sensitivity",
+    # newly-oracled this round (formerly rows-only; VERDICT r9 items 2-3)
+    "ann_recall_report", "ivfpq_recall_report",
+    "embedding_neardup_recall", "bic_model_selection",
     # the 22 consolidation suites (127 members; suites.py SUITE_PLAN)
     "suite_tpch_a", "suite_tpch_b", "suite_tpch_c",
     "suite_relational_core", "suite_rank_stats", "suite_robust_stats",
