@@ -3571,20 +3571,80 @@ def ivfpq_exact_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("corpus_profile_sketch", oracle=None)
+@query(
+    "corpus_profile_sketch",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types_exact,
+           TRUE AS hll_users_ok, TRUE AS hll_types_ok,
+           TRUE AS p50_rank_ok, TRUE AS p99_rank_ok
+    FROM events
+    """,
+)
 def corpus_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based corpus profiling (§7 free Spark extensions —
-    approx_count_distinct is HyperLogLog++, percentile_approx is
-    KLL-style): one pass over the fact table, constant memory per
-    executor, the way profiling runs at 100 TB. Rows-only check (sketch
-    estimates are engine-specific)."""
+    approx_count_distinct is HyperLogLog++, percentile_approx is a
+    KLL-style rank sketch): one pass over the fact table, constant
+    memory per executor, the way profiling runs at 100 TB.
+
+    ORACLED via the invariant-boolean play (the n_false_positive=0
+    device from embedding_neardup_recall, applied to sketches whose
+    ESTIMATES are engine-specific by nature): the gate hash-compares
+    the exact cardinalities and, alongside them, the sketch's ACCURACY
+    CONTRACT as booleans the DuckDB twin pins to TRUE —
+      * HLL++ user estimate (rsd=0.02 — the default 0.05 realizes a
+        6.7% miss at the sf0.1 cardinality, a measured 1.3-sigma
+        draw, so the profile runs the tighter sketch and the contract
+        band stays 5% ≈ 2.5 sigma) within 5% of the exact distinct
+        count (types is tiny-cardinality, where HLL++ is exact by its
+        sparse-mode construction);
+      * the KLL p50/p99 estimates land within ±1% RANK of their
+        targets (default accuracy 10000 bounds rank error at 1e-4·n;
+        the band leaves room for value ties, which inflate the
+        <=-rank of the returned value).
+    A sketch regression (estimate drift past contract, wrong quantile)
+    flips a boolean and fails the driver hash BY NAME. The exact
+    distincts are a shuffle the 100 TB profile run would skip — they
+    exist here to certify the sketch, the production read stays the
+    one-pass sketch row."""
     ev = load_table(spark, "events", sf_dir)
-    return ev.agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.approx_count_distinct("event_type").alias("approx_types"),
-        F.round(F.percentile_approx("value", [0.5, 0.95, 0.99]).getItem(0), 2).alias("p50"),
-        F.round(F.percentile_approx("value", [0.5, 0.95, 0.99]).getItem(2), 2).alias("p99"),
+    prof = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users_exact"),
+        F.countDistinct("event_type").cast("long").alias("n_types_exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("_hll_users"),
+        F.approx_count_distinct("event_type").alias("_hll_types"),
+        F.percentile_approx("value", [0.5, 0.99]).getItem(0).alias("_p50"),
+        F.percentile_approx("value", [0.5, 0.99]).getItem(1).alias("_p99"),
+    )
+    ranks = (
+        ev.crossJoin(F.broadcast(prof.select("_p50", "_p99")))
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("_p50"), 1).otherwise(0)).alias("_r50"),
+            F.sum(F.when(F.col("value") <= F.col("_p99"), 1).otherwise(0)).alias("_r99"),
+        )
+    )
+    return (
+        prof.crossJoin(F.broadcast(ranks))
+        .select(
+            "n_events",
+            "n_users_exact",
+            "n_types_exact",
+            (
+                F.abs(F.col("_hll_users") - F.col("n_users_exact"))
+                <= F.col("n_users_exact") * 0.05
+            ).alias("hll_users_ok"),
+            (F.col("_hll_types") == F.col("n_types_exact")).alias("hll_types_ok"),
+            (
+                (F.col("_r50") >= F.col("n_events") * 0.49)
+                & (F.col("_r50") <= F.col("n_events") * 0.51)
+            ).alias("p50_rank_ok"),
+            (
+                (F.col("_r99") >= F.col("n_events") * 0.98)
+                & (F.col("_r99") <= F.col("n_events") * 0.9999)
+            ).alias("p99_rank_ok"),
+        )
     )
 
 
