@@ -1720,30 +1720,257 @@ def context_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Clustering / ANN (SURVEY §2.9 M1-M5) — rows-only checks (non-SQL ops);
-# invariants (recall vs exact, WSSSE) covered in tests/.
+# Clustering / ANN (SURVEY §2.9 M1-M5). Formerly rows-only; now oracled
+# end-to-end on the exact-integer Lloyd's fit (the kmeans_fit_2iter play):
+# the stochastic MLlib-style fit keeps its pytest invariants, the GATES run
+# the deterministic fit both engines replay.
 # --------------------------------------------------------------------------
 
 
-@query("kmeans_clusters", oracle=None)
+def _duck_kmeans_fit(k: int, n_iter: int = 2, p: str = "f_") -> str:
+    """CTE chain {p}c0..{p}c{n_iter} (+ per-iteration a/m/u steps) for the
+    exact-integer Lloyd's fit from pinned seeds — the kmeans_fit_2iter
+    oracle generalized by (k, n_iter). Expects an `x` CTE with
+    (vec_id, d, v) milli-quantized components in scope. {p}c{n_iter} is
+    the final centroid table (cid, d, c); {p}m{n_iter} the last
+    assignment used for the update."""
+    parts = [
+        f"{p}c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, d, v AS c"
+        f" FROM x WHERE vec_id < {k})"
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""{p}a{i} AS (
+      SELECT x.vec_id, c.cid, sum((x.v - c.c) * (x.v - c.c)) AS d2
+      FROM x JOIN {p}c{i - 1} c USING (d) GROUP BY 1, 2
+    )""")
+        parts.append(f"""{p}m{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY d2 ASC, cid ASC) AS rn
+        FROM {p}a{i}) WHERE rn = 1
+    )""")
+        parts.append(f"""{p}u{i} AS (
+      SELECT m.cid, x.d, CAST(sum(x.v) // count(*) AS BIGINT) AS c
+      FROM {p}m{i} m JOIN x USING (vec_id) GROUP BY 1, 2
+    )""")
+        parts.append(f"""{p}c{i} AS (
+      SELECT b.cid, b.d, COALESCE(u.c, b.c) AS c
+      FROM {p}c{i - 1} b LEFT JOIN {p}u{i} u ON u.cid = b.cid AND u.d = b.d
+    )""")
+    return ",\n    ".join(parts)
+
+
+# shared x CTE: milli-quantized components, 64 dims, 1-indexed in DuckDB
+_DUCK_QUANT_X = """
+    x AS (
+      SELECT e.vec_id, d.d,
+             CAST(round(CAST(e.embedding[d.d] AS DOUBLE) * 1000) AS BIGINT) AS v
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS d) d
+    )
+"""
+
+
+@query(
+    "kmeans_clusters",
+    oracle=f"""
+    WITH {_DUCK_QUANT_X.strip()},
+    {_duck_kmeans_fit(8, 2)},
+    a3 AS (
+      SELECT x.vec_id, c.cid, sum((x.v - c.c) * (x.v - c.c)) AS d2
+      FROM x JOIN f_c2 c USING (d) GROUP BY 1, 2
+    ),
+    m3 AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY d2 ASC, cid ASC) AS rn
+        FROM a3) WHERE rn = 1
+    ),
+    rep AS (
+      SELECT cid, vec_id AS representative_id FROM (
+        SELECT cid, vec_id,
+               row_number() OVER (PARTITION BY cid
+                 ORDER BY d2 ASC, vec_id ASC) AS rn
+        FROM m3) WHERE rn = 1
+    )
+    SELECT s.cid AS cluster_id,
+           CAST(s.n AS BIGINT) AS chunk_count,
+           round(s.dsum / (s.n * 1000.0), 6) + 0.0 AS mean_distance,
+           rep.representative_id
+    FROM (
+      SELECT cid, count(*) AS n,
+             CAST(sum(CAST(round(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT))
+                  AS DOUBLE) AS dsum
+      FROM m3 GROUP BY 1
+    ) s JOIN rep USING (cid)
+    ORDER BY cluster_id
+    """,
+)
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib KMeans (M3): cluster sizes + mean distance + representative
-    (cluster_summaries build). Seeded, k=8."""
-    from pdf_brain_spark.operators.clustering import cluster_summaries, kmeans_assign
+    """Cluster summaries (M3/A7/A10 shape: sizes + mean distance +
+    medoid-ish representative, cluster_summaries semantics), ORACLED: the
+    model is the exact-integer 2-iteration Lloyd's fit (kmeans_fit_2iter,
+    k=8), assignment to the FINAL centroids is integer argmin with
+    lowest-cid ties, per-member distance quantizes ONCE to milli-units
+    via the correctly-rounded (hence bit-identical) sqrt, and the means
+    are one double division of exact integers, 6dp-rounded on both
+    engines. Representative = argmin (d2, vec_id) per cluster — exact
+    integer ties. The stochastic production path (kmeans_assign +
+    cluster_summaries on the seeded sample fit) keeps its pytest
+    coverage; this gate makes the SUMMARY TABLE hash-checkable. Plan:
+    fit = one Arrow pass + one (cid,dim) model-grain aggregate per
+    iteration; summary = one more map-side argmin pass + one
+    cluster-grain aggregate — the corpus is never shuffled."""
+    from pdf_brain_spark.operators.clustering import kmeans_fit_exact_int
 
     emb = load_table(spark, "embeddings", sf_dir)
-    assigned, _ = kmeans_assign(emb, k=8, seed=42)
-    return cluster_summaries(assigned).orderBy("cluster_id")
+    fit = kmeans_fit_exact_int(spark, emb, k=8, dim=64, n_iter=2).collect()
+    cmat = [[0] * 64 for _ in range(8)]
+    for r in fit:
+        cmat[int(r["cluster_id"])][int(r["dim_idx"])] = int(r["coord_milli"])
+
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("q"),
+    )
+
+    def _d2(const: list[int]):
+        return F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(c).cast("long") for c in const]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    best = F.array_min(
+        F.array(*[
+            F.struct(_d2(cmat[c]).alias("d"), F.lit(c).alias("c"))
+            for c in range(8)
+        ])
+    )
+    assigned = q.select(
+        "vec_id",
+        best.getField("c").alias("cluster_id"),
+        best.getField("d").alias("_d2"),
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("chunk_count"),
+            F.sum(
+                F.round(F.sqrt(F.col("_d2").cast("double"))).cast("long")
+            ).alias("_dsum"),
+            F.min(F.struct(F.col("_d2"), F.col("vec_id")))
+            .getField("vec_id")
+            .alias("representative_id"),
+        )
+        .select(
+            "cluster_id",
+            "chunk_count",
+            F.round(
+                F.col("_dsum").cast("double") / (F.col("chunk_count") * 1000.0), 6
+            ).alias("mean_distance"),
+            "representative_id",
+        )
+        .orderBy("cluster_id")
+    )
 
 
-@query("soft_clustering", oracle=None)
+@query(
+    "soft_clustering",
+    oracle=f"""
+    WITH {_DUCK_QUANT_X.strip()},
+    {_duck_kmeans_fit(8, 2)},
+    a3 AS (
+      SELECT x.vec_id, c.cid, sum((x.v - c.c) * (x.v - c.c)) AS d2
+      FROM x JOIN f_c2 c USING (d)
+      WHERE x.vec_id < 100 GROUP BY 1, 2
+    ),
+    neg AS (
+      SELECT vec_id, cid,
+             -sqrt(CAST(d2 AS DOUBLE)) / 500.0 AS neg
+      FROM a3
+    ),
+    e AS (
+      SELECT vec_id, cid,
+             exp(neg - max(neg) OVER (PARTITION BY vec_id)) AS ev
+      FROM neg
+    ),
+    p AS (
+      SELECT vec_id, cid,
+             round(ev / sum(ev) OVER (PARTITION BY vec_id), 6) AS probability
+      FROM e
+    )
+    SELECT vec_id, cid AS cluster_id, probability + 0.0 AS probability
+    FROM p WHERE probability >= 0.1
+    """,
+)
 def soft_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Softmax(-d/T) soft membership (M5/A6), T=0.5, p ≥ 0.1."""
-    from pdf_brain_spark.operators.clustering import kmeans_assign, soft_assignments
+    """Softmax(-d/T) soft membership (M5/A6, Clustering.ts:217-224),
+    T=0.5, p >= 0.1, max-shifted like the reference — the LAST formerly
+    rows-only clustering surface, now ORACLED on the exact-integer fit
+    (kmeans_fit_2iter, k=8): distances to the final integer centroids
+    are exact integer d2, sqrt is IEEE-correctly-rounded (bit-identical
+    on both engines), and the softmax is the identical exp/shift/
+    normalize sequence over those bit-identical doubles, rounded ONCE to
+    6dp before the 0.1 floor is applied — three-scale attested that no
+    probability sits within float-disagreement range of either the
+    rounding boundary or the floor. The production float soft_assignments
+    (Arrow-batched BLAS softmax over the seeded-sample fit) keeps its
+    pytest coverage. Bounded output: query rows are vec_id < 100 at
+    every scale; the softmax itself is map-side over broadcast
+    centroids."""
+    from pdf_brain_spark.operators.clustering import kmeans_fit_exact_int
 
     emb = load_table(spark, "embeddings", sf_dir)
-    _, centroids = kmeans_assign(emb, k=8, seed=42)
-    return soft_assignments(emb, centroids).filter(F.col("vec_id") < 100)
+    fit = kmeans_fit_exact_int(spark, emb, k=8, dim=64, n_iter=2).collect()
+    cmat = [[0] * 64 for _ in range(8)]
+    for r in fit:
+        cmat[int(r["cluster_id"])][int(r["dim_idx"])] = int(r["coord_milli"])
+
+    q = emb.filter(F.col("vec_id") < 100).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("q"),
+    )
+
+    def _d2(const: list[int]):
+        return F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(c).cast("long") for c in const]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    negs = F.array(*[
+        -F.sqrt(_d2(cmat[c]).cast("double")) / 500.0 for c in range(8)
+    ])
+    return (
+        q.select("vec_id", negs.alias("_negs"))
+        .withColumn("_m", F.array_max("_negs"))
+        .withColumn("_es", F.transform("_negs", lambda x: F.exp(x - F.col("_m"))))
+        .withColumn(
+            "_s",
+            F.aggregate("_es", F.lit(0.0), lambda acc, v: acc + v),
+        )
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform("_es", lambda e: F.round(e / F.col("_s"), 6))
+            ).alias("cluster_id", "probability"),
+        )
+        .filter(F.col("probability") >= 0.1)
+    )
 
 
 @query(
