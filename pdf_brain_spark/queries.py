@@ -6647,15 +6647,248 @@ def pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "page")
 
 
-@query("clustering_model_report", oracle=None)
+def _duck_kmeans_report(k: int) -> str:
+    """Per-k report CTEs on top of _duck_kmeans_rss's chain: final
+    assignment detail (k{k}_mm), summaries, representative, and softmax
+    membership stats — the clustering_model_report oracle's per-candidate
+    arm. Expects k{k}_a2 (vec_id, cid, d2 under the 1-round centroids)
+    in scope."""
+    p = f"k{k}_"
+    return f"""
+    {p}mm AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY d2 ASC, cid ASC) AS rn
+        FROM {p}a2) WHERE rn = 1
+    ),
+    {p}soft AS (
+      SELECT vec_id, cid,
+             round(ev / sum(ev) OVER (PARTITION BY vec_id), 6) AS p
+      FROM (
+        SELECT vec_id, cid,
+               exp(neg - max(neg) OVER (PARTITION BY vec_id)) AS ev
+        FROM (
+          SELECT vec_id, cid, -sqrt(CAST(d2 AS DOUBLE)) / 500.0 AS neg
+          FROM {p}a2)
+      )
+    ),
+    {p}softagg AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_soft,
+             CAST(sum(CAST(round(p * 1000000) AS BIGINT)) AS BIGINT) AS pmicro
+      FROM {p}soft WHERE p >= 0.1 GROUP BY 1
+    ),
+    {p}rep AS (
+      SELECT cid, vec_id AS rep FROM (
+        SELECT cid, vec_id,
+               row_number() OVER (PARTITION BY cid
+                 ORDER BY d2 ASC, vec_id ASC) AS rn
+        FROM {p}mm) WHERE rn = 1
+    ),
+    {p}rpt AS (
+      SELECT CAST({k} AS INTEGER) AS k, s.cid, s.n, s.dsum, r.rep,
+             sa.n_soft, sa.pmicro
+      FROM (
+        SELECT cid, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT))
+                    AS BIGINT) AS dsum
+        FROM {p}mm GROUP BY 1
+      ) s JOIN {p}rep r USING (cid)
+      LEFT JOIN {p}softagg sa USING (cid)
+    )"""
+
+
+@query(
+    "clustering_model_report",
+    oracle=f"""
+    WITH {_DUCK_QUANT_X.strip()},
+    {','.join(_duck_kmeans_rss(k) for k in (2, 4, 8))},
+    allk AS (
+      SELECT * FROM k2_r UNION ALL SELECT * FROM k4_r
+      UNION ALL SELECT * FROM k8_r
+    ),
+    scored AS (
+      SELECT k, n, rss,
+             round((CAST(n AS DOUBLE)
+                    * ln(CAST(rss AS DOUBLE) / CAST(n AS DOUBLE)))
+                   + (CAST(k * 65 AS DOUBLE) * ln(CAST(n AS DOUBLE))),
+                   6) AS bic
+      FROM allk
+    ),
+    win AS (
+      SELECT k, n, rss, bic FROM (
+        SELECT k, n, rss, bic,
+               row_number() OVER (ORDER BY bic ASC, k ASC) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    {','.join(_duck_kmeans_report(k) for k in (2, 4, 8))},
+    allrpt AS (
+      SELECT * FROM k2_rpt UNION ALL SELECT * FROM k4_rpt
+      UNION ALL SELECT * FROM k8_rpt
+    )
+    SELECT w.k AS chosen_k, rpt.cid AS cluster_id,
+           rpt.n AS chunk_count,
+           round(CAST(rpt.dsum AS DOUBLE) / (rpt.n * 1000.0), 6) + 0.0
+             AS mean_distance,
+           rpt.rep AS representative_id,
+           CAST(COALESCE(rpt.n_soft, 0) AS BIGINT) AS n_soft_members,
+           CASE WHEN rpt.n_soft IS NULL THEN NULL
+                ELSE round(CAST(rpt.pmicro AS DOUBLE)
+                           / (rpt.n_soft * 1000000.0), 6) + 0.0
+           END AS mean_probability,
+           w.bic + 0.0 AS bic, CAST(w.n AS BIGINT) AS n_points,
+           CAST(w.rss AS BIGINT) AS rss_milli2
+    FROM allrpt rpt JOIN win w ON w.k = rpt.k
+    ORDER BY cluster_id
+    """,
+)
 def clustering_model_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full clustering model lifecycle in one gate (reference
-    Clustering.ts): BIC model selection over candidate k (A5,
-    Clustering.ts:657-676), per-cluster sizes + mean distance +
-    representative at the chosen k (M3/M4/A7/A10 shape), and softmax
-    membership stats (M5/A6, Clustering.ts:217-224). Rows-only: KMeans is
-    iterative MLlib, not SQL-expressible. Standalone APIs stay registered
-    as `kmeans_clusters` / `soft_clustering` / `bic_model_selection`."""
+    """Full clustering model lifecycle in ONE hash-compared gate
+    (reference Clustering.ts): BIC model selection over candidate
+    k in (2, 4, 8) (A5, Clustering.ts:657-676), per-cluster sizes +
+    mean distance + representative at the chosen k (M3/M4/A7/A10
+    shape), and softmax membership stats (M5/A6, Clustering.ts:217-224)
+    — the LAST rows-only registry entry, now ORACLED by composing the
+    three plays already attested separately: each candidate fit is one
+    exact-integer Lloyd's round from pinned seeds (bic_model_selection),
+    summaries quantize distances once through the correctly-rounded sqrt
+    (kmeans_clusters), and soft stats sum 6dp-rounded probabilities as
+    exact micro-units before the single mean division (soft_clustering,
+    T=0.5, floor 0.1). The DuckDB twin replays the per-k chains, picks
+    the BIC argmin itself (lowest-k ties), and reports the winner's
+    clusters — so even WHICH k the lifecycle selects is hash-checked.
+    The stochastic float lifecycle (bic_select_k warm-start fits +
+    check_model_invariants fail-fast) moved to
+    clustering_model_report_float below, still pytest-driven including
+    the poisoned-WSSSE fixture. Plan: per candidate one Arrow fit pass +
+    one RSS aggregate; the winner adds one map-side argmin+softmax pass
+    feeding two cluster-grain aggregates; only model-grain tables are
+    collected."""
+    from pdf_brain_spark.operators.clustering import kmeans_fit_exact_int
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("q"),
+    ).localCheckpoint(eager=True)  # one pass per candidate + winner passes
+
+    def _d2(const: list[int]):
+        return F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(c).cast("long") for c in const]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    import math
+
+    cmats: dict[int, list[list[int]]] = {}
+    cand = []
+    for k in (2, 4, 8):
+        cents = kmeans_fit_exact_int(spark, emb, k=k, dim=64, n_iter=1).collect()
+        cmat = [[0] * 64 for _ in range(k)]
+        for r in cents:
+            cmat[int(r["cluster_id"])][int(r["dim_idx"])] = int(r["coord_milli"])
+        cmats[k] = cmat
+        row = (
+            q.select(F.least(*[_d2(cmat[c]) for c in range(k)]).alias("_md"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("_md").cast("long").alias("rss"),
+            )
+            .collect()[0]  # model grain: one row per candidate
+        )
+        n, rss = int(row["n"]), int(row["rss"])
+        bic = round(n * math.log(rss / n) + (k * 65) * math.log(n), 6)
+        cand.append((k, n, rss, bic))
+    chosen_k, n_points, rss_win, bic_win = min(cand, key=lambda t: (t[3], t[0]))
+
+    cmat = cmats[chosen_k]
+    k = chosen_k
+    best = F.array_min(
+        F.array(*[
+            F.struct(_d2(cmat[c]).alias("d"), F.lit(c).alias("c"))
+            for c in range(k)
+        ])
+    )
+    negs = F.array(*[
+        -F.sqrt(_d2(cmat[c]).cast("double")) / 500.0 for c in range(k)
+    ])
+    detail = q.select(
+        "vec_id",
+        best.getField("c").alias("cluster_id"),
+        best.getField("d").alias("_d2"),
+        negs.alias("_negs"),
+    ).localCheckpoint(eager=True)  # consumed by hard AND soft aggregates
+    hard = detail.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("chunk_count"),
+        F.sum(
+            F.round(F.sqrt(F.col("_d2").cast("double"))).cast("long")
+        ).alias("_dsum"),
+        F.min(F.struct(F.col("_d2"), F.col("vec_id")))
+        .getField("vec_id")
+        .alias("representative_id"),
+    )
+    soft = (
+        detail.withColumn("_m", F.array_max("_negs"))
+        .withColumn("_es", F.transform("_negs", lambda x: F.exp(x - F.col("_m"))))
+        .withColumn("_s", F.aggregate("_es", F.lit(0.0), lambda a, b: a + b))
+        .select(
+            F.posexplode(
+                F.transform("_es", lambda e: F.round(e / F.col("_s"), 6))
+            ).alias("_cid", "_p")
+        )
+        .filter(F.col("_p") >= 0.1)
+        .groupBy(F.col("_cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n_soft"),
+            F.sum(F.round(F.col("_p") * 1000000).cast("long")).alias("_pmicro"),
+        )
+    )
+    return (
+        hard.join(soft, "cluster_id", "left")
+        .select(
+            F.lit(chosen_k).alias("chosen_k"),
+            "cluster_id",
+            "chunk_count",
+            F.round(
+                F.col("_dsum").cast("double") / (F.col("chunk_count") * 1000.0), 6
+            ).alias("mean_distance"),
+            "representative_id",
+            F.coalesce(F.col("_n_soft"), F.lit(0).cast("long")).alias(
+                "n_soft_members"
+            ),
+            F.when(
+                F.col("_n_soft").isNotNull(),
+                F.round(
+                    F.col("_pmicro").cast("double")
+                    / (F.col("_n_soft") * 1000000.0),
+                    6,
+                ),
+            ).alias("mean_probability"),
+            F.lit(bic_win).alias("bic"),
+            F.lit(n_points).cast("long").alias("n_points"),
+            F.lit(rss_win).cast("long").alias("rss_milli2"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def clustering_model_report_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STOCHASTIC clustering lifecycle (seeded-sample MLlib-style
+    fits): BIC selection via bic_select_k's warm-start-and-grow chain,
+    cluster_summaries, BLAS soft_assignments — kept as an unregistered,
+    pytest-driven surface (including the poisoned-WSSSE fixture in
+    tests/test_graph_and_ann.py, which needs check_model_invariants to
+    RAISE on a broken model). The registered clustering_model_report
+    gate runs the deterministic exact-integer lifecycle with a DuckDB
+    twin; this float path is where the production fit quality
+    invariants live."""
     from pdf_brain_spark.operators.clustering import (
         bic_select_k,
         check_model_invariants,

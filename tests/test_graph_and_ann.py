@@ -226,12 +226,14 @@ def test_model_invariant_checker_rejects_poisoned_inputs():
 
 def test_clustering_report_query_fails_on_poisoned_wssse(spark, monkeypatch):
     """Poisoned-fixture proof (VERDICT r3 item 5): when the model's WSSSE
-    ordering is violated, clustering_model_report RAISES — the rows-only
-    driver row can never record a green run over a broken model."""
+    ordering is violated, the stochastic float lifecycle
+    (clustering_model_report_float — the registered gate is now the
+    oracled exact-integer lifecycle) RAISES — a broken model can never
+    produce plausible-but-wrong rows."""
     import pytest
 
     import pdf_brain_spark.operators.clustering as cl
-    from pdf_brain_spark.queries import get_queries, lookup_query
+    from pdf_brain_spark.queries import clustering_model_report_float
 
     orig = cl.bic_select_k
 
@@ -247,7 +249,7 @@ def test_clustering_report_query_fails_on_poisoned_wssse(spark, monkeypatch):
 
     monkeypatch.setattr(cl, "bic_select_k", poisoned)
     with pytest.raises(AssertionError, match="non-increasing"):
-        lookup_query("clustering_model_report")(spark, SF_DIR).collect()
+        clustering_model_report_float(spark, SF_DIR).collect()
 
 
 def test_power_iteration_tracks_numpy_eigenvector(spark):
