@@ -3457,18 +3457,243 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_profile(load_table(spark, "events", sf_dir), "user_id", top_n=10)
 
 
-@query("pq_compression_report", oracle=None)
-def pq_compression_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization trade report (operators/quantization.py):
-    recall@10 of ADC-from-codes serving (flat and ADC-then-exact-rerank)
-    vs the exact float path for 32 corpus queries, bounded-sample
-    reconstruction MSE, and the storage compression ratio. Rows-only
-    (seeded Lloyd's codebooks are not SQL-expressible); the ADC distance
-    identity, serving parity, monotone-in-m error, and rerank==exact
-    invariants are pytest-asserted in tests/test_quantization.py."""
-    from pdf_brain_spark.operators.quantization import pq_compression_report
+_DUCK_PQ_REPORT = """
+    x AS (
+      SELECT e.vec_id, d.d,
+             CAST(round(CAST(e.embedding[d.d] AS DOUBLE) * 1000) AS BIGINT) AS v
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS d) d
+    ),
+    cw AS (
+      SELECT CAST((d - 1) // 8 AS INTEGER) AS s, CAST(vec_id AS INTEGER) AS code,
+             d, v
+      FROM x WHERE vec_id < 16
+    ),
+    sub AS (
+      SELECT x.vec_id, cw.s, cw.code, sum((x.v - cw.v) * (x.v - cw.v)) AS d2
+      FROM x JOIN cw ON cw.d = x.d GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, s, code, d2 AS md FROM (
+        SELECT vec_id, s, code, d2, row_number() OVER (
+          PARTITION BY vec_id, s ORDER BY d2 ASC, code ASC) AS rn
+        FROM sub
+      ) WHERE rn = 1
+    ),
+    recon AS (
+      SELECT CAST(sum(md) AS BIGINT) AS sse,
+             CAST(count(*) // 8 AS BIGINT) AS n_vec
+      FROM codes
+    ),
+    qx AS (SELECT vec_id AS query_id, d, v FROM x WHERE vec_id < 16),
+    lut AS (
+      SELECT q.query_id, cw.s, cw.code, sum((q.v - cw.v) * (q.v - cw.v)) AS ld
+      FROM qx q JOIN cw ON cw.d = q.d GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT l.query_id, c.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc
+      FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+      GROUP BY 1, 2
+    ),
+    adcr AS (
+      SELECT query_id, vec_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rn
+      FROM adc
+    ),
+    flat10 AS (SELECT query_id, vec_id FROM adcr WHERE rn <= 10),
+    short40 AS (SELECT query_id, vec_id FROM adcr WHERE rn <= 40),
+    ex AS (
+      SELECT q.query_id, x.vec_id, sum((x.v - q.v) * (x.v - q.v)) AS d2
+      FROM x JOIN qx q USING (d) GROUP BY 1, 2
+    ),
+    exact10 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY d2 ASC, vec_id ASC) AS rn
+        FROM ex
+      ) WHERE rn <= 10
+    ),
+    rerank10 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT e.query_id, e.vec_id, row_number() OVER (
+          PARTITION BY e.query_id ORDER BY e.d2 ASC, e.vec_id ASC) AS rn
+        FROM ex e JOIN short40 s
+          ON s.query_id = e.query_id AND s.vec_id = e.vec_id
+      ) WHERE rn <= 10
+    )
+"""
 
-    return pq_compression_report(load_table(spark, "embeddings", sf_dir))
+
+@query(
+    "pq_compression_report",
+    oracle=f"""
+    WITH {_DUCK_PQ_REPORT.strip()}
+    SELECT CAST(64 AS INTEGER) AS dim, CAST(8 AS INTEGER) AS m,
+           CAST(16 AS INTEGER) AS n_codes, 32.0 AS compression_x,
+           CAST(160 AS BIGINT) AS n_exact_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM flat10 f
+            JOIN exact10 e ON e.query_id = f.query_id AND e.vec_id = f.vec_id)
+             AS adc_hits,
+           (SELECT CAST(count(*) * 1000000 // 160 AS BIGINT) FROM flat10 f
+            JOIN exact10 e ON e.query_id = f.query_id AND e.vec_id = f.vec_id)
+             AS recall_adc_ppm,
+           (SELECT CAST(count(*) AS BIGINT) FROM rerank10 r
+            JOIN exact10 e ON e.query_id = r.query_id AND e.vec_id = r.vec_id)
+             AS rerank_hits,
+           (SELECT CAST(count(*) * 1000000 // 160 AS BIGINT) FROM rerank10 r
+            JOIN exact10 e ON e.query_id = r.query_id AND e.vec_id = r.vec_id)
+             AS recall_rerank_ppm,
+           (SELECT sse FROM recon) AS recon_sse_milli2,
+           (SELECT round(CAST(sse AS DOUBLE) / (n_vec * 1.0), 6) + 0.0
+            FROM recon) AS recon_mse_milli2
+    """,
+)
+def pq_compression_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization trade report, ORACLED (the _DUCK_IVFPQ play
+    at a second operating point — m=8 subspaces x 16 codewords vs the
+    IVFPQ gate's 4x8, so the two gates pin different ends of the
+    code-resolution curve): recall@10 of flat ADC-from-codes serving and
+    of the ADC-shortlist(40)-then-exact-rerank path against exact truth
+    for 16 corpus queries, the 32x storage ratio (64 float32 dims -> 8
+    one-byte codes), and — new to the deterministic replica —
+    CORPUS-WIDE reconstruction SSE/MSE, which falls out exactly because
+    each vector's reconstruction error IS the sum of its per-subspace
+    argmin distances (Σ_s min_c d2) — an integer the twin replays with
+    no sampling. Codebooks are deterministic (subvectors of vec_ids
+    0..15, milli-quantized); every distance, code, ranking and hit count
+    is exact-integer with deterministic ties; the only floats are the
+    two final divisions, 6dp-rounded identically. The production float
+    pipeline (seeded-Lloyd's pq_train / pq_encode / ADC / rerank, cosine
+    serving metric) keeps its invariants in tests/test_quantization.py.
+    Plan: codes+recon are ONE map-side argmin pass (the codeword grid
+    broadcasts); ADC joins the bounded LUT (16 queries x 8 x 16) to the
+    code table — scan bytes per query are m one-byte codes, the whole
+    point of PQ at 100 TB."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("q"),
+    ).localCheckpoint(eager=True)  # scanned by codes/adc/exact arms
+
+    cw_rows = {int(r["vec_id"]): [int(v) for v in r["q"]]
+               for r in q.filter(F.col("vec_id") < 16).collect()}
+    if set(cw_rows) != set(range(16)):
+        raise ValueError(
+            "pq_compression_report needs dense vec_ids 0..15 as codewords"
+        )
+    # cw[s][c] = codeword c of subspace s (8 dims each)
+    cw = [[cw_rows[c][s * 8:(s + 1) * 8] for c in range(16)] for s in range(8)]
+    q_rows = cw_rows  # queries are the same pinned ids 0..15
+
+    def _d2(vec_col, const: list[int]):
+        return F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(c).cast("long") for c in const]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    # one map-side pass: per subspace the argmin (d2, code) struct — the
+    # code for ADC, the min d2 for reconstruction error
+    best_exprs = [
+        F.array_min(
+            F.array(*[
+                F.struct(
+                    _d2(F.slice("q", s * 8 + 1, 8), cw[s][c]).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(16)
+            ])
+        ).alias(f"_b{s}")
+        for s in range(8)
+    ]
+    coded = q.select(
+        "vec_id",
+        F.posexplode(F.array(*best_exprs)).alias("s", "b"),
+    ).select(
+        "vec_id", "s", F.col("b.c").alias("code"), F.col("b.d").alias("md")
+    ).localCheckpoint(eager=True)  # consumed by recon AND adc
+    recon = coded.agg(
+        F.sum("md").cast("long").alias("sse"),
+        (F.count(F.lit(1)) / 8).cast("long").alias("n_vec"),
+    )
+    lut_rows = [
+        (qid, s, c, sum((qv[s * 8 + j] - cw[s][c][j]) ** 2 for j in range(8)))
+        for qid, qv in q_rows.items() for s in range(8) for c in range(16)
+    ]
+    lut = F.broadcast(spark.createDataFrame(
+        lut_rows, "query_id long, s int, code int, ld long"
+    ))
+    adc = (
+        coded.join(lut, ["s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("ld").alias("adc"))
+    )
+    from pyspark.sql import Window
+
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    adcr = adc.withColumn("_rn", F.row_number().over(w_adc)).localCheckpoint(
+        eager=True
+    )  # consumed by flat10 AND short40
+    flat10 = adcr.filter(F.col("_rn") <= 10).select("query_id", "vec_id")
+    short40 = adcr.filter(F.col("_rn") <= 40).select("query_id", "vec_id")
+    qdf = F.broadcast(spark.createDataFrame(
+        [(qid, qv) for qid, qv in q_rows.items()],
+        "query_id long, qv array<long>",
+    ))
+    ex = q.crossJoin(qdf).select(
+        "query_id",
+        "vec_id",
+        F.aggregate(
+            F.zip_with("q", "qv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("_d2"),
+    ).localCheckpoint(eager=True)  # consumed by exact10 AND rerank10
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.col("_d2").asc(), F.col("vec_id").asc()
+    )
+    exact10 = (
+        ex.withColumn("_rn", F.row_number().over(w_ex))
+        .filter(F.col("_rn") <= 10).select("query_id", "vec_id")
+    )
+    rerank10 = (
+        ex.join(short40, ["query_id", "vec_id"])
+        .withColumn("_rn", F.row_number().over(w_ex))
+        .filter(F.col("_rn") <= 10).select("query_id", "vec_id")
+    )
+    adc_hits = flat10.join(exact10, ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("h")
+    )
+    rr_hits = rerank10.join(exact10, ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("h")
+    )
+    return (
+        adc_hits.select(F.col("h").alias("adc_hits"))
+        .crossJoin(rr_hits.select(F.col("h").alias("rerank_hits")))
+        .crossJoin(recon)
+        .select(
+            F.lit(64).alias("dim"),
+            F.lit(8).alias("m"),
+            F.lit(16).alias("n_codes"),
+            F.lit(32.0).alias("compression_x"),
+            F.lit(160).cast("long").alias("n_exact_pairs"),
+            "adc_hits",
+            F.expr("(adc_hits * 1000000) div 160").alias("recall_adc_ppm"),
+            "rerank_hits",
+            F.expr("(rerank_hits * 1000000) div 160").alias("recall_rerank_ppm"),
+            F.col("sse").alias("recon_sse_milli2"),
+            F.round(
+                F.col("sse").cast("double") / (F.col("n_vec") * 1.0), 6
+            ).alias("recon_mse_milli2"),
+        )
+    )
 
 
 _DUCK_IVFPQ = """
