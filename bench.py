@@ -81,6 +81,18 @@ HEADLINE = [
     "source_contamination_matrix",
     "embedding_power_iteration",
     "bloom_semijoin_audit",
+    # r10 (VERDICT r9 item 6): the heaviest shapes the 43-key set didn't
+    # represent after the r8/r9 family growth — the winnowing w-window
+    # argmin fingerprint pass, the token-grain G2/PMI collocation pair
+    # (two shuffles over the bigram axis), the exact-integer k-means FIT
+    # (per-iteration Arrow assign + model-grain aggregate), and ONE suite
+    # gate end-to-end so the canonicalization layer (per-member
+    # projection + guarded row_number + union-all) has a priced key.
+    "winnowing_fingerprints",
+    "g2_collocations",
+    "term_pmi_pairs",
+    "kmeans_fit_2iter",
+    "suite_term_stats",
 ]
 
 

@@ -19390,6 +19390,372 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-10 registrations — the round-11 rotation queue. Registered after
+# this round's GATE_WINDOW sealed; three-scale harness-attested at
+# registration; algorithmic ones carry pure-python second opinions in
+# tests/test_randomized_references.py.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 t -> t <> '')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+      FROM d
+    ),
+    s AS (SELECT source, n_tok, cum_end, cum_end - n_tok AS cum_start FROM c)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST((sum(n_tok) + 2047) // 2048 AS BIGINT) AS n_chunks,
+           CAST((sum(n_tok) + 2047) // 2048 * 2048 - sum(n_tok) AS BIGINT)
+             AS tail_padding,
+           CAST(sum(CASE WHEN n_tok >= 1
+                          AND cum_start // 2048 <> (cum_end - 1) // 2048
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning_docs,
+           CAST(sum(CASE WHEN n_tok >= 1
+                          AND cum_start // 2048 <> (cum_end - 1) // 2048
+                     THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+             AS spanning_ppm
+    FROM s GROUP BY source ORDER BY source
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk SEQUENCE PACKING report at a 2048-token context
+    (the GPT-style pretraining batch layout: concatenate each source's
+    documents in a deterministic order, split every ctx tokens): per
+    source, the chunk count, tail padding, and how many documents
+    straddle a chunk boundary (the attention-contamination metric that
+    motivates doc-boundary masking / best-fit packing). A doc spans a
+    boundary iff floor(cum_start/ctx) != floor((cum_end-1)/ctx) over
+    exact integer token cumsums — one per-source window pass + one
+    aggregate, the same shape the real packing job runs per shard at
+    100 TB (the window key is the source/shard, never a global order).
+    Whitespace tokens via the repo-wide tokenize() convention; all
+    counts integer, the ppm share floor-divided."""
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.size(tokenize("text")).cast("long").alias("n_tok"),
+    )
+    c = d.select(
+        "source",
+        "n_tok",
+        F.sum("n_tok")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_end"),
+    ).withColumn("cum_start", F.col("cum_end") - F.col("n_tok"))
+    span = F.when(
+        (F.col("n_tok") >= 1)
+        & (
+            F.expr("cum_start div 2048")
+            != F.expr("(cum_end - 1) div 2048")
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum(span).cast("long").alias("_nspan"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr("(total_tokens + 2047) div 2048").alias("n_chunks"),
+            (
+                F.expr("(total_tokens + 2047) div 2048") * 2048
+                - F.col("total_tokens")
+            ).alias("tail_padding"),
+            F.col("_nspan").alias("n_spanning_docs"),
+            F.expr("(_nspan * 1000000) div n_docs").alias("spanning_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "token_budget_waterfill",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CAST(sum(len(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> t <> ''))) AS BIGINT) AS capacity
+      FROM documents GROUP BY source
+    ),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(capacity) // 2 AS BIGINT) AS budget FROM d),
+    r AS (
+      SELECT d.source, d.capacity, g.n, g.budget,
+             row_number() OVER (ORDER BY d.capacity ASC, d.source ASC) AS idx,
+             sum(d.capacity) OVER (ORDER BY d.capacity ASC, d.source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d, g
+    ),
+    f AS (
+      SELECT *, (cum + (n - idx) * capacity <= budget) AS is_full FROM r
+    ),
+    kk AS (
+      SELECT CAST(count(*) FILTER (WHERE is_full) AS BIGINT) AS k,
+             CAST(COALESCE(max(cum) FILTER (WHERE is_full), 0) AS BIGINT)
+               AS cum_k
+      FROM f
+    ),
+    lvl AS (
+      SELECT k, cum_k,
+             (SELECT budget FROM g) AS budget,
+             ((SELECT budget FROM g) - cum_k) // ((SELECT n FROM g) - k)
+               AS level,
+             ((SELECT budget FROM g) - cum_k) % ((SELECT n FROM g) - k)
+               AS rem
+      FROM kk
+    )
+    SELECT f.source, f.capacity,
+           CAST(CASE WHEN f.is_full THEN f.capacity
+                     ELSE l.level + (CASE WHEN f.idx - l.k <= l.rem
+                                          THEN 1 ELSE 0 END)
+                END AS BIGINT) AS allocation,
+           f.is_full AS fully_funded,
+           CAST(l.level AS BIGINT) AS water_level,
+           CAST(l.budget AS BIGINT) AS budget,
+           TRUE AS sum_matches_budget
+    FROM f, lvl l
+    ORDER BY f.source
+    """,
+)
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min-fair TOKEN BUDGET allocation across sources (waterfilling
+    — the dual of temperature_sampling_weights: instead of reweighting
+    shares, cap every source at a common water level θ and fund small
+    sources fully, with Σ alloc = budget exactly): the data-mixing
+    primitive for 'train on B tokens, don't let one giant crawl drown
+    the rest'. Exact integers end to end: source i (capacity-ascending,
+    a prefix of which is fully funded — cum_i + (n−i)·c_i is provably
+    non-decreasing, so the full set IS a prefix) gets c_i if
+    cum_i + (n−i)·c_i ≤ B, else θ = (B − cum_K)//(n−K) with the
+    division remainder handed to the first (B − cum_K) mod (n−K)
+    unfunded sources in the same deterministic order — the emitted
+    allocations sum EXACTLY to the budget, asserted by the
+    sum_matches_budget boolean the twin pins TRUE. Model-grain: the
+    window runs on the source axis (bounded enum); the corpus is
+    touched once for capacities. Randomized python waterfill second
+    opinion in tests/test_randomized_references.py."""
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = (
+        docs.select("source", F.size(tokenize("text")).cast("long").alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").cast("long").alias("capacity"))
+        .localCheckpoint(eager=True)  # source grain; reused by g and r
+    )
+    g = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("sum(capacity) div 2").cast("long").alias("budget"),
+    )
+    order = [F.col("capacity").asc(), F.col("source").asc()]
+    w = Window.orderBy(*order)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = d.crossJoin(F.broadcast(g)).select(
+        "source",
+        "capacity",
+        "n",
+        "budget",
+        bounded_axis(
+            F.row_number().over(w).cast("long"),
+            order,
+            "waterfill source axis",
+            safe_alternative="pre-aggregate to the source enum grain "
+            "before ranking",
+        ).alias("idx"),
+        F.sum("capacity").over(wcum).alias("cum"),
+    )
+    f = r.withColumn(
+        "is_full",
+        (F.col("cum") + (F.col("n") - F.col("idx")) * F.col("capacity"))
+        <= F.col("budget"),
+    ).localCheckpoint(eager=True)  # consumed by kk AND the final projection
+    kk = f.agg(
+        F.sum(F.when(F.col("is_full"), 1).otherwise(0)).cast("long").alias("k"),
+        F.coalesce(
+            F.max(F.when(F.col("is_full"), F.col("cum"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("cum_k"),
+        F.first("budget").alias("budget"),
+        F.first("n").alias("n"),
+    )
+    lvl = kk.select(
+        "k",
+        "cum_k",
+        F.col("budget").alias("_budget"),
+        F.expr("(budget - cum_k) div (n - k)").alias("level"),
+        ((F.col("budget") - F.col("cum_k")) % (F.col("n") - F.col("k"))).alias(
+            "rem"
+        ),
+    )
+    out = (
+        f.drop("budget", "n")
+        .crossJoin(F.broadcast(lvl))
+        .select(
+            "source",
+            "capacity",
+            F.when(F.col("is_full"), F.col("capacity"))
+            .otherwise(
+                F.col("level")
+                + F.when(F.col("idx") - F.col("k") <= F.col("rem"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("allocation"),
+            F.col("is_full").alias("fully_funded"),
+            F.col("level").cast("long").alias("water_level"),
+            F.col("_budget").cast("long").alias("budget"),
+        )
+        .localCheckpoint(eager=True)  # consumed by the sum check AND output
+    )
+    # loud self-check, also a hash-compared column: allocations must sum
+    # EXACTLY to the budget (the remainder distribution guarantees it)
+    chk = out.agg(
+        (F.sum("allocation") == F.first("budget")).alias("sum_matches_budget")
+    )
+    return (
+        out.crossJoin(F.broadcast(chk))
+        .select(
+            "source", "capacity", "allocation", "fully_funded",
+            "water_level", "budget", "sum_matches_budget",
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "cross_source_quantile_calibration",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 t -> t <> '')) AS n_tok
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, n_tok,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_tok ASC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY source) AS cnt
+      FROM d
+    ),
+    cells AS (
+      SELECT source, CAST(((rn - 1) * 10) // cnt AS INTEGER) AS decile,
+             count(*) AS n_docs, max(n_tok) AS decile_max_tokens
+      FROM ranked GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d)
+    SELECT c.source, c.decile, CAST(c.n_docs AS BIGINT) AS n_docs,
+           CAST(c.decile_max_tokens AS BIGINT) AS decile_max_tokens,
+           CAST((SELECT count(*) FROM d
+                 WHERE d.n_tok <= c.decile_max_tokens) * 1000000
+                // t.n_total AS BIGINT) AS global_rank_ppm
+    FROM cells c, tot t
+    ORDER BY c.source, c.decile
+    """,
+)
+def cross_source_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source QUANTILE CALIBRATION table: each source's decile
+    boundaries of the length-quality proxy (whitespace token count)
+    mapped to their GLOBAL percentile — the measurement behind applying
+    per-source (rather than global) quality thresholds: a cell where
+    source A's top decile starts at the global 40th percentile says a
+    single global cutoff would gut A. Deciles by exact integer rank
+    (((rn−1)·10)//cnt over a (n_tok, doc_id)-deterministic order — no
+    engine ntile semantics in play); the global mapping joins the
+    BOUNDED boundary table (10 x sources rows, broadcast) back to the
+    corpus for a <=-count, so the corpus is scanned twice and shuffled
+    only to the source grain. All integers; ppm floor-divided."""
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.size(tokenize("text")).cast("long").alias("n_tok"),
+    ).localCheckpoint(eager=True)  # consumed by cells AND the <=-count join
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_tok").asc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("source")
+    cells = (
+        d.select(
+            "source",
+            "n_tok",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        )
+        .select(
+            "source",
+            "n_tok",
+            F.expr("((rn - 1) * 10) div cnt").cast("int").alias("decile"),
+        )
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("n_tok").cast("long").alias("decile_max_tokens"),
+        )
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    bounds = cells.select(
+        F.col("source").alias("_bsrc"),
+        F.col("decile").alias("_bdec"),
+        F.col("decile_max_tokens").alias("_bmax"),
+    )
+    le_counts = (
+        d.select("n_tok")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("n_tok") <= F.col("_bmax"))
+        .groupBy("_bsrc", "_bdec")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_le"))
+        .select(
+            F.col("_bsrc").alias("source"),
+            F.col("_bdec").alias("decile"),
+            "n_le",
+        )
+    )
+    return (
+        cells.join(le_counts, ["source", "decile"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "decile",
+            "n_docs",
+            "decile_max_tokens",
+            F.expr("(n_le * 1000000) div n_total").alias("global_rank_ppm"),
+        )
+        .orderBy("source", "decile")
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.
 #

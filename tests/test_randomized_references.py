@@ -808,3 +808,115 @@ def test_bic_model_selection_matches_python_model(spark):
         (r["k"], r["n_vectors"], r["rss_milli2"], r["bic"], r["is_best"])
         for r in got
     ] == [(k, want[k][0], want[k][1], want[k][2], k == best_k) for k in (2, 4, 8)]
+
+
+def _waterfill_closed_form(caps: list[tuple[str, int]], budget: int):
+    """Python mirror of the token_budget_waterfill gate's prefix-sum
+    closed form (capacity-ascending full prefix, floor level, remainder
+    to the first unfunded sources in order)."""
+    order = sorted(caps, key=lambda t: (t[1], t[0]))
+    n = len(order)
+    cum = 0
+    alloc = {}
+    k, cum_k = 0, 0
+    for i, (s, c) in enumerate(order, start=1):
+        cum += c
+        if cum + (n - i) * c <= budget:
+            k, cum_k = i, cum
+    level = (budget - cum_k) // (n - k)
+    rem = (budget - cum_k) % (n - k)
+    for i, (s, c) in enumerate(order, start=1):
+        if i <= k:
+            alloc[s] = c
+        else:
+            alloc[s] = level + (1 if i - k <= rem else 0)
+    return alloc, level
+
+
+def test_waterfill_closed_form_matches_binary_search_reference():
+    """Second opinion for token_budget_waterfill: the prefix-sum closed
+    form must agree EXACTLY with an independent derivation — binary
+    search for the largest integer water level t with Σ min(c_i, t) <= B,
+    remainder to the first over-level sources in the same order — on
+    randomized capacities, plus the max-min fairness invariants (sum
+    equals budget exactly, no source over capacity, every unfunded
+    source at level or level+1)."""
+    import random
+
+    for seed in range(20):
+        rng = random.Random(seed)
+        n = rng.randint(2, 12)
+        caps = [(f"s{i:02d}", rng.randint(0, 10_000)) for i in range(n)]
+        total = sum(c for _, c in caps)
+        if total < 2:
+            continue
+        budget = total // 2
+        if budget < 1:
+            continue
+        alloc, level = _waterfill_closed_form(caps, budget)
+
+        # independent reference: binary-search the integer water level
+        lo, hi = 0, max(c for _, c in caps)
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if sum(min(c, mid) for _, c in caps) <= budget:
+                lo = mid
+            else:
+                hi = mid - 1
+        theta = lo
+        base = sum(min(c, theta) for _, c in caps)
+        rem = budget - base
+        order = sorted(caps, key=lambda t: (t[1], t[0]))
+        want = {s: min(c, theta) for s, c in order}
+        for s, c in order:
+            if rem == 0:
+                break
+            if c > theta:
+                want[s] += 1
+                rem -= 1
+        assert theta == level, (seed, theta, level)
+        assert alloc == want, (seed, alloc, want)
+        cap_by = dict(caps)
+        assert sum(alloc.values()) == budget
+        assert all(alloc[s] <= cap_by[s] for s in alloc)
+        assert all(
+            alloc[s] in (level, level + 1)
+            for s in alloc if alloc[s] < cap_by[s]
+        )
+
+
+def test_sequence_packing_boundary_rule_matches_simulation():
+    """Second opinion for sequence_packing: the closed-form straddle rule
+    (floor(cum_start/ctx) != floor((cum_end-1)/ctx)) must count exactly
+    the documents a token-by-token packing walk splits across a chunk
+    boundary, on randomized length sequences."""
+    import random
+
+    CTX = 64
+    for seed in range(20):
+        rng = random.Random(100 + seed)
+        lens = [rng.choice([0, 1, 2, rng.randint(1, 200)]) for _ in range(50)]
+
+        # closed form (the gate's rule)
+        cum = 0
+        closed = 0
+        for L in lens:
+            start, end = cum, cum + L
+            if L >= 1 and start // CTX != (end - 1) // CTX:
+                closed += 1
+            cum = end
+
+        # simulation: walk tokens into chunks, a doc spans if its tokens
+        # land in more than one chunk
+        pos = 0
+        sim = 0
+        for L in lens:
+            chunks = {(pos + j) // CTX for j in range(L)}
+            if len(chunks) > 1:
+                sim += 1
+            pos += L
+        assert closed == sim, (seed, closed, sim)
+
+        total = sum(lens)
+        n_chunks = (total + CTX - 1) // CTX
+        assert n_chunks * CTX - total < CTX or total == 0
