@@ -19755,6 +19755,138 @@ def cross_source_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def _duck_bpe_step(i: int) -> str:
+    """One BPE merge step as CTEs: pair counts over adjacent symbols,
+    lexicographic-tied argmax, and the doubled-delimiter string-replace
+    merge (|a||b| -> |ab| — the doubling makes adjacent occurrences
+    independently matchable, so left-to-right replace-all IS the greedy
+    BPE merge; proven against a list-based reference in
+    tests/test_randomized_references.py). Expects w{i-1} (arr) in scope."""
+    return f"""
+    c{i} AS (
+      SELECT a, b, count(*) AS c FROM (
+        SELECT unnest(arr[1:len(arr) - 1]) AS a,
+               unnest(arr[2:len(arr)]) AS b
+        FROM w{i - 1} WHERE len(arr) >= 2)
+      GROUP BY 1, 2
+    ),
+    b{i} AS (SELECT a, b, CAST(c AS BIGINT) AS c FROM c{i}
+             ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+    w{i} AS (
+      SELECT regexp_split_to_array(
+        trim(replace('|' || array_to_string(arr, '||') || '|',
+                     (SELECT '|' || a || '||' || b || '|' FROM b{i}),
+                     (SELECT '|' || a || b || '|' FROM b{i})),
+             '|'),
+        '\\|\\|') AS arr
+      FROM w{i - 1}
+    ),
+    v{i} AS (
+      SELECT CAST(count(DISTINCT s) AS BIGINT) AS v
+      FROM (SELECT unnest(arr) AS s FROM w{i})
+    )"""
+
+
+@query(
+    "bpe_merge_steps",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                      '\\s+'),
+                    t -> t <> '')) AS w
+      FROM documents
+    ),
+    w0 AS (
+      SELECT regexp_split_to_array(w, '') AS arr
+      FROM words WHERE NOT contains(w, '|')
+    ),
+    {','.join(_duck_bpe_step(i) for i in (1, 2, 3))}
+    SELECT step, left_symbol, right_symbol, pair_count, n_symbols_after
+    FROM (
+      SELECT 1 AS step, a AS left_symbol, b AS right_symbol,
+             c AS pair_count, (SELECT v FROM v1) AS n_symbols_after
+      FROM b1
+      UNION ALL
+      SELECT 2, a, b, c, (SELECT v FROM v2) FROM b2
+      UNION ALL
+      SELECT 3, a, b, c, (SELECT v FROM v3) FROM b3
+    ) ORDER BY step
+    """,
+)
+def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 3 merges of BPE TOKENIZER TRAINING (Sennrich et al.
+    2016) over the corpus, hash-compared end to end: per step, count
+    adjacent symbol pairs inside words (exact integers, overlapping
+    positions counted like real BPE), merge the (count desc, pair asc)
+    argmax everywhere with greedy left-to-right semantics, and report
+    the merged pair, its count, and the symbol vocabulary size after —
+    the operator a tokenizer-fitting pipeline runs to saturation at
+    100 TB. The distributed shape per step is exactly Lloyd's-fit's:
+    ONE map-side-combinable pair-count aggregate (pair-vocabulary
+    grain), a 1-row argmax collect (model grain), and a map-only merge
+    pass — the corpus is never shuffled. The merge itself is the
+    doubled-delimiter device: symbols joined as '|a||b||c|' make every
+    adjacent pair an independent, non-overlapping match, so plain
+    replace-all IS the greedy merge on BOTH engines (boundary-safety
+    proven against a list-based python BPE on randomized sequences in
+    tests/test_randomized_references.py). Words containing the
+    delimiter are filtered identically on both sides (none in this
+    corpus; loud portability note)."""
+    from pdf_brain_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .filter(~F.col("w").contains("|"))
+        .select(F.split("w", "").alias("arr"))
+        .localCheckpoint(eager=True)  # step-1 input scanned twice
+    )
+    out_rows = []
+    for step in (1, 2, 3):
+        pairs = (
+            w.filter(F.size("arr") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(arr) - 1), "
+                        "i -> struct(arr[i - 1] AS a, arr[i] AS b))"
+                    )
+                ).alias("p")
+            )
+            .select("p.a", "p.b")
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        best_rows = pairs.orderBy(
+            F.col("c").desc(), F.col("a").asc(), F.col("b").asc()
+        ).limit(1).collect()  # model grain: the argmax pair
+        if not best_rows:
+            raise ValueError(
+                f"bpe_merge_steps: no adjacent symbol pairs at step {step} "
+                "(corpus has no multi-symbol words left)"
+            )
+        a, b, c = best_rows[0]["a"], best_rows[0]["b"], int(best_rows[0]["c"])
+        pat = F.lit("|" + a + "||" + b + "|")
+        rep = F.lit("|" + a + b + "|")
+        s = F.concat(F.lit("|"), F.array_join("arr", "||"), F.lit("|"))
+        w = w.select(
+            F.split(
+                F.btrim(F.replace(s, pat, rep), F.lit("|")), r"\|\|"
+            ).alias("arr")
+        ).localCheckpoint(eager=True)  # vocab count + next step reuse it
+        vocab = int(
+            w.select(F.explode("arr").alias("s"))
+            .agg(F.countDistinct("s").alias("v"))
+            .collect()[0]["v"]
+        )
+        out_rows.append((step, a, b, c, vocab))
+    return spark.createDataFrame(
+        out_rows,
+        "step int, left_symbol string, right_symbol string, "
+        "pair_count long, n_symbols_after long",
+    ).orderBy("step")
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.

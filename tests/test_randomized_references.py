@@ -920,3 +920,41 @@ def test_sequence_packing_boundary_rule_matches_simulation():
         total = sum(lens)
         n_chunks = (total + CTX - 1) // CTX
         assert n_chunks * CTX - total < CTX or total == 0
+
+
+def test_bpe_doubled_delimiter_merge_matches_list_reference():
+    """Second opinion for bpe_merge_steps' merge device: replacing
+    '|a||b|' with '|ab|' in the doubled-delimiter encoding must equal
+    the greedy left-to-right list-based BPE merge on randomized symbol
+    sequences — including adjacent occurrences ('a b a b' -> 'ab ab',
+    which a SINGLE-delimiter encoding gets wrong because the shared '|'
+    is consumed by the first match) and overlapping self-pairs
+    ('a a a' -> 'aa a')."""
+    import random
+    import re
+
+    def list_merge(symbols, a, b):
+        out, i = [], 0
+        while i < len(symbols):
+            if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        return out
+
+    def string_merge(symbols, a, b):
+        s = "|" + "||".join(symbols) + "|"
+        s = s.replace("|" + a + "||" + b + "|", "|" + a + b + "|")
+        return re.split(r"\|\|", s.strip("|"))
+
+    alphabet = ["a", "b", "c", "ab", "aa", "ba"]
+    for seed in range(50):
+        rng = random.Random(seed)
+        seq = [rng.choice(alphabet) for _ in range(rng.randint(1, 12))]
+        a, b = rng.choice(alphabet), rng.choice(alphabet)
+        assert string_merge(seq, a, b) == list_merge(seq, a, b), (seq, a, b)
+    # the named counterexamples
+    assert string_merge(["a", "b", "a", "b"], "a", "b") == ["ab", "ab"]
+    assert string_merge(["a", "a", "a"], "a", "a") == ["aa", "a"]
