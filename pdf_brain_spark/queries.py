@@ -19722,6 +19722,10 @@ def cross_source_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataF
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.max("n_tok").cast("long").alias("decile_max_tokens"),
         )
+        # bounded (10 x sources rows); pinning it keeps the per-source
+        # rank window to ONE corpus pass — without this the cells subtree
+        # recomputes for both the boundary broadcast and the final join
+        .localCheckpoint(eager=True)
     )
     tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     bounds = cells.select(
