@@ -19891,6 +19891,163 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
+@query(
+    "directory_discovery_scan",
+    oracle=f"""
+    WITH {_CHUNK_ORACLE_CTE}
+    SELECT 'chunks' AS phase, CAST(count(*) AS BIGINT) AS n FROM chunks
+    UNION ALL
+    SELECT 'incremental_docs', CAST(count(*) AS BIGINT)
+    FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT 'initial_docs', CAST(count(*) AS BIGINT)
+    FROM documents WHERE doc_id < 80
+    ORDER BY phase
+    """,
+)
+def directory_discovery_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory DISCOVERY attestation (S6, the last scan surface that
+    was test-only in the SURVEY map): stage documents as real text files
+    in a watch directory, run the REAL streaming_ingest (file-source
+    readStream → foreachBatch batch-ingest, Trigger.AvailableNow), then
+    stage 20 MORE files and run a second AvailableNow pass on the SAME
+    checkpoint — the file-source offset log must discover exactly the
+    new files (and ingest's path anti-join would drop any re-delivery),
+    so the second count grows by exactly the increment. Chunk counts
+    come from the reference chunker inside the ingest job and must match
+    the SQL chunker twin over the same texts — discovery, exactly-once
+    across restarts, and content fidelity through the file round-trip
+    are all one hash. Bounded staging (100 files, driver-side writes at
+    model grain); at 100 TB discovery is the same file-source offset
+    log over an object-store listing."""
+    import os
+    import shutil
+    import tempfile
+
+    from pdf_brain_spark.streaming.events import streaming_ingest
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    rows = docs.select("doc_id", "text").collect()  # bounded: 100 docs
+    by_id = {int(r["doc_id"]): r["text"] for r in rows}
+    watch = tempfile.mkdtemp(prefix="sgraft_watch_")
+    out = tempfile.mkdtemp(prefix="sgraft_ingest_out_")
+    ckpt = tempfile.mkdtemp(prefix="sgraft_ingest_ckpt_")
+    try:
+        for i, txt in by_id.items():
+            if i < 80:
+                with open(os.path.join(watch, f"doc_{i:05d}.txt"), "w") as f:
+                    f.write(txt)
+        streaming_ingest(spark, watch, out, ckpt).awaitTermination()
+        n_initial = spark.read.parquet(f"{out}/documents").count()
+        for i, txt in by_id.items():
+            if i >= 80:
+                with open(os.path.join(watch, f"doc_{i:05d}.txt"), "w") as f:
+                    f.write(txt)
+        streaming_ingest(spark, watch, out, ckpt).awaitTermination()
+        n_incr = spark.read.parquet(f"{out}/documents").count()
+        n_chunks = spark.read.parquet(f"{out}/chunks").count()
+    finally:
+        for d in (watch, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [("chunks", n_chunks), ("incremental_docs", n_incr),
+         ("initial_docs", n_initial)],
+        "phase string, n long",
+    ).orderBy("phase")
+
+
+@query(
+    "cluster_assignment_sink_roundtrip",
+    oracle=f"""
+    WITH {_DUCK_QUANT_X.strip()},
+    {_duck_kmeans_fit(4, 2)},
+    a3 AS (
+      SELECT x.vec_id, c.cid, sum((x.v - c.c) * (x.v - c.c)) AS d2
+      FROM x JOIN f_c2 c USING (d) GROUP BY 1, 2
+    ),
+    m3 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY d2 ASC, cid ASC) AS rn
+        FROM a3) WHERE rn = 1
+    )
+    SELECT CASE WHEN vec_id < 50 THEN -1 ELSE cid END AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM m3 GROUP BY 1 ORDER BY cluster_id
+    """,
+)
+def cluster_assignment_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-assignment SINK attestation (S11, previously test-only):
+    write the deterministic assignments (integer argmin to the
+    exact-integer k=4 fit's final centroids) through the REAL
+    upsert-by-key sink into a scratch table, then UPSERT a correction
+    batch (vec_id < 50 reassigned to cluster −1) through the same sink,
+    read the table back and report per-cluster sizes. The oracle
+    re-derives the fit, the assignment, AND the post-upsert state in
+    SQL — so replace-vs-keep semantics of the sink (anti-join + union +
+    staged atomic swap, reference S7's ON CONFLICT DO UPDATE), not just
+    the math, are hash-checked. At production scale the sink is a
+    Delta/Iceberg MERGE with the identical plan shape (upsert_by_key
+    docstring)."""
+    import shutil
+    import tempfile
+
+    from pdf_brain_spark.operators.clustering import kmeans_fit_exact_int
+    from pdf_brain_spark.operators.ingest import upsert_by_key
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    fit = kmeans_fit_exact_int(spark, emb, k=4, dim=64, n_iter=2).collect()
+    cmat = [[0] * 64 for _ in range(4)]
+    for r in fit:
+        cmat[int(r["cluster_id"])][int(r["dim_idx"])] = int(r["coord_milli"])
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("q"),
+    )
+
+    def _d2(const: list[int]):
+        return F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(c).cast("long") for c in const]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    best = F.array_min(
+        F.array(*[
+            F.struct(_d2(cmat[c]).alias("d"), F.lit(c).alias("c"))
+            for c in range(4)
+        ])
+    )
+    assigned = q.select("vec_id", best.getField("c").alias("cluster_id"))
+    out = tempfile.mkdtemp(prefix="sgraft_clsink_")
+    tdir = f"{out}/cluster_assignments"
+    try:
+        upsert_by_key(spark, assigned, tdir, key="vec_id")
+        correction = (
+            assigned.filter(F.col("vec_id") < 50)
+            .withColumn("cluster_id", F.lit(-1))
+        )
+        upsert_by_key(spark, correction, tdir, key="vec_id")
+        res = (
+            spark.read.parquet(tdir)
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+            .orderBy("cluster_id")
+            .localCheckpoint(eager=True)  # read before the scratch dir dies
+        )
+        res.count()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return res
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.
