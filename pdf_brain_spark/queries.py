@@ -50,9 +50,18 @@ def lookup_oracle(name: str) -> str | None:
 
 
 def query(name: str, oracle: str | None = None):
-    """Register a query; optionally its DuckDB oracle SQL."""
+    """Register a query; optionally its DuckDB oracle SQL. Duplicate
+    names raise at import: a silent re-registration would REPLACE an
+    attested gate's function/oracle while keeping its registry position
+    — the r10 near-miss (a new gate reused `sequence_packing`, already
+    taken at r7) that this assert turns into a loud error."""
 
     def deco(fn):
+        if name in QUERIES or name in CONSOLIDATED:
+            raise AssertionError(
+                f"query name {name!r} is already registered; pick a new "
+                "name — re-registration silently replaces the attested gate"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -19398,7 +19407,7 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "sequence_packing",
+    "packing_boundary_report",
     oracle="""
     WITH d AS (
       SELECT source, doc_id,
@@ -19429,15 +19438,19 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s GROUP BY source ORDER BY source
     """,
 )
-def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk SEQUENCE PACKING report at a 2048-token context
+def packing_boundary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing BOUNDARY report at a 2048-token context
     (the GPT-style pretraining batch layout: concatenate each source's
     documents in a deterministic order, split every ctx tokens): per
     source, the chunk count, tail padding, and how many documents
     straddle a chunk boundary (the attention-contamination metric that
-    motivates doc-boundary masking / best-fit packing). A doc spans a
-    boundary iff floor(cum_start/ctx) != floor((cum_end-1)/ctx) over
-    exact integer token cumsums — one per-source window pass + one
+    motivates doc-boundary masking / best-fit packing) — the QUALITY
+    companion of the r7 `sequence_packing` gate, which emits the
+    per-shard bin ASSIGNMENTS themselves (this gate was briefly
+    registered under that taken name; the duplicate-registration assert
+    in @query now makes such a collision a loud import error). A doc
+    spans a boundary iff floor(cum_start/ctx) != floor((cum_end-1)/ctx)
+    over exact integer token cumsums — one per-source window pass + one
     aggregate, the same shape the real packing job runs per shard at
     100 TB (the window key is the source/shard, never a global order).
     Whitespace tokens via the repo-wide tokenize() convention; all

@@ -886,7 +886,7 @@ def test_waterfill_closed_form_matches_binary_search_reference():
 
 
 def test_sequence_packing_boundary_rule_matches_simulation():
-    """Second opinion for sequence_packing: the closed-form straddle rule
+    """Second opinion for packing_boundary_report: the closed-form straddle rule
     (floor(cum_start/ctx) != floor((cum_end-1)/ctx)) must count exactly
     the documents a token-by-token packing walk splits across a chunk
     boundary, on randomized length sequences."""
@@ -958,3 +958,21 @@ def test_bpe_doubled_delimiter_merge_matches_list_reference():
     # the named counterexamples
     assert string_merge(["a", "b", "a", "b"], "a", "b") == ["ab", "ab"]
     assert string_merge(["a", "a", "a"], "a", "a") == ["aa", "a"]
+
+
+def test_query_registry_rejects_duplicate_names():
+    """The @query decorator must refuse a name that is already a
+    registered gate or a suite-consolidated member — a silent
+    re-registration would replace an attested gate's function and oracle
+    while keeping its registry position (the r10 near-miss)."""
+    import pytest
+
+    from pdf_brain_spark.queries import CONSOLIDATED, QUERIES, query
+
+    taken = next(iter(QUERIES))
+    with pytest.raises(AssertionError, match="already registered"):
+        query(taken)(lambda spark, sf: None)
+    member = next(iter(CONSOLIDATED))
+    with pytest.raises(AssertionError, match="already registered"):
+        query(member)(lambda spark, sf: None)
+    assert callable(QUERIES[taken])  # original untouched
