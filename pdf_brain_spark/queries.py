@@ -20061,6 +20061,163 @@ def cluster_assignment_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
     return res
 
 
+def _quality_dedup_grid_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_DUCK_SHINGLES.strip()},
+    sig AS ({_DUCK_MINHASH_SIG}),
+    banded AS (
+      {_DUCK_MINHASH_BANDED}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cands
+      UNION
+      SELECT doc_b, doc_a FROM cands
+    ),
+    reach AS (
+      SELECT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    dq AS (
+      SELECT doc_id,
+             CAST(count(DISTINCT term) AS BIGINT) AS quality,
+             CAST(count(*) AS BIGINT) AS n_tok
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                      t -> t <> '')) AS term
+        FROM documents
+      ) GROUP BY 1
+    ),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    ),
+    csize AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM labeled GROUP BY 1
+    ),
+    per_doc AS (
+      SELECT l.doc_id,
+             CASE WHEN dq.quality < 16 THEN 0
+                  WHEN dq.quality < 64 THEN 1
+                  WHEN dq.quality < 256 THEN 2
+                  WHEN dq.quality < 1024 THEN 3
+                  ELSE 4 END AS quality_band,
+             CASE WHEN c.cluster_size = 1 THEN 1
+                  WHEN c.cluster_size = 2 THEN 2
+                  WHEN c.cluster_size <= 4 THEN 3
+                  WHEN c.cluster_size <= 8 THEN 4
+                  ELSE 5 END AS dup_band,
+             dq.n_tok
+      FROM labeled l JOIN csize c USING (cluster_id) JOIN dq USING (doc_id)
+    ),
+    tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM per_doc)
+    SELECT CAST(quality_band AS INTEGER) AS quality_band,
+           CAST(dup_band AS INTEGER) AS dup_band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_tok) * 1000000 // t.total AS BIGINT) AS token_share_ppm
+    FROM per_doc, tot t
+    GROUP BY quality_band, dup_band, t.total
+    ORDER BY quality_band, dup_band
+    """
+
+
+@query("quality_dedup_grid", oracle=None)  # oracle attached below
+def quality_dedup_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality × duplication GRID — the data-ablation planning table
+    ('what fraction of token mass is low-quality AND heavily duplicated,
+    and what survives the keep rules'): every document lands in a
+    (quality band × duplicate-cluster-size band) cell with doc counts,
+    token mass, and corpus token share. Reuses the audited MinHash-LSH
+    pair + min-label component stages UNCHANGED (dedup_keep_best_quality
+    precedent); adds one doc-grain (quality, n_tok) aggregate, one
+    cluster-size aggregate, and one cell-grain rollup. Bands are FIXED
+    integer thresholds (quality: powers-of-4 CASE ladder; cluster size:
+    1/2/3-4/5-8/9+), not data-dependent quantiles — so there is no
+    global window anywhere and the shape survives 100× (the
+    cross_source_quantile_calibration gate carries the quantile view;
+    this grid is the scale-path one). All integers; share in floor ppm."""
+    from pdf_brain_spark.functions.text import tokenize
+    from pdf_brain_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    comps = connected_components(minhash_lsh_pairs(docs)).withColumnRenamed(
+        "node", "doc_id"
+    )
+    dq = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").cast("long").alias("quality"),
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+        )
+    )
+    labeled = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    csize = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    per_doc = (
+        labeled.join(csize, "cluster_id")
+        .join(dq, "doc_id")
+        .select(
+            F.when(F.col("quality") < 16, 0)
+            .when(F.col("quality") < 64, 1)
+            .when(F.col("quality") < 256, 2)
+            .when(F.col("quality") < 1024, 3)
+            .otherwise(4)
+            .cast("int")
+            .alias("quality_band"),
+            F.when(F.col("cluster_size") == 1, 1)
+            .when(F.col("cluster_size") == 2, 2)
+            .when(F.col("cluster_size") <= 4, 3)
+            .when(F.col("cluster_size") <= 8, 4)
+            .otherwise(5)
+            .cast("int")
+            .alias("dup_band"),
+            "n_tok",
+        )
+        .localCheckpoint(eager=True)  # consumed by the rollup AND the total
+    )
+    tot = per_doc.agg(F.sum("n_tok").cast("long").alias("total"))
+    return (
+        per_doc.groupBy("quality_band", "dup_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "quality_band",
+            "dup_band",
+            "n_docs",
+            "total_tokens",
+            F.expr("(total_tokens * 1000000) div total").alias("token_share_ppm"),
+        )
+        .orderBy("quality_band", "dup_band")
+    )
+
+
+ORACLES["quality_dedup_grid"] = _quality_dedup_grid_oracle()
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.
