@@ -20354,6 +20354,84 @@ def minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
 ORACLES["minhash_estimator_calibration"] = _minhash_calibration_oracle()
 
 
+@query(
+    "shard_balance_report",
+    oracle="""
+    WITH d AS (
+      SELECT (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                   AS BIGINT) % 64) AS shard,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 t -> t <> '')) AS n_tok
+      FROM documents
+    ),
+    per AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens
+      FROM d GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(max(total_tokens) AS BIGINT) AS mx,
+             CAST(min(total_tokens) AS BIGINT) AS mn,
+             CAST(sum(total_tokens) // count(*) AS BIGINT) AS mean_tokens
+      FROM per
+    )
+    SELECT p.shard, p.n_docs, p.total_tokens,
+           CAST(g.mx * 1000000 // g.mean_tokens AS BIGINT)
+             AS max_over_mean_ppm,
+           CAST(g.mn * 1000000 // g.mean_tokens AS BIGINT)
+             AS min_over_mean_ppm
+    FROM per p, g
+    ORDER BY p.shard
+    """,
+)
+def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-shard BALANCE report: token mass per md5(doc_id)%64 shard,
+    with the max/mean and min/mean skew ratios every row carries — the
+    measured evidence behind the repo-wide convention of keying
+    samplers, splits, packers, and salting on the content-free portable
+    md5 hash (a max/mean near 1e6 ppm says the sharding balances token
+    mass, so the per-shard operators — A-ES sampling, packing,
+    held-out splits — get even work; a hot shard would surface here
+    before it surfaces as a straggler task). One map-side projection +
+    one 64-group aggregate + a broadcast 3-number summary; at 100 TB
+    this is the cheapest possible skew probe (the expensive one,
+    per-KEY skew_profile, already exists for hot-key diagnosis). All
+    integers, floor-div ppm."""
+    from pdf_brain_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 64
+    )
+    per = (
+        docs.select(shard.alias("shard"), F.size(tokenize("text")).alias("n_tok"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+        .localCheckpoint(eager=True)  # consumed by the summary AND output
+    )
+    g = per.agg(
+        F.max("total_tokens").cast("long").alias("_mx"),
+        F.min("total_tokens").cast("long").alias("_mn"),
+        F.expr("sum(total_tokens) div count(1)").cast("long").alias("_mean"),
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            F.expr("(_mx * 1000000) div _mean").alias("max_over_mean_ppm"),
+            F.expr("(_mn * 1000000) div _mean").alias("min_over_mean_ppm"),
+        )
+        .orderBy("shard")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.
