@@ -787,9 +787,14 @@ def greedy_set_cover(
                 "assumption is broken at this scale; cover a coarser "
                 "element grain (e.g. hashed element buckets) instead"
             )
-        new = rem.filter(F.col("_s") == sid).select("_e")
-        covered_df = (
-            new if covered_df is None else covered_df.unionByName(new)
-        ).localCheckpoint(eager=True)  # bounded: covered elements so far
+        # checkpoint only the per-round DELTA (r10 review): `new` is the
+        # winner's still-uncovered elements; the union over already-
+        # materialized legs stays lazy, so each covered element is
+        # written exactly once instead of the whole accumulated set
+        # being re-materialized every round (O(k·|covered|) writes)
+        new = rem.filter(F.col("_s") == sid).select("_e").localCheckpoint(
+            eager=True
+        )
+        covered_df = new if covered_df is None else covered_df.unionByName(new)
         out.append((step, int(sid), gain, covered_n))
     return out

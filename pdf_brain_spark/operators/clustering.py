@@ -431,6 +431,65 @@ def nearest_concept(
     )
 
 
+def quantized_d2(vec_col, const: list[int]):
+    """Exact-integer squared L2 distance between a milli-quantized
+    array<long> column and a CONSTANT integer vector — THE shared
+    distance expression of every deterministic-quantizer gate (hoisted
+    r10 review: seven gates carried private copies that had to change
+    in lockstep with the quantization rule). Stays inside whole-stage
+    codegen: zip_with squared diffs + an integer fold, no UDF."""
+    col = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
+    return F.aggregate(
+        F.zip_with(
+            col,
+            F.array(*[F.lit(c).cast("long") for c in const]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantize_milli(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    out_col: str = "q",
+) -> DataFrame:
+    """(id, q) with components rounded ONCE to integer milli-units — the
+    quantization step every deterministic-quantizer gate starts from
+    (matches kmeans_fit_exact_int's internal rule exactly)."""
+    return vectors.select(
+        id_col,
+        F.transform(
+            vec_col, lambda x: F.round(x.cast("double") * scale).cast("long")
+        ).alias(out_col),
+    )
+
+
+def fit_centroid_matrix(
+    spark: SparkSession,
+    vectors: DataFrame,
+    k: int,
+    dim: int = 64,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """kmeans_fit_exact_int's output as a dense k×dim integer matrix —
+    the model-grain collect + assembly every gate repeated (r10 review
+    hoist). Bounded by model size, never data."""
+    fit = kmeans_fit_exact_int(
+        spark, vectors, k=k, dim=dim, n_iter=n_iter,
+        id_col=id_col, vec_col=vec_col,
+    ).collect()
+    cmat = [[0] * dim for _ in range(k)]
+    for r in fit:
+        cmat[int(r["cluster_id"])][int(r["dim_idx"])] = int(r["coord_milli"])
+    return cmat
+
+
 def kmeans_fit_exact_int(
     spark: SparkSession,
     vectors: DataFrame,
@@ -486,14 +545,21 @@ def kmeans_fit_exact_int(
 
     seed_rows = q.filter(F.col("_id") < k).collect()  # bounded: k rows
     seed_ids = {int(r["_id"]) for r in seed_rows}
-    if seed_ids != set(range(k)):
-        # exact-set check (ADVICE r9): duplicate or non-dense ids below k
-        # must fail HERE by name, not as a KeyError in cents[i] below
+    if len(seed_rows) != k or seed_ids != set(range(k)):
+        # exact-set AND arity check (ADVICE r9 + r10 review): non-dense
+        # ids fail the set check, but a DUPLICATE id below k still
+        # covers the set — only the row count exposes it. Without the
+        # arity check the dict build below would keep whichever
+        # duplicate collect() returned last (nondeterministic seeds) and
+        # the DuckDB twin's c0 CTE would keep BOTH rows and double-count
+        # every distance through its USING(d) join — a nondeterministic
+        # hash mismatch instead of this named error.
         raise ValueError(
             f"kmeans_fit_exact_int seeds on the quantized vectors of ids "
-            f"0..{k - 1} (a deterministic rule both engines replay); this "
-            f"corpus has ids {sorted(seed_ids)} below {k}. Re-key the "
-            "vectors to dense 0-based ids (row_number over a stable order) "
+            f"0..{k - 1}, exactly one row each (a deterministic rule both "
+            f"engines replay); this corpus has {len(seed_rows)} rows with "
+            f"ids {sorted(seed_ids)} below {k}. Re-key the vectors to "
+            "dense, UNIQUE 0-based ids (row_number over a stable order) "
             "before fitting."
         )
     cents = {int(r["_id"]): [int(v) for v in r["q"]] for r in seed_rows}

@@ -1831,35 +1831,18 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit = one Arrow pass + one (cid,dim) model-grain aggregate per
     iteration; summary = one more map-side argmin pass + one
     cluster-grain aggregate — the corpus is never shuffled."""
-    from pdf_brain_spark.operators.clustering import kmeans_fit_exact_int
-
-    emb = load_table(spark, "embeddings", sf_dir)
-    fit = kmeans_fit_exact_int(spark, emb, k=8, dim=64, n_iter=2).collect()
-    cmat = [[0] * 64 for _ in range(8)]
-    for r in fit:
-        cmat[int(r["cluster_id"])][int(r["dim_idx"])] = int(r["coord_milli"])
-
-    q = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
-        ).alias("q"),
+    from pdf_brain_spark.operators.clustering import (
+        fit_centroid_matrix,
+        quantize_milli,
+        quantized_d2,
     )
 
-    def _d2(const: list[int]):
-        return F.aggregate(
-            F.zip_with(
-                F.col("q"),
-                F.array(*[F.lit(c).cast("long") for c in const]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
+    emb = load_table(spark, "embeddings", sf_dir)
+    cmat = fit_centroid_matrix(spark, emb, k=8, dim=64, n_iter=2)
+    q = quantize_milli(emb)
     best = F.array_min(
         F.array(*[
-            F.struct(_d2(cmat[c]).alias("d"), F.lit(c).alias("c"))
+            F.struct(quantized_d2("q", cmat[c]).alias("d"), F.lit(c).alias("c"))
             for c in range(8)
         ])
     )
@@ -1935,34 +1918,18 @@ def soft_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest coverage. Bounded output: query rows are vec_id < 100 at
     every scale; the softmax itself is map-side over broadcast
     centroids."""
-    from pdf_brain_spark.operators.clustering import kmeans_fit_exact_int
-
-    emb = load_table(spark, "embeddings", sf_dir)
-    fit = kmeans_fit_exact_int(spark, emb, k=8, dim=64, n_iter=2).collect()
-    cmat = [[0] * 64 for _ in range(8)]
-    for r in fit:
-        cmat[int(r["cluster_id"])][int(r["dim_idx"])] = int(r["coord_milli"])
-
-    q = emb.filter(F.col("vec_id") < 100).select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
-        ).alias("q"),
+    from pdf_brain_spark.operators.clustering import (
+        fit_centroid_matrix,
+        quantize_milli,
+        quantized_d2,
     )
 
-    def _d2(const: list[int]):
-        return F.aggregate(
-            F.zip_with(
-                F.col("q"),
-                F.array(*[F.lit(c).cast("long") for c in const]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
+    emb = load_table(spark, "embeddings", sf_dir)
+    cmat = fit_centroid_matrix(spark, emb, k=8, dim=64, n_iter=2)
+    q = quantize_milli(emb.filter(F.col("vec_id") < 100))
     negs = F.array(*[
-        -F.sqrt(_d2(cmat[c]).cast("double")) / 500.0 for c in range(8)
+        -F.sqrt(quantized_d2("q", cmat[c]).cast("double")) / 500.0
+        for c in range(8)
     ])
     return (
         q.select("vec_id", negs.alias("_negs"))
@@ -2672,35 +2639,24 @@ def bic_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (clustering_model_report / tests). Plan per k: the oracled fit's
     one Arrow pass + (cid,dim) aggregate, then one map-side integer
     aggregate for RSS; only k x dim model tables are collected."""
-    from pdf_brain_spark.operators.clustering import kmeans_fit_exact_int
+    from pdf_brain_spark.operators.clustering import (
+        fit_centroid_matrix,
+        quantize_milli,
+        quantized_d2,
+    )
 
     emb = load_table(spark, "embeddings", sf_dir)
-    q = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
-        ).alias("q"),
-    ).localCheckpoint(eager=True)  # one RSS pass per candidate k
-
-    def _d2(const: list[int]):
-        return F.aggregate(
-            F.zip_with(
-                F.col("q"),
-                F.array(*[F.lit(c).cast("long") for c in const]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+    q = quantize_milli(emb).localCheckpoint(
+        eager=True
+    )  # one RSS pass per candidate k
 
     parts = []
     for k in (2, 4, 8):
-        cents = kmeans_fit_exact_int(spark, emb, k=k, dim=64, n_iter=1).collect()
-        cmat = [[0] * 64 for _ in range(k)]
-        for r in cents:
-            cmat[int(r["cluster_id"])][int(r["dim_idx"])] = int(r["coord_milli"])
+        cmat = fit_centroid_matrix(spark, emb, k=k, dim=64, n_iter=1)
         parts.append(
-            q.select(F.least(*[_d2(cmat[c]) for c in range(k)]).alias("_md"))
+            q.select(
+                F.least(*[quantized_d2("q", cmat[c]) for c in range(k)]).alias("_md")
+            )
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_vectors"),
                 F.sum("_md").cast("long").alias("rss_milli2"),
@@ -3595,16 +3551,7 @@ def pq_compression_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cw = [[cw_rows[c][s * 8:(s + 1) * 8] for c in range(16)] for s in range(8)]
     q_rows = cw_rows  # queries are the same pinned ids 0..15
 
-    def _d2(vec_col, const: list[int]):
-        return F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(c).cast("long") for c in const]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+    from pdf_brain_spark.operators.clustering import quantized_d2 as _d2
 
     # one map-side pass: per subspace the argmin (d2, code) struct — the
     # code for ADC, the min d2 for reconstruction error
@@ -3865,16 +3812,7 @@ def ivfpq_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cmat.setdefault(int(r["label"]), [0] * 64)[int(r["d"])] = int(r["c"])
     labels = sorted(cmat)
 
-    def _d2(vec_col, const: list[int]):
-        return F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(c).cast("long") for c in const]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+    from pdf_brain_spark.operators.clustering import quantized_d2 as _d2
 
     # assignment: integer argmin over labels, lowest-label ties
     assign_expr = F.array_min(
@@ -4312,6 +4250,12 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# module-level so the ORACLE f-string and the serving call below share the
+# SAME derived constant — the gate can never drift from the documented
+# recommendation (r10 review: the constant existed but the gate inlined 8)
+from pdf_brain_spark.operators.ann import IVF_RECOMMENDED_PROBES as _IVF_PROBES  # noqa: E402
+
+
 @query(
     "ann_recall_report",
     oracle=f"""
@@ -4345,10 +4289,10 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.query_id AS query_id,
            CAST(count(*) AS BIGINT) AS n_exact,
-           CAST(sum(CASE WHEN p.prank <= 8 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_hits,
-           CAST(sum(CASE WHEN p.prank <= 8 THEN 1 ELSE 0 END) * 1000000
-                // count(*) AS BIGINT) AS recall_ppm
+           CAST(sum(CASE WHEN p.prank <= {_IVF_PROBES} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN p.prank <= {_IVF_PROBES} THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS recall_ppm
     FROM exact10 e
     JOIN assign a USING (vec_id)
     JOIN pr p ON p.query_id = e.query_id AND p.lst = a.lst
@@ -4386,7 +4330,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id"
     )
     approx = (
-        ivf_search_topk_batch(indexed, centroids, queries_df, k=10, n_probes=8)
+        ivf_search_topk_batch(
+            indexed, centroids, queries_df, k=10, n_probes=_IVF_PROBES
+        )
         .select("query_id", "vec_id")
         .withColumn("_hit", F.lit(1))
     )
@@ -6998,39 +6944,28 @@ def clustering_model_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     one RSS aggregate; the winner adds one map-side argmin+softmax pass
     feeding two cluster-grain aggregates; only model-grain tables are
     collected."""
-    from pdf_brain_spark.operators.clustering import kmeans_fit_exact_int
+    from pdf_brain_spark.operators.clustering import (
+        fit_centroid_matrix,
+        quantize_milli,
+        quantized_d2,
+    )
 
     emb = load_table(spark, "embeddings", sf_dir)
-    q = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
-        ).alias("q"),
-    ).localCheckpoint(eager=True)  # one pass per candidate + winner passes
-
-    def _d2(const: list[int]):
-        return F.aggregate(
-            F.zip_with(
-                F.col("q"),
-                F.array(*[F.lit(c).cast("long") for c in const]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+    q = quantize_milli(emb).localCheckpoint(
+        eager=True
+    )  # one pass per candidate + winner passes
 
     import math
 
     cmats: dict[int, list[list[int]]] = {}
     cand = []
     for k in (2, 4, 8):
-        cents = kmeans_fit_exact_int(spark, emb, k=k, dim=64, n_iter=1).collect()
-        cmat = [[0] * 64 for _ in range(k)]
-        for r in cents:
-            cmat[int(r["cluster_id"])][int(r["dim_idx"])] = int(r["coord_milli"])
+        cmat = fit_centroid_matrix(spark, emb, k=k, dim=64, n_iter=1)
         cmats[k] = cmat
         row = (
-            q.select(F.least(*[_d2(cmat[c]) for c in range(k)]).alias("_md"))
+            q.select(
+                F.least(*[quantized_d2("q", cmat[c]) for c in range(k)]).alias("_md")
+            )
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n"),
                 F.sum("_md").cast("long").alias("rss"),
@@ -7046,12 +6981,13 @@ def clustering_model_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = chosen_k
     best = F.array_min(
         F.array(*[
-            F.struct(_d2(cmat[c]).alias("d"), F.lit(c).alias("c"))
+            F.struct(quantized_d2("q", cmat[c]).alias("d"), F.lit(c).alias("c"))
             for c in range(k)
         ])
     )
     negs = F.array(*[
-        -F.sqrt(_d2(cmat[c]).cast("double")) / 500.0 for c in range(k)
+        -F.sqrt(quantized_d2("q", cmat[c]).cast("double")) / 500.0
+        for c in range(k)
     ])
     detail = q.select(
         "vec_id",
@@ -20006,35 +19942,19 @@ def cluster_assignment_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
     import shutil
     import tempfile
 
-    from pdf_brain_spark.operators.clustering import kmeans_fit_exact_int
+    from pdf_brain_spark.operators.clustering import (
+        fit_centroid_matrix,
+        quantize_milli,
+        quantized_d2,
+    )
     from pdf_brain_spark.operators.ingest import upsert_by_key
 
     emb = load_table(spark, "embeddings", sf_dir)
-    fit = kmeans_fit_exact_int(spark, emb, k=4, dim=64, n_iter=2).collect()
-    cmat = [[0] * 64 for _ in range(4)]
-    for r in fit:
-        cmat[int(r["cluster_id"])][int(r["dim_idx"])] = int(r["coord_milli"])
-    q = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
-        ).alias("q"),
-    )
-
-    def _d2(const: list[int]):
-        return F.aggregate(
-            F.zip_with(
-                F.col("q"),
-                F.array(*[F.lit(c).cast("long") for c in const]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
+    cmat = fit_centroid_matrix(spark, emb, k=4, dim=64, n_iter=2)
+    q = quantize_milli(emb)
     best = F.array_min(
         F.array(*[
-            F.struct(_d2(cmat[c]).alias("d"), F.lit(c).alias("c"))
+            F.struct(quantized_d2("q", cmat[c]).alias("d"), F.lit(c).alias("c"))
             for c in range(4)
         ])
     )

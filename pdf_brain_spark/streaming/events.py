@@ -932,9 +932,37 @@ def delete_fts_documents(
     delete — instead of invisible docs silently inflating N/avgdl; the
     serve's fts_assert_stores_consistent also flags the mismatched
     tombstone state loudly. Compaction of each store materializes its
-    removal."""
-    from pdf_brain_spark.streaming.generations import write_tombstones
+    removal.
 
+    The floor is validated against BOTH stores' compaction frontiers
+    BEFORE either tombstone is written (r10 review): the stores compact
+    independently, so a floor valid for the docs store but at/below the
+    postings store's frontier would otherwise tombstone the docs side
+    and then raise on the postings side — a torn delete sitting exactly
+    AT the shared frontier, where the consistency assert's
+    above-frontier comparison cannot see it. Failing the whole call
+    up front keeps 'one-sided tombstone' synonymous with 'crash',
+    which is the case the assert + re-run protocol does heal."""
+    from pdf_brain_spark.streaming.generations import (
+        coverage,
+        generation_ids,
+        write_tombstones,
+    )
+
+    for store in (fts_docs_dir(index_dir), index_dir):
+        m_star = max(
+            [coverage(g) for g in generation_ids(spark, store) if g < 0],
+            default=-1,
+        )
+        if floor_batch_id <= m_star:
+            raise ValueError(
+                f"tombstone floor {floor_batch_id} is at or below store "
+                f"{store}'s compacted coverage {m_star}; the two FTS "
+                "stores compact independently, so the delete must clear "
+                "BOTH frontiers — re-run with a floor above "
+                "max(frontiers), or compact the lagging store first. "
+                "Nothing was written."
+            )
     ids = doc_ids.select("doc_id").localCheckpoint(eager=True)
     write_tombstones(spark, fts_docs_dir(index_dir), ids, floor_batch_id)
     write_tombstones(spark, index_dir, ids, floor_batch_id)
@@ -1046,15 +1074,21 @@ def fts_assert_stores_consistent(spark: SparkSession, index_dir: str) -> None:
         store's live generations account for ({0..m*} ∪ positives > m*;
         compaction never changes coverage, so independently-timed
         compactions cannot false-positive);
-      * applicable-tombstone multisets equal above the SHARED compaction
+      * applicable-tombstone floor SETS equal above the SHARED compaction
         frontier — delete_fts_documents writes one tombstone dir per
         store at the same floor, and floors at or below either store's
         compacted coverage were materialized there (excluded on both
-        sides), so a surviving one-sided dir is exactly a torn delete.
+        sides), so a floor present on one side only is exactly a torn
+        delete. SETS, not dir counts (r10 review): re-running a torn
+        delete lands a serial-suffixed SECOND dir on the side that
+        already had one, and same-floor tombstones union idempotently —
+        a count comparison would brand the healed state inconsistent
+        forever.
 
     Self-heal: a torn batch heals when the streaming checkpoint replays
     it (idempotent batch_id overwrite); a torn delete heals by re-running
-    delete_fts_documents with the same ids."""
+    delete_fts_documents with the same ids (pytest walks the full
+    tear→refuse→re-run→serve cycle)."""
     from pdf_brain_spark.streaming.generations import (
         _tombstone_dirs,
         coverage,
@@ -1082,12 +1116,8 @@ def fts_assert_stores_consistent(spark: SparkSession, index_dir: str) -> None:
         )
     frontier = max(m_p, m_d)
 
-    def _floors(store: str) -> dict[int, int]:
-        out: dict[int, int] = {}
-        for k, _ in _tombstone_dirs(spark, store):
-            if k > frontier:
-                out[k] = out.get(k, 0) + 1
-        return out
+    def _floors(store: str) -> set[int]:
+        return {k for k, _ in _tombstone_dirs(spark, store) if k > frontier}
 
     t_p, t_d = _floors(index_dir), _floors(docs_store)
     if t_p != t_d:
@@ -1523,11 +1553,22 @@ def compact_fts_index(spark: SparkSession, index_dir: str, upto_batch_id: int, n
     tombstone-then-reinsert) is ALSO asserted here, before merging:
     compaction would otherwise fold a double-ingested doc's two
     generations into one, after which the serve's own check can no
-    longer see the violation and BM25 silently double-counts tf."""
+    longer see the violation and BM25 silently double-counts tf.
+
+    The two-store consistency assert ALSO runs first (r10 review):
+    fts_assert_stores_consistent only compares tombstones ABOVE the
+    shared compaction frontier, so compacting past a torn delete's
+    floor without checking would grandfather the torn state into
+    permanent invisibility — the postings store serving deleted docs
+    that the stats store excludes, forever. Asserting before the
+    frontier moves turns that into a named pre-compaction error while
+    the re-run protocol can still heal it."""
     from pdf_brain_spark.streaming.generations import (
         compact_index_rows,
         kept_index_rows,
     )
+
+    fts_assert_stores_consistent(spark, index_dir)
 
     # the uniqueness assert runs on the DOC-GRAIN stats store (one row
     # per doc per generation) — same invariant as before r9, a fraction

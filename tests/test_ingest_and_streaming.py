@@ -2129,3 +2129,78 @@ def test_fts_torn_batch_and_torn_delete_fail_loudly(spark, tmp_path):
     # completing the delete on the postings store heals it
     write_tombstones(spark, idx, docs0.select("doc_id").limit(1), 2)
     assert fts_search_persisted(spark, idx, ["spark"], k=10).count() > 0
+
+
+def test_fts_torn_delete_cannot_hide_at_or_below_the_frontier(spark, tmp_path):
+    """r10 review findings on the two-store delete protocol, all three
+    legs: (1) a delete whose floor clears the docs store but not the
+    independently-compacted postings store must fail BEFORE writing
+    either tombstone (a torn delete AT the frontier is invisible to the
+    above-frontier assert); (2) a genuinely torn delete (crash between
+    the two writes) must make the COMPACTOR refuse — compacting past the
+    torn floor would grandfather it into permanent invisibility; (3) the
+    documented heal (re-run the same delete) must actually pass the
+    assert afterwards — floor SETS, not dir counts, because the re-run
+    lands a serial-suffixed second dir on the side that already had one."""
+    import pytest as _pytest
+
+    from pdf_brain_spark.streaming.events import (
+        compact_fts_index,
+        delete_fts_documents,
+        fts_assert_stores_consistent,
+        fts_docs_dir,
+        fts_search_persisted,
+        make_fts_postings_batch_fn,
+    )
+    from pdf_brain_spark.streaming.generations import (
+        _tombstone_dirs,
+        compact_index_rows,
+        write_tombstones,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark joins data"), (2, "other words here"), (3, "spark shuffles")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "fts")
+    fn = make_fts_postings_batch_fn(idx)
+    fn(docs.filter(F.col("doc_id") <= 2), 0)
+    fn(docs.filter(F.col("doc_id") == 3), 1)
+    fts_assert_stores_consistent(spark, idx)
+
+    # (1) compact ONLY the postings store to frontier 1 (the stores
+    # compact independently — a healthy state); a delete at floor 1 is
+    # valid for the uncompacted docs store but not for postings: it must
+    # raise up front and write NOTHING
+    def _w(kept, tmp):
+        kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+
+    compact_index_rows(spark, idx, 1, ["doc_id"], _w)
+    ids = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError, match="BOTH frontiers"):
+        delete_fts_documents(spark, idx, ids, floor_batch_id=1)
+    assert _tombstone_dirs(spark, fts_docs_dir(idx)) == []
+    assert _tombstone_dirs(spark, idx) == []
+    fts_assert_stores_consistent(spark, idx)  # still consistent
+
+    # (2) manufacture the torn state delete_fts_documents is documented
+    # to leave on a crash between its two writes: docs-store tombstone
+    # only, at a floor above both frontiers
+    write_tombstones(spark, fts_docs_dir(idx), ids, 2)
+    with _pytest.raises(ValueError, match="takedowns"):
+        fts_assert_stores_consistent(spark, idx)
+    # the compactor must refuse BEFORE moving the frontier past the tear
+    with _pytest.raises(ValueError, match="takedowns"):
+        compact_fts_index(spark, idx, upto_batch_id=1)
+
+    # (3) heal by re-running the SAME delete; the docs side now holds two
+    # same-floor dirs (serial suffix) — the floor-set comparison must
+    # accept that, the compactor must run, and the deleted doc must be
+    # gone from serving while stats reflect the removal
+    delete_fts_documents(spark, idx, ids, floor_batch_id=2)
+    fts_assert_stores_consistent(spark, idx)
+    # the compactor now runs (no raise); 0 merged is fine — the postings
+    # store was already compacted to this frontier in step (1)
+    assert compact_fts_index(spark, idx, upto_batch_id=1) >= 0
+    got = {r["doc_id"] for r in fts_search_persisted(spark, idx, ["spark"], k=10).collect()}
+    assert got == {3}

@@ -679,8 +679,19 @@ def test_kmeans_fit_seed_validation_names_the_rule(spark):
         [(i, [float(i), 1.0]) for i in (0, 2, 5)],
         "vec_id long, embedding array<double>",
     )
-    with pytest.raises(ValueError, match="dense 0-based ids"):
+    with pytest.raises(ValueError, match="UNIQUE 0-based ids"):
         kmeans_fit_exact_int(spark, df, k=3, dim=2, n_iter=1)
+
+    # DUPLICATE id below k (r10 review): ids {0, 0, 1, 2} COVER the set
+    # 0..2, so only the arity check exposes them — without it the seed
+    # dict would keep an arbitrary duplicate (nondeterministic centroids)
+    # while the SQL twin keeps both rows and double-counts distances
+    dup = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (0, [9.0, 9.0]), (1, [1.0, 1.0]), (2, [2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="4 rows with ids \\[0, 1, 2\\]"):
+        kmeans_fit_exact_int(spark, dup, k=3, dim=2, n_iter=1)
 
 def _load_emb_rows(path="/root/testdata/sf0.001/embeddings.parquet"):
     import duckdb
