@@ -20353,6 +20353,210 @@ def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-10 late additions — the round-12 queue (the round-11 queue was
+# already at its 14-slot capacity when these were registered; they wait
+# one extra rotation, three-scale attested like everything else).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "kneser_ney_heldout",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                   AS BIGINT) % 100) AS b,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS arr
+      FROM documents
+    ),
+    trp AS (
+      SELECT a, w FROM (
+        SELECT unnest(arr[1:len(arr) - 1]) AS a, unnest(arr[2:len(arr)]) AS w
+        FROM d WHERE b < 80 AND len(arr) >= 2)
+    ),
+    cvw AS (SELECT a, w, CAST(count(*) AS BIGINT) AS c FROM trp GROUP BY 1, 2),
+    cv AS (SELECT a, CAST(sum(c) AS BIGINT) AS cv,
+                  CAST(count(*) AS BIGINT) AS n1v FROM cvw GROUP BY 1),
+    cw AS (SELECT w, CAST(count(*) AS BIGINT) AS n1w FROM cvw GROUP BY 1),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cvw),
+    vp AS (
+      SELECT source, a, w, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT source, unnest(arr[1:len(arr) - 1]) AS a,
+               unnest(arr[2:len(arr)]) AS w
+        FROM d WHERE b >= 80 AND b < 90 AND len(arr) >= 2)
+      GROUP BY 1, 2, 3
+    ),
+    sc AS (
+      SELECT vp.source, vp.n,
+             CASE WHEN cw.w IS NULL THEN 1 ELSE 0 END AS oov,
+             CASE WHEN cw.w IS NULL THEN NULL
+                  WHEN cv.a IS NULL THEN
+                    CAST(round(ln(CAST(cw.n1w AS DOUBLE) / tt.t)
+                               * 1000000) AS BIGINT)
+                  ELSE
+                    CAST(round(ln(
+                      CAST(greatest(4 * COALESCE(cvw.c, 0) - 3, 0) * tt.t
+                           + 3 * cv.n1v * cw.n1w AS DOUBLE)
+                      / CAST(4 * cv.cv * tt.t AS DOUBLE)) * 1000000) AS BIGINT)
+             END AS lp
+      FROM vp
+      LEFT JOIN cvw ON cvw.a = vp.a AND cvw.w = vp.w
+      LEFT JOIN cv ON cv.a = vp.a
+      LEFT JOIN cw ON cw.w = vp.w
+      CROSS JOIN tt
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_val_bigrams,
+           CAST(sum(oov * n) * 1000000 // sum(n) AS BIGINT) AS oov_ppm,
+           CAST(sum(CASE WHEN oov = 0 THEN n ELSE 0 END) AS BIGINT)
+             AS n_scored,
+           CASE WHEN sum(CASE WHEN oov = 0 THEN n ELSE 0 END) = 0 THEN NULL
+                ELSE CAST(-sum(CASE WHEN oov = 0 THEN n * lp ELSE 0 END)
+                          // sum(CASE WHEN oov = 0 THEN n ELSE 0 END)
+                     AS BIGINT)
+           END AS xent_micro_nats,
+           CASE WHEN sum(CASE WHEN oov = 0 THEN n ELSE 0 END) = 0 THEN NULL
+                ELSE round(exp(
+                  CAST(-sum(CASE WHEN oov = 0 THEN n * lp ELSE 0 END)
+                       // sum(CASE WHEN oov = 0 THEN n ELSE 0 END)
+                  AS DOUBLE) / 1000000.0), 4) + 0.0
+           END AS ppl
+    FROM sc GROUP BY source ORDER BY source
+    """,
+)
+def kneser_ney_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram LM (Kneser & Ney 1995; Chen &
+    Goodman 1999), trained on the 80% portable-hash split and scored on
+    the 10% val split per source — the counts-of-counts smoothing family
+    the LM-eval surface lacked (held_out_perplexity is add-one unigram;
+    this is the absolute-discount back-off that actually models bigram
+    burstiness). The discount D = 3/4 makes the whole probability an
+    EXACT integer ratio via the x4 encoding:
+
+      p(w|v) = [max(4·c(vw) − 3, 0)·T + 3·N1+(v·)·N1+(·w)]
+               / (4·c(v)·T),          T = N1+(··)
+
+    (unseen context v backs off to the continuation unigram
+    N1+(·w)/T; OOV w — no continuation mass — is excluded and reported
+    as oov_ppm, the held_out_perplexity convention). Both engines take
+    ONE ln per val bigram TYPE over bit-identical integer-ratio doubles,
+    quantized to micro-nats (the established play), then integer-weight
+    it by the val pair count; cross-entropy is an integer floor
+    division and ppl one 4dp exp. That Σ_w p(w|v) = 1 EXACTLY (the KN
+    mass identity) is proven in exact rationals on randomized count
+    tables in tests/test_randomized_references.py. Plan: pair counts
+    are map-side-combinable aggregates at bigram-type grain; the val
+    scoring joins are all type-grain (never token-grain); tt broadcasts
+    as a 1-row aggregate."""
+    from pdf_brain_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    d = docs.select(
+        "source", b.alias("b"), tokenize("text").alias("arr")
+    ).localCheckpoint(eager=True)  # scanned by the train AND val arms
+
+    def _pairs(df):
+        return (
+            df.filter(F.size("arr") >= 2)
+            .select(
+                "source",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(arr) - 1), "
+                        "i -> struct(arr[i - 1] AS a, arr[i] AS w))"
+                    )
+                ).alias("p"),
+            )
+            .select("source", "p.a", "p.w")
+        )
+
+    trp = _pairs(d.filter(F.col("b") < 80)).select("a", "w")
+    cvw = (
+        trp.groupBy("a", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # feeds cv, cw, tt AND the val join
+    )
+    cv = cvw.groupBy("a").agg(
+        F.sum("c").cast("long").alias("cv"),
+        F.count(F.lit(1)).cast("long").alias("n1v"),
+    )
+    cw = cvw.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n1w"))
+    tt = cvw.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    vp = (
+        _pairs(d.filter((F.col("b") >= 80) & (F.col("b") < 90)))
+        .groupBy("source", "a", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    num_seen = (
+        F.greatest(4 * F.coalesce(F.col("c"), F.lit(0)) - 3, F.lit(0)).cast("long")
+        * F.col("t")
+        + 3 * F.col("n1v") * F.col("n1w")
+    )
+    lp = F.when(F.col("n1w").isNull(), F.lit(None).cast("long")).otherwise(
+        F.when(
+            F.col("cv").isNull(),
+            F.round(
+                F.log(F.col("n1w").cast("double") / F.col("t")) * 1000000
+            ).cast("long"),
+        ).otherwise(
+            F.round(
+                F.log(
+                    num_seen.cast("double")
+                    / (4 * F.col("cv") * F.col("t")).cast("double")
+                )
+                * 1000000
+            ).cast("long")
+        )
+    )
+    sc = (
+        vp.join(cvw, ["a", "w"], "left")
+        .join(cv, "a", "left")
+        .join(cw, "w", "left")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "source",
+            "n",
+            F.when(F.col("n1w").isNull(), 1).otherwise(0).alias("oov"),
+            lp.alias("lp"),
+        )
+    )
+    scored_n = F.sum(F.when(F.col("oov") == 0, F.col("n")).otherwise(0)).cast(
+        "long"
+    )
+    neg_sum = -F.sum(
+        F.when(F.col("oov") == 0, F.col("n") * F.col("lp")).otherwise(0)
+    ).cast("long")
+    return (
+        sc.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_val_bigrams"),
+            F.expr("(sum(oov * n) * 1000000) div sum(n)").alias("oov_ppm"),
+            scored_n.alias("n_scored"),
+            F.when(scored_n == 0, F.lit(None).cast("long"))
+            .otherwise(F.expr(
+                "(-sum(CASE WHEN oov = 0 THEN n * lp ELSE 0 END))"
+                " div sum(CASE WHEN oov = 0 THEN n ELSE 0 END)"
+            ))
+            .alias("xent_micro_nats"),
+        )
+        .withColumn(
+            "ppl",
+            F.when(
+                F.col("xent_micro_nats").isNotNull(),
+                F.round(F.exp(F.col("xent_micro_nats") / 1000000.0), 4),
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.
 #

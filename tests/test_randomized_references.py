@@ -987,3 +987,54 @@ def test_query_registry_rejects_duplicate_names():
     with pytest.raises(AssertionError, match="already registered"):
         query(member)(lambda spark, sf: None)
     assert callable(QUERIES[taken])  # original untouched
+
+
+def test_kneser_ney_integer_closed_form_mass_identity():
+    """Second opinion for kneser_ney_heldout's x4 integer encoding: on
+    randomized bigram count tables, the gate's closed form
+
+        p(w|v) = [max(4 c(vw) - 3, 0) T + 3 N1+(v.) N1+(.w)] / (4 c(v) T)
+
+    must (a) equal textbook interpolated KN with D = 3/4 computed in
+    exact rationals, and (b) satisfy the KN mass identity
+    sum_w p(w|v) = 1 EXACTLY over the training continuation vocabulary
+    (the property that makes absolute discounting a probability model,
+    not a heuristic)."""
+    import random
+    from fractions import Fraction as Fr
+
+    for seed in range(15):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(rng.randint(3, 8))]
+        counts = {}
+        for v in vocab:
+            for w in vocab:
+                if rng.random() < 0.6:
+                    counts[(v, w)] = rng.randint(1, 9)
+        if not counts:
+            continue
+        T = len(counts)
+        cv = {}
+        n1v = {}
+        n1w = {}
+        for (v, w), c in counts.items():
+            cv[v] = cv.get(v, 0) + c
+            n1v[v] = n1v.get(v, 0) + 1
+            n1w[w] = n1w.get(w, 0) + 1
+
+        D = Fr(3, 4)
+        for v in cv:
+            total = Fr(0)
+            for w in n1w:
+                c = counts.get((v, w), 0)
+                # gate's integer closed form
+                num = max(4 * c - 3, 0) * T + 3 * n1v[v] * n1w[w]
+                den = 4 * cv[v] * T
+                p_gate = Fr(num, den)
+                # textbook interpolated KN, exact rationals
+                p_cont = Fr(n1w[w], T)
+                lam = D * n1v[v] / cv[v]
+                p_text = Fr(max(Fr(c) - D, Fr(0)), cv[v]) + lam * p_cont
+                assert p_gate == p_text, (seed, v, w, p_gate, p_text)
+                total += p_gate
+            assert total == 1, (seed, v, total)
