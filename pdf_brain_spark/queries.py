@@ -19709,17 +19709,20 @@ def cross_source_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataF
 
 
 def _duck_bpe_step(i: int) -> str:
-    """One BPE merge step as CTEs: pair counts over adjacent symbols,
+    """One BPE merge step as CTEs at VOCAB grain: freq-weighted pair
+    counts over adjacent symbols (identical to occurrence-grain counts,
+    since every occurrence of a word contributes the same pairs),
     lexicographic-tied argmax, and the doubled-delimiter string-replace
     merge (|a||b| -> |ab| — the doubling makes adjacent occurrences
     independently matchable, so left-to-right replace-all IS the greedy
     BPE merge; proven against a list-based reference in
-    tests/test_randomized_references.py). Expects w{i-1} (arr) in scope."""
+    tests/test_randomized_references.py). Expects w{i-1} (arr, freq) in
+    scope."""
     return f"""
     c{i} AS (
-      SELECT a, b, count(*) AS c FROM (
+      SELECT a, b, sum(freq) AS c FROM (
         SELECT unnest(arr[1:len(arr) - 1]) AS a,
-               unnest(arr[2:len(arr)]) AS b
+               unnest(arr[2:len(arr)]) AS b, freq
         FROM w{i - 1} WHERE len(arr) >= 2)
       GROUP BY 1, 2
     ),
@@ -19731,7 +19734,7 @@ def _duck_bpe_step(i: int) -> str:
                      (SELECT '|' || a || '||' || b || '|' FROM b{i}),
                      (SELECT '|' || a || b || '|' FROM b{i})),
              '|'),
-        '\\|\\|') AS arr
+        '\\|\\|') AS arr, freq
       FROM w{i - 1}
     ),
     v{i} AS (
@@ -19749,9 +19752,12 @@ def _duck_bpe_step(i: int) -> str:
                     t -> t <> '')) AS w
       FROM documents
     ),
+    wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq FROM words
+      WHERE NOT contains(w, '|') GROUP BY w
+    ),
     w0 AS (
-      SELECT regexp_split_to_array(w, '') AS arr
-      FROM words WHERE NOT contains(w, '|')
+      SELECT regexp_split_to_array(w, '') AS arr, freq FROM wf
     ),
     {','.join(_duck_bpe_step(i) for i in (1, 2, 3))}
     SELECT step, left_symbol, right_symbol, pair_count, n_symbols_after
@@ -19774,14 +19780,17 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax everywhere with greedy left-to-right semantics, and report
     the merged pair, its count, and the symbol vocabulary size after —
     the operator a tokenizer-fitting pipeline runs to saturation at
-    100 TB. The distributed shape per step is exactly Lloyd's-fit's:
-    ONE map-side-combinable pair-count aggregate (pair-vocabulary
-    grain), a 1-row argmax collect (model grain), and a map-only merge
-    pass — the corpus is never shuffled. The merge itself is the
-    doubled-delimiter device: symbols joined as '|a||b||c|' make every
-    adjacent pair an independent, non-overlapping match, so plain
-    replace-all IS the greedy merge on BOTH engines (boundary-safety
-    proven against a list-based python BPE on randomized sequences in
+    100 TB. The corpus collapses to the WORD-FREQUENCY table before the
+    first iteration (bpe_merge_candidates' explode-after-aggregate
+    play, applied to the whole training loop): every step thereafter —
+    freq-weighted pair counts (identical to occurrence-grain counts by
+    definition), the 1-row argmax collect, the map-only merge — runs at
+    VOCAB grain, millions of rows where the token stream is trillions.
+    The merge itself is the doubled-delimiter device: symbols joined as
+    '|a||b||c|' make every adjacent pair an independent,
+    non-overlapping match, so plain replace-all IS the greedy merge on
+    BOTH engines (boundary-safety proven against a list-based python
+    BPE on randomized sequences in
     tests/test_randomized_references.py). Words containing the
     delimiter are filtered identically on both sides (none in this
     corpus; loud portability note)."""
@@ -19791,7 +19800,9 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         docs.select(F.explode(tokenize("text")).alias("w"))
         .filter(~F.col("w").contains("|"))
-        .select(F.split("w", "").alias("arr"))
+        .groupBy("w")  # the ONLY corpus-grain shuffle in the operator
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(F.split("w", "").alias("arr"), "freq")
         .localCheckpoint(eager=True)  # step-1 input scanned twice
     )
     out_rows = []
@@ -19804,11 +19815,12 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "transform(sequence(1, size(arr) - 1), "
                         "i -> struct(arr[i - 1] AS a, arr[i] AS b))"
                     )
-                ).alias("p")
+                ).alias("p"),
+                "freq",
             )
-            .select("p.a", "p.b")
+            .select("p.a", "p.b", "freq")
             .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .agg(F.sum("freq").cast("long").alias("c"))
         )
         best_rows = pairs.orderBy(
             F.col("c").desc(), F.col("a").asc(), F.col("b").asc()
@@ -19825,7 +19837,8 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = w.select(
             F.split(
                 F.btrim(F.replace(s, pat, rep), F.lit("|")), r"\|\|"
-            ).alias("arr")
+            ).alias("arr"),
+            "freq",
         ).localCheckpoint(eager=True)  # vocab count + next step reuse it
         vocab = int(
             w.select(F.explode("arr").alias("s"))
