@@ -20646,6 +20646,74 @@ def ngram_dup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("n")
 
 
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 t -> t <> '')) AS ws,
+             len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS sw,
+             length(text) AS ch
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS whitespace_tokens,
+           CAST(sum(sw) AS BIGINT) AS subword_tokens,
+           CAST(sum(ch) AS BIGINT) AS n_chars,
+           CAST(sum(sw) * 1000 // sum(ws) AS BIGINT) AS fertility_milli,
+           CAST(sum(ch) * 1000 // sum(sw) AS BIGINT)
+             AS chars_per_subword_milli
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language: subword tokens per whitespace
+    word and characters per subword token, per lang — the multilingual
+    tokenizer-equity measurement (a language whose fertility is 2× pays
+    2× the context budget and 2× the compute per sentence; the number
+    that motivated byte-fallback and vocabulary rebalancing in
+    multilingual models). Uses the repo's two attested token
+    conventions (tokenize whitespace words; subword_token_count's
+    word+punct BPE-ish regex with its documented DuckDB twin) plus char
+    counts, all integer sums with milli-unit floor-division ratios.
+    Map-only projections into one lang-grain aggregate — nothing here
+    changes at 100 TB."""
+    from pdf_brain_spark.functions.text import subword_token_count, token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "lang",
+        token_count("text").cast("long").alias("ws"),
+        subword_token_count("text").cast("long").alias("sw"),
+        F.length("text").cast("long").alias("ch"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ws").cast("long").alias("whitespace_tokens"),
+            F.sum("sw").cast("long").alias("subword_tokens"),
+            F.sum("ch").cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "whitespace_tokens",
+            "subword_tokens",
+            "n_chars",
+            F.expr("(subword_tokens * 1000) div whitespace_tokens").alias(
+                "fertility_milli"
+            ),
+            F.expr("(n_chars * 1000) div subword_tokens").alias(
+                "chars_per_subword_milli"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.
