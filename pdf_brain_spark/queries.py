@@ -20714,6 +20714,136 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_transitivity_audit",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLES.strip()},
+    sig AS ({_DUCK_MINHASH_SIG}),
+    banded AS (
+      {_DUCK_MINHASH_BANDED}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cands
+      UNION
+      SELECT doc_b, doc_a FROM cands
+    ),
+    reach AS (
+      SELECT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    csize AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS sz
+      FROM comp GROUP BY 1
+      HAVING count(*) BETWEEN 2 AND 12
+    ),
+    prs AS (
+      SELECT c.sz, a.node AS doc_a, b.node AS doc_b
+      FROM csize c
+      JOIN comp a ON a.component = c.component
+      JOIN comp b ON b.component = c.component AND a.node < b.node
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS i
+      FROM prs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT p.sz,
+             CAST(COALESCE(i.i, 0) * 1000000
+                  // (za.n + zb.n - COALESCE(i.i, 0)) AS BIGINT) AS j_ppm
+      FROM prs p
+      JOIN sizes za ON za.doc_id = p.doc_a
+      JOIN sizes zb ON zb.doc_id = p.doc_b
+      LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(j_ppm) AS BIGINT) AS min_jaccard_ppm,
+           CAST(sum(j_ppm) // count(*) AS BIGINT) AS mean_jaccard_ppm,
+           CAST(sum(CASE WHEN j_ppm < 500000 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS weak_pair_ppm
+    FROM jp GROUP BY sz ORDER BY cluster_size
+    """,
+)
+def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVITY audit of connected-component dedup: within each
+    LSH duplicate cluster, the exact 3-gram Jaccard of EVERY intra-
+    cluster pair — including the pairs LSH never proposed — rolled up
+    per cluster size (min / mean Jaccard and the share of pairs below
+    0.5). This measures the classic silent failure of component-based
+    dedup: A~B and B~C candidates chain A and C into one cluster even
+    when A and C share almost nothing, so min-id/keep-best collapses
+    docs that are NOT duplicates of the kept representative. A falling
+    min_jaccard_ppm as cluster_size grows is the hub-chaining
+    signature; weak_pair_ppm is the fraction of merges a verify-then-
+    cluster pipeline (dedup_minhash_verified) would have refused. The
+    quadratic is BOUNDED by auditing clusters of size 2..12 only
+    (≤ C(12,2) = 66 pairs each — at 100 TB bigger clusters get audited
+    by pair sampling; the bound is the gate's documented contract, not
+    a silent cap). All integers: exact shingle-set intersections via
+    one candidate-grain join, ppm floor-divisions throughout."""
+    from pdf_brain_spark.operators.dedup import (
+        _shingle_set_df,
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    sets = _shingle_set_df(docs, "doc_id", "text", 3).localCheckpoint(
+        eager=True
+    )  # shared by the LSH pass (via its own pipeline) and the audit joins
+    comps = connected_components(minhash_lsh_pairs(docs)).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    csize = (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        .filter((F.col("sz") >= 2) & (F.col("sz") <= 12))
+    )
+    a = comps.join(csize, "component").select(
+        "component", "sz", F.col("doc_id").alias("doc_a")
+    )
+    b = comps.select("component", F.col("doc_id").alias("doc_b"))
+    prs = a.join(b, "component").filter(F.col("doc_a") < F.col("doc_b"))
+    za = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("_sa"))
+    zb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
+    uni = (F.size("_sa") + F.size("_sb")).cast("long") - inter
+    jp = (
+        prs.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "sz",
+            inter.alias("_i"),
+            uni.alias("_u"),
+        )
+        .select("sz", F.expr("(_i * 1000000) div _u").alias("j_ppm"))
+    )
+    return (
+        jp.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("j_ppm").cast("long").alias("min_jaccard_ppm"),
+            F.expr("sum(j_ppm) div count(1)").alias("mean_jaccard_ppm"),
+            F.expr(
+                "(sum(CASE WHEN j_ppm < 500000 THEN 1 ELSE 0 END) * 1000000)"
+                " div count(1)"
+            ).alias("weak_pair_ppm"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.
