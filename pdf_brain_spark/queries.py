@@ -20844,6 +20844,106 @@ def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_dispersion_index",
+    oracle="""
+    WITH hourly0 AS (
+      SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS ih,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(ih) AS lo, max(ih) AS hi FROM hourly0),
+    axis AS (
+      SELECT t.event_type, a.ih
+      FROM (SELECT DISTINCT event_type FROM hourly0) t,
+           (SELECT unnest(range(lo, hi + 1)) AS ih FROM bounds) a
+    ),
+    hourly AS (
+      SELECT a.event_type, a.ih, COALESCE(h.c, 0) AS x
+      FROM axis a LEFT JOIN hourly0 h
+        ON h.event_type = a.event_type AND h.ih = a.ih
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s1,
+             CAST(sum(x * x) AS HUGEINT) AS s2
+      FROM hourly GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(s1 AS BIGINT) AS total_events,
+           CAST(s1 * 1000 // n AS BIGINT) AS mean_per_hour_milli,
+           CAST((n * s2 - s1 * s1) * 1000 // (n * s1) AS BIGINT)
+             AS fano_milli
+    FROM m WHERE s1 > 0 ORDER BY event_type
+    """,
+)
+def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISPERSION INDEX (Fano factor, variance-to-mean ratio) of hourly
+    event counts per event type — the burstiness measurement
+    complementing events_autocorrelation's lag structure and the
+    seasonality baseline: a Poisson arrival process has Fano = 1000
+    milli exactly, clumped/bursty traffic is over-dispersed (> 1000),
+    rate-limited or quota'd traffic under-dispersed (< 1000) — the
+    number that decides whether capacity planning can use mean rates or
+    must provision for bursts. The hour axis is DENSIFIED over the
+    global [min, max] range (events_autocorrelation's device — zero
+    hours are observations, dropping them biases the variance down),
+    and the whole statistic is exact integer moments:
+    Fano = (n·S2 − S1²)·1000 // (n·S1) in decimal-38/HUGEINT, one floor
+    division per type, no float anywhere. Plan: one (type, hour)
+    aggregate (map-side combinable), a broadcast bounds row, the
+    bounded type×hour axis, one moment aggregate per type."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly0 = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "unix_micros(date_trunc('hour', ts)) div 3600000000"
+            ).alias("ih"),
+        )
+        .groupBy("event_type", "ih")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # bounds + types + the join reuse it
+    )
+    bounds = hourly0.agg(
+        F.min("ih").alias("lo"), F.max("ih").alias("hi")
+    )
+    types = hourly0.select("event_type").distinct()
+    axis = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("ih"),
+    )
+    hourly = (
+        axis.join(hourly0, ["event_type", "ih"], "left")
+        .select(
+            "event_type", F.coalesce(F.col("c"), F.lit(0)).alias("x")
+        )
+    )
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("s2"),
+    )
+    return (
+        m.filter(F.col("s1") > 0)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_hours"),
+            F.col("s1").cast("long").alias("total_events"),
+            F.expr("cast((s1 * 1000) div n as long)").alias(
+                "mean_per_hour_milli"
+            ),
+            F.expr(
+                "cast(((n * s2 - s1 * s1) * 1000) div (n * s1) as long)"
+            ).alias("fano_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.
