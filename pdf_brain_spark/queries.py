@@ -3999,9 +3999,13 @@ def corpus_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         count (types is tiny-cardinality, where HLL++ is exact by its
         sparse-mode construction);
       * the KLL p50/p99 estimates land within ±1% RANK of their
-        targets (default accuracy 10000 bounds rank error at 1e-4·n;
-        the band leaves room for value ties, which inflate the
-        <=-rank of the returned value).
+        targets (default accuracy 10000 bounds rank error at 1e-4·n).
+        The rank is the MID-RANK — count(< v) + count(= v)/2, kept
+        exact by doubling (ADVICE r10): the plain <=-rank is
+        tie-sensitive (a heavy tie AT the quantile value inflates it
+        past the band on data shape, not on sketch error), while the
+        mid-rank sits at the center of the tied mass, which is where
+        the true quantile rank lives whatever the multiplicity.
     A sketch regression (estimate drift past contract, wrong quantile)
     flips a boolean and fails the driver hash BY NAME. The exact
     distincts are a shuffle the 100 TB profile run would skip — they
@@ -4017,13 +4021,23 @@ def corpus_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.99]).getItem(0).alias("_p50"),
         F.percentile_approx("value", [0.5, 0.99]).getItem(1).alias("_p99"),
     )
+    # doubled mid-ranks: 2·count(<v) + count(=v), exact integers
     ranks = (
         ev.crossJoin(F.broadcast(prof.select("_p50", "_p99")))
         .agg(
-            F.sum(F.when(F.col("value") <= F.col("_p50"), 1).otherwise(0)).alias("_r50"),
-            F.sum(F.when(F.col("value") <= F.col("_p99"), 1).otherwise(0)).alias("_r99"),
+            (
+                F.sum(F.when(F.col("value") < F.col("_p50"), 2).otherwise(0))
+                + F.sum(F.when(F.col("value") == F.col("_p50"), 1).otherwise(0))
+            ).cast("long").alias("_r50_2x"),
+            (
+                F.sum(F.when(F.col("value") < F.col("_p99"), 2).otherwise(0))
+                + F.sum(F.when(F.col("value") == F.col("_p99"), 1).otherwise(0))
+            ).cast("long").alias("_r99_2x"),
         )
     )
+    # integer band checks on the doubled mid-rank: p50 in [0.49, 0.51]·n
+    # is 100·r2x in [98, 102]·n; p99 in [0.98, 0.9999]·n is 10000·r2x in
+    # [19600, 19998]·n — all-long products, no float boundary anywhere
     return (
         prof.crossJoin(F.broadcast(ranks))
         .select(
@@ -4036,12 +4050,12 @@ def corpus_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_users_ok"),
             (F.col("_hll_types") == F.col("n_types_exact")).alias("hll_types_ok"),
             (
-                (F.col("_r50") >= F.col("n_events") * 0.49)
-                & (F.col("_r50") <= F.col("n_events") * 0.51)
+                (F.col("_r50_2x") * 100 >= F.col("n_events") * 98)
+                & (F.col("_r50_2x") * 100 <= F.col("n_events") * 102)
             ).alias("p50_rank_ok"),
             (
-                (F.col("_r99") >= F.col("n_events") * 0.98)
-                & (F.col("_r99") <= F.col("n_events") * 0.9999)
+                (F.col("_r99_2x") * 10000 >= F.col("n_events") * 19600)
+                & (F.col("_r99_2x") * 10000 <= F.col("n_events") * 19998)
             ).alias("p99_rank_ok"),
         )
     )
@@ -19554,11 +19568,26 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("budget").alias("budget"),
         F.first("n").alias("n"),
     )
+    # k == n (every source fully funded — an all-zero-capacity corpus,
+    # since budget = total//2) leaves the water level undefined: Spark's
+    # div would yield NULL while the DuckDB twin errors on /0 — an
+    # engine-divergent failure mode. Raise BY NAME instead (ADVICE r10),
+    # welded into the consumed expression so the guard cannot be pruned.
+    _wf_guard = F.assert_true(
+        F.col("n") > F.col("k"),
+        F.lit(
+            "token_budget_waterfill: every source is fully funded "
+            "(k == n — total capacity is 0), so the water level is "
+            "undefined; nothing to waterfill"
+        ),
+    )
     lvl = kk.select(
         "k",
         "cum_k",
         F.col("budget").alias("_budget"),
-        F.expr("(budget - cum_k) div (n - k)").alias("level"),
+        F.when(_wf_guard.isNull(), F.expr("(budget - cum_k) div (n - k)")).alias(
+            "level"
+        ),
         ((F.col("budget") - F.col("cum_k")) % (F.col("n") - F.col("k"))).alias(
             "rem"
         ),
@@ -20775,7 +20804,12 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM jp GROUP BY sz ORDER BY cluster_size
     """,
 )
-def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_transitivity_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    max_cluster_size: int = 12,
+    sample_pairs: int | None = None,
+) -> DataFrame:
     """TRANSITIVITY audit of connected-component dedup: within each
     LSH duplicate cluster, the exact 3-gram Jaccard of EVERY intra-
     cluster pair — including the pairs LSH never proposed — rolled up
@@ -20787,34 +20821,72 @@ def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_jaccard_ppm as cluster_size grows is the hub-chaining
     signature; weak_pair_ppm is the fraction of merges a verify-then-
     cluster pipeline (dedup_minhash_verified) would have refused. The
-    quadratic is BOUNDED by auditing clusters of size 2..12 only
-    (≤ C(12,2) = 66 pairs each — at 100 TB bigger clusters get audited
-    by pair sampling; the bound is the gate's documented contract, not
-    a silent cap). All integers: exact shingle-set intersections via
-    one candidate-grain join, ppm floor-divisions throughout."""
+    quadratic is BOUNDED: clusters up to `max_cluster_size` (gate
+    default 12, ≤ C(12,2) = 66 pairs each) audit exhaustively; with
+    `sample_pairs` set, BIGGER clusters are audited too, on a
+    deterministic hash-drawn subset of ~sample_pairs intra-cluster
+    pairs each (VERDICT r10 item 6 — the documented at-scale contract,
+    now a real parameter; the registered gate keeps the exhaustive
+    2..12 default, so its oracle is unchanged). All integers: exact
+    shingle-set intersections via one candidate-grain join, ppm
+    floor-divisions throughout."""
     from pdf_brain_spark.operators.dedup import (
+        _lsh_pairs_from_signatures,
         _shingle_set_df,
         connected_components,
-        minhash_lsh_pairs,
+        minhash_signatures_from_sets,
     )
 
     docs = load_table(spark, "documents", sf_dir)
     sets = _shingle_set_df(docs, "doc_id", "text", 3).localCheckpoint(
         eager=True
-    )  # shared by the LSH pass (via its own pipeline) and the audit joins
-    comps = connected_components(minhash_lsh_pairs(docs)).select(
+    )  # ONE shingle pass, shared by the LSH banding below AND the audit
+    # joins (ADVICE r10: minhash_lsh_pairs(docs) would recompute shingles
+    # from the raw corpus; building candidates from the checkpointed sets
+    # is the minhash_estimator_calibration device and output-identical —
+    # minhash_signatures is defined as signatures_from_sets ∘ shingle_set)
+    cands = _lsh_pairs_from_signatures(minhash_signatures_from_sets(sets))
+    comps = connected_components(cands).select(
         F.col("node").alias("doc_id"), "component"
     )
-    csize = (
-        comps.groupBy("component")
-        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
-        .filter((F.col("sz") >= 2) & (F.col("sz") <= 12))
+    csize = comps.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
     )
+    if sample_pairs is None:
+        csize = csize.filter(
+            (F.col("sz") >= 2) & (F.col("sz") <= max_cluster_size)
+        )
+    else:
+        csize = csize.filter(F.col("sz") >= 2)
     a = comps.join(csize, "component").select(
         "component", "sz", F.col("doc_id").alias("doc_a")
     )
     b = comps.select("component", F.col("doc_id").alias("doc_b"))
     prs = a.join(b, "component").filter(F.col("doc_a") < F.col("doc_b"))
+    if sample_pairs is not None:
+        # deterministic per-pair draw: keep a pair of an OVERSIZED
+        # cluster iff its portable content-free hash lands under the
+        # acceptance ceiling ceil(1e6 · sample_pairs / C(sz,2)) — exact
+        # integers, so sample_pairs ≥ C(sz,2) degenerates to the
+        # exhaustive path bit-for-bit (pytest-pinned); clusters at or
+        # under max_cluster_size stay exhaustive
+        ceiling = F.expr(
+            f"({int(sample_pairs)} * 1000000 + sz * (sz - 1) div 2 - 1) "
+            "div (sz * (sz - 1) div 2)"
+        )
+        draw = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("_", "doc_a", "doc_b")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(1000000)
+        )
+        prs = prs.filter(
+            (F.col("sz") <= F.lit(max_cluster_size)) | (draw < ceiling)
+        )
     za = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("_sa"))
     zb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")

@@ -1067,28 +1067,39 @@ def fts_assert_stores_consistent(spark: SparkSession, index_dir: str) -> None:
     two tombstone writes, would otherwise serve BM25 with N/avgdl that
     silently exclude or include the torn batch's documents).
 
-    Two driver-side LISTING checks (no data scan, so the stats arm stays
-    doc-grain-only):
+    Checks, cheapest first:
 
-      * covered-batch sets equal — the set of stream batches each
-        store's live generations account for ({0..m*} ∪ positives > m*;
-        compaction never changes coverage, so independently-timed
-        compactions cannot false-positive);
+      * covered-batch sets equal (driver-side listing) — the set of
+        stream batches each store's live generations account for
+        ({0..m*} ∪ positives > m*; compaction never changes coverage, so
+        independently-timed compactions cannot false-positive);
       * applicable-tombstone floor SETS equal above the SHARED compaction
-        frontier — delete_fts_documents writes one tombstone dir per
-        store at the same floor, and floors at or below either store's
-        compacted coverage were materialized there (excluded on both
-        sides), so a floor present on one side only is exactly a torn
-        delete. SETS, not dir counts (r10 review): re-running a torn
-        delete lands a serial-suffixed SECOND dir on the side that
-        already had one, and same-floor tombstones union idempotently —
-        a count comparison would brand the healed state inconsistent
-        forever.
+        frontier (driver-side listing) — delete_fts_documents writes one
+        tombstone dir per store at the same floor, and floors at or below
+        either store's compacted coverage were materialized there
+        (excluded on both sides), so a floor present on one side only is
+        exactly a torn delete. SETS, not dir counts (r10 review):
+        re-running a torn delete lands a serial-suffixed SECOND dir on
+        the side that already had one, and same-floor tombstones union
+        idempotently — a count comparison would brand the healed state
+        inconsistent forever.
+      * unioned tombstone KEY sets equal per floor (ADVICE r10): floor
+        presence alone cannot detect CONTENT divergence when a torn
+        delete's floor is reused by a later delete with DIFFERENT
+        doc_ids — both stores then expose the same floor set while the
+        postings store never received the first delete's keys, and
+        compaction would grandfather the divergence permanently. Each
+        store's above-frontier tombstone dirs are one bounded parquet
+        read; the key sets compare via a per-floor
+        (distinct-count, bit_xor(xxhash64)) digest — distributed, no
+        keys collected to the driver, and idempotent-union-stable so
+        the healed serial-suffixed state still passes.
 
     Self-heal: a torn batch heals when the streaming checkpoint replays
     it (idempotent batch_id overwrite); a torn delete heals by re-running
     delete_fts_documents with the same ids (pytest walks the full
-    tear→refuse→re-run→serve cycle)."""
+    tear→refuse→re-run→serve cycle, including the reused-floor
+    divergence)."""
     from pdf_brain_spark.streaming.generations import (
         _tombstone_dirs,
         coverage,
@@ -1127,6 +1138,47 @@ def fts_assert_stores_consistent(spark: SparkSession, index_dir: str) -> None:
             f"{t_d}) — a crash tore a delete's two tombstone writes apart. "
             "Re-run delete_fts_documents with the same ids before serving."
         )
+
+    def _floor_key_digests(store: str) -> dict[int, tuple[int, int]]:
+        """{floor: (n_distinct_keys, bit_xor(xxhash64(key)))} for the
+        unioned tombstone keys per above-frontier floor. One union read
+        + one aggregate per store; the collect is one row per floor."""
+        parts = [
+            spark.read.parquet(f"{store}/{name}").select(
+                F.lit(k).alias("_floor"), F.col("doc_id")
+            )
+            for k, name in _tombstone_dirs(spark, store)
+            if k > frontier
+        ]
+        if not parts:
+            return {}
+        from functools import reduce
+
+        rows = (
+            reduce(lambda a, b: a.unionByName(b), parts)
+            .distinct()
+            .groupBy("_floor")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.expr("bit_xor(xxhash64(doc_id))").alias("_x"),
+            )
+            .collect()
+        )
+        return {r["_floor"]: (r["_n"], r["_x"]) for r in rows}
+
+    if t_p:
+        d_p, d_d = _floor_key_digests(index_dir), _floor_key_digests(docs_store)
+        if d_p != d_d:
+            bad = sorted(k for k in t_p if d_p.get(k) != d_d.get(k))
+            raise ValueError(
+                f"FTS index {index_dir} and its doc-grain stats store "
+                f"disagree about WHICH documents are taken down at floors "
+                f"{bad} (same floors, different unioned tombstone key "
+                "sets) — a torn delete's floor was reused by a later "
+                "delete with different ids. Re-run the torn "
+                "delete_fts_documents with its original ids before "
+                "serving."
+            )
 
 
 def fts_corpus_stats(

@@ -2204,3 +2204,71 @@ def test_fts_torn_delete_cannot_hide_at_or_below_the_frontier(spark, tmp_path):
     assert compact_fts_index(spark, idx, upto_batch_id=1) >= 0
     got = {r["doc_id"] for r in fts_search_persisted(spark, idx, ["spark"], k=10).collect()}
     assert got == {3}
+
+
+def test_fts_torn_delete_reused_floor_content_divergence(spark, tmp_path):
+    """ADVICE r10: floor presence alone cannot catch a torn delete whose
+    floor is REUSED by a later, complete delete with DIFFERENT doc_ids —
+    both stores then expose the same floor set while the postings store
+    never received the first delete's keys. The per-floor unioned-key
+    digest must (1) flag that state by name, (2) make the compactor
+    refuse before grandfathering it, (3) accept the heal (re-running the
+    torn delete with its ORIGINAL ids), and (4) keep accepting healthy
+    same-floor accumulation (two complete deletes at one floor)."""
+    import pytest as _pytest
+
+    from pdf_brain_spark.streaming.events import (
+        compact_fts_index,
+        delete_fts_documents,
+        fts_assert_stores_consistent,
+        fts_docs_dir,
+        fts_search_persisted,
+        make_fts_postings_batch_fn,
+    )
+    from pdf_brain_spark.streaming.generations import write_tombstones
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins data"),
+            (2, "spark other words"),
+            (3, "spark shuffles"),
+            (4, "unrelated terms"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "fts")
+    fn = make_fts_postings_batch_fn(idx)
+    fn(docs, 0)
+    fts_assert_stores_consistent(spark, idx)
+
+    # torn delete A: ids {1} reach the docs store only (crash between
+    # the two writes); then delete B at the SAME floor with DIFFERENT
+    # ids {2} completes on both stores — floor sets now match on both
+    # sides ({1} == {1}) and only the key digest can see the divergence
+    ids_a = spark.createDataFrame([(1,)], "doc_id long")
+    ids_b = spark.createDataFrame([(2,)], "doc_id long")
+    write_tombstones(spark, fts_docs_dir(idx), ids_a, 1)
+    delete_fts_documents(spark, idx, ids_b, floor_batch_id=1)
+    with _pytest.raises(ValueError, match="WHICH documents"):
+        fts_assert_stores_consistent(spark, idx)
+    # the compactor must refuse rather than grandfather the divergence
+    with _pytest.raises(ValueError, match="WHICH documents"):
+        compact_fts_index(spark, idx, upto_batch_id=0)
+
+    # heal: re-run the torn delete with its original ids; unions are
+    # idempotent so both stores converge on keys {1, 2} at floor 1
+    delete_fts_documents(spark, idx, ids_a, floor_batch_id=1)
+    fts_assert_stores_consistent(spark, idx)
+    got = {
+        r["doc_id"]
+        for r in fts_search_persisted(spark, idx, ["spark"], k=10).collect()
+    }
+    assert got == {3}
+
+    # healthy same-floor accumulation (two COMPLETE deletes, one floor)
+    # must keep passing — the digest is union-idempotent, not dir-count
+    delete_fts_documents(
+        spark, idx, spark.createDataFrame([(4,)], "doc_id long"), floor_batch_id=1
+    )
+    fts_assert_stores_consistent(spark, idx)
+    assert compact_fts_index(spark, idx, upto_batch_id=0) >= 0

@@ -1038,3 +1038,68 @@ def test_kneser_ney_integer_closed_form_mass_identity():
                 assert p_gate == p_text, (seed, v, w, p_gate, p_text)
                 total += p_gate
             assert total == 1, (seed, v, total)
+
+
+def test_waterfill_raises_by_name_when_every_source_is_fully_funded(
+    spark, tmp_path
+):
+    """ADVICE r10: on a degenerate corpus where every source capacity is
+    0, budget = 0 and k = n — Spark's `div` would yield NULL where the
+    DuckDB twin errors on /0, an engine-divergent failure mode. The gate
+    must instead raise a named error before computing the water level."""
+    import pytest as _pytest
+
+    from pdf_brain_spark.queries import lookup_query
+
+    docs = spark.createDataFrame(
+        [(0, "a", " "), (1, "b", " "), (2, "c", " ")],
+        "doc_id long, source string, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    fn = lookup_query("token_budget_waterfill")
+    with _pytest.raises(Exception, match="fully funded"):
+        fn(spark, str(tmp_path)).collect()
+
+
+def test_transitivity_audit_sampling_escape_hatch(spark, tmp_path):
+    """VERDICT r10 item 6: dedup_transitivity_audit's at-scale sampling
+    contract is a real parameter. (1) with sample_pairs >= C(sz,2) the
+    acceptance ceiling reaches 1e6 ppm, so the sampled path reproduces
+    the exhaustive audit bit-for-bit even for clusters over
+    max_cluster_size; (2) with a small sample_pairs the oversized
+    cluster is audited on a deterministic hash-drawn subset (n_pairs
+    capped well under C(sz,2), identical across runs); (3) the default
+    (sample_pairs=None) still excludes oversized clusters entirely."""
+    from pdf_brain_spark.queries import lookup_query
+
+    dup = "alpha beta gamma delta epsilon zeta"
+    rows = [(i, "s", dup) for i in range(8)] + [
+        (100, "s", "unrelated words entirely different tokens"),
+        (101, "s", "another disjoint set of shingle tokens"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    fn = lookup_query("dedup_transitivity_audit")
+    sf = str(tmp_path)
+
+    exhaustive = [
+        tuple(r) for r in fn(spark, sf, max_cluster_size=12).collect()
+    ]
+    assert exhaustive and exhaustive[0][0] == 8 and exhaustive[0][1] == 28
+
+    # accept-all sampling == exhaustive, even past max_cluster_size
+    sampled_all = [
+        tuple(r)
+        for r in fn(spark, sf, max_cluster_size=3, sample_pairs=28).collect()
+    ]
+    assert sampled_all == exhaustive
+
+    # capped sampling: deterministic subset, bounded by the ceiling
+    s1 = [tuple(r) for r in fn(spark, sf, max_cluster_size=3, sample_pairs=5).collect()]
+    s2 = [tuple(r) for r in fn(spark, sf, max_cluster_size=3, sample_pairs=5).collect()]
+    assert s1 == s2
+    n_pairs_sampled = s1[0][1]
+    assert 0 < n_pairs_sampled < 28
+
+    # the registered default still bounds the quadratic by exclusion
+    assert fn(spark, sf, max_cluster_size=3).count() == 0
