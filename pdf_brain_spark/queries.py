@@ -1874,6 +1874,52 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# soft_clustering's determinism margins (VERDICT r10 item 3). The gate's
+# hash-exactness rests on no CONSEQUENTIAL softmax probability sitting
+# within libm-drift range of a 6dp rounding boundary or of the 0.1
+# floor. Sizing the epsilons from the actual error budget: praw =
+# exp(x)/Σexp over bit-identical inputs can drift ~10 ulps cross-engine
+# (1 ulp/exp, a few in the 8-term sum, 0.5 in the divide) ≈ 1e-15
+# relative ≈ 1e-10 MICRO-units at p ≤ 1, while the measured min
+# boundary margin over retained rows is 3.5e-4 micro-units (sf0.001,
+# this round — the r10 note's 0.22 was measured over a coarser set).
+# 1e-6 micro-units sits ≥4 orders above drift and ≥2 orders below the
+# measured margin: the boolean flags a testdata regen that lands a
+# retained probability ON a boundary without flapping on engine noise.
+# The floor epsilon separates "rounded value exactly AT 0.1" (margin 0)
+# from the nearest representable non-floor value (margin ≈ 1e-6).
+SOFT_BOUNDARY_EPS_MICRO = 1e-6
+SOFT_FLOOR_EPS = 5e-7
+
+
+def _soft_margin_flags(probs: DataFrame) -> DataFrame:
+    """1-row contract booleans over soft_clustering's PRE-FILTER
+    probability set (`_praw` raw softmax double, `probability` its
+    6dp-rounded form), scoped to the probabilities whose rounding is
+    CONSEQUENTIAL: boundary_margin_ok — every RETAINED raw value (its
+    6dp form is in the output, so cross-engine rounding divergence
+    there IS a hash diff) stays further than SOFT_BOUNDARY_EPS_MICRO
+    micro-units from the nearest x.5 rounding boundary; floor_margin_ok
+    — EVERY rounded value stays further than SOFT_FLOOR_EPS from the
+    0.1 retention floor (a dropped row's rounding only matters if it
+    could cross the floor, which this margin excludes — over the full
+    800-value pre-filter set the unconditional min boundary distance is
+    ~0.5/800 micro-units by uniformity, meaningless noise). The twin
+    pins both TRUE (the invariant-boolean play), so an on-boundary
+    probability fails the driver hash by name. Pytest drives both flags
+    FALSE on synthetic on-boundary fixtures."""
+    um = F.col("_praw") * F.lit(1000000.0)
+    bm = F.when(
+        F.col("probability") >= 0.1,
+        F.abs(um - F.floor(um) - F.lit(0.5)),
+    )
+    fm = F.abs(F.col("probability") - F.lit(0.1))
+    return probs.agg(
+        (F.min(bm) > F.lit(SOFT_BOUNDARY_EPS_MICRO)).alias("boundary_margin_ok"),
+        (F.min(fm) > F.lit(SOFT_FLOOR_EPS)).alias("floor_margin_ok"),
+    )
+
+
 @query(
     "soft_clustering",
     oracle=f"""
@@ -1899,7 +1945,8 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(ev / sum(ev) OVER (PARTITION BY vec_id), 6) AS probability
       FROM e
     )
-    SELECT vec_id, cid AS cluster_id, probability + 0.0 AS probability
+    SELECT vec_id, cid AS cluster_id, probability + 0.0 AS probability,
+           TRUE AS boundary_margin_ok, TRUE AS floor_margin_ok
     FROM p WHERE probability >= 0.1
     """,
 )
@@ -1913,11 +1960,19 @@ def soft_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalize sequence over those bit-identical doubles, rounded ONCE to
     6dp before the 0.1 floor is applied — three-scale attested that no
     probability sits within float-disagreement range of either the
-    rounding boundary or the floor. The production float soft_assignments
-    (Arrow-batched BLAS softmax over the seeded-sample fit) keeps its
-    pytest coverage. Bounded output: query rows are vec_id < 100 at
-    every scale; the softmax itself is map-side over broadcast
-    centroids."""
+    rounding boundary or the floor. Those margins are now GUARDED
+    IN-GATE, not just measured (VERDICT r10 item 3): the gate emits
+    `boundary_margin_ok` / `floor_margin_ok` contract booleans the twin
+    pins TRUE — computed by _soft_margin_flags over EVERY pre-filter
+    probability, TRUE iff the nearest raw value stays further than
+    SOFT_BOUNDARY_EPS_MICRO from a 6dp rounding boundary and the nearest
+    rounded value further than SOFT_FLOOR_EPS from the 0.1 floor — so a
+    testdata regen that lands a probability on a boundary fails the
+    driver hash BY NAME instead of by silent hash diff. The production
+    float soft_assignments (Arrow-batched BLAS softmax over the
+    seeded-sample fit) keeps its pytest coverage. Bounded output: query
+    rows are vec_id < 100 at every scale; the softmax itself is
+    map-side over broadcast centroids."""
     from pdf_brain_spark.operators.clustering import (
         fit_centroid_matrix,
         quantize_milli,
@@ -1931,7 +1986,7 @@ def soft_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         -F.sqrt(quantized_d2("q", cmat[c]).cast("double")) / 500.0
         for c in range(8)
     ])
-    return (
+    probs = (
         q.select("vec_id", negs.alias("_negs"))
         .withColumn("_m", F.array_max("_negs"))
         .withColumn("_es", F.transform("_negs", lambda x: F.exp(x - F.col("_m"))))
@@ -1942,10 +1997,34 @@ def soft_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.posexplode(
-                F.transform("_es", lambda e: F.round(e / F.col("_s"), 6))
-            ).alias("cluster_id", "probability"),
+                F.transform(
+                    "_es",
+                    lambda e: F.struct(
+                        (e / F.col("_s")).alias("praw"),
+                        F.round(e / F.col("_s"), 6).alias("p6"),
+                    ),
+                )
+            ).alias("cluster_id", "_p"),
         )
-        .filter(F.col("probability") >= 0.1)
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("_p.praw").alias("_praw"),
+            F.col("_p.p6").alias("probability"),
+        )
+        .localCheckpoint(eager=True)  # bounded (≤100×8); flags + output
+    )
+    flags = _soft_margin_flags(probs)
+    return (
+        probs.filter(F.col("probability") >= 0.1)
+        .crossJoin(F.broadcast(flags))  # broadcast 1-row contract flags
+        .select(
+            "vec_id",
+            "cluster_id",
+            "probability",
+            "boundary_margin_ok",
+            "floor_margin_ok",
+        )
     )
 
 

@@ -1103,3 +1103,34 @@ def test_transitivity_audit_sampling_escape_hatch(spark, tmp_path):
 
     # the registered default still bounds the quadratic by exclusion
     assert fn(spark, sf, max_cluster_size=3).count() == 0
+
+
+def test_soft_margin_flags_flip_on_boundary_fixtures(spark):
+    """VERDICT r10 item 3: the soft_clustering margin contract must flag
+    an on-boundary probability BY NAME. Synthetic fixtures: a raw value
+    exactly on a 6dp rounding boundary (x.5 micro-units) flips
+    boundary_margin_ok; a rounded value exactly at the 0.1 floor flips
+    floor_margin_ok; comfortably-off-boundary values leave both TRUE."""
+    from pdf_brain_spark.queries import _soft_margin_flags
+
+    def flags(praw_values):
+        df = spark.createDataFrame(
+            [(float(p), round(p, 6)) for p in praw_values],
+            "_praw double, probability double",
+        )
+        r = _soft_margin_flags(df).collect()[0]
+        return r["boundary_margin_ok"], r["floor_margin_ok"]
+
+    # far from both the boundary and the floor
+    assert flags([0.2000002, 0.7999998]) == (True, True)
+    # a RETAINED value exactly on a rounding boundary:
+    # 0.1234565 * 1e6 = 123456.5
+    assert flags([0.1234565, 0.5]) == (False, True)
+    # the same on-boundary value DROPPED (< 0.1) is inconsequential —
+    # its rounding cannot reach the output or the retention decision
+    assert flags([0.0234565, 0.5]) == (True, True)
+    # rounded value exactly at the retention floor
+    assert flags([0.1000000, 0.9]) == (True, False)
+    # near-boundary OUTSIDE epsilon (0.002 micro-units away) does not
+    # flag — the contract tracks drift-sized risk, not proximity
+    assert flags([0.123456502, 0.4]) == (True, True)
