@@ -187,6 +187,22 @@ SUITE_PLAN: dict[str, list[str]] = {
         "multimodal_audio_windows", "multimodal_frame_decode",
         "multimodal_audio_resample",
     ],
+    # the deterministic exact-integer clustering lifecycle (VERDICT r10
+    # item 2): fit → summaries → softmax → BIC → full composed report;
+    # each member independently oracled r9/r10 and driver-green before
+    # consolidation (kmeans_assign already lives in suite_ann_serving)
+    "suite_clustering_lifecycle": [
+        "kmeans_fit_2iter", "kmeans_clusters", "soft_clustering",
+        "bic_model_selection", "clustering_model_report",
+    ],
+    # sampling / curation selection family (VERDICT r10 item 2):
+    # weighted without-replacement, submodular coverage, stratified,
+    # mixture-targeted, and curriculum ordering
+    "suite_sampling": [
+        "weighted_reservoir_sample", "coverage_maximizing_sample",
+        "stratified_sample_per_source", "domain_mixture_sample",
+        "curriculum_ordering",
+    ],
 }
 
 # The micro-unit bound: round(x*1e6) must fit BIGINT, i.e. |x| <

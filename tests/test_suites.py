@@ -37,6 +37,24 @@ def test_registry_invariants():
         assert sql.strip() in ORACLES[suite]
 
 
+def test_registry_pinned_counts():
+    """VERDICT r10 item 7: the registry counts are PINNED per round so
+    any registration path that bypasses @query's duplicate guard (or a
+    collision the guard can't see, e.g. a suite name shadowing a gate)
+    is caught by a count audit, the way the r10 near-miss was. Update
+    these three numbers deliberately, in the same commit that changes
+    the registry — a drive-by drift here is the bug this test exists
+    to catch. r11 state: 194 driver-facing gates (all oracled), 137
+    suite-consolidated members across 24 suites = 331 named surfaces."""
+    from pdf_brain_spark.queries import CONSOLIDATED, ORACLES, QUERIES
+    from pdf_brain_spark.suites import SUITE_PLAN
+
+    assert len(QUERIES) == 194
+    assert len(ORACLES) == 194
+    assert len(CONSOLIDATED) == 137
+    assert len(SUITE_PLAN) == 24
+
+
 def test_lookup_query_unknown_name_raises():
     from pdf_brain_spark.queries import lookup_query
 
