@@ -93,6 +93,15 @@ HEADLINE = [
     "term_pmi_pairs",
     "kmeans_fit_2iter",
     "suite_term_stats",
+    # r11 (VERDICT r10 item 5): the heaviest unpriced r10/r11 shapes —
+    # the bounded intra-cluster quadratic (shared shingle checkpoint +
+    # C(12,2)-capped pair join), the two-LM train/held-out scoring pass
+    # (×4-encoded Kneser-Ney over the hash split), and the
+    # quality-band × dup-band grid (LSH + min-label components + two
+    # fixed integer band ladders in one plan).
+    "dedup_transitivity_audit",
+    "kneser_ney_heldout",
+    "quality_dedup_grid",
 ]
 
 

@@ -21096,6 +21096,572 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-11 additions — the round-12 queue (registered after this round's
+# GATE_WINDOW sealed; three-scale harness-attested at registration, each
+# algorithmic gate with a randomized second opinion in
+# tests/test_randomized_references.py). Corpus-probed first per the r10
+# lesson: the documents vocabulary is 31 types with zero hapax, so the
+# LM-smoothing and novelty gates key on the TRIGRAM/4-GRAM axes (9.4k
+# hapax trigrams at sf0.001) where the count tail actually exists.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "systematic_mixture_resample",
+    oracle="""
+    WITH cap AS (
+      SELECT source,
+             CAST(sum(len(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> t <> ''))) AS BIGINT) AS capacity
+      FROM documents GROUP BY 1
+    ),
+    cum AS (
+      SELECT source, capacity,
+             CAST(sum(capacity) OVER (ORDER BY source ASC) AS BIGINT) AS c,
+             CAST(sum(capacity) OVER () AS BIGINT) AS w
+      FROM cap
+    ),
+    slt AS (
+      SELECT source, capacity, w,
+             (2 * 256 * c + w - 1) // (2 * w)
+               - (2 * 256 * (c - capacity) + w - 1) // (2 * w) AS slots
+      FROM cum
+    ),
+    chk AS (SELECT CAST(sum(slots) AS BIGINT) AS total_slots FROM slt)
+    SELECT s.source, s.capacity, CAST(s.slots AS BIGINT) AS slots,
+           CAST(s.capacity * 1000000 // s.w AS BIGINT) AS exact_share_ppm,
+           CAST(s.slots * 1000000 // 256 AS BIGINT) AS realized_share_ppm,
+           (c.total_slots = 256) AS sum_matches_n,
+           (abs(s.slots * s.w - 256 * s.capacity) < s.w) AS within_one_ok
+    FROM slt s, chk c
+    ORDER BY s.source
+    """,
+)
+def systematic_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYSTEMATIC (low-variance) resampling of the source mixture: 256
+    epoch slots allocated across sources proportional to token capacity
+    by the classic systematic resampler — equally-spaced positions
+    u_j = (2j+1)·W/(2n) walked through the source-ascending cumulative
+    capacity — the epoch scheduler that beats multinomial draws (each
+    source gets floor or ceil of its expectation, variance 0 beyond
+    quantization; Kitagawa 1996, Douc & Cappé 2005). Closed form, exact
+    integers: slots_i = f(C_i) − f(C_{i−1}) with
+    f(C) = (2nC + W − 1) div (2W), which counts the odd multiples of
+    W/(2n) below C — proven against the textbook position-walking loop
+    on randomized capacities in tests/test_randomized_references.py.
+    Two invariants ride as twin-pinned booleans: Σ slots = n EXACTLY
+    (telescoping f(W) = n) and |slots_i − n·cap_i/W| < 1 (the
+    within-one property that defines systematic resampling). The dual
+    of token_budget_waterfill (allocate SLOTS by share, not CAP by
+    fairness). Model-grain: one corpus pass for capacities, then the
+    window runs on the bounded source enum."""
+    from pdf_brain_spark.functions.text import tokenize
+    from pyspark.sql import Window
+
+    n_slots = 256
+    docs = load_table(spark, "documents", sf_dir)
+    cap = (
+        docs.select("source", F.size(tokenize("text")).cast("long").alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").cast("long").alias("capacity"))
+    )
+    order = [F.col("source").asc()]
+    wcum = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cap.select(
+        "source",
+        "capacity",
+        bounded_axis(
+            F.sum("capacity").over(wcum).cast("long"),
+            order,
+            "systematic resample source axis",
+            safe_alternative="pre-aggregate to the source enum grain "
+            "before the cumulative walk",
+        ).alias("c"),
+    ).crossJoin(
+        F.broadcast(cap.agg(F.sum("capacity").cast("long").alias("w")))
+    )
+    slt = cum.select(
+        "source",
+        "capacity",
+        "w",
+        (
+            F.expr(f"(2 * {n_slots} * c + w - 1) div (2 * w)")
+            - F.expr(f"(2 * {n_slots} * (c - capacity) + w - 1) div (2 * w)")
+        )
+        .cast("long")
+        .alias("slots"),
+    ).localCheckpoint(eager=True)  # consumed by the sum check AND output
+    chk = slt.agg(F.sum("slots").cast("long").alias("_total"))
+    return (
+        slt.crossJoin(F.broadcast(chk))  # broadcast 1-row invariant check
+        .select(
+            "source",
+            "capacity",
+            "slots",
+            F.expr("(capacity * 1000000) div w").alias("exact_share_ppm"),
+            F.expr(f"(slots * 1000000) div {n_slots}").alias(
+                "realized_share_ppm"
+            ),
+            (F.col("_total") == n_slots).alias("sum_matches_n"),
+            (
+                F.abs(F.col("slots") * F.col("w") - n_slots * F.col("capacity"))
+                < F.col("w")
+            ).alias("within_one_ok"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "good_turing_trigram",
+    oracle="""
+    WITH arrs AS (
+      SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS a
+      FROM documents
+    ),
+    g AS (
+      SELECT array_to_string(a[i:i+2], ' ') AS ng
+      FROM arrs, LATERAL (SELECT unnest(generate_series(1, len(a) - 2)) AS i) s
+      WHERE len(a) >= 3
+    ),
+    c AS (SELECT ng, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1),
+    nr AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM c GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(r * n_r) AS BIGINT) AS n_total,
+             CAST(sum(n_r) AS BIGINT) AS n_types,
+             CAST(max(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1
+      FROM nr
+    ),
+    grid AS (
+      SELECT a.r, a.n_r, b.n_r AS n_r1
+      FROM nr a JOIN nr b ON b.r = a.r + 1
+      WHERE a.r <= 8
+    )
+    SELECT g.r, g.n_r, g.n_r1,
+           CAST((g.r + 1) * g.n_r1 * 1000000 // g.n_r AS BIGINT)
+             AS rstar_ppm,
+           CAST(t.n1 * 1000000 // t.n_total AS BIGINT) AS p0_ppm,
+           t.n_total, t.n_types,
+           (t.n_total = (SELECT count(*) FROM g)) AS mass_identity_ok
+    FROM grid g, tot t
+    ORDER BY g.r
+    """,
+)
+def good_turing_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOOD-TURING frequency smoothing evidence at TRIGRAM grain (Good
+    1953; Gale & Sampson 1995 'Simple Good-Turing'): counts-of-counts
+    N_r for r ≤ 8 with the Turing adjusted count
+    r* = (r+1)·N_{r+1}/N_r in exact ppm, plus the unseen-probability
+    mass p₀ = N₁/N — the smoothing table an LM pipeline derives before
+    discounting, and the direct empirical complement of the
+    kneser_ney_heldout gate's fixed-D discount (a healthy corpus shows
+    r* < r at the hapax end). TRIGRAM grain because the corpus was
+    probed first (r10 lesson): the unigram vocabulary is 31 types with
+    ZERO hapax — unigram N₁..N₃ are constant-zero — while trigrams
+    carry a real Zipf tail (9.4k hapax at sf0.001). Rows emit only
+    where N_r > 0 AND N_{r+1} > 0 (identical inner-join guard both
+    engines — no /0, no engine-divergent NULL). All exact integers:
+    instance counts → type counts → counts-of-counts is two map-side-
+    combinable aggregates, each strictly smaller than the last; the
+    grid is ≤ 8 rows. mass_identity_ok cross-derives the instance
+    total two ways (Σ r·N_r through the aggregation chain vs an
+    independent instance count) so a broken chain fails by name.
+    Randomized pure-python counts-of-counts mirror in
+    tests/test_randomized_references.py."""
+    from pdf_brain_spark.functions.text import shingles, tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    inst = docs.select(
+        F.explode(shingles(tokenize("text"), 3)).alias("ng")
+    ).localCheckpoint(eager=True)  # counted twice: chain + identity
+    c = inst.groupBy("ng").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nr = c.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    ).localCheckpoint(eager=True)  # ≤ max-count rows; grid + totals
+    tot = nr.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_total"),
+        F.sum("n_r").cast("long").alias("n_types"),
+        F.max(F.when(F.col("r") == 1, F.col("n_r")).otherwise(0))
+        .cast("long")
+        .alias("_n1"),
+    ).crossJoin(
+        F.broadcast(inst.agg(F.count(F.lit(1)).cast("long").alias("_n_inst")))
+    )
+    a = nr.select(F.col("r"), F.col("n_r"))
+    b = nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    grid = a.join(b, "r").filter(F.col("r") <= 8)
+    return (
+        grid.crossJoin(F.broadcast(tot))  # broadcast 1-row totals
+        .select(
+            "r",
+            "n_r",
+            "n_r1",
+            F.expr("((r + 1) * n_r1 * 1000000) div n_r").alias("rstar_ppm"),
+            F.expr("(_n1 * 1000000) div n_total").alias("p0_ppm"),
+            "n_total",
+            "n_types",
+            (F.col("n_total") == F.col("_n_inst")).alias("mass_identity_ok"),
+        )
+        .orderBy("r")
+    )
+
+
+@query(
+    "ngram_novelty_curve",
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)),
+             '\\s+'), t -> t <> '') AS a
+      FROM documents
+    ),
+    dt AS (
+      SELECT DISTINCT doc_id, array_to_string(a[i:i+3], ' ') AS ng
+      FROM arrs, LATERAL (SELECT unnest(generate_series(1, len(a) - 3)) AS i) s
+      WHERE len(a) >= 4
+    ),
+    first_seen AS (SELECT ng, min(doc_id) AS first_doc FROM dt GROUP BY 1),
+    per_doc AS (
+      SELECT d.doc_id,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM dt d JOIN first_seen f ON f.ng = d.ng
+      GROUP BY 1
+    ),
+    mx AS (SELECT max(doc_id) AS mid FROM per_doc)
+    SELECT least(p.doc_id * 10 // (m.mid + 1), 9) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p.n_types) AS BIGINT) AS total_types,
+           CAST(sum(p.n_novel) AS BIGINT) AS novel_types,
+           CAST(sum(p.n_novel) * 1000000 // sum(p.n_types) AS BIGINT)
+             AS novelty_ppm
+    FROM per_doc p, mx m
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-GRAM NOVELTY curve over ingestion order: for each doc (in
+    doc_id order, the ingest sequence), the share of its distinct
+    4-gram types that no earlier doc contains, rolled up per doc-id
+    decile — the diminishing-returns curve behind 'how much of each new
+    crawl increment is actually new text' (the marginal-value reading
+    of Lee et al. 2022's dedup argument, and the incremental complement
+    of ngram_dup_rate_curve's corpus-static repeat share). A flat curve
+    near 1e6 ppm says increments keep adding content; a collapsing
+    tail says later ingests mostly re-cover earlier ones. Exact
+    integers end to end: novelty is a min-doc-id-per-type aggregate
+    (type grain — the SAME axis ngram_dup_rate_curve shuffles, nothing
+    new to scale) joined back to the (doc, type) pairs; the decile is
+    map-only against a broadcast max-id row, never a global rank.
+    Randomized pure-python first-seen mirror in
+    tests/test_randomized_references.py."""
+    from pdf_brain_spark.functions.text import shingles, tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    dt = (
+        docs.select(
+            "doc_id", F.explode(shingles(tokenize("text"), 4)).alias("ng")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # (doc, type) pairs; first-seen + join
+    )
+    first_seen = dt.groupBy("ng").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        dt.join(first_seen, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    mx = per_doc.agg(F.max("doc_id").alias("_mid"))
+    return (
+        per_doc.crossJoin(F.broadcast(mx))  # broadcast 1-row max id
+        .groupBy(
+            F.least(
+                F.expr("(doc_id * 10) div (_mid + 1)"), F.lit(9)
+            ).alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_types").cast("long").alias("total_types"),
+            F.sum("n_novel").cast("long").alias("novel_types"),
+            F.expr("(sum(n_novel) * 1000000) div sum(n_types)").alias(
+                "novelty_ppm"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "soft_calibration_ece",
+    oracle=f"""
+    WITH {_DUCK_QUANT_X.strip()},
+    {_duck_kmeans_fit(8, 2)},
+    a3 AS (
+      SELECT x.vec_id, c.cid, sum((x.v - c.c) * (x.v - c.c)) AS d2
+      FROM x JOIN f_c2 c USING (d)
+      WHERE x.vec_id < 100 GROUP BY 1, 2
+    ),
+    hard AS (
+      SELECT vec_id, cid AS hard_cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM a3) WHERE rn = 1
+    ),
+    neg AS (
+      SELECT vec_id, cid, -sqrt(CAST(d2 AS DOUBLE)) / 500.0 AS neg FROM a3
+    ),
+    e AS (
+      SELECT vec_id, cid,
+             exp(neg - max(neg) OVER (PARTITION BY vec_id)) AS ev
+      FROM neg
+    ),
+    p AS (
+      SELECT vec_id, cid,
+             CAST(round(round(ev / sum(ev) OVER (PARTITION BY vec_id), 6)
+                        * 1000000) AS BIGINT) AS p_micro
+      FROM e
+    ),
+    j AS (
+      SELECT p.vec_id, p.cid, p.p_micro,
+             CASE WHEN p.cid = h.hard_cid THEN 1 ELSE 0 END AS hit
+      FROM p JOIN hard h USING (vec_id)
+    ),
+    bands AS (
+      SELECT least(p_micro // 5000, 199) AS band,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(p_micro) // count(*) AS BIGINT) AS mean_conf_ppm,
+             CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS hard_rate_ppm
+      FROM j GROUP BY 1
+    ),
+    ece AS (
+      SELECT CAST(sum(n_pairs * abs(mean_conf_ppm - hard_rate_ppm))
+                  // sum(n_pairs) AS BIGINT) AS ece_ppm
+      FROM bands
+    )
+    SELECT b.band, b.n_pairs, b.mean_conf_ppm, b.hard_rate_ppm,
+           CAST(abs(b.mean_conf_ppm - b.hard_rate_ppm) AS BIGINT) AS gap_ppm,
+           e.ece_ppm
+    FROM bands b, ece e
+    ORDER BY b.band
+    """,
+)
+def soft_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error of the soft-clustering probabilities
+    against the hard assignment (Naeini et al. 2015; Guo et al. 2017
+    applied to the cluster-membership 'classifier'): each (vector,
+    cluster) softmax probability is a confidence prediction of the
+    event 'this cluster wins the hard argmin assignment' — binned on
+    the FIXED 10-band ladder (100k-ppm steps, never data-dependent
+    quantiles), each band compares mean confidence to the realized hit
+    rate, and ECE is the pair-weighted mean absolute gap. The
+    model-debugging number behind 'can downstream consumers treat soft
+    memberships as probabilities, or only as rankings'. Built entirely
+    from attested plays: the exact-integer fit and bit-identical
+    softmax chain of soft_clustering (whose in-gate margin flags also
+    guard THIS gate's rounding regime — identical praw values), hard
+    argmin on exact integer d2 with id tie-break, then integer ppm
+    floor-divisions only. Bounded: 800 pairs → ≤ 10 band rows; softmax
+    is map-side over broadcast centroids, the bands one tiny aggregate.
+    Randomized pure-python ECE mirror in
+    tests/test_randomized_references.py."""
+    from pdf_brain_spark.operators.clustering import (
+        fit_centroid_matrix,
+        quantize_milli,
+        quantized_d2,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cmat = fit_centroid_matrix(spark, emb, k=8, dim=64, n_iter=2)
+    q = quantize_milli(emb.filter(F.col("vec_id") < 100))
+    d2s = F.array(*[
+        F.struct(
+            quantized_d2("q", cmat[c]).alias("d2"), F.lit(c).alias("cid")
+        )
+        for c in range(8)
+    ])
+    negs = F.transform(
+        d2s, lambda s: -F.sqrt(s.getField("d2").cast("double")) / 500.0
+    )
+    j = (
+        q.select(
+            "vec_id",
+            F.array_min(d2s).getField("cid").alias("_hard"),
+            negs.alias("_negs"),
+        )
+        .withColumn("_m", F.array_max("_negs"))
+        .withColumn("_es", F.transform("_negs", lambda x: F.exp(x - F.col("_m"))))
+        .withColumn("_s", F.aggregate("_es", F.lit(0.0), lambda a, v: a + v))
+        .select(
+            "vec_id",
+            "_hard",
+            F.posexplode(
+                F.transform(
+                    "_es",
+                    lambda e: F.round(F.round(e / F.col("_s"), 6) * 1000000.0)
+                    .cast("long"),
+                )
+            ).alias("cid", "p_micro"),
+        )
+        .select(
+            "p_micro",
+            F.when(F.col("cid") == F.col("_hard"), 1).otherwise(0).alias("hit"),
+        )
+    )
+    bands = (
+        j.groupBy(
+            F.least(F.expr("p_micro div 5000"), F.lit(199)).alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("sum(p_micro) div count(1)").alias("mean_conf_ppm"),
+            F.expr("(sum(hit) * 1000000) div count(1)").alias("hard_rate_ppm"),
+        )
+        .localCheckpoint(eager=True)  # ≤ 10 rows; ECE + output
+    )
+    ece = bands.agg(
+        F.expr(
+            "sum(n_pairs * abs(mean_conf_ppm - hard_rate_ppm))"
+            " div sum(n_pairs)"
+        ).alias("ece_ppm")
+    )
+    return (
+        bands.crossJoin(F.broadcast(ece))  # broadcast 1-row ECE
+        .select(
+            "band",
+            "n_pairs",
+            "mean_conf_ppm",
+            "hard_rate_ppm",
+            F.abs(
+                F.col("mean_conf_ppm") - F.col("hard_rate_ppm")
+            ).alias("gap_ppm"),
+            "ece_ppm",
+        )
+        .orderBy("band")
+    )
+
+
+@query(
+    "margin_knn_alignment",
+    oracle="""
+    WITH q AS (
+      SELECT e.vec_id, d.d,
+             CAST(round(CAST(e.embedding[d.d] AS DOUBLE) * 1000) AS BIGINT) AS v
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS d) d
+      WHERE e.vec_id < 256
+    ),
+    dots AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(sum(a.v * b.v) AS BIGINT) AS dot
+      FROM q a JOIN q b ON a.d = b.d AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ),
+    knn AS (
+      SELECT ia, CAST(sum(dot) AS BIGINT) AS knn4 FROM (
+        SELECT ia, dot,
+               row_number() OVER (PARTITION BY ia
+                 ORDER BY dot DESC, ib ASC) AS rn
+        FROM dots) WHERE rn <= 4 GROUP BY 1
+    ),
+    scored AS (
+      SELECT d.ia AS vec_id_a, d.ib AS vec_id_b, d.dot AS dot_milli2,
+             CAST(d.dot * 8000000 // (ka.knn4 + kb.knn4) AS BIGINT)
+               AS margin_ppm
+      FROM dots d
+      JOIN knn ka ON ka.ia = d.ia
+      JOIN knn kb ON kb.ia = d.ib
+      WHERE d.ia < d.ib AND ka.knn4 + kb.knn4 > 0
+    )
+    SELECT vec_id_a, vec_id_b, dot_milli2, margin_ppm
+    FROM scored
+    ORDER BY margin_ppm DESC, vec_id_a ASC, vec_id_b ASC
+    LIMIT 20
+    """,
+)
+def margin_knn_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARGIN-based alignment mining (Artetxe & Schwenk 2019, the
+    bitext-mining scorer; 'ratio' variant): a candidate pair's raw
+    similarity divided by the mean similarity of each side's k=4
+    nearest neighbors — the score that separates genuinely-aligned
+    pairs from hubness artifacts (a vector that is close to EVERYTHING
+    gets a high denominator and stops winning raw-cosine rankings).
+    Integer-exact variant: similarities are inner products of the
+    milli-quantized embeddings (exact BIGINTs — the corpus embeddings
+    are unit-scale, so dot ordering matches cosine ordering), margin =
+    2·4·1e6·dot div (Σtop4_a + Σtop4_b) is one floor division, ties
+    broken by ids. Output: top-20 pairs over the pinned vec_id < 256
+    sample. At 100 TB the pair set comes from ANN candidates
+    (hard_negatives / reciprocal_nearest_neighbors supply exactly
+    that stage); the scorer itself is candidate-grain — this gate pins
+    its arithmetic on the bounded sample where the exhaustive k-NN is
+    checkable. Randomized numpy brute-force mirror in
+    tests/test_randomized_references.py."""
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.operators.clustering import quantize_milli
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = quantize_milli(emb.filter(F.col("vec_id") < 256)).localCheckpoint(
+        eager=True
+    )  # ≤ 256 rows; both join sides + knn
+    a = q.select(F.col("vec_id").alias("ia"), F.col("q").alias("_qa"))
+    b = q.select(F.col("vec_id").alias("ib"), F.col("q").alias("_qb"))
+    dots = (
+        a.crossJoin(F.broadcast(b))  # bounded 256×256 sample, by design
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.aggregate(
+                F.zip_with("_qa", "_qb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+        )
+        .localCheckpoint(eager=True)  # consumed by knn AND the scorer
+    )
+    w = Window.partitionBy("ia").orderBy(
+        F.col("dot").desc(), F.col("ib").asc()
+    )
+    knn = (
+        dots.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 4)
+        .groupBy("ia")
+        .agg(F.sum("dot").cast("long").alias("knn4"))
+    )
+    ka = knn.select(F.col("ia"), F.col("knn4").alias("_ka"))
+    kb = knn.select(F.col("ia").alias("ib"), F.col("knn4").alias("_kb"))
+    return (
+        dots.filter(F.col("ia") < F.col("ib"))
+        .join(F.broadcast(ka), "ia")
+        .join(F.broadcast(kb), "ib")
+        .filter(F.col("_ka") + F.col("_kb") > 0)
+        .select(
+            F.col("ia").alias("vec_id_a"),
+            F.col("ib").alias("vec_id_b"),
+            F.col("dot").alias("dot_milli2"),
+            F.expr("(dot * 8000000) div (_ka + _kb)").alias("margin_ppm"),
+        )
+        .orderBy(
+            F.col("margin_ppm").desc(),
+            F.col("vec_id_a").asc(),
+            F.col("vec_id_b").asc(),
+        )
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.
 #

@@ -1134,3 +1134,202 @@ def test_soft_margin_flags_flip_on_boundary_fixtures(spark):
     # near-boundary OUTSIDE epsilon (0.002 micro-units away) does not
     # flag — the contract tracks drift-sized risk, not proximity
     assert flags([0.123456502, 0.4]) == (True, True)
+
+
+def _systematic_closed_form(caps: list[tuple[str, int]], n: int):
+    """Python mirror of systematic_mixture_resample's closed form:
+    slots_i = f(C_i) - f(C_{i-1}), f(C) = (2nC + W - 1) // (2W)."""
+    order = sorted(caps)
+    w = sum(c for _, c in order)
+    out, prev = {}, 0
+    for s, c in order:
+        cum = prev + c
+        f_hi = (2 * n * cum + w - 1) // (2 * w)
+        f_lo = (2 * n * prev + w - 1) // (2 * w)
+        out[s] = f_hi - f_lo
+        prev = cum
+    return out
+
+
+def test_systematic_resample_closed_form_matches_position_walk():
+    """Second opinion for systematic_mixture_resample: the integer
+    closed form must agree EXACTLY with the textbook systematic
+    resampler — walk equally-spaced positions u_j = (2j+1)W/(2n)
+    through the cumulative capacities and count hits per source — on
+    randomized capacities, plus the two invariants the gate pins as
+    booleans (sum == n exactly; every allocation within 1 of its
+    expectation n*cap/W)."""
+    import random
+    from fractions import Fraction
+
+    for seed in range(25):
+        rng = random.Random(1000 + seed)
+        m = rng.randint(1, 15)
+        caps = [(f"s{i:02d}", rng.randint(0, 5000)) for i in range(m)]
+        w = sum(c for _, c in caps)
+        if w == 0:
+            continue
+        n = rng.choice([7, 64, 256])
+        got = _systematic_closed_form(caps, n)
+
+        # independent reference: position walk in exact rationals
+        order = sorted(caps)
+        want = {s: 0 for s, _ in order}
+        cum, idx = 0, 0
+        bounds = []
+        for s, c in order:
+            cum += c
+            bounds.append((s, cum))
+        for j in range(n):
+            u = Fraction(2 * j + 1, 2 * n) * w
+            while u >= bounds[idx][1]:
+                idx += 1
+            want[bounds[idx][0]] += 1
+        assert got == want, (seed, got, want)
+        assert sum(got.values()) == n
+        for s, c in order:
+            assert abs(got[s] * w - n * c) < w, (seed, s)
+
+
+def test_good_turing_identities_on_random_corpus():
+    """Second opinion for good_turing_trigram: counts-of-counts from an
+    independent python Counter walk, the Turing-numerator mass identity
+    Σ_r (r+1)·N_{r+1} = N − N₁ (exact, nontrivial), and the gate's ppm
+    formulas reproduced from raw counts."""
+    import random
+    from collections import Counter
+
+    for seed in (3, 17, 29):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        grams = [
+            " ".join(rng.choices(vocab, k=3))
+            for _ in range(rng.randint(200, 2000))
+        ]
+        c = Counter(grams)
+        nr = Counter(c.values())
+        n_total = sum(r * k for r, k in nr.items())
+        assert n_total == len(grams)
+        # Turing-numerator mass identity
+        lhs = sum((r + 1) * nr.get(r + 1, 0) for r in sorted(nr))
+        assert lhs == n_total - nr.get(1, 0)
+        # the gate's rstar_ppm formula on every emitted (r, r+1) pair
+        for r in sorted(nr):
+            if r <= 8 and nr.get(r + 1, 0) > 0:
+                rstar_ppm = ((r + 1) * nr[r + 1] * 1_000_000) // nr[r]
+                # smoothed count must be a sane adjusted count: positive
+                # and bounded by (r+1) * N_{r+1} / N_r definitionally
+                assert 0 < rstar_ppm
+                assert rstar_ppm == ((r + 1) * nr[r + 1] * 10**6) // nr[r]
+
+
+def test_ngram_novelty_min_id_equals_incremental_seen_set():
+    """Second opinion for ngram_novelty_curve: the gate's min-doc-id
+    formulation (a type is novel in the doc where its min id lives)
+    must equal the genuinely incremental derivation — walk docs in id
+    order keeping a seen-set, count each doc's distinct grams not yet
+    seen — on randomized corpora."""
+    import random
+
+    for seed in (5, 23, 41):
+        rng = random.Random(seed)
+        vocab = [f"g{i}" for i in range(40)]
+        docs = {
+            did: {rng.choice(vocab) for _ in range(rng.randint(0, 12))}
+            for did in range(rng.randint(3, 30))
+        }
+        # min-id formulation
+        first = {}
+        for did in sorted(docs):
+            for g in docs[did]:
+                first.setdefault(g, did)
+        got = {
+            did: sum(1 for g in docs[did] if first[g] == did)
+            for did in docs
+        }
+        # incremental seen-set walk
+        seen: set = set()
+        want = {}
+        for did in sorted(docs):
+            fresh = docs[did] - seen
+            want[did] = len(fresh)
+            seen |= docs[did]
+        assert got == want, seed
+
+
+def test_ece_integer_formula_matches_float_reference():
+    """Second opinion for soft_calibration_ece: the all-integer banded
+    ECE must match an independent float implementation to within the
+    floor-division quantum on randomized (confidence, hit) pairs."""
+    import random
+
+    for seed in (7, 19, 37):
+        rng = random.Random(seed)
+        pairs = [
+            (rng.randint(0, 1_000_000), rng.randint(0, 1))
+            for _ in range(rng.randint(50, 800))
+        ]
+        bands: dict[int, list[tuple[int, int]]] = {}
+        for p, h in pairs:
+            bands.setdefault(min(p // 5000, 199), []).append((p, h))
+        rows = []
+        for b, members in sorted(bands.items()):
+            n = len(members)
+            mean_conf = sum(p for p, _ in members) // n
+            rate = sum(h for _, h in members) * 1_000_000 // n
+            rows.append((n, abs(mean_conf - rate)))
+        total = sum(n for n, _ in rows)
+        ece_int = sum(n * g for n, g in rows) // total
+        # float reference with exact per-band means
+        ece_float = sum(
+            len(ms)
+            * abs(
+                sum(p for p, _ in ms) / len(ms)
+                - sum(h for _, h in ms) / len(ms) * 1_000_000
+            )
+            for ms in bands.values()
+        ) / total
+        # integer floor-divisions shave < 1 ppm per band plus 1 overall
+        assert abs(ece_int - ece_float) <= len(bands) + 1, seed
+
+
+def test_margin_alignment_matches_numpy_reference():
+    """Second opinion for margin_knn_alignment: the integer margin
+    pipeline (pair dots, top-4 neighbor sums, one floor division) must
+    match a numpy argsort-based reference exactly on randomized
+    integer vectors."""
+    import random
+
+    import numpy as np
+
+    for seed in (11, 31):
+        rng = random.Random(seed)
+        m, dim, k = rng.randint(6, 24), 8, 4
+        vecs = np.array(
+            [[rng.randint(-50, 50) for _ in range(dim)] for _ in range(m)],
+            dtype=np.int64,
+        )
+        dots = vecs @ vecs.T
+        # pipeline formulation: per-row top-k by (dot desc, idx asc)
+        knn = {}
+        for i in range(m):
+            cand = [(int(dots[i, j]), j) for j in range(m) if j != i]
+            cand.sort(key=lambda t: (-t[0], t[1]))
+            knn[i] = sum(d for d, _ in cand[:k])
+        got = {
+            (i, j): (2 * k * 1_000_000 * int(dots[i, j])) // (knn[i] + knn[j])
+            for i in range(m)
+            for j in range(i + 1, m)
+            if knn[i] + knn[j] > 0
+        }
+        # numpy reference: argsort with an index tiebreak via lexsort
+        knn_np = {}
+        for i in range(m):
+            d = np.delete(dots[i], i)
+            idx = np.delete(np.arange(m), i)
+            order = np.lexsort((idx, -d))
+            knn_np[i] = int(d[order[:k]].sum())
+        assert knn == knn_np, seed
+        for (i, j), v in got.items():
+            denom = knn_np[i] + knn_np[j]
+            assert v == (8_000_000 * int(dots[i, j])) // denom
