@@ -21165,6 +21165,7 @@ def systematic_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.size(tokenize("text")).cast("long").alias("t"))
         .groupBy("source")
         .agg(F.sum("t").cast("long").alias("capacity"))
+        .localCheckpoint(eager=True)  # ONE corpus pass; cumsum + W arms
     )
     order = [F.col("source").asc()]
     wcum = Window.orderBy(*order).rowsBetween(
@@ -21332,7 +21333,7 @@ def good_turing_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dt d JOIN first_seen f ON f.ng = d.ng
       GROUP BY 1
     ),
-    mx AS (SELECT max(doc_id) AS mid FROM per_doc)
+    mx AS (SELECT max(doc_id) AS mid FROM documents)
     SELECT least(p.doc_id * 10 // (m.mid + 1), 9) AS decile,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(p.n_types) AS BIGINT) AS total_types,
@@ -21382,7 +21383,10 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_novel"),
         )
     )
-    mx = per_doc.agg(F.max("doc_id").alias("_mid"))
+    # max over the RAW doc axis (the ingestion order), not per_doc: a
+    # per_doc max would re-run the whole type-grain chain as the
+    # broadcast arm; this is one scan-only aggregate
+    mx = docs.agg(F.max("doc_id").alias("_mid"))
     return (
         per_doc.crossJoin(F.broadcast(mx))  # broadcast 1-row max id
         .groupBy(
