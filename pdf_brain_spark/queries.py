@@ -21665,6 +21665,154 @@ def margin_knn_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_incremental_novelty",
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)),
+             '\\s+'), t -> t <> '') AS a
+      FROM documents
+    ),
+    dt AS (
+      SELECT DISTINCT doc_id, array_to_string(a[i:i+3], ' ') AS ng
+      FROM arrs, LATERAL (SELECT unnest(generate_series(1, len(a) - 3)) AS i) s
+      WHERE len(a) >= 4
+    ),
+    f AS (SELECT ng, min(doc_id) AS fd FROM dt GROUP BY 1),
+    per AS (
+      SELECT CAST(CASE WHEN fd < 100 THEN 0 ELSE 1 END AS BIGINT)
+               AS first_batch,
+             CAST(count(*) AS BIGINT) AS n_new_types
+      FROM f GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_new_types) AS t FROM per)
+    SELECT p.first_batch, p.n_new_types,
+           CAST(p.n_new_types * 1000000 // t.t AS BIGINT) AS share_ppm
+    FROM per p, tot t
+    ORDER BY p.first_batch
+    """,
+)
+def streaming_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental NOVELTY maintenance — first-seen tracking
+    as the mergeable-partials store's min-struct monoid
+    (streaming/events.py::make_novelty_batch_fn): each batch writes its
+    4-gram types with (batch, min doc) and the serve merges
+    min(struct(fb, fd)) per type, so 'how much of THIS crawl increment
+    is new text' is answered per increment without re-scanning history
+    — the streaming dual of ngram_novelty_curve (which re-reads the
+    whole corpus each time). Two REAL AvailableNow runs on one
+    checkpoint: docs < 100 stage first (batch 0), the rest after
+    (batch 1) — the same exactly-once restart device as
+    directory_discovery_scan, which also pins the batch assignment
+    deterministically (contiguous ids make the merged first-seen equal
+    to the plain min-doc oracle). Min-struct merging is associative,
+    commutative, AND idempotent, so replay and compaction serve the
+    identical table (pytest walks write→compact→re-serve equality)."""
+    import shutil
+    import tempfile
+
+    from pdf_brain_spark.streaming.events import (
+        read_novelty,
+        streaming_incremental_novelty as drive_novelty,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="sgraft_novelty_")
+    stage, store, ckpt = (f"{root}/{d}" for d in ("stage", "novelty", "ckpt"))
+    try:
+        docs.filter(F.col("doc_id") < 100).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+        stream = spark.readStream.schema(docs.schema).parquet(stage)
+        drive_novelty(spark, stream, store, ckpt).awaitTermination()
+        docs.filter(F.col("doc_id") >= 100).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+        stream = spark.readStream.schema(docs.schema).parquet(stage)
+        drive_novelty(spark, stream, store, ckpt).awaitTermination()
+        return read_novelty(spark, store).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lm_pruning_curve",
+    oracle="""
+    WITH arrs AS (
+      SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS a
+      FROM documents
+    ),
+    g AS (
+      SELECT array_to_string(a[i:i+1], ' ') AS ng
+      FROM arrs, LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) s
+      WHERE len(a) >= 2
+    ),
+    c AS (SELECT ng, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+      FROM c
+    ),
+    thr AS (SELECT unnest([1, 2, 3, 5, 8]) AS threshold)
+    SELECT CAST(t.threshold AS BIGINT) AS threshold,
+           CAST(sum(CASE WHEN c.c > t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+             AS surviving_types,
+           CAST(sum(CASE WHEN c.c > t.threshold THEN 1 ELSE 0 END)
+                * 1000000 // any_value(o.v) AS BIGINT) AS types_ppm,
+           CAST(sum(CASE WHEN c.c > t.threshold THEN c.c ELSE 0 END)
+                * 1000000 // any_value(o.n) AS BIGINT) AS retained_mass_ppm
+    FROM c, thr t, tot o
+    GROUP BY t.threshold ORDER BY t.threshold
+    """,
+)
+def lm_pruning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-cutoff PRUNING curve for the bigram LM (the KenLM/SRILM
+    `--prune` sizing decision, Heafield 2011 / Stolcke 1998 count
+    cutoffs): for thresholds t ∈ {1,2,3,5,8}, the bigram types
+    surviving c > t and the token mass they retain — the model-size vs
+    coverage trade-off read directly off the counts-of-counts axis
+    (good_turing_trigram's table answers WHAT the discount should be;
+    this answers HOW MUCH model survives each cutoff). Exact integers:
+    one type-grain count, then the 5-threshold grid is a broadcast
+    cross join over the BOUNDED type table aggregated per threshold —
+    at 100 TB the grid costs 5× a vocab-grain scan, never a corpus
+    rescan. Randomized pure-python mirror in
+    tests/test_randomized_references.py."""
+    from pdf_brain_spark.functions.text import shingles, tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    c = (
+        docs.select(F.explode(shingles(tokenize("text"), 2)).alias("ng"))
+        .groupBy("ng")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # vocab grain; grid + totals
+    )
+    tot = c.agg(
+        F.sum("c").cast("long").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("_v"),
+    )
+    thr = spark.createDataFrame([(1,), (2,), (3,), (5,), (8,)], "threshold long")
+    return (
+        c.crossJoin(F.broadcast(thr))  # bounded: vocab × 5 thresholds
+        .crossJoin(F.broadcast(tot))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("c") > F.col("threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("surviving_types"),
+            F.expr(
+                "(sum(CASE WHEN c > threshold THEN 1 ELSE 0 END) * 1000000)"
+                " div any_value(_v)"
+            ).alias("types_ppm"),
+            F.expr(
+                "(sum(CASE WHEN c > threshold THEN c ELSE 0 END) * 1000000)"
+                " div any_value(_n)"
+            ).alias("retained_mass_ppm"),
+        )
+        .orderBy("threshold")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.

