@@ -1896,21 +1896,23 @@ def _soft_margin_flags(probs: DataFrame) -> DataFrame:
     """1-row contract booleans over soft_clustering's PRE-FILTER
     probability set (`_praw` raw softmax double, `probability` its
     6dp-rounded form), scoped to the probabilities whose rounding is
-    CONSEQUENTIAL: boundary_margin_ok — every RETAINED raw value (its
-    6dp form is in the output, so cross-engine rounding divergence
-    there IS a hash diff) stays further than SOFT_BOUNDARY_EPS_MICRO
+    CONSEQUENTIAL: boundary_margin_ok — every raw value that is
+    retained OR one rounding step below the floor (rounded 0.099999:
+    its rounding IS the retention decision, the one-sided blind spot
+    the r11 review caught) stays further than SOFT_BOUNDARY_EPS_MICRO
     micro-units from the nearest x.5 rounding boundary; floor_margin_ok
     — EVERY rounded value stays further than SOFT_FLOOR_EPS from the
-    0.1 retention floor (a dropped row's rounding only matters if it
-    could cross the floor, which this margin excludes — over the full
-    800-value pre-filter set the unconditional min boundary distance is
-    ~0.5/800 micro-units by uniformity, meaningless noise). The twin
-    pins both TRUE (the invariant-boolean play), so an on-boundary
-    probability fails the driver hash by name. Pytest drives both flags
-    FALSE on synthetic on-boundary fixtures."""
+    0.1 retention floor (a row rounding to ≤ 0.099998 sits > 1
+    micro-unit below the retention boundary, where no drift can flip
+    it — over the full 800-value pre-filter set the unconditional min
+    boundary distance is ~0.5/800 micro-units by uniformity,
+    meaningless noise). The twin pins both TRUE (the invariant-boolean
+    play), so an on-boundary probability fails the driver hash by
+    name. Pytest drives both flags FALSE on synthetic on-boundary
+    fixtures, including the just-below-floor side."""
     um = F.col("_praw") * F.lit(1000000.0)
     bm = F.when(
-        F.col("probability") >= 0.1,
+        F.col("probability") > 0.0999985,
         F.abs(um - F.floor(um) - F.lit(0.5)),
     )
     fm = F.abs(F.col("probability") - F.lit(0.1))
@@ -21184,13 +21186,26 @@ def systematic_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(
         F.broadcast(cap.agg(F.sum("capacity").cast("long").alias("w")))
     )
+    # w == 0 (all-zero capacities) leaves the positions undefined:
+    # Spark's div would NULL while the DuckDB twin errors on /0 — the
+    # same engine divergence token_budget_waterfill guards; raise BY
+    # NAME, welded into the consumed expression (r11 review)
+    _sr_guard = F.assert_true(
+        F.col("w") > 0,
+        F.lit(
+            "systematic_mixture_resample: total source capacity is 0, "
+            "so the resampling positions are undefined; nothing to "
+            "allocate"
+        ),
+    )
     slt = cum.select(
         "source",
         "capacity",
         "w",
-        (
+        F.when(
+            _sr_guard.isNull(),
             F.expr(f"(2 * {n_slots} * c + w - 1) div (2 * w)")
-            - F.expr(f"(2 * {n_slots} * (c - capacity) + w - 1) div (2 * w)")
+            - F.expr(f"(2 * {n_slots} * (c - capacity) + w - 1) div (2 * w)"),
         )
         .cast("long")
         .alias("slots"),
@@ -21475,7 +21490,8 @@ def soft_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     softmax chain of soft_clustering (whose in-gate margin flags also
     guard THIS gate's rounding regime — identical praw values), hard
     argmin on exact integer d2 with id tie-break, then integer ppm
-    floor-divisions only. Bounded: 800 pairs → ≤ 10 band rows; softmax
+    floor-divisions only. Bounded: 800 pairs → ≤ 200 band rows (in
+    practice ~15, the occupied slice of the 5000-ppm ladder); softmax
     is map-side over broadcast centroids, the bands one tiny aggregate.
     Randomized pure-python ECE mirror in
     tests/test_randomized_references.py."""

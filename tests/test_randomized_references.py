@@ -1126,9 +1126,14 @@ def test_soft_margin_flags_flip_on_boundary_fixtures(spark):
     # a RETAINED value exactly on a rounding boundary:
     # 0.1234565 * 1e6 = 123456.5
     assert flags([0.1234565, 0.5]) == (False, True)
-    # the same on-boundary value DROPPED (< 0.1) is inconsequential —
+    # an on-boundary value deep below the floor is inconsequential —
     # its rounding cannot reach the output or the retention decision
     assert flags([0.0234565, 0.5]) == (True, True)
+    # the one-sided blind spot (r11 review): a raw value on the
+    # 0.0999995 boundary rounds to 0.099999 (dropped) but its rounding
+    # IS the retention decision — must flag
+    b, _ = flags([0.0999995, 0.5])
+    assert b is False
     # rounded value exactly at the retention floor
     assert flags([0.1000000, 0.9]) == (True, False)
     # near-boundary OUTSIDE epsilon (0.002 micro-units away) does not
@@ -1362,3 +1367,23 @@ def test_lm_pruning_curve_matches_python_mirror():
             # mass retention dominates type retention under any cutoff
             # (pruned types have the smallest counts)
             assert mass_ppm >= types_ppm or surv == 0
+
+
+def test_systematic_resample_raises_by_name_on_zero_capacity(
+    spark, tmp_path
+):
+    """r11 review: an all-zero-capacity corpus must raise a named error
+    (Spark div would NULL while the DuckDB twin errors on /0 — the
+    waterfill engine-divergence, same fix shape)."""
+    import pytest as _pytest
+
+    from pdf_brain_spark.queries import lookup_query
+
+    docs = spark.createDataFrame(
+        [(0, "a", " "), (1, "b", " ")],
+        "doc_id long, source string, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    fn = lookup_query("systematic_mixture_resample")
+    with _pytest.raises(Exception, match="capacity is 0"):
+        fn(spark, str(tmp_path)).collect()
