@@ -1387,3 +1387,76 @@ def test_systematic_resample_raises_by_name_on_zero_capacity(
     fn = lookup_query("systematic_mixture_resample")
     with _pytest.raises(Exception, match="capacity is 0"):
         fn(spark, str(tmp_path)).collect()
+
+
+def test_spearman_midrank_matches_closed_form_and_bruteforce():
+    """Second opinion for spearman_hourly_rho: (1) on tie-FREE random
+    data the doubled-mid-rank Pearson must equal the classic
+    1 - 6*sum(d^2)/(n(n^2-1)) closed form exactly (in rationals);
+    (2) WITH ties it must equal a brute-force tie-aware reference that
+    assigns mid-ranks by sorting. Doubling the ranks must cancel."""
+    import random
+    from fractions import Fraction
+
+    def midranks(vals):
+        # doubled mid-rank per value: 2*count(smaller) + count(equal) + 1
+        return [
+            2 * sum(1 for o in vals if o < v)
+            + sum(1 for o in vals if o == v)
+            + 1
+            for v in vals
+        ]
+
+    def rho(xs, ys):
+        rx, ry = midranks(xs), midranks(ys)
+        n = len(rx)
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(a * a for a in rx)
+        syy = sum(a * a for a in ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        num = n * sxy - sx * sy
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx == 0 or vy == 0:
+            return None
+        return Fraction(num * num, vx * vy), num > 0
+
+    for seed in (3, 9, 27):
+        rng = random.Random(seed)
+        n = rng.randint(5, 40)
+        # tie-free: a permutation pair
+        xs = rng.sample(range(1000), n)
+        ys = rng.sample(range(1000), n)
+        got = rho(xs, ys)
+        # closed form on plain (undoubled) ranks
+        def plain_rank(vals):
+            order = sorted(vals)
+            return [order.index(v) + 1 for v in vals]
+        d2 = sum(
+            (a - b) ** 2 for a, b in zip(plain_rank(xs), plain_rank(ys))
+        )
+        want = 1 - Fraction(6 * d2, n * (n * n - 1))
+        assert got is not None
+        got_sq, got_pos = got
+        assert got_sq == want * want and got_pos == (want > 0), seed
+
+        # tie-heavy: small value domain; compare vs sort-based mid-ranks
+        xs = [rng.randint(0, 5) for _ in range(n)]
+        ys = [rng.randint(0, 5) for _ in range(n)]
+
+        def sort_midranks(vals):
+            order = sorted(range(len(vals)), key=lambda i: vals[i])
+            out = [0.0] * len(vals)
+            i = 0
+            while i < len(order):
+                j = i
+                while j < len(order) and vals[order[j]] == vals[order[i]]:
+                    j += 1
+                mr = (i + 1 + j) / 2.0
+                for k in range(i, j):
+                    out[order[k]] = mr
+                i = j
+            return out
+
+        # doubled mid-rank = exactly 2x the classic sort-based mid-rank
+        assert [d / 2.0 for d in midranks(xs)] == sort_midranks(xs)
+        assert [d / 2.0 for d in midranks(ys)] == sort_midranks(ys)
