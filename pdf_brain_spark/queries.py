@@ -21963,6 +21963,137 @@ def spearman_hourly_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.d > a.d
+      GROUP BY 1
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_adj,
+             CAST(sum(t) AS BIGINT) AS n
+      FROM (SELECT event_type, x, count(*) AS t FROM daily GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT s.event_type, s.s_stat, t.n,
+             n * (n - 1) * (2 * n + 5) - t.tie_adj AS var18
+      FROM s JOIN ties t USING (event_type)
+    )
+    SELECT event_type, n AS n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+           round(((s_stat - CASE WHEN s_stat > 0 THEN 1
+                                 WHEN s_stat < 0 THEN -1 ELSE 0 END)
+                  * sqrt(18.0)) / sqrt(CAST(var18 AS DOUBLE)), 6) + 0.0
+             AS z_stat,
+           CASE WHEN s_stat > 0 THEN 'increasing'
+                WHEN s_stat < 0 THEN 'decreasing' ELSE 'none' END AS trend,
+           (abs(((s_stat - CASE WHEN s_stat > 0 THEN 1
+                                WHEN s_stat < 0 THEN -1 ELSE 0 END)
+                 * sqrt(18.0)) / sqrt(CAST(var18 AS DOUBLE))) > 1.96)
+             AS significant
+    FROM m WHERE var18 > 0
+    ORDER BY event_type
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL monotone-trend test on the daily revenue series per
+    event type (Mann 1945; Kendall 1975; the Hipel & McLeod hydrology
+    standard) — the SIGNIFICANCE companion of theil_sen_trend (which
+    fits the slope; this tests whether a monotone trend exists at all,
+    distribution-free and outlier-proof): S = Σ_{i<j} sign(x_j − x_i)
+    over day pairs, the tie-corrected variance
+    18·Var(S) = n(n−1)(2n+5) − Σ t(t−1)(2t+5) kept as an exact
+    integer, and the continuity-corrected Z = (S∓1)·√18/√var18 — two
+    correctly-rounded sqrts, one product, one division, one 6dp round
+    (bit-identical both engines). The pair join runs at DAILY-SERIES
+    grain: its size is C(days, 2) per type — bounded by the time
+    range, never by corpus volume, so at 100 TB it costs the same 435
+    pairs per type this test pays (the same posture as
+    events_autocorrelation's lag grid). All-tied series filter on the
+    exact integer var18. Randomized brute-force python mirror with
+    independent inversion-count derivation in
+    tests/test_randomized_references.py."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("_c"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("_c").cast("long").alias("x"))
+        .localCheckpoint(eager=True)  # day grain; pair join + tie counts
+    )
+    a = daily.select("event_type", F.col("d").alias("_da"), F.col("x").alias("_xa"))
+    b = daily.select("event_type", F.col("d").alias("_db"), F.col("x").alias("_xb"))
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("_db") > F.col("_da"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("_xb") > F.col("_xa"), 1)
+                .when(F.col("_xb") < F.col("_xa"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_adj"),
+            F.sum("t").cast("long").alias("n"),
+        )
+    )
+    m = s.join(ties, "event_type").withColumn(
+        "var18",
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie_adj")
+        ).cast("long"),
+    )
+    cc = F.when(F.col("s_stat") > 0, 1).when(F.col("s_stat") < 0, -1).otherwise(0)
+    z = (
+        (F.col("s_stat") - cc) * F.sqrt(F.lit(18.0))
+    ) / F.sqrt(F.col("var18").cast("double"))
+    return (
+        m.filter(F.col("var18") > 0)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "s_stat",
+            "var18",
+            (F.round(z, 6) + F.lit(0.0)).alias("z_stat"),
+            F.when(F.col("s_stat") > 0, "increasing")
+            .when(F.col("s_stat") < 0, "decreasing")
+            .otherwise("none")
+            .alias("trend"),
+            (F.abs(z) > 1.96).alias("significant"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.

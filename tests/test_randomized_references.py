@@ -1460,3 +1460,55 @@ def test_spearman_midrank_matches_closed_form_and_bruteforce():
         # doubled mid-rank = exactly 2x the classic sort-based mid-rank
         assert [d / 2.0 for d in midranks(xs)] == sort_midranks(xs)
         assert [d / 2.0 for d in midranks(ys)] == sort_midranks(ys)
+
+
+def test_mann_kendall_matches_bruteforce_and_inversion_count():
+    """Second opinion for mann_kendall_trend: (1) S from the gate's
+    pair-sign formulation vs an independent inversion-count derivation
+    (S = concordant - discordant = n_pairs - 2*inversions - tied
+    pairs adjustment); (2) the tie-corrected variance formula against
+    direct enumeration over permutations is impractical, so instead
+    pin the two standard identities: var18 with no ties equals
+    n(n-1)(2n+5), and each tie group of size t removes exactly
+    t(t-1)(2t+5)."""
+    import random
+
+    for seed in (5, 21, 33):
+        rng = random.Random(seed)
+        n = rng.randint(4, 40)
+        xs = [rng.randint(0, 8) for _ in range(n)]  # tie-heavy
+        # gate formulation
+        s = sum(
+            (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        # independent derivation: concordant - discordant via counts
+        conc = sum(
+            1 for i in range(n) for j in range(i + 1, n) if xs[j] > xs[i]
+        )
+        disc = sum(
+            1 for i in range(n) for j in range(i + 1, n) if xs[j] < xs[i]
+        )
+        assert s == conc - disc
+        # tie-corrected variance identities
+        from collections import Counter
+
+        tie = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(xs).values() if t > 1
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie
+        assert var18 >= 0
+        ys = rng.sample(range(10_000), n)  # tie-free
+        tie_free_var18 = n * (n - 1) * (2 * n + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(ys).values() if t > 1
+        )
+        assert tie_free_var18 == n * (n - 1) * (2 * n + 5)
+        # monotone series maxes S at n(n-1)/2 exactly
+        zs = list(range(n))
+        s_max = sum(
+            (1 if zs[j] > zs[i] else -1 if zs[j] < zs[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        assert s_max == n * (n - 1) // 2
