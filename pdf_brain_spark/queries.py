@@ -22094,6 +22094,110 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sanitize_tiny_filter_report",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 25),
+    cases AS (
+      SELECT doc_id, 'null_injected' AS kind,
+             concat(substr(text, 1, 10), chr(0), substr(text, 11, 180))
+               AS input FROM base
+      UNION ALL SELECT doc_id, 'spaced_null',
+             concat(substr(text, 1, 8), ' ', chr(0), ' ',
+                    substr(text, 9, 40)) FROM base
+      UNION ALL SELECT doc_id, 'tiny_19', substr(text, 1, 19) FROM base
+      UNION ALL SELECT doc_id, 'tiny_20', substr(text, 1, 20) FROM base
+      UNION ALL SELECT doc_id, 'tiny_21', substr(text, 1, 21) FROM base
+      UNION ALL SELECT doc_id, 'plain_300', substr(text, 1, 300) FROM base
+      UNION ALL SELECT doc_id, 'ws_only', repeat(' ', 25) FROM base
+      UNION ALL SELECT doc_id, 'nulls_only', repeat(chr(0), 30) FROM base
+    ),
+    ev AS (
+      SELECT doc_id, kind,
+             CAST(length(input) AS BIGINT) AS raw_len,
+             (strpos(input, chr(0)) > 0) AS had_null,
+             trim(regexp_replace(replace(input, chr(0), ''),
+                                 '\\s+', ' ', 'g')) AS cleaned
+      FROM cases
+    )
+    SELECT doc_id, kind, raw_len, had_null,
+           CAST(CASE WHEN length(cleaned) > 20 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_chunks,
+           CAST(CASE WHEN length(cleaned) > 20 THEN length(cleaned)
+                     ELSE 0 END AS BIGINT) AS kept_chars
+    FROM ev ORDER BY doc_id, kind
+    """,
+)
+def sanitize_tiny_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STANDALONE oracled gate for P6 (text sanitize — null-byte strip,
+    PDFExtractor.ts:70-73) and P7 (tiny-chunk filter — the strict
+    > 20-char rule, PDFExtractor.ts:144), the last two SURVEY §2 rows
+    that were carried only by unit tests inside chunk_pipeline (VERDICT
+    r10 'what's missing' #3). The corpus itself contains no null bytes
+    (probed), so the gate CONSTRUCTS adversarial inputs from the corpus
+    with expressions both engines share verbatim — injected chr(0) mid-
+    word and mid-whitespace (the order-of-operations case: sanitize
+    must run BEFORE whitespace collapse or 'a \\x00 b' collapses
+    wrong), 19/20/21-char boundary slices around the strict > 20 rule,
+    whitespace-only, null-bytes-only, and a plain 300-char control —
+    then runs the REAL python chunker UDF (make_chunk_udf → chunk_text
+    → sanitize_text) on them and hash-compares n_chunks/kept_chars
+    against the SQL closed form replace→collapse→trim→(>20). Inputs
+    are ASCII letters + spaces + NUL by construction, so python \\s,
+    Java \\s, and RE2 \\s agree (the one regex-class regime where all
+    three engines match; documented constraint). Bounded: 25 docs × 8
+    kinds = 200 rows; the UDF is the production Arrow-batched chunk
+    path itself."""
+    from pdf_brain_spark.operators.ingest import make_chunk_udf
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 25)
+        .select("doc_id", "text")
+    )
+    kinds = [
+        ("null_injected",
+         "concat(substr(text, 1, 10), chr(0), substr(text, 11, 180))"),
+        ("spaced_null",
+         "concat(substr(text, 1, 8), ' ', chr(0), ' ', substr(text, 9, 40))"),
+        ("tiny_19", "substr(text, 1, 19)"),
+        ("tiny_20", "substr(text, 1, 20)"),
+        ("tiny_21", "substr(text, 1, 21)"),
+        ("plain_300", "substr(text, 1, 300)"),
+        ("ws_only", "repeat(' ', 25)"),
+        ("nulls_only", "repeat(chr(0), 30)"),
+    ]
+    cases = None
+    for kind, expr in kinds:
+        part = docs.select(
+            "doc_id", F.lit(kind).alias("kind"), F.expr(expr).alias("input")
+        )
+        cases = part if cases is None else cases.unionByName(part)
+    chunk_udf = make_chunk_udf(512, 50, False)
+    return (
+        cases.select(
+            "doc_id",
+            "kind",
+            F.length("input").cast("long").alias("raw_len"),
+            F.expr("instr(input, chr(0)) > 0").alias("had_null"),
+            chunk_udf(F.col("input")).alias("_chunks"),
+        )
+        .select(
+            "doc_id",
+            "kind",
+            "raw_len",
+            "had_null",
+            F.size("_chunks").cast("long").alias("n_chunks"),
+            F.aggregate(
+                F.transform("_chunks", lambda c: F.length(c).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("kept_chars"),
+        )
+        .orderBy("doc_id", "kind")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.
