@@ -22199,6 +22199,134 @@ def sanitize_tiny_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-11 late additions — the round-13 queue (the 10-gate r12 queue
+# already fills its pre-specified rotation exactly; these wait one extra
+# rotation, the r10 'late additions' pattern, three-scale attested like
+# everything else).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rater_agreement_kappa",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             (1000 * len(array_to_string(a, '')))
+               // greatest(len(a), 1) >= 4500 AS ra,
+             (1000000 * len(list_distinct(a)))
+               // greatest(len(a), 1) >= 450000 AS rb
+      FROM t
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM m
+    ),
+    k AS (
+      SELECT n, n11, n10, n01, n00,
+             (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS pe2
+      FROM c
+    )
+    SELECT n AS n_docs, n11, n10, n01, n00,
+           CAST((n11 + n00) * 1000000 // n AS BIGINT) AS agree_ppm,
+           round(CAST(n * (n11 + n00) - pe2 AS DOUBLE)
+                 / CAST(n * n - pe2 AS DOUBLE), 6) + 0.0 AS kappa
+    FROM k WHERE n * n - pe2 > 0
+    """,
+)
+def rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA between two independent document-quality raters
+    (Cohen 1960) — the inter-annotator-agreement statistic every
+    labeling/filtering pipeline reports before trusting a rater:
+    chance-corrected agreement κ = (p_o − p_e)/(1 − p_e) between rater
+    A = 'long mean word length' (mean_word_len ≥ 4500 milli) and rater
+    B = 'lexically diverse' (type-token ratio ≥ 450000 ppm), two
+    genuinely different map-only signals with balanced marginals on
+    this corpus (thresholds probed at all three scales — the r10
+    degenerate-gate lesson; the stopword/punct signals are
+    constant-zero here and were rejected). Exact-integer discipline:
+    the 2×2 contingency and the cross-multiplied form
+    κ = (N·agree − pe2)/(N² − pe2), pe2 = Σ row·col, stay exact
+    BIGINTs; ONE double division + one 6dp round at the end (integer
+    floor-div is avoided for κ itself because Spark `div` truncates
+    toward zero while DuckDB `//` floors — divergent on negative κ;
+    the division of two exact integers is bit-identical instead).
+    Degenerate marginals (pe2 = N²) filter identically on both
+    engines. Map-only + one 1-row aggregate: scan-speed at 100 TB.
+    Randomized python mirror vs the probability-form formula in
+    tests/test_randomized_references.py."""
+    from pdf_brain_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokenize("text")
+    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    ).cast("long")
+    # integer div on positive operands: truncation == floor == DuckDB //
+    mwl_milli = F.expr("_sl div _nt")
+    ttr_ppm = F.expr("_td div _nt")
+    m = docs.select(
+        (1000 * sum_len).alias("_sl"),
+        (1000000 * F.size(F.array_distinct(toks)).cast("long")).alias("_td"),
+        n_tok.alias("_nt"),
+    ).select(
+        (mwl_milli >= 4500).alias("ra"),
+        (ttr_ppm >= 450000).alias("rb"),
+    )
+    c = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("ra") & F.col("rb"), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when(F.col("ra") & ~F.col("rb"), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when(~F.col("ra") & F.col("rb"), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when(~F.col("ra") & ~F.col("rb"), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    pe2 = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    return (
+        c.withColumn("_pe2", pe2.cast("long"))
+        .filter(F.col("n") * F.col("n") - F.col("_pe2") > 0)
+        .select(
+            F.col("n").alias("n_docs"),
+            "n11",
+            "n10",
+            "n01",
+            "n00",
+            F.expr("((n11 + n00) * 1000000) div n").alias("agree_ppm"),
+            (
+                F.round(
+                    (
+                        F.col("n") * (F.col("n11") + F.col("n00"))
+                        - F.col("_pe2")
+                    ).cast("double")
+                    / (F.col("n") * F.col("n") - F.col("_pe2")).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("kappa"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.
 #

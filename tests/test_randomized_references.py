@@ -1512,3 +1512,36 @@ def test_mann_kendall_matches_bruteforce_and_inversion_count():
             for j in range(i + 1, n)
         )
         assert s_max == n * (n - 1) // 2
+
+
+def test_cohens_kappa_integer_form_matches_probability_form():
+    """Second opinion for rater_agreement_kappa: the cross-multiplied
+    integer form (N*agree - pe2)/(N^2 - pe2) must equal the textbook
+    probability form (po - pe)/(1 - pe) exactly (in Fractions) on
+    randomized 2x2 tables, including the sign conventions for
+    below-chance agreement and the perfect-agreement/independence
+    anchor points."""
+    import random
+    from fractions import Fraction
+
+    for seed in range(30):
+        rng = random.Random(seed)
+        n11, n10 = rng.randint(0, 50), rng.randint(0, 50)
+        n01, n00 = rng.randint(0, 50), rng.randint(0, 50)
+        n = n11 + n10 + n01 + n00
+        if n == 0:
+            continue
+        pe2 = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+        if n * n == pe2:
+            continue  # degenerate marginals, filtered by the gate
+        kappa_int = Fraction(n * (n11 + n00) - pe2, n * n - pe2)
+        po = Fraction(n11 + n00, n)
+        pe = Fraction(pe2, n * n)
+        kappa_prob = (po - pe) / (1 - pe)
+        assert kappa_int == kappa_prob, seed
+    # anchors: perfect agreement -> 1; statistical independence -> 0
+    assert Fraction(10 * (6 + 4) - (6 * 6 + 4 * 4), 100 - 52) == 1
+    n11, n10, n01, n00 = 6, 6, 4, 4  # ra independent of rb
+    n = 20
+    pe2 = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    assert n * (n11 + n00) - pe2 == 0
