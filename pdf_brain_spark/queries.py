@@ -22326,6 +22326,130 @@ def rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "jackknife_source_influence",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)),
+                  '\\s+'), t -> t <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS t_src
+      FROM d GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS g,
+             CAST(sum(n_docs) AS BIGINT) AS n,
+             CAST(sum(t_src) AS BIGINT) AS t
+      FROM per
+    ),
+    loo AS (
+      SELECT p.source, p.n_docs, g.g,
+             CAST(g.t * 1000000 // g.n AS BIGINT) AS mean_micro,
+             CAST((g.t - p.t_src) * 1000000 // (g.n - p.n_docs) AS BIGINT)
+               AS loo_mean_micro
+      FROM per p, g
+      WHERE g.n > p.n_docs
+    ),
+    se AS (
+      SELECT CAST(count(*) AS BIGINT) AS gg,
+             CAST(sum(loo_mean_micro) AS HUGEINT) AS s1,
+             CAST(sum(loo_mean_micro * loo_mean_micro) AS HUGEINT) AS s2
+      FROM loo
+    )
+    SELECT l.source, l.n_docs, l.mean_micro, l.loo_mean_micro,
+           CAST(l.loo_mean_micro - l.mean_micro AS BIGINT) AS influence_micro,
+           round(sqrt(CAST((s.gg - 1) * (s.gg * s.s2 - s.s1 * s.s1)
+                           AS DOUBLE)) / CAST(s.gg AS DOUBLE), 6)
+             + 0.0 AS jackknife_se_micro
+    FROM loo l, se s
+    ORDER BY l.source
+    """,
+)
+def jackknife_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-ONE-GROUP JACKKNIFE on the corpus mean tokens-per-doc
+    (Quenouille 1956; Tukey 1958; Efron & Stein 1981 grouped form) —
+    the deterministic, RNG-free cousin of bootstrap_mean_ci, and the
+    per-SOURCE influence diagnostic a mixture curator reads before
+    reweighting: leave each source out, recompute the mean, and report
+    (a) each source's influence θ₍ⱼ₎ − θ̂ (a positive value says the
+    source DRAGS the corpus mean down — removing it raises the mean)
+    and (b) the grouped jackknife standard error
+    SE = √((g−1)/g · Σ(θ₍ⱼ₎ − θ̄₍·₎)²) of the corpus statistic under
+    source-level resampling. Exact-integer discipline: one corpus pass
+    to source totals, leave-one-out means quantized ONCE to micro
+    (floor division — both engines), the SE's inner sum cross-
+    multiplied as (g−1)·(g·Σθ² − (Σθ)²) in exact HUGEINT/decimal-38,
+    ONE correctly-rounded sqrt and one division by the exact g·g at
+    the end. Model-grain: everything after the first aggregate runs on
+    the 20-source enum. Randomized python mirror vs the textbook
+    pseudo-value formulation in tests/test_randomized_references.py."""
+    from pdf_brain_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    per = (
+        docs.select("source", F.size(tokenize("text")).cast("long").alias("t"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("t_src"),
+        )
+        .localCheckpoint(eager=True)  # source grain; totals + LOO arms
+    )
+    g = per.agg(
+        F.count(F.lit(1)).cast("long").alias("_g"),
+        F.sum("n_docs").cast("long").alias("_n"),
+        F.sum("t_src").cast("long").alias("_t"),
+    )
+    loo = (
+        per.crossJoin(F.broadcast(g))  # broadcast 1-row totals
+        .filter(F.col("_n") > F.col("n_docs"))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("(_t * 1000000) div _n").alias("mean_micro"),
+            F.expr(
+                "((_t - t_src) * 1000000) div (_n - n_docs)"
+            ).alias("loo_mean_micro"),
+        )
+        .localCheckpoint(eager=True)  # 20 rows; SE + output
+    )
+    se = loo.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_gg"),
+        F.sum("loo_mean_micro").cast("decimal(38,0)").alias("_s1"),
+        F.sum(F.col("loo_mean_micro") * F.col("loo_mean_micro"))
+        .cast("decimal(38,0)")
+        .alias("_s2"),
+    )
+    inner = (F.col("_gg") - 1) * (
+        F.col("_gg") * F.col("_s2") - F.col("_s1") * F.col("_s1")
+    )
+    return (
+        loo.crossJoin(F.broadcast(se))  # broadcast 1-row SE moments
+        .select(
+            "source",
+            "n_docs",
+            "mean_micro",
+            "loo_mean_micro",
+            (F.col("loo_mean_micro") - F.col("mean_micro")).alias(
+                "influence_micro"
+            ),
+            (
+                F.round(
+                    F.sqrt(inner.cast("double"))
+                    / F.col("_gg").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("jackknife_se_micro"),
+        )
+        .orderBy("source")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.

@@ -1545,3 +1545,42 @@ def test_cohens_kappa_integer_form_matches_probability_form():
     n = 20
     pe2 = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
     assert n * (n11 + n00) - pe2 == 0
+
+
+def test_jackknife_grouped_se_matches_pseudovalue_form():
+    """Second opinion for jackknife_source_influence: the gate's
+    cross-multiplied SE sqrt((g-1)(g*S2 - S1^2))/g must equal the
+    textbook form sqrt((g-1)/g * sum((theta_j - theta_bar)^2)) exactly
+    (compared as squared SE in Fractions), and the leave-one-out means
+    must satisfy the reconstruction identity
+    T - T_j = theta_j_exact * (n - n_j) on randomized grouped data."""
+    import random
+    from fractions import Fraction
+
+    for seed in (2, 14, 38):
+        rng = random.Random(seed)
+        groups = {
+            f"s{i}": [rng.randint(0, 300) for _ in range(rng.randint(1, 30))]
+            for i in range(rng.randint(3, 15))
+        }
+        n = sum(len(v) for v in groups.values())
+        t = sum(sum(v) for v in groups.values())
+        thetas = []
+        for k, v in groups.items():
+            if n == len(v):
+                continue
+            th = Fraction(t - sum(v), n - len(v))
+            # reconstruction identity
+            assert (t - sum(v)) == th * (n - len(v))
+            thetas.append(th)
+        g = len(thetas)
+        if g < 2:
+            continue
+        s1 = sum(thetas)
+        s2 = sum(th * th for th in thetas)
+        # gate form (squared): (g-1)(g*S2 - S1^2) / g^2
+        se2_gate = Fraction((g - 1) * (g * s2 - s1 * s1), g * g)
+        # textbook pseudo-value form
+        tbar = s1 / g
+        se2_text = Fraction(g - 1, g) * sum((th - tbar) ** 2 for th in thetas)
+        assert se2_gate == se2_text, seed
