@@ -22450,6 +22450,170 @@ def jackknife_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "silhouette_squared_report",
+    oracle=f"""
+    WITH {_DUCK_QUANT_X.strip()},
+    {_duck_kmeans_fit(8, 2)},
+    a3 AS (
+      SELECT x.vec_id, c.cid, sum((x.v - c.c) * (x.v - c.c)) AS d2
+      FROM x JOIN f_c2 c USING (d)
+      WHERE x.vec_id < 100 GROUP BY 1, 2
+    ),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM a3) WHERE rn = 1
+    ),
+    pd AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2
+      FROM x a JOIN x b ON a.d = b.d AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 100 AND b.vec_id < 100
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT p.ia, sa.cid AS ca, sb.cid AS cb,
+             CAST(sum(p.d2) // count(*) AS BIGINT) AS mean2
+      FROM pd p
+      JOIN asg sa ON sa.vec_id = p.ia
+      JOIN asg sb ON sb.vec_id = p.ib
+      GROUP BY 1, 2, 3
+    ),
+    ab AS (
+      SELECT ia, ca,
+             max(CASE WHEN cb = ca THEN mean2 END) AS a2,
+             min(CASE WHEN cb <> ca THEN mean2 END) AS b2
+      FROM g GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT ia, ca,
+             CASE WHEN a2 IS NULL OR b2 IS NULL
+                       OR greatest(a2, b2) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(round(1000000.0 * (b2 - a2)
+                                  / greatest(a2, b2)) AS BIGINT)
+             END AS s_micro
+      FROM ab
+    ),
+    per AS (
+      SELECT ca AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(s_micro) // count(*) AS BIGINT) AS mean_s_micro,
+             CAST(min(s_micro) AS BIGINT) AS min_s_micro,
+             CAST(max(s_micro) AS BIGINT) AS max_s_micro
+      FROM s GROUP BY 1
+    ),
+    ov AS (
+      SELECT CAST(sum(s_micro) // count(*) AS BIGINT) AS overall_s_micro
+      FROM s
+    )
+    SELECT p.cluster_id, p.n_members, p.mean_s_micro, p.min_s_micro,
+           p.max_s_micro, o.overall_s_micro
+    FROM per p, ov o
+    ORDER BY p.cluster_id
+    """,
+)
+def silhouette_squared_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SILHOUETTE report for the exact-integer clustering (Rousseeuw
+    1987, computed on SQUARED Euclidean distance — the documented
+    variant choice: squared distances stay EXACT integers end to end,
+    where true-distance silhouettes would sum thousands of sqrt
+    doubles in engine-dependent order; the score keeps Rousseeuw's
+    [−1, 1] semantics and ordering since x → x² is monotone on
+    distances) — the cluster-quality eval the clustering lifecycle was
+    missing: BIC picks k, the summaries describe clusters, this says
+    whether points actually sit closer to their own cluster than to
+    the nearest other one. Per point: a = floor-mean of intra-cluster
+    pair d², b = min over other clusters of floor-mean d²,
+    s = (b − a)/max(a, b) — ONE double division, quantized once to
+    micro, all aggregation back in exact integers (a float mean of
+    rounded s values would be order-dependent). Singletons score 0
+    (Rousseeuw's convention). Bounded: the pinned 100-vector sample ×
+    8 clusters, the same grain every clustering gate attests on; the
+    pair matrix is 9,900 integer rows. Randomized python mirror vs a
+    per-point loop reference in tests/test_randomized_references.py."""
+    from pdf_brain_spark.operators.clustering import (
+        fit_centroid_matrix,
+        quantize_milli,
+        quantized_d2,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cmat = fit_centroid_matrix(spark, emb, k=8, dim=64, n_iter=2)
+    q = quantize_milli(emb.filter(F.col("vec_id") < 100)).localCheckpoint(
+        eager=True
+    )  # 100 rows; assignment + both pair sides
+    best = F.array_min(
+        F.array(*[
+            F.struct(
+                quantized_d2("q", cmat[c]).alias("d2"), F.lit(c).alias("cid")
+            )
+            for c in range(8)
+        ])
+    )
+    asg = q.select("vec_id", best.getField("cid").alias("cid"))
+    a = q.select(F.col("vec_id").alias("ia"), F.col("q").alias("_qa"))
+    b = q.select(F.col("vec_id").alias("ib"), F.col("q").alias("_qb"))
+    pd_ = (
+        a.crossJoin(F.broadcast(b))  # bounded 100×100 sample, by design
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.aggregate(
+                F.zip_with("_qa", "_qb", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+        )
+    )
+    sa = asg.select(F.col("vec_id").alias("ia"), F.col("cid").alias("ca"))
+    sb = asg.select(F.col("vec_id").alias("ib"), F.col("cid").alias("cb"))
+    g = (
+        pd_.join(F.broadcast(sa), "ia")
+        .join(F.broadcast(sb), "ib")
+        .groupBy("ia", "ca", "cb")
+        .agg(F.expr("sum(d2) div count(1)").alias("mean2"))
+    )
+    ab = g.groupBy("ia", "ca").agg(
+        F.max(F.when(F.col("cb") == F.col("ca"), F.col("mean2"))).alias("a2"),
+        F.min(F.when(F.col("cb") != F.col("ca"), F.col("mean2"))).alias("b2"),
+    )
+    s = ab.select(
+        "ia",
+        "ca",
+        F.when(
+            F.col("a2").isNull()
+            | F.col("b2").isNull()
+            | (F.greatest("a2", "b2") == 0),
+            F.lit(0).cast("long"),
+        )
+        .otherwise(
+            F.round(
+                F.lit(1000000.0)
+                * (F.col("b2") - F.col("a2")).cast("double")
+                / F.greatest("a2", "b2").cast("double")
+            ).cast("long")
+        )
+        .alias("s_micro"),
+    ).localCheckpoint(eager=True)  # 100 rows; per-cluster + overall
+    per = s.groupBy(F.col("ca").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.expr("sum(s_micro) div count(1)").alias("mean_s_micro"),
+        F.min("s_micro").cast("long").alias("min_s_micro"),
+        F.max("s_micro").cast("long").alias("max_s_micro"),
+    )
+    ov = s.agg(F.expr("sum(s_micro) div count(1)").alias("overall_s_micro"))
+    return (
+        per.crossJoin(F.broadcast(ov))  # broadcast 1-row overall score
+        .select(
+            "cluster_id", "n_members", "mean_s_micro", "min_s_micro",
+            "max_s_micro", "overall_s_micro",
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.

@@ -1584,3 +1584,64 @@ def test_jackknife_grouped_se_matches_pseudovalue_form():
         tbar = s1 / g
         se2_text = Fraction(g - 1, g) * sum((th - tbar) ** 2 for th in thetas)
         assert se2_gate == se2_text, seed
+
+
+def test_silhouette_squared_matches_per_point_reference():
+    """Second opinion for silhouette_squared_report: the gate's
+    group-mean/argmin formulation (floor-divided means, one division,
+    micro rounding) must match an independent per-point loop reference
+    on randomized labeled integer points, including the singleton-0
+    and max(a,b)=0 conventions."""
+    import random
+
+    for seed in (4, 18, 44):
+        rng = random.Random(seed)
+        n, k, dim = rng.randint(6, 40), rng.randint(2, 5), 4
+        pts = [
+            tuple(rng.randint(-20, 20) for _ in range(dim)) for _ in range(n)
+        ]
+        lab = [rng.randrange(k) for _ in range(n)]
+
+        def d2(i, j):
+            return sum((a - b) ** 2 for a, b in zip(pts[i], pts[j]))
+
+        # gate formulation: per (i, cluster) floor-mean, then a/b/s
+        got = {}
+        for i in range(n):
+            means = {}
+            for c in range(k):
+                js = [j for j in range(n) if j != i and lab[j] == c]
+                if js:
+                    means[c] = sum(d2(i, j) for j in js) // len(js)
+            a2 = means.get(lab[i])
+            b2 = min(
+                (m for c, m in means.items() if c != lab[i]), default=None
+            )
+            if a2 is None or b2 is None or max(a2, b2) == 0:
+                got[i] = 0
+            else:
+                got[i] = round(1_000_000 * (b2 - a2) / max(a2, b2))
+
+        # independent per-point loop reference (no dict-of-means pass)
+        want = {}
+        for i in range(n):
+            own = [j for j in range(n) if j != i and lab[j] == lab[i]]
+            if not own:
+                want[i] = 0
+                continue
+            a2 = sum(d2(i, j) for j in own) // len(own)
+            b2 = None
+            for c in range(k):
+                if c == lab[i]:
+                    continue
+                js = [j for j in range(n) if lab[j] == c]
+                if js:
+                    m = sum(d2(i, j) for j in js) // len(js)
+                    b2 = m if b2 is None else min(b2, m)
+            if b2 is None or max(a2, b2) == 0:
+                want[i] = 0
+            else:
+                want[i] = round(1_000_000 * (b2 - a2) / max(a2, b2))
+        assert got == want, seed
+        # range sanity: squared-distance silhouette stays in [-1, 1]
+        assert all(-1_000_000 <= v <= 1_000_000 for v in got.values())
