@@ -22614,6 +22614,152 @@ def silhouette_squared_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_hubness_report",
+    oracle="""
+    WITH q AS (
+      SELECT e.vec_id, d.d,
+             CAST(round(CAST(e.embedding[d.d] AS DOUBLE) * 1000) AS BIGINT) AS v
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS d) d
+      WHERE e.vec_id < 256
+    ),
+    dots AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(sum(a.v * b.v) AS BIGINT) AS dot
+      FROM q a JOIN q b ON a.d = b.d AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ),
+    nn AS (
+      SELECT ia, ib FROM (
+        SELECT ia, ib,
+               row_number() OVER (PARTITION BY ia
+                 ORDER BY dot DESC, ib ASC) AS rn
+        FROM dots) WHERE rn <= 8
+    ),
+    occ AS (
+      SELECT m.vec_id,
+             CAST(count(n.ia) AS BIGINT) AS n_occ
+      FROM (SELECT DISTINCT vec_id FROM q) m
+      LEFT JOIN nn n ON n.ib = m.vec_id
+      GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(n_occ) AS HUGEINT) AS s1,
+             CAST(sum(n_occ * n_occ) AS HUGEINT) AS s2,
+             CAST(sum(n_occ * n_occ * n_occ) AS HUGEINT) AS s3
+      FROM occ
+    ),
+    sk AS (
+      SELECT CAST(n AS BIGINT) AS n_vectors,
+             round(CAST(n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1
+                        AS DOUBLE)
+                   / (CAST(n * s2 - s1 * s1 AS DOUBLE)
+                      * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))), 6) + 0.0
+               AS occ_skewness
+      FROM mom WHERE n * s2 - s1 * s1 > 0
+    )
+    SELECT o.n_occ AS k_occurrence,
+           CAST(count(*) AS BIGINT) AS n_vectors_at,
+           s.n_vectors, s.occ_skewness
+    FROM occ o, sk s
+    GROUP BY 1, 3, 4
+    ORDER BY 1
+    """,
+)
+def ann_hubness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUBNESS diagnostic for the embedding space (Radovanović, Nanopoulos
+    & Ivanović 2010, JMLR — 'Hubs in Space'): the k-occurrence
+    distribution N_k(x) = how many other vectors count x among their
+    k=8 nearest neighbors, plus its skewness — THE standard measure of
+    the high-dimensional pathology where a few 'hub' vectors appear in
+    everyone's neighbor lists (inflating raw-cosine retrieval and
+    exactly what margin_knn_alignment's denominator corrects; this gate
+    is the measurement that justifies that scorer). A near-symmetric
+    N_k (skewness ≈ 0) says the space is hub-free; skewness ≫ 1 says
+    rank-correcting scorers are mandatory. Exact integers: neighbor
+    lists from integer milli-dot rankings (id tie-break), k-occurrence
+    counts via one LEFT-JOIN aggregate (vectors never chosen count 0 —
+    the anti-hubs, the distribution's other tail), and the skewness
+    g1 = m3/m2^1.5 in the cross-multiplied integer form
+    (n²S3 − 3nS2S1 + 2S1³) / ((nS2 − S1²)·√(nS2 − S1²)) — HUGEINT/
+    decimal-38 numerators, ONE sqrt + one product + one division + one
+    6dp round. Bounded: the pinned 256-vector sample (the same
+    exhaustive-kNN regime margin_knn_alignment attests on; at 100 TB
+    N_k comes from the ANN candidate lists at serving time).
+    Randomized python mirror vs a numpy moment reference in
+    tests/test_randomized_references.py."""
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.operators.clustering import quantize_milli
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = quantize_milli(emb.filter(F.col("vec_id") < 256)).localCheckpoint(
+        eager=True
+    )  # ≤ 256 rows; pair sides + the zero-occurrence left frame
+    a = q.select(F.col("vec_id").alias("ia"), F.col("q").alias("_qa"))
+    b = q.select(F.col("vec_id").alias("ib"), F.col("q").alias("_qb"))
+    dots = (
+        a.crossJoin(F.broadcast(b))  # bounded 256×256 sample, by design
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.aggregate(
+                F.zip_with("_qa", "_qb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("ia").orderBy(F.col("dot").desc(), F.col("ib").asc())
+    nn = (
+        dots.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 8)
+        .select("ia", "ib")
+    )
+    occ = (
+        q.select("vec_id")
+        .join(nn.select(F.col("ib").alias("vec_id"), F.lit(1).alias("_one")),
+              "vec_id", "left")
+        .groupBy("vec_id")
+        .agg(F.sum(F.coalesce(F.col("_one"), F.lit(0))).cast("long").alias("n_occ"))
+        .localCheckpoint(eager=True)  # ≤ 256 rows; histogram + moments
+    )
+    mom = occ.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("n_occ").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("n_occ") * F.col("n_occ")).cast("decimal(38,0)").alias("s2"),
+        F.sum(F.col("n_occ") * F.col("n_occ") * F.col("n_occ"))
+        .cast("decimal(38,0)")
+        .alias("s3"),
+    )
+    m2n = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    m3n = (
+        F.col("n") * F.col("n") * F.col("s3")
+        - 3 * F.col("n") * F.col("s2") * F.col("s1")
+        + 2 * F.col("s1") * F.col("s1") * F.col("s1")
+    )
+    sk = mom.filter(m2n > 0).select(
+        F.col("n").cast("long").alias("n_vectors"),
+        (
+            F.round(
+                m3n.cast("double")
+                / (m2n.cast("double") * F.sqrt(m2n.cast("double"))),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("occ_skewness"),
+    )
+    return (
+        occ.groupBy(F.col("n_occ").alias("k_occurrence"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors_at"))
+        .crossJoin(F.broadcast(sk))  # broadcast 1-row skewness
+        .select("k_occurrence", "n_vectors_at", "n_vectors", "occ_skewness")
+        .orderBy("k_occurrence")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.

@@ -1645,3 +1645,38 @@ def test_silhouette_squared_matches_per_point_reference():
         assert got == want, seed
         # range sanity: squared-distance silhouette stays in [-1, 1]
         assert all(-1_000_000 <= v <= 1_000_000 for v in got.values())
+
+
+def test_hubness_skewness_integer_form_matches_numpy():
+    """Second opinion for ann_hubness_report: the cross-multiplied
+    integer skewness (n^2*S3 - 3n*S2*S1 + 2*S1^3)/((n*S2 - S1^2)^1.5)
+    must match numpy's population-moment g1 on randomized occurrence
+    counts, and the k-occurrence bookkeeping (left-join zeros included)
+    must conserve mass: sum of N_k over all vectors = k * n exactly."""
+    import random
+
+    import numpy as np
+
+    for seed in (6, 25, 49):
+        rng = random.Random(seed)
+        n, k = rng.randint(10, 60), 4
+        # simulate neighbor lists: each vector picks k distinct others
+        occ = {i: 0 for i in range(n)}
+        for i in range(n):
+            for j in rng.sample([x for x in range(n) if x != i], k):
+                occ[j] += 1
+        xs = list(occ.values())
+        assert sum(xs) == k * n  # mass conservation incl. zero-occ tail
+        s1 = sum(xs)
+        s2 = sum(x * x for x in xs)
+        s3 = sum(x**3 for x in xs)
+        m2n = n * s2 - s1 * s1
+        if m2n == 0:
+            continue
+        m3n = n * n * s3 - 3 * n * s2 * s1 + 2 * s1**3
+        got = m3n / (m2n * (m2n**0.5))
+        a = np.array(xs, dtype=np.float64)
+        m2 = ((a - a.mean()) ** 2).mean()
+        m3 = ((a - a.mean()) ** 3).mean()
+        want = m3 / m2**1.5
+        assert abs(got - want) < 1e-9, seed
