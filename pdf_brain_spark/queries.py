@@ -22256,10 +22256,13 @@ def rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-zero here and were rejected). Exact-integer discipline:
     the 2×2 contingency and the cross-multiplied form
     κ = (N·agree − pe2)/(N² − pe2), pe2 = Σ row·col, stay exact
-    BIGINTs; ONE double division + one 6dp round at the end (integer
-    floor-div is avoided for κ itself because Spark `div` truncates
-    toward zero while DuckDB `//` floors — divergent on negative κ;
-    the division of two exact integers is bit-identical instead).
+    BIGINTs; ONE double division + one 6dp round at the end — κ is a
+    signed proper fraction, so a plain integer quotient would collapse
+    to 0 and a micro-scaled one would need signed-division analysis
+    (both pinned engines' integer divisions truncate toward zero
+    identically — verified r11, an earlier note claiming DuckDB floors
+    was wrong — but the double division of two exact integers is
+    bit-identical and needs no such analysis).
     Degenerate marginals (pe2 = N²) filter identically on both
     engines. Map-only + one 1-row aggregate: scan-speed at 100 TB.
     Randomized python mirror vs the probability-form formula in
