@@ -2328,3 +2328,60 @@ def test_novelty_store_monoid_replay_and_compaction(spark, tmp_path):
     # compaction is serve-identical
     assert compact_novelty(spark, store, upto_batch_id=1) == 2
     assert {tuple(r) for r in read_novelty(spark, store).collect()} == want
+
+
+def test_novelty_store_random_batch_split_invariance(spark, tmp_path):
+    """Property test for the novelty store's monoid claim: for RANDOM
+    corpora and RANDOM batch splits, the served first-seen rollup must
+    equal a python incremental walk over the same split — and the
+    merged per-type (first_batch, first_doc) table must equal the
+    brute-force min over batches regardless of how many batches the
+    stream carved."""
+    import random
+
+    from pdf_brain_spark.streaming.events import (
+        make_novelty_batch_fn,
+        read_novelty,
+    )
+
+    vocab = [f"w{i}" for i in range(12)]
+    for seed in (9, 51):
+        rng = random.Random(seed)
+        docs = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(4, 12))))
+            for i in range(rng.randint(6, 18))
+        ]
+        # random contiguous split into 2-3 batches (stream order = id order)
+        cuts = sorted(rng.sample(range(1, len(docs)), rng.randint(1, 2)))
+        batches, prev = [], 0
+        for c in [*cuts, len(docs)]:
+            batches.append(docs[prev:c])
+            prev = c
+        store = str(tmp_path / f"nov_{seed}")
+        fn = make_novelty_batch_fn(store)
+        for bid, rows in enumerate(batches):
+            fn(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                bid,
+            )
+        served = {
+            (r["first_batch"], r["n_new_types"])
+            for r in read_novelty(spark, store).collect()
+        }
+
+        # python incremental walk over the same split
+        def grams(t):
+            w = t.split()
+            return {" ".join(w[i : i + 4]) for i in range(len(w) - 3)}
+
+        seen: set = set()
+        counts = {}
+        for bid, rows in enumerate(batches):
+            fresh = set()
+            for _, t in rows:
+                fresh |= grams(t) - seen
+            if fresh:
+                counts[bid] = len(fresh)
+            seen |= fresh
+        want = {(b, n) for b, n in counts.items()}
+        assert served == want, (seed, served, want)
