@@ -1680,3 +1680,313 @@ def test_hubness_skewness_integer_form_matches_numpy():
         m3 = ((a - a.mean()) ** 3).mean()
         want = m3 / m2**1.5
         assert abs(got - want) < 1e-9, seed
+
+
+def test_cluster_validity_indices_match_fraction_reference():
+    """Second opinion for cluster_validity_indices: (1) the micro-
+    quantized DB pipeline (round each R_ij once, then integer max /
+    floor-mean) must equal a Fraction-first reference that maxes the
+    EXACT rationals before quantizing — rounding is monotone, so the
+    two orders agree everywhere, not just off boundaries; (2) the
+    cross-multiplied CH form B_num*(n-k) / (n^2*W*(k-1)) must equal
+    the per-definition Fraction (B/(k-1))/(W/(n-k)) with the float
+    mean centroid, via the identity n^2 * sum n_i*||c_i - S/n||^2
+    == sum n_i*||n*c_i - S||^2."""
+    import random
+    from fractions import Fraction
+
+    for seed in (7, 21, 63):
+        rng = random.Random(seed)
+        n, k, dim = rng.randint(8, 40), rng.randint(2, 5), 4
+        pts = [
+            tuple(rng.randint(-20, 20) for _ in range(dim)) for _ in range(n)
+        ]
+        cents = [
+            tuple(rng.randint(-20, 20) for _ in range(dim)) for _ in range(k)
+        ]
+        # integer argmin assignment, lowest-cid ties (the gate's rule)
+        def d2(p, c):
+            return sum((a - b) ** 2 for a, b in zip(p, c))
+
+        lab = [
+            min(range(k), key=lambda c: (d2(p, cents[c]), c)) for p in pts
+        ]
+        members = {c: [i for i in range(n) if lab[i] == c] for c in range(k)}
+        live = [c for c in range(k) if members[c]]
+        k_eff = len(live)
+        if k_eff < 2:
+            continue
+        s_i = {
+            c: sum(d2(pts[i], cents[c]) for i in members[c])
+            // len(members[c])
+            for c in live
+        }
+        w = sum(d2(pts[i], cents[lab[i]]) for i in range(n))
+        m2 = {
+            (a, b): d2(cents[a], cents[b])
+            for a in live
+            for b in live
+            if a != b
+        }
+        # pipeline: quantize each R_ij to micro, then max
+        db_pipe = {}
+        for a in live:
+            rs = [
+                round(1_000_000 * (s_i[a] + s_i[b]) / m2[(a, b)])
+                for b in live
+                if b != a and m2[(a, b)] > 0
+            ]
+            if rs:
+                db_pipe[a] = max(rs)
+        # reference: max the exact Fractions first, quantize once
+        db_ref = {}
+        for a in live:
+            fr = [
+                Fraction(s_i[a] + s_i[b], m2[(a, b)])
+                for b in live
+                if b != a and m2[(a, b)] > 0
+            ]
+            if fr:
+                best = max(fr)
+                db_ref[a] = round(
+                    1_000_000 * best.numerator / best.denominator
+                )
+        assert db_pipe == db_ref, seed
+        if db_pipe:
+            assert sum(db_pipe.values()) // len(db_pipe) == sum(
+                db_ref.values()
+            ) // len(db_ref)
+
+        # CH: cross-multiplied integer form vs per-definition Fraction
+        if w == 0:
+            continue
+        s_vec = [
+            sum(len(members[c]) * cents[c][d] for c in live)
+            for d in range(dim)
+        ]
+        b_num = sum(
+            len(members[c])
+            * sum((n * cents[c][d] - s_vec[d]) ** 2 for d in range(dim))
+            for c in live
+        )
+        got = Fraction(b_num * (n - k_eff), n * n * w * (k_eff - 1))
+        cbar = [Fraction(s_vec[d], n) for d in range(dim)]
+        b_frac = sum(
+            len(members[c])
+            * sum((cents[c][d] - cbar[d]) ** 2 for d in range(dim))
+            for c in live
+        )
+        want = (b_frac / (k_eff - 1)) / Fraction(w, n - k_eff)
+        assert got == want, seed
+
+
+def test_kruskal_wallis_cleared_denominator_matches_classic_form():
+    """Second opinion for kruskal_wallis_langs: the cleared-denominator
+    integer form H = 3(N-1)*U / (Pi*(N(N^2-1)-T)) with doubled ranks
+    (U = sum R'_g^2*(Pi/n_g) - N(N+1)^2*Pi) must equal the classic
+    tie-corrected [12/(N(N+1)) * sum R_g^2/n_g - 3(N+1)] / (1 - T/(N^3-N))
+    on sort-based half-rank midranks, exactly in rationals."""
+    import random
+    from fractions import Fraction
+
+    def doubled_midranks(vals):
+        return [
+            2 * sum(1 for o in vals if o < v)
+            + sum(1 for o in vals if o == v)
+            + 1
+            for v in vals
+        ]
+
+    for seed in (5, 17, 51):
+        rng = random.Random(seed)
+        k = rng.randint(2, 5)
+        groups = [
+            [rng.randint(0, 12) for _ in range(rng.randint(3, 15))]
+            for _ in range(k)
+        ]
+        pooled = [v for g in groups for v in g]
+        n = len(pooled)
+        rr = doubled_midranks(pooled)
+        # group doubled rank sums in pooled order
+        rsums, sizes, i = [], [], 0
+        for g in groups:
+            rsums.append(sum(rr[i : i + len(g)]))
+            sizes.append(len(g))
+            i += len(g)
+        t_term = sum(
+            c * c * c - c
+            for c in (pooled.count(v) for v in set(pooled))
+        )
+        pi = 1
+        for s in sizes:
+            pi *= s
+        u = sum(
+            r * r * (pi // s) for r, s in zip(rsums, sizes)
+        ) - n * (n + 1) * (n + 1) * pi
+        den = pi * (n * (n * n - 1) - t_term)
+        if den <= 0:
+            continue
+        got = Fraction(3 * (n - 1) * u, den)
+
+        # classic: half-rank midranks (doubled/2), float-form algebra
+        plain = [Fraction(d, 2) for d in rr]
+        rs, i = [], 0
+        rsq = []
+        for g in groups:
+            rsq.append(sum(plain[i : i + len(g)]))
+            i += len(g)
+        h_raw = Fraction(12, n * (n + 1)) * sum(
+            r * r / Fraction(s) for r, s in zip(rsq, sizes)
+        ) - 3 * (n + 1)
+        corr = 1 - Fraction(t_term, n**3 - n)
+        assert corr > 0
+        want = h_raw / corr
+        assert got == want, seed
+
+
+def test_levenshtein_builtin_matches_wagner_fischer(spark):
+    """Second opinion for dedup_edit_distance_verify: Spark's and
+    DuckDB's built-in levenshtein must both equal a python
+    Wagner-Fischer DP (unit insert/delete/substitute) on randomized
+    strings and on the adversarial shapes the gate cares about
+    (prefix/suffix edits, transpositions, empty, full rewrite).
+    Transposition must cost 2 (no Damerau extension on either engine)."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    def wf(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    cases = [
+        ("kitten", "sitting"),
+        ("abcdef", "abdcef"),  # transposition -> 2
+        ("", "abc"),
+        ("same", "same"),
+        ("aaaa", "bbbb"),
+    ]
+    rng = random.Random(13)
+    for _ in range(20):
+        n1, n2 = rng.randint(0, 12), rng.randint(0, 12)
+        cases.append(
+            (
+                "".join(rng.choice("abc ") for _ in range(n1)),
+                "".join(rng.choice("abc ") for _ in range(n2)),
+            )
+        )
+    con = duckdb.connect()
+    for a, b in cases:
+        want = wf(a, b)
+        got = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert got == want, (a, b, got, want)
+    assert wf("abcdef", "abdcef") == 2
+    sdf = spark.createDataFrame(cases, "a STRING, b STRING").select(
+        "a", "b", F.levenshtein("a", "b").alias("lev")
+    )
+    for r in sdf.collect():
+        assert r["lev"] == wf(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_modularity_cleared_form_matches_fraction_definition():
+    """Second opinion for community_modularity_report: the cleared
+    integer form Q = sum(4m*e_c - d_c^2) / (4m^2) must equal Newman's
+    per-definition Q = sum_c [e_c/m - (d_c/2m)^2] exactly in rationals
+    on random labeled graphs, with degree-0 nodes present; and the
+    bookkeeping identities sum(e_c) <= m and sum(d_c) = 2m must hold."""
+    import random
+    from fractions import Fraction
+
+    for seed in (8, 23, 61):
+        rng = random.Random(seed)
+        n, k = rng.randint(6, 30), rng.randint(2, 5)
+        lab = {i: rng.randrange(k) for i in range(n)}
+        edges = set()
+        for _ in range(rng.randint(0, 3 * n)):
+            a, b = rng.sample(range(n), 2)
+            edges.add((min(a, b), max(a, b)))
+        m = len(edges)
+        if m == 0:
+            continue
+        deg = {i: 0 for i in range(n)}
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        d_c = {c: sum(d for i, d in deg.items() if lab[i] == c) for c in range(k)}
+        e_c = {
+            c: sum(1 for a, b in edges if lab[a] == c and lab[b] == c)
+            for c in range(k)
+        }
+        assert sum(d_c.values()) == 2 * m
+        assert sum(e_c.values()) <= m
+        got = Fraction(
+            sum(4 * m * e_c[c] - d_c[c] * d_c[c] for c in range(k)),
+            4 * m * m,
+        )
+        want = sum(
+            Fraction(e_c[c], m) - Fraction(d_c[c], 2 * m) ** 2
+            for c in range(k)
+        )
+        assert got == want, seed
+        assert want <= 1
+
+
+def test_confusion_ppm_pipeline_matches_sklearn_convention_mirror():
+    """Second opinion for langid_confusion_report: the integer ppm
+    pipeline (truncating division, quantize-then-combine F1, floor-mean
+    macro-F1, zero_division=0 guards) must match an independent mirror
+    that computes precision/recall as exact Fractions first and then
+    applies the same declared quantization contract; and the standard
+    identities must hold: sum(tp) <= N, per-class tp <= min(n_gold,
+    n_pred), accuracy == micro-recall."""
+    import random
+    from fractions import Fraction
+
+    for seed in (11, 29, 73):
+        rng = random.Random(seed)
+        classes = ["en", "de", "fr", "es", "zh"]
+        n = rng.randint(10, 200)
+        gold = [rng.choice(classes) for _ in range(n)]
+        # prediction = gold with noise, plus an occasional 'unknown'
+        pred = [
+            g if rng.random() < 0.7
+            else rng.choice(classes + ["unknown"])
+            for g in gold
+        ]
+        rows = {}
+        for c in sorted(set(gold)):
+            n_gold = sum(1 for g in gold if g == c)
+            n_pred = sum(1 for p in pred if p == c)
+            tp = sum(1 for g, p in zip(gold, pred) if g == c and p == c)
+            p_ppm = 1_000_000 * tp // max(n_pred, 1)
+            r_ppm = 1_000_000 * tp // max(n_gold, 1)
+            f1 = 2 * p_ppm * r_ppm // max(p_ppm + r_ppm, 1)
+            rows[c] = (n_gold, n_pred, tp, p_ppm, r_ppm, f1)
+            # mirror: Fractions first, then the same quantization contract
+            pf = Fraction(tp, n_pred) if n_pred else Fraction(0)
+            rf = Fraction(tp, n_gold) if n_gold else Fraction(0)
+            assert p_ppm == (1_000_000 * pf.numerator) // pf.denominator
+            assert r_ppm == (1_000_000 * rf.numerator) // rf.denominator
+            assert tp <= min(n_gold, n_pred)
+        total_tp = sum(r[2] for r in rows.values())
+        total_gold = sum(r[0] for r in rows.values())
+        assert total_gold == n and total_tp <= n
+        acc = 1_000_000 * total_tp // n
+        # accuracy == micro-averaged recall (gold classes partition the corpus)
+        micro_r = 1_000_000 * sum(r[2] for r in rows.values()) // sum(
+            r[0] for r in rows.values()
+        )
+        assert acc == micro_r
+        macro = sum(r[5] for r in rows.values()) // len(rows)
+        assert 0 <= macro <= 1_000_000
