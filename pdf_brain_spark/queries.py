@@ -23634,6 +23634,506 @@ def langid_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "kendall_tau_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type,
+        CAST(sum(CASE WHEN (b.x > a.x AND b.y > a.y)
+                        OR (b.x < a.x AND b.y < a.y) THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+        CAST(sum(CASE WHEN (b.x > a.x AND b.y < a.y)
+                        OR (b.x < a.x AND b.y > a.y) THEN 1 ELSE 0 END)
+             AS BIGINT) AS d,
+        CAST(count(*) AS BIGINT) AS n0
+      FROM hourly a JOIN hourly b
+        ON b.event_type = a.event_type AND b.h > a.h
+      GROUP BY 1
+    ),
+    tx AS (
+      SELECT event_type,
+             CAST(sum(t * (t - 1) / 2) AS BIGINT) AS t1
+      FROM (SELECT event_type, x, count(*) AS t FROM hourly GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    ty AS (
+      SELECT event_type,
+             CAST(sum(t * (t - 1) / 2) AS BIGINT) AS t2
+      FROM (SELECT event_type, y, count(*) AS t FROM hourly GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT p.event_type, p.c, p.d, p.n0, tx.t1, ty.t2,
+             CAST((SELECT count(*) FROM hourly h2
+                   WHERE h2.event_type = p.event_type) AS BIGINT) AS n_hours
+      FROM p JOIN tx USING (event_type) JOIN ty USING (event_type)
+    )
+    SELECT event_type, n_hours, c AS concordant, d AS discordant,
+           t1 AS x_tie_pairs, t2 AS y_tie_pairs,
+           round(CAST(c - d AS DOUBLE)
+                 / (sqrt(CAST(n0 - t1 AS DOUBLE))
+                    * sqrt(CAST(n0 - t2 AS DOUBLE))), 6) + 0.0 AS tau_b
+    FROM m WHERE n0 - t1 > 0 AND n0 - t2 > 0
+    ORDER BY event_type
+    """,
+)
+def kendall_tau_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL τ-b between hourly volume and hourly revenue per event
+    type (Kendall 1938; the τ-b tie correction per Kendall 1945) —
+    completing the rank-correlation pair with spearman_hourly_rho: ρ
+    weights by rank distance, τ counts raw pair inversions (the
+    statistic behind mann_kendall_trend, here between two SERIES rather
+    than series-vs-time), so the two gates cross-check each other's
+    ranking devices on the same frame. Exact integers end to end:
+    concordant/discordant from ONE ordered pair join (b.h > a.h, so
+    each unordered pair counts exactly once — n0 = C(n,2) falls out of
+    the same join as count(*), never computed as a formula that could
+    drift from the join's pair set), tie-pair terms Σt(t−1)/2 at value
+    grain (exactly divisible before the cast on both engines), and
+    τ_b = (C−D)/(√(n0−T1)·√(n0−T2)) as two correctly-rounded sqrts,
+    one product, one division, one 6dp round. All-tied axes filter on
+    the exact integers. The pair join runs at HOURLY-SERIES grain:
+    C(hours, 2) per type — bounded by the time range (≈260k pairs per
+    type at 30 days), never by corpus volume (the mann_kendall
+    posture). Randomized second opinion: brute-force τ-b + the
+    inclusion-exclusion pair identity C + D + ties = C(n,2) in
+    tests/test_randomized_references.py."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            F.round(F.col("value") * 100).cast("long").alias("_c"),
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum("_c").cast("long").alias("y"),
+        )
+        .localCheckpoint(eager=True)  # hour grain; pair join + tie counts
+    )
+    a = hourly.select(
+        "event_type",
+        F.col("h").alias("_ha"),
+        F.col("x").alias("_xa"),
+        F.col("y").alias("_ya"),
+    )
+    b = hourly.select(
+        "event_type",
+        F.col("h").alias("_hb"),
+        F.col("x").alias("_xb"),
+        F.col("y").alias("_yb"),
+    )
+    p = (
+        a.join(b, "event_type")
+        .filter(F.col("_hb") > F.col("_ha"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    ((F.col("_xb") > F.col("_xa")) & (F.col("_yb") > F.col("_ya")))
+                    | ((F.col("_xb") < F.col("_xa")) & (F.col("_yb") < F.col("_ya"))),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("c"),
+            F.sum(
+                F.when(
+                    ((F.col("_xb") > F.col("_xa")) & (F.col("_yb") < F.col("_ya")))
+                    | ((F.col("_xb") < F.col("_xa")) & (F.col("_yb") > F.col("_ya"))),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("d"),
+            F.count(F.lit(1)).cast("long").alias("n0"),
+        )
+    )
+
+    def _tie_pairs(col: str, out: str) -> DataFrame:
+        return (
+            hourly.groupBy("event_type", col)
+            .agg(F.count(F.lit(1)).cast("long").alias("t"))
+            .groupBy("event_type")
+            .agg(
+                (F.sum(F.col("t") * (F.col("t") - 1)) / 2)
+                .cast("long")
+                .alias(out)
+            )
+        )
+
+    n_hours = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours")
+    )
+    m = (
+        p.join(_tie_pairs("x", "t1"), "event_type")
+        .join(_tie_pairs("y", "t2"), "event_type")
+        .join(n_hours, "event_type")
+    )
+    return (
+        m.filter((F.col("n0") - F.col("t1") > 0) & (F.col("n0") - F.col("t2") > 0))
+        .select(
+            "event_type",
+            "n_hours",
+            F.col("c").alias("concordant"),
+            F.col("d").alias("discordant"),
+            F.col("t1").alias("x_tie_pairs"),
+            F.col("t2").alias("y_tie_pairs"),
+            (
+                F.round(
+                    (F.col("c") - F.col("d")).cast("double")
+                    / (
+                        F.sqrt((F.col("n0") - F.col("t1")).cast("double"))
+                        * F.sqrt((F.col("n0") - F.col("t2")).cast("double"))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("tau_b"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# RBO geometric weights, computed ONCE here and inlined into BOTH engines
+# (the retrieval_eval_ndcg inlined-log2-discount play): w_d = (1-p)p^(d-1)
+# at p = 0.9, quantized to nano; mult_d = 2520/d clears the 1/d exactly
+# (2520 = lcm(1..10)), so the per-query score is ONE exact integer sum.
+_RBO_P_NANO = [round(1e9 * 0.1 * 0.9 ** (d - 1)) for d in range(1, 11)]
+_RBO_DEN_NANO = 2520 * 10**9
+_RBO_WTAB_SQL = ", ".join(
+    f"({d}, {w}, {2520 // d})" for d, w in enumerate(_RBO_P_NANO, start=1)
+)
+
+
+@query(
+    "retrieval_rbo_report",
+    oracle=f"""
+    WITH q AS (
+      SELECT e.vec_id, d.d,
+             CAST(round(CAST(e.embedding[d.d] AS DOUBLE) * 1000) AS BIGINT) AS v
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS d) d
+      WHERE e.vec_id < 256
+    ),
+    dots AS (
+      SELECT a.vec_id AS qid, b.vec_id AS ib,
+             CAST(sum(a.v * b.v) AS BIGINT) AS full_dot,
+             CAST(sum(CASE WHEN a.d <= 16 THEN a.v * b.v ELSE 0 END)
+                  AS BIGINT) AS trunc_dot
+      FROM q a JOIN q b ON a.d = b.d AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 16
+      GROUP BY 1, 2
+    ),
+    ra AS (
+      SELECT qid, ib, row_number() OVER (PARTITION BY qid
+               ORDER BY full_dot DESC, ib ASC) AS r
+      FROM dots
+    ),
+    rb AS (
+      SELECT qid, ib, row_number() OVER (PARTITION BY qid
+               ORDER BY trunc_dot DESC, ib ASC) AS r
+      FROM dots
+    ),
+    common AS (
+      SELECT a.qid, greatest(a.r, b.r) AS mr
+      FROM ra a JOIN rb b ON b.qid = a.qid AND b.ib = a.ib
+      WHERE a.r <= 10 AND b.r <= 10
+    ),
+    wtab AS (
+      SELECT * FROM (VALUES {_RBO_WTAB_SQL}) AS t(d, w_nano, mult)
+    ),
+    od AS (
+      SELECT g.qid, w.d, w.w_nano, w.mult,
+             CAST(count(c.mr) AS BIGINT) AS o_d
+      FROM (SELECT DISTINCT qid FROM dots) g
+      CROSS JOIN wtab w
+      LEFT JOIN common c ON c.qid = g.qid AND c.mr <= w.d
+      GROUP BY 1, 2, 3, 4
+    ),
+    per AS (
+      SELECT qid,
+             CAST(sum(w_nano * o_d * mult) AS BIGINT) AS num,
+             CAST(max(CASE WHEN d = 10 THEN o_d END) AS BIGINT) AS overlap10
+      FROM od GROUP BY 1
+    ),
+    scored AS (
+      SELECT qid, overlap10,
+             CAST(round((1000000.0 * num) / {_RBO_DEN_NANO}.0) AS BIGINT)
+               AS rbo_micro
+      FROM per
+    ),
+    mean_r AS (
+      SELECT CAST(sum(rbo_micro) // count(*) AS BIGINT) AS mean_rbo_micro
+      FROM scored
+    )
+    SELECT s.qid, s.overlap10, s.rbo_micro, m.mean_rbo_micro
+    FROM scored s, mean_r m
+    ORDER BY s.qid
+    """,
+)
+def retrieval_rbo_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-BIASED OVERLAP between full-dimension and 16-dim-truncated
+    retrieval rankings (Webber, Moffat & Zobel 2010, TOIS — the
+    top-weighted, non-conjoint ranking-agreement measure IR evals use
+    where Kendall/Spearman assume full conjoint lists) — the RANKING
+    companion of matryoshka_truncation_report: that gate scores recall
+    of the truncated index, this one scores how much of the AGREEMENT
+    sits at the top, RBO@10 = (1−p)Σ p^(d−1)·|A_d ∩ B_d|/d at p = 0.9
+    (a miss at rank 1 hurts ~9× more than at rank 10 — exactly the
+    serving-quality question truncation raises). Exact-integer
+    discipline: both rankings come from the SAME integer milli-dot
+    pass (full sum vs dims ≤ 16 partial sum — one conditional
+    aggregate, not two scans), prefix overlaps reduce to
+    count(max(rank_a, rank_b) ≤ d) on the joined top-10 lists, the
+    geometric weights are nano-quantized ONCE in python and inlined
+    into both engines (the ndcg inlined-discount play), and 1/d clears
+    exactly through mult = 2520/d (lcm(1..10)) — so each query's score
+    is one exact integer sum, ONE double division + round to micro,
+    and the corpus mean is an integer floor-mean. Depths with zero
+    overlap contribute 0 via the weight-grid LEFT JOIN (dropping them
+    would silently skip weights). Bounded: 16 queries × the pinned
+    256-vector sample (the margin/hubness regime; at scale both arms
+    read the ANN candidate lists). Randomized second opinion: the
+    cleared-denominator integer form vs a float per-definition RBO in
+    tests/test_randomized_references.py."""
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.operators.clustering import quantize_milli
+
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 256)
+    q = quantize_milli(emb)
+    a = q.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("_qa")
+    )
+    b = q.select(F.col("vec_id").alias("ib"), F.col("q").alias("_qb"))
+    pos = F.array([F.lit(i) for i in range(64)])
+    dots = (
+        a.crossJoin(F.broadcast(b))  # bounded 16×256 sample, by design
+        .filter(F.col("qid") != F.col("ib"))
+        .select(
+            "qid",
+            "ib",
+            F.aggregate(
+                F.zip_with("_qa", "_qb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("full_dot"),
+            F.aggregate(
+                F.zip_with(
+                    F.zip_with("_qa", "_qb", lambda x, y: x * y),
+                    pos,
+                    lambda prod, i: F.when(i < 16, prod).otherwise(F.lit(0)),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("trunc_dot"),
+        )
+        .localCheckpoint(eager=True)  # 16×255 rows; two rank consumers
+    )
+    wa = Window.partitionBy("qid").orderBy(
+        F.col("full_dot").desc(), F.col("ib").asc()
+    )
+    wb = Window.partitionBy("qid").orderBy(
+        F.col("trunc_dot").desc(), F.col("ib").asc()
+    )
+    ra = dots.select("qid", "ib", F.row_number().over(wa).alias("r")).filter(
+        F.col("r") <= 10
+    )
+    rb = dots.select("qid", "ib", F.row_number().over(wb).alias("r")).filter(
+        F.col("r") <= 10
+    )
+    common = (
+        ra.join(
+            rb.select("qid", "ib", F.col("r").alias("_rb")), ["qid", "ib"]
+        )
+        .select("qid", F.greatest("r", "_rb").alias("mr"))
+    )
+    wtab = spark.createDataFrame(
+        [(d, w, 2520 // d) for d, w in enumerate(_RBO_P_NANO, start=1)],
+        "d INT, w_nano LONG, mult LONG",
+    )
+    grid = dots.select("qid").distinct().crossJoin(F.broadcast(wtab))
+    od = (
+        grid.join(
+            common.withColumn("_one", F.lit(1)),
+            (grid["qid"] == common["qid"]) & (common["mr"] <= grid["d"]),
+            "left",
+        )
+        .groupBy(grid["qid"].alias("qid"), "d", "w_nano", "mult")
+        .agg(F.sum(F.coalesce(F.col("_one"), F.lit(0))).cast("long").alias("o_d"))
+    )
+    per = od.groupBy("qid").agg(
+        F.sum(F.col("w_nano") * F.col("o_d") * F.col("mult"))
+        .cast("long")
+        .alias("num"),
+        F.max(F.when(F.col("d") == 10, F.col("o_d"))).cast("long").alias("overlap10"),
+    )
+    scored = per.select(
+        "qid",
+        "overlap10",
+        F.round(
+            (F.lit(1000000.0) * F.col("num").cast("double"))
+            / F.lit(float(_RBO_DEN_NANO))
+        )
+        .cast("long")
+        .alias("rbo_micro"),
+    ).localCheckpoint(eager=True)  # 16 rows; mean + output
+    mean_r = scored.agg(
+        F.expr("sum(rbo_micro) div count(1)").alias("mean_rbo_micro")
+    )
+    return (
+        scored.crossJoin(F.broadcast(mean_r))  # broadcast 1-row mean
+        .select("qid", "overlap10", "rbo_micro", "mean_rbo_micro")
+        .orderBy("qid")
+    )
+
+
+@query(
+    "embedding_spectrum_report",
+    oracle="""
+    WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+    x AS (
+      SELECT e.vec_id, d.i,
+             CAST(round(CAST(e.embedding[d.i] AS DOUBLE) * 1000) AS BIGINT) AS v
+      FROM embeddings e, dims d
+    ),
+    c AS (
+      SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS c
+      FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2
+    ),
+    s AS (SELECT i, CAST(sum(v) AS BIGINT) AS s FROM x GROUP BY 1),
+    nt AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM x),
+    m AS (
+      SELECT c.i, c.j,
+             CAST(nt.n AS HUGEINT) * c.c
+               - CAST(si.s AS HUGEINT) * sj.s AS mv
+      FROM c JOIN s si ON si.i = c.i JOIN s sj ON sj.i = c.j, nt
+    ),
+    var AS (
+      SELECT i, CAST(mv AS BIGINT) AS var_num FROM m WHERE i = j
+    ),
+    tr AS (
+      SELECT CAST(sum(CAST(var_num AS HUGEINT)) AS HUGEINT) AS trace_num
+      FROM var
+    ),
+    tsq AS (SELECT CAST(sum(mv * mv) AS HUGEINT) AS trace_sq FROM m),
+    ov AS (
+      SELECT nt.n AS n_vectors, CAST(tr.trace_num AS BIGINT) AS trace_num,
+             CAST(round((1000000.0 * tr.trace_num * tr.trace_num)
+                        / CAST(tsq.trace_sq AS DOUBLE)) AS BIGINT)
+               AS participation_micro
+      FROM tr, tsq, nt
+      WHERE tsq.trace_sq > 0 AND tr.trace_num > 0
+    )
+    SELECT CAST(v.i - 1 AS INT) AS dim_idx, v.var_num,
+           CAST(1000000 * CAST(v.var_num AS HUGEINT)
+                // o.trace_num AS BIGINT) AS var_share_ppm,
+           o.n_vectors, o.trace_num, o.participation_micro
+    FROM var v, ov o
+    ORDER BY dim_idx
+    """,
+)
+def embedding_spectrum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPECTRUM summary of the embedding covariance — per-dimension
+    variance shares plus the PARTICIPATION RATIO (tr Σ)²/tr(Σ²), the
+    eigenvalue-free effective-rank measure (Gorban et al.; a.k.a.
+    inverse participation ratio in physics): PR = d when variance is
+    isotropic, PR → 1 when one direction dominates — the intrinsic-
+    dimensionality number that decides IVF list counts, PQ subspace
+    splits, and matryoshka truncation depth WITHOUT an eigensolver
+    (tr(Σ²) = Σ_ij Σ_ij² = Σλ² by Frobenius, so no iteration, no
+    convergence question — the measurement embedding_power_iteration's
+    top-direction answer can't give). Exact integers: the n²-scaled
+    centered scatter M_ij = n·G_ij − s_i·s_j from the SAME one-pass
+    Arrow int64 Gram the PCA gates use (corpus touched once; dim sums
+    are one map-side aggregate), per-dim variance rows and their ppm
+    shares by truncating division, trace and Σ M² in HUGEINT/decimal-38
+    (≈1.6e32 at sf0.1, checked), ONE double division + micro round for
+    PR (scale-invariant, so the n² clearing cancels exactly).
+    Degenerate corpora (zero variance) filter on the exact integers.
+    100 TB shape: everything after the Gram pass runs at the 64×64
+    model grain. Randomized second opinion: PR vs numpy eigenvalues
+    ((Σλ)²/Σλ²) in tests/test_randomized_references.py."""
+    from pdf_brain_spark.operators.clustering import quantize_milli
+    from pdf_brain_spark.operators.pca import gram_matrix_int
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    gram = gram_matrix_int(emb, dim=64).localCheckpoint(
+        eager=True
+    )  # 64x64 model grain; diagonal + full-matrix consumers
+    s = (
+        quantize_milli(emb)
+        .select(F.posexplode("q").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").cast("long").alias("s"))
+    )
+    nt = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    si = s.select(F.col("i"), F.col("s").alias("_si"))
+    sj = s.select(F.col("i").alias("j"), F.col("s").alias("_sj"))
+    m = (
+        gram.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(nt))  # broadcast 1-row count
+        .select(
+            "i",
+            "j",
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("c")
+                - F.col("_si").cast("decimal(38,0)") * F.col("_sj")
+            ).alias("mv"),
+        )
+        .localCheckpoint(eager=True)  # 4096 rows; diagonal + Frobenius
+    )
+    var = m.filter(F.col("i") == F.col("j")).select(
+        "i", F.col("mv").cast("long").alias("var_num")
+    )
+    tr = var.agg(F.sum("var_num").cast("decimal(38,0)").alias("trace_num"))
+    tsq = m.agg(
+        F.sum(F.col("mv") * F.col("mv")).cast("decimal(38,0)").alias("trace_sq")
+    )
+    ov = (
+        tr.crossJoin(F.broadcast(tsq))
+        .crossJoin(F.broadcast(nt))  # broadcast 1-row summaries
+        .filter((F.col("trace_sq") > 0) & (F.col("trace_num") > 0))
+        .select(
+            F.col("n").alias("n_vectors"),
+            F.col("trace_num").cast("long").alias("trace_num"),
+            F.round(
+                (
+                    F.lit(1000000.0)
+                    * F.col("trace_num").cast("double")
+                    * F.col("trace_num").cast("double")
+                )
+                / F.col("trace_sq").cast("double")
+            )
+            .cast("long")
+            .alias("participation_micro"),
+        )
+    )
+    return (
+        var.crossJoin(F.broadcast(ov))  # broadcast 1-row summaries
+        .select(
+            F.col("i").cast("int").alias("dim_idx"),
+            "var_num",
+            F.expr(
+                "CAST((1000000 * CAST(var_num AS DECIMAL(38,0)))"
+                " div trace_num AS BIGINT)"
+            ).alias("var_share_ppm"),
+            "n_vectors",
+            "trace_num",
+            "participation_micro",
+        )
+        .orderBy("dim_idx")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.

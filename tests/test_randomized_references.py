@@ -1990,3 +1990,136 @@ def test_confusion_ppm_pipeline_matches_sklearn_convention_mirror():
         assert acc == micro_r
         macro = sum(r[5] for r in rows.values()) // len(rows)
         assert 0 <= macro <= 1_000_000
+
+
+def test_kendall_tau_b_matches_bruteforce_and_pair_identity():
+    """Second opinion for kendall_tau_hourly: the join-shaped C/D/tie
+    bookkeeping must match a brute-force pair loop, satisfy the
+    inclusion-exclusion identity C + D + (x-tied or y-tied pairs)
+    = C(n,2), and the tau_b ratio must equal the textbook formula in
+    exact rationals (compared as squared Fractions to avoid sqrt)."""
+    import random
+    from fractions import Fraction
+
+    for seed in (10, 31, 77):
+        rng = random.Random(seed)
+        n = rng.randint(5, 40)
+        xs = [rng.randint(0, 6) for _ in range(n)]
+        ys = [rng.randint(0, 6) for _ in range(n)]
+        c = d = both = xonly = yonly = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx, dy = xs[j] - xs[i], ys[j] - ys[i]
+                if dx == 0 and dy == 0:
+                    both += 1
+                elif dx == 0:
+                    xonly += 1
+                elif dy == 0:
+                    yonly += 1
+                elif (dx > 0) == (dy > 0):
+                    c += 1
+                else:
+                    d += 1
+        n0 = n * (n - 1) // 2
+        assert c + d + both + xonly + yonly == n0, seed
+        t1 = sum(
+            t * (t - 1) // 2 for t in (xs.count(v) for v in set(xs))
+        )
+        t2 = sum(
+            t * (t - 1) // 2 for t in (ys.count(v) for v in set(ys))
+        )
+        # x-tie pairs counted at value grain == x-tied pairs from the loop
+        assert t1 == both + xonly, seed
+        assert t2 == both + yonly, seed
+        if n0 - t1 <= 0 or n0 - t2 <= 0:
+            continue
+        # tau_b^2 in exact rationals vs the pipeline's inputs
+        got_sq = Fraction((c - d) ** 2, (n0 - t1) * (n0 - t2))
+        # independent derivation from raw sign sums
+        s = sum(
+            (1 if (xs[j] - xs[i]) * (ys[j] - ys[i]) > 0 else
+             -1 if (xs[j] - xs[i]) * (ys[j] - ys[i]) < 0 else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        assert s == c - d, seed
+        assert got_sq == Fraction(s * s, (n0 - t1) * (n0 - t2))
+        assert got_sq <= 1
+
+
+def test_rbo_cleared_integer_form_matches_float_definition():
+    """Second opinion for retrieval_rbo_report: the cleared-denominator
+    integer form sum(w_nano_d * o_d * (2520/d)) / 2520e9 must match the
+    per-definition float RBO@10 = (1-p) sum p^(d-1) * o_d / d within
+    the nano-quantization error of the weights (< 1e-8 absolute), on
+    random ranking pairs; and o_d must be non-decreasing in d with
+    o_d <= d."""
+    import random
+
+    from pdf_brain_spark.queries import _RBO_DEN_NANO, _RBO_P_NANO
+
+    p = 0.9
+    for seed in (14, 37, 91):
+        rng = random.Random(seed)
+        ids = list(range(30))
+        a = rng.sample(ids, 10)
+        b = rng.sample(ids, 10)
+        ranks_a = {v: i + 1 for i, v in enumerate(a)}
+        ranks_b = {v: i + 1 for i, v in enumerate(b)}
+        o = [
+            sum(
+                1
+                for v in ranks_a
+                if v in ranks_b and max(ranks_a[v], ranks_b[v]) <= d
+            )
+            for d in range(1, 11)
+        ]
+        for d in range(10):
+            assert o[d] <= d + 1
+            if d:
+                assert o[d] >= o[d - 1]
+        num = sum(
+            w * o[d - 1] * (2520 // d)
+            for d, w in enumerate(_RBO_P_NANO, start=1)
+        )
+        got = num / _RBO_DEN_NANO
+        want = sum(
+            (1 - p) * p ** (d - 1) * o[d - 1] / d for d in range(1, 11)
+        )
+        assert abs(got - want) < 1e-8, seed
+        assert 0.0 <= got <= 1.0
+
+
+def test_participation_ratio_matches_numpy_eigenvalues():
+    """Second opinion for embedding_spectrum_report: the eigenvalue-free
+    participation ratio (tr M)^2 / sum(M_ij^2) computed from the exact
+    integer scatter M = n*G - s s^T must equal (sum lambda)^2 /
+    sum(lambda^2) over numpy's eigenvalues of the same matrix (Frobenius
+    identity), and the n^2 scaling must cancel (PR of M == PR of M/n^2)."""
+    import random
+
+    import numpy as np
+
+    for seed in (12, 33, 85):
+        rng = random.Random(seed)
+        n, d = rng.randint(5, 40), rng.randint(2, 8)
+        q = np.array(
+            [[rng.randint(-50, 50) for _ in range(d)] for _ in range(n)],
+            dtype=np.int64,
+        )
+        g = q.T @ q
+        s = q.sum(axis=0)
+        m = n * g - np.outer(s, s)  # n^2-scaled centered scatter, exact ints
+        trace = int(np.trace(m))
+        tsq = int((m.astype(object) ** 2).sum())
+        if trace <= 0 or tsq <= 0:
+            continue
+        got = trace * trace / tsq
+        lam = np.linalg.eigvalsh(m.astype(np.float64))
+        want = lam.sum() ** 2 / (lam**2).sum()
+        assert abs(got - want) < 1e-6 * max(1.0, want), seed
+        assert 1.0 - 1e-9 <= got <= d + 1e-9
+        # scale invariance: PR is identical on the unscaled covariance
+        cov = m.astype(np.float64) / (n * n)
+        want2 = np.trace(cov) ** 2 / (cov**2).sum()
+        assert abs(got - want2) < 1e-6 * max(1.0, want2), seed
