@@ -102,6 +102,15 @@ HEADLINE = [
     "dedup_transitivity_audit",
     "kneser_ney_heldout",
     "quality_dedup_grid",
+    # r11 late additions: the three heaviest new shapes of the r13-queue
+    # widening — the per-candidate-pair Levenshtein DP verify stage
+    # (bounded by the LSH banding contract, ~1071 DPs on ≤577-char texts
+    # at sf0.1), the full-corpus assignment + model-grain validity
+    # postlude (DB/CH), and the Frobenius pass over the one-pass int64
+    # Gram (per-dim shares + participation ratio).
+    "dedup_edit_distance_verify",
+    "cluster_validity_indices",
+    "embedding_spectrum_report",
 ]
 
 

