@@ -24371,6 +24371,318 @@ def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "period_hours")
 
 
+@query(
+    "taxonomy_lca_similarity",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT o_orderkey AS node, o_orderkey AS ancestor, 0 AS depth
+      FROM orders WHERE o_orderkey >= 1 AND o_orderkey <= 64
+      UNION
+      SELECT a.node, a.ancestor // 2, a.depth + 1
+      FROM anc a WHERE a.ancestor > 1
+    ),
+    pairs AS (
+      SELECT a.o_orderkey AS a, b.o_orderkey AS b
+      FROM orders a JOIN orders b ON a.o_orderkey < b.o_orderkey
+      WHERE a.o_orderkey >= 2 AND a.o_orderkey <= 64
+        AND b.o_orderkey >= 2 AND b.o_orderkey <= 64
+    ),
+    common AS (
+      SELECT p.a, p.b, ca.ancestor AS lca_cand,
+             ca.depth AS da, cb.depth AS db
+      FROM pairs p
+      JOIN anc ca ON ca.node = p.a
+      JOIN anc cb ON cb.node = p.b AND cb.ancestor = ca.ancestor
+    ),
+    lca AS (
+      SELECT a, b, lca_cand AS lca, da, db FROM (
+        SELECT a, b, lca_cand, da, db,
+               row_number() OVER (PARTITION BY a, b
+                 ORDER BY da + db ASC, lca_cand ASC) AS rn
+        FROM common) WHERE rn = 1
+    ),
+    droot AS (
+      SELECT node, CAST(max(depth) AS BIGINT) AS dr FROM anc GROUP BY 1
+    )
+    SELECT l.a, l.b, l.lca,
+           CAST(l.da + l.db AS BIGINT) AS tree_distance,
+           dl.dr AS lca_depth,
+           CAST(2000 * dl.dr // (dra.dr + drb.dr) AS BIGINT)
+             AS wu_palmer_milli
+    FROM lca l
+    JOIN droot dl ON dl.node = l.lca
+    JOIN droot dra ON dra.node = l.a
+    JOIN droot drb ON drb.node = l.b
+    WHERE dra.dr + drb.dr > 0
+    ORDER BY l.a, l.b
+    """,
+)
+def taxonomy_lca_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOWEST COMMON ANCESTOR + WU-PALMER similarity over the taxonomy
+    closure (Wu & Palmer 1994, ACL — THE graph-based concept-similarity
+    measure SKOS knowledge bases serve; reference's TaxonomyService
+    exposes the closure this derives from, TaxonomyService.ts:387-423):
+    for every concept pair, the deepest shared ancestor, the tree
+    distance through it, and wup = 2·depth(lca)/(depth(a)+depth(b)) —
+    the 'related concepts' score that ranks siblings above cousins. On
+    the same implicit binary tree parent(k) = k div 2 over the
+    key-bounded order keys the transitive_closure gate attests (keys
+    1..64 are DENSE at all three scales — probed, so the arithmetic
+    chain and the present-key edge chain agree). Exact integers: the
+    closure carries integer depths (self rows at depth 0 make LCA-of-
+    ancestor cases uniform), LCA per pair is argmin(d_a + d_b) with id
+    tie-break (on a tree the common ancestors form a chain, so the min
+    is unique — the tie-break is belt-and-braces determinism), depths-
+    from-root are max-depth roll-ups of the same closure (no float
+    log2 — a log2(2^k) boundary would be engine-rounding territory),
+    and wu_palmer quantizes ONCE by truncating milli division. Bounded:
+    C(63,2) = 1953 pairs × ≤7 ancestors each — dimension grain
+    everywhere (the taxonomy posture: at 100 TB concepts stay
+    dimension-sized; the fact side never joins in). Randomized second
+    opinion: the set-intersection argmin LCA vs the binary
+    common-prefix closed form (shift-larger-until-equal) plus the
+    distance identity d = (dr_a − dr_lca) + (dr_b − dr_lca), in
+    tests/test_randomized_references.py."""
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.operators.taxonomy import transitive_ancestors
+
+    orders = load_table(spark, "orders", sf_dir)
+    keys = (
+        orders.filter((F.col("o_orderkey") >= 1) & (F.col("o_orderkey") <= 64))
+        .select(F.col("o_orderkey").cast("long").alias("node"))
+        .distinct()
+        .coalesce(1)
+        .localCheckpoint(eager=True)  # 64 keys; edges + self rows + pairs
+    )
+    edges = keys.filter(F.col("node") > 1).select(
+        "node", F.floor(F.col("node") / 2).cast("long").alias("parent")
+    )
+    anc = (
+        transitive_ancestors(edges, edges, acyclic=True)
+        .select("node", "ancestor", "depth")
+        .unionByName(
+            keys.select(
+                "node",
+                F.col("node").alias("ancestor"),
+                F.lit(0).alias("depth"),
+            )
+        )
+        .localCheckpoint(eager=True)  # ≤ 65×7 rows; 2 pair sides + droot
+    )
+    a = keys.filter(F.col("node") >= 2).select(F.col("node").alias("a"))
+    b = keys.filter(F.col("node") >= 2).select(F.col("node").alias("b"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("a") < F.col("b"))
+    ca = anc.select(
+        F.col("node").alias("a"), F.col("ancestor").alias("lca_cand"),
+        F.col("depth").alias("da"),
+    )
+    cb = anc.select(
+        F.col("node").alias("b"), F.col("ancestor").alias("lca_cand"),
+        F.col("depth").alias("db"),
+    )
+    common = pairs.join(F.broadcast(ca), "a").join(
+        F.broadcast(cb), ["b", "lca_cand"]
+    )
+    w = Window.partitionBy("a", "b").orderBy(
+        (F.col("da") + F.col("db")).asc(), F.col("lca_cand").asc()
+    )
+    lca = (
+        common.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("a", "b", F.col("lca_cand").alias("lca"), "da", "db")
+    )
+    droot = anc.groupBy("node").agg(F.max("depth").cast("long").alias("dr"))
+    return (
+        lca.join(
+            F.broadcast(droot.select(F.col("node").alias("lca"),
+                                     F.col("dr").alias("_drl"))), "lca")
+        .join(F.broadcast(droot.select(F.col("node").alias("a"),
+                                       F.col("dr").alias("_dra"))), "a")
+        .join(F.broadcast(droot.select(F.col("node").alias("b"),
+                                       F.col("dr").alias("_drb"))), "b")
+        .filter(F.col("_dra") + F.col("_drb") > 0)
+        .select(
+            "a",
+            "b",
+            "lca",
+            (F.col("da") + F.col("db")).cast("long").alias("tree_distance"),
+            F.col("_drl").alias("lca_depth"),
+            F.expr("(2000 * _drl) div (_dra + _drb)").alias("wu_palmer_milli"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+@query(
+    "wilcoxon_signed_rank",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type, a.x - b.x AS diff
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.d = a.d - INTERVAL 7 DAY
+    ),
+    nz AS (
+      SELECT event_type, diff, abs(diff) AS ad FROM pairs WHERE diff <> 0
+    ),
+    h AS (
+      SELECT event_type, ad, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(count(*)) OVER (PARTITION BY event_type ORDER BY ad)
+                  - count(*) AS BIGINT) AS cb
+      FROM nz GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT nz.event_type, nz.diff,
+             CAST(2 * h.cb + h.cnt + 1 AS BIGINT) AS rr
+      FROM nz JOIN h ON h.event_type = nz.event_type AND h.ad = nz.ad
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_eff,
+             CAST(sum(CASE WHEN diff > 0 THEN rr ELSE 0 END) AS BIGINT)
+               AS w_plus_doubled
+      FROM r GROUP BY 1
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS t FROM h
+      GROUP BY 1
+    ),
+    np AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs FROM pairs
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT a.event_type, np.n_pairs, a.n_eff, a.w_plus_doubled,
+             2 * a.n_eff * (a.n_eff + 1) * (2 * a.n_eff + 1) - t.t AS var12
+      FROM agg a JOIN ties t USING (event_type) JOIN np USING (event_type)
+    )
+    SELECT event_type, n_pairs, n_eff, w_plus_doubled,
+           CAST(var12 AS BIGINT) AS var12,
+           round((CAST(2 * w_plus_doubled - n_eff * (n_eff + 1)
+                       AS DOUBLE) * sqrt(3.0))
+                 / sqrt(CAST(var12 AS DOUBLE)), 6) + 0.0 AS z_stat,
+           (abs((CAST(2 * w_plus_doubled - n_eff * (n_eff + 1)
+                      AS DOUBLE) * sqrt(3.0))
+                / sqrt(CAST(var12 AS DOUBLE))) > 1.96) AS significant
+    FROM m WHERE var12 > 0
+    ORDER BY event_type
+    """,
+)
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILCOXON SIGNED-RANK test of week-over-week daily revenue per
+    event type (Wilcoxon 1945) — the PAIRED member completing the
+    nonparametric trio (mann_whitney_u: two independent groups;
+    kruskal_wallis_langs: k groups; this: matched pairs): each day is
+    paired with the same weekday one week earlier, so the weekly
+    seasonality that would drown a two-sample test cancels inside the
+    pair, and the test asks only 'did revenue shift, same-weekday
+    like-for-like'. Exact-integer devices throughout: cent diffs,
+    zero-diff drop (Wilcoxon's convention, identical on both engines
+    since diffs are integers), DOUBLED mid-ranks of |diff| from the
+    value-histogram device per type, W⁺ as the doubled positive-rank
+    sum, and the tie-corrected variance in the cleared form
+    var12 = 2n(n+1)(2n+1) − Σ(t³−t) (= 12·Var of the DOUBLED W⁺, exact
+    BIGINT). z = (W''⁺ − n(n+1)/2)·√12/√var12, written so the halves
+    clear exactly: (2W''⁺ − n(n+1))·√3/√var12 — exact integers into two
+    correctly-rounded sqrts, one product, one division, one 6dp round. All-tied /
+    empty series filter on the exact var12. Grain: day×type pairs —
+    time-range bounded (23 pairs per type at 30 days), the
+    mann_kendall posture. Randomized second opinion: brute-force
+    sort-based mid-ranks + the rank-sum identity W⁺ + W⁻ = n(n+1)
+    (doubled) in tests/test_randomized_references.py."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("_c"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("_c").cast("long").alias("x"))
+        .localCheckpoint(eager=True)  # day grain; both pair sides
+    )
+    b = daily.select(
+        "event_type",
+        (F.col("d") + F.expr("INTERVAL 7 DAYS")).alias("d"),
+        F.col("x").alias("_xb"),
+    )
+    pairs = daily.join(b, ["event_type", "d"]).select(
+        "event_type", (F.col("x") - F.col("_xb")).alias("diff")
+    ).localCheckpoint(eager=True)  # pair grain; n_pairs + ranks
+    nz = pairs.filter(F.col("diff") != 0).withColumn("ad", F.abs("diff"))
+    wv = Window.partitionBy("event_type").orderBy("ad")
+    h = (
+        nz.groupBy("event_type", "ad")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "event_type",
+            "ad",
+            "cnt",
+            (F.sum("cnt").over(wv) - F.col("cnt")).cast("long").alias("cb"),
+        )
+        .localCheckpoint(eager=True)  # |diff|-value grain; ranks + ties
+    )
+    r = nz.join(
+        h.select("event_type", "ad",
+                 (2 * F.col("cb") + F.col("cnt") + 1).alias("rr")),
+        ["event_type", "ad"],
+    )
+    agg = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eff"),
+        F.sum(F.when(F.col("diff") > 0, F.col("rr")).otherwise(0))
+        .cast("long")
+        .alias("w_plus_doubled"),
+    )
+    ties = h.groupBy("event_type").agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("t")
+    )
+    np_ = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    m = (
+        agg.join(ties, "event_type")
+        .join(np_, "event_type")
+        .withColumn(
+            "var12",
+            (
+                2 * F.col("n_eff") * (F.col("n_eff") + 1)
+                * (2 * F.col("n_eff") + 1)
+                - F.col("t")
+            ).cast("long"),
+        )
+    )
+    z = (
+        (
+            2 * F.col("w_plus_doubled")
+            - F.col("n_eff") * (F.col("n_eff") + 1)
+        ).cast("double")
+        * F.sqrt(F.lit(3.0))
+    ) / F.sqrt(F.col("var12").cast("double"))
+    return (
+        m.filter(F.col("var12") > 0)
+        .select(
+            "event_type",
+            "n_pairs",
+            "n_eff",
+            "w_plus_doubled",
+            "var12",
+            (F.round(z, 6) + F.lit(0.0)).alias("z_stat"),
+            (F.abs(z) > 1.96).alias("significant"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.

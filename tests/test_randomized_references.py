@@ -2200,3 +2200,107 @@ def test_periodogram_recovers_planted_sinusoid():
             assert abs(amps[P] - want) < 1e-3 * max(1.0, want) + 1.0, (seed, P)
         assert max(amps, key=lambda P: amps[P]) == 24, seed
         assert abs(amps[24] - amp_true) < 0.02 * amp_true, seed
+
+
+def test_lca_set_intersection_matches_binary_prefix_closed_form():
+    """Second opinion for taxonomy_lca_similarity: on the complete
+    binary tree parent(k) = k // 2, the gate's set-intersection argmin
+    (min d_a + d_b over common ancestors) must equal the binary
+    common-prefix closed form (shift the larger until equal), the
+    tree-distance identity d = (dr_a - dr_lca) + (dr_b - dr_lca) must
+    hold, and Wu-Palmer 2000*dr_lca // (dr_a + dr_b) must stay in
+    [0, 2000) — distinct nodes can't reach the identical-concept
+    score."""
+    import random
+
+    def ancestors(x):
+        out, d = {}, 0
+        while True:
+            out[x] = d
+            if x <= 1:
+                break
+            x //= 2
+            d += 1
+        return out
+
+    def lca_closed(a, b):
+        while a != b:
+            if a > b:
+                a //= 2
+            else:
+                b //= 2
+        return a
+
+    rng = random.Random(20)
+    for _ in range(200):
+        a = rng.randint(2, 64)
+        b = rng.randint(2, 64)
+        if a == b:
+            continue
+        aa, ab = ancestors(a), ancestors(b)
+        common = set(aa) & set(ab)
+        assert common  # root 1 always shared
+        got = min(common, key=lambda c: (aa[c] + ab[c], c))
+        want = lca_closed(a, b)
+        assert got == want, (a, b)
+        dr = lambda x: len(bin(x)) - 3  # floor(log2 x) == depth from root
+        assert aa[got] + ab[got] == (dr(a) - dr(got)) + (dr(b) - dr(got))
+        wup = 2000 * dr(got) // (dr(a) + dr(b))
+        assert 0 <= wup < 2000
+
+
+def test_wilcoxon_doubled_rank_pipeline_matches_bruteforce():
+    """Second opinion for wilcoxon_signed_rank: the doubled-mid-rank
+    pipeline (zero-drop, |diff| histogram ranks, cleared var12, z in
+    the (2W''-n(n+1))*sqrt(3)/sqrt(var12) form) must match a sort-based
+    half-rank brute force with the textbook mean/variance, and the
+    rank-sum identity W''+ + W''- = n(n+1) must hold."""
+    import math
+    import random
+
+    for seed in (22, 59, 83):
+        rng = random.Random(seed)
+        diffs = [rng.randint(-6, 6) for _ in range(rng.randint(8, 40))]
+        nz = [d for d in diffs if d != 0]
+        n = len(nz)
+        if n < 2:
+            continue
+        # pipeline: doubled midranks of |diff|
+        def dr(v):
+            return (
+                2 * sum(1 for o in nz if abs(o) < abs(v))
+                + sum(1 for o in nz if abs(o) == abs(v))
+                + 1
+            )
+
+        wpp = sum(dr(v) for v in nz if v > 0)
+        wpm = sum(dr(v) for v in nz if v < 0)
+        assert wpp + wpm == n * (n + 1), seed
+        from collections import Counter
+
+        t_term = sum(
+            c * c * c - c for c in Counter(abs(v) for v in nz).values()
+        )
+        var12 = 2 * n * (n + 1) * (2 * n + 1) - t_term
+        if var12 <= 0:
+            continue
+        got = (2 * wpp - n * (n + 1)) * math.sqrt(3.0) / math.sqrt(var12)
+
+        # brute force: classic half ranks, textbook moments
+        order = sorted(range(n), key=lambda i: abs(nz[i]))
+        ranks = [0.0] * n
+        i = 0
+        while i < n:
+            j = i
+            while j < n and abs(nz[order[j]]) == abs(nz[order[i]]):
+                j += 1
+            mr = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                ranks[order[k]] = mr
+            i = j
+        w_plus = sum(r for r, v in zip(ranks, nz) if v > 0)
+        mean = n * (n + 1) / 4.0
+        var = n * (n + 1) * (2 * n + 1) / 24.0 - t_term / 48.0
+        want = (w_plus - mean) / math.sqrt(var)
+        assert abs(got - want) < 1e-9, seed
+        assert wpp == round(2 * w_plus), seed
