@@ -24683,6 +24683,162 @@ def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "isotonic_quality_calibration",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    m AS (
+      SELECT (1000 * len(array_to_string(a, '')))
+               // greatest(len(a), 1) AS mwl,
+             CASE WHEN (1000000 * len(list_distinct(a)))
+                       // greatest(len(a), 1) >= 450000
+                  THEN 1 ELSE 0 END AS pos
+      FROM t
+    ),
+    bands AS (
+      SELECT CAST(mwl // 100 AS BIGINT) AS band,
+             CAST(count(*) AS BIGINT) AS w,
+             CAST(sum(pos) AS BIGINT) AS s
+      FROM m GROUP BY 1
+    ),
+    ps AS (
+      SELECT band, w, s,
+             CAST(sum(w) OVER (ORDER BY band) AS BIGINT) AS cw,
+             CAST(sum(s) OVER (ORDER BY band) AS BIGINT) AS cs
+      FROM bands
+    ),
+    iv AS (
+      SELECT j.band AS jb, k.band AS kb,
+             CAST(1000000 * (k.cs - (j.cs - j.s))
+                  // (k.cw - (j.cw - j.w)) AS BIGINT) AS m_micro
+      FROM ps j JOIN ps k ON j.band <= k.band
+    ),
+    mn AS (
+      SELECT i.band AS ib, iv.jb,
+             CAST(min(iv.m_micro) AS BIGINT) AS minm
+      FROM ps i
+      JOIN iv ON iv.jb <= i.band AND iv.kb >= i.band
+      GROUP BY 1, 2
+    ),
+    fit AS (
+      SELECT ib AS band, CAST(max(minm) AS BIGINT) AS iso_rate_micro
+      FROM mn GROUP BY 1
+    )
+    SELECT b.band, b.w AS n_docs, b.s AS n_pos,
+           CAST(1000000 * b.s // b.w AS BIGINT) AS raw_rate_micro,
+           f.iso_rate_micro
+    FROM bands b JOIN fit f USING (band)
+    ORDER BY b.band
+    """,
+)
+def isotonic_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC (PAVA) calibration of a quality signal (Barlow et al.
+    1972; Zadrozny & Elkan 2002 for classifier calibration) — fit the
+    best MONOTONE curve P(lexically-diverse | mean-word-length band):
+    the calibration every threshold-picking pipeline runs before
+    trusting a raw per-band rate (the probed raw curve here is
+    genuinely non-monotone — high at both tails — so the fit visibly
+    pools adjacent violators; isotonic_regression is also the missing
+    monotone member next to quantile_normalization's rank map and
+    cosine_label_calibration's binned table). Computed WITHOUT the
+    sequential pool-adjacent-violators loop, via the exact MINIMAX
+    closed form fit_i = max_{j≤i} min_{k≥i} mean(y[j..k]) — the only
+    shape that distributes (three band-grain joins instead of a
+    stateful scan). Exact integers: band weights/positives from one
+    corpus pass (the rater-B signal of rater_agreement_kappa,
+    byte-identical rule), interval means from PREFIX-SUM differences
+    quantized ONCE to micro by truncating division (quantize-then-
+    minimax is the documented contract; max∘min ordering on integers is
+    engine-free, and the fit stays monotone by construction since
+    larger i only widens the max arm and narrows the min arm).
+    Bounded: B ≈ 8-10 mean-word-length bands → B² intervals, ≤B³/2
+    join rows — model grain regardless of corpus size; the corpus is
+    touched once, map-side. Randomized second opinion: the Fraction-
+    exact minimax equals a literal PAVA pooling loop, and the quantized
+    pipeline mirrors within one micro-unit, in
+    tests/test_randomized_references.py."""
+    from pyspark.sql import Window
+
+    from pdf_brain_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokenize("text")
+    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    ).cast("long")
+    m = docs.select(
+        (1000 * sum_len).alias("_sl"),
+        (1000000 * F.size(F.array_distinct(toks)).cast("long")).alias("_td"),
+        n_tok.alias("_nt"),
+    ).select(
+        F.expr("(_sl div _nt) div 100").alias("band"),
+        F.when(F.expr("_td div _nt") >= 450000, 1).otherwise(0).alias("pos"),
+    )
+    bands = (
+        m.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("w"),
+            F.sum("pos").cast("long").alias("s"),
+        )
+        .localCheckpoint(eager=True)  # band grain (≤ ~10 rows); 3 consumers
+    )
+    wb = Window.orderBy("band")  # band grain: bounded single-partition window
+    ps = bands.select(
+        "band",
+        "w",
+        "s",
+        F.sum("w").over(wb).cast("long").alias("cw"),
+        F.sum("s").over(wb).cast("long").alias("cs"),
+    )
+    j = ps.select(
+        F.col("band").alias("jb"),
+        (F.col("cs") - F.col("s")).alias("_csj"),
+        (F.col("cw") - F.col("w")).alias("_cwj"),
+    )
+    k = ps.select(
+        F.col("band").alias("kb"), F.col("cs").alias("_csk"),
+        F.col("cw").alias("_cwk"),
+    )
+    iv = (
+        j.crossJoin(F.broadcast(k))  # band-grain grid, bounded by design
+        .filter(F.col("jb") <= F.col("kb"))
+        .select(
+            "jb",
+            "kb",
+            F.expr("(1000000 * (_csk - _csj)) div (_cwk - _cwj)").alias(
+                "m_micro"
+            ),
+        )
+    )
+    mn = (
+        bands.select(F.col("band").alias("ib"))
+        .crossJoin(F.broadcast(iv))  # ≤ B^3/2 rows, band grain
+        .filter((F.col("jb") <= F.col("ib")) & (F.col("kb") >= F.col("ib")))
+        .groupBy("ib", "jb")
+        .agg(F.min("m_micro").cast("long").alias("minm"))
+    )
+    fit = mn.groupBy(F.col("ib").alias("band")).agg(
+        F.max("minm").cast("long").alias("iso_rate_micro")
+    )
+    return (
+        bands.join(F.broadcast(fit), "band")
+        .select(
+            "band",
+            F.col("w").alias("n_docs"),
+            F.col("s").alias("n_pos"),
+            F.expr("(1000000 * s) div w").alias("raw_rate_micro"),
+            "iso_rate_micro",
+        )
+        .orderBy("band")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.

@@ -2304,3 +2304,67 @@ def test_wilcoxon_doubled_rank_pipeline_matches_bruteforce():
         want = (w_plus - mean) / math.sqrt(var)
         assert abs(got - want) < 1e-9, seed
         assert wpp == round(2 * w_plus), seed
+
+
+def test_isotonic_minimax_matches_pava_pooling_loop():
+    """Second opinion for isotonic_quality_calibration: (1) on exact
+    Fractions, the minimax closed form fit_i = max_{j<=i} min_{k>=i}
+    mean(y[j..k]) must equal a literal pool-adjacent-violators loop;
+    (2) the quantize-then-minimax integer pipeline must be monotone and
+    within one micro-unit of the exact fit; (3) pooled blocks must
+    preserve total mass (sum w_i * fit_i == sum s_i in Fractions)."""
+    import random
+    from fractions import Fraction
+
+    for seed in (26, 53, 88):
+        rng = random.Random(seed)
+        nb = rng.randint(3, 10)
+        w = [rng.randint(1, 50) for _ in range(nb)]
+        s = [rng.randint(0, wi) for wi in w]
+
+        def interval_mean(j, k):
+            return Fraction(sum(s[j : k + 1]), sum(w[j : k + 1]))
+
+        minimax = [
+            max(
+                min(interval_mean(j, k) for k in range(i, nb))
+                for j in range(i + 1)
+            )
+            for i in range(nb)
+        ]
+
+        # literal PAVA: pool adjacent violators until monotone
+        blocks = [[Fraction(si), Fraction(wi)] for si, wi in zip(s, w)]
+        i = 0
+        while i + 1 < len(blocks):
+            a, b = blocks[i], blocks[i + 1]
+            if a[0] / a[1] > b[0] / b[1]:
+                blocks[i] = [a[0] + b[0], a[1] + b[1]]
+                del blocks[i + 1]
+                i = max(i - 1, 0)
+            else:
+                i += 1
+        # expand pooled blocks back to band grain by walking widths
+        expanded = []
+        bi = 0
+        for i in range(nb):
+            if Fraction(sum(w[: i + 1])) > sum(b[1] for b in blocks[: bi + 1]):
+                bi += 1
+            expanded.append(blocks[bi][0] / blocks[bi][1])
+        assert expanded == minimax, seed
+
+        # mass preservation
+        assert sum(Fraction(wi) * f for wi, f in zip(w, expanded)) == sum(s)
+
+        # quantized pipeline: monotone, within one micro of exact
+        def q(j, k):
+            return (1_000_000 * sum(s[j : k + 1])) // sum(w[j : k + 1])
+
+        qfit = [
+            max(min(q(j, k) for k in range(i, nb)) for j in range(i + 1))
+            for i in range(nb)
+        ]
+        assert all(a <= b for a, b in zip(qfit, qfit[1:])), seed
+        for qf, ef in zip(qfit, minimax):
+            exact_micro = Fraction(1_000_000) * ef
+            assert abs(Fraction(qf) - exact_micro) < 1, seed
