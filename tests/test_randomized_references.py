@@ -2368,3 +2368,85 @@ def test_isotonic_minimax_matches_pava_pooling_loop():
         for qf, ef in zip(qfit, minimax):
             exact_micro = Fraction(1_000_000) * ef
             assert abs(Fraction(qf) - exact_micro) < 1, seed
+
+
+def test_transition_entropy_identity_matches_float_mirror():
+    """Second opinion for events_transition_entropy: the integer
+    identity H(next|cur) = (sum c_f ln c_f - sum c_ft ln c_ft)/N must
+    match the textbook -sum p(f,t) ln p(t|f) float mirror within the
+    micro-nat rounding budget (each ln rounds once to micro, so error
+    per term < 0.5 micro-nat and the weighted mean stays within ~1
+    micro-nat), and per-state H must sit in [0, ln(successors)]."""
+    import math
+    import random
+    from collections import Counter
+
+    for seed in (28, 67, 94):
+        rng = random.Random(seed)
+        k = rng.randint(2, 6)
+        seq = [rng.randrange(k) for _ in range(rng.randint(50, 500))]
+        c = Counter(zip(seq, seq[1:]))
+        cf = Counter(f for f, _ in c.elements())
+        n = sum(c.values())
+
+        def lm(x):
+            return round(math.log(x) * 1_000_000)
+
+        hnum = sum(cf[f] * lm(cf[f]) for f in cf) - sum(
+            cij * lm(cij) for cij in c.values()
+        )
+        got = (hnum // n) / 1_000_000
+        want = -sum(
+            (cij / n) * math.log(cij / cf[f]) for (f, t), cij in c.items()
+        )
+        assert abs(got - want) < 2e-6 + 1e-12, seed
+        for f in cf:
+            succ = [cij for (ff, _), cij in c.items() if ff == f]
+            hf = (
+                cf[f] * lm(cf[f]) - sum(cij * lm(cij) for cij in succ)
+            ) // cf[f]
+            assert -2 <= hf <= round(math.log(max(len(succ), 1)) * 1e6) + 2, (
+                seed,
+                f,
+            )
+
+
+def test_cronbach_alpha_cleared_form_matches_textbook_fractions():
+    """Second opinion for reliability_cronbach_alpha: the cleared form
+    k*(V_tot - sum V_i) / ((k-1)*V_tot) on n^2-scaled integer variances
+    must equal the textbook k/(k-1)*(1 - sum var_i/var_tot) in exact
+    Fractions (the n^2 scale cancels in the ratio); identical items
+    must give alpha == 1 exactly; independent-ish random items must
+    keep alpha < 1."""
+    import random
+    from fractions import Fraction
+
+    def vnum(xs):
+        n = len(xs)
+        return n * sum(x * x for x in xs) - sum(xs) ** 2
+
+    for seed in (32, 71):
+        rng = random.Random(seed)
+        k, n = rng.randint(2, 6), rng.randint(5, 40)
+        items = [
+            [rng.randint(0, 1000) for _ in range(n)] for _ in range(k)
+        ]
+        v_items = [vnum(xs) for xs in items]
+        totals = [sum(items[i][d] for i in range(k)) for d in range(n)]
+        v_tot = vnum(totals)
+        if v_tot == 0:
+            continue
+        got = Fraction(k * (v_tot - sum(v_items)), (k - 1) * v_tot)
+        var = lambda xs: Fraction(vnum(xs), len(xs) ** 2)
+        want = Fraction(k, k - 1) * (
+            1 - sum(var(xs) for xs in items) / var(totals)
+        )
+        assert got == want, seed
+
+        # identical items: alpha == 1 exactly (V_tot = k^2 * V_item)
+        base = [rng.randint(0, 100) for _ in range(n)]
+        if vnum(base) > 0:
+            v_i = vnum(base)
+            v_t = vnum([k * x for x in base])
+            assert v_t == k * k * v_i
+            assert Fraction(k * (v_t - k * v_i), (k - 1) * v_t) == 1
