@@ -2450,3 +2450,61 @@ def test_cronbach_alpha_cleared_form_matches_textbook_fractions():
             v_t = vnum([k * x for x in base])
             assert v_t == k * k * v_i
             assert Fraction(k * (v_t - k * v_i), (k - 1) * v_t) == 1
+
+
+def test_mcnemar_chi2_matches_sign_test_z_squared_and_swap_symmetry():
+    """Second opinion for mcnemar_rater_bias: chi2 = (n10-n01)^2 /
+    (n10+n01) must equal the sign-test z^2 on the discordant pairs
+    (z = (n10 - m/2)/sqrt(m/4) with m = n10+n01), and swapping the
+    raters must leave chi2 fixed while negating the bias direction."""
+    import random
+    from fractions import Fraction
+
+    for seed in (34, 79):
+        rng = random.Random(seed)
+        n10 = rng.randint(0, 50)
+        n01 = rng.randint(0, 50)
+        m = n10 + n01
+        if m == 0:
+            continue
+        chi2 = Fraction((n10 - n01) ** 2, m)
+        z_sq = Fraction((n10 - Fraction(m, 2)) ** 2, Fraction(m, 4))
+        assert chi2 == z_sq, seed
+        chi2_swapped = Fraction((n01 - n10) ** 2, m)
+        assert chi2 == chi2_swapped
+        assert (n10 - n01) == -(n01 - n10)
+
+
+def test_runs_test_cleared_z_matches_textbook_and_groupby_runs():
+    """Second opinion for runs_test_daily: run counting by lag-compare
+    must equal itertools.groupby, and the cleared z form
+    (n(n-1)(Rn - p2 - n)) / (n * sqrt(p2(p2-n)(n-1))) must equal the
+    textbook (R - mu)/sigma with mu = p2/n + 1,
+    var = p2(p2-n)/(n^2(n-1))."""
+    import itertools
+    import math
+    import random
+
+    for seed in (38, 86):
+        rng = random.Random(seed)
+        signs = [rng.choice([1, -1]) for _ in range(rng.randint(5, 60))]
+        r_groupby = sum(1 for _ in itertools.groupby(signs))
+        r_lag = sum(
+            1
+            for i, s in enumerate(signs)
+            if i == 0 or s != signs[i - 1]
+        )
+        assert r_lag == r_groupby, seed
+        n_up = signs.count(1)
+        n_down = signs.count(-1)
+        n = len(signs)
+        p2 = 2 * n_up * n_down
+        if n_up == 0 or n_down == 0 or p2 * (p2 - n) * (n - 1) <= 0:
+            continue
+        got = (n * (n - 1) * (r_lag * n - p2 - n)) / (
+            n * math.sqrt(p2 * (p2 - n) * (n - 1))
+        )
+        mu = p2 / n + 1
+        var = p2 * (p2 - n) / (n * n * (n - 1))
+        want = (r_lag - mu) / math.sqrt(var)
+        assert abs(got - want) < 1e-9, seed
