@@ -167,3 +167,31 @@ def normalize_tag(tag: Column | str) -> Column:
     t = F.lower(_c(tag))
     t = F.regexp_replace(t, r"[^a-z0-9]+", "-")
     return F.regexp_replace(t, r"^-+|-+$", "")
+
+
+# Shared document-quality rater signals (rater_agreement_kappa /
+# mcnemar_rater_bias / isotonic_quality_calibration). Hoisted after the
+# session-2 review found three byte-identical private copies — the same
+# lockstep-by-convention failure class the r10 review fixed for
+# quantized_d2. The thresholds are corpus-probed (balanced marginals at
+# all three scales; see the kappa gate's docstring).
+RATER_MWL_MILLI_THRESHOLD = 4500
+RATER_TTR_PPM_THRESHOLD = 450000
+
+
+def rater_raw_cols(text: Column | str = "text") -> list[Column]:
+    """The three exact-integer columns every rater-family gate derives
+    from: _sl = 1000·Σ token lengths, _td = 1e6·distinct-token count,
+    _nt = max(token count, 1). Downstream: mean word length milli =
+    _sl div _nt; type-token ratio ppm = _td div _nt (integer div on
+    positive operands — truncation == floor == DuckDB //)."""
+    toks = tokenize(text)
+    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    ).cast("long")
+    return [
+        (1000 * sum_len).alias("_sl"),
+        (1000000 * F.size(F.array_distinct(toks)).cast("long")).alias("_td"),
+        n_tok.alias("_nt"),
+    ]

@@ -1898,6 +1898,21 @@ def test_levenshtein_builtin_matches_wagner_fischer(spark):
     for r in sdf.collect():
         assert r["lev"] == wf(r["a"], r["b"]), (r["a"], r["b"])
 
+    # the reason the gate carries its ASCII guard (session-2 review):
+    # DuckDB's levenshtein counts BYTES, Spark's counts CODEPOINTS — they
+    # DIVERGE on multibyte text, so the verify domain must exclude it. If
+    # a future DuckDB build makes this codepoint-based, this pin fails
+    # and the guard can be reconsidered.
+    duck_mb = con.execute(
+        "SELECT levenshtein('中文字', '中字')"
+    ).fetchone()[0]
+    assert duck_mb == 3  # bytes (UTF-8, 3 bytes/char deleted)
+    spark_mb = spark.createDataFrame(
+        [("中文字", "中字")], "a STRING, b STRING"
+    ).select(F.levenshtein("a", "b").alias("lev")).collect()[0]["lev"]
+    assert spark_mb == 1  # codepoints
+    assert duck_mb != spark_mb
+
 
 def test_modularity_cleared_form_matches_fraction_definition():
     """Second opinion for community_modularity_report: the cleared
@@ -2508,3 +2523,31 @@ def test_runs_test_cleared_z_matches_textbook_and_groupby_runs():
         var = p2 * (p2 - n) / (n * n * (n - 1))
         want = (r_lag - mu) / math.sqrt(var)
         assert abs(got - want) < 1e-9, seed
+
+
+def test_kw_product_fold_neutral_element_survives_single_group():
+    """Session-2 review fix pin for kruskal_wallis_langs: the oracle's
+    product fold appends a neutral 1 so a single-group corpus (empty
+    other-groups list) yields product 1 instead of DuckDB's
+    'list_reduce on empty input' error — matching Spark's aggregate
+    init. Both the neutral identity and the crash-without-it are
+    pinned."""
+    import duckdb
+    import pytest as _pytest
+
+    con = duckdb.connect()
+    ok = con.execute(
+        "SELECT list_reduce(list_append(CAST([] AS HUGEINT[]), "
+        "CAST(1 AS HUGEINT)), (a, b) -> a * b)"
+    ).fetchone()[0]
+    assert ok == 1
+    with _pytest.raises(Exception, match="empty"):
+        con.execute(
+            "SELECT list_reduce(CAST([] AS HUGEINT[]), (a, b) -> a * b)"
+        ).fetchone()
+    # and the neutral never changes a non-empty product
+    full = con.execute(
+        "SELECT list_reduce(list_append(CAST([3, 5] AS HUGEINT[]), "
+        "CAST(1 AS HUGEINT)), (a, b) -> a * b)"
+    ).fetchone()[0]
+    assert full == 15
