@@ -2551,3 +2551,169 @@ def test_kw_product_fold_neutral_element_survives_single_group():
         "CAST(1 AS HUGEINT)), (a, b) -> a * b)"
     ).fetchone()[0]
     assert full == 15
+
+
+def test_sprt_integer_llr_matches_float_walk_and_wald_semantics():
+    """Second opinion for events_sprt_audit: the integer micro-nat
+    cumulative LLR must track the float per-definition walk within the
+    rounding budget (2 increments/day, each off by < 0.5 micro), the
+    boundary semantics must be Wald's (first crossing is absorbing in
+    the reported decision day), and a run generated AT p1 must drift
+    up while a run AT p0 drifts down (in expectation, checked on a
+    long horizon)."""
+    import math
+    import random
+
+    from pdf_brain_spark.queries import (
+        _SPRT_A_MICRO,
+        _SPRT_B_MICRO,
+        _SPRT_P0,
+        _SPRT_P1,
+    )
+
+    a_f = math.log(_SPRT_P1 / _SPRT_P0)
+    b_f = math.log((1 - _SPRT_P1) / (1 - _SPRT_P0))
+    for seed, p_true in ((44, _SPRT_P0), (45, _SPRT_P1)):
+        rng = random.Random(seed)
+        days = [
+            (n := rng.randint(50, 400), sum(
+                1 for _ in range(n) if rng.random() < p_true
+            ))
+            for _ in range(400)
+        ]
+        cum_i, cum_f, total = 0, 0.0, 0
+        for n, n1 in days:
+            cum_i += n1 * _SPRT_A_MICRO + (n - n1) * _SPRT_B_MICRO
+            cum_f += n1 * a_f + (n - n1) * b_f
+            total += n
+            assert abs(cum_i / 1e6 - cum_f) <= total * 5e-7 + 1e-9
+        if p_true == _SPRT_P1:
+            assert cum_i > 0
+        else:
+            assert cum_i < 0
+
+
+def test_holm_cumulative_min_matches_literal_stepdown_loop():
+    """Second opinion for multiple_testing_holm: the cumulative-min
+    window formulation must equal a literal Holm step-down loop on
+    random z vectors, and z-scale ordering must equal p-scale ordering
+    (two-sided p is strictly decreasing in |z|)."""
+    import random
+    import statistics
+
+    from pdf_brain_spark.queries import _HOLM_ALPHA, _HOLM_M, _HOLM_Z
+
+    nd = statistics.NormalDist()
+    for seed in (48, 92):
+        rng = random.Random(seed)
+        zs = [rng.uniform(-4, 4) for _ in range(_HOLM_M)]
+        order = sorted(range(_HOLM_M), key=lambda i: -abs(zs[i]))
+        # literal step-down on p values
+        rejected_loop = [False] * _HOLM_M
+        for rank, i in enumerate(order, start=1):
+            p = 2 * (1 - nd.cdf(abs(zs[i])))
+            if p <= _HOLM_ALPHA / (_HOLM_M - rank + 1):
+                rejected_loop[i] = True
+            else:
+                break
+        # gate formulation: threshold compare + cumulative AND
+        raw = [
+            abs(zs[i]) >= _HOLM_Z[rank - 1]
+            for rank, i in enumerate(order, start=1)
+        ]
+        cum = []
+        acc = True
+        for r in raw:
+            acc = acc and r
+            cum.append(acc)
+        rejected_gate = [False] * _HOLM_M
+        for rank, i in enumerate(order, start=1):
+            rejected_gate[i] = cum[rank - 1]
+        assert rejected_gate == rejected_loop, seed
+        # p-ordering == |z|-ordering
+        ps = [2 * (1 - nd.cdf(abs(z))) for z in zs]
+        assert sorted(range(_HOLM_M), key=lambda i: ps[i]) == sorted(
+            range(_HOLM_M), key=lambda i: -abs(zs[i])
+        )
+
+
+def test_chow_cleared_rss_matches_residual_loop_and_f_mirror():
+    """Second opinion for chow_test_revenue_break: the cleared-moment
+    RSS (Syy_c*Sxx_c - Sxy_c^2)/(n*Sxx_c) must equal a literal
+    least-squares residual loop in exact Fractions, and the F statistic
+    must match a float per-definition mirror."""
+    import random
+    from fractions import Fraction
+
+    def rss_cleared(pts):
+        n = len(pts)
+        sx = sum(t for t, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(t * t for t, _ in pts)
+        sxy = sum(t * y for t, y in pts)
+        syy = sum(y * y for _, y in pts)
+        sxx_c = n * sxx - sx * sx
+        sxy_c = n * sxy - sx * sy
+        syy_c = n * syy - sy * sy
+        if sxx_c == 0:
+            return None
+        return Fraction(syy_c * sxx_c - sxy_c * sxy_c, n * sxx_c)
+
+    def rss_loop(pts):
+        n = len(pts)
+        sx = Fraction(sum(t for t, _ in pts))
+        sy = Fraction(sum(y for _, y in pts))
+        sxx_c = n * sum(t * t for t, _ in pts) - sx * sx
+        if sxx_c == 0:
+            return None
+        beta = Fraction(
+            n * sum(t * y for t, y in pts) - sx * sy, sxx_c
+        )
+        alpha = (sy - beta * sx) / n
+        return sum((y - alpha - beta * t) ** 2 for t, y in pts)
+
+    for seed in (52, 96):
+        rng = random.Random(seed)
+        n = rng.randint(8, 40)
+        pts = [(t, rng.randint(0, 500)) for t in range(n)]
+        assert rss_cleared(pts) == rss_loop(pts), seed
+        m = n // 2
+        r1, r2, rp = (
+            rss_cleared(pts[:m]),
+            rss_cleared(pts[m:]),
+            rss_cleared(pts),
+        )
+        # note: segment 2's t values keep their global offset; an OLS
+        # line is translation-invariant in x, so RSS is unchanged
+        if None in (r1, r2, rp) or r1 + r2 == 0 or n <= 4:
+            continue
+        got = (float(rp - r1 - r2) / 2) / (float(r1 + r2) / (n - 4))
+        want = ((float(rp) - float(r1) - float(r2)) / 2) / (
+            (float(r1) + float(r2)) / (n - 4)
+        )
+        assert abs(got - want) < 1e-9, seed
+        assert rp >= r1 + r2 - Fraction(1, 10**12)  # pooling can't fit better
+
+
+def test_interleave_prefix_balance_and_bijectivity():
+    """Second opinion for training_order_interleave: position =
+    (intra_rank-1)*n_sources + sidx is a bijection into 0..N-1 when all
+    sources are equal-sized, and ANY prefix of length k*n_sources
+    contains exactly k docs per source (the balance invariant)."""
+    import random
+
+    for seed in (56, 98):
+        rng = random.Random(seed)
+        n_sources = rng.randint(2, 8)
+        per = rng.randint(3, 12)
+        positions = {}
+        for sidx in range(n_sources):
+            for rank in range(1, per + 1):
+                pos = (rank - 1) * n_sources + sidx
+                assert pos not in positions
+                positions[pos] = sidx
+        assert sorted(positions) == list(range(n_sources * per))
+        for k in range(1, per + 1):
+            prefix = [positions[p] for p in range(k * n_sources)]
+            for sidx in range(n_sources):
+                assert prefix.count(sidx) == k, (seed, k, sidx)
