@@ -2717,3 +2717,98 @@ def test_interleave_prefix_balance_and_bijectivity():
             prefix = [positions[p] for p in range(k * n_sources)]
             for sidx in range(n_sources):
                 assert prefix.count(sidx) == k, (seed, k, sidx)
+
+
+def test_lift_curve_identities_on_random_labels():
+    """Second opinion for quality_lift_curve: on random (score, label)
+    data the cleared-form lift must satisfy lift == (cum_pos/cum_docs)
+    / (P/N) within truncation, recall must be non-decreasing along the
+    sweep, full-depth precision must equal the base rate exactly, and
+    full-depth lift must be exactly 1000 milli."""
+    import random
+    from fractions import Fraction
+
+    for seed in (58, 93):
+        rng = random.Random(seed)
+        rows = [
+            (rng.randint(3000, 7000), rng.random() < 0.4)
+            for _ in range(rng.randint(20, 300))
+        ]
+        n = len(rows)
+        p = sum(1 for _, lab in rows if lab)
+        if p == 0:
+            continue
+        values = sorted({s for s, _ in rows}, reverse=True)
+        cum_d = cum_p = 0
+        prev_recall = -1
+        for v in values:
+            cum_d += sum(1 for s, _ in rows if s == v)
+            cum_p += sum(1 for s, lab in rows if s == v and lab)
+            lift = (1000 * cum_p * n) // (cum_d * p)
+            exact = Fraction(cum_p, cum_d) / Fraction(p, n)
+            assert lift == (1000 * exact.numerator) // exact.denominator
+            recall = (1_000_000 * cum_p) // p
+            assert recall >= prev_recall
+            prev_recall = recall
+        assert cum_d == n and cum_p == p
+        assert (1_000_000 * cum_p) // cum_d == (1_000_000 * p) // n
+        assert (1000 * cum_p * n) // (cum_d * p) == 1000
+
+
+def test_resnik_lin_pipeline_matches_float_definition():
+    """Second opinion for taxonomy_resnik_lin: on the dense binary tree
+    1..64, the micro-nat pipeline (pre-rounded ln per node, IC = L(N) -
+    L(subtree), Resnik = IC(lca), Lin by milli division) must match the
+    float per-definition mirror within the rounding budget; IC must be
+    non-increasing along ancestor chains; Lin must sit in [0, 1000]
+    with Lin == 1000 iff... never for distinct a < b (their LCA is a
+    strict ancestor of at least one, so IC(lca) < max(IC))."""
+    import math
+    import random
+
+    nodes = list(range(1, 65))
+
+    def subtree(c):
+        out, frontier = 0, [c]
+        while frontier:
+            x = frontier.pop()
+            if x <= 64:
+                out += 1
+                frontier += [2 * x, 2 * x + 1]
+        return out
+
+    sizes = {c: subtree(c) for c in nodes}
+    n = len(nodes)
+    lm = lambda x: round(math.log(x) * 1_000_000)
+    ic = {c: lm(n) - lm(sizes[c]) for c in nodes}
+
+    def lca(a, b):
+        while a != b:
+            if a > b:
+                a //= 2
+            else:
+                b //= 2
+        return a
+
+    rng = random.Random(62)
+    for _ in range(300):
+        a, b = rng.randint(2, 64), rng.randint(2, 64)
+        if a == b:
+            continue
+        l = lca(a, b)
+        resnik = ic[l]
+        want_resnik = math.log(n / sizes[l])
+        assert abs(resnik / 1e6 - want_resnik) < 2e-6
+        den = ic[a] + ic[b]
+        assert den > 0
+        lin = 2000 * resnik // den
+        want_lin = 2 * want_resnik / (
+            math.log(n / sizes[a]) + math.log(n / sizes[b])
+        )
+        assert abs(lin / 1000 - want_lin) < 1e-3 + 1e-9, (a, b)
+        assert 0 <= lin < 2000
+        # IC non-increasing toward the root
+        x = a
+        while x > 1:
+            assert ic[x] >= ic[x // 2]
+            x //= 2
