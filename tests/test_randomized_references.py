@@ -2812,3 +2812,38 @@ def test_resnik_lin_pipeline_matches_float_definition():
         while x > 1:
             assert ic[x] >= ic[x // 2]
             x //= 2
+
+
+def test_little_law_sweep_area_equals_duration_sum():
+    """Second opinion for sessions_little_law_audit: on random interval
+    sets (nested, disjoint, tied-boundary, zero-length), the sweep-line
+    area under the concurrency step function must equal the summed
+    durations EXACTLY (the finite-window Little identity), with deltas
+    pre-aggregated per instant; and L = area/span must sit in
+    [0, max concurrency]."""
+    import random
+
+    for seed in (64, 97):
+        rng = random.Random(seed)
+        ivs = []
+        for _ in range(rng.randint(1, 60)):
+            s = rng.randint(0, 1000)
+            ivs.append((s, s + rng.randint(0, 200)))  # may be zero-length
+        deltas = {}
+        for s, e in ivs:
+            deltas[s] = deltas.get(s, 0) + 1
+            deltas[e] = deltas.get(e, 0) - 1
+        pts = sorted(deltas)
+        run = area = 0
+        peak = 0
+        for i, t in enumerate(pts):
+            run += deltas[t]
+            peak = max(peak, run)
+            if i + 1 < len(pts):
+                area += run * (pts[i + 1] - t)
+        want = sum(e - s for s, e in ivs)
+        assert area == want, seed
+        span = max(e for _, e in ivs) - min(s for s, _ in ivs)
+        if span > 0:
+            l_micro = 1_000_000 * area // span
+            assert 0 <= l_micro <= peak * 1_000_000

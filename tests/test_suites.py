@@ -44,15 +44,15 @@ def test_registry_pinned_counts():
     is caught by a count audit, the way the r10 near-miss was. Update
     these three numbers deliberately, in the same commit that changes
     the registry — a drive-by drift here is the bug this test exists
-    to catch. r11 state: 231 driver-facing gates (all oracled; 194 at
-    the rotation + 10 round-11 additions + 27 late additions for the
-    r13 queue), 137 suite-consolidated members across 24 suites = 368
+    to catch. r11 state: 232 driver-facing gates (all oracled; 194 at
+    the rotation + 10 round-11 additions + 28 late additions for the
+    r13 queue), 137 suite-consolidated members across 24 suites = 369
     named surfaces."""
     from pdf_brain_spark.queries import CONSOLIDATED, ORACLES, QUERIES
     from pdf_brain_spark.suites import SUITE_PLAN
 
-    assert len(QUERIES) == 231
-    assert len(ORACLES) == 231
+    assert len(QUERIES) == 232
+    assert len(ORACLES) == 232
     assert len(CONSOLIDATED) == 137
     assert len(SUITE_PLAN) == 24
 
