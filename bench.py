@@ -250,42 +250,43 @@ def main() -> None:
     timings = {n: round(min(s), 3) for n, s in samples.items()}
     medians = {n: round(sorted(s)[len(s) // 2], 3) for n, s in samples.items()}
     total = sum(timings.values())
+
+    # Specialized batch keys: every sub-second key is min-of-3 inside its
+    # helper and contributes its sample array here, so queries_median /
+    # queries_samples cover ALL headline keys (VERDICT r11 item 3 — the
+    # r11 freeze's ann_ivf_batch256_clustered 1.40x "regression" was one
+    # single-sample AQE/JIT blip; freeze-to-freeze comparisons use the
+    # medians). neardup_ann_32k stays single-shot (heavy key, >=1.5 s).
+    def _bill(key: str, value: float, key_samples: list | None) -> None:
+        nonlocal total
+        timings[key] = value
+        s = key_samples if key_samples else [value]
+        samples[key] = [round(float(x), 3) for x in s]
+        medians[key] = round(sorted(samples[key])[len(samples[key]) // 2], 3)
+        total += value
+        spark.catalog.clearCache()
+
     batch = batch_amortization(spark)
-    timings["similarity_join_batch256"] = batch["total_sec"]
-    total += batch["total_sec"]
-    spark.catalog.clearCache()
+    _bill("similarity_join_batch256", batch["total_sec"], batch.get("samples_sec"))
     ivf = ivf_batch(spark)
-    timings["ann_ivf_batch256"] = ivf["total_sec"]
-    total += ivf["total_sec"]
-    spark.catalog.clearCache()
+    _bill("ann_ivf_batch256", ivf["total_sec"], ivf.get("samples_sec"))
     ivf_clustered = ivf_batch_clustered(spark)
-    timings["ann_ivf_batch256_clustered"] = ivf_clustered["total_sec"]
-    total += ivf_clustered["total_sec"]
-    spark.catalog.clearCache()
+    _bill("ann_ivf_batch256_clustered", ivf_clustered["total_sec"],
+          ivf_clustered.get("samples_sec"))
     neardup = neardup_ann_vs_exact(spark)
-    timings["neardup_ann_32k"] = neardup["ann_candidates_sec"]
-    total += neardup["ann_candidates_sec"]
-    spark.catalog.clearCache()
+    _bill("neardup_ann_32k", neardup["ann_candidates_sec"], None)
     pq = pq_adc_batch(spark)
-    timings["pq_adc_batch256_32k"] = pq["adc_total_sec"]
-    total += pq["adc_total_sec"]
-    spark.catalog.clearCache()
+    _bill("pq_adc_batch256_32k", pq["adc_total_sec"], pq.get("samples_sec"))
     ivfpq = ivfpq_batch(spark)
-    timings["ivfpq_adc_batch256_32k"] = ivfpq["probed_total_sec"]
-    total += ivfpq["probed_total_sec"]
-    spark.catalog.clearCache()
+    _bill("ivfpq_adc_batch256_32k", ivfpq["probed_total_sec"],
+          ivfpq.get("samples_sec"))
     inc_lsh = incremental_lsh_vs_batch(spark)
-    timings["lsh_incremental_32kx384"] = inc_lsh["incremental_sec"]
-    total += inc_lsh["incremental_sec"]
-    spark.catalog.clearCache()
+    _bill("lsh_incremental_32kx384", inc_lsh["incremental_sec"],
+          inc_lsh.get("incremental_samples_sec"))
     mmr = mmr_batch_amortization(spark)
-    timings["mmr_batch64"] = mmr["batch64_sec"]
-    total += mmr["batch64_sec"]
-    spark.catalog.clearCache()
+    _bill("mmr_batch64", mmr["batch64_sec"], mmr.get("samples_sec"))
     bsq = bsq_hamming_batch(spark)
-    timings["bsq_hamming_batch256"] = bsq["total_sec"]
-    total += bsq["total_sec"]
-    spark.catalog.clearCache()
+    _bill("bsq_hamming_batch256", bsq["total_sec"], bsq.get("samples_sec"))
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -372,12 +373,17 @@ def mmr_batch_amortization(spark, n_queries: int = 64, k: int = 10, n_candidates
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    t1 = time.perf_counter()
-    mmr_rerank_batch(emb, queries, k=k, n_candidates=n_candidates).count()
-    batch = time.perf_counter() - t1
+    # min-of-3 + samples (VERDICT r11 item 3)
+    dts = []
+    for _ in range(3):
+        t1 = time.perf_counter()
+        mmr_rerank_batch(emb, queries, k=k, n_candidates=n_candidates).count()
+        dts.append(round(time.perf_counter() - t1, 3))
+    batch = min(dts)
     return {
         "single_query_sec": round(single, 3),
         "batch64_sec": round(batch, 3),
+        "samples_sec": dts,
         "ms_per_query_single": round(1000.0 * single, 3),
         "ms_per_query_batch64": round(1000.0 * batch / n_queries, 3),
         "amortization_x": round(single * n_queries / batch, 2) if batch else None,
@@ -400,9 +406,15 @@ def batch_amortization(spark, n_queries: int = 256, k: int = 10) -> dict:
         emb.filter(F.col("vec_id") < n_queries)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     )
-    t0 = time.perf_counter()
-    n_rows = similarity_join_topk(queries, emb, k=k).count()
-    dt = time.perf_counter() - t0
+    # min-of-3 + samples (VERDICT r11 item 3: sub-second keys freeze-compare
+    # on medians, so one AQE/JIT blip can't read as a phantom regression)
+    dts = []
+    n_rows = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n_rows = similarity_join_topk(queries, emb, k=k).count()
+        dts.append(round(time.perf_counter() - t0, 3))
+    dt = min(dts)
     # mirror the baseline's per-k table (BASELINE.md: avg latency at
     # k ∈ {5,10,20,50}) with amortized batch cost at the same ks
     k_sweep = {}
@@ -436,6 +448,7 @@ def batch_amortization(spark, n_queries: int = 256, k: int = 10) -> dict:
         "k": k,
         "result_rows": n_rows,
         "total_sec": round(dt, 3),
+        "samples_sec": dts,
         "ms_per_query": round(1000.0 * dt / n_queries, 3),
         "ms_per_query_by_k": k_sweep,
         "baseline_single_query_ms_by_k": {"5": 19.71, "10": 17.09, "20": 16.99, "50": 17.2},
@@ -714,15 +727,21 @@ def pq_adc_batch(spark, n: int = 32768, dim: int = 64, n_queries: int = 256, k: 
     codes = pq_encode(emb, books).localCheckpoint(eager=True)
 
     t_adc, t_rerank, t_exact = float("inf"), float("inf"), float("inf")
+    adc_samples: list = []
     approx_set: set = set()
     rerank_set: set = set()
     exact_set: set = set()
-    for _ in range(2):
+    # headline key (adc) min-of-3 with samples (VERDICT r11 item 3);
+    # rerank/exact comparison paths stay min-of-2 inside the same loop
+    for i in range(3):
         t0 = time.perf_counter()
         approx = pq_topk_adc_batch(codes, books, queries, k=k).select(
             "query_id", "vec_id"
         ).collect()
-        t_adc = min(t_adc, time.perf_counter() - t0)
+        adc_samples.append(round(time.perf_counter() - t0, 3))
+        t_adc = min(t_adc, adc_samples[-1])
+        if i == 2:
+            break
         t1 = time.perf_counter()
         reranked = pq_topk_adc_rerank(codes, books, queries, emb, k=k).select(
             "query_id", "vec_id"
@@ -743,6 +762,7 @@ def pq_adc_batch(spark, n: int = 32768, dim: int = 64, n_queries: int = 256, k: 
         "m_subspaces": 8,
         "compression_x": round(dim * 4.0 / 8, 1),
         "adc_total_sec": round(t_adc, 3),
+        "samples_sec": adc_samples,
         "adc_ms_per_query": round(1000.0 * t_adc / n_queries, 3),
         "recall_adc_only": round(len(approx_set & exact_set) / max(len(exact_set), 1), 4),
         "rerank_total_sec": round(t_rerank, 3),
@@ -884,14 +904,21 @@ def ivfpq_batch(spark, n: int = 32768, dim: int = 64, n_queries: int = 256, k: i
     indexed = indexed.localCheckpoint(eager=True)
 
     t_probed, t_flat = float("inf"), float("inf")
+    probed_samples: list = []
     probed_set: set = set()
     flat_set: set = set()
-    for _ in range(2):
+    # headline key (probed) min-of-3 with samples (VERDICT r11 item 3);
+    # the flat-ADC comparison path stays min-of-2 inside the same loop
+    for i in range(3):
         t0 = time.perf_counter()
         probed = ivfpq_topk_adc_batch(
             indexed, centroids, books, queries, k=k, n_probes=4
         ).select("query_id", "vec_id").collect()
-        t_probed = min(t_probed, time.perf_counter() - t0)
+        probed_samples.append(round(time.perf_counter() - t0, 3))
+        t_probed = min(t_probed, probed_samples[-1])
+        if i == 2:
+            probed_set = {(r.query_id, r.vec_id) for r in probed}
+            break
         t1 = time.perf_counter()
         flat = pq_topk_adc_batch(indexed.drop("list_id"), books, queries, k=k).select(
             "query_id", "vec_id"
@@ -906,6 +933,7 @@ def ivfpq_batch(spark, n: int = 32768, dim: int = 64, n_queries: int = 256, k: i
         "n_lists": 16,
         "n_probes": 4,
         "probed_total_sec": round(t_probed, 3),
+        "samples_sec": probed_samples,
         "probed_ms_per_query": round(1000.0 * t_probed / n_queries, 3),
         "flat_adc_total_sec": round(t_flat, 3),
         "recall_vs_adc": round(len(probed_set & flat_set) / max(len(flat_set), 1), 4),

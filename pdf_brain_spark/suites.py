@@ -80,9 +80,12 @@ SUITE_PLAN: dict[str, list[str]] = {
         "fk_integrity_audit", "sql_interface_topk",
         "events_unpivot_metrics", "data_quality_expectations",
     ],
-    # rank / nonparametric statistics
+    # rank / nonparametric statistics (mann_whitney_u moved to
+    # suite_nonparametric_tests at r12 per the pre-specified
+    # COVERAGE.md consolidation plan — the rank-test family lives
+    # together so a shared-device regression fails one suite by name)
     "suite_rank_stats": [
-        "ks_two_sample", "mann_whitney_u", "chi_square_independence",
+        "ks_two_sample", "chi_square_independence",
         "quality_signal_auc", "benford_digit_audit", "events_ab_test",
     ],
     # robust / inferential statistics
@@ -202,6 +205,32 @@ SUITE_PLAN: dict[str, list[str]] = {
         "weighted_reservoir_sample", "coverage_maximizing_sample",
         "stratified_sample_per_source", "domain_mixture_sample",
         "curriculum_ordering",
+    ],
+    # r12 consolidation (VERDICT r11 item 1; pre-specified in
+    # COVERAGE.md): the seven rank/sign statistics sharing the
+    # doubled-mid-rank value-histogram + cleared-variance devices —
+    # one suite row re-verifies the whole family every round
+    "suite_nonparametric_tests": [
+        "spearman_hourly_rho", "mann_kendall_trend", "kendall_tau_hourly",
+        "wilcoxon_signed_rank", "kruskal_wallis_langs", "runs_test_daily",
+        "mann_whitney_u",
+    ],
+    # r12 consolidation: the four structure-quality evals over the
+    # pinned deterministic fits/samples
+    "suite_cluster_quality": [
+        "silhouette_squared_report", "cluster_validity_indices",
+        "community_modularity_report", "ann_hubness_report",
+    ],
+    # r12 consolidation (extends the pre-specified plan to drain the
+    # r13 queue): the inference/reliability audit family — rater
+    # agreement + marginal bias on the SAME rater pair, composite
+    # reliability, sequential/multiple testing, structural break, and
+    # the grouped-jackknife influence SE
+    "suite_inferential_audits": [
+        "rater_agreement_kappa", "mcnemar_rater_bias",
+        "reliability_cronbach_alpha", "events_sprt_audit",
+        "multiple_testing_holm", "chow_test_revenue_break",
+        "jackknife_source_influence",
     ],
 }
 

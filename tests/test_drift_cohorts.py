@@ -32,15 +32,19 @@ def test_cohort_ltv_planted(spark):
     )
     import pdf_brain_spark.queries as q
 
-    orig = q.load_table
+    # patch the loader in the gate's OWN module globals (post-split,
+    # gates live in pdf_brain_spark/gates/* — patching the queries
+    # facade would no longer reach the gate's load_table binding)
+    fn = q.lookup_query("cohort_ltv_curves")
+    orig = fn.__globals__["load_table"]
     try:
-        q.load_table = lambda s, name, d: df
+        fn.__globals__["load_table"] = lambda s, name, d: df
         out = {
             (r["cohort_idx"], r["age_month"]): r
-            for r in q.lookup_query("cohort_ltv_curves")(spark, SF_DIR).collect()
+            for r in fn(spark, SF_DIR).collect()
         }
     finally:
-        q.load_table = orig
+        fn.__globals__["load_table"] = orig
     c24_1 = 2024 * 12 + 1
     c24_2 = 2024 * 12 + 2
     assert out[(c24_1, 0)]["cum_cents"] == 4000 and out[(c24_1, 0)]["customers"] == 2

@@ -44,17 +44,17 @@ def test_registry_pinned_counts():
     is caught by a count audit, the way the r10 near-miss was. Update
     these three numbers deliberately, in the same commit that changes
     the registry — a drive-by drift here is the bug this test exists
-    to catch. r11 state: 232 driver-facing gates (all oracled; 194 at
-    the rotation + 10 round-11 additions + 28 late additions for the
-    r13 queue), 137 suite-consolidated members across 24 suites = 369
-    named surfaces."""
+    to catch. r12 state: 218 driver-facing gates (all oracled; r11's
+    232 minus the 17 members the three r12 consolidation suites
+    absorbed, plus those 3 suite gates), 154 suite-consolidated
+    members across 27 suites = 372 named surfaces."""
     from pdf_brain_spark.queries import CONSOLIDATED, ORACLES, QUERIES
     from pdf_brain_spark.suites import SUITE_PLAN
 
-    assert len(QUERIES) == 232
-    assert len(ORACLES) == 232
-    assert len(CONSOLIDATED) == 137
-    assert len(SUITE_PLAN) == 24
+    assert len(QUERIES) == 218
+    assert len(ORACLES) == 218
+    assert len(CONSOLIDATED) == 154
+    assert len(SUITE_PLAN) == 27
 
 
 def test_lookup_query_unknown_name_raises():

@@ -635,3 +635,86 @@ def test_holt_linear_matches_python_recursion(spark):
             b = b + ((nl - l - b) >> 2)
             l = nl
         assert got[key] == (len(xs), l, b), key
+
+
+def test_little_law_stitched_sweep_equals_global(spark):
+    """The partition-and-stitch sweep (sessions_little_law_audit's
+    per-UTC-day prefix sum + day-grain carry + successor-first-instant
+    width stitch) is row-identical to the textbook single global
+    window, on a constructed interval set that exercises every stitch
+    hazard: intervals crossing day boundaries, instants ON a midnight
+    boundary, zero-length intervals, tied endpoints across users, and
+    a day with no boundary instants at all (gap day). This is the
+    intra-Spark half of the proof; the cross-engine half is the gate's
+    DuckDB oracle, which keeps the global-window form."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    DAY = 86_400_000_000
+    rng = random.Random(12)
+    iv = []
+    for _ in range(300):
+        s = rng.randrange(0, 5 * DAY)
+        if rng.random() < 0.1:
+            e = s  # zero-length
+        elif rng.random() < 0.3:
+            e = s + rng.randrange(1, 3 * DAY)  # crosses days
+        else:
+            e = s + rng.randrange(0, 2 * 10**6)
+        iv.append((s, e))
+    iv += [(DAY, DAY + 5), (2 * DAY - 1, 2 * DAY), (0, 0), (DAY, DAY)]
+    # gap day: nothing lands in day 6, but day 7 has instants
+    iv += [(7 * DAY + 3, 7 * DAY + 9)]
+    df = spark.createDataFrame(iv, "s long, e long")
+    deltas = (
+        df.select(F.col("s").alias("ts"), F.lit(1).alias("d"))
+        .unionAll(df.select(F.col("e").alias("ts"), F.lit(-1).alias("d")))
+        .groupBy("ts")
+        .agg(F.sum("d").cast("long").alias("delta"))
+        .withColumn("day", F.expr("ts div 86400000000"))
+    )
+    # global-window textbook form
+    wg = Window.orderBy("ts")
+    glob = deltas.select(
+        "ts",
+        F.sum("delta")
+        .over(wg.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("run"),
+        F.lead("ts").over(wg).alias("nxt"),
+    )
+    # partition-and-stitch form (the gate's shape)
+    wd = Window.partitionBy("day").orderBy("ts")
+    intra = deltas.select(
+        "day", "ts",
+        F.sum("delta")
+        .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long").alias("cum_day"),
+        F.lead("ts").over(wd).alias("nxt_day"),
+    )
+    wdays = Window.orderBy("day")
+    stitch = (
+        deltas.groupBy("day")
+        .agg(F.sum("delta").cast("long").alias("day_sum"),
+             F.min("ts").alias("first_ts"))
+        .select(
+            "day",
+            F.coalesce(
+                F.sum("day_sum").over(
+                    wdays.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long").alias("carry"),
+            F.lead("first_ts").over(wdays).alias("next_day_first_ts"),
+        )
+    )
+    stitched = intra.join(F.broadcast(stitch), "day").select(
+        "ts",
+        (F.col("carry") + F.col("cum_day")).alias("run"),
+        F.coalesce(F.col("nxt_day"), F.col("next_day_first_ts")).alias("nxt"),
+    )
+    a = sorted(map(tuple, glob.collect()))
+    b = sorted(map(tuple, stitched.collect()))
+    assert a == b and len(a) > 500
