@@ -704,11 +704,13 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats: at each distinct cent value, |cdf_a − cdf_b| is the integer
     |cumA·nB − cumB·nA| over the common denominator nA·nB, so the argmax
     and the ppm-quantized D are engine-exact. Plan: one value-grain
-    count shuffle, then a single-partition cumulative window over the
-    DISTINCT-VALUE axis (bounded by the cent domain, never the event
-    stream — at 100 TB, pre-bucket the axis if the domain is unbounded),
-    and a 1-row TakeOrdered."""
-    from pyspark.sql import Window
+    count shuffle, then the STITCHED two-level scan over the
+    DISTINCT-VALUE axis (operators/stitched.py, r12 — intra-bucket
+    windows are distributed; only the domain/4096 bucket-carry frame is
+    single-partition, guarded by name), and a 1-row TakeOrdered. The
+    DuckDB oracle keeps the textbook global-window CDF, so the stitched
+    scan is re-proven equal to it at every scale, every round."""
+    from pdf_brain_spark.operators.stitched import stitched_prefix_sums
 
     ev = load_table(spark, "events", sf_dir).filter(
         F.col("event_type").isin("click", "purchase")
@@ -718,19 +720,14 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("cb"),
-    ).localCheckpoint(eager=True)  # totals + cumulative window reuse it
+    ).localCheckpoint(eager=True)  # totals + cumulative scan reuse it
     tot = s.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    cum = s.select(
+    cum = stitched_prefix_sums(
+        s, "cents", ["ca", "cb"], what="KS distinct-cents axis"
+    ).select(
         "cents",
-        bounded_axis(
-            F.sum("ca").over(w),
-            ["cents"],
-            "KS distinct-cents axis",
-            safe_alternative="coarsen the value grain (dollar buckets) or use "
-            "an approxQuantile-gridded D statistic",
-        ).alias("cca"),
-        F.sum("cb").over(w).alias("ccb"),
+        F.col("ca_cum").alias("cca"),
+        F.col("cb_cum").alias("ccb"),
     )
     gap = F.abs(F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na"))
     return (
@@ -785,26 +782,30 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     (u2_*) stay integers; the normal-approximation z (no tie
     correction, documented) is the one float, rounded to 6dp from exact
     integer moments. Identity u2_even + u2_odd = 2·nA·nB holds by
-    construction. Plan: one value-grain count shuffle + a bounded
-    distinct-value window + two 1-row aggregates."""
-    from pyspark.sql import Window
+    construction. Plan: one value-grain count shuffle + the STITCHED
+    two-level scan over the distinct-value axis (operators/stitched.py,
+    r12 — the exclusive mid-rank prefix is the inclusive scan minus the
+    current row; only the domain/4096 bucket-carry frame stays
+    single-partition, guarded by name) + two 1-row aggregates. The
+    DuckDB oracle keeps the textbook global-window form, so the
+    stitched scan is re-proven equal to it at every scale, every
+    round."""
+    from pdf_brain_spark.operators.stitched import stitched_prefix_sums
 
     docs = load_table(spark, "documents", sf_dir)
     s = docs.groupBy(F.col("n_chars").alias("v")).agg(
         F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("cb"),
-    ).localCheckpoint(eager=True)  # totals + rank window reuse it
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    cum = s.select(
+    ).localCheckpoint(eager=True)  # totals + rank scan reuse it
+    cum = stitched_prefix_sums(
+        s.withColumn("ct", F.col("ca") + F.col("cb")),
+        "v",
+        ["ct"],
+        what="Mann-Whitney distinct-value axis",
+    ).select(
         "ca",
         "cb",
-        bounded_axis(
-            F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0)),
-            ["v"],
-            "Mann-Whitney distinct-value axis",
-            safe_alternative="coarsen the value grain before ranking (the "
-            "midrank identity survives any monotone bucketing)",
-        ).alias("cprev"),
+        (F.col("ct_cum") - F.col("ct")).alias("cprev"),
     )
     tot = s.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     rs = cum.agg(

@@ -1,0 +1,103 @@
+"""Partition-and-stitch prefix sums: the distributed form of
+``sum(x) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)``.
+
+The repo's rank/CDF statistics (Mann-Whitney mid-ranks, KS cumulative
+counts, AUC sweeps, lift curves …) all reduce to running sums over a
+DISTINCT-VALUE histogram axis. The single-file form is one
+``Window.orderBy(v)`` — exact, but single-partition, so every site
+carries a ``bounded_axis`` guard that fails loudly when the value
+domain outgrows one task. This module is the guard's documented
+``safe_alternative`` made reusable (the two-level scan — Blelloch 1990;
+the same shape ``sessions_little_law_audit`` ships for its time axis):
+
+  1. bucket the axis with a monotone integer map (``v div width``);
+  2. intra-bucket running sums in a PARTITIONED window (distributed);
+  3. one bucket-grain frame: each bucket's total, cumulated over
+     buckets (the only remaining single-partition window — its axis is
+     ``domain/width``, guarded by name);
+  4. broadcast-join the carry back and add.
+
+Exactness: integer sums are associative, the bucket map is monotone
+non-decreasing, and rows are unique per axis value, so
+``carry(bucket(v)) + intra(v) == global_prefix(v)`` row for row — no
+approximation anywhere. Proven against the global window on randomized
+histograms (negative axes, bucket-boundary values, single-bucket and
+empty frames) in tests/test_stitched.py, and cross-engine by every
+consuming gate's DuckDB oracle, which keeps the textbook global-window
+SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdf_brain_spark.functions.guards import bounded_axis
+
+DEFAULT_BUCKET_WIDTH = 4096
+
+
+def stitched_prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: list[str],
+    what: str,
+    bucket_width: int = DEFAULT_BUCKET_WIDTH,
+    suffix: str = "_cum",
+) -> DataFrame:
+    """Append INCLUSIVE running sums over the global ``order_col`` order.
+
+    For each ``c`` in ``sum_cols`` adds ``c + suffix`` =
+    ``sum(c) OVER (ORDER BY order_col ROWS UNBOUNDED PRECEDING)``,
+    computed partition-and-stitch. The EXCLUSIVE form every mid-rank
+    identity wants is ``c_cum - c`` — derive it at the call site rather
+    than paying a second window.
+
+    Contract: ``order_col`` is an integer column with AT MOST ONE ROW
+    PER VALUE (a histogram axis — every consuming gate groups by value
+    first; with duplicate axis values a ROWS-framed running sum is
+    tie-order-dependent under EITHER implementation). ``v div width``
+    truncates toward zero, which is still monotone non-decreasing over
+    negatives (bucket 0 just spans ``(-width, width)``) — order, not
+    bucket uniformity, is what exactness needs.
+    """
+    bucket = F.expr(f"{order_col} div {int(bucket_width)}")
+    b = df.withColumn("__bucket", bucket)
+    wi = (
+        Window.partitionBy("__bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = b.select(
+        "*", *[F.sum(c).over(wi).alias(f"__intra_{c}") for c in sum_cols]
+    )
+    wb = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry_guard: Column = bounded_axis(
+        F.coalesce(F.sum(f"__tot_{sum_cols[0]}").over(wb), F.lit(0)),
+        ["__bucket"],
+        f"{what} bucket-carry axis",
+        safe_alternative="widen bucket_width (the carry frame holds "
+        "domain/width rows), or recursively stitch the carry itself",
+    )
+    carry = (
+        b.groupBy("__bucket")
+        .agg(*[F.sum(c).alias(f"__tot_{c}") for c in sum_cols])
+        .select(
+            "__bucket",
+            carry_guard.alias(f"__carry_{sum_cols[0]}"),
+            *[
+                F.coalesce(F.sum(f"__tot_{c}").over(wb), F.lit(0)).alias(
+                    f"__carry_{c}"
+                )
+                for c in sum_cols[1:]
+            ],
+        )
+    )
+    out = intra.join(F.broadcast(carry), "__bucket")
+    proj = [F.col(c) for c in df.columns] + [
+        (F.col(f"__carry_{c}") + F.col(f"__intra_{c}")).alias(c + suffix)
+        for c in sum_cols
+    ]
+    return out.select(*proj)

@@ -1,0 +1,82 @@
+"""stitched_prefix_sums == the global-window running sum, exactly —
+randomized and adversarial-shape proofs for the reusable two-level scan
+(operators/stitched.py), the bounded_axis family's implemented
+safe_alternative."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pdf_brain_spark.operators.stitched import stitched_prefix_sums
+
+
+def _global_form(df, order_col, sum_cols):
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.select(
+        "*", *[F.sum(c).over(w).alias(c + "_cum") for c in sum_cols]
+    )
+
+
+def _assert_equal(spark, rows, bucket_width):
+    df = spark.createDataFrame(rows, "v long, ca long, cb long")
+    got = sorted(
+        map(
+            tuple,
+            stitched_prefix_sums(
+                df, "v", ["ca", "cb"], what="test axis",
+                bucket_width=bucket_width,
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, _global_form(df, "v", ["ca", "cb"]).collect()))
+    assert got == want and len(got) == len(rows)
+
+
+def test_stitched_prefix_sums_randomized_vs_global(spark):
+    """Random histograms across hostile shapes: negative axis values
+    (div truncates toward zero — bucket 0 spans (-w, w), still
+    monotone), values exactly ON bucket boundaries, a single bucket,
+    width 1 (every value its own bucket), and sparse domains with empty
+    buckets between occupied ones."""
+    rng = random.Random(7)
+    for width in (1, 5, 4096):
+        for _ in range(4):
+            n = rng.randrange(1, 120)
+            vs = rng.sample(range(-50_000, 50_000), n)
+            # force boundary hits and the zero straddle
+            vs = list(set(vs + [0, width, -width, 2 * width - 1, -1]))
+            rows = [
+                (v, rng.randrange(0, 9), rng.randrange(0, 9)) for v in vs
+            ]
+            _assert_equal(spark, rows, width)
+
+
+def test_stitched_prefix_sums_single_row_and_single_bucket(spark):
+    _assert_equal(spark, [(42, 3, 1)], 4096)
+    _assert_equal(spark, [(1, 1, 0), (2, 0, 2), (3, 5, 5)], 1_000_000)
+
+
+def test_stitched_exclusive_form_is_cum_minus_current(spark):
+    """The mid-rank device wants the EXCLUSIVE prefix (rows strictly
+    before v); the documented derivation cum - current must equal a
+    1-PRECEDING global window."""
+    rows = [(v, v % 7, (v * 3) % 5) for v in range(-20, 25, 3)]
+    df = spark.createDataFrame(rows, "v long, ca long, cb long")
+    st = stitched_prefix_sums(df, "v", ["ca"], what="excl test",
+                              bucket_width=16)
+    got = {
+        r["v"]: r["ca_cum"] - r["ca"] for r in st.collect()
+    }
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["v"]: r["cprev"]
+        for r in df.select(
+            "v", F.coalesce(F.sum("ca").over(w), F.lit(0)).alias("cprev")
+        ).collect()
+    }
+    assert got == want
