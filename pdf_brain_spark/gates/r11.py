@@ -2036,35 +2036,30 @@ def kruskal_wallis_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (5 rows); one map-side-combinable aggregate touches the corpus.
     Randomized second opinion vs the classic 12/(N(N+1))·ΣR²/n − 3(N+1)
     float form in tests/test_randomized_references.py."""
-    from pyspark.sql import Window
-
     from pdf_brain_spark.functions.text import tokenize
+    from pdf_brain_spark.operators.stitched import stitched_prefix_sums
 
     docs = load_table(spark, "documents", sf_dir)
     d = docs.select(
         "lang", F.size(tokenize("text")).cast("long").alias("v")
     )
-    # value-grain histogram: bounded by the distinct-token-count domain —
-    # and GUARDED (the mann_whitney_u device): the bounded_axis assert is
-    # welded into the consumed cumulative expression, so an exploded
-    # value axis raises by name instead of silently single-partition
-    # sorting at scale (session-2 review finding).
-    from pdf_brain_spark.functions.guards import bounded_axis
-
-    wv = Window.orderBy("v")
+    # value-grain histogram ranked via the STITCHED two-level scan
+    # (operators/stitched.py, r12 — the mann_whitney_u device): the
+    # intra-bucket windows are distributed and only the domain/4096
+    # bucket-carry frame is single-partition, guarded by name. The
+    # DuckDB oracle keeps the global-window form, re-proving the scan
+    # every round.
     h = (
-        d.groupBy("v")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        stitched_prefix_sums(
+            d.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt")),
+            "v",
+            ["cnt"],
+            what="Kruskal-Wallis distinct-token-count axis",
+        )
         .select(
             "v",
             "cnt",
-            bounded_axis(
-                (F.sum("cnt").over(wv) - F.col("cnt")).cast("long"),
-                ["v"],
-                "Kruskal-Wallis distinct-token-count axis",
-                safe_alternative="coarsen the value grain before ranking "
-                "(the midrank identity survives any monotone bucketing)",
-            ).alias("cb"),
+            (F.col("cnt_cum") - F.col("cnt")).cast("long").alias("cb"),
         )
         .localCheckpoint(eager=True)  # value grain; rank map + tie term
     )
@@ -4862,17 +4857,21 @@ def quality_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cum_pos/cum_docs)/(P/N) in the cleared integer form
     1000·cum_pos·N div (cum_docs·P) — no rate is ever a float. The
     sweep runs at SCORE-VALUE grain (the dedup_threshold_curve /
-    mann_whitney device): distinct mean-word-length values, a bounded
-    axis GUARDED by bounded_axis so an exploded domain raises by name
-    instead of silently single-partition sorting. One map-side corpus
-    pass; everything after is value-grain windows. Randomized second
-    opinion: lift/precision/recall identities (lift·P·cum_docs ==
-    1000·N·cum_pos under exact division, recall monotone, precision at
-    full depth == base rate) in tests/test_randomized_references.py."""
-    from pyspark.sql import Window
-
-    from pdf_brain_spark.functions.guards import bounded_axis
+    mann_whitney device) via the STITCHED two-level scan
+    (operators/stitched.py, r12) on the NEGATED score — descending
+    order is ascending order of −score, and the negation keeps the
+    bucket map monotone; only the domain/4096 bucket-carry frame stays
+    single-partition, guarded by name. Corpus totals come from a 1-row
+    broadcast aggregate (the r11 form's unbounded-following global
+    window was a second single-partition pass — gone). One map-side
+    corpus pass; everything after is value-grain. The DuckDB oracle
+    keeps the textbook global-window sweep, re-proving the scan every
+    round. Randomized second opinion: lift/precision/recall identities
+    (lift·P·cum_docs == 1000·N·cum_pos under exact division, recall
+    monotone, precision at full depth == base rate) in
+    tests/test_randomized_references.py."""
     from pdf_brain_spark.functions.text import rater_raw_cols
+    from pdf_brain_spark.operators.stitched import stitched_prefix_sums
 
     docs = load_table(spark, "documents", sf_dir)
     m = docs.select(*rater_raw_cols("text")).select(
@@ -4885,27 +4884,25 @@ def quality_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("pos").cast("long").alias("n_pos"),
     )
-    wdesc = (
-        Window.orderBy(F.col("score_milli").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = v.agg(
+        F.sum("n_docs").cast("long").alias("total_docs"),
+        F.sum("n_pos").cast("long").alias("total_pos"),
     )
-    wall = Window.orderBy(F.col("score_milli").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    c = v.select(
-        "score_milli",
-        "n_docs",
-        "n_pos",
-        bounded_axis(
-            F.sum("n_docs").over(wdesc).cast("long"),
-            [F.col("score_milli").desc()],
-            "quality-lift distinct-score axis",
-            safe_alternative="coarsen the score grain before sweeping "
-            "(the operating table survives any monotone bucketing)",
-        ).alias("cum_docs"),
-        F.sum("n_pos").over(wdesc).cast("long").alias("cum_pos"),
-        F.sum("n_docs").over(wall).cast("long").alias("total_docs"),
-        F.sum("n_pos").over(wall).cast("long").alias("total_pos"),
+    c = (
+        stitched_prefix_sums(
+            v.withColumn("_neg", -F.col("score_milli")),
+            "_neg",
+            ["n_docs", "n_pos"],
+            what="quality-lift distinct-score axis",
+        )
+        .select(
+            "score_milli",
+            "n_docs",
+            "n_pos",
+            F.col("n_docs_cum").cast("long").alias("cum_docs"),
+            F.col("n_pos_cum").cast("long").alias("cum_pos"),
+        )
+        .crossJoin(F.broadcast(tot))  # broadcast 1-row corpus totals
     )
     return (
         c.filter(F.col("total_pos") > 0)
