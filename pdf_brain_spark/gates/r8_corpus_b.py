@@ -3912,8 +3912,11 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_anomaly_mad cumulative-histogram idiom — k·q ≥ total·(q−1)
     comparisons, no float rank fractions anywhere). Plan: two user-
     grain aggregates, one user-keyed range join, then quantile work on
-    the bounded minute axis."""
-    from pyspark.sql import Window
+    the minute axis via the STITCHED two-level scan
+    (operators/stitched.py, r12) — distributed intra-bucket sums, one
+    guarded domain/4096 bucket-carry frame; the DuckDB oracle keeps the
+    global-window CDF and re-proves the scan every round."""
+    from pdf_brain_spark.operators.stitched import stitched_prefix_sums
 
     ev = load_table(spark, "events", sf_dir)
     s = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
@@ -3930,17 +3933,9 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(unix_micros(p_ts) - unix_micros(s_ts2)) div 60000000").alias("mins")
     )
     hist = lat.groupBy("mins").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
-    w = Window.orderBy("mins").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select(
-        "mins",
-        bounded_axis(
-            F.sum("n").over(w),
-            ["mins"],
-            "conversion-latency minute-histogram axis",
-            safe_alternative="coarsen to hour grain (quantiles survive any "
-            "monotone bucketing of the latency axis)",
-        ).alias("k"),
-    )
+    cum = stitched_prefix_sums(
+        hist, "mins", ["n"], what="conversion-latency minute-histogram axis"
+    ).select("mins", F.col("n_cum").alias("k"))
     tot = hist.agg(F.sum("n").alias("total"))
     return (
         cum.crossJoin(F.broadcast(tot))
@@ -4145,13 +4140,15 @@ def decision_stump_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     split directions scored from one cumulative pass), deterministic
     smallest-threshold tie-break, and the majority baseline reported
     alongside. The candidate set is the DISTINCT-VALUE axis — one
-    value-grain aggregate + one cumulative window + a 1-row
-    TakeOrdered, never a per-row × per-threshold cross product (the
-    same axis-quadratic-not-data argument as Theil-Sen). Length is a
-    deliberately weak predictor of language here; the gate certifies
-    the TRAINER's arithmetic, and the planted pytest certifies it
-    finds a real split when one exists."""
-    from pyspark.sql import Window
+    value-grain aggregate + the STITCHED two-level scan
+    (operators/stitched.py, r12 — distributed intra-bucket sums, one
+    guarded domain/4096 bucket-carry frame; the DuckDB oracle keeps the
+    global-window form) + a 1-row TakeOrdered, never a per-row ×
+    per-threshold cross product (the same axis-quadratic-not-data
+    argument as Theil-Sen). Length is a deliberately weak predictor of
+    language here; the gate certifies the TRAINER's arithmetic, and the
+    planted pytest certifies it finds a real split when one exists."""
+    from pdf_brain_spark.operators.stitched import stitched_prefix_sums
 
     docs = load_table(spark, "documents", sf_dir)
     d = docs.select(
@@ -4164,17 +4161,13 @@ def decision_stump_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = vals.agg(
         F.sum("cnt").cast("long").alias("n"), F.sum("pos").cast("long").alias("p")
     )
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    cum = vals.select(
+    cum = stitched_prefix_sums(
+        vals, "x", ["cnt", "pos"],
+        what="decision-stump distinct-threshold axis",
+    ).select(
         "x",
-        bounded_axis(
-            F.sum("cnt").over(w),
-            ["x"],
-            "decision-stump distinct-threshold axis",
-            safe_alternative="search thresholds over an approxQuantile grid "
-            "instead of every distinct value",
-        ).alias("n_t"),
-        F.sum("pos").over(w).alias("p_t"),
+        F.col("cnt_cum").alias("n_t"),
+        F.col("pos_cum").alias("p_t"),
     )
     scored = cum.crossJoin(F.broadcast(tot)).select(
         F.col("x").alias("threshold"),

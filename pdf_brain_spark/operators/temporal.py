@@ -935,33 +935,36 @@ def kaplan_meier(
     The float-product hazard is converted to an EXACT integer pipeline:
     per event time the factor ln((n_i − d_i)/n_i) rounds once to integer
     micro-nats, the cumulative product becomes a cumulative SUM of
-    integers (window over the ordered duration axis — bounded grain, not
-    subjects), and survival is one final exp rounded to 6dp. Risk sets
+    integers, and survival is one final exp rounded to 6dp. Risk sets
     come from reversed cumulative counts, never a per-subject scan per
-    time point. Shape: one duration-grain groupBy + one single-partition
-    window over the duration axis (bounded domain — days, not rows).
-    Event times where n_i == d_i (everyone left) yield ln(0) = −∞; they
-    are emitted with survival 0.0 via a guard rather than a NaN."""
-    from pyspark.sql import Window
+    time point. Shape (r12): one duration-grain groupBy + the STITCHED
+    two-level scan (operators/stitched.py) over the duration axis for
+    all three prefixes — the risk-set exclusive count, the micro-nat
+    hazard sum, and the ln(0)-seen flag (a prefix MAX of a 0/1
+    indicator == prefix SUM > 0, so it rides the same scan); only the
+    domain/4096 bucket-carry frame stays single-partition, guarded by
+    name. Event times where n_i == d_i (everyone left) yield
+    ln(0) = −∞; they are emitted with survival 0.0 via the flag rather
+    than a NaN."""
+    from pdf_brain_spark.operators.stitched import stitched_prefix_sums
 
     per_t = spans.groupBy(F.col(duration_col).alias("t")).agg(
         F.sum(F.col(event_col)).cast("long").alias("d"),
         F.count(F.lit(1)).cast("long").alias("leaving"),
     )
-    w_ord = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     total = spans.select(F.count(F.lit(1)).alias("_total"))
-    risky = per_t.crossJoin(F.broadcast(total)).withColumn(
-        "at_risk",
-        bounded_axis(
-            (F.col("_total") - F.coalesce(F.sum("leaving").over(w_ord), F.lit(0)))
-            .cast("long"),
-            ["t"],
-            "Kaplan-Meier duration axis",
-            safe_alternative="coarsen durations to a bounded grain (days) "
-            "before the risk-set windows",
-        ),
+    risky = (
+        stitched_prefix_sums(
+            per_t, "t", ["leaving"], what="Kaplan-Meier duration axis"
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "at_risk",
+            (
+                F.col("_total")
+                - (F.col("leaving_cum") - F.col("leaving"))
+            ).cast("long"),
+        )
     )
     deaths = risky.filter(F.col("d") > 0)
     ln_micro = F.when(
@@ -974,17 +977,23 @@ def kaplan_meier(
             * 1000000
         ).cast("long"),
     )
-    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    cum = deaths.withColumn("_lm", ln_micro).withColumn(
-        "_zero_seen",
-        F.max(F.when(F.col("_lm").isNull(), 1).otherwise(0)).over(w_cum),
-    ).withColumn("_cum", F.sum(F.coalesce("_lm", F.lit(0))).over(w_cum))
+    pre = (
+        deaths.withColumn("_lm", ln_micro)
+        .withColumn("_lmz", F.coalesce(F.col("_lm"), F.lit(0)))
+        .withColumn(
+            "_znull",
+            F.when(F.col("_lm").isNull(), F.lit(1)).otherwise(F.lit(0)),
+        )
+    )
+    cum = stitched_prefix_sums(
+        pre, "t", ["_lmz", "_znull"], what="Kaplan-Meier death-time axis"
+    )
     return cum.select(
         F.col("t").alias(duration_col),
         "at_risk",
         F.col("d").alias("deaths"),
-        F.when(F.col("_zero_seen") == 1, F.lit(0.0))
-        .otherwise(F.round(F.exp(F.col("_cum") / F.lit(1000000.0)), 6))
+        F.when(F.col("_znull_cum") > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("_lmz_cum") / F.lit(1000000.0)), 6))
         .alias("survival"),
     )
 
