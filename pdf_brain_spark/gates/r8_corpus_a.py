@@ -3282,15 +3282,22 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / revenue-concentration curve: what share of revenue the
     top 10/20/50% of customers carry (the 80/20 diagnostic). One
-    custkey aggregate, then a single descending cumulative-sum window
-    with a total order (rev DESC, custkey) so cumulative cents are
-    bit-stable; the percentile boundary row is selected by pure
-    integer arithmetic (rnk*100 straddles pct*n_cust — no float rank
-    fraction to disagree at boundaries). The three probe percentiles
-    explode AFTER ranking, so the window runs once. The one float
-    division (share) happens at the very end, identically on both
-    sides."""
-    from pyspark.sql import Window
+    custkey aggregate, then the STITCHED two-level scan
+    (operators/stitched.py, r12) over the negated-revenue axis with
+    custkey as the tiebreak — the descending (rev DESC, custkey) total
+    order, bit-stable, but DISTRIBUTED: this axis is CUSTOMER grain
+    (corpus-bounded, not value-bounded), so the old single-partition
+    window was the repo's one genuinely row-grain global sort; rnk is
+    the running count (prefix sum of 1) and cum_cents the running
+    revenue from the same scan, totals from a 1-row broadcast
+    aggregate. The percentile boundary row is selected by pure integer
+    arithmetic (rnk*100 straddles pct*n_cust — no float rank fraction
+    to disagree at boundaries). The three probe percentiles explode
+    AFTER ranking, so the scan runs once. The one float division
+    (share) happens at the very end, identically on both sides; the
+    DuckDB oracle keeps the textbook global-window form and re-proves
+    the scan every round."""
+    from pdf_brain_spark.operators.stitched import stitched_prefix_sums
 
     orders = load_table(spark, "orders", sf_dir)
     per_cust = orders.groupBy("o_custkey").agg(
@@ -3298,23 +3305,27 @@ def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_cents"
         )
     )
-    wo = Window.orderBy(F.col("rev_cents").desc(), F.col("o_custkey").asc())
-    wall = Window.partitionBy()
-    ranked = per_cust.select(
-        "o_custkey",
-        "rev_cents",
-        bounded_axis(
-            F.row_number().over(wo).cast("long"),
-            [F.col("rev_cents").desc(), F.col("o_custkey").asc()],
-            "Pareto customer axis",
-            safe_alternative="bucket customers by revenue decile "
-            "(approxQuantile) and accumulate shares at bucket grain",
-        ).alias("rnk"),
-        F.sum("rev_cents")
-        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum_cents"),
-        F.sum("rev_cents").over(wall).alias("total_cents"),
-        F.count(F.lit(1)).over(wall).alias("n_cust"),
+    tot = per_cust.agg(
+        F.sum("rev_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+    ranked = (
+        stitched_prefix_sums(
+            per_cust.withColumn("_neg", -F.col("rev_cents")).withColumn(
+                "_one", F.lit(1).cast("long")
+            ),
+            "_neg",
+            ["_one", "rev_cents"],
+            what="Pareto customer axis",
+            tiebreak_cols=["o_custkey"],
+        )
+        .select(
+            "o_custkey",
+            "rev_cents",
+            F.col("_one_cum").cast("long").alias("rnk"),
+            F.col("rev_cents_cum").alias("cum_cents"),
+        )
+        .crossJoin(F.broadcast(tot))  # broadcast 1-row corpus totals
     )
     probes = ranked.crossJoin(
         F.broadcast(

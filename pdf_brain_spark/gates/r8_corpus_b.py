@@ -2740,21 +2740,21 @@ def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = base.groupBy("brand").agg(F.sum("cents").alias("revenue_cents"))
     rev = rev.localCheckpoint(eager=True)  # total + ranking reuse
     tot = rev.agg(F.sum("revenue_cents").alias("t"))
-    from pyspark.sql import Window
+    # descending (revenue, brand) running share via the STITCHED scan
+    # (operators/stitched.py, r12): negated axis + brand tiebreak; the
+    # DuckDB oracle keeps the global-window form
+    from pdf_brain_spark.operators.stitched import stitched_prefix_sums
 
-    w = Window.orderBy(
-        F.col("revenue_cents").desc(), F.col("brand").asc()
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    ranked = rev.select(
+    ranked = stitched_prefix_sums(
+        rev.withColumn("_neg", -F.col("revenue_cents")),
+        "_neg",
+        ["revenue_cents"],
+        what="ABC brand axis",
+        tiebreak_cols=["brand"],
+    ).select(
         "brand",
         "revenue_cents",
-        bounded_axis(
-            F.sum("revenue_cents").over(w),
-            [F.col("revenue_cents").desc(), F.col("brand").asc()],
-            "ABC brand axis",
-            safe_alternative="bucket the long tail by revenue decile before "
-            "the cumulative share",
-        ).alias("cum_cents"),
+        F.col("revenue_cents_cum").alias("cum_cents"),
     )
     var_n2 = F.lit(nm) * F.col("s2") - F.col("s") * F.col("s")
     return (

@@ -44,28 +44,34 @@ def stitched_prefix_sums(
     what: str,
     bucket_width: int = DEFAULT_BUCKET_WIDTH,
     suffix: str = "_cum",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Append INCLUSIVE running sums over the global ``order_col`` order.
 
     For each ``c`` in ``sum_cols`` adds ``c + suffix`` =
-    ``sum(c) OVER (ORDER BY order_col ROWS UNBOUNDED PRECEDING)``,
-    computed partition-and-stitch. The EXCLUSIVE form every mid-rank
-    identity wants is ``c_cum - c`` — derive it at the call site rather
-    than paying a second window.
+    ``sum(c) OVER (ORDER BY order_col[, tiebreaks] ROWS UNBOUNDED
+    PRECEDING)``, computed partition-and-stitch. The EXCLUSIVE form
+    every mid-rank identity wants is ``c_cum - c`` — derive it at the
+    call site rather than paying a second window. A running COUNT
+    (row_number over the same order) is the prefix sum of a literal 1.
 
-    Contract: ``order_col`` is an integer column with AT MOST ONE ROW
-    PER VALUE (a histogram axis — every consuming gate groups by value
-    first; with duplicate axis values a ROWS-framed running sum is
-    tie-order-dependent under EITHER implementation). ``v div width``
-    truncates toward zero, which is still monotone non-decreasing over
-    negatives (bucket 0 just spans ``(-width, width)``) — order, not
-    bucket uniformity, is what exactness needs.
+    Contract: ``(order_col, *tiebreak_cols)`` is unique per row, with
+    ``order_col`` integer. Without tiebreaks that means a histogram
+    axis (at most one row per value); WITH tiebreaks the axis may
+    repeat — ties share a bucket (the bucket map depends only on
+    ``order_col``), so the intra-bucket window resolves them in the
+    same lexicographic order the global window would, and the carry is
+    tie-free by construction. Descending primary order = negate the
+    axis at the call site. ``v div width`` truncates toward zero, which
+    is still monotone non-decreasing over negatives (bucket 0 just
+    spans ``(-width, width)``) — order, not bucket uniformity, is what
+    exactness needs.
     """
     bucket = F.expr(f"{order_col} div {int(bucket_width)}")
     b = df.withColumn("__bucket", bucket)
     wi = (
         Window.partitionBy("__bucket")
-        .orderBy(order_col)
+        .orderBy(order_col, *(tiebreak_cols or []))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     intra = b.select(

@@ -80,3 +80,45 @@ def test_stitched_exclusive_form_is_cum_minus_current(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_stitched_with_tiebreaks_matches_global_composite_order(spark):
+    """Duplicate axis values with unique tiebreaks: ties share a bucket,
+    so the intra-bucket window resolves them exactly as the global
+    composite-order window would (the Pareto/ABC row-grain shape —
+    running revenue + running row count over (rev DESC, key ASC) via
+    the negated axis)."""
+    import random
+
+    rng = random.Random(99)
+    rows = []
+    k = 0
+    for _ in range(400):
+        v = rng.randrange(-30, 30)  # heavy ties
+        rows.append((-v, k, rng.randrange(0, 1000), 1))
+        k += 1
+    df = spark.createDataFrame(rows, "neg long, key long, cents long, one long")
+    st = stitched_prefix_sums(
+        df, "neg", ["cents", "one"], what="tiebreak test",
+        bucket_width=7, tiebreak_cols=["key"],
+    )
+    got = sorted((r["neg"], r["key"], r["cents_cum"], r["one_cum"]) for r in st.collect())
+    w = Window.orderBy("neg", "key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = sorted(
+        (r["neg"], r["key"], r["cc"], r["rn"])
+        for r in df.select(
+            "neg", "key",
+            F.sum("cents").over(w).alias("cc"),
+            F.sum("one").over(w).alias("rn"),
+        ).collect()
+    )
+    assert got == want and len(got) == 400
+    # the running count really is row_number over the same order
+    rn = {
+        (r["neg"], r["key"]): r["one_cum"] for r in st.collect()
+    }
+    wrn = Window.orderBy("neg", "key")
+    for r in df.select("neg", "key", F.row_number().over(wrn).alias("x")).collect():
+        assert rn[(r["neg"], r["key"])] == r["x"]
