@@ -2193,11 +2193,13 @@ def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     All index arithmetic is exact integers — rank ppm is floor
     (rk−1)·1e6/(ns−1), the global lookup position is the integer lerp
     1 + (rk−1)(N−1)/(ns−1) — and ties order by doc_id on both engines.
-    Plan: one window per source partition, one global rank (single
-    ordered exchange over the doc-grain — at 100 TB swap for the
-    histogram-CDF lookup the percentile store already serves), one
-    position join."""
+    Plan: one window per source partition, then the GLOBAL rank as a
+    running count on the STITCHED two-level scan (operators/stitched.py,
+    r12 — n_chars axis, doc_id tiebreak; this was a doc-grain
+    single-partition sort, the Pareto shape), one position join."""
     from pyspark.sql import Window
+
+    from pdf_brain_spark.operators.stitched import stitched_prefix_sums
 
     docs = load_table(spark, "documents", sf_dir)
     ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
@@ -2209,17 +2211,15 @@ def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(ws).alias("rk"),
         F.count(F.lit(1)).over(wsc).alias("ns"),
     )
-    wg = Window.orderBy("n_chars", "doc_id")
-    g = docs.select(
-        F.col("n_chars").alias("gv"),
-        bounded_axis(
-            F.row_number().over(wg),
-            ["n_chars", "doc_id"],
-            "quantile-normalization global position axis",
-            safe_alternative="replace exact positions with an approxQuantile "
-            "grid of the reference distribution",
-        ).alias("gpos"),
-    )
+    g = stitched_prefix_sums(
+        docs.select(F.col("n_chars").alias("gv"), "doc_id").withColumn(
+            "_one", F.lit(1).cast("long")
+        ),
+        "gv",
+        ["_one"],
+        what="quantile-normalization global position axis",
+        tiebreak_cols=["doc_id"],
+    ).select("gv", F.col("_one_cum").alias("gpos"))
     tot = docs.agg(F.count(F.lit(1)).alias("n"))
     mapped = (
         src.filter(F.col("ns") > 1)
