@@ -886,25 +886,29 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lr_micro").alias("weight_micro_nats"),
         )
     )
-    w = Window.orderBy(F.col("weight_micro_nats").desc(), F.col("doc_id").asc())
+    # doc-grain selection rank via the STITCHED scan (r12): running
+    # count over (weight DESC, doc_id) = negated axis + tiebreak; this
+    # axis grows with the corpus, so the old single-partition
+    # row_number was the Pareto shape. Oracle keeps the global form.
+    from pdf_brain_spark.operators.stitched import stitched_prefix_sums
+
     n_docs = scored.agg(F.count(F.lit(1)).alias("n_docs"))
+    ranked = stitched_prefix_sums(
+        scored.withColumn("_neg", -F.col("weight_micro_nats")).withColumn(
+            "_one", F.lit(1).cast("long")
+        ),
+        "_neg",
+        ["_one"],
+        what="DSIR doc-grain selection rank",
+        tiebreak_cols=["doc_id"],
+    )
     return (
-        scored.crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "rnk",
-            bounded_axis(
-                F.row_number().over(w),
-                [F.col("weight_micro_nats").desc(), F.col("doc_id").asc()],
-                "DSIR doc-grain selection rank",
-                safe_alternative="select via an approxQuantile weight threshold "
-                "instead of a total-order rank",
-            ),
-        )
+        ranked.crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "n_tokens",
             "weight_micro_nats",
-            (F.col("rnk") <= F.col("n_docs") / 4).alias("selected"),
+            (F.col("_one_cum") <= F.col("n_docs") / 4).alias("selected"),
         )
         .orderBy("doc_id")
         .limit(300)
@@ -3157,15 +3161,20 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     window ORDER BY ends in the unique custkey, making ntile's bucket
     boundaries a total order — without that, equal frequencies would
     hash-mismatch nondeterministically (the same total-ordering
-    discipline as supplier_rank_by_nation). ntile is global here
-    (single-partition window over customer-grain rows, already
-    reduced ~10x from orders); at 100 TB quartiles would come from
-    approx or exact histogram ranks instead — the cent-histogram
-    pattern events_winsorized_stats already demonstrates. Monetary is
-    exact integer cents; recency is whole days against a pinned as-of
-    date; the output filter keeps the gate bounded while the windows
-    rank the FULL population (filter-after-rank, not before)."""
-    from pyspark.sql import Window
+    discipline as supplier_rank_by_nation). r12: the three global
+    ntile windows (customer-grain, the corpus-growing axis) became
+    three STITCHED running counts (operators/stitched.py — descending
+    dims via negated axes, custkey tiebreak) fed through the exact
+    ntile_from_rank emulation (pinned against F.ntile in pytest; the
+    DuckDB oracle keeps real NTILE and re-proves the emulation at
+    every scale). Monetary is exact integer cents; recency is whole
+    days against a pinned as-of date; the output filter keeps the gate
+    bounded while the scans rank the FULL population
+    (filter-after-rank, not before)."""
+    from pdf_brain_spark.operators.stitched import (
+        ntile_from_rank,
+        stitched_prefix_sums,
+    )
 
     orders = load_table(spark, "orders", sf_dir)
     rfm = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
@@ -3178,23 +3187,35 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
             "monetary_cents"
         ),
-    )
-    wr = Window.orderBy(F.col("recency_days").asc(), F.col("c_custkey").asc())
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("c_custkey").asc())
-    wm = Window.orderBy(F.col("monetary_cents").desc(), F.col("c_custkey").asc())
-    scored = rfm.select(
-        "c_custkey", "recency_days", "frequency", "monetary_cents",
-        # one guard covers the axis: all three windows range over the same
-        # customer-grain frame, so the first raising is enough to be loud
-        bounded_axis(
-            F.ntile(4).over(wr).cast("long"),
-            [F.col("recency_days").asc(), F.col("c_custkey").asc()],
-            "RFM customer axis",
-            safe_alternative="switch quartile boundaries to approxQuantile "
-            "thresholds (percentile grid), dropping the total-order ntile",
-        ).alias("r_quartile"),
-        F.ntile(4).over(wf).cast("long").alias("f_quartile"),
-        F.ntile(4).over(wm).cast("long").alias("m_quartile"),
+    ).localCheckpoint(eager=True)  # three scans + count reuse it
+    n_cust = rfm.agg(F.count(F.lit(1)).alias("nc"))
+
+    def _qtile(dim: str, neg: bool, out: str):
+        axis = (-F.col(dim)).alias("_ax") if neg else F.col(dim).alias("_ax")
+        ranked = stitched_prefix_sums(
+            rfm.select("c_custkey", axis).withColumn(
+                "_one", F.lit(1).cast("long")
+            ),
+            "_ax",
+            ["_one"],
+            what=f"RFM customer axis ({dim})",
+            tiebreak_cols=["c_custkey"],
+        )
+        return ranked.crossJoin(F.broadcast(n_cust)).select(
+            "c_custkey",
+            ntile_from_rank(F.col("_one_cum"), F.col("nc"), 4)
+            .cast("long")
+            .alias(out),
+        )
+
+    scored = (
+        rfm.join(_qtile("recency_days", False, "r_quartile"), "c_custkey")
+        .join(_qtile("frequency", True, "f_quartile"), "c_custkey")
+        .join(_qtile("monetary_cents", True, "m_quartile"), "c_custkey")
+        .select(
+            "c_custkey", "recency_days", "frequency", "monetary_cents",
+            "r_quartile", "f_quartile", "m_quartile",
+        )
     )
     return (
         scored.filter(F.col("c_custkey") < 400)

@@ -37,6 +37,31 @@ from pdf_brain_spark.functions.guards import bounded_axis
 DEFAULT_BUCKET_WIDTH = 4096
 
 
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer floor division for non-negative integer columns:
+    (a - a%b) is a multiple of b, and multiple/b is exact in double for
+    values < 2^53, so no float-rounding edge can off-by-one the floor
+    (a bare floor(a/b) could round a .999… quotient up)."""
+    return ((a - a % b) / b).cast("long")
+
+
+def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
+    """Exact SQL-standard NTILE(k) from a 1-based global rank and the
+    frame size — the first ``n mod k`` buckets take ``n div k + 1``
+    rows, the rest ``n div k`` (Spark's and DuckDB's shared semantics;
+    pinned against F.ntile in tests/test_stitched.py). With ``rn`` a
+    stitched running count this replaces a single-partition ntile
+    window with the distributed scan. Non-negative integer columns
+    only; all arithmetic is exact-integer (see _idiv)."""
+    kk = F.lit(k)
+    s = _idiv(n, kk)          # small bucket size
+    m = n % kk                # number of size-(s+1) buckets
+    big = m * (s + 1)         # rows living in the big buckets
+    return F.when(rn <= big, _idiv(rn + s, s + 1)).otherwise(
+        m + _idiv(rn - big + s - 1, s)
+    )
+
+
 def stitched_prefix_sums(
     df: DataFrame,
     order_col: str,

@@ -122,3 +122,28 @@ def test_stitched_with_tiebreaks_matches_global_composite_order(spark):
     wrn = Window.orderBy("neg", "key")
     for r in df.select("neg", "key", F.row_number().over(wrn).alias("x")).collect():
         assert rn[(r["neg"], r["key"])] == r["x"]
+
+
+def test_ntile_from_rank_matches_spark_ntile(spark):
+    """ntile_from_rank == F.ntile(k) for every frame size mod k shape,
+    including n < k (some buckets empty) and the exact boundary rows."""
+    from pdf_brain_spark.operators.stitched import ntile_from_rank
+
+    for n in [1, 2, 3, 4, 5, 7, 8, 9, 100, 101, 102, 103]:
+        df = spark.range(1, n + 1).select(F.col("id").alias("v"))
+        w = Window.orderBy("v")
+        got = df.select(
+            "v",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy()
+            ).alias("n"),
+            F.ntile(4).over(w).cast("long").alias("want"),
+        ).select(
+            "v", "want",
+            ntile_from_rank(F.col("rn"), F.col("n"), 4).alias("got"),
+        )
+        rows = got.collect()
+        assert all(r["got"] == r["want"] for r in rows), (n, [
+            (r["v"], r["want"], r["got"]) for r in rows if r["got"] != r["want"]
+        ][:5])
