@@ -415,33 +415,34 @@ def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the cumulative companion of zipf_fit_report's log-log slope: the
     slope says how fast the tail decays, this says what a k-entry
     vocabulary actually buys). Exact integers end to end: term counts,
-    one cumulative window over the VOCABULARY axis (bounded_axis-guarded
-    single partition — the OOV/Zipf justification), shares as
-    (cum·1e6)//total floor division."""
-    from pyspark.sql import Window
-
+    then BOTH the rank and the cumulative mass from ONE stitched scan
+    over the vocabulary axis (operators/stitched.py, r12 — negated
+    frequency + term tiebreak; the vocabulary is the standing
+    grows-with-corpus watch item, so this was a real single-partition
+    risk, not a bounded-domain nicety), shares as (cum·1e6)//total
+    floor division. The DuckDB oracle keeps the global-window form."""
     from pdf_brain_spark.functions.text import tokenize
+    from pdf_brain_spark.operators.stitched import stitched_prefix_sums
 
     docs = load_table(spark, "documents", sf_dir)
     freq = (
         docs.select(F.explode(tokenize("text")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("f"))
-        .localCheckpoint(eager=True)  # total + the rank window reuse it
+        .localCheckpoint(eager=True)  # total + the rank scan reuse it
     )
     tot = freq.agg(F.sum("f").cast("long").alias("total_tokens"))
-    order = [F.col("f").desc(), F.col("term").asc()]
-    w = Window.orderBy(*order)
-    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = freq.select(
-        bounded_axis(
-            F.row_number().over(w).cast("long"),
-            order,
-            "token-coverage vocabulary axis",
-            safe_alternative="take the cutoff grid via TakeOrdered slices "
-            "instead of a total-order rank window",
-        ).alias("top_k"),
-        F.sum("f").over(wcum).cast("long").alias("cum_tokens"),
+    ranked = stitched_prefix_sums(
+        freq.withColumn("_neg", -F.col("f")).withColumn(
+            "_one", F.lit(1).cast("long")
+        ),
+        "_neg",
+        ["_one", "f"],
+        what="token-coverage vocabulary axis",
+        tiebreak_cols=["term"],
+    ).select(
+        F.col("_one_cum").cast("long").alias("top_k"),
+        F.col("f_cum").cast("long").alias("cum_tokens"),
     )
     return (
         ranked.filter(F.col("top_k").isin(1, 2, 5, 10, 20, 50, 100, 200))
