@@ -104,29 +104,51 @@ def skyline_2d(
     dominates).
 
     Distributed shape: one groupBy reduces the base table to a per-level
-    minimum (|distinct maximize values| rows), the running frontier
-    minimum is a window over THAT small aggregate (single-partition
-    window over ≤ domain-cardinality rows, never over the base table),
-    and the verdict joins back as a broadcast. Total: one shuffle over
-    the base + one broadcast join — no O(n²) dominance pairing, which is
-    what makes a 100 TB skyline feasible when the maximize dimension has
-    bounded cardinality (sizes, buckets, quantized scores)."""
+    minimum (|distinct maximize values| rows); the running frontier
+    minimum over strictly-larger levels runs on the STITCHED prefix-min
+    scan (operators/stitched.py, r12 — negated axis so DESC order is an
+    ascending scan, exclusive frame) when the maximize dimension is
+    integral, falling back to the guarded global window otherwise; the
+    verdict joins back as a broadcast. No O(n²) dominance pairing,
+    which is what makes a 100 TB skyline feasible — and with the
+    stitched scan the frontier no longer needs the maximize dimension's
+    cardinality to fit one task."""
     lvl = df.groupBy(maximize_col).agg(F.min(minimize_col).alias("_mmin"))
-    win = (
-        Window.orderBy(F.col(maximize_col).desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    frontier = lvl.select(
-        F.col(maximize_col).alias("_lvl"),
-        "_mmin",
-        bounded_axis(
-            F.min("_mmin").over(win),
-            [F.col(maximize_col).desc()],
-            "skyline maximize-dimension domain axis",
-            safe_alternative="quantize the maximize dimension to a bounded "
-            "grid before the frontier window",
-        ).alias("_best_larger"),
-    )
+    if dict(df.dtypes).get(maximize_col) in (
+        "tinyint", "smallint", "int", "bigint",
+    ):
+        from pdf_brain_spark.operators.stitched import stitched_prefix_min
+
+        frontier = (
+            stitched_prefix_min(
+                lvl.withColumn("_neg", -F.col(maximize_col)),
+                "_neg",
+                "_mmin",
+                what="skyline maximize-dimension domain axis",
+                inclusive=False,
+            )
+            .select(
+                F.col(maximize_col).alias("_lvl"),
+                "_mmin",
+                F.col("_mmin_pmin").alias("_best_larger"),
+            )
+        )
+    else:
+        win = (
+            Window.orderBy(F.col(maximize_col).desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        frontier = lvl.select(
+            F.col(maximize_col).alias("_lvl"),
+            "_mmin",
+            bounded_axis(
+                F.min("_mmin").over(win),
+                [F.col(maximize_col).desc()],
+                "skyline maximize-dimension domain axis",
+                safe_alternative="quantize the maximize dimension to a "
+                "bounded grid before the frontier window",
+            ).alias("_best_larger"),
+        )
     return (
         df.join(F.broadcast(frontier), F.col(maximize_col) == F.col("_lvl"))
         .filter(

@@ -132,3 +132,57 @@ def stitched_prefix_sums(
         for c in sum_cols
     ]
     return out.select(*proj)
+
+
+def stitched_prefix_min(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    what: str,
+    bucket_width: int = DEFAULT_BUCKET_WIDTH,
+    tiebreak_cols: list[str] | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Append ``val_col + "_pmin"`` = the running MIN of ``val_col``
+    over the global ``order_col`` order (same two-level stitch as
+    stitched_prefix_sums — min is associative, so carry-min of earlier
+    buckets combined with the intra-bucket running min via ``least``
+    is exact). Unlike sums, min has no inverse, so the EXCLUSIVE form
+    (strictly-earlier rows — the skyline frontier shape) is computed
+    directly with a 1-PRECEDING intra frame and an exclusive bucket
+    carry; the global-first row's prefix is NULL, exactly as the
+    global window's empty frame would give, and ``least`` skips NULLs
+    on the stitch. Same uniqueness contract as stitched_prefix_sums.
+    """
+    bucket = F.expr(f"{order_col} div {int(bucket_width)}")
+    b = df.withColumn("__bucket", bucket)
+    hi = Window.currentRow if inclusive else -1
+    wi = (
+        Window.partitionBy("__bucket")
+        .orderBy(order_col, *(tiebreak_cols or []))
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    intra = b.select("*", F.min(val_col).over(wi).alias("__intra"))
+    wb = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = (
+        b.groupBy("__bucket")
+        .agg(F.min(val_col).alias("__bmin"))
+        .select(
+            "__bucket",
+            bounded_axis(
+                F.min("__bmin").over(wb),
+                ["__bucket"],
+                f"{what} bucket-carry axis",
+                safe_alternative="widen bucket_width (the carry frame "
+                "holds domain/width rows), or recursively stitch the "
+                "carry itself",
+            ).alias("__carry"),
+        )
+    )
+    out = intra.join(F.broadcast(carry), "__bucket")
+    proj = [F.col(c) for c in df.columns] + [
+        F.least(F.col("__carry"), F.col("__intra")).alias(val_col + "_pmin")
+    ]
+    return out.select(*proj)

@@ -147,3 +147,31 @@ def test_ntile_from_rank_matches_spark_ntile(spark):
         assert all(r["got"] == r["want"] for r in rows), (n, [
             (r["v"], r["want"], r["got"]) for r in rows if r["got"] != r["want"]
         ][:5])
+
+
+def test_stitched_prefix_min_matches_global(spark):
+    """Running MIN, inclusive and exclusive, against the global window —
+    including the NULL first-prefix of the exclusive form and negative
+    axes (the skyline frontier shape)."""
+    import random
+
+    from pdf_brain_spark.operators.stitched import stitched_prefix_min
+
+    rng = random.Random(41)
+    vs = rng.sample(range(-2000, 2000), 300)
+    rows = [(v, rng.randrange(-50, 50)) for v in vs]
+    df = spark.createDataFrame(rows, "v long, m long")
+    for inclusive in (True, False):
+        st = stitched_prefix_min(
+            df, "v", "m", what="pmin test", bucket_width=37,
+            inclusive=inclusive,
+        )
+        got = {r["v"]: r["m_pmin"] for r in st.collect()}
+        hi = Window.currentRow if inclusive else -1
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, hi)
+        want = {
+            r["v"]: r["x"]
+            for r in df.select("v", F.min("m").over(w).alias("x")).collect()
+        }
+        assert got == want, inclusive
+    assert want[min(vs)] is None  # exclusive: global-first prefix is NULL
