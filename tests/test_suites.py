@@ -44,17 +44,18 @@ def test_registry_pinned_counts():
     is caught by a count audit, the way the r10 near-miss was. Update
     these three numbers deliberately, in the same commit that changes
     the registry — a drive-by drift here is the bug this test exists
-    to catch. r12 state: 218 driver-facing gates (all oracled; r11's
-    232 minus the 17 members the three r12 consolidation suites
-    absorbed, plus those 3 suite gates), 154 suite-consolidated
-    members across 27 suites = 372 named surfaces."""
+    to catch. r13 state: 194 driver-facing gates (all oracled; r12's
+    218 minus the 27 members the r13 consolidation absorbed — 24 into
+    the three new suites, 3 into existing streaming suites — plus
+    those 3 suite gates), 181 suite-consolidated members across 30
+    suites = 375 named surfaces."""
     from pdf_brain_spark.queries import CONSOLIDATED, ORACLES, QUERIES
     from pdf_brain_spark.suites import SUITE_PLAN
 
-    assert len(QUERIES) == 218
-    assert len(ORACLES) == 218
-    assert len(CONSOLIDATED) == 154
-    assert len(SUITE_PLAN) == 27
+    assert len(QUERIES) == 194
+    assert len(ORACLES) == 194
+    assert len(CONSOLIDATED) == 181
+    assert len(SUITE_PLAN) == 30
 
 
 def test_lookup_query_unknown_name_raises():
