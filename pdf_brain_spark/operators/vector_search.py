@@ -160,9 +160,16 @@ def similarity_join_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     batch_slack: int = 8,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Vectorized batch top-k: the serving-path version of
     `similarity_join` for large query batches.
+
+    ``keep_vec=True`` carries each candidate's vector through the
+    partial-top-k shuffle (r13, for mmr_rerank_batch): the pandas batch
+    already holds the vectors, so emitting them costs only shuffle bytes
+    at partitions × Q × (k+slack) rows — still corpus-size-independent —
+    and saves the consumer a second corpus scan to re-attach them.
 
     The pure-expression path scores with zip_with/aggregate, which Spark
     evaluates interpreted per row (higher-order functions are outside
@@ -198,19 +205,27 @@ def similarity_join_topk(
             dist = 1.0 - vmat @ qmat.T  # B×Q cosine distance
             take = min(m_take, dist.shape[0])
             vid = pdf[id_col].to_numpy()
-            out_q, out_v, out_d = [], [], []
+            raw = pdf[vec_col].to_numpy() if keep_vec else None
+            out_q, out_v, out_d, out_vec = [], [], [], []
             for j in range(len(qids)):
                 rows = topk_rows_tiebroken(dist[:, j], vid, take)
                 out_q.extend([qids[j]] * len(rows))
                 out_v.extend(vid[rows])
                 out_d.extend(dist[rows, j])
-            yield pd.DataFrame({query_id: out_q, id_col: out_v, "distance": out_d})
+                if keep_vec:
+                    out_vec.extend(raw[rows])
+            data = {query_id: out_q, id_col: out_v, "distance": out_d}
+            if keep_vec:
+                data[vec_col] = out_vec
+            yield pd.DataFrame(data)
 
     qid_type = dict(queries.dtypes)[query_id]
     id_type = dict(vectors.dtypes)[id_col]
+    schema = f"{query_id} {qid_type}, {id_col} {id_type}, distance double"
+    if keep_vec:
+        schema += f", {vec_col} {dict(vectors.dtypes)[vec_col]}"
     partials = vectors.select(id_col, vec_col).mapInPandas(
-        _partial_topk,
-        schema=f"{query_id} {qid_type}, {id_col} {id_type}, distance double",
+        _partial_topk, schema=schema
     )
     w = Window.partitionBy(query_id).orderBy(F.col("distance").asc(), F.col(id_col).asc())
     return (
@@ -375,10 +390,13 @@ def mmr_rerank_batch(
 
     Stage 1 fetches every query's exact top-n_candidates via the BLAS-
     batched partial-top-k scan (`similarity_join_topk` — one corpus
-    pass, shuffle is partitions × Q × n rows). Stage 2 re-attaches the
-    candidate vectors by broadcasting the Q × n candidate set into a
-    corpus scan (broadcast hash join — the corpus is never shuffled).
-    Stage 3 groups by query id and runs the SAME greedy kernel as the
+    pass, shuffle is partitions × Q × n rows) with ``keep_vec=True``,
+    so each candidate's vector rides the partial-top-k shuffle instead
+    of being re-attached by a second corpus scan + broadcast build (the
+    r13 rewrite: ONE corpus pass total; the old stage-2 join paid a
+    whole extra pass — and the broadcast build re-executed stage 1 —
+    to fetch Q × n vectors the pandas batches already had in hand).
+    Stage 2 groups by query id and runs the SAME greedy kernel as the
     single-query path per group (applyInPandas; each group is <= n rows
     by construction, so per-task state stays bounded however large Q
     grows). Scores/penalties/tie-breaks are identical to `mmr_rerank`,
@@ -386,7 +404,7 @@ def mmr_rerank_batch(
 
     Returns (query_id, rank 1..k, id_col, rel, mmr_score).
     """
-    cand = (
+    with_vec = (
         similarity_join_topk(
             queries,
             vectors,
@@ -395,10 +413,10 @@ def mmr_rerank_batch(
             query_col=query_col,
             vec_col=vec_col,
             id_col=id_col,
+            keep_vec=True,
         )
-        .select(query_id, id_col, F.round("score", 6).alias("rel"))
+        .select(query_id, id_col, vec_col, F.round("score", 6).alias("rel"))
     )
-    with_vec = vectors.select(id_col, vec_col).join(F.broadcast(cand), id_col)
     qid_type = dict(queries.dtypes)[query_id]
     id_type = dict(vectors.dtypes)[id_col]
     greedy = _make_mmr_greedy(id_col, vec_col, float(lam), k, qid_col=query_id)
