@@ -702,8 +702,11 @@ def pq_adc_batch(spark, n: int = 32768, dim: int = 64, n_queries: int = 256, k: 
     lookup-table gathers — the float column is never read) vs the exact
     float BLAS path on the same corpus. Codebook training + encode are
     one-time index builds (not billed to the probe, same accounting as
-    ivf_batch); each serving path timed min-of-2. Recall measured against
-    the exact answer. At 100 TB the ADC scan reads ~3% of the bytes the
+    ivf_batch); the ADC headline path is timed min-of-3 with recorded
+    samples (the r12 medians instrument), the rerank/exact comparison
+    paths min-of-2 (the recall sets are populated on iterations 0-1 and
+    the i==2 ADC run is deterministic, so re-collecting them would only
+    re-measure). Recall measured against the exact answer. At 100 TB the ADC scan reads ~3% of the bytes the
     float scan does — the wall-clock gap here is bounded by local[32]
     fixed overheads, the byte ratio is the number that extrapolates."""
     from pyspark.sql import functions as F

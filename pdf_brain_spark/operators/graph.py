@@ -119,9 +119,16 @@ def skyline_2d(
     ):
         from pdf_brain_spark.operators.stitched import stitched_prefix_min
 
+        # Negate AFTER widening to long (ADVICE r12): -x on the type's
+        # minimum (tinyint -128, int -2^31) overflows silently in
+        # non-ANSI mode and would corrupt the frontier order; the long
+        # cast makes every tinyint/smallint/int axis safe. The one
+        # remaining edge — a bigint axis containing Long.MIN_VALUE
+        # itself — cannot widen further and keeps the documented
+        # limitation (no attested axis is within 2^62 of it).
         frontier = (
             stitched_prefix_min(
-                lvl.withColumn("_neg", -F.col(maximize_col)),
+                lvl.withColumn("_neg", -F.col(maximize_col).cast("long")),
                 "_neg",
                 "_mmin",
                 what="skyline maximize-dimension domain axis",

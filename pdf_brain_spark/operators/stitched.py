@@ -105,25 +105,28 @@ def stitched_prefix_sums(
     wb = Window.orderBy("__bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    carry_guard: Column = bounded_axis(
-        F.coalesce(F.sum(f"__tot_{sum_cols[0]}").over(wb), F.lit(0)),
-        ["__bucket"],
-        f"{what} bucket-carry axis",
-        safe_alternative="widen bucket_width (the carry frame holds "
-        "domain/width rows), or recursively stitch the carry itself",
-    )
+
+    # The guard is welded into EVERY carry column (ADVICE r12): guard
+    # survival must not depend on which cum columns the caller keeps —
+    # Catalyst prunes unconsumed expressions, so a single guarded column
+    # would vanish if a call site dropped it downstream. All guards
+    # share one row_number over the same window spec (one WindowExec),
+    # so N columns still cost one pass.
+    def _guarded_carry(c: str) -> Column:
+        return bounded_axis(
+            F.coalesce(F.sum(f"__tot_{c}").over(wb), F.lit(0)),
+            ["__bucket"],
+            f"{what} bucket-carry axis",
+            safe_alternative="widen bucket_width (the carry frame holds "
+            "domain/width rows), or recursively stitch the carry itself",
+        )
+
     carry = (
         b.groupBy("__bucket")
         .agg(*[F.sum(c).alias(f"__tot_{c}") for c in sum_cols])
         .select(
             "__bucket",
-            carry_guard.alias(f"__carry_{sum_cols[0]}"),
-            *[
-                F.coalesce(F.sum(f"__tot_{c}").over(wb), F.lit(0)).alias(
-                    f"__carry_{c}"
-                )
-                for c in sum_cols[1:]
-            ],
+            *[_guarded_carry(c).alias(f"__carry_{c}") for c in sum_cols],
         )
     )
     out = intra.join(F.broadcast(carry), "__bucket")

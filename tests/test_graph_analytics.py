@@ -88,6 +88,33 @@ def test_skyline_keeps_exact_ties(spark):
     assert got == [1, 2]
 
 
+def test_skyline_non_integral_fallback_branch(spark):
+    """ADVICE r12: skyline_2d forks on the maximize column's dtype —
+    integral axes take the stitched prefix-min scan, everything else
+    the guarded global window. Both skyline tests above use long, so
+    this pins the FALLBACK branch (decimal maximize) to the same
+    frontier the integral path yields on the same planted data."""
+    rows = [(1, 10, 5), (2, 10, 7), (3, 9, 4), (4, 9, 6), (5, 8, 4), (6, 7, 3)]
+    df = spark.createDataFrame(rows, "id long, size long, price long")
+    dec = df.withColumn("size", F.col("size").cast("decimal(10,2)"))
+    assert dict(dec.dtypes)["size"] == "decimal(10,2)"
+    got = sorted(r["id"] for r in skyline_2d(dec, "size", "price").collect())
+    assert got == [1, 3, 6]
+
+
+def test_skyline_integral_min_value_axis(spark):
+    """ADVICE r12: the stitched branch negates the maximize axis; on the
+    dtype's minimum value a same-width negation would overflow silently
+    in non-ANSI mode. The long widening makes int extremes exact — the
+    frontier with INT_MIN present must match the fallback's answer."""
+    int_min = -(2**31)
+    rows = [(1, int_min, 1), (2, 0, 5), (3, 5, 3)]
+    df = spark.createDataFrame(rows, "id long, size int, price long")
+    got = sorted(r["id"] for r in skyline_2d(df, "size", "price").collect())
+    # (0,5) dominated by (5,3); INT_MIN row survives (cheapest overall)
+    assert got == [1, 3]
+
+
 def test_auc_planted_extremes_and_ties(spark):
     rows = (
         [("sep", 1, s) for s in (3, 4)]

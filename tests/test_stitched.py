@@ -175,3 +175,21 @@ def test_stitched_prefix_min_matches_global(spark):
         }
         assert got == want, inclusive
     assert want[min(vs)] is None  # exclusive: global-first prefix is NULL
+
+
+def test_carry_guard_welded_into_every_cum_column(spark):
+    """ADVICE r12: the bounded_axis guard must survive Catalyst pruning
+    regardless of WHICH cum column a call site keeps. assert_true
+    compiles to raise_error in the physical plan; each single-column
+    projection must retain one."""
+    from pdf_brain_spark.operators.stitched import stitched_prefix_sums
+
+    df = spark.range(500).select(
+        F.col("id").alias("v"), F.lit(1).alias("a"), F.lit(2).alias("b")
+    )
+    out = stitched_prefix_sums(df, "v", ["a", "b"], what="weld test")
+    for keep in (["v", "a_cum"], ["v", "b_cum"]):
+        plan = (
+            out.select(*keep)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("raise_error") >= 1, keep
