@@ -834,11 +834,14 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     order cannot move a weight), and the top quarter by weight is the
     selected set. Plan: two bucket-count aggregates (512-row tables),
     the ratio table broadcast back onto the hashed token stream, one
-    doc-grain integer aggregate, one rank window over doc grain. The
-    global rank is the gate-exactness choice; at 100 TB the selection
-    becomes a two-pass threshold (exact integer p75 of the weight
-    histogram, then a map-only weight >= t filter) — same selected set
-    up to boundary ties, no single-partition sort."""
+    doc-grain integer aggregate; the doc-grain selection rank runs on
+    the STITCHED two-level scan (operators/stitched.py, adopted late
+    r12: running count over (weight desc, doc_id) via the negated-axis
+    tiebreak form) — distributed, no single-partition sort at the
+    corpus-growing doc grain. The 100 TB degradation documented before
+    the stitched adoption (two-pass exact-integer p75 threshold + a
+    map-only filter) remains a valid alternative but is no longer
+    needed."""
     from pyspark.sql import Window
 
     from pdf_brain_spark.functions.text import md5_long, tokenize
