@@ -294,3 +294,32 @@ def test_hard_negatives_excludes_near_duplicates(spark):
     assert 1 not in ids       # near-dup excluded
     assert ids[0] == 2        # hardest legitimate negative first
     assert all(r["score"] < 0.95 for r in got)
+
+def test_similarity_join_topk_keep_vec_identity(spark):
+    """keep_vec=True (r13, the one-pass mmr fetch) must change NOTHING
+    about the ranking result — same (id, rank, distance, score) per
+    query — and the carried vector must be the corpus row's own
+    embedding, element for element."""
+    import random
+
+    from pdf_brain_spark.operators.vector_search import similarity_join_topk
+
+    rng = random.Random(13)
+    dim = 8
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(200)]
+    queries = [(q, [rng.uniform(-1, 1) for _ in range(dim)]) for q in range(9)]
+    vdf = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    ).repartition(4)
+    qdf = spark.createDataFrame(queries, "query_id long, query_vec array<double>")
+    base = {
+        (r.query_id, r.rank): (r.vec_id, r.distance, r.score)
+        for r in similarity_join_topk(qdf, vdf, k=6).collect()
+    }
+    kept = similarity_join_topk(qdf, vdf, k=6, keep_vec=True).collect()
+    assert {
+        (r.query_id, r.rank): (r.vec_id, r.distance, r.score) for r in kept
+    } == base
+    by_id = dict(vecs)
+    for r in kept:
+        assert list(r.embedding) == by_id[r.vec_id], r.vec_id

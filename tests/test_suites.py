@@ -83,6 +83,24 @@ def test_suite_rows_equal_member_rows(spark):
         assert sorted(by_gate[m]) == list(range(1, n + 1)), m
 
 
+def test_new_r13_suite_rows_equal_member_rows(spark):
+    """Same structural pin as above for the r13 steady-state suites:
+    suite_lm_planning (the largest new non-streaming family) emits one
+    canonicalized row per member result row with rn a 1..n permutation."""
+    from pdf_brain_spark.queries import CONSOLIDATED, get_queries
+    from pdf_brain_spark.suites import SUITE_PLAN
+
+    suite = "suite_lm_planning"
+    out = get_queries()[suite](spark, SF).collect()
+    by_gate = {}
+    for r in out:
+        by_gate.setdefault(r["gate"], []).append(r["rn"])
+    assert set(by_gate) == set(SUITE_PLAN[suite])
+    for m in SUITE_PLAN[suite]:
+        n = CONSOLIDATED[m][0](spark, SF).count()
+        assert sorted(by_gate[m]) == list(range(1, n + 1)), m
+
+
 def test_suite_canonical_schema_is_all_strings(spark):
     from pdf_brain_spark.queries import get_queries
     from pdf_brain_spark.suites import SUITE_PLAN, suite_width
