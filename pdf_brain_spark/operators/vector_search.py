@@ -200,12 +200,12 @@ def similarity_join_topk(
         for pdf in batches:
             if pdf.empty:
                 continue
-            vmat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            raw = pdf[vec_col].to_numpy()
+            vmat = np.asarray(list(raw), dtype=np.float64)
             vmat = vmat / np.linalg.norm(vmat, axis=1, keepdims=True)
             dist = 1.0 - vmat @ qmat.T  # B×Q cosine distance
             take = min(m_take, dist.shape[0])
             vid = pdf[id_col].to_numpy()
-            raw = pdf[vec_col].to_numpy() if keep_vec else None
             out_q, out_v, out_d, out_vec = [], [], [], []
             for j in range(len(qids)):
                 rows = topk_rows_tiebroken(dist[:, j], vid, take)

@@ -98,9 +98,13 @@ del _m, _k, _v
 #     reference-parity core (SURVEY §2's headline surfaces — ANN
 #     top-k, FTS, hybrid, similarity join, recursive closure,
 #     expansion, multi-scale, chunk pipeline, percentiles, stats,
-#     enrichment). These are the window's discretionary slots (VERDICT
-#     r12 item 2's ">= 2 spare slots"), spent keeping the oldest
-#     §2 rows fresh instead of idling.
+#     enrichment). The window contract is EXACTLY 50 names, so spare
+#     capacity cannot be unfilled slots; these 11 are the spare
+#     capacity in displaceable form (VERDICT r12 item 2's ">= 2 spare
+#     slots" reading): the attestation program needs only the 39 slots
+#     above, every flagship is over-attested (3+ prior rows), and any
+#     future gate takes a flagship slot at zero attestation cost —
+#     spent keeping the oldest §2 rows fresh instead of idling.
 #
 # Steady state from r14 on (pre-specified in COVERAGE.md): the 9 r13
 # singles fold into their family suites once this round's named rows

@@ -65,32 +65,15 @@ def test_lookup_query_unknown_name_raises():
         lookup_query("no_such_gate_anywhere")
 
 
-def test_suite_rows_equal_member_rows(spark):
+@pytest.mark.parametrize("suite", ["suite_rank_stats", "suite_lm_planning"])
+def test_suite_rows_equal_member_rows(spark, suite):
     """A suite emits exactly one canonicalized row per member result row
     (nothing dropped, nothing duplicated), tagged by member name, with
-    rn a 1..n_member permutation."""
+    rn a 1..n_member permutation — pinned for one r9-era suite and one
+    r13 steady-state suite."""
     from pdf_brain_spark.queries import CONSOLIDATED, get_queries
     from pdf_brain_spark.suites import SUITE_PLAN
 
-    suite = "suite_rank_stats"
-    out = get_queries()[suite](spark, SF).collect()
-    by_gate = {}
-    for r in out:
-        by_gate.setdefault(r["gate"], []).append(r["rn"])
-    assert set(by_gate) == set(SUITE_PLAN[suite])
-    for m in SUITE_PLAN[suite]:
-        n = CONSOLIDATED[m][0](spark, SF).count()
-        assert sorted(by_gate[m]) == list(range(1, n + 1)), m
-
-
-def test_new_r13_suite_rows_equal_member_rows(spark):
-    """Same structural pin as above for the r13 steady-state suites:
-    suite_lm_planning (the largest new non-streaming family) emits one
-    canonicalized row per member result row with rn a 1..n permutation."""
-    from pdf_brain_spark.queries import CONSOLIDATED, get_queries
-    from pdf_brain_spark.suites import SUITE_PLAN
-
-    suite = "suite_lm_planning"
     out = get_queries()[suite](spark, SF).collect()
     by_gate = {}
     for r in out:
