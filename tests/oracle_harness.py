@@ -104,8 +104,13 @@ def compare(name: str, spark, sf_dir: str, verbose: bool = True) -> bool:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or None
-    from pdf_brain_spark.queries import get_queries
+    from pdf_brain_spark.queries import GATE_WINDOW, get_queries
     from pdf_brain_spark.session import get_spark
+
+    # `--window` = run exactly the 50 gates the driver's correctness
+    # harness will verify (the pre-driver flake/regression check)
+    if names == ["--window"]:
+        names = list(GATE_WINDOW)
 
     spark = get_spark("oracle_harness")
     all_ok = True
