@@ -296,6 +296,24 @@ def main() -> None:
     # the median total — and everything else (per-query medians, raw
     # samples, batch/IVF/neardup detail dicts) goes to BENCH_DETAIL.json
     # next to this script for the judge to read from the repo.
+    # Per-key probe class for freeze-to-freeze deflation (r13: the r12->
+    # r13 machines drifted ASYMMETRICALLY — I/O probes 1.5x, BLAS probes
+    # 0.85x — so a single probe-median deflator under-corrects scan-bound
+    # keys and over-corrects Arrow/BLAS keys). Only the unambiguous keys
+    # are tagged: the specialized batch-serving helpers are Arrow/numpy
+    # mapInPandas workloads (blas_mapinpandas probe class); everything
+    # untagged is a mixed scan/shuffle/window plan — deflate those by the
+    # scan/groupby probes, not the overall median.
+    probe_class = {
+        k: "blas_mapinpandas_256kx64_sec"
+        for k in (
+            "similarity_join_batch256", "ann_ivf_batch256",
+            "ann_ivf_batch256_clustered", "neardup_ann_32k",
+            "pq_adc_batch256_32k", "ivfpq_adc_batch256_32k",
+            "lsh_incremental_32kx384", "mmr_batch64",
+            "bsq_hamming_batch256",
+        )
+    }
     detail = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
@@ -307,6 +325,7 @@ def main() -> None:
         "queries_median": medians,
         "queries_samples": {n: [round(x, 3) for x in s] for n, s in samples.items()},
         "calibration": calibration,
+        "probe_class": probe_class,
         "batch_amortization": batch,
         "ann_ivf_batch": ivf,
         "ann_ivf_batch_clustered": ivf_clustered,
