@@ -108,9 +108,13 @@ def main():
     from pdf_brain_spark.session import get_spark
 
     # `--window` = run exactly the 50 gates the driver's correctness
-    # harness will verify (the pre-driver flake/regression check)
-    if names == ["--window"]:
-        names = list(GATE_WINDOW)
+    # harness will verify (the pre-driver flake/regression check).
+    # Positional, not sole-arg (ADVICE r13): `--window extra_gate` runs
+    # the window PLUS the named extras instead of silently treating
+    # "--window" as a gate name and failing lookup.
+    if names and "--window" in names:
+        extras = [n for n in names if n != "--window"]
+        names = list(GATE_WINDOW) + [n for n in extras if n not in GATE_WINDOW]
 
     spark = get_spark("oracle_harness")
     all_ok = True
