@@ -94,17 +94,22 @@ SUITE_PLAN: dict[str, list[str]] = {
         "nation_revenue_trend", "decision_stump_fit",
         "conversion_wilson_ci",
     ],
-    # time-series recursions and seasonality
+    # time-series recursions and seasonality (events_periodogram JOINED
+    # at r14 per the pre-specified COVERAGE.md fold — the frequency-domain
+    # seasonality member next to the moving-average decomposition)
     "suite_timeseries_recursions": [
         "events_cusum_drift", "events_ewma_hourly", "holt_linear_forecast",
         "seasonal_decompose_ma", "events_hourly_seasonality",
-        "events_seasonal_anomalies",
+        "events_seasonal_anomalies", "events_periodogram",
     ],
     # time-series alignment / downsampling / intervals
+    # (events_transition_entropy JOINED at r14: the Markov-chain
+    # predictability rate lives with the sequence-alignment family)
     "suite_timeseries_alignment": [
         "events_m4_downsample", "events_lead_lag_correlation",
         "events_anomaly_mad", "events_asof_forward",
         "interval_overlap_join", "supplier_peak_inflight",
+        "events_transition_entropy",
     ],
     # BI: concentration and decomposition
     "suite_bi_concentration": [
@@ -112,12 +117,13 @@ SUITE_PLAN: dict[str, list[str]] = {
         "nation_customer_gini", "abc_xyz_classification",
         "revenue_bridge_decomposition", "revenue_cagr_by_segment",
     ],
-    # BI: customer lifecycle
+    # BI: customer lifecycle (sessions_little_law_audit JOINED at r14:
+    # the queueing consistency check rides with the session-grain family)
     "suite_customer_lifecycle": [
         "customer_rfm_segments", "cohort_ltv_curves",
         "session_survival_curve", "churn_feature_matrix",
         "conversion_latency_quantiles", "shipping_sla_report",
-        "retention_decay_fit",
+        "retention_decay_fit", "sessions_little_law_audit",
     ],
     # attribution and experiment design
     "suite_attribution_sampling": [
@@ -130,34 +136,42 @@ SUITE_PLAN: dict[str, list[str]] = {
         "market_basket_lift", "basket_triples", "basket_rules_confidence",
         "adamic_adar_pairs", "part_skyline", "part_cooccurrence_triangles",
     ],
-    # graph algorithms over the taxonomy / co-occurrence graphs
+    # graph algorithms over the taxonomy / co-occurrence graphs (the
+    # taxonomy LCA/IC similarity pair JOINED at r14: both run over the
+    # same closure device as shortest-paths/subtree-rollup)
     "suite_graph": [
         "hits_hub_authority", "label_propagation_communities",
         "taxonomy_shortest_paths", "taxonomy_subtree_rollup",
+        "taxonomy_lca_similarity", "taxonomy_resnik_lin",
     ],
-    # training-data quality gates
+    # training-data quality gates (quality_lift_curve JOINED at r14: the
+    # threshold-picking operating table for the same quality score)
     "suite_text_quality": [
         "gopher_quality_rules", "flesch_reading_ease",
         "bigram_surprisal_filter", "quality_linear_classifier",
-        "dsir_importance_weights",
+        "dsir_importance_weights", "quality_lift_curve",
     ],
-    # language / tokenizer corpus management
+    # language / tokenizer corpus management (langid_confusion_report
+    # JOINED at r14: the per-class eval of the same lang-id heuristic)
     "suite_lang_tokenizer": [
         "lang_rebalance_plan", "oov_rate_report",
         "tokenizer_fertility_report", "temperature_sampling_weights",
-        "naive_bayes_lang_id",
+        "naive_bayes_lang_id", "langid_confusion_report",
     ],
-    # corpus term statistics
+    # corpus term statistics (yule_k_by_source JOINED at r14: the
+    # lexical-richness constant next to TTR/Zipf/Heaps)
     "suite_term_stats": [
         "source_token_entropy", "source_term_jsd",
         "distinctive_terms_logodds", "zipf_fit_report", "heaps_law_fit",
-        "term_pmi_pairs", "g2_collocations",
+        "term_pmi_pairs", "g2_collocations", "yule_k_by_source",
     ],
-    # fingerprinting and fuzzy dedup
+    # fingerprinting and fuzzy dedup (dedup_edit_distance_verify JOINED
+    # at r14: the third dedup verifier rides with the banding family)
     "suite_fingerprint_dedup": [
         "winnowing_fingerprints", "dedup_containment",
         "dedup_threshold_curve", "part_name_fuzzy_pairs",
         "part_name_merge_groups", "tfidf_cosine_pairs", "semdedup_report",
+        "dedup_edit_distance_verify",
     ],
     # embedding-column analytics
     "suite_embedding_analytics": [

