@@ -126,22 +126,30 @@ BATCH_KEYS = [
 # so a single probe-median deflator under-corrects scan-bound keys and
 # over-corrects Arrow/BLAS keys). r14 (VERDICT r13 item 2): EVERY key is
 # tagged with the probe matching its dominant stage —
-#   scan_sum          map-only / expression-eval / broadcast-probe plans
-#                     (whole-stage codegen CPU throughput)
+#   parquet_scan      parquet-read + expression-eval / broadcast-probe
+#                     plans (decode + page-cache + codegen path)
 #   shuffle_groupby   aggregate- or join-shuffle-dominant plans
 #   shuffle_window    partitioned-window / multi-stage shuffle plans
 #   blas_mapinpandas  Arrow batch transfer + Python/numpy kernels
+# (scan_sum_200m stays emitted for cross-round probe continuity but no
+# key deflates by it: on the r13 same-code pair it moved 0.80x while
+# every parquet-reading key moved 1.1-1.8x — pure spark.range codegen
+# does not track the I/O-touched paths the keys live on.)
 # Class-matched deflation is then (key_rN/key_r{N-1}) divided by
 # (probe_rN/probe_r{N-1}) of the key's own class — no judge-side
 # inference. main() asserts this map's key set EQUALS the emitted key
 # set before writing BENCH_DETAIL.json, so a rename can't leave stale
 # tags and a new key can't ship untagged (ADVICE r13).
 _SCAN, _GB, _WIN, _BLAS = (
-    "scan_sum_200m_sec", "shuffle_groupby_4m_sec",
+    "parquet_scan_8m_sec", "shuffle_groupby_4m_sec",
     "shuffle_window_2stage_sec", "blas_mapinpandas_256kx64_sec",
 )
 PROBE_CLASS = {
-    # expression-eval scans + TakeOrdered / broadcast probes
+    # parquet-scan + expression-eval + TakeOrdered / broadcast probes.
+    # Tagged with the parquet probe, NOT the spark.range scan_sum: on
+    # the r13 same-code machine pair, scan_sum (pure codegen, no
+    # decode/IO) moved 0.80x while these keys moved 1.1-1.8x — the
+    # probe must exercise the parquet path the keys live on.
     "vector_topk": _SCAN, "vector_topk_threshold": _SCAN,
     "vector_search_with_docs": _SCAN, "pricing_summary": _SCAN,
     "pii_scrub": _SCAN, "bloom_semijoin_audit": _SCAN,
@@ -181,16 +189,24 @@ def _calibration(spark) -> dict:
     drift between rounds."""
     import time as _t
 
-    def _min2(fn):
-        best = float("inf")
+    # Probe SAMPLES are recorded next to the min-of-2 headline values
+    # (r14): the r13/r14 same-code machine pairs showed the probes
+    # themselves carry cross-run variance comparable to the drift they
+    # deflate, so the raw samples must be inspectable in the artifact.
+    probe_samples: dict[str, list[float]] = {}
+
+    def _min2(fn, name: str):
+        ts = []
         for _ in range(2):
             t0 = _t.perf_counter()
             fn()
-            best = min(best, _t.perf_counter() - t0)
-        return round(best, 3)
+            ts.append(round(_t.perf_counter() - t0, 3))
+        probe_samples[name] = ts
+        return min(ts)
 
     scan = _min2(
-        lambda: spark.range(200_000_000).selectExpr("sum(id * 3 + 7)").collect()
+        lambda: spark.range(200_000_000).selectExpr("sum(id * 3 + 7)").collect(),
+        "scan_sum_200m_sec",
     )
     shuffle = _min2(
         lambda: spark.range(4_000_000)
@@ -198,7 +214,8 @@ def _calibration(spark) -> dict:
         .groupBy("k")
         .count()
         .orderBy("k")
-        .collect()
+        .collect(),
+        "shuffle_groupby_4m_sec",
     )
 
     # HEAVY-SHAPE probes (VERDICT r8 item 3): the tiny scan/shuffle probes
@@ -249,13 +266,45 @@ def _calibration(spark) -> dict:
             .collect()
         )
 
-    blas = _min2(_blas_probe)
-    shuffle_window = _min2(_shuffle_window_probe)
+    blas = _min2(_blas_probe, "blas_mapinpandas_256kx64_sec")
+    shuffle_window = _min2(_shuffle_window_probe, "shuffle_window_2stage_sec")
+
+    # PARQUET-SCAN probe (r14, evidence-driven): the r13-frozen vs
+    # r13-driver same-code pair showed the pure-codegen scan_sum probe
+    # (spark.range, no I/O, no decode) reading 0.80x while the
+    # parquet-reading scan-class keys drifted 1.1-1.8x on the same
+    # machine pair — spark.range does not exercise the parquet decode +
+    # page-cache path those keys live on. This probe does: a fixed
+    # deterministic 8M-row (long, double, 24-char string) parquet table
+    # written ONCE to a tempdir (build not billed, like the index
+    # builds), then scan + hash + sum, min-of-2. Constant work,
+    # independent of SF_DIR and repo code.
+    import shutil
+    import tempfile
+
+    pq_dir = tempfile.mkdtemp(prefix="sgraft_cal_pq_")
+    try:
+        spark.range(8_000_000).selectExpr(
+            "id",
+            "cast(id % 9973 as double) / 7.0 AS x",
+            "concat('cal_', lpad(cast(id % 1000000 as string), 19, '0')) AS s",
+        ).write.mode("overwrite").parquet(pq_dir)
+
+        def _pq_probe():
+            spark.read.parquet(pq_dir).selectExpr(
+                "sum(xxhash64(s) % 1000 + cast(x as long) + id % 97) AS t"
+            ).collect()
+
+        parquet_scan = _min2(_pq_probe, "parquet_scan_8m_sec")
+    finally:
+        shutil.rmtree(pq_dir, ignore_errors=True)
     return {
         "scan_sum_200m_sec": scan,
         "shuffle_groupby_4m_sec": shuffle,
         "blas_mapinpandas_256kx64_sec": blas,
         "shuffle_window_2stage_sec": shuffle_window,
+        "parquet_scan_8m_sec": parquet_scan,
+        "probe_samples": probe_samples,
     }
 
 
@@ -291,6 +340,9 @@ def main() -> None:
     # whose code did not change). Judge use: divide a round's query
     # times by its calibration to compare rounds on equal footing.
     calibration = _calibration(spark)
+    # probe raw samples go to BENCH_DETAIL only (keeps the stdout JSON
+    # line compact — the driver records only the tail of stdout)
+    calibration_samples = calibration.pop("probe_samples")
     # Three passes; report BOTH min (comparable to r1-r3 numbers, robust
     # to one-off contention spikes) and median-of-3 (robust to a lucky
     # fast outlier; the r3 verdict asked for it next to min).
@@ -377,6 +429,7 @@ def main() -> None:
         "queries_median": medians,
         "queries_samples": {n: [round(x, 3) for x in s] for n, s in samples.items()},
         "calibration": calibration,
+        "calibration_samples": calibration_samples,
         "probe_class": probe_class,
         "batch_amortization": batch,
         "ann_ivf_batch": ivf,

@@ -142,6 +142,7 @@ def test_bench_probe_class_covers_every_key():
     valid = {
         "scan_sum_200m_sec", "shuffle_groupby_4m_sec",
         "shuffle_window_2stage_sec", "blas_mapinpandas_256kx64_sec",
+        "parquet_scan_8m_sec",
     }
     assert set(bench.PROBE_CLASS.values()) <= valid
 
