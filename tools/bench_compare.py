@@ -127,6 +127,12 @@ def compare(old: dict, new: dict) -> dict:
 def main() -> None:
     old, new = _load(sys.argv[1]), _load(sys.argv[2])
     rep = compare(old, new)
+    # write the artifact BEFORE printing: a downstream `| head` closing
+    # the pipe must not lose the JSON
+    path = os.environ.get("BENCH_COMPARE_OUT")
+    if path:
+        with open(path, "w") as f:
+            f.write(json.dumps(rep, indent=1))
     print(f"shared keys: {rep['n_shared_keys']}")
     print("probe ratios (new/old):")
     for p, v in rep["probe_ratio_by_class"].items():
@@ -141,13 +147,12 @@ def main() -> None:
     for r in rep["deflated_movers"]:
         print(f"  {r['key']}: raw {r['raw_ratio']} / {r['deflator']} "
               f"{r['probe_ratio']} -> {r['deflated_ratio']}")
-    out = json.dumps(rep, indent=1)
-    path = os.environ.get("BENCH_COMPARE_OUT")
     if path:
-        with open(path, "w") as f:
-            f.write(out)
         print(f"wrote {path}")
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:
+        pass
