@@ -84,6 +84,25 @@ def test_registry_pinned_counts():
     assert (len(QUERIES) - len(REATTEST)) + len(CONSOLIDATED) == 375
 
 
+def test_membership_history_latest_snapshot_matches_current_plan():
+    """The per-round membership history (ADVICE r13: suite-green
+    inheritance must be round-aware) stays in sync: the LATEST snapshot
+    in tools/suite_membership_history.json equals current SUITE_PLAN, so
+    a fold committed without `never_attested.py --snapshot N` fails here
+    instead of silently under-inheriting in the audit."""
+    import json
+    import os
+
+    from pdf_brain_spark.suites import SUITE_PLAN
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "tools", "suite_membership_history.json")
+    with open(path) as f:
+        hist = json.load(f)
+    latest = hist[str(max(int(k) for k in hist))]
+    assert latest == {s: list(ms) for s, ms in SUITE_PLAN.items()}
+
+
 def test_lookup_query_unknown_name_raises():
     from pdf_brain_spark.queries import lookup_query
 
