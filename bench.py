@@ -411,13 +411,16 @@ def main() -> None:
     # key must not ship untagged — assert the tag set EQUALS the emitted
     # key set before writing BENCH_DETAIL.json (PROBE_CLASS is module-
     # level so tests pin it against HEADLINE + BATCH_KEYS statically).
+    # RuntimeError, not assert (ADVICE r14): a bare assert is compiled
+    # out under `python3 -O`, which would let an untagged key ship
     probe_class = PROBE_CLASS
     _emitted = set(timings)
     _tagged = set(probe_class)
-    assert _tagged == _emitted, (
-        f"probe_class drift: untagged={sorted(_emitted - _tagged)} "
-        f"stale={sorted(_tagged - _emitted)}"
-    )
+    if _tagged != _emitted:
+        raise RuntimeError(
+            f"probe_class drift: untagged={sorted(_emitted - _tagged)} "
+            f"stale={sorted(_tagged - _emitted)}"
+        )
     detail = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),

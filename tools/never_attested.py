@@ -55,7 +55,19 @@ def main() -> None:
     if "--snapshot" in sys.argv:
         rnd = int(sys.argv[sys.argv.index("--snapshot") + 1])
         history = _load_history()
-        history[rnd] = {s: list(ms) for s, ms in SUITE_PLAN.items()}
+        current = {s: list(ms) for s, ms in SUITE_PLAN.items()}
+        # ADVICE r14: a typo'd round number would silently rewrite an
+        # archived round's membership and retroactively change which
+        # members inherit its green suite rows — refuse a DIFFERING
+        # overwrite unless --force is passed (identical re-snapshot is
+        # a harmless no-op and stays allowed)
+        if rnd in history and history[rnd] != current and "--force" not in sys.argv:
+            print(f"refusing to overwrite round {rnd}'s existing membership "
+                  f"snapshot with DIFFERENT content — that rewrites "
+                  f"attestation history; pass --force only if round {rnd} "
+                  f"is genuinely being re-recorded")
+            sys.exit(2)
+        history[rnd] = current
         with open(HISTORY, "w") as f:
             json.dump({str(k): v for k, v in sorted(history.items())},
                       f, indent=1, sort_keys=True)

@@ -22,6 +22,11 @@ cross join) is caught by diff at the round boundary instead of by a
 judge reading explain output. Decreases are reported and auto-accepted
 (improvements re-pin on --write-baseline).
 
+The baseline records the sf_dir it was captured at (ADVICE r14: bnlj /
+broadcast-sensitive counts depend on input file-size stats, so auditing
+at a different scale than the pin scale would yield spurious failures
+or phantom "improvements"); the audit fails fast on a scale mismatch.
+
 Usage:
     python3 tools/plan_audit.py [sf_dir]                  # audit
     python3 tools/plan_audit.py [sf_dir] --write-baseline # re-pin
@@ -67,22 +72,33 @@ def main() -> None:
     names = [n for n in get_queries() if n not in REATTEST]
     flags: dict[str, dict[str, int]] = {}
     failures: list[str] = []
+    errored: set[str] = set()
     for i, n in enumerate(names, 1):
         try:
             flags[n] = plan_flags(get_queries()[n](spark, sf_dir))
         except Exception as e:  # noqa: BLE001 - report and continue
             failures.append(f"{n}: build error {type(e).__name__}: {e}")
+            errored.add(n)
             continue
         if i % 25 == 0:
             print(f"[{i}/{len(names)}]", flush=True)
 
     if write:
         with open(BASELINE, "w") as f:
-            json.dump(flags, f, indent=1, sort_keys=True)
-        print(f"wrote {BASELINE}: {len(flags)} gates")
+            json.dump({"sf_dir": sf_dir, "gates": flags}, f, indent=1,
+                      sort_keys=True)
+        print(f"wrote {BASELINE}: {len(flags)} gates at {sf_dir}")
 
     with open(BASELINE) as f:
-        base = json.load(f)
+        raw = json.load(f)
+    # pre-r15 baselines were a bare {gate: flags} map with no pin scale
+    base = raw["gates"] if "gates" in raw else raw
+    base_sf = raw.get("sf_dir")
+    if base_sf is not None and base_sf != sf_dir:
+        print(f"PLAN AUDIT FAILED: baseline pinned at {base_sf}, audit run "
+              f"at {sf_dir} — bnlj/broadcast counts are scale-dependent; "
+              f"run at the pin scale or re-pin deliberately")
+        sys.exit(1)
     improved: list[str] = []
     for n, fl in flags.items():
         if fl["cartesian"] > 0:
@@ -99,7 +115,10 @@ def main() -> None:
                                 "re-pin only with justification")
             elif fl[k] < pin[k]:
                 improved.append(f"{n}: {k} {pin[k]} -> {fl[k]}")
-    stale = sorted(set(base) - set(flags))
+    # ADVICE r14: a gate whose plan BUILD errored is missing from
+    # `flags` but still registered — listing it as stale would advise
+    # pruning a live gate's pin; it already failed above as a build error
+    stale = sorted(set(base) - set(flags) - errored)
     for n in stale:
         failures.append(f"{n}: pinned but no longer registered — prune "
                         "the baseline")
