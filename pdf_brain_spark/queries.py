@@ -69,48 +69,39 @@ del _m, _k, _v
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.
 #
-# ROUND-14 ROTATION — the pre-specified steady-state fold (VERDICT r13
-# items 1 and 3; COVERAGE.md "Pre-specified round-14 steady state"):
+# ROUND-15 ROTATION — the pre-specified fold (VERDICT r14 item 1;
+# COVERAGE.md "Pre-specified round-15 window"):
 #
-#   * 30 SUITE gates (190 members; suites.py SUITE_PLAN): the 9 r13
-#     singles FOLDED into their family suites once their named rows
-#     landed in CORRECTNESS_r13 — taxonomy_lca_similarity +
-#     taxonomy_resnik_lin -> suite_graph; langid_confusion_report ->
-#     suite_lang_tokenizer; yule_k_by_source -> suite_term_stats;
-#     events_periodogram -> suite_timeseries_recursions;
-#     events_transition_entropy -> suite_timeseries_alignment;
-#     quality_lift_curve -> suite_text_quality;
-#     dedup_edit_distance_verify -> suite_fingerprint_dedup;
-#     sessions_little_law_audit -> suite_customer_lifecycle. Every
-#     member re-verifies inside its suite row EVERY round.
+#   * 30 SUITE gates (192 members; suites.py SUITE_PLAN): mmr_rerank +
+#     mmr_rerank_batch FOLDED into suite_ann_serving now that their
+#     first post-r13-rewrite named rows landed in CORRECTNESS_r14 —
+#     the diversity re-rankers re-verify inside the serving family
+#     EVERY round from here on (stronger than their single named rows).
 #   * 11 FLAGSHIP spares: the SURVEY §2 reference-parity core, held
 #     permanently in the window's displaceable slots.
-#   * 2 CHANGED-PLAN slots (VERDICT r13 item 1, and the new WINDOW RULE
-#     recorded in COVERAGE.md: any gate whose DAG changed since its
-#     last driver row takes a spare slot that round): mmr_rerank_batch
-#     was rewritten to one corpus pass in r13 (and mmr_rerank's shared
-#     kernel touched) AFTER their last driver rows (r8/r7), so both
-#     take named slots for their first post-rewrite rows.
-#   * 7 RE-ATTEST singles (VERDICT r13 item 3): a deterministic,
-#     round-seeded pick of suite members run as NAMED standalone rows
-#     alongside their suites — the proactive defense against a
-#     canonicalization-layer bug masking a member regression (a suite
-#     row hashes members THROUGH the canon layer; a standalone row
-#     hashes the member's own schema). Pick rule, pinned by
+#   * 9 RE-ATTEST singles (VERDICT r13 item 3; pool grown by the 2
+#     slots the fold freed, per the pre-specified plan): a
+#     deterministic, round-seeded pick of suite members run as NAMED
+#     standalone rows alongside their suites — the proactive defense
+#     against a canonicalization-layer bug masking a member regression
+#     (a suite row hashes members THROUGH the canon layer; a standalone
+#     row hashes the member's own schema). Pick rule, pinned by
 #     tests/test_suites.py::test_reattest_picks_match_seed_rule:
 #     sort CONSOLIDATED members by sha256("r{ROUND}:{name}"), take the
-#     first 7. Re-registered from CONSOLIDATED under their own names
+#     first 9. Re-registered from CONSOLIDATED under their own names
 #     (REATTEST below) so the driver runs member fn vs member oracle
 #     directly.
 #
-# Rotated OUT: nothing leaves attestation — the 9 r13 singles now ride
-# suites (re-verified every round, stronger than their single named
-# rows), and their CORRECTNESS_r13 rows persist in the archive.
+# Rotated OUT: nothing leaves attestation — the mmr pair now rides
+# suite_ann_serving (re-verified every round), and their
+# CORRECTNESS_r14 rows persist in the archive. No gate's DAG changed
+# since its last driver row this round outside the fold itself, so the
+# WINDOW RULE (COVERAGE.md) claims no changed-plan slots.
 # --------------------------------------------------------------------------
 
 # The round the current window was sealed for; seeds the re-attest pick.
-REATTEST_ROUND = 14
-N_REATTEST = 7
+REATTEST_ROUND = 15
+N_REATTEST = 9
 
 
 def _reattest_picks(round_no: int, n: int) -> list[str]:
@@ -131,7 +122,7 @@ def _reattest_picks(round_no: int, n: int) -> list[str]:
 
 
 GATE_WINDOW = [
-    # the 30 consolidation suites (190 members; suites.py SUITE_PLAN)
+    # the 30 consolidation suites (192 members; suites.py SUITE_PLAN)
     "suite_tpch_a", "suite_tpch_b", "suite_tpch_c",
     "suite_relational_core", "suite_rank_stats", "suite_robust_stats",
     "suite_timeseries_recursions", "suite_timeseries_alignment",
@@ -151,14 +142,13 @@ GATE_WINDOW = [
     "vector_similarity_join", "transitive_closure",
     "context_expansion", "multiscale_retrieval", "chunk_pipeline",
     "events_percentiles", "library_stats", "llm_enrichment",
-    # the 2 changed-plan slots: first post-r13-rewrite driver rows
-    "mmr_rerank", "mmr_rerank_batch",
-    # the 7 round-seeded re-attest singles (= _reattest_picks(14, 7);
+    # the 9 round-seeded re-attest singles (= _reattest_picks(15, 9);
     # literal here so the window stays a pinned list, equality pinned
     # by test_reattest_picks_match_seed_rule)
-    "runs_test_daily", "conversion_latency_quantiles",
-    "streaming_incremental_cms", "bpe_merge_candidates",
-    "taxonomy_lca_similarity", "soft_calibration_ece",
+    "hits_hub_authority", "dedup_threshold_curve",
+    "flesch_reading_ease", "packing_boundary_report",
+    "holt_linear_forecast", "nation_supplier_hhi",
+    "embedding_spectrum_report", "part_skyline",
     "stratified_sample_per_source",
 ]
 

@@ -179,10 +179,15 @@ SUITE_PLAN: dict[str, list[str]] = {
         "random_projection_jl", "embedding_drift_report",
         "cosine_label_calibration", "matryoshka_truncation_report",
     ],
-    # ANN / retrieval serving and eval
+    # ANN / retrieval serving and eval (mmr_rerank + mmr_rerank_batch
+    # JOINED at r15 per the pre-specified COVERAGE.md fold: their first
+    # post-r13-rewrite named rows landed in CORRECTNESS_r14, so the
+    # diversity re-rankers now re-verify inside the serving family
+    # every round)
     "suite_ann_serving": [
         "kmeans_assign", "hamming_ann_batch64", "prefiltered_ann_topk",
         "knn_label_eval", "retrieval_eval_ndcg", "bm25f_search",
+        "mmr_rerank", "mmr_rerank_batch",
     ],
     # streaming mergeable-partials monoids (each member is a real
     # AvailableNow run against its generation store;

@@ -57,7 +57,9 @@ def test_reattest_picks_match_seed_rule():
     )
 
     assert REATTEST == _reattest_picks(REATTEST_ROUND, N_REATTEST)
-    assert len(REATTEST) == N_REATTEST == 7
+    # r15: the pool grew to 9 by the 2 slots the mmr fold freed
+    # (pre-specified in COVERAGE.md's round-15 window)
+    assert len(REATTEST) == N_REATTEST == 9
 
 
 def test_registry_pinned_counts():
@@ -67,18 +69,18 @@ def test_registry_pinned_counts():
     is caught by a count audit, the way the r10 near-miss was. Update
     these three numbers deliberately, in the same commit that changes
     the registry — a drive-by drift here is the bug this test exists
-    to catch. r14 state: 185 driver-facing gates (r13's 194 minus the
-    9 r13 singles the pre-specified fold absorbed into their family
-    suites) + 7 re-attest aliases (round-rotating; aliases of
-    CONSOLIDATED entries, not new surfaces), 190 suite-consolidated
-    members across 30 suites = 375 named surfaces (unchanged — zero
-    net-new registrations this round)."""
+    to catch. r15 state: 183 driver-facing gates (r14's 185 minus the
+    mmr pair the pre-specified fold absorbed into suite_ann_serving)
+    + 9 re-attest aliases (round-rotating; aliases of CONSOLIDATED
+    entries, not new surfaces), 192 suite-consolidated members across
+    30 suites = 375 named surfaces (unchanged — zero net-new
+    registrations this round)."""
     from pdf_brain_spark.queries import CONSOLIDATED, ORACLES, QUERIES, REATTEST
     from pdf_brain_spark.suites import SUITE_PLAN
 
-    assert len(QUERIES) == 185 + len(REATTEST) == 192
+    assert len(QUERIES) == 183 + len(REATTEST) == 192
     assert len(ORACLES) == 192
-    assert len(CONSOLIDATED) == 190
+    assert len(CONSOLIDATED) == 192
     assert len(SUITE_PLAN) == 30
     # named surfaces: gates that are not aliases + members
     assert (len(QUERIES) - len(REATTEST)) + len(CONSOLIDATED) == 375
