@@ -23,6 +23,25 @@ from pyspark.sql import functions as F
 
 AXIS_BOUND = 1_000_000
 
+# The vocabulary-broadcast ceiling (VERDICT r14 item 5): the LM-family
+# gates FORCE-broadcast term/bigram-type-grain model tables back onto
+# token streams on the Heaps-law argument (type count is sublinear in
+# corpus size — exponent ~0.5 measured by this repo's own heaps_law_fit
+# gate — so at 100 TB the type table is ~1e7-1e8 rows = low GB, inside
+# Spark's broadcast ceiling, and the hint is the right plan: a map-side
+# hash join beats shuffling the token-grain fact). This bound pins that
+# assumption mechanically: 20M type rows (~2 GB at ~100 B/row) is
+# comfortably inside the 8 GB JVM broadcast limit, so a corpus that
+# violates sublinearity fails HERE, by name, with the remedy in the
+# message — not inside Spark's broadcast machinery.
+BROADCAST_ROWS_BOUND = 20_000_000
+
+BROADCAST_REMEDY = (
+    "drop the F.broadcast hint at this site — the join key is already "
+    "the natural shuffle key, so the sort-merge fallback plan is the "
+    "plan you would write by hand at that scale"
+)
+
 
 def bounded_axis(
     value: Column,
@@ -59,3 +78,37 @@ def bounded_axis(
         f"(working exemplar: sessions_little_law_audit's stitched sweep)"
     )
     return F.when(F.assert_true(rn <= F.lit(bound), F.lit(msg)).isNull(), value)
+
+
+def bounded_broadcast(
+    value: Column,
+    n_rows: Column,
+    what: str,
+    bound: int = BROADCAST_ROWS_BOUND,
+    remedy: str = BROADCAST_REMEDY,
+) -> Column:
+    """Weld a broadcast-size assertion into a consumed expression
+    (VERDICT r14 item 5 — the vocabulary-grain LM broadcast watch item,
+    given a mechanical tripwire).
+
+    ``value`` is the expression the site actually wants; ``n_rows`` is a
+    COLUMN already present in the plan that carries (an upper bound on)
+    the force-broadcast table's row count — e.g. the vocab size from an
+    existing 1-row stats aggregate the gate already cross-joins. Using
+    an existing column is the point: the guard adds ZERO exchanges,
+    ZERO jobs, and ZERO plan-shape flags (the bounded_axis discipline) —
+    it only rides expressions that already flow through the join. While
+    ``n_rows < bound`` the value passes through unchanged; the moment a
+    corpus breaks the Heaps-law sublinearity assumption behind the
+    broadcast hint, execution raises HERE by site name with the one-line
+    remedy, instead of failing opaquely (or, worse, slowly) inside
+    Spark's broadcast machinery. The assert is woven INTO the consumed
+    expression so Catalyst cannot prune it."""
+    msg = (
+        f"bounded_broadcast: {what} reached >= {bound} rows — the "
+        f"Heaps-law sublinearity assumption behind this force-broadcast "
+        f"is broken at this corpus size; {remedy}"
+    )
+    return F.when(
+        F.assert_true(n_rows < F.lit(bound), F.lit(msg)).isNull(), value
+    )

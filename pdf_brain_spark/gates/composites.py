@@ -1281,21 +1281,36 @@ def unigram_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_brain_spark.functions.text import tokenize
 
     docs = load_table(spark, "documents", sf_dir)
+    from pdf_brain_spark.functions.guards import bounded_broadcast
+
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
     toks = toks.localCheckpoint(eager=True)
-    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    # _vocab_est rides the SAME global aggregate as the token total
+    # (approx_count_distinct is a partial-mergeable HLL — no expand, no
+    # extra exchange); it feeds the Heaps-law broadcast tripwire below
+    total = toks.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.approx_count_distinct("term", rsd=0.02).alias("_vocab_est"),
+    )
     lp = (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .crossJoin(F.broadcast(total))
         .select(
             "term",
-            F.round(
-                F.log(F.col("tf").cast("double") / F.col("total").cast("double"))
-                * 1_000_000
-            )
-            .cast("long")
-            .alias("lp_micro"),
+            # the tripwire is welded into the LM's own column, so it
+            # fires while the term-grain table MATERIALIZES for its
+            # broadcast — before the join ships it anywhere (±2% HLL
+            # slack is noise against the bound's orders-of-magnitude
+            # headroom)
+            bounded_broadcast(
+                F.round(
+                    F.log(F.col("tf").cast("double") / F.col("total").cast("double"))
+                    * 1_000_000
+                ).cast("long"),
+                F.col("_vocab_est"),
+                "unigram_perplexity_filter's broadcast unigram LM (term grain)",
+            ).alias("lp_micro"),
         )
     )
     scored = (

@@ -1326,23 +1326,45 @@ def bigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = uni.localCheckpoint(eager=True)
     # total token count folds off the vocab aggregate — no third
-    # tokenize pass over the corpus (self-review r8 finding)
-    tot = uni.agg(F.sum("c_uni").alias("n"))
+    # tokenize pass over the corpus (self-review r8 finding); the exact
+    # unigram TYPE count rides the same 1-row aggregate for free and
+    # feeds the broadcast tripwire below
+    tot = uni.agg(
+        F.sum("c_uni").alias("n"),
+        F.count(F.lit(1)).alias("_n_uni_types"),
+    )
+    from pdf_brain_spark.functions.guards import (
+        BROADCAST_ROWS_BOUND,
+        bounded_broadcast,
+    )
+
     lm = (
         bg_counts.join(prev_counts, prev_of == F.col("prev"))
         .join(uni, cur_of == F.col("term"))
         .crossJoin(F.broadcast(tot))
         .select(
             "bg",
-            F.round(
-                -F.log(
-                    0.7 * (F.col("c_bg").cast("double") / F.col("c_prev").cast("double"))
-                    + 0.3 * (F.col("c_uni").cast("double") / F.col("n").cast("double"))
-                )
-                * 1_000_000
-            )
-            .cast("long")
-            .alias("s_micro"),
+            # the force-broadcast table is BIGRAM-type grain; the exact
+            # count available without a new exchange is the UNIGRAM type
+            # count, so the ceiling carries a 16x fan-out margin (bigram
+            # type counts run ~5-15x the unigram vocab in natural-
+            # language corpora, both Heaps-sublinear) — the tripwire
+            # fires on |V| >= bound/16, before |bigram types| plausibly
+            # reaches the broadcast bound; Spark's own loud over-ceiling
+            # error remains the backstop for a pathological fan-out
+            bounded_broadcast(
+                F.round(
+                    -F.log(
+                        0.7 * (F.col("c_bg").cast("double") / F.col("c_prev").cast("double"))
+                        + 0.3 * (F.col("c_uni").cast("double") / F.col("n").cast("double"))
+                    )
+                    * 1_000_000
+                ).cast("long"),
+                F.col("_n_uni_types"),
+                "bigram_surprisal_filter's broadcast bigram LM "
+                "(bigram-type grain, guarded via unigram vocab x16 margin)",
+                bound=BROADCAST_ROWS_BOUND // 16,
+            ).alias("s_micro"),
         )
     )
     scored = (

@@ -526,13 +526,18 @@ def source_term_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     np_ = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("np"))
     ts = np_.groupBy("source").agg(F.sum("np").alias("t_s"))
     nq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("nq"))
-    tq = nq.agg(F.sum("nq").alias("t"))
+    # the exact vocab size rides the existing 1-row total aggregate for
+    # free (nq is term grain) and feeds the broadcast tripwire below
+    tq = nq.agg(
+        F.sum("nq").alias("t"),
+        F.count(F.lit(1)).alias("_n_types"),
+    )
     grid = (
         ts.crossJoin(F.broadcast(nq))
         .crossJoin(F.broadcast(tq))
         .join(F.broadcast(np_), ["source", "term"], "left")
         .select(
-            "source", "term", "t_s", "nq", "t",
+            "source", "term", "t_s", "nq", "t", "_n_types",
             F.coalesce("np", F.lit(0)).alias("np"),
         )
     )
@@ -543,7 +548,18 @@ def source_term_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("np") > 0,
         F.round(p * F.log(p / m) * 1000000).cast("long"),
     ).otherwise(F.lit(0))
-    kq = F.round(q * F.log(q / m) * 1000000).cast("long")
+    # both force-broadcast tables here are vocabulary-grain (nq is |V|
+    # rows; np_ is <= n_sources x |V|) — weld the Heaps-law tripwire
+    # into the consumed KL term via the _n_types column the existing
+    # tq crossJoin already carries (zero extra exchanges)
+    from pdf_brain_spark.functions.guards import bounded_broadcast
+
+    kq = bounded_broadcast(
+        F.round(q * F.log(q / m) * 1000000).cast("long"),
+        F.col("_n_types"),
+        "source_term_jsd's broadcast term-distribution tables "
+        "(vocab grain: nq = |V| rows, np_ <= n_sources x |V|)",
+    )
     return (
         grid.select("source", kp.alias("kp_micro"), kq.alias("kq_micro"))
         .groupBy("source")

@@ -758,6 +758,13 @@ def held_out_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     denom = (F.col("total") + F.col("vocab")).cast("double")
+    # the broadcast LM is train-term grain (⊆ the full vocab the stats
+    # row already carries) — weld the Heaps-law tripwire into the
+    # consumed log-prob so an exploding vocabulary fails by name here,
+    # before the regime where the force-broadcast stops being the right
+    # plan (zero extra exchanges: `vocab` already rides this crossJoin)
+    from pdf_brain_spark.functions.guards import bounded_broadcast
+
     scored = (
         toks.filter((F.col("_b") >= 80) & (F.col("_b") < 90))
         .join(F.broadcast(lm), "term", "left")
@@ -765,10 +772,14 @@ def held_out_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
-            F.coalesce(
-                F.round(F.log((F.col("tf") + F.lit(1.0)) / denom) * 1000000)
-                .cast("long"),
-                F.round(F.log(F.lit(1.0) / denom) * 1000000).cast("long"),
+            bounded_broadcast(
+                F.coalesce(
+                    F.round(F.log((F.col("tf") + F.lit(1.0)) / denom) * 1000000)
+                    .cast("long"),
+                    F.round(F.log(F.lit(1.0) / denom) * 1000000).cast("long"),
+                ),
+                F.col("vocab"),
+                "held_out_perplexity's broadcast unigram LM (train-term grain)",
             ).alias("lp"),
             F.when(F.col("tf").isNull(), 1).otherwise(0).alias("oov"),
         )
