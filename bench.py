@@ -140,6 +140,22 @@ BATCH_KEYS = [
 # inference. main() asserts this map's key set EQUALS the emitted key
 # set before writing BENCH_DETAIL.json, so a rename can't leave stale
 # tags and a new key can't ship untagged (ADVICE r13).
+# r15 sampling rule (VERDICT r14 item 2 — adopted at the PRE-ANNOUNCED
+# boundary, not mid-series): 4 samples per sampled key, median over the
+# LAST 3. The r14 series measured the first sample running 1.5-2x the
+# later ones (JIT/broadcast/python-worker warm-up; exhibit:
+# kmeans_clusters r14 run3 = [5.46, 5.78, 3.12]), which contaminated a
+# 3-sample median headline. MIN semantics are untouched (min over all
+# samples — warm-up can only lose the min race). Heavy keys that sample
+# fewer than 4 times keep median-over-all.
+N_SAMPLES = 4
+
+
+def _median_rule(s: list) -> float:
+    t = sorted(s[1:]) if len(s) >= 4 else sorted(s)
+    return round(t[len(t) // 2], 3)
+
+
 _SCAN, _GB, _WIN, _BLAS = (
     "parquet_scan_8m_sec", "shuffle_groupby_4m_sec",
     "shuffle_window_2stage_sec", "blas_mapinpandas_256kx64_sec",
@@ -343,11 +359,12 @@ def main() -> None:
     # probe raw samples go to BENCH_DETAIL only (keeps the stdout JSON
     # line compact — the driver records only the tail of stdout)
     calibration_samples = calibration.pop("probe_samples")
-    # Three passes; report BOTH min (comparable to r1-r3 numbers, robust
-    # to one-off contention spikes) and median-of-3 (robust to a lucky
-    # fast outlier; the r3 verdict asked for it next to min).
+    # Four passes (r15, pre-announced at r14); report BOTH min
+    # (comparable to r1-r3 numbers, robust to one-off contention spikes)
+    # and median-of-last-3 (_median_rule: drops the measured warm-up
+    # sample that contaminated the 3-sample median headline).
     samples: dict[str, list[float]] = {n: [] for n in names}
-    for _ in range(3):
+    for _ in range(N_SAMPLES):
         for name in names:
             t0 = time.perf_counter()
             queries[name](spark, SF_DIR).collect()
@@ -359,10 +376,10 @@ def main() -> None:
             # cached intermediates)
             spark.catalog.clearCache()
     timings = {n: round(min(s), 3) for n, s in samples.items()}
-    medians = {n: round(sorted(s)[len(s) // 2], 3) for n, s in samples.items()}
+    medians = {n: _median_rule(s) for n, s in samples.items()}
     total = sum(timings.values())
 
-    # Specialized batch keys: every sub-second key is min-of-3 inside its
+    # Specialized batch keys: every sub-second key is min-of-4 inside its
     # helper and contributes its sample array here, so queries_median /
     # queries_samples cover ALL headline keys (VERDICT r11 item 3 — the
     # r11 freeze's ann_ivf_batch256_clustered 1.40x "regression" was one
@@ -373,7 +390,7 @@ def main() -> None:
         timings[key] = value
         s = key_samples if key_samples else [value]
         samples[key] = [round(float(x), 3) for x in s]
-        medians[key] = round(sorted(samples[key])[len(samples[key]) // 2], 3)
+        medians[key] = _median_rule(samples[key])
         total += value
         spark.catalog.clearCache()
 
@@ -500,9 +517,9 @@ def mmr_batch_amortization(spark, n_queries: int = 64, k: int = 10, n_candidates
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    # min-of-3 + samples (VERDICT r11 item 3)
+    # min + samples over N_SAMPLES passes (r11 item 3; 4 samples since r15)
     dts = []
-    for _ in range(3):
+    for _ in range(N_SAMPLES):
         t1 = time.perf_counter()
         mmr_rerank_batch(emb, queries, k=k, n_candidates=n_candidates).count()
         dts.append(round(time.perf_counter() - t1, 3))
@@ -533,11 +550,11 @@ def batch_amortization(spark, n_queries: int = 256, k: int = 10) -> dict:
         emb.filter(F.col("vec_id") < n_queries)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     )
-    # min-of-3 + samples (VERDICT r11 item 3: sub-second keys freeze-compare
+    # min + N_SAMPLES samples (VERDICT r11 item 3: sub-second keys freeze-compare
     # on medians, so one AQE/JIT blip can't read as a phantom regression)
     dts = []
     n_rows = 0
-    for _ in range(3):
+    for _ in range(N_SAMPLES):
         t0 = time.perf_counter()
         n_rows = similarity_join_topk(queries, emb, k=k).count()
         dts.append(round(time.perf_counter() - t0, 3))
@@ -609,14 +626,14 @@ def ivf_batch(spark, n_queries: int = 256, k: int = 10, n_probes: int = 8) -> di
     indexed, centroids = ivf_index(emb, n_lists=16, seed=42)
     indexed = indexed.cache()
     indexed.count()  # index build is one-time; don't bill it to the probe
-    # min-of-3 probes: this entry was single-shot through r4 — the only
+    # min-of-N_SAMPLES probes: this entry was single-shot through r4 — the only
     # headline measurement without the min-of-N discipline, and exactly
     # the one that drifted +43% r3→r4 on this shared VM (VERDICT r4 item
     # 2). Same work every pass; recall from the first.
     dt = float("inf")
     dts = []
     approx = None
-    for _ in range(3):
+    for _ in range(N_SAMPLES):
         t0 = time.perf_counter()
         got = ivf_search_topk_batch(
             indexed, centroids, queries, k=k, n_probes=n_probes
@@ -669,11 +686,11 @@ def ivf_batch_clustered(
     indexed, centroids = ivf_index(emb, n_lists=n_lists, seed=42)
     indexed = indexed.cache()
     indexed.count()
-    # min-of-3, same discipline as ivf_batch (see note there)
+    # min-of-N_SAMPLES, same discipline as ivf_batch (see note there)
     dt = float("inf")
     dts = []
     approx = None
-    for _ in range(3):
+    for _ in range(N_SAMPLES):
         t0 = time.perf_counter()
         got = ivf_search_topk_batch(
             indexed, centroids, queries, k=k, n_probes=n_probes
@@ -702,7 +719,7 @@ def ivf_batch_clustered(
 def bsq_hamming_batch(spark, n_queries: int = 256, k: int = 10, n_candidates: int = 64) -> dict:
     """Binary-sign Hamming serving on the clustered-corpus geometry
     (mixture of Gaussians, the realistic case): 256 queries through the
-    1-bit/dim candidate scan + bounded exact rerank, min-of-3, recall
+    1-bit/dim candidate scan + bounded exact rerank, min-of-N_SAMPLES, recall
     measured against the exact batch path. The point of the number: the
     full-corpus pass reads 64 BITS per vector instead of 64 float64s —
     the scan-bytes story at 100 TB — while the rerank restores exact
@@ -722,7 +739,7 @@ def bsq_hamming_batch(spark, n_queries: int = 256, k: int = 10, n_candidates: in
     dt = float("inf")
     dts = []
     approx = None
-    for _ in range(3):
+    for _ in range(N_SAMPLES):
         t0 = time.perf_counter()
         got = hamming_rerank_topk_batch(
             emb, queries, k=k, n_candidates=n_candidates
@@ -829,7 +846,7 @@ def pq_adc_batch(spark, n: int = 32768, dim: int = 64, n_queries: int = 256, k: 
     lookup-table gathers — the float column is never read) vs the exact
     float BLAS path on the same corpus. Codebook training + encode are
     one-time index builds (not billed to the probe, same accounting as
-    ivf_batch); the ADC headline path is timed min-of-3 with recorded
+    ivf_batch); the ADC headline path is timed min-of-N_SAMPLES with recorded
     samples (the r12 medians instrument), the rerank/exact comparison
     paths min-of-2 (the recall sets are populated on iterations 0-1 and
     the i==2 ADC run is deterministic, so re-collecting them would only
@@ -861,16 +878,16 @@ def pq_adc_batch(spark, n: int = 32768, dim: int = 64, n_queries: int = 256, k: 
     approx_set: set = set()
     rerank_set: set = set()
     exact_set: set = set()
-    # headline key (adc) min-of-3 with samples (VERDICT r11 item 3);
+    # headline key (adc) min-of-N_SAMPLES with samples (VERDICT r11 item 3);
     # rerank/exact comparison paths stay min-of-2 inside the same loop
-    for i in range(3):
+    for i in range(N_SAMPLES):
         t0 = time.perf_counter()
         approx = pq_topk_adc_batch(codes, books, queries, k=k).select(
             "query_id", "vec_id"
         ).collect()
         adc_samples.append(round(time.perf_counter() - t0, 3))
         t_adc = min(t_adc, adc_samples[-1])
-        if i == 2:
+        if i == N_SAMPLES - 1:
             break
         t1 = time.perf_counter()
         reranked = pq_topk_adc_rerank(codes, books, queries, emb, k=k).select(
@@ -961,7 +978,7 @@ def incremental_lsh_vs_batch(spark, n: int = 32768, doc_tokens: int = 384, batch
         spark.catalog.clearCache()
 
         batch_samples, inc_samples = [], []
-        for _ in range(3):
+        for _ in range(N_SAMPLES):
             t0 = _t.perf_counter()
             n_full = minhash_lsh_pairs(docs).count()
             batch_samples.append(_t.perf_counter() - t0)
@@ -1037,16 +1054,16 @@ def ivfpq_batch(spark, n: int = 32768, dim: int = 64, n_queries: int = 256, k: i
     probed_samples: list = []
     probed_set: set = set()
     flat_set: set = set()
-    # headline key (probed) min-of-3 with samples (VERDICT r11 item 3);
+    # headline key (probed) min-of-N_SAMPLES with samples (VERDICT r11 item 3);
     # the flat-ADC comparison path stays min-of-2 inside the same loop
-    for i in range(3):
+    for i in range(N_SAMPLES):
         t0 = time.perf_counter()
         probed = ivfpq_topk_adc_batch(
             indexed, centroids, books, queries, k=k, n_probes=4
         ).select("query_id", "vec_id").collect()
         probed_samples.append(round(time.perf_counter() - t0, 3))
         t_probed = min(t_probed, probed_samples[-1])
-        if i == 2:
+        if i == N_SAMPLES - 1:
             probed_set = {(r.query_id, r.vec_id) for r in probed}
             break
         t1 = time.perf_counter()
