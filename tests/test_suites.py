@@ -168,6 +168,22 @@ def test_bench_probe_class_covers_every_key():
     assert set(bench.PROBE_CLASS.values()) <= valid
 
 
+def test_bench_median_rule_drops_warmup():
+    """The r15 sampling rule (VERDICT r14 item 2): 4 samples, median of
+    the LAST 3 — the first (warm-up) sample must not move the median;
+    shorter arrays (heavy keys) keep median-over-all."""
+    import bench
+
+    assert bench.N_SAMPLES == 4
+    # the r14 exhibit, extended to 4 samples: warm-up first
+    assert bench._median_rule([5.46, 3.1, 5.78, 3.12]) == 3.12
+    # warm-up sample is excluded even if it is the smallest
+    assert bench._median_rule([0.1, 2.0, 3.0, 4.0]) == 3.0
+    # <4 samples: median over all (single-shot and min-of-2 keys)
+    assert bench._median_rule([2.0]) == 2.0
+    assert bench._median_rule([1.0, 3.0, 2.0]) == 2.0
+
+
 def test_install_suites_is_idempotent():
     """A second install_suites over the already-consolidated registry is
     a no-op, not an AssertionError (ADVICE r9)."""
