@@ -69,18 +69,27 @@ del _m, _k, _v
 # Driver gate window: the correctness harness verifies the FIRST 50
 # registered queries.
 #
-# ROUND-15 ROTATION — the pre-specified fold (VERDICT r14 item 1;
-# COVERAGE.md "Pre-specified round-15 window"):
+# ROUND-16 ROTATION — the pre-specified steady state (VERDICT r15
+# item 1; COVERAGE.md "Pre-specified round-16 window"):
 #
-#   * 30 SUITE gates (192 members; suites.py SUITE_PLAN): mmr_rerank +
-#     mmr_rerank_batch FOLDED into suite_ann_serving now that their
-#     first post-r13-rewrite named rows landed in CORRECTNESS_r14 —
-#     the diversity re-rankers re-verify inside the serving family
-#     EVERY round from here on (stronger than their single named rows).
+#   * 30 SUITE gates (192 members; suites.py SUITE_PLAN) — unchanged;
+#     no fold is pending.
 #   * 11 FLAGSHIP spares: the SURVEY §2 reference-parity core, held
 #     permanently in the window's displaceable slots.
-#   * 9 RE-ATTEST singles (VERDICT r13 item 3; pool grown by the 2
-#     slots the fold freed, per the pre-specified plan): a
+#   * 3 CHANGED-PLAN slots (the WINDOW RULE in COVERAGE.md, applied AS
+#     WRITTEN per ADVICE r15 item 2): held_out_perplexity,
+#     bigram_surprisal_filter, and source_term_jsd all had their plans
+#     modified in r15 (bounded_broadcast tripwires welded into consumed
+#     expressions — new aggregate columns riding the joins) but took no
+#     named slots that round under a plan-flags-unchanged narrowing the
+#     judge flagged as post hoc. The rule says "any gate whose DAG
+#     changed since its last driver row takes a window slot"; their
+#     DAGs changed and their last named rows predate the weld, so they
+#     take their slots now. held_out_perplexity is a standalone gate;
+#     the other two are suite members exposed via the alias mechanism
+#     (CHANGED_PLAN_ALIASES below).
+#   * 6 RE-ATTEST singles (VERDICT r13 item 3; pool = 9 minus the 3
+#     changed-plan slots above, per the window rule's precedence): a
 #     deterministic, round-seeded pick of suite members run as NAMED
 #     standalone rows alongside their suites — the proactive defense
 #     against a canonicalization-layer bug masking a member regression
@@ -88,27 +97,27 @@ del _m, _k, _v
 #     row hashes the member's own schema). Pick rule, pinned by
 #     tests/test_suites.py::test_reattest_picks_match_seed_rule:
 #     sort CONSOLIDATED members by sha256("r{ROUND}:{name}"), take the
-#     first 8. Re-registered from CONSOLIDATED under their own names
-#     (REATTEST below) so the driver runs member fn vs member oracle
-#     directly.
-#   * 1 CHANGED-PLAN slot (the WINDOW RULE in COVERAGE.md, claimed from
-#     the re-attest pool): unigram_perplexity_filter was restructured
-#     this round — token total + EXACT vocab now fold off the
-#     checkpointed term-grain table, eliminating the separate whole-
-#     token-stream totals pass and carrying the bounded_broadcast
-#     tripwire — so it takes a named slot for its first
-#     post-restructure driver row. Plan flags are byte-identical to
-#     the pin (bnlj 2 / single_part 1); the pass structure is what
-#     changed.
+#     first N_REATTEST. Re-registered from CONSOLIDATED under their own
+#     names (REATTEST below) so the driver runs member fn vs member
+#     oracle directly.
 #
-# Rotated OUT: nothing leaves attestation — the mmr pair now rides
-# suite_ann_serving (re-verified every round), and their
-# CORRECTNESS_r14 rows persist in the archive.
+# Rotated OUT: unigram_perplexity_filter's changed-plan slot retires
+# (its first post-restructure row landed full-green in CORRECTNESS_r15
+# and persists in the archive; the gate remains registered, oracled,
+# and benched every round), and the 8 r15 re-attest singles return to
+# their suites (re-verified every round inside their suite rows).
 # --------------------------------------------------------------------------
 
 # The round the current window was sealed for; seeds the re-attest pick.
-REATTEST_ROUND = 15
-N_REATTEST = 8
+REATTEST_ROUND = 16
+N_REATTEST = 6
+
+# Suite members claiming changed-plan window slots this round (the
+# WINDOW RULE): exposed as standalone driver gates through the same
+# CONSOLIDATED-alias mechanism as the re-attest picks. Standalone
+# changed-plan gates (held_out_perplexity) need no alias — they are
+# already driver-facing.
+CHANGED_PLAN_ALIASES = ["bigram_surprisal_filter", "source_term_jsd"]
 
 
 def _reattest_picks(round_no: int, n: int) -> list[str]:
@@ -149,21 +158,30 @@ GATE_WINDOW = [
     "vector_similarity_join", "transitive_closure",
     "context_expansion", "multiscale_retrieval", "chunk_pipeline",
     "events_percentiles", "library_stats", "llm_enrichment",
-    # the 1 changed-plan slot (window rule): first post-restructure row
-    "unigram_perplexity_filter",
-    # the 8 round-seeded re-attest singles (= _reattest_picks(15, 8);
+    # the 3 changed-plan slots (window rule, applied as written per
+    # ADVICE r15 item 2): first post-guard-weld rows for the three
+    # gates whose r15 tripwire weld changed their DAGs without a
+    # named row that round
+    "held_out_perplexity", "bigram_surprisal_filter",
+    "source_term_jsd",
+    # the 6 round-seeded re-attest singles (= _reattest_picks(16, 6);
     # literal here so the window stays a pinned list, equality pinned
     # by test_reattest_picks_match_seed_rule)
-    "hits_hub_authority", "dedup_threshold_curve",
-    "flesch_reading_ease", "packing_boundary_report",
-    "holt_linear_forecast", "nation_supplier_hhi",
-    "embedding_spectrum_report", "part_skyline",
+    "embedding_pca_top2", "events_m4_downsample",
+    "events_hourly_seasonality", "events_transition_entropy",
+    "bpe_merge_steps", "mmr_rerank",
 ]
 
 # The re-attest picks, re-registered from CONSOLIDATED under their own
 # names after install_suites so the driver runs member-vs-member-oracle
 # directly (suite membership unchanged — these are aliases, not moves).
 REATTEST = GATE_WINDOW[-N_REATTEST:]
+
+# Every suite member exposed as a standalone driver gate this round:
+# the re-attest picks plus the member gates holding changed-plan slots.
+# tools/plan_audit.py and the registry-invariant tests key off this —
+# alias plans duplicate member plans already pinned inside their suites.
+MEMBER_ALIASES = CHANGED_PLAN_ALIASES + REATTEST
 
 
 def _reorder_registry() -> None:
@@ -197,9 +215,10 @@ if not os.environ.get("SPARK_GRAFT_NO_SUITES"):
     from pdf_brain_spark.suites import install_suites
 
     install_suites(QUERIES, ORACLES, CONSOLIDATED)
-    # Re-attest aliases (VERDICT r13 item 3): expose the round's picked
-    # members as top-level driver gates alongside their suites.
-    for _m in REATTEST:
+    # Member aliases (VERDICT r13 item 3 + the r16 changed-plan slots):
+    # expose the round's picked/claiming members as top-level driver
+    # gates alongside their suites.
+    for _m in MEMBER_ALIASES:
         _fn, _sql, _suite = CONSOLIDATED[_m]
         QUERIES[_m] = _fn
         ORACLES[_m] = _sql

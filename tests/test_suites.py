@@ -13,9 +13,9 @@ def test_registry_invariants():
     from pdf_brain_spark.queries import (
         CONSOLIDATED,
         GATE_WINDOW,
+        MEMBER_ALIASES,
         ORACLES,
         QUERIES,
-        REATTEST,
         lookup_oracle,
         lookup_query,
     )
@@ -30,9 +30,10 @@ def test_registry_invariants():
         assert s in QUERIES and s in ORACLES
     for m in members:
         # members stay out of the driver-facing registry EXCEPT the
-        # round's re-attest picks, exposed as standalone aliases
-        # (r14, VERDICT r13 item 3)
-        if m in REATTEST:
+        # round's re-attest picks and changed-plan claimants, exposed
+        # as standalone aliases (r14, VERDICT r13 item 3; r16 window
+        # rule)
+        if m in MEMBER_ALIASES:
             assert QUERIES[m] is CONSOLIDATED[m][0]
             assert ORACLES[m] == CONSOLIDATED[m][1]
         else:
@@ -57,10 +58,14 @@ def test_reattest_picks_match_seed_rule():
     )
 
     assert REATTEST == _reattest_picks(REATTEST_ROUND, N_REATTEST)
-    # r15: the pool grew to 9 by the 2 slots the mmr fold freed, minus
-    # the 1 changed-plan slot the window rule claimed for
-    # unigram_perplexity_filter's restructure (COVERAGE.md)
-    assert len(REATTEST) == N_REATTEST == 8
+    # r16: the 9-slot tail = 3 changed-plan slots the window rule
+    # claims (the r15 guard-welded gates, ADVICE r15 item 2) + 6
+    # re-attest picks (COVERAGE.md)
+    assert len(REATTEST) == N_REATTEST == 6
+    from pdf_brain_spark.queries import CHANGED_PLAN_ALIASES, MEMBER_ALIASES
+
+    assert MEMBER_ALIASES == CHANGED_PLAN_ALIASES + REATTEST
+    assert CHANGED_PLAN_ALIASES == ["bigram_surprisal_filter", "source_term_jsd"]
 
 
 def test_registry_pinned_counts():
@@ -70,23 +75,22 @@ def test_registry_pinned_counts():
     is caught by a count audit, the way the r10 near-miss was. Update
     these three numbers deliberately, in the same commit that changes
     the registry — a drive-by drift here is the bug this test exists
-    to catch. r15 state: 183 driver-facing gates (r14's 185 minus the
-    mmr pair the pre-specified fold absorbed into suite_ann_serving)
-    + 8 re-attest aliases (round-rotating; aliases of CONSOLIDATED
-    entries, not new surfaces — the 9th slot became
-    unigram_perplexity_filter's changed-plan slot, which is one of the
-    183, not an alias), 192 suite-consolidated members across 30
-    suites = 375 named surfaces (unchanged — zero net-new
-    registrations this round)."""
-    from pdf_brain_spark.queries import CONSOLIDATED, ORACLES, QUERIES, REATTEST
+    to catch. r16 state: 183 driver-facing gates (unchanged — zero
+    net-new registrations this round) + 8 member aliases (round-
+    rotating; aliases of CONSOLIDATED entries, not new surfaces — 6
+    re-attest picks + 2 changed-plan claimants; held_out_perplexity's
+    changed-plan slot is one of the 183, not an alias), 192
+    suite-consolidated members across 30 suites = 375 named
+    surfaces."""
+    from pdf_brain_spark.queries import CONSOLIDATED, MEMBER_ALIASES, ORACLES, QUERIES
     from pdf_brain_spark.suites import SUITE_PLAN
 
-    assert len(QUERIES) == 183 + len(REATTEST) == 191
+    assert len(QUERIES) == 183 + len(MEMBER_ALIASES) == 191
     assert len(ORACLES) == 191
     assert len(CONSOLIDATED) == 192
     assert len(SUITE_PLAN) == 30
     # named surfaces: gates that are not aliases + members
-    assert (len(QUERIES) - len(REATTEST)) + len(CONSOLIDATED) == 375
+    assert (len(QUERIES) - len(MEMBER_ALIASES)) + len(CONSOLIDATED) == 375
 
 
 def test_membership_history_latest_snapshot_matches_current_plan():
