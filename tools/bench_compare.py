@@ -11,6 +11,17 @@ Usage:
     python3 tools/bench_compare.py <rev>:BENCH_DETAIL.json NEW.json
         (git-show specs accepted for either side, e.g. the r13 frozen
          sample lives at 43856ff:BENCH_DETAIL.json)
+    ... --probe-rule=artifact|min2|median3
+        Probe-value rule applied to BOTH sides when computing the
+        per-class probe ratios (r16, VERDICT r15 item 3 — the probes
+        moved from min-of-2 to 4-sample/median-of-last-3 at the r15/r16
+        boundary, so a cross-boundary pair mixes rules unless one is
+        forced). `artifact` (default) uses each side's calibration dict
+        as recorded; `min2` recomputes min of the FIRST 2 samples from
+        calibration_samples (the ≤r15 rule — exact on ≤r15 artifacts,
+        rule-matched on r16+); `median3` recomputes median of the LAST
+        3 samples (the r16+ rule; sides without ≥3 samples fall back to
+        the recorded value, disclosed per probe).
 
 Prints per-class probe ratios, the raw and class-matched median
 ratios over shared keys, and the deflated mover table (keys above
@@ -49,11 +60,32 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
-def compare(old: dict, new: dict) -> dict:
+def _probe_values(art: dict, rule: str) -> tuple[dict, list[str]]:
+    """Per-probe values under `rule`, plus the probes that had to fall
+    back to the artifact's recorded value (insufficient samples)."""
+    cal = dict(art["calibration"])
+    if rule == "artifact":
+        return cal, []
+    samples = art.get("calibration_samples") or {}
+    out, fellback = {}, []
+    for p, v in cal.items():
+        ts = samples.get(p) or []
+        if rule == "min2" and len(ts) >= 2:
+            out[p] = min(ts[:2])
+        elif rule == "median3" and len(ts) >= 3:
+            out[p] = sorted(ts[-3:])[1]
+        else:
+            out[p] = v
+            fellback.append(p)
+    return out, fellback
+
+
+def compare(old: dict, new: dict, probe_rule: str = "artifact") -> dict:
     from bench import PROBE_CLASS
 
     om, nm = old["queries_median"], new["queries_median"]
-    oc, nc = old["calibration"], new["calibration"]
+    oc, ofb = _probe_values(old, probe_rule)
+    nc, nfb = _probe_values(new, probe_rule)
     shared = sorted(set(om) & set(nm))
     probe_ratio = {p: nc[p] / oc[p] for p in sorted(set(oc) & set(nc))}
     # probe class comes from the CURRENT instrument; fall back to the
@@ -112,6 +144,8 @@ def compare(old: dict, new: dict) -> dict:
         )
     return {
         "n_shared_keys": len(rows),
+        "probe_rule": probe_rule,
+        "probe_rule_fallbacks": {"old": ofb, "new": nfb},
         "probe_ratio_by_class": {p: round(v, 3) for p, v in probe_ratio.items()},
         "probe_ratio_all_median": round(all_probe_med, 3),
         "probe_ratio_spread": round(spread, 3),
@@ -125,8 +159,17 @@ def compare(old: dict, new: dict) -> dict:
 
 
 def main() -> None:
-    old, new = _load(sys.argv[1]), _load(sys.argv[2])
-    rep = compare(old, new)
+    probe_rule = "artifact"
+    argv = []
+    for a in sys.argv[1:]:
+        if a.startswith("--probe-rule="):
+            probe_rule = a.split("=", 1)[1]
+            if probe_rule not in ("artifact", "min2", "median3"):
+                raise SystemExit(f"unknown --probe-rule: {probe_rule}")
+        else:
+            argv.append(a)
+    old, new = _load(argv[0]), _load(argv[1])
+    rep = compare(old, new, probe_rule)
     # write the artifact BEFORE printing: a downstream `| head` closing
     # the pipe must not lose the JSON
     path = os.environ.get("BENCH_COMPARE_OUT")
@@ -134,6 +177,10 @@ def main() -> None:
         with open(path, "w") as f:
             f.write(json.dumps(rep, indent=1))
     print(f"shared keys: {rep['n_shared_keys']}")
+    print(f"probe rule: {rep['probe_rule']}"
+          + (f" (fallbacks: {rep['probe_rule_fallbacks']})"
+             if rep["probe_rule_fallbacks"]["old"] or rep["probe_rule_fallbacks"]["new"]
+             else ""))
     print("probe ratios (new/old):")
     for p, v in rep["probe_ratio_by_class"].items():
         print(f"  {p}: {v}")
