@@ -112,3 +112,32 @@ def bounded_broadcast(
     return F.when(
         F.assert_true(n_rows < F.lit(bound), F.lit(msg)).isNull(), value
     )
+
+
+def spread_scan(df, key_col: str, target: int | None = None):
+    """Conditionally hash-repartition an UNDER-PARALLEL scan before a
+    CPU-heavy map chain (r16 optimization; guide §2.5 "input skew: one
+    huge unsplittable file ... repartition immediately after the read").
+
+    A single-file / single-row-group parquet source scans as ONE task,
+    so an expression-heavy projection (tokenize → shingle → hash chains
+    over document text) executes on one core no matter how wide the
+    cluster is. This helper is the shared, CONDITIONAL spread the dedup
+    operators have used since r3 (operators/dedup.py::_parallelize —
+    that probe/threshold rationale carries over verbatim): when the
+    scan already has at least half the cluster's slots it is returned
+    UNCHANGED (zero added exchanges at healthy layouts — the 100 TB
+    case), otherwise it is hash-repartitioned ONCE by a deterministic
+    key (never round-robin: retried tasks must reproduce the same
+    row-to-partition assignment, SPARK-38388).
+
+    Only use ahead of map chains whose downstream aggregates are
+    partitioning-insensitive (exact integers / row-local floats /
+    pre-rounded values) — the house float policy every gate follows.
+    """
+    sess = df.sparkSession
+    if target is None:
+        target = sess.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= target:
+        return df
+    return df.repartition(target, key_col)

@@ -1280,9 +1280,13 @@ def unigram_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto the token stream, one doc-grain re-aggregate."""
     from pdf_brain_spark.functions.text import tokenize
 
-    docs = load_table(spark, "documents", sf_dir)
     from pdf_brain_spark.functions.guards import bounded_broadcast
 
+    # r16 A/B: a spread_scan ahead of this tokenize chain was measured
+    # at +0.32 s (0.97→1.29 warm min) — the plain-tokenize chain is
+    # ~0.2 s single-task at bench scale, under the exchange+probe cost.
+    # Reverted; see OPTIMIZATION_r16.md ("spread: where it pays").
+    docs = load_table(spark, "documents", sf_dir)
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
     toks = toks.localCheckpoint(eager=True)
     # r15 restructure (one fewer corpus pass + the broadcast tripwire):

@@ -1457,6 +1457,9 @@ def transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same partition pruning a partitioned taxonomy table gives at
     # 100 TB. The key graph is a tree (one parent per node), so the
     # acyclic fast path drops the per-level seen/anti-join maintenance.
+    # materialize the key-bounded edge dimension ONCE (single partition —
+    # ≤ 4095 rows) so the two closure arms below don't each re-run the
+    # parquet scan + distinct shuffle (r16 optimization, guide §2.4)
     edges = (
         orders.filter((F.col("o_orderkey") > 1) & (F.col("o_orderkey") <= 4096))
         .select(
@@ -1465,15 +1468,34 @@ def transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .coalesce(1)
+        .localCheckpoint(eager=True)
     )
-    a_edges = edges.filter(F.col("node") <= 64)
-    anc = transitive_ancestors(a_edges, a_edges, acyclic=True).select(
-        "node", F.col("ancestor").alias("other"), "depth", F.lit("up").alias("direction")
-    )
-    d_seeds = edges.filter(F.col("parent") <= 64)
-    desc = descendants(d_seeds, edges, acyclic=True).select(
-        "node", F.col("descendant").alias("other"), "depth", F.lit("down").alias("direction")
-    )
+
+    # The two arms are independent eager loops (one localCheckpoint job
+    # per level); run them from a 2-thread pool so one arm's per-level
+    # scheduling gaps back-fill with the other arm's tasks (guide §2.6 —
+    # actions are only sequential because driver code calls them
+    # sequentially). Results are unioned afterwards; determinism is
+    # untouched because each arm's output is independent of the other's.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _anc():
+        a_edges = edges.filter(F.col("node") <= 64)
+        return transitive_ancestors(a_edges, a_edges, acyclic=True).select(
+            "node", F.col("ancestor").alias("other"), "depth",
+            F.lit("up").alias("direction"),
+        )
+
+    def _desc():
+        d_seeds = edges.filter(F.col("parent") <= 64)
+        return descendants(d_seeds, edges, acyclic=True).select(
+            "node", F.col("descendant").alias("other"), "depth",
+            F.lit("down").alias("direction"),
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_anc, f_desc = pool.submit(_anc), pool.submit(_desc)
+        anc, desc = f_anc.result(), f_desc.result()
     return anc.unionByName(desc)
 
 

@@ -3122,12 +3122,22 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side with NO explode, NO groupBy, NO shuffle beyond the final
     top-200 ordering — which is what a within-document quality gate must
     be at 100 TB (cross-document dedup is the separate dedup_* family)."""
+    from pdf_brain_spark.functions.guards import spread_scan
     from pdf_brain_spark.functions.text import shingles, tokenize
 
-    docs = load_table(spark, "documents", sf_dir)
+    # single-file scan = one task; spread the CPU-bound shingle chain
+    # across the cluster first (r16, guide §2.5 — conditional: no-op on
+    # an already-parallel layout). Row-local outputs + a deterministic
+    # (doc_id) final order make the result partitioning-insensitive.
+    docs = spread_scan(load_table(spark, "documents", sf_dir), "doc_id")
     g = (
-        docs.select("doc_id", shingles(tokenize("text"), 5).alias("_g"))
-        .filter(F.size("_g") > 0)
+        # ≥5 tokens ⇔ ≥1 5-gram: the CHEAP equivalent of the former
+        # size(_g) > 0 filter — a deterministic filter on the shingle
+        # chain would be pushed below the spread exchange and re-run the
+        # whole chain single-task at the scan (dedup's _shingle_set_df
+        # precedent)
+        docs.filter(F.size(tokenize("text")) >= 5)
+        .select("doc_id", shingles(tokenize("text"), 5).alias("_g"))
         .select(
             "doc_id",
             F.size("_g").alias("n_grams"),
@@ -3182,9 +3192,12 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     its distinct n-gram set — at 100 TB the train side streams map-side
     against a broadcast (or bloom-filtered) gram set, no shuffle of the
     corpus. Decontamination = anti-join on the same predicate."""
+    from pdf_brain_spark.functions.guards import spread_scan
     from pdf_brain_spark.functions.text import shingles, tokenize
 
-    docs = load_table(spark, "documents", sf_dir)
+    # r16: spread the single-task scan ahead of the shingle chain
+    # (guide §2.5; exact-integer counts, partitioning-insensitive)
+    docs = spread_scan(load_table(spark, "documents", sf_dir), "doc_id")
     grams = docs.select(
         "doc_id",
         F.explode(F.array_distinct(shingles(tokenize("text"), 3))).alias("g"),

@@ -3148,6 +3148,8 @@ def yule_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_randomized_references.py."""
     from pdf_brain_spark.functions.text import tokenize
 
+    # r16 A/B: spread_scan here measured +0.19 s (0.56→0.75 warm min) —
+    # reverted (tokenize-only chain; see OPTIMIZATION_r16.md).
     docs = load_table(spark, "documents", sf_dir)
     c = (
         docs.select("source", F.explode(tokenize("text")).alias("term"))

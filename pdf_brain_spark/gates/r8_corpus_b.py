@@ -517,9 +517,12 @@ def source_term_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     established order-free log encoding. The grid is sources × corpus
     vocab (bounded), never corpus-sized; kq at np = 0 is finite and
     kept, kp at np = 0 is zero by definition."""
-    docs = load_table(spark, "documents", sf_dir)
     from pdf_brain_spark.functions.text import tokenize
 
+    # r16 A/B: spread_scan here measured +0.65 s (0.90→1.55 warm min;
+    # worst of the family — both np/nq arms re-ran the exchange) —
+    # reverted (tokenize-only chain; see OPTIMIZATION_r16.md).
+    docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         "source", F.explode(tokenize("text")).alias("term")
     )
@@ -1561,6 +1564,8 @@ def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_brain_spark.functions.text import tokenize
     from pyspark.sql import Window
 
+    # r16 A/B: spread_scan here measured +0.21 s (0.58→0.79 warm min) —
+    # reverted (tokenize-only chain; see OPTIMIZATION_r16.md).
     docs = load_table(spark, "documents", sf_dir)
     freq = (
         docs.select(F.explode(tokenize("text")).alias("term"))
@@ -1840,9 +1845,12 @@ def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousands of sources, cap the per-shingle source list exactly like
     dedup.SHINGLE_DF_CAP caps docs. One shingle-grain shuffle, one
     pair-grain aggregate."""
+    from pdf_brain_spark.functions.guards import spread_scan
     from pdf_brain_spark.functions.text import shingles, tokenize
 
-    docs = load_table(spark, "documents", sf_dir)
+    # r16: spread the single-task scan ahead of the shingle chain
+    # (guide §2.5; exact-integer counts, partitioning-insensitive)
+    docs = spread_scan(load_table(spark, "documents", sf_dir), "doc_id")
     sh = (
         docs.select(
             "source", F.explode(shingles(tokenize("text"), 3)).alias("shingle")
@@ -2105,6 +2113,9 @@ def g2_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the O11 ≥ 5 support floor bounds the scored set."""
     from pdf_brain_spark.functions.text import shingles, tokenize
 
+    # r16 A/B: spread_scan here measured +0.16 s (0.99→1.15 warm min) —
+    # the 2-gram chain sits just under the exchange+probe break-even.
+    # Reverted (see OPTIMIZATION_r16.md).
     docs = load_table(spark, "documents", sf_dir)
     bi = docs.select(
         F.explode(shingles(tokenize("text"), 2)).alias("bigram")
@@ -4081,6 +4092,8 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_brain_spark.functions.text import tokenize
     from pdf_brain_spark.streaming.events import regression_fit_exprs
 
+    # r16 A/B: spread_scan here measured +0.31 s (0.64→0.95 warm min) —
+    # reverted (tokenize-only chain; see OPTIMIZATION_r16.md).
     docs = load_table(spark, "documents", sf_dir)
     m0 = (
         docs.select("source", F.explode(tokenize("text")).alias("term"))
@@ -4957,6 +4970,8 @@ def distinctive_terms_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking key."""
     from pdf_brain_spark.functions.text import tokenize
 
+    # r16 A/B: spread_scan here measured +0.28 s (0.90→1.18 warm min) —
+    # reverted (tokenize-only chain; see OPTIMIZATION_r16.md).
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         (F.col("doc_id") % 2).alias("grp"), F.explode(tokenize("text")).alias("term")

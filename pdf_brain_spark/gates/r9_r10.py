@@ -2176,6 +2176,8 @@ def kneser_ney_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a 1-row aggregate."""
     from pdf_brain_spark.functions.text import tokenize
 
+    # r16 A/B: spread_scan here measured +0.53 s (1.31→1.84 warm min) —
+    # reverted (tokenize-only chain; see OPTIMIZATION_r16.md).
     docs = load_table(spark, "documents", sf_dir)
     b = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)

@@ -533,8 +533,17 @@ def pmi_pairs(
     2-scalar broadcast for (B, T). The output space is vocab² at most
     and the min_pair floor cuts the noise tail. Directional by design —
     pmi(a→b) ≠ pmi(b→a)."""
-    toks = docs.select(tokenize(text_col).alias("_t")).filter(
-        F.size("_t") >= 2
+    # r16: materialize the token arrays ONCE — totals/uni/bi each
+    # consumed `toks` before, so the corpus re-tokenized three times
+    # (guide §2.4 shared pass). A spread_scan ahead of the chain was
+    # A/B-measured at a net loss at bench scale (+0.35 s; tokenize-only
+    # chain) and dropped — see OPTIMIZATION_r16.md. The checkpoint also
+    # keeps the ≥2-token filter from being pushed into the scan-side
+    # chain (where it would re-run tokenize).
+    toks = (
+        docs.select(tokenize(text_col).alias("_t"))
+        .localCheckpoint(eager=True)
+        .filter(F.size("_t") >= 2)
     )
     totals = toks.agg(
         F.sum(F.size("_t")).alias("t_tokens"),
@@ -658,6 +667,8 @@ def token_entropy(
 
     Shape: one (group, term) groupBy then one group groupBy, both
     map-side-combinable; output is one row per group."""
+    # r16 A/B: spread_scan here measured +0.25 s (0.67→0.92 warm min) —
+    # reverted (tokenize-only chain; see OPTIMIZATION_r16.md).
     counts = (
         docs.select(F.col(group_col), F.explode(tokenize(text_col)).alias("term"))
         .groupBy(group_col, "term")

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pdf_brain_spark.functions.vector import cosine_distance, distance_to_score
-from pdf_brain_spark.operators.vector_search import topk_rows_tiebroken
+from pdf_brain_spark.operators.vector_search import topk_rows_tiebroken_batch
 
 # DERIVED constant, not folklore: the `ivf_recall_curve` gate
 # (queries.py) hash-attests recall@10 at probe depths 1/2/4/8 (of 16
@@ -237,12 +237,14 @@ def ivf_search_topk_batch(
                 dist = 1.0 - vmat @ qmat[qsel].T  # B×|qsel|
                 take = min(m_take, dist.shape[0])
                 vid = grp[id_col].to_numpy()
-                for j, qi in enumerate(qsel):
-                    # (distance, vec_id) tiebreak matches the merge window
-                    rows = topk_rows_tiebroken(dist[:, j], vid, take)
-                    out_q.extend([qids[qi]] * len(rows))
-                    out_v.extend(vid[rows])
-                    out_d.extend(dist[rows, j])
+                # vectorized per-column (distance, vec_id) top-take over
+                # this list's query subset — identical rows/order to the
+                # former per-query loop (tiebreak matches the merge window)
+                rows = topk_rows_tiebroken_batch(dist, vid, take)
+                t = rows.shape[0]
+                out_q.extend(np.repeat(np.asarray([qids[qi] for qi in qsel]), t))
+                out_v.extend(vid[rows.T.reshape(-1)])
+                out_d.extend(dist[rows, np.arange(len(qsel))[None, :]].T.reshape(-1))
             if out_q:
                 yield pd.DataFrame({query_id: out_q, id_col: out_v, "distance": out_d})
 

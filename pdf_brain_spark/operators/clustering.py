@@ -518,15 +518,27 @@ def kmeans_fit_exact_int(
     over a stable order first. Empty clusters keep their previous
     centroid.
 
-    Distributed shape per iteration: ONE Arrow mapInPandas pass assigns
-    (int64 BLAS-style distance matrix per batch, corpus never shuffled
-    for assignment — the production _assign_udf shape) and ONE
-    map-side-combinable groupBy((cid, dim)) sums the update; the only
-    collected object is the k x dim centroid table (bounded by model
-    size, never data — the power_iteration_exact justification).
+    Distributed shape per iteration: ONE Arrow mapInPandas pass that
+    assigns AND partially aggregates — each task emits its local
+    (cid, dim, sum, count) table (k x dim rows per task, model grain),
+    so the only thing that ever leaves Python is the partial update
+    table, and the groupBy((cid, dim)) that follows sums task-grain
+    partials instead of shuffling an exploded (row x dim) token stream
+    (guide §2.3 "aggregate before you shuffle" + §4.1 column-boundary
+    discipline; r16 optimization — the previous shape returned every
+    row's q array back across the Arrow boundary and posexploded it to
+    N·dim rows before the aggregate). The only collected object is the
+    k x dim centroid table (bounded by model size, never data — the
+    power_iteration_exact justification).
     int64 bounds: |v| <= ~scale x max|x| (~2e3 at unit-norm-ish inputs);
     per-pair squared distance <= dim*(2*2e3)^2 ~ 1e9; update sums
     <= n*2e3 — all far inside int64 at any realistic corpus.
+    The distance matrix itself is computed BLAS-style in float64
+    (x² − 2X·Cᵀ + c²): every intermediate is an integer, and with
+    components bounded by 2²² (enforced below; milli-quantized
+    embeddings sit ~2e3) the largest intermediate is dim·(2²²)² = 2⁵⁰
+    < 2⁵³, so the float64 matmul is EXACT and argmin ties (first
+    minimum = lowest cid) match the int64 form bit-for-bit.
 
     Returns (cluster_id, dim_idx, coord_milli, n_members): the final
     centroids in milli-units plus each cluster's size under the final
@@ -566,34 +578,55 @@ def kmeans_fit_exact_int(
     c_cur = [cents[i] for i in range(k)]
     sizes = [0] * k
 
-    def _assign_fn(c_mat):
-        c_np = np.array(c_mat, dtype=np.int64)
+    def _assign_agg_fn(c_mat):
+        c_np = np.array(c_mat, dtype=np.float64)
+        c2 = (c_np ** 2).sum(axis=1)
 
         def fn(it):
+            S = np.zeros((k, dim), dtype=np.int64)
+            N = np.zeros(k, dtype=np.int64)
+            seen = False
             for pdf in it:
                 if not len(pdf):
                     continue
+                seen = True
                 v = np.array([np.asarray(x) for x in pdf["q"]], dtype=np.int64)
-                d2 = ((v[:, None, :] - c_np[None, :, :]) ** 2).sum(axis=2)
+                if int(np.abs(v).max(initial=0)) >= (1 << 22):
+                    raise ValueError(
+                        "kmeans_fit_exact_int: |component| >= 2^22 breaks the "
+                        "float64-exact distance contract; lower the scale"
+                    )
+                vf = v.astype(np.float64)
+                d2 = (vf * vf).sum(axis=1)[:, None] - 2.0 * (vf @ c_np.T) + c2[None, :]
+                a = d2.argmin(axis=1)
+                for j in np.unique(a):
+                    S[j] += v[a == j].sum(axis=0)
+                N += np.bincount(a, minlength=k)
+            if seen:
                 yield pd.DataFrame(
-                    {"cid": d2.argmin(axis=1).astype("int32"), "q": pdf["q"]}
+                    {
+                        "cid": np.repeat(np.arange(k), dim).astype("int32"),
+                        "d": np.tile(np.arange(dim), k).astype("int32"),
+                        "s": S.reshape(-1),
+                        "n": np.repeat(N, dim),
+                    }
                 )
 
         return fn
 
     for _ in range(n_iter):
-        assigned = q.mapInPandas(_assign_fn(c_cur), "cid int, q array<long>")
+        partials = q.mapInPandas(_assign_agg_fn(c_cur), "cid int, d int, s long, n long")
         sums = (
-            assigned.select("cid", F.posexplode("q").alias("d", "v"))
-            .groupBy("cid", "d")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            partials.groupBy("cid", "d")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()  # bounded: k x dim rows (model grain, never data)
         )
         c_next = [list(row) for row in c_cur]
         counts = [0] * k
         for r in sums:
-            c_next[r["cid"]][r["d"]] = _trunc_div(int(r["s"]), int(r["n"]))
-            counts[r["cid"]] = int(r["n"])
+            if int(r["n"]) > 0:
+                c_next[r["cid"]][r["d"]] = _trunc_div(int(r["s"]), int(r["n"]))
+                counts[r["cid"]] = int(r["n"])
         c_cur, sizes = c_next, counts
 
     return spark.createDataFrame(

@@ -168,7 +168,7 @@ def pq_topk_adc_batch(
     import numpy as np
     from pyspark.sql import Window
 
-    from pdf_brain_spark.operators.vector_search import topk_rows_tiebroken
+    from pdf_brain_spark.operators.vector_search import topk_rows_tiebroken_batch
 
     q_rows = queries.select(query_id, query_col).collect()
     qids = np.array([r[0] for r in q_rows])
@@ -189,13 +189,17 @@ def pq_topk_adc_batch(
             dist *= 0.5  # ‖q̂−v̂‖²/2 == cosine distance on the unit sphere
             take = min(m_take, codes.shape[0])
             vid = pdf[id_col].to_numpy()
-            out_q, out_v, out_d = [], [], []
-            for qi in range(len(qids)):
-                rows = topk_rows_tiebroken(dist[qi], vid, take)
-                out_q.extend([qids[qi]] * len(rows))
-                out_v.extend(vid[rows])
-                out_d.extend(dist[qi, rows])
-            yield pd.DataFrame({query_id: out_q, id_col: out_v, "distance": out_d})
+            # vectorized per-column (distance, id) top-take — identical
+            # rows/order to the former per-query Python loop
+            rows = topk_rows_tiebroken_batch(dist.T, vid, take)
+            t = rows.shape[0]
+            yield pd.DataFrame(
+                {
+                    query_id: np.repeat(qids, t),
+                    id_col: vid[rows.T.reshape(-1)],
+                    "distance": dist.T[rows, np.arange(len(qids))[None, :]].T.reshape(-1),
+                }
+            )
 
     qid_type = dict(queries.dtypes)[query_id]
     id_type = dict(codes_df.dtypes)[id_col]
@@ -945,7 +949,7 @@ def hamming_rerank_topk_batch(
     import pandas as pd
 
     from pdf_brain_spark.functions.vector import cosine_distance, distance_to_score
-    from pdf_brain_spark.operators.vector_search import topk_rows_tiebroken
+    from pdf_brain_spark.operators.vector_search import topk_rows_tiebroken_batch
     from pyspark.sql import Window
 
     n_words = dim // BSQ_WORD_BITS
@@ -982,14 +986,16 @@ def hamming_rerank_topk_batch(
             )  # B × Q
             vid = pdf[id_col].to_numpy()
             take = min(n_candidates, dist.shape[0])
-            out_q, out_v, out_d = [], [], []
-            for j in range(len(qids)):
-                rows = topk_rows_tiebroken(dist[:, j].astype(np.float64), vid, take)
-                out_q.extend([qids[j]] * len(rows))
-                out_v.extend(vid[rows])
-                out_d.extend(dist[rows, j])
+            # vectorized per-column (distance, id) top-take — identical
+            # rows/order to the former per-query Python loop
+            rows = topk_rows_tiebroken_batch(dist, vid, take)
+            t = rows.shape[0]
             yield pd.DataFrame(
-                {query_id: out_q, id_col: out_v, "hamming_dist": out_d}
+                {
+                    query_id: np.repeat(qids, t),
+                    id_col: vid[rows.T.reshape(-1)],
+                    "hamming_dist": dist[rows, np.arange(len(qids))[None, :]].T.reshape(-1),
+                }
             )
 
     qid_type = dict(queries.dtypes)[query_id]

@@ -151,6 +151,29 @@ def topk_rows_tiebroken(dist_col, vid, take: int):
     return cand[order[:take]]
 
 
+def topk_rows_tiebroken_batch(dist, vid, take: int):
+    """Column-wise `topk_rows_tiebroken` for a B×Q distance matrix in ONE
+    vectorized pass (r16 optimization, guide §4.2): the serving kernels
+    previously looped `for each query: topk_rows_tiebroken(...)` in
+    Python — Q interpreted iterations per Arrow batch. Pre-ordering the
+    batch rows by vid once and then stable-argsorting the distance
+    columns yields, per column, exactly the (distance, vec_id) total
+    order the per-query path produces (stable sort preserves the vid
+    order among distance ties), so the selected row SET and its order
+    are identical (pinned by tests/test_r16_optimizations.py fuzz).
+    Contract: distances are NaN-free — every caller scores normalized
+    vectors/integer codes (the per-query path silently returned an
+    EMPTY column when a NaN landed inside the argpartition boundary,
+    so NaN inputs were never a supported regime there either).
+    Returns a (min(take, B) × Q) matrix of row indices."""
+    import numpy as np
+
+    b = dist.shape[0]
+    vord = np.argsort(vid, kind="stable")
+    sel = np.argsort(dist[vord], axis=0, kind="stable")[: min(take, b)]
+    return vord[sel]
+
+
 def similarity_join_topk(
     queries: DataFrame,
     vectors: DataFrame,
@@ -206,17 +229,19 @@ def similarity_join_topk(
             dist = 1.0 - vmat @ qmat.T  # B×Q cosine distance
             take = min(m_take, dist.shape[0])
             vid = pdf[id_col].to_numpy()
-            out_q, out_v, out_d, out_vec = [], [], [], []
-            for j in range(len(qids)):
-                rows = topk_rows_tiebroken(dist[:, j], vid, take)
-                out_q.extend([qids[j]] * len(rows))
-                out_v.extend(vid[rows])
-                out_d.extend(dist[rows, j])
-                if keep_vec:
-                    out_vec.extend(raw[rows])
-            data = {query_id: out_q, id_col: out_v, "distance": out_d}
+            # one vectorized (distance, vec_id) top-take per column — the
+            # per-query Python loop this replaces produced the identical
+            # rows in the identical order (see topk_rows_tiebroken_batch)
+            rows = topk_rows_tiebroken_batch(dist, vid, take)
+            t = rows.shape[0]
+            flat = rows.T.reshape(-1)
+            data = {
+                query_id: np.repeat(qids, t),
+                id_col: vid[flat],
+                "distance": dist[rows, np.arange(len(qids))[None, :]].T.reshape(-1),
+            }
             if keep_vec:
-                data[vec_col] = out_vec
+                data[vec_col] = list(raw[flat])
             yield pd.DataFrame(data)
 
     qid_type = dict(queries.dtypes)[query_id]
