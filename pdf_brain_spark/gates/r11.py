@@ -2221,9 +2221,19 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.octet_length("_t") == F.length("_t"))
     ta = txt.select(F.col("doc_id").alias("doc_a"), F.col("_t").alias("_ta"))
     tb = txt.select(F.col("doc_id").alias("doc_b"), F.col("_t").alias("_tb"))
+    # r16 (profiled): the planner broadcasts the tiny pair table and
+    # streams the single-task document scan, so the whole
+    # ≤1e6-DP-cell-per-pair levenshtein stage executed as ONE task
+    # (1.0 s single-core at sf0.1). Attach the prefixes first (cheap
+    # broadcast joins), then spread the bounded pair-grain rows ONCE,
+    # deterministically by the key pair (never round-robin —
+    # SPARK-38388), so the DP runs cluster-wide. The exchange moves
+    # pairs × 2 KB of prefix — proportional to the candidate set, never
+    # the corpus.
     v = (
         cands.join(ta, "doc_a")
         .join(tb, "doc_b")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_a", "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -2234,17 +2244,20 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sim = F.expr("(1000 * (max_len - lev_distance)) div max_len")
-    return (
-        v.filter(F.col("max_len") > 0)
-        .select(
-            "doc_a",
-            "doc_b",
-            "lev_distance",
-            sim.alias("sim_milli"),
-            (sim >= 500).alias("is_dup"),
-        )
-        .orderBy("doc_a", "doc_b")
+    scored = v.filter(F.col("max_len") > 0).select(
+        "doc_a",
+        "doc_b",
+        "lev_distance",
+        sim.alias("sim_milli"),
+        (sim >= 500).alias("is_dup"),
     )
+    # r16 (profiled): the terminal orderBy's RangePartitioning SAMPLING
+    # pass re-executed the final stage end-to-end — the levenshtein DP
+    # ran TWICE (2 × 1.0 s at sf0.1; shuffle outputs are reused across
+    # jobs, but everything after the last exchange here is broadcast
+    # joins + the DP, so the sampling job re-ran all of it). Materialize
+    # the bounded scored pairs once; the sort then orders a tiny table.
+    return scored.localCheckpoint(eager=True).orderBy("doc_a", "doc_b")
 
 
 # this gate registers after the shared substitution loop above ran

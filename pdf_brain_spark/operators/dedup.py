@@ -198,11 +198,22 @@ def ngram_jaccard_pairs(
     members = groups.select("_chash", "_members")
 
     # one shingle pass over the distinct contents, shared by the inverted
-    # index, the set sizes, and the nonempty check below
-    rsets = groups.select(
-        F.col("_chash").alias(id_col),
-        F.array_distinct(shingles(tokenize(text_col), k)).alias("sh_set"),
-    ).localCheckpoint(eager=True)
+    # index, the set sizes, and the nonempty check below.
+    # r16 (profiled): AQE coalesces the tiny dup-collapse shuffle to ONE
+    # partition, so this k-gram chain — the expensive kind per the r16
+    # A/B — ran single-task (0.73 s of the gate at sf0.1). One cheap
+    # deterministic exchange of the (hash, text) reps re-spreads it; the
+    # checkpoint then materializes the sets cluster-wide.
+    rsets = (
+        groups.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "_chash"
+        )
+        .select(
+            F.col("_chash").alias(id_col),
+            F.array_distinct(shingles(tokenize(text_col), k)).alias("sh_set"),
+        )
+        .localCheckpoint(eager=True)
+    )
     rep_pairs = _jaccard_pairs_from_sets(rsets, threshold, id_col, df_cap)
 
     # within-group pairs: every member pair of a duplicated content is a
