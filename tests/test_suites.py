@@ -57,15 +57,30 @@ def test_reattest_picks_match_seed_rule():
         _reattest_picks,
     )
 
-    assert REATTEST == _reattest_picks(REATTEST_ROUND, N_REATTEST)
-    # r16: the 9-slot tail = 3 changed-plan slots the window rule
-    # claims (the r15 guard-welded gates, ADVICE r15 item 2) + 6
-    # re-attest picks (COVERAGE.md)
-    assert len(REATTEST) == N_REATTEST == 6
+    assert REATTEST == _reattest_picks(REATTEST_ROUND, N_REATTEST) if N_REATTEST else REATTEST == []
+    # r17: the 9-slot tail is ENTIRELY changed-plan slots (VERDICT r16
+    # item 8 — the r16 optimization round's DAG-changed gates take
+    # precedence over the re-attest pool), so the re-attest pick is
+    # empty this round (COVERAGE.md "Round-17 rotation").
+    assert len(REATTEST) == N_REATTEST == 0
     from pdf_brain_spark.queries import CHANGED_PLAN_ALIASES, MEMBER_ALIASES
 
     assert MEMBER_ALIASES == CHANGED_PLAN_ALIASES + REATTEST
-    assert CHANGED_PLAN_ALIASES == ["bigram_surprisal_filter", "source_term_jsd"]
+    assert CHANGED_PLAN_ALIASES == [
+        "source_contamination_matrix",
+        "dedup_edit_distance_verify",
+        "kmeans_clusters",
+    ]
+    # the 6 standalone changed-plan claimants hold the remaining tail
+    from pdf_brain_spark.queries import GATE_WINDOW
+
+    assert GATE_WINDOW[-9:] == [
+        "doc_repetition_filter", "benchmark_contamination",
+        "dedup_ngram_jaccard", "hamming_ann_batch16",
+        "reciprocal_nearest_neighbors", "ann_recall_report",
+        "source_contamination_matrix", "dedup_edit_distance_verify",
+        "kmeans_clusters",
+    ]
 
 
 def test_registry_pinned_counts():
@@ -75,18 +90,17 @@ def test_registry_pinned_counts():
     is caught by a count audit, the way the r10 near-miss was. Update
     these three numbers deliberately, in the same commit that changes
     the registry — a drive-by drift here is the bug this test exists
-    to catch. r16 state: 183 driver-facing gates (unchanged — zero
-    net-new registrations this round) + 8 member aliases (round-
-    rotating; aliases of CONSOLIDATED entries, not new surfaces — 6
-    re-attest picks + 2 changed-plan claimants; held_out_perplexity's
-    changed-plan slot is one of the 183, not an alias), 192
-    suite-consolidated members across 30 suites = 375 named
-    surfaces."""
+    to catch. r17 state: 183 driver-facing gates (unchanged — zero
+    net-new registrations, fifth consecutive round) + 3 member aliases
+    (round-rotating; aliases of CONSOLIDATED entries, not new surfaces
+    — the 3 suite-member changed-plan claimants; the 6 standalone
+    changed-plan claimants are among the 183), 192 suite-consolidated
+    members across 30 suites = 375 named surfaces."""
     from pdf_brain_spark.queries import CONSOLIDATED, MEMBER_ALIASES, ORACLES, QUERIES
     from pdf_brain_spark.suites import SUITE_PLAN
 
-    assert len(QUERIES) == 183 + len(MEMBER_ALIASES) == 191
-    assert len(ORACLES) == 191
+    assert len(QUERIES) == 183 + len(MEMBER_ALIASES) == 186
+    assert len(ORACLES) == 186
     assert len(CONSOLIDATED) == 192
     assert len(SUITE_PLAN) == 30
     # named surfaces: gates that are not aliases + members
