@@ -134,6 +134,17 @@ def spread_scan(df, key_col: str, target: int | None = None):
     Only use ahead of map chains whose downstream aggregates are
     partitioning-insensitive (exact integers / row-local floats /
     pre-rounded values) — the house float policy every gate follows.
+
+    CONTRACT (ADVICE r16): call this on RAW SCANS ONLY — a bare
+    load_table/read projection with no exchange beneath it. The
+    parallelism probe goes through ``df.rdd``, which is only a free and
+    accurate probe for a scan: on a plan that already contains
+    exchanges under AQE, converting to an RDD finalizes (and can
+    eagerly execute) query stages and reports PRE-coalesce partition
+    counts, so the helper could mis-decide or do hidden work if applied
+    mid-plan. For mid-plan re-spreads use an unconditional deterministic
+    ``repartition(n, key)`` sized by ``defaultParallelism`` instead
+    (the ngram_jaccard_pairs rep-set pattern).
     """
     sess = df.sparkSession
     if target is None:

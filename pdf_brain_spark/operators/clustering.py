@@ -25,6 +25,8 @@ vectors is a single map-only stage with zero shuffles.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -542,9 +544,12 @@ def kmeans_fit_exact_int(
     <= n*2e3 — all far inside int64 at any realistic corpus.
     The distance matrix itself is computed BLAS-style in float64
     (x² − 2X·Cᵀ + c²): every intermediate is an integer, and with
-    components bounded by 2²² (enforced below; milli-quantized
-    embeddings sit ~2e3) the largest intermediate is dim·(2²²)² = 2⁵⁰
-    < 2⁵³, so the float64 matmul is EXACT and argmin ties (first
+    max|component| = M the largest intermediate in the expanded form
+    is < 4·dim·M², so exactness requires 4·dim·M² < 2⁵³ — a
+    DIM-DEPENDENT bound (ADVICE r16), enforced below as
+    M < floor(sqrt(2⁵¹/dim)) (= 2²²·√2 at dim 64; milli-quantized
+    embeddings sit ~2e3, far inside it at any supported dim). Under
+    that bound the float64 matmul is EXACT and argmin ties (first
     minimum = lowest cid) match the int64 form bit-for-bit.
 
     Returns (cluster_id, dim_idx, coord_milli, n_members): the final
@@ -585,6 +590,11 @@ def kmeans_fit_exact_int(
     c_cur = [cents[i] for i in range(k)]
     sizes = [0] * k
 
+    # exactness bound for the float64 BLAS distance form (see docstring):
+    # 4·dim·M² < 2^53 ⟺ M < sqrt(2^51/dim); components at/above the
+    # floor'd root raise (strictly inside the bound after the floor)
+    comp_bound = math.isqrt((1 << 51) // dim)
+
     def _assign_agg_fn(c_mat):
         c_np = np.array(c_mat, dtype=np.float64)
         c2 = (c_np ** 2).sum(axis=1)
@@ -598,10 +608,11 @@ def kmeans_fit_exact_int(
                     continue
                 seen = True
                 v = np.array([np.asarray(x) for x in pdf["q"]], dtype=np.int64)
-                if int(np.abs(v).max(initial=0)) >= (1 << 22):
+                if int(np.abs(v).max(initial=0)) >= comp_bound:
                     raise ValueError(
-                        "kmeans_fit_exact_int: |component| >= 2^22 breaks the "
-                        "float64-exact distance contract; lower the scale"
+                        f"kmeans_fit_exact_int: |component| >= "
+                        f"sqrt(2^51/dim) = {comp_bound} (dim={dim}) breaks "
+                        "the float64-exact distance contract; lower the scale"
                     )
                 vf = v.astype(np.float64)
                 d2 = (vf * vf).sum(axis=1)[:, None] - 2.0 * (vf @ c_np.T) + c2[None, :]

@@ -5,6 +5,8 @@ pin against the shape it replaced (same results, cheaper plan/kernel).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pytest
 
@@ -73,8 +75,14 @@ def test_kmeans_partial_agg_update_matches_exploded_reference(spark):
         for r in kmeans_fit_exact_int(spark, df, k=k, dim=dim, n_iter=n_iter).collect()
     }
 
-    # driver-local replay of the documented recurrence on exact integers
-    q = np.array([[int(v) for v in np.round(x * scale)] for x in X], dtype=np.int64)
+    # driver-local replay of the documented recurrence on exact integers.
+    # Quantize with Spark's F.round rule — HALF_UP (away from zero) for
+    # doubles — not np.round (half-EVEN), which would diverge on exact
+    # .5-milli boundaries (ADVICE r16).
+    def _half_up(v: float) -> int:
+        return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
+    q = np.array([[_half_up(v) for v in x * scale] for x in X], dtype=np.int64)
     C = q[:k].copy()
     sizes = np.zeros(k, dtype=np.int64)
     for _ in range(n_iter):
@@ -97,13 +105,19 @@ def test_kmeans_partial_agg_update_matches_exploded_reference(spark):
 
 
 def test_kmeans_fit_float64_bound_guard(spark):
-    """Components at/above 2^22 milli-units break the float64-exact
-    distance contract and must raise by name, not return wrong argmins."""
+    """Components at/above the DIM-AWARE bound sqrt(2^51/dim) (ADVICE
+    r16: exactness of the expanded x²−2X·Cᵀ+c² form needs
+    4·dim·M² < 2^53, so the old flat 2^22 check was silently lax for
+    dim ≥ ~128) break the float64-exact distance contract and must
+    raise by name, not return wrong argmins."""
+    import math
+
     import pandas as pd
 
     from pdf_brain_spark.operators.clustering import kmeans_fit_exact_int
 
-    big = float((1 << 22) + 7) / 1000.0  # quantizes to 2^22 + 7
+    bound = math.isqrt((1 << 51) // 2)  # dim=2 → 2^25
+    big = float(bound + 7) / 1000.0  # quantizes above the dim-2 bound
     pdf = pd.DataFrame(
         {
             "vec_id": np.arange(4, dtype=np.int64),
@@ -113,3 +127,14 @@ def test_kmeans_fit_float64_bound_guard(spark):
     df = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
     with pytest.raises(Exception, match="float64-exact"):
         kmeans_fit_exact_int(spark, df, k=2, dim=2, n_iter=1).collect()
+    # and just UNDER the dim-2 bound must fit cleanly (the flat-2^22
+    # guard would have rejected this legal input)
+    ok = float(bound - 1) / 1000.0
+    pdf2 = pd.DataFrame(
+        {
+            "vec_id": np.arange(4, dtype=np.int64),
+            "embedding": [[ok, 0.0], [0.0, 1.0], [1.0, 0.0], [0.5, 0.5]],
+        }
+    )
+    df2 = spark.createDataFrame(pdf2, "vec_id long, embedding array<double>")
+    assert kmeans_fit_exact_int(spark, df2, k=2, dim=2, n_iter=1).count() == 4
