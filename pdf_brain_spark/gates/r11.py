@@ -3140,7 +3140,9 @@ def embedding_spectrum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY source
     """,
 )
-def yule_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+def yule_k_by_source(
+    spark: SparkSession, sf_dir: str, shared_counts: DataFrame | None = None
+) -> DataFrame:
     """YULE'S CHARACTERISTIC K per source (Yule 1944, 'The Statistical
     Study of Literary Vocabulary') — the SIZE-INVARIANT lexical-richness
     constant completing the vocabulary family: TTR shrinks with corpus
@@ -3163,12 +3165,17 @@ def yule_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r16 A/B: spread_scan here measured +0.19 s (0.56→0.75 warm min) —
     # reverted (tokenize-only chain; see OPTIMIZATION_r16.md).
-    docs = load_table(spark, "documents", sf_dir)
-    c = (
-        docs.select("source", F.explode(tokenize("text")).alias("term"))
-        .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
+    # r17: `shared_counts` (the suite_term_stats shared (source, term,
+    # c) table) IS this gate's first groupBy — consumed directly.
+    if shared_counts is not None:
+        c = shared_counts.select("source", "term", F.col("c").cast("long").alias("c"))
+    else:
+        docs = load_table(spark, "documents", sf_dir)
+        c = (
+            docs.select("source", F.explode(tokenize("text")).alias("term"))
+            .groupBy("source", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
     m = c.groupBy("source").agg(
         F.sum("c").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_types"),

@@ -4222,7 +4222,9 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY term_a, term_b
     """,
 )
-def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def term_pmi_pairs(
+    spark: SparkSession, sf_dir: str, shared_toks: DataFrame | None = None
+) -> DataFrame:
     """Collocation mining: positive-PMI adjacent bigrams (Church &
     Hanks 1990) — the statistic behind phrase detection and
     compound-token induction in corpus prep. Bigram emission is a
@@ -4231,10 +4233,17 @@ def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     as integer micro-nats of one exact-integer rational, the
     established engine-portable log encoding
     (operators/analytics.py::pmi_pairs). Directional: pmi(a→b) ≠
-    pmi(b→a)."""
+    pmi(b→a). ``shared_toks``: the suite_term_stats shared token-array
+    table (r17) — pmi consumes its `_toks` column instead of
+    re-tokenizing and re-checkpointing the corpus."""
     from pdf_brain_spark.operators.analytics import pmi_pairs
 
-    return pmi_pairs(load_table(spark, "documents", sf_dir)).orderBy(
+    toks = (
+        shared_toks.select(F.col("_toks").alias("_t"))
+        if shared_toks is not None
+        else None
+    )
+    return pmi_pairs(load_table(spark, "documents", sf_dir), toks=toks).orderBy(
         "term_a", "term_b"
     )
 
@@ -4434,18 +4443,27 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg ORDER BY source
     """,
 )
-def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def source_token_entropy(
+    spark: SparkSession, sf_dir: str, shared_counts: DataFrame | None = None
+) -> DataFrame:
     """Shannon entropy of each source's token distribution in integer
     micro-nats — the evenness/quality signal that flags template spam
     (entropy far below ln(vocab)) and mode-collapsed generators. Every
     ln rounds to an integer BEFORE summation
     (operators/analytics.py::token_entropy), so engine float-summation
     order never matters; both divisions are integer DIV of positive
-    operands (floor == truncate). Two map-side-combinable groupBys."""
+    operands (floor == truncate). Two map-side-combinable groupBys.
+    ``shared_counts``: the suite_term_stats shared (source, term, c)
+    table (r17) — identical to the member's own first groupBy."""
     from pdf_brain_spark.operators.analytics import token_entropy
 
+    counts = (
+        shared_counts.select("source", "term", F.col("c").alias("n"))
+        if shared_counts is not None
+        else None
+    )
     return token_entropy(
-        load_table(spark, "documents", sf_dir), "source"
+        load_table(spark, "documents", sf_dir), "source", counts=counts
     ).orderBy("source")
 
 

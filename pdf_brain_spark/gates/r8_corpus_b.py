@@ -507,7 +507,9 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM terms GROUP BY 1 ORDER BY source
     """,
 )
-def source_term_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+def source_term_jsd(
+    spark: SparkSession, sf_dir: str, shared_counts: DataFrame | None = None
+) -> DataFrame:
     """Jensen-Shannon divergence of each source's term distribution
     from the corpus distribution — the bounded, symmetric "how unusual
     is this source" divergence (0 = identical, ln 2 max), the
@@ -522,13 +524,20 @@ def source_term_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r16 A/B: spread_scan here measured +0.65 s (0.90→1.55 warm min;
     # worst of the family — both np/nq arms re-ran the exchange) —
     # reverted (tokenize-only chain; see OPTIMIZATION_r16.md).
-    docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select(
-        "source", F.explode(tokenize("text")).alias("term")
-    )
-    np_ = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("np"))
+    # r17: `shared_counts` (the suite_term_stats shared (source, term,
+    # c) table) replaces BOTH tokenize arms — np is the table itself,
+    # nq its term-grain re-aggregate (exact integer identities).
+    if shared_counts is not None:
+        np_ = shared_counts.select("source", "term", F.col("c").alias("np"))
+        nq = shared_counts.groupBy("term").agg(F.sum("c").alias("nq"))
+    else:
+        docs = load_table(spark, "documents", sf_dir)
+        toks = docs.select(
+            "source", F.explode(tokenize("text")).alias("term")
+        )
+        np_ = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("np"))
+        nq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("nq"))
     ts = np_.groupBy("source").agg(F.sum("np").alias("t_s"))
-    nq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("nq"))
     # the exact vocab size rides the existing 1-row total aggregate for
     # free (nq is term grain) and feeds the broadcast tripwire below
     tq = nq.agg(
@@ -1551,7 +1560,9 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM m
     """,
 )
-def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zipf_fit_report(
+    spark: SparkSession, sf_dir: str, shared_counts: DataFrame | None = None
+) -> DataFrame:
     """Zipf's-law fit over the corpus rank-frequency curve: log-log OLS
     slope across the top-200 terms (natural text sits near −1; a
     synthetic or templated corpus shows up immediately as a flat
@@ -1566,12 +1577,17 @@ def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r16 A/B: spread_scan here measured +0.21 s (0.58→0.79 warm min) —
     # reverted (tokenize-only chain; see OPTIMIZATION_r16.md).
-    docs = load_table(spark, "documents", sf_dir)
-    freq = (
-        docs.select(F.explode(tokenize("text")).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("f"))
-    )
+    # r17: `shared_counts` (suite_term_stats shared (source, term, c))
+    # folds to the corpus term frequency by an exact integer sum.
+    if shared_counts is not None:
+        freq = shared_counts.groupBy("term").agg(F.sum("c").alias("f"))
+    else:
+        docs = load_table(spark, "documents", sf_dir)
+        freq = (
+            docs.select(F.explode(tokenize("text")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("f"))
+        )
     w = Window.orderBy(F.col("f").desc(), F.col("term").asc())
     pts = (
         freq.select(
@@ -2100,7 +2116,9 @@ def stratified_kfold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored ORDER BY g2_micro DESC, bigram ASC LIMIT 20
     """,
 )
-def g2_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g2_collocations(
+    spark: SparkSession, sf_dir: str, shared_toks: DataFrame | None = None
+) -> DataFrame:
     """Dunning log-likelihood (G², Dunning 1993) collocation extraction
     — the statistically sound replacement for raw PMI on sparse bigrams
     (PMI over-rewards rare pairs; G² weighs ALL four contingency cells,
@@ -2116,10 +2134,17 @@ def g2_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r16 A/B: spread_scan here measured +0.16 s (0.99→1.15 warm min) —
     # the 2-gram chain sits just under the exchange+probe break-even.
     # Reverted (see OPTIMIZATION_r16.md).
-    docs = load_table(spark, "documents", sf_dir)
-    bi = docs.select(
-        F.explode(shingles(tokenize("text"), 2)).alias("bigram")
-    )
+    # r17: `shared_toks` (suite_term_stats shared token arrays) skips
+    # the tokenize pass; the 2-gram shingle runs off the checkpoint.
+    if shared_toks is not None:
+        bi = shared_toks.select(
+            F.explode(shingles(F.col("_toks"), 2)).alias("bigram")
+        )
+    else:
+        docs = load_table(spark, "documents", sf_dir)
+        bi = docs.select(
+            F.explode(shingles(tokenize("text"), 2)).alias("bigram")
+        )
     o = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("o11"))
     o = o.withColumn("w1", F.substring_index("bigram", " ", 1)).withColumn(
         "w2", F.substring_index("bigram", " ", -1)
@@ -4081,7 +4106,9 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM m
     """,
 )
-def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def heaps_law_fit(
+    spark: SparkSession, sf_dir: str, shared_counts: DataFrame | None = None
+) -> DataFrame:
     """Heaps'-law vocabulary-growth fit — log(vocab) vs log(tokens)
     across sources (natural text grows vocabulary at β ≈ 0.4–0.6;
     templated or deduplicated-to-death corpora fall out of that band —
@@ -4094,15 +4121,24 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r16 A/B: spread_scan here measured +0.31 s (0.64→0.95 warm min) —
     # reverted (tokenize-only chain; see OPTIMIZATION_r16.md).
-    docs = load_table(spark, "documents", sf_dir)
-    m0 = (
-        docs.select("source", F.explode(tokenize("text")).alias("term"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.countDistinct("term").alias("vocab"),
+    # r17: from `shared_counts` (suite_term_stats shared (source, term,
+    # c)): n_tokens = Σc per source, vocab = row count per source —
+    # exact integer identities of the exploded aggregate.
+    if shared_counts is not None:
+        m0 = shared_counts.groupBy("source").agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
         )
-    )
+    else:
+        docs = load_table(spark, "documents", sf_dir)
+        m0 = (
+            docs.select("source", F.explode(tokenize("text")).alias("term"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.countDistinct("term").alias("vocab"),
+            )
+        )
     pts = m0.select(
         F.round(F.log(F.col("n_tokens").cast("double")) * 1_000_000)
         .cast("long")
@@ -4957,7 +4993,9 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored ORDER BY abs(delta_micro) DESC, term ASC LIMIT 20
     """,
 )
-def distinctive_terms_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
+def distinctive_terms_logodds(
+    spark: SparkSession, sf_dir: str, shared_toks: DataFrame | None = None
+) -> DataFrame:
     """Distinctive vocabulary by log-odds ratio with a symmetric
     Dirichlet prior (the Monroe, Colaresi & Quinn 2008 "Fightin'
     Words" estimator, alpha = 1) between two corpus halves — which
@@ -4972,10 +5010,17 @@ def distinctive_terms_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r16 A/B: spread_scan here measured +0.28 s (0.90→1.18 warm min) —
     # reverted (tokenize-only chain; see OPTIMIZATION_r16.md).
-    docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select(
-        (F.col("doc_id") % 2).alias("grp"), F.explode(tokenize("text")).alias("term")
-    )
+    # r17: `shared_toks` (suite_term_stats shared token arrays) carries
+    # doc_id, so the parity split reads the checkpoint, not the corpus.
+    if shared_toks is not None:
+        toks = shared_toks.select(
+            (F.col("doc_id") % 2).alias("grp"), F.explode("_toks").alias("term")
+        )
+    else:
+        docs = load_table(spark, "documents", sf_dir)
+        toks = docs.select(
+            (F.col("doc_id") % 2).alias("grp"), F.explode(tokenize("text")).alias("term")
+        )
     cnt = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("c"))
     cnt = cnt.localCheckpoint(eager=True)  # totals, vocab, and the pivot reuse it
     tot = cnt.groupBy("grp").agg(F.sum("c").alias("n"))

@@ -517,6 +517,7 @@ def pmi_pairs(
     docs: DataFrame,
     text_col: str = "text",
     min_pair: int = 5,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Pointwise mutual information of ADJACENT token bigrams —
     collocation/phrase mining (Church & Hanks 1990): which words follow
@@ -540,11 +541,22 @@ def pmi_pairs(
     # chain) and dropped — see OPTIMIZATION_r16.md. The checkpoint also
     # keeps the ≥2-token filter from being pushed into the scan-side
     # chain (where it would re-run tokenize).
-    toks = (
-        docs.select(tokenize(text_col).alias("_t"))
-        .localCheckpoint(eager=True)
-        .filter(F.size("_t") >= 2)
-    )
+    # 100 TB posture (VERDICT r16 item 7, deliberate): the checkpoint
+    # holds the corpus's token arrays on executor storage
+    # (memory-then-disk) for the life of the query — the price of 3
+    # corpus passes → 1. On executor loss the lineage is gone and the
+    # job fails-fast instead of recomputing; for a 100 TB deployment
+    # prefer a reliable `spark.checkpoint` dir for this table. Not
+    # conditioned like spread_scan: the pass-sharing is what matters at
+    # every scale, and the storage cost is bounded by token bytes.
+    # r17: callers that already hold a materialized token-array table
+    # (the suite_term_stats shared pass) pass it as `toks` (column
+    # `_t`); the ≥2-token filter is applied here either way.
+    if toks is None:
+        toks = docs.select(tokenize(text_col).alias("_t")).localCheckpoint(eager=True)
+    else:
+        toks = toks.select("_t")
+    toks = toks.filter(F.size("_t") >= 2)
     totals = toks.agg(
         F.sum(F.size("_t")).alias("t_tokens"),
         F.sum(F.size("_t") - 1).alias("b_slots"),
@@ -655,6 +667,7 @@ def token_entropy(
     docs: DataFrame,
     group_col: str,
     text_col: str = "text",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Shannon entropy of the token distribution per group, in integer
     micro-nats: H = ln T − (1/T)·Σ n·ln n becomes
@@ -666,14 +679,19 @@ def token_entropy(
     evenness ratio.
 
     Shape: one (group, term) groupBy then one group groupBy, both
-    map-side-combinable; output is one row per group."""
+    map-side-combinable; output is one row per group.
+
+    ``counts``: optional pre-computed (group_col, term, n) occurrence
+    table (r17 suite_term_stats shared pass) — must equal the groupBy
+    below exactly; when given, the tokenize pass is skipped."""
     # r16 A/B: spread_scan here measured +0.25 s (0.67→0.92 warm min) —
     # reverted (tokenize-only chain; see OPTIMIZATION_r16.md).
-    counts = (
-        docs.select(F.col(group_col), F.explode(tokenize(text_col)).alias("term"))
-        .groupBy(group_col, "term")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    if counts is None:
+        counts = (
+            docs.select(F.col(group_col), F.explode(tokenize(text_col)).alias("term"))
+            .groupBy(group_col, "term")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
     ln_micro = F.round(F.log(F.col("n").cast("double")) * 1000000).cast("long")
     agg = counts.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_terms"),

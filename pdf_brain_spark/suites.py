@@ -432,14 +432,70 @@ def _suite_oracle_sql(suite: str, oracles: dict[str, str]) -> str:
     return f"SELECT * FROM (\n{body}\n) __s ORDER BY gate, rn"
 
 
+def _term_stats_shared_inputs(spark: SparkSession, sf_dir: str) -> dict:
+    """ONE tokenize pass + ONE (source, term, c) occurrence aggregate
+    feeding all 8 suite_term_stats members (r17 optimization, guide
+    §2.4: the suite previously re-tokenized the whole corpus once PER
+    member — 8 scans of `documents` for one suite row). Both tables are
+    exact-integer identical to what each member's fallback path computes
+    (the members assert the schemas they consume), so every member's
+    result — and the suite hash — is unchanged; the standalone member
+    gates (oracle harness, MEMBER_ALIASES) still run their own
+    fallback pipelines with unchanged plans.
+
+    100 TB posture (same deliberate trade as pmi_pairs, VERDICT r16
+    item 7): `localCheckpoint` pins the token arrays and the counts to
+    executor storage for the life of the suite query — 8 corpus passes
+    → 1 is what matters at every scale; on executor loss the suite
+    fails fast instead of recomputing. A reliable `spark.checkpoint`
+    dir is the production alternative."""
+    from pdf_brain_spark.functions.text import tokenize
+    from pdf_brain_spark.sources.loaders import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", "source", tokenize("text").alias("_toks")
+    ).localCheckpoint(eager=True)
+    counts = (
+        toks.select("source", F.explode("_toks").alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    return {
+        "source_token_entropy": {"shared_counts": counts},
+        "source_term_jsd": {"shared_counts": counts},
+        "zipf_fit_report": {"shared_counts": counts},
+        "heaps_law_fit": {"shared_counts": counts},
+        "yule_k_by_source": {"shared_counts": counts},
+        "term_pmi_pairs": {"shared_toks": toks},
+        "g2_collocations": {"shared_toks": toks},
+        "distinctive_terms_logodds": {"shared_toks": toks},
+    }
+
+
+# Suites whose members share an expensive common input: the builder runs
+# once per suite invocation (inside the timed region — nothing persists
+# across runs) and returns per-member extra kwargs.
+SUITE_SHARED_INPUTS: dict[str, Callable] = {
+    "suite_term_stats": _term_stats_shared_inputs,
+}
+
+
 def _make_suite_fn(suite: str, consolidated: dict):
     members = SUITE_PLAN[suite]
+    shared_builder = SUITE_SHARED_INPUTS.get(suite)
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         width = suite_width(suite)
+        shared = shared_builder(spark, sf_dir) if shared_builder else {}
         out = None
         for m in members:
-            part = _canon_member_df(consolidated[m][0](spark, sf_dir), m, width)
+            part = _canon_member_df(
+                consolidated[m][0](spark, sf_dir, **shared.get(m, {})),
+                m,
+                width,
+            )
             out = part if out is None else out.unionByName(part)
         return out.orderBy("gate", "rn")
 
