@@ -45,6 +45,7 @@ result raises loudly instead of sorting the world in one task.
 from __future__ import annotations
 
 from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -489,15 +490,40 @@ def _make_suite_fn(suite: str, consolidated: dict):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         width = suite_width(suite)
         shared = shared_builder(spark, sf_dir) if shared_builder else {}
-        out = None
-        for m in members:
-            part = _canon_member_df(
-                consolidated[m][0](spark, sf_dir, **shared.get(m, {})),
-                m,
-                width,
+        # r17 (guide §2.6 + §7.3): member construction is driver-side
+        # work — thousands of serial py4j round-trips per suite (7.6k
+        # measured for suite_term_stats, ~3 s of an ~4.5 s gate) plus
+        # any member-internal driver jobs (fits, checkpoints). Build
+        # the member plans from a small thread pool; plan construction
+        # only touches thread-safe py4j/Catalyst surfaces and the
+        # resulting union is assembled in the fixed SUITE_PLAN order,
+        # so the output is unchanged. A/B (suite_term_stats, sf0.1,
+        # same session, 2 reps): seq 4.0-5.5 s → par 2.9-3.5 s.
+        with ThreadPoolExecutor(max_workers=min(8, len(members))) as ex:
+            parts = list(
+                ex.map(
+                    lambda m: _canon_member_df(
+                        consolidated[m][0](spark, sf_dir, **shared.get(m, {})),
+                        m,
+                        width,
+                    ),
+                    members,
+                )
             )
-            out = part if out is None else out.unionByName(part)
-        return out.orderBy("gate", "rn")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # Terminal sort: (gate, rn) is a unique key of the union (rn is
+        # a per-member global row_number), so coalesce(1) + a within-
+        # partition sort yields the IDENTICAL total order orderBy gave,
+        # without orderBy's range-partitioner sampling job — which
+        # re-executed every member subtree end-to-end once before the
+        # real run (§2.4's "orderBy used only to make output
+        # deterministic" trap; same fix as dedup_edit_distance_verify
+        # r16). Each member is already single-partition above (the
+        # bounded row_number window), so the coalesce merges 1-row-ish
+        # partitions, never wide work.
+        return out.coalesce(1).sortWithinPartitions("gate", "rn")
 
     fn.__name__ = suite
     fn.__doc__ = (
