@@ -1818,34 +1818,29 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration; summary = one more map-side argmin pass + one
     cluster-grain aggregate — the corpus is never shuffled."""
     from pdf_brain_spark.operators.clustering import (
+        assign_stats_exact_int,
         fit_centroid_matrix,
         quantize_milli,
-        quantized_d2,
     )
 
     emb = load_table(spark, "embeddings", sf_dir)
     cmat = fit_centroid_matrix(spark, emb, k=8, dim=64, n_iter=2)
     q = quantize_milli(emb)
-    best = F.array_min(
-        F.array(*[
-            F.struct(quantized_d2("q", cmat[c]).alias("d"), F.lit(c).alias("c"))
-            for c in range(8)
-        ])
-    )
-    assigned = q.select(
-        "vec_id",
-        best.getField("c").alias("cluster_id"),
-        best.getField("d").alias("_d2"),
-    )
+    # r17 (guide §2.3/§4.1): the summary pass previously ran the 8-way
+    # HOF distance ladder per row and shipped every (cid, d2, vec_id) to
+    # the groupBy; assign_stats_exact_int assigns and partially
+    # aggregates in-kernel, and the re-aggregate below is an exact
+    # integer identity (count = Σn, Σround(sqrt d2) = Σdsum, the
+    # representative = lexicographic min of per-task (d2, vec_id)
+    # minima). Same output rows, types, and oracle hash.
     return (
-        assigned.groupBy("cluster_id")
+        assign_stats_exact_int(q, cmat)
+        .groupBy(F.col("cid").alias("cluster_id"))
         .agg(
-            F.count(F.lit(1)).cast("long").alias("chunk_count"),
-            F.sum(
-                F.round(F.sqrt(F.col("_d2").cast("double"))).cast("long")
-            ).alias("_dsum"),
-            F.min(F.struct(F.col("_d2"), F.col("vec_id")))
-            .getField("vec_id")
+            F.sum("n").cast("long").alias("chunk_count"),
+            F.sum("dsum").alias("_dsum"),
+            F.min(F.struct(F.col("md2"), F.col("mvid")))
+            .getField("mvid")
             .alias("representative_id"),
         )
         .select(

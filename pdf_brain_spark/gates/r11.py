@@ -1812,32 +1812,29 @@ def cluster_validity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     Randomized second opinion: Fraction-exact per-definition mirror vs
     the integer/micro pipeline in tests/test_randomized_references.py."""
     from pdf_brain_spark.operators.clustering import (
+        assign_stats_exact_int,
         fit_centroid_matrix,
         quantize_milli,
-        quantized_d2,
     )
 
     emb = load_table(spark, "embeddings", sf_dir)
     k = 8
     cmat = fit_centroid_matrix(spark, emb, k=k, dim=64, n_iter=2)
     q = quantize_milli(emb)
-    best = F.array_min(
-        F.array(*[
-            F.struct(
-                quantized_d2("q", cmat[c]).alias("d2"), F.lit(c).alias("cid")
-            )
-            for c in range(k)
-        ])
-    )
-    m3 = q.select(
-        best.getField("cid").alias("cid"), best.getField("d2").alias("d2")
-    )
+    # r17 (guide §2.3/§4.1, profiled): the assignment pass previously ran
+    # the 8-way zip_with/aggregate HOF ladder per row and shipped every
+    # row's (cid, d2) to the groupBy — ~1.8 s of the gate warm, ~2× one
+    # Arrow BLAS pass over the same rows. assign_stats_exact_int assigns
+    # AND partially aggregates in-kernel (≤ k rows per task leave
+    # Python); the re-aggregate below is an exact integer identity of
+    # the old per-row groupBy (n_i = Σn, w_i = Σw, s_i = Σw div Σn).
     st = (
-        m3.groupBy("cid")
+        assign_stats_exact_int(q, cmat)
+        .groupBy("cid")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_i"),
-            F.sum("d2").cast("decimal(38,0)").alias("w_i"),
-            F.expr("sum(d2) div count(1)").alias("s_i"),
+            F.sum("n").cast("long").alias("n_i"),
+            F.sum("w").cast("decimal(38,0)").alias("w_i"),
+            F.expr("sum(w) div sum(n)").alias("s_i"),
         )
         .localCheckpoint(eager=True)  # model grain (≤ k rows); 4 consumers
     )

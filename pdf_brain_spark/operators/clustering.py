@@ -655,3 +655,100 @@ def kmeans_fit_exact_int(
         ],
         "cluster_id int, dim_idx int, coord_milli long, n_members long",
     )
+
+
+def assign_stats_exact_int(
+    q: DataFrame,
+    cmat: list[list[int]],
+    id_col: str = "vec_id",
+    q_col: str = "q",
+) -> DataFrame:
+    """Assign milli-quantized vectors to a FINAL centroid matrix and
+    partially aggregate the cluster-grain statistics IN the Arrow kernel
+    (r17, guide §2.3 + §4.1 — the kmeans_fit_exact_int shape applied to
+    the post-fit summary pass): each task emits at most k rows
+    (cid, n, w, dsum, md2, mvid) instead of every row's argmin crossing
+    back to the JVM for a whole-stage-codegen HOF ladder (8 zip_with +
+    aggregate folds PER ROW — profiled at ~2× the cost of one Arrow
+    BLAS pass on the same data for the cluster_validity_indices gate).
+
+    Exact-integer contract (identical to the gate expressions replaced):
+      - d2 via the float64 BLAS form under the dim-aware bound
+        4·dim·M² < 2⁵³ (same guard as kmeans_fit_exact_int); argmin
+        first-minimum = lowest cid, bit-matching the JVM
+        array_min(struct(d2, cid)) lexicographic rule.
+      - n, w = Σ d2: int64 partial sums per task (the fit kernel's
+        documented bound argument), summed exactly by the final
+        groupBy(cid).
+      - dsum = Σ round(sqrt(d2)): np.sqrt is IEEE correctly-rounded like
+        JVM Math.sqrt; the half-up round is floor(x + 0.5), exact for
+        x < 2^51 (d2 < 2^53 ⇒ sqrt < 2^26.5) and the rule Spark's
+        F.round(double) applies to non-negative values — pinned by
+        tests/test_r17_optimizations.py against the HOF-ladder path.
+      - (md2, mvid) = per-cid lexicographic min (d2, vec_id): the exact
+        integer representative tiebreak of kmeans_clusters.
+    Only cids with ≥1 member in a task are emitted, so the downstream
+    groupBy(cid) sees exactly the cid set the per-row groupBy saw.
+
+    Consumers re-aggregate: n_i = Σn, w_i = Σw, s_i = Σw div Σn,
+    dsum = Σdsum, representative = min (md2, mvid) — exact integer
+    identities of the original per-row aggregates."""
+    import numpy as np
+    import pandas as pd
+
+    k = len(cmat)
+    dim = len(cmat[0])
+    comp_bound = math.isqrt((1 << 51) // dim)
+    c_np_src = [list(c) for c in cmat]
+
+    def fn(it):
+        c_np = np.array(c_np_src, dtype=np.float64)
+        c2 = (c_np ** 2).sum(axis=1)
+        N = np.zeros(k, dtype=np.int64)
+        W = np.zeros(k, dtype=np.int64)
+        D = np.zeros(k, dtype=np.int64)
+        MD2 = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+        MVID = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.array([np.asarray(x) for x in pdf[q_col]], dtype=np.int64)
+            if int(np.abs(v).max(initial=0)) >= comp_bound:
+                raise ValueError(
+                    f"assign_stats_exact_int: |component| >= "
+                    f"sqrt(2^51/dim) = {comp_bound} (dim={dim}) breaks "
+                    "the float64-exact distance contract; lower the scale"
+                )
+            vid = pdf[id_col].to_numpy(dtype=np.int64)
+            vf = v.astype(np.float64)
+            d2 = (vf * vf).sum(axis=1)[:, None] - 2.0 * (vf @ c_np.T) + c2[None, :]
+            a = d2.argmin(axis=1)
+            d2min = d2[np.arange(len(a)), a].astype(np.int64)
+            r = np.floor(np.sqrt(d2min.astype(np.float64)) + 0.5).astype(np.int64)
+            N += np.bincount(a, minlength=k)
+            # integer scatter-adds: exact int64 accumulation (bincount's
+            # float64 weights would lose exactness past 2^53)
+            np.add.at(W, a, d2min)
+            np.add.at(D, a, r)
+            for j in np.unique(a):
+                m = a == j
+                dj, vj = d2min[m], vid[m]
+                ix = np.lexsort((vj, dj))[0]
+                if (dj[ix], vj[ix]) < (MD2[j], MVID[j]):
+                    MD2[j], MVID[j] = dj[ix], vj[ix]
+        present = np.flatnonzero(N > 0)
+        if len(present):
+            yield pd.DataFrame(
+                {
+                    "cid": present.astype("int32"),
+                    "n": N[present],
+                    "w": W[present],
+                    "dsum": D[present],
+                    "md2": MD2[present],
+                    "mvid": MVID[present],
+                }
+            )
+
+    return q.select(id_col, q_col).mapInPandas(
+        fn, "cid int, n long, w long, dsum long, md2 long, mvid long"
+    )

@@ -297,10 +297,24 @@ def _jaccard_pairs_from_sets(
             ),
         )
     )
+    # r17 (profiled, VERDICT r16 item 3): AQE coalesces the postings
+    # shuffle by its MAP-OUTPUT bytes — the grouped id-lists are small —
+    # but the very next operator fans each m-member group out to
+    # m·(m−1)/2 pair rows, which AQE cannot see (eventlog: the explode +
+    # partial pair-agg stage ran 6 tasks / 0.88 s of the gate on 32
+    # cores; group sizes showed NO skew — max m 25 under the 512 cap —
+    # so this is pure under-parallelism, not a hot key). One cheap
+    # deterministic exchange of the grouped postings (27 k rows at
+    # sf0.1; always ≤ one row per distinct shingle, each ≤ df_cap ids)
+    # re-spreads the explode across the cluster. Same fix family as the
+    # ngram rep-set re-spread (r16); interleaved A/B 2.49→2.37 s min.
     inter = (
         sh.groupBy("shingle")
         .agg(ids.alias("_ids"))
         .filter(F.size("_ids") <= F.lit(df_cap))
+        .repartition(
+            sets.sparkSession.sparkContext.defaultParallelism, "shingle"
+        )
         .select(F.explode(pair_structs).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")

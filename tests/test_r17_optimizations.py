@@ -1,0 +1,129 @@
+"""Equivalence pins for the r17 optimization round: every rewrite must
+pin against the shape it replaced (same results, cheaper plan/kernel).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _hof_reference(spark, q, cmat):
+    """The per-row JVM path assign_stats_exact_int replaced: 8-way
+    array_min(struct(quantized_d2, cid)) ladder + per-row aggregates."""
+    from pyspark.sql import functions as F
+
+    from pdf_brain_spark.operators.clustering import quantized_d2
+
+    k = len(cmat)
+    best = F.array_min(
+        F.array(*[
+            F.struct(quantized_d2("q", cmat[c]).alias("d2"), F.lit(c).alias("cid"))
+            for c in range(k)
+        ])
+    )
+    assigned = q.select(
+        "vec_id",
+        best.getField("cid").alias("cid"),
+        best.getField("d2").alias("d2"),
+    )
+    return {
+        r["cid"]: (
+            int(r["n"]),
+            int(r["w"]),
+            int(r["dsum"]),
+            int(r["md2"]),
+            int(r["mvid"]),
+        )
+        for r in assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("d2").alias("w"),
+            F.sum(F.round(F.sqrt(F.col("d2").cast("double"))).cast("long")).alias(
+                "dsum"
+            ),
+            F.min(F.struct(F.col("d2"), F.col("vec_id")))
+            .getField("vec_id")
+            .alias("mvid"),
+            F.min(F.struct(F.col("d2"), F.col("vec_id")))
+            .getField("d2")
+            .alias("md2"),
+        )
+        .collect()
+    }
+
+
+def test_assign_stats_matches_hof_ladder_fuzz(spark):
+    """assign_stats_exact_int (Arrow in-kernel partial aggregation) must
+    reproduce the replaced HOF-ladder per-row aggregates exactly —
+    including (d2, vec_id) representative ties from duplicated vectors
+    and the HALF_UP sqrt rounding — across fuzzed shapes."""
+    from pyspark.sql import functions as F
+
+    from pdf_brain_spark.operators.clustering import assign_stats_exact_int
+
+    rng = np.random.default_rng(1717)
+    for trial in range(6):
+        n = int(rng.integers(20, 200))
+        k = int(rng.integers(2, 6))
+        dim = int(rng.integers(2, 9))
+        base = rng.integers(-3000, 3000, size=(n, dim))
+        # heavy duplication: force argmin and representative ties
+        dup_of = rng.integers(0, n, size=n // 2)
+        base[: len(dup_of)] = base[dup_of]
+        cmat = [[int(v) for v in row] for row in rng.integers(-3000, 3000, size=(k, dim))]
+        pdf = pd.DataFrame(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "q": [list(map(int, row)) for row in base],
+            }
+        )
+        q = spark.createDataFrame(pdf, "vec_id long, q array<long>")
+        got = {
+            r["cid"]: (
+                int(r["n"]),
+                int(r["w"]),
+                int(r["dsum"]),
+                int(r["md2"]),
+                int(r["mvid"]),
+            )
+            for r in assign_stats_exact_int(q, cmat)
+            .groupBy("cid")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("w").alias("w"),
+                F.sum("dsum").alias("dsum"),
+                F.min(F.struct(F.col("md2"), F.col("mvid")))
+                .getField("md2")
+                .alias("md2"),
+                F.min(F.struct(F.col("md2"), F.col("mvid")))
+                .getField("mvid")
+                .alias("mvid"),
+            )
+            .collect()
+        }
+        want = _hof_reference(spark, q, cmat)
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_assign_stats_bound_guard(spark):
+    """Components at/above the dim-aware float64-exactness bound must
+    raise by name (same contract as kmeans_fit_exact_int)."""
+    import math
+
+    from pdf_brain_spark.operators.clustering import assign_stats_exact_int
+
+    dim = 2
+    bound = math.isqrt((1 << 51) // dim)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(3, dtype=np.int64),
+            "q": [[bound + 7, 0], [0, 1], [1, 0]],
+        }
+    )
+    q = spark.createDataFrame(pdf, "vec_id long, q array<long>")
+    with pytest.raises(Exception, match="float64-exact"):
+        assign_stats_exact_int(q, [[0, 0], [1, 1]]).collect()
