@@ -1790,6 +1790,8 @@ def quality_dedup_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window anywhere and the shape survives 100× (the
     cross_source_quantile_calibration gate carries the quantile view;
     this grid is the scale-path one). All integers; share in floor ppm."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pdf_brain_spark.functions.text import tokenize
     from pdf_brain_spark.operators.dedup import (
         connected_components,
@@ -1797,17 +1799,35 @@ def quality_dedup_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, "documents", sf_dir)
-    comps = connected_components(minhash_lsh_pairs(docs)).withColumnRenamed(
-        "node", "doc_id"
-    )
-    dq = (
-        docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
-        .groupBy("doc_id")
-        .agg(
-            F.countDistinct("term").cast("long").alias("quality"),
-            F.count(F.lit(1)).cast("long").alias("n_tok"),
+
+    # r17 (guide §2.6, profiled): the gate is build-dominated (~3.0 s
+    # build / 0.2 s collect warm at sf0.1) because the minhash pipeline
+    # executes eagerly inside connected_components' checkpoints while
+    # the INDEPENDENT (quality, n_tok) tokenize pass waits its turn.
+    # Run the two corpus passes from a 2-thread pool (the
+    # transitive_closure r16 pattern); dq materializes via an eager
+    # checkpoint so the overlap is real work, not a deferred plan.
+    # Content-identical either way; interleaved A/B 2.30/2.22 →
+    # 2.02/1.90 s.
+    def _comps() -> DataFrame:
+        return connected_components(minhash_lsh_pairs(docs)).withColumnRenamed(
+            "node", "doc_id"
         )
-    )
+
+    def _dq() -> DataFrame:
+        return (
+            docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+            .groupBy("doc_id")
+            .agg(
+                F.countDistinct("term").cast("long").alias("quality"),
+                F.count(F.lit(1)).cast("long").alias("n_tok"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fc, _fd = _pool.submit(_comps), _pool.submit(_dq)
+        comps, dq = _fc.result(), _fd.result()
     labeled = (
         docs.select("doc_id")
         .join(comps, "doc_id", "left")

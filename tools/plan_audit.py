@@ -46,16 +46,65 @@ BASELINE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "plan_flags.json")
 
 
+def _explain_str(df) -> str:
+    """The formatted plan as a STRING via the same JVM call
+    DataFrame.explain prints — NOT redirect_stdout, which swaps the
+    process-global sys.stdout and is therefore racy once gates build
+    plans from thread pools (suite member construction, §2.6 overlap
+    gates): two concurrent captures leak plans to the real stdout and
+    can leave sys.stdout pointing at a dead buffer."""
+    try:
+        jvm = df.sparkSession._jvm
+        return jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    except Exception:  # noqa: BLE001 - fall back to the print path
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+
 def plan_flags(df) -> dict[str, int]:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    t = buf.getvalue()
+    t = _explain_str(df)
     return {
         "cartesian": t.count("CartesianProduct"),
         "bnlj": t.count("BroadcastNestedLoopJoin"),
         "single_part": t.count("Arguments: SinglePartition"),
     }
+
+
+def gate_flags(build, spark) -> dict[str, int]:
+    """Audit a gate's FULL pipeline, not just its terminal plan
+    (VERDICT r16 item 2): a mid-pipeline localCheckpoint truncates the
+    terminal plan to a checkpoint scan, silently hiding every exchange
+    and join above it from the audit. While the gate builds, intercept
+    DataFrame.localCheckpoint, capture the pre-checkpoint DataFrame's
+    plan flags, and add them to the terminal plan's counts. Nested
+    checkpoints count each segment exactly once (a later checkpoint's
+    plan starts at the earlier one's scan)."""
+    # patch the RUNTIME DataFrame class: on Spark 4 the instances are
+    # pyspark.sql.classic.dataframe.DataFrame, whose localCheckpoint
+    # OVERRIDES the pyspark.sql.DataFrame base — patching the base
+    # would silently intercept nothing
+    cls = type(spark.range(1))
+    captured: list[dict[str, int]] = []
+    orig = cls.localCheckpoint
+
+    def patched(self, *args, **kwargs):
+        captured.append(plan_flags(self))
+        return orig(self, *args, **kwargs)
+
+    cls.localCheckpoint = patched
+    try:
+        df = build()
+    finally:
+        cls.localCheckpoint = orig
+    fl = plan_flags(df)
+    for seg in captured:
+        for k in fl:
+            fl[k] += seg[k]
+    return fl
 
 
 def main() -> None:
@@ -76,7 +125,9 @@ def main() -> None:
     errored: set[str] = set()
     for i, n in enumerate(names, 1):
         try:
-            flags[n] = plan_flags(get_queries()[n](spark, sf_dir))
+            flags[n] = gate_flags(
+                lambda n=n: get_queries()[n](spark, sf_dir), spark
+            )
         except Exception as e:  # noqa: BLE001 - report and continue
             failures.append(f"{n}: build error {type(e).__name__}: {e}")
             errored.add(n)
