@@ -2596,8 +2596,15 @@ def dedup_transitivity_audit(
     zb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
     uni = (F.size("_sa") + F.size("_sb")).cast("long") - inter
+    # r17 (profiled, guide §3.1): without the hint the planner BUILT the
+    # broadcast from the shingle-SETS side (5k rows × ~300-string arrays
+    # — a 0.8 s broadcast construction in the eventlog) and streamed the
+    # bounded audit-pair list. prs is the provably small side (the audit
+    # contract caps intra-cluster pairs); broadcasting it streams the
+    # heavy set arrays map-side instead. Same join, same rows.
     jp = (
-        prs.join(za, "doc_a")
+        F.broadcast(prs)
+        .join(za, "doc_a")
         .join(zb, "doc_b")
         .select(
             "sz",

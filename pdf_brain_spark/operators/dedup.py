@@ -301,19 +301,26 @@ def _jaccard_pairs_from_sets(
     # shuffle by its MAP-OUTPUT bytes — the grouped id-lists are small —
     # but the very next operator fans each m-member group out to
     # m·(m−1)/2 pair rows, which AQE cannot see (eventlog: the explode +
-    # partial pair-agg stage ran 6 tasks / 0.88 s of the gate on 32
+    # partial pair-agg stage ran 6 tasks / 0.8-0.9 s of the gate on 32
     # cores; group sizes showed NO skew — max m 25 under the 512 cap —
     # so this is pure under-parallelism, not a hot key). One cheap
     # deterministic exchange of the grouped postings (27 k rows at
     # sf0.1; always ≤ one row per distinct shingle, each ≤ df_cap ids)
-    # re-spreads the explode across the cluster. Same fix family as the
-    # ngram rep-set re-spread (r16); interleaved A/B 2.49→2.37 s min.
+    # re-spreads the explode across the cluster. The spread keys on
+    # xxhash64(shingle), NOT the shingle itself: a repartition(P,
+    # shingle) is byte-identical to the groupBy's own hashpartitioning,
+    # so Catalyst collapses it and AQE re-coalesces — measured as a
+    # silent no-op plan. The derived deterministic key keeps the
+    # exchange (REPARTITION_BY_NUM — AQE never coalesces user
+    # repartitions) and is retry-safe (guide §2.5: deterministic, not
+    # rand-derived).
     inter = (
         sh.groupBy("shingle")
         .agg(ids.alias("_ids"))
         .filter(F.size("_ids") <= F.lit(df_cap))
         .repartition(
-            sets.sparkSession.sparkContext.defaultParallelism, "shingle"
+            sets.sparkSession.sparkContext.defaultParallelism,
+            F.xxhash64("shingle"),
         )
         .select(F.explode(pair_structs).alias("p"))
         .select("p.doc_a", "p.doc_b")
@@ -650,6 +657,13 @@ def connected_components(
         schema = edges.select(F.col("src").alias("node")).schema.add(
             "component", edges.schema["src"].dataType
         )
+        # r17 A/B: coalescing the parallelized label table to
+        # rows/50k slices was tried against the 32-task overhead-bound
+        # downstream map stages and REJECTED — it more than DOUBLED both
+        # consumers (quality_dedup_grid 4.0→9.1 s, transitivity audit
+        # 4.1→7.8 s interleaved same-session): the narrow 1-slice input
+        # serialized the join-side work that those 32 tasks were
+        # actually parallelizing. Keep the default parallelize slicing.
         return spark.createDataFrame(rows, schema)
     labels = (
         edges.select(F.col("src").alias("node"))
