@@ -401,24 +401,32 @@ def minhash_signatures_from_sets(
 ) -> DataFrame:
     """Signatures from a precomputed (doc_id, sh_set) DF — lets LSH-then-
     verify pipelines share one shingle pass between banding and exact
-    Jaccard."""
-    bases = F.transform(
-        F.col(set_col), lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+    Jaccard.
+
+    r17 (guide §7.3 planning overhead): the 16 affine-min columns are
+    built as SQL STRINGS via selectExpr, not nested python-lambda
+    Column trees — each F.transform(…, lambda) costs ~10 py4j round
+    trips, and this constructor sits inside every minhash consumer
+    (lsh/verified/transitivity/grid/incremental: 2.5k round trips ≈
+    half the warm wall of dedup_minhash_verified at sf0.1). The parsed
+    expressions are IDENTICAL to the former Column form (same functions,
+    same literals, same `%` remainder on positive int64 operands), so
+    the resolved plan and every result row are unchanged — pinned by
+    tests/test_r17_optimizations.py. Same-session A/B: signature plan
+    construction 0.23-0.28 → 0.04-0.05 s."""
+    base = (
+        f"transform({set_col}, "
+        "s -> CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT))"
     )
-    d = sets.select(F.col(id_col), bases.alias("_bases"))
-
-    def _affine_min(a: int, b: int) -> F.Column:
-        return F.array_min(
-            F.transform(
-                F.col("_bases"), lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
-            )
-        )
-
-    cols = []
+    d = sets.selectExpr(id_col, f"{base} AS _bases")
+    exprs = [id_col]
     for j in range(MINHASH_HASHES):
         a, b = _minhash_coeffs(j)
-        cols.append(_affine_min(a, b).alias(f"h{j}"))
-    return d.select(id_col, *cols)
+        exprs.append(
+            f"array_min(transform(_bases, "
+            f"x -> (x * {a}L + {b}L) % {MINHASH_PRIME}L)) AS h{j}"
+        )
+    return d.selectExpr(*exprs)
 
 
 def minhash_lsh_pairs(

@@ -127,3 +127,51 @@ def test_assign_stats_bound_guard(spark):
     q = spark.createDataFrame(pdf, "vec_id long, q array<long>")
     with pytest.raises(Exception, match="float64-exact"):
         assign_stats_exact_int(q, [[0, 0], [1, 1]]).collect()
+
+
+def test_minhash_signatures_exprstr_matches_lambda_form(spark):
+    """The selectExpr string form of minhash_signatures_from_sets must
+    reproduce the former python-lambda Column construction exactly."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pdf_brain_spark.operators.dedup import (
+        MINHASH_HASHES,
+        MINHASH_PRIME,
+        _minhash_coeffs,
+        minhash_signatures_from_sets,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "sh_set": [
+                ["a b c", "b c d", "c d e"],
+                ["a b c"],
+                ["x y z", "y z w"],
+                ["q r s", "r s t", "s t u", "t u v"],
+            ],
+        }
+    )
+    sets = spark.createDataFrame(pdf, "doc_id long, sh_set array<string>")
+
+    # verbatim pre-r17 construction
+    bases = F.transform(
+        F.col("sh_set"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
+    )
+    d = sets.select(F.col("doc_id"), bases.alias("_bases"))
+    def _affine(a, b):
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    cols = []
+    for j in range(MINHASH_HASHES):
+        a, b = _minhash_coeffs(j)
+        cols.append(
+            F.array_min(
+                F.transform(F.col("_bases"), _affine(a, b))
+            ).alias(f"h{j}")
+        )
+    want = sorted(tuple(r) for r in d.select("doc_id", *cols).collect())
+    got = sorted(tuple(r) for r in minhash_signatures_from_sets(sets).collect())
+    assert got == want
