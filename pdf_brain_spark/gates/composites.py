@@ -1854,7 +1854,7 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage_rate ≥ 0.5 flags the doc. Plan: one gram-key join — at
     100 TB the train gram set is bloom-filtered or bucket-joined; the
     val side (10%) streams against it."""
-    from pdf_brain_spark.functions.text import shingles, tokenize
+    from pdf_brain_spark.functions.text import shingles, tokenize, tokenize_sql
 
     docs = load_table(spark, "documents", sf_dir)
     bucket = (
@@ -1865,7 +1865,7 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "doc_id",
         bucket.alias("_b"),
-        F.explode(F.array_distinct(shingles(tokenize("text"), 3))).alias("g"),
+        F.explode(F.array_distinct(shingles(tokenize_sql("text"), 3))).alias("g"),
     )
     train_g = grams.filter(F.col("_b") < 80).select("g").distinct()
     val_g = grams.filter((F.col("_b") >= 80) & (F.col("_b") < 90))

@@ -3123,7 +3123,7 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-200 ordering — which is what a within-document quality gate must
     be at 100 TB (cross-document dedup is the separate dedup_* family)."""
     from pdf_brain_spark.functions.guards import spread_scan
-    from pdf_brain_spark.functions.text import shingles, tokenize
+    from pdf_brain_spark.functions.text import shingles, tokenize, tokenize_sql
 
     # single-file scan = one task; spread the CPU-bound shingle chain
     # across the cluster first (r16, guide §2.5 — conditional: no-op on
@@ -3137,7 +3137,7 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # whole chain single-task at the scan (dedup's _shingle_set_df
         # precedent)
         docs.filter(F.size(tokenize("text")) >= 5)
-        .select("doc_id", shingles(tokenize("text"), 5).alias("_g"))
+        .select("doc_id", shingles(tokenize_sql("text"), 5).alias("_g"))
         .select(
             "doc_id",
             F.size("_g").alias("n_grams"),
@@ -3193,14 +3193,14 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a broadcast (or bloom-filtered) gram set, no shuffle of the
     corpus. Decontamination = anti-join on the same predicate."""
     from pdf_brain_spark.functions.guards import spread_scan
-    from pdf_brain_spark.functions.text import shingles, tokenize
+    from pdf_brain_spark.functions.text import shingles, tokenize, tokenize_sql
 
     # r16: spread the single-task scan ahead of the shingle chain
     # (guide §2.5; exact-integer counts, partitioning-insensitive)
     docs = spread_scan(load_table(spark, "documents", sf_dir), "doc_id")
     grams = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(shingles(tokenize("text"), 3))).alias("g"),
+        F.explode(F.array_distinct(shingles(tokenize_sql("text"), 3))).alias("g"),
     )
     bench = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
     train = grams.filter(F.col("doc_id") % 97 != 0)
@@ -3260,13 +3260,13 @@ def boilerplate_ngram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrying one row per (doc, distinct gram), never positional copies.
     The report feeds a broadcast semi-join removal pass (same shape as
     benchmark_contamination's decontaminate arm)."""
-    from pdf_brain_spark.functions.text import shingles, tokenize
+    from pdf_brain_spark.functions.text import shingles, tokenize, tokenize_sql
 
     docs = load_table(spark, "documents", sf_dir)
     n_docs = docs.count()
     grams = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(shingles(tokenize("text"), 2))).alias("ngram"),
+        F.explode(F.array_distinct(shingles(tokenize_sql("text"), 2))).alias("ngram"),
     )
     return (
         grams.groupBy("ngram")

@@ -223,11 +223,11 @@ def good_turing_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent instance count) so a broken chain fails by name.
     Randomized pure-python counts-of-counts mirror in
     tests/test_randomized_references.py."""
-    from pdf_brain_spark.functions.text import shingles, tokenize
+    from pdf_brain_spark.functions.text import shingles, tokenize, tokenize_sql
 
     docs = load_table(spark, "documents", sf_dir)
     inst = docs.select(
-        F.explode(shingles(tokenize("text"), 3)).alias("ng")
+        F.explode(shingles(tokenize_sql("text"), 3)).alias("ng")
     ).localCheckpoint(eager=True)  # counted twice: chain + identity
     c = inst.groupBy("ng").agg(F.count(F.lit(1)).cast("long").alias("c"))
     nr = c.groupBy(F.col("c").alias("r")).agg(
@@ -310,12 +310,12 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only against a broadcast max-id row, never a global rank.
     Randomized pure-python first-seen mirror in
     tests/test_randomized_references.py."""
-    from pdf_brain_spark.functions.text import shingles, tokenize
+    from pdf_brain_spark.functions.text import shingles, tokenize, tokenize_sql
 
     docs = load_table(spark, "documents", sf_dir)
     dt = (
         docs.select(
-            "doc_id", F.explode(shingles(tokenize("text"), 4)).alias("ng")
+            "doc_id", F.explode(shingles(tokenize_sql("text"), 4)).alias("ng")
         )
         .distinct()
         .localCheckpoint(eager=True)  # (doc, type) pairs; first-seen + join
@@ -729,11 +729,11 @@ def lm_pruning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the grid costs 5× a vocab-grain scan, never a corpus
     rescan. Randomized pure-python mirror in
     tests/test_randomized_references.py."""
-    from pdf_brain_spark.functions.text import shingles, tokenize
+    from pdf_brain_spark.functions.text import shingles, tokenize, tokenize_sql
 
     docs = load_table(spark, "documents", sf_dir)
     c = (
-        docs.select(F.explode(shingles(tokenize("text"), 2)).alias("ng"))
+        docs.select(F.explode(shingles(tokenize_sql("text"), 2)).alias("ng"))
         .groupBy("ng")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint(eager=True)  # vocab grain; grid + totals

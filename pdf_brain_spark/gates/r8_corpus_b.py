@@ -1862,14 +1862,14 @@ def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.SHINGLE_DF_CAP caps docs. One shingle-grain shuffle, one
     pair-grain aggregate."""
     from pdf_brain_spark.functions.guards import spread_scan
-    from pdf_brain_spark.functions.text import shingles, tokenize
+    from pdf_brain_spark.functions.text import shingles, tokenize, tokenize_sql
 
     # r16: spread the single-task scan ahead of the shingle chain
     # (guide §2.5; exact-integer counts, partitioning-insensitive)
     docs = spread_scan(load_table(spark, "documents", sf_dir), "doc_id")
     sh = (
         docs.select(
-            "source", F.explode(shingles(tokenize("text"), 3)).alias("shingle")
+            "source", F.explode(shingles(tokenize_sql("text"), 3)).alias("shingle")
         )
         .distinct()
         # sizes and BOTH join arms reuse the shingle membership —
@@ -2129,7 +2129,7 @@ def g2_collocations(
     score. Plan: one bigram-count shuffle (occurrences, not distinct),
     two marginal re-aggregates broadcast back, a 20-row TakeOrdered;
     the O11 ≥ 5 support floor bounds the scored set."""
-    from pdf_brain_spark.functions.text import shingles, tokenize
+    from pdf_brain_spark.functions.text import shingles, tokenize, tokenize_sql
 
     # r16 A/B: spread_scan here measured +0.16 s (0.99→1.15 warm min) —
     # the 2-gram chain sits just under the exchange+probe break-even.
@@ -2143,7 +2143,7 @@ def g2_collocations(
     else:
         docs = load_table(spark, "documents", sf_dir)
         bi = docs.select(
-            F.explode(shingles(tokenize("text"), 2)).alias("bigram")
+            F.explode(shingles(tokenize_sql("text"), 2)).alias("bigram")
         )
     o = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("o11"))
     o = o.withColumn("w1", F.substring_index("bigram", " ", 1)).withColumn(
@@ -4641,12 +4641,12 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     you commit a corpus-wide cut. Same DF-capped inverted-index shape
     as dedup_ngram_jaccard (one shingle shuffle, zero all-pairs), one
     extra band aggregate."""
-    from pdf_brain_spark.functions.text import shingles, tokenize
+    from pdf_brain_spark.functions.text import shingles, tokenize, tokenize_sql
 
     docs = load_table(spark, "documents", sf_dir)
     sh = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(shingles(tokenize("text"), 3))).alias("shingle"),
+        F.explode(F.array_distinct(shingles(tokenize_sql("text"), 3))).alias("shingle"),
     ).localCheckpoint(eager=True)  # sizes, the DF cap, and both join arms reuse it
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     kept = (

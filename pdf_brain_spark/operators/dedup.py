@@ -29,7 +29,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pdf_brain_spark.functions.text import md5_long, shingles, tokenize
+from pdf_brain_spark.functions.text import (
+    md5_long,
+    shingles,
+    tokenize,
+    tokenize_sql,
+)
 from pdf_brain_spark.functions.vector import cosine_similarity
 
 # Shingles shared by more than this many DISTINCT contents are dropped from
@@ -88,7 +93,7 @@ def _shingle_set_df(docs: DataFrame, id_col: str, text_col: str, k: int) -> Data
         .filter(F.size(tokenize(text_col)) >= k)
         .select(
             F.col(id_col),
-            F.array_distinct(shingles(tokenize(text_col), k)).alias("sh_set"),
+            F.array_distinct(shingles(tokenize_sql(text_col), k)).alias("sh_set"),
         )
     )
 
@@ -210,7 +215,7 @@ def ngram_jaccard_pairs(
         )
         .select(
             F.col("_chash").alias(id_col),
-            F.array_distinct(shingles(tokenize(text_col), k)).alias("sh_set"),
+            F.array_distinct(shingles(tokenize_sql(text_col), k)).alias("sh_set"),
         )
         .localCheckpoint(eager=True)
     )

@@ -2048,11 +2048,11 @@ MINHASH_SIG_K = 16
 
 
 def _minhash_partial(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
-    from pdf_brain_spark.functions.text import md5_long, shingles, tokenize
+    from pdf_brain_spark.functions.text import md5_long, shingles, tokenize_sql
 
     sh = df.select(
         F.col(group_col).alias("grp"),
-        F.explode(shingles(tokenize(text_col), 3)).alias("shingle"),
+        F.explode(shingles(tokenize_sql(text_col), 3)).alias("shingle"),
     )
     ks = F.array(*[F.lit(k) for k in range(MINHASH_SIG_K)])
     return (
@@ -2180,7 +2180,7 @@ def make_novelty_batch_fn(
     """Per-micro-batch first-seen partial: each 4-gram type in the batch
     with the batch id and the min doc id that carried it, replay-
     idempotent (batch_id=N overwrite)."""
-    from pdf_brain_spark.functions.text import shingles, tokenize
+    from pdf_brain_spark.functions.text import shingles, tokenize, tokenize_sql
 
     def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
